@@ -1,0 +1,585 @@
+"""The analytics/SQL query surface.
+
+Re-expresses the reference's declared analytics corpus
+(``docs/analytics.md`` A1-A10, surveyed in SURVEY.md section 2.6-2.8) over
+the driver's synthetic tables: time-bucketed throughput, latency
+distributions, error rates, top-N, windowed comparisons, content
+distribution, plus the TPC-H-shaped relational queries that exercise the
+same operator set (agg, join, window, set ops, rollup) at scale.
+
+Every query here is pure DataFrame API -- no UDFs -- so Catalyst gets
+full pushdown/pruning/join-selection freedom, and every query has a
+DuckDB oracle in ``ORACLE`` with IDENTICAL column names and rounding.
+
+Scale notes (100 TB):
+- All aggregations are partial-aggregate friendly (sum/count/min/max/avg
+  decompose map-side); ``median`` uses ``percentile_approx``-class
+  machinery only where the oracle can match exactly at test scale.
+- Joins: dimension tables (region/nation/customer at real-world scale)
+  broadcast; the fact-fact joins (orders x lineitem) hash-partition on
+  the join key and benefit from AQE skew splitting.
+- Date filters and column projections push into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import table
+
+
+def _day(col):
+    return F.date_format(col, "yyyy-MM-dd")
+
+
+# --------------------------------------------------------------------------
+# A1 -- throughput per day (docs/analytics.md:27-48)
+# --------------------------------------------------------------------------
+def a1_events_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(_day("ts").alias("day"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A2 -- latency/value distribution by type (docs/analytics.md:56-68)
+# --------------------------------------------------------------------------
+def a2_value_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.median("value"), 4).alias("median_value"),
+        F.count("*").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A3 -- efficiency ratios with null-safe division (docs/analytics.md:76-94)
+# --------------------------------------------------------------------------
+def a3_efficiency_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("value") > 100.0, 1).otherwise(0)).alias("n_heavy"),
+        F.count("*").alias("n_total"),
+    )
+    return agg.select(
+        "event_type",
+        "n_heavy",
+        "n_total",
+        F.round(
+            100.0 * F.col("n_heavy") / F.nullif(F.col("n_total").cast("double"), F.lit(0.0)),
+            2,
+        ).alias("heavy_pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A4 -- error-rate by day, conditional aggregation (docs/analytics.md:102-114)
+# --------------------------------------------------------------------------
+def a4_error_rate_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(_day("ts").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
+            F.count("*").alias("n_total"),
+        )
+        .select(
+            "day",
+            "n_errors",
+            "n_total",
+            F.round(F.col("n_errors") / F.col("n_total").cast("double"), 4).alias("error_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A5 -- top-N heaviest events, deterministic tiebreak (docs/analytics.md:123-133)
+# --------------------------------------------------------------------------
+def a5_top20_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "user_id", "event_type", "value")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# A6 -- single-row pipeline summary (docs/analytics.md:141-151)
+# --------------------------------------------------------------------------
+def a6_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A7 -- weekly comparison with lag() window (docs/analytics.md:159-176)
+# --------------------------------------------------------------------------
+def a7_weekly_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias("week")
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.orderBy("week")
+    return weekly.select(
+        "week",
+        "n_events",
+        F.lag("n_events").over(w).alias("prev_week_events"),
+        (F.col("n_events") - F.lag("n_events").over(w)).alias("wow_delta"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A8 -- content distribution over documents (docs/analytics.md:205-223)
+# --------------------------------------------------------------------------
+def a8_doc_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A9 -- staging backlog snapshot (docs/analytics.md:231-237)
+# --------------------------------------------------------------------------
+def a9_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    pending = ev.filter(F.col("event_type").isin("click", "view"))
+    return pending.agg(
+        F.count("*").alias("n_pending"),
+        F.countDistinct("user_id").alias("n_pending_users"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("newest_ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A10 -- per-entity timing table (docs/analytics.md:184-197)
+# --------------------------------------------------------------------------
+def a10_user_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("span_seconds"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A11 -- JSON property extraction (metadata blob semantics,
+# parquet_service.py:49,88,103 -> to_json/from_json)
+# --------------------------------------------------------------------------
+def a11_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped relational queries (exercise agg/join machinery at scale)
+# --------------------------------------------------------------------------
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"), "o_orderpriority")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = table(spark, sf_dir, "region")
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Join patterns J1-J3 (SURVEY section 2.5): broadcast equi, anti, semi
+# --------------------------------------------------------------------------
+def join_orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (J2/J3 shape: 'not among active' cleanup/dup-check)."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_orderstatus",
+                F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+def join_customers_with_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (J3 shape: exists-check)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_semi",
+        ).select("c_custkey", "c_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions (SURVEY section 2.7)
+# --------------------------------------------------------------------------
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running order total (cumulative window)."""
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+def window_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO claim ordering (job_service.py:99-109 -> row_number()==1)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"))
+    )
+
+
+def window_last_n_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ring-buffer trim: keep the newest 40 events per user
+    (chat_session_service.py:55-60 last-40; registry.py:30-36 last-100)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.sum("value"), 2).alias("kept_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Set ops + rollup (SURVEY section 2.8; Spark natives on the SQL surface)
+# --------------------------------------------------------------------------
+def set_error_not_purchase_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT over (user, day) pairs: days a user erred but never bought."""
+    ev = table(spark, sf_dir, "events")
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", _day("ts").alias("day")).distinct()
+    )
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", _day("ts").alias("day")).distinct()
+    )
+    return err.exceptAll(pur).distinct()
+
+
+def rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type", _day("ts").alias("day"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("day", F.lit("(all)")).alias("day"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+QUERIES = {
+    "a1_events_per_day": a1_events_per_day,
+    "a2_value_stats_by_type": a2_value_stats_by_type,
+    "a3_efficiency_by_type": a3_efficiency_by_type,
+    "a4_error_rate_by_day": a4_error_rate_by_day,
+    "a5_top20_events": a5_top20_events,
+    "a6_summary": a6_summary,
+    "a7_weekly_lag": a7_weekly_lag,
+    "a8_doc_distribution": a8_doc_distribution,
+    "a9_backlog": a9_backlog,
+    "a10_user_timing": a10_user_timing,
+    "a11_json_props": a11_json_props,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_regional_revenue": q5_regional_revenue,
+    "join_orders_without_lineitems": join_orders_without_lineitems,
+    "join_customers_with_purchases": join_customers_with_purchases,
+    "window_running_total": window_running_total,
+    "window_first_event_per_user": window_first_event_per_user,
+    "window_last_n_per_user": window_last_n_per_user,
+    "set_error_not_purchase_user_days": set_error_not_purchase_user_days,
+    "rollup_events": rollup_events,
+}
+
+ORACLE = {
+    "a1_events_per_day": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "a2_value_stats_by_type": """
+        SELECT event_type,
+               round(avg(value), 4) AS avg_value,
+               round(min(value), 4) AS min_value,
+               round(max(value), 4) AS max_value,
+               round(CAST(median(value) AS DOUBLE), 4) AS median_value,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    """,
+    "a3_efficiency_by_type": """
+        SELECT event_type,
+               CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy,
+               CAST(count(*) AS BIGINT) AS n_total,
+               round(100.0 * sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END)
+                     / nullif(CAST(count(*) AS DOUBLE), 0.0), 2) AS heavy_pct
+        FROM events GROUP BY 1
+    """,
+    "a4_error_rate_by_day": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+               CAST(count(*) AS BIGINT) AS n_total,
+               round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 4) AS error_rate
+        FROM events GROUP BY 1
+    """,
+    "a5_top20_events": """
+        SELECT event_id, user_id, event_type, value
+        FROM events ORDER BY value DESC, event_id ASC LIMIT 20
+    """,
+    "a6_summary": """
+        SELECT CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+               round(avg(value), 4) AS avg_value,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+        FROM events
+    """,
+    "a7_weekly_lag": """
+        WITH weekly AS (
+            SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1
+        )
+        SELECT week, n_events,
+               lag(n_events) OVER (ORDER BY week) AS prev_week_events,
+               n_events - lag(n_events) OVER (ORDER BY week) AS wow_delta
+        FROM weekly
+    """,
+    "a8_doc_distribution": """
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               round(avg(n_chars), 2) AS avg_chars,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY 1
+    """,
+    "a9_backlog": """
+        SELECT CAST(count(*) AS BIGINT) AS n_pending,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_pending_users,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS newest_ts
+        FROM events WHERE event_type IN ('click', 'view')
+    """,
+    "a10_user_timing": """
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS span_seconds,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+        FROM events GROUP BY 1
+    """,
+    "a11_json_props": """
+        SELECT event_type,
+               round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    """,
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY 1, 2
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "q5_regional_revenue": """
+        SELECT r_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1
+    """,
+    "join_orders_without_lineitems": """
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+    """,
+    "join_customers_with_purchases": """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+    "window_running_total": """
+        SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+               CAST(row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER)
+                   AS order_seq
+        FROM orders
+    """,
+    "window_first_event_per_user": """
+        SELECT user_id, event_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "window_last_n_per_user": """
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               round(sum(value), 2) AS kept_value
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn <= 40
+        GROUP BY 1
+    """,
+    "set_error_not_purchase_user_days": """
+        SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+        FROM events WHERE event_type = 'error'
+        EXCEPT
+        SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+        FROM events WHERE event_type = 'purchase'
+    """,
+    "rollup_events": """
+        SELECT coalesce(event_type, '(all)') AS event_type,
+               coalesce(strftime(ts, '%Y-%m-%d'), '(all)') AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
+    """,
+}

@@ -1,0 +1,48 @@
+"""Query registry: binds every implemented operator (SURVEY.md section 2)
+to its Spark callable and, where SQL-expressible, its DuckDB oracle.
+
+Modules contribute ``QUERIES: dict[name, fn(spark, sf_dir) -> DataFrame]``
+and ``ORACLE: dict[name, sql]``. A query without an oracle entry gets the
+driver's weaker rows-only check (reserved for genuinely non-SQL ops such
+as custom stateful streaming).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MODULES = None
+
+
+def _modules():
+    global _MODULES
+    if _MODULES is None:
+        from ..operators import analytics
+
+        mods = [analytics]
+        for name in ("textstats", "chunking", "dedup", "similarity", "embedding"):
+            try:
+                mods.append(__import__(
+                    f"selfhosted_rag_doc_chat_prototype_spark.operators.{name}",
+                    fromlist=[name],
+                ))
+            except ImportError:
+                pass
+        _MODULES = mods
+    return _MODULES
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable] = {}
+    for mod in _modules():
+        out.update(getattr(mod, "QUERIES", {}))
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for mod in _modules():
+        out.update(getattr(mod, "ORACLE", {}))
+    return out

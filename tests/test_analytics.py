@@ -1,0 +1,25 @@
+"""Oracle-checked correctness for the analytics/SQL surface
+(SURVEY.md section 2.6-2.8) at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+
+from selfhosted_rag_doc_chat_prototype_spark.operators import analytics
+
+from .helpers import assert_matches_oracle, duck_con
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    return duck_con(sf_dir)
+
+
+@pytest.mark.parametrize("name", sorted(analytics.QUERIES))
+def test_analytics_matches_oracle(name, spark, sf_dir, con):
+    sdf = analytics.QUERIES[name](spark, sf_dir)
+    assert_matches_oracle(sdf, con, analytics.ORACLE[name], name)
+
+
+def test_registry_is_consistent():
+    assert set(analytics.ORACLE) == set(analytics.QUERIES)
