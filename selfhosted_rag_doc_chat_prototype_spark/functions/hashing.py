@@ -1,0 +1,107 @@
+"""Deterministic ID/hash generation (T8).
+
+The reference content-addresses everything with murmur3:
+``document_id = "DOC_" + hex(mmh3(file_bytes) & 0xFFFFFFFF)`` and
+``chunk_id = f"{document_id}_{hex(mmh3(chunk_text))}"``
+(``processors/text_processor.py:150-185``). Those ids are the dedup /
+idempotency key, so exact parity matters. The ``mmh3`` package is not
+in-container, so ``murmur3_32`` below is a self-contained implementation
+of the public MurmurHash3 x86 32-bit algorithm (Austin Appleby, public
+domain), validated against published test vectors in the test suite.
+
+For the oracle-checked SQL surface we expose an md5-based variant
+(``content_doc_id_col``) computable identically in Spark and DuckDB;
+the mmh3 path is used by the ingest DAG where reference-id parity is
+the goal.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def murmur3_32(data: bytes | str, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit, unsigned result."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    length = len(data)
+    rounded = length & ~0x3
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[rounded:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= length
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def mmh3_doc_id(content: bytes | str) -> str:
+    """Reference document id (text_processor.py:175-178)."""
+    return "DOC_" + format(murmur3_32(content) & 0xFFFFFFFF, "08x")
+
+
+def mmh3_chunk_id(doc_id: str, chunk_text: str) -> str:
+    """Reference chunk id (text_processor.py:180-185)."""
+    return f"{doc_id}_{format(murmur3_32(chunk_text), 'x')}"
+
+
+def doc_id_udf():
+    """Lazy factory: pandas_udf return types parse against the active
+    session, so build at call time, not import time."""
+
+    @pandas_udf("string")
+    def _doc_id(content: pd.Series) -> pd.Series:
+        return content.map(mmh3_doc_id)
+
+    return _doc_id
+
+
+def chunk_id_udf():
+    @pandas_udf("string")
+    def _chunk_id(doc_id: pd.Series, chunk: pd.Series) -> pd.Series:
+        return pd.Series([mmh3_chunk_id(d, c) for d, c in zip(doc_id, chunk)])
+
+    return _chunk_id
+
+
+# ---- oracle-parity (md5) variants: identical in Spark and DuckDB ---------
+
+def content_doc_id_col(text: Column) -> Column:
+    """md5-based content-addressed doc id (oracle-checkable stand-in
+    for the mmh3 id; same dedup semantics)."""
+    return F.concat(F.lit("DOC_"), F.substring(F.md5(text), 1, 8))
+
+
+def content_chunk_id_col(doc_id: Column, chunk: Column) -> Column:
+    return F.concat(doc_id, F.lit("_"), F.substring(F.md5(chunk), 1, 8))
+
+
+def passage_prefix_col(doc_id: Column, chunk: Column) -> Column:
+    """T7 prefix enrichment (producer_graph.py:91-99):
+    ``passage: [DOC_xxxxxxxx] <chunk>``."""
+    return F.concat(F.lit("passage: ["), doc_id, F.lit("] "), chunk)

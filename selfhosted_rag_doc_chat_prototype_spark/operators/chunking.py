@@ -1,0 +1,248 @@
+"""Chunking operators T3-T6 (SURVEY.md section 2.4).
+
+Two families:
+
+1. **SQL-expressible chunkers** -- the sliding-window char chunker (T3,
+   ``gatekeeper_logic.py:84-112``) and the token-budget word chunker
+   (T5, ``text_processor.py:188-234``) re-expressed as pure built-in
+   expressions: ``sequence``/``transform``/``slice`` generate the
+   window starts and ``posexplode`` fans 1 row -> N chunk rows, all
+   inside codegen. These have exact DuckDB oracles.
+
+2. **The hierarchical Markdown splitter** (T4,
+   ``processors/text_processor.py:23-147``) -- YAML front matter ->
+   header split (incl. ``### [INTERNAL_PAGE_n]`` anchors) -> bounded
+   char split -- as a deterministic pure-Python function fanned out
+   with ``mapInPandas`` (Arrow-batched; the semantics are inherently
+   procedural). Zero-loss sub-split (T6, ``text_processor.py:110-139``)
+   guarantees ``sum(len(pieces)) == len(original)``.
+
+Scale: chunking is map-only (no shuffle); the flatMap multiplies rows
+~10x so downstream stages should repartition by doc-id hash if they
+aggregate. Window starts are computed per-row -- no driver loop.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sources.tables import table
+
+# --------------------------------------------------------------------------
+# T3: sliding-window char chunker
+# --------------------------------------------------------------------------
+def sliding_window_chunks(
+    df: DataFrame, text_col: str, id_cols: list[str], width: int, step: int
+) -> DataFrame:
+    """Overlapping char windows (reference defaults 6000/600 overlap ->
+    step = width - overlap). ``step == width`` gives the exact-cover
+    (zero-loss) variant."""
+    ids = ", ".join(id_cols)
+    return (
+        df.filter(F.length(text_col) > 0)
+        .selectExpr(
+            ids,
+            f"posexplode(transform(sequence(0, length({text_col}) - 1, {step}),"
+            f" s -> substring({text_col}, s + 1, {width})))"
+            " as (chunk_index, chunk)",
+        )
+        .withColumn("chunk_len", F.length("chunk"))
+    )
+
+
+def chunk_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return sliding_window_chunks(docs, "text", ["doc_id"], width=100, step=80)
+
+
+# --------------------------------------------------------------------------
+# T5: token-budget word chunker
+# --------------------------------------------------------------------------
+def word_budget_chunks(
+    df: DataFrame, text_col: str, id_cols: list[str], budget: int, overlap: int
+) -> DataFrame:
+    step = budget - overlap
+    assert step > 0
+    ids = ", ".join(id_cols)
+    words = f"filter(split(trim({text_col}), '\\\\s+'), x -> x != '')"
+    return (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .selectExpr(
+            ids,
+            f"posexplode(transform(sequence(0, size({words}) - 1, {step}),"
+            f" s -> concat_ws(' ', slice({words}, s + 1, {budget}))))"
+            " as (chunk_index, chunk)",
+        )
+        .withColumn("n_chunk_tokens", F.size(F.split(F.col("chunk"), r"\s+")))
+    )
+
+
+def chunk_word_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return word_budget_chunks(docs, "text", ["doc_id"], budget=32, overlap=8)
+
+
+# --------------------------------------------------------------------------
+# T4: hierarchical Markdown splitter (pure function + mapInPandas fan-out)
+# --------------------------------------------------------------------------
+_HEADER_RE = re.compile(r"^(#{1,6})\s*(.*)$")
+_PAGE_RE = re.compile(r"\[INTERNAL_PAGE_(\d+)\]")
+
+
+def parse_front_matter(text: str) -> tuple[dict[str, str], str]:
+    """YAML-ish front matter (``--- key: value ... ---``) folded into
+    metadata (text_processor.py:32-45)."""
+    meta: dict[str, str] = {}
+    if not text.startswith("---\n"):
+        return meta, text
+    end = text.find("\n---", 4)
+    if end == -1:
+        return meta, text
+    for line in text[4:end].splitlines():
+        if ":" in line:
+            k, v = line.split(":", 1)
+            meta[k.strip()] = v.strip()
+    return meta, text[end + 4 :].lstrip("\n")
+
+
+def split_markdown_sections(text: str) -> list[tuple[str, int, str]]:
+    """Header split: (section_path, page, body). Page comes from
+    ``### [INTERNAL_PAGE_n]`` anchors (text_processor.py:53-57); -1 when
+    unknown. Same-line anchor content is kept as body."""
+    _, body = parse_front_matter(text)
+    sections: list[tuple[str, int, str]] = []
+    path: list[str] = []
+    page = -1
+    buf: list[str] = []
+
+    def flush() -> None:
+        content = "\n".join(buf).strip()
+        if content:
+            sections.append((" / ".join(path) or "(root)", page, content))
+
+    for line in body.splitlines():
+        m = _HEADER_RE.match(line)
+        if m:
+            flush()
+            buf = []
+            level, title = len(m.group(1)), m.group(2).strip()
+            pm = _PAGE_RE.search(title)
+            if pm:
+                page = int(pm.group(1))
+                rest = _PAGE_RE.sub("", title).strip()
+                if rest:  # same-line anchor content stays as body
+                    buf.append(rest)
+                continue
+            path = path[: level - 1] + [title]
+        else:
+            buf.append(line)
+    flush()
+    return sections
+
+
+def subsplit_exact(text: str, max_chars: int) -> list[str]:
+    """T6 zero-loss sub-split: exact cover, never truncates
+    (``sum(len(p) for p in pieces) == len(text)``)."""
+    if len(text) <= max_chars:
+        return [text]
+    return [text[i : i + max_chars] for i in range(0, len(text), max_chars)]
+
+
+def split_markdown(text: str, max_chars: int = 600) -> list[dict]:
+    """Full T4 pipeline for one document: front matter -> header
+    sections -> bounded zero-loss sub-split."""
+    out: list[dict] = []
+    idx = 0
+    for section, page, body in split_markdown_sections(text):
+        for piece in subsplit_exact(body, max_chars):
+            out.append(
+                {"section": section, "page": page, "chunk_index": idx, "chunk": piece}
+            )
+            idx += 1
+    return out
+
+
+MARKDOWN_CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("section", StringType()),
+        StructField("page", IntegerType()),
+        StructField("chunk_index", IntegerType()),
+        StructField("chunk", StringType()),
+    ]
+)
+
+
+def chunk_markdown(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", max_chars: int = 600) -> DataFrame:
+    """Fan one document row out to N chunk rows via Arrow-batched
+    ``mapInPandas`` (UDTF-style flatMap; SURVEY section 2.11)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                for c in split_markdown(text or "", max_chars=max_chars):
+                    rows.append(
+                        (did, c["section"], c["page"], c["chunk_index"], c["chunk"])
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "section", "page", "chunk_index", "chunk"]
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, MARKDOWN_CHUNK_SCHEMA)
+
+
+def chunk_markdown_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown-split the documents corpus (plain text degenerates to a
+    single (root) section per doc -- the plumbing and bounds still
+    apply). Rows-only check: procedural splitter, no SQL oracle."""
+    docs = table(spark, sf_dir, "documents")
+    return chunk_markdown(docs, max_chars=120)
+
+
+QUERIES = {
+    "chunk_sliding_window": chunk_sliding_window,
+    "chunk_word_budget": chunk_word_budget,
+    "chunk_markdown_docs": chunk_markdown_docs,
+}
+
+ORACLE = {
+    "chunk_sliding_window": """
+        SELECT doc_id,
+               CAST(s // 80 AS INTEGER) AS chunk_index,
+               substr(text, CAST(s + 1 AS INTEGER), 100) AS chunk,
+               CAST(length(substr(text, CAST(s + 1 AS INTEGER), 100)) AS INTEGER)
+                   AS chunk_len
+        FROM documents, unnest(range(0, length(text), 80)) AS t(s)
+        WHERE length(text) > 0
+    """,
+    "chunk_word_budget": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS w
+            FROM documents WHERE length(trim(text)) > 0
+        )
+        SELECT doc_id,
+               CAST(s // 24 AS INTEGER) AS chunk_index,
+               array_to_string(list_slice(w, CAST(s + 1 AS INTEGER),
+                                          CAST(s + 32 AS INTEGER)), ' ') AS chunk,
+               CAST(len(list_slice(w, CAST(s + 1 AS INTEGER),
+                                   CAST(s + 32 AS INTEGER))) AS INTEGER)
+                   AS n_chunk_tokens
+        FROM t, unnest(range(0, len(w), 24)) AS u(s)
+    """,
+}

@@ -1,0 +1,240 @@
+"""Text-analysis operators over the ``documents`` corpus: token stats,
+quality scoring, language-ID heuristic, fingerprinting, and
+content-addressed IDs -- the training-data-pipeline surface built on the
+reference's quality predicates (SURVEY.md sections 2.3, 2.9).
+
+All queries are pure built-in expressions (regex + higher-order array
+functions inside whole-stage codegen) with exact DuckDB oracles. At
+100 TB these are embarrassingly parallel scans: no shuffle except the
+final (tiny) aggregations, and the parquet scan prunes to the ``text``
+column only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text_quality as tq
+from ..functions.hashing import content_doc_id_col, passage_prefix_col
+from ..sources.tables import table
+
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "is", "that", "it", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "von", "zu"],
+    "fr": ["le", "les", "la", "et", "une", "est", "que", "pour", "dans", "vous"],
+    "es": ["el", "los", "las", "y", "una", "es", "por", "con", "para", "como"],
+}
+
+_W_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = tq.words(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_unique_tokens"),
+        F.round(tq.mean_word_len(F.col("text")), 4).alias("avg_token_len"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def text_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.round(tq.nonalpha_ratio(t), 4).alias("nonalpha_ratio"),
+        F.round(tq.printable_ascii_ratio(t), 4).alias("ascii_ratio"),
+        F.round(tq.unique_word_ratio(t), 4).alias("uniq_word_ratio"),
+        F.round(tq.mean_word_len(t), 4).alias("mean_word_len"),
+        tq.is_gibberish(t).cast("int").alias("is_gibberish"),
+        tq.is_low_quality(t).cast("int").alias("is_low_quality"),
+        tq.is_repetitive(t).cast("int").alias("is_repetitive"),
+        tq.has_abnormal_word_lengths(t).cast("int").alias("abnormal_words"),
+        tq.is_visibly_corrupt(t).cast("int").alias("is_corrupt"),
+        tq.is_bad_ocr(t).cast("int").alias("is_bad"),
+        F.round(tq.quality_score(t), 4).alias("quality_score"),
+    )
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language heuristic with a fixed priority order
+    (deterministic tiebreak en > de > fr > es)."""
+    docs = table(spark, sf_dir, "documents")
+    w = tq.words(F.col("text"))
+    hits = {
+        lang: F.size(F.array_intersect(w, F.array(*[F.lit(s) for s in sw])))
+        for lang, sw in STOPWORDS.items()
+    }
+    pred = (
+        F.when(
+            (hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"])
+            & (hits["en"] >= hits["es"]) & (hits["en"] > 0), "en")
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] >= hits["es"])
+              & (hits["de"] > 0), "de")
+        .when((hits["fr"] >= hits["es"]) & (hits["fr"] > 0), "fr")
+        .when(hits["es"] > 0, "es")
+        .otherwise("und")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        hits["en"].alias("en_hits"),
+        hits["de"].alias("de_hits"),
+        hits["fr"].alias("fr_hits"),
+        hits["es"].alias("es_hits"),
+        pred.alias("pred_lang"),
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: min-hash over 5-word shingles (rolling
+    content signature) + whole-document md5."""
+    docs = table(spark, sf_dir, "documents")
+    w = tq.words(F.col("text"))
+    n = F.size(w)
+    shingles = F.when(
+        n >= 5,
+        F.transform(
+            F.sequence(F.lit(1), n - 4),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 5)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+    return docs.select(
+        "doc_id",
+        F.array_min(F.transform(shingles, F.md5)).alias("fp_shingle_min"),
+        F.md5("text").alias("fp_doc"),
+        F.size(shingles).alias("n_shingles"),
+    )
+
+
+def content_addressed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7/T8: content-addressed ids + passage-prefix enrichment
+    (md5 oracle-parity variant; mmh3 reference-parity ids live in
+    functions.hashing and are unit-tested against public vectors)."""
+    docs = table(spark, sf_dir, "documents")
+    cid = content_doc_id_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        cid.alias("content_id"),
+        F.concat(cid, F.lit("_"), F.substring(F.md5("text"), 25, 8)).alias("chunk_id"),
+        passage_prefix_col(cid, F.col("text")).alias("passage"),
+    )
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality_flags": text_quality_flags,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+    "content_addressed_ids": content_addressed_ids,
+}
+
+_LANG_SQL = ", ".join(
+    f"len(list_intersect(w, {STOPWORDS[lang]!r})) AS {lang}_hits".replace("'", "'")
+    for lang in ("en", "de", "fr", "es")
+)
+
+ORACLE = {
+    "text_token_stats": f"""
+        WITH t AS (SELECT doc_id, text, {_W_SQL} AS w FROM documents)
+        SELECT doc_id,
+               CAST(len(w) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(w)) AS INTEGER) AS n_unique_tokens,
+               round(CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                     AS DOUBLE) / nullif(CAST(len(w) AS DOUBLE), 0.0), 4)
+                   AS avg_token_len,
+               CAST(length(text) AS INTEGER) AS n_chars_actual
+        FROM t
+    """,
+    "text_quality_flags": f"""
+        WITH t AS (
+            SELECT doc_id, text, {_W_SQL} AS w,
+                   list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+                   length(regexp_replace(text, '[A-Za-z ]', '', 'g'))::DOUBLE
+                       / nullif(length(text)::DOUBLE, 0.0) AS nar,
+                   length(regexp_replace(text, '[^ -~]', '', 'g'))::DOUBLE
+                       / nullif(length(text)::DOUBLE, 0.0) AS par
+            FROM documents
+        ), s AS (
+            SELECT *,
+                   len(list_distinct(w))::DOUBLE / nullif(len(w)::DOUBLE, 0.0) AS uwr,
+                   len(list_distinct(lines))::DOUBLE / nullif(len(lines)::DOUBLE, 0.0) AS ulr,
+                   list_aggregate(list_transform(w, x -> length(x)), 'sum')::DOUBLE
+                       / nullif(len(w)::DOUBLE, 0.0) AS mwl,
+                   len(list_filter(w, x -> length(x) > 30))::DOUBLE
+                       / nullif(len(w)::DOUBLE, 0.0) AS lwr,
+                   regexp_matches(text, '[âã¢£™žœÂÃ]') AS corrupt,
+                   len(w) < 5 AS lowq
+            FROM t
+        )
+        SELECT doc_id,
+               round(nar, 4) AS nonalpha_ratio,
+               round(par, 4) AS ascii_ratio,
+               round(uwr, 4) AS uniq_word_ratio,
+               round(mwl, 4) AS mean_word_len,
+               CAST(coalesce(nar > 0.6, false) AS INTEGER) AS is_gibberish,
+               CAST(lowq AS INTEGER) AS is_low_quality,
+               CAST(coalesce(ulr < 0.3 OR uwr < 0.2, false) AS INTEGER) AS is_repetitive,
+               CAST(coalesce(mwl < 2.0 OR mwl > 20.0 OR lwr > 0.1, false) AS INTEGER)
+                   AS abnormal_words,
+               CAST(corrupt AS INTEGER) AS is_corrupt,
+               CAST(coalesce(nar > 0.6, false) OR corrupt OR lowq
+                    OR coalesce(ulr < 0.3 OR uwr < 0.2, false)
+                    OR coalesce(mwl < 2.0 OR mwl > 20.0 OR lwr > 0.1, false)
+                    AS INTEGER) AS is_bad,
+               round(greatest(1.0 - 0.3 * coalesce(nar, 1.0)
+                              - 0.2 * (1.0 - coalesce(uwr, 0.0))
+                              - 0.2 * (CASE WHEN lowq THEN 1.0 ELSE 0.0 END)
+                              - 0.3 * (1.0 - coalesce(par, 0.0)), 0.0), 4)
+                   AS quality_score
+        FROM s
+    """,
+    "text_lang_id": f"""
+        WITH t AS (SELECT doc_id, lang, {_W_SQL} AS w FROM documents),
+        h AS (SELECT doc_id, lang, {_LANG_SQL} FROM t)
+        SELECT doc_id, lang,
+               CAST(en_hits AS INTEGER) AS en_hits,
+               CAST(de_hits AS INTEGER) AS de_hits,
+               CAST(fr_hits AS INTEGER) AS fr_hits,
+               CAST(es_hits AS INTEGER) AS es_hits,
+               CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits
+                         AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+                    WHEN de_hits >= fr_hits AND de_hits >= es_hits
+                         AND de_hits > 0 THEN 'de'
+                    WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+                    WHEN es_hits > 0 THEN 'es'
+                    ELSE 'und' END AS pred_lang
+        FROM h
+    """,
+    "text_fingerprint": f"""
+        WITH t AS (SELECT doc_id, text, {_W_SQL} AS w FROM documents),
+        s AS (
+            SELECT doc_id,
+                   CASE WHEN len(w) >= 5
+                        THEN list_transform(range(1, len(w) - 3),
+                             i -> array_to_string(list_slice(w, i, i + 4), ' '))
+                        ELSE [array_to_string(w, ' ')] END AS shingles,
+                   text
+            FROM t
+        )
+        SELECT doc_id,
+               list_aggregate(list_transform(shingles, x -> md5(x)), 'min')
+                   AS fp_shingle_min,
+               md5(text) AS fp_doc,
+               CAST(len(shingles) AS INTEGER) AS n_shingles
+        FROM s
+    """,
+    "content_addressed_ids": """
+        SELECT doc_id,
+               'DOC_' || substr(md5(text), 1, 8) AS content_id,
+               'DOC_' || substr(md5(text), 1, 8) || '_' || substr(md5(text), 25, 8)
+                   AS chunk_id,
+               'passage: [' || 'DOC_' || substr(md5(text), 1, 8) || '] ' || text
+                   AS passage
+        FROM documents
+    """,
+}

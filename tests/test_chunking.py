@@ -1,0 +1,106 @@
+"""Chunker invariants: zero-loss reconstruction (mirrors the
+reference's tests/test_no_loss_splitting.py:17-45), oracle parity for
+the SQL-expressible chunkers, markdown structure extraction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from selfhosted_rag_doc_chat_prototype_spark.operators import chunking
+
+from .helpers import assert_matches_oracle, duck_con
+
+MD_DOC = """---
+ID: DOC_deadbeef
+Slug: test-doc
+---
+# Title
+intro paragraph
+
+## Section A
+### [INTERNAL_PAGE_1]
+page one content here
+
+### [INTERNAL_PAGE_2] same-line anchor text
+more page two content
+
+## Section B
+""" + ("x" * 1500)
+
+
+def test_zero_loss_exact_cover(spark, sf_dir):
+    """Non-overlapping windows must reconstruct every document exactly:
+    sum(chunk_len) == n_chars (T6 invariant)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = chunking.sliding_window_chunks(docs, "text", ["doc_id"], width=100, step=100)
+    recon = chunks.groupBy("doc_id").agg(
+        F.sum("chunk_len").alias("total"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_index", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            "",
+        ).alias("joined"),
+    )
+    joined = docs.join(recon, "doc_id")
+    bad = joined.filter(
+        (F.col("total") != F.length("text")) | (F.col("joined") != F.col("text"))
+    )
+    assert bad.count() == 0
+
+
+def test_subsplit_exact_is_lossless():
+    text = "abcdefghij" * 53  # 530 chars
+    pieces = chunking.subsplit_exact(text, 100)
+    assert "".join(pieces) == text
+    assert all(len(p) <= 100 for p in pieces)
+
+
+def test_sliding_window_overlap_shape(spark):
+    df = spark.createDataFrame([(1, "a" * 250)], ["doc_id", "text"])
+    chunks = chunking.sliding_window_chunks(df, "text", ["doc_id"], width=100, step=80)
+    rows = sorted((r.chunk_index, r.chunk_len) for r in chunks.collect())
+    # starts at 0, 80, 160, 240
+    assert rows == [(0, 100), (1, 100), (2, 90), (3, 10)]
+
+
+def test_chunkers_match_oracle(spark, sf_dir):
+    con = duck_con(sf_dir)
+    for name in ("chunk_sliding_window", "chunk_word_budget"):
+        sdf = chunking.QUERIES[name](spark, sf_dir)
+        assert_matches_oracle(sdf, con, chunking.ORACLE[name], name)
+
+
+def test_front_matter_parsing():
+    meta, body = chunking.parse_front_matter(MD_DOC)
+    assert meta == {"ID": "DOC_deadbeef", "Slug": "test-doc"}
+    assert body.startswith("# Title")
+
+
+def test_markdown_section_split():
+    sections = chunking.split_markdown_sections(MD_DOC)
+    paths = [s[0] for s in sections]
+    pages = [s[1] for s in sections]
+    assert paths[0] == "Title"
+    assert any("Section A" in p for p in paths)
+    # page anchors tracked, same-line anchor content kept
+    assert 1 in pages and 2 in pages
+    page2 = next(s for s in sections if s[1] == 2)
+    assert "same-line anchor text" in page2[2]
+
+
+def test_markdown_chunk_budget_and_loss():
+    chunks = chunking.split_markdown(MD_DOC, max_chars=600)
+    assert all(len(c["chunk"]) <= 600 for c in chunks)
+    # the 1500-char Section B body must be fully covered, not truncated
+    total_b = sum(len(c["chunk"]) for c in chunks if "x" in c["chunk"])
+    assert total_b >= 1500
+
+
+def test_chunk_markdown_dataframe(spark):
+    df = spark.createDataFrame([(7, MD_DOC)], ["doc_id", "text"])
+    out = chunking.chunk_markdown(df, max_chars=600).collect()
+    assert len(out) >= 4
+    assert all(r.doc_id == 7 for r in out)
+    assert {r.page for r in out} >= {1, 2}
