@@ -1,0 +1,335 @@
+"""Corpus deduplication operators -- the LLM-training-data surface built
+on the reference's dedup semantics (content-addressed ids as dedup keys,
+``INSERT OR REPLACE`` idempotency, context dedup T11; SURVEY.md
+sections 1.2, 2.4, O11).
+
+Five operators:
+
+- **exact**        : hash-groupBy on content digest (reference semantics:
+                     mmh3/md5 content ids, ``parquet_service.py:66,183``)
+- **minhash LSH**  : shingle -> K minhashes -> banded signatures ->
+                     bucket self-join. The *scale* path: candidate pairs
+                     come from an equi-join on (band, sig) -- no O(N^2)
+                     compare. Min is partial-aggregable, so the shuffle
+                     carries only (doc, seed, min) after map-side combine.
+- **n-gram Jaccard**: exact verification of LSH candidates (the standard
+                     two-phase near-dup pipeline).
+- **SimHash**      : 64-bit sign-of-votes fingerprint (Charikar), Python
+                     (Arrow pandas UDF) on the Spark side, oracle-checked
+                     against an independent pure-SQL implementation.
+- **embedding cosine**: near-dup by vector similarity, *blocked* on the
+                     ``label`` column (an IVF-cell stand-in) so the join
+                     is an equi-join + filter, not a cross join.
+
+The driver's synthetic corpus has no real duplicates, so each query
+deterministically constructs its dup-bearing corpus inline (exact
+copies / first-two-words-dropped near-copies of a doc_id slice) --
+identically in the Spark plan and the DuckDB oracle, keeping results
+non-trivial and hash-checkable.
+
+100 TB notes: every operator here is equi-join + aggregation shaped
+(shuffle on content-hash / band-sig / label), so it scales horizontally;
+skewed buckets (a viral duplicate cluster) are handled by AQE skew-join
+splitting. The only quadratic step is *within-bucket* pair generation,
+which is the intended LSH trade-off (tune bands/rows).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..functions import text_quality as tq
+from ..sources.tables import table
+
+N_SEEDS = 16
+BAND_ROWS = 4
+
+_W_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+_EXACT_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+"""
+
+# near-dup corpus: docs where doc_id % 5 == 0 get a copy with the first
+# two words dropped
+_NEAR_CORPUS_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(list_slice(w, 3, len(w)), ' ') AS text
+    FROM (SELECT doc_id, {_W_SQL} AS w FROM documents WHERE doc_id % 5 = 0)
+"""
+
+_SHINGLES_SQL = f"""
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(w) - 1),
+               i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS shingles
+    FROM (SELECT doc_id, {_W_SQL} AS w FROM corpus)
+"""
+
+_BANDS_SQL = f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    sh AS ({_SHINGLES_SQL}),
+    mh AS (
+        SELECT doc_id, s.seed,
+               min(md5(CAST(s.seed AS VARCHAR) || '|' || u.shingle)) AS mh
+        FROM sh, unnest(shingles) AS u(shingle),
+             unnest(range(0, {N_SEEDS})) AS s(seed)
+        GROUP BY doc_id, s.seed
+    ),
+    bands AS (
+        SELECT doc_id, CAST(seed // {BAND_ROWS} AS INTEGER) AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS sig
+        FROM mh GROUP BY doc_id, seed // {BAND_ROWS}
+    )
+"""
+
+
+def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return docs.select("doc_id", "text").unionByName(copies)
+
+
+def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = tq.words(F.col("text"))
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(w, 3, F.size(w)), " ").alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(near)
+
+
+def _shingles_col():
+    """Distinct 3-word shingles of ``text``."""
+    w = tq.words(F.col("text"))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
+        )
+    )
+
+
+def _band_signatures(corpus: DataFrame) -> DataFrame:
+    """shingle -> minhash -> banded signature. One row per (doc, band)."""
+    seeds = F.array(*[F.lit(i) for i in range(N_SEEDS)])
+    exploded = (
+        corpus.select("doc_id", F.explode(_shingles_col()).alias("shingle"))
+        .select("doc_id", "shingle", F.explode(seeds).alias("seed"))
+    )
+    mh = exploded.groupBy("doc_id", "seed").agg(
+        F.min(
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))
+        ).alias("mh")
+    )
+    return mh.groupBy(
+        "doc_id", (F.col("seed") / BAND_ROWS).cast("int").alias("band")
+    ).agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                    lambda x: x["mh"],
+                ),
+                ",",
+            )
+        ).alias("sig")
+    )
+
+
+def _candidate_pairs(corpus: DataFrame) -> DataFrame:
+    bands = _band_signatures(corpus)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _exact_corpus(spark, sf_dir)
+    return (
+        corpus.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _candidate_pairs(_near_corpus(spark, sf_dir))
+
+
+def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard verification of the LSH candidates."""
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = _candidate_pairs(corpus)
+    sets_ = corpus.select("doc_id", _shingles_col().alias("shingles"))
+    j = (
+        pairs.join(sets_.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sets_.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("shingles", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        j.select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union.cast("double"), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+def _simhash64_py(text: str) -> str:
+    """64-bit SimHash over distinct whitespace tokens; md5-derived bits
+    so the SQL oracle can reproduce it exactly. Returns a 64-char
+    bitstring (MSB first)."""
+    votes = [0] * 64
+    tokens = {t for t in (text or "").split() if t}
+    for tok in tokens:
+        h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16)
+        for j in range(64):
+            votes[j] += 1 if (h >> (63 - j)) & 1 else -1
+    return "".join("1" if v > 0 else "0" for v in votes)
+
+
+def simhash_udf():
+    @pandas_udf("string")
+    def _simhash(text: pd.Series) -> pd.Series:
+        return text.map(_simhash64_py)
+
+    return _simhash
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash_udf()(F.col("text")).alias("simhash_bits"))
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, blocked on ``label`` (IVF-cell blocking: the
+    join is equi on label, never a cross join)."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select("vec_id", "label", v.alias("v"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+        )
+
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va")
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+        F.col("v").alias("vb"),
+    )
+    pairs = a.join(b, (F.col("label") == F.col("label_b"))
+                   & (F.col("vec_a") < F.col("vec_b")))
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        pairs.select("vec_a", "vec_b", "label", F.round(cos, 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_jaccard_verify": dedup_jaccard_verify,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLE = {
+    "dedup_exact": f"""
+        WITH corpus AS ({_EXACT_CORPUS_SQL})
+        SELECT md5(text) AS content_hash,
+               CAST(count(*) AS BIGINT) AS n_dups,
+               min(doc_id) AS min_id,
+               max(doc_id) AS max_id
+        FROM corpus GROUP BY 1 HAVING count(*) > 1
+    """,
+    "dedup_minhash_lsh": f"""
+        {_BANDS_SQL}
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                    AND a.doc_id < b.doc_id
+    """,
+    "dedup_jaccard_verify": f"""
+        {_BANDS_SQL},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                        AND a.doc_id < b.doc_id
+        ),
+        jac AS (
+            SELECT c.doc_a, c.doc_b,
+                   round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                         / (len(sa.shingles) + len(sb.shingles)
+                            - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE,
+                         4) AS jaccard
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b
+        )
+        SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
+    """,
+    "dedup_simhash": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_transform(list_distinct({_W_SQL}), x -> md5(x)) AS hs
+            FROM documents
+        )
+        SELECT doc_id,
+               array_to_string(list_transform(range(0, 64), j ->
+                   CASE WHEN list_aggregate(list_transform(hs, h ->
+                       CASE WHEN ((strpos('0123456789abcdef',
+                                          substr(h, CAST(j // 4 AS INTEGER) + 1, 1)) - 1)
+                                  // (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                                 WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+                            THEN 1 ELSE -1 END), 'sum') > 0
+                        THEN '1' ELSE '0' END), '') AS simhash_bits
+        FROM t
+    """,
+    "dedup_embedding_cosine": """
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+               round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+    """,
+}

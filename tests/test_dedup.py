@@ -1,0 +1,57 @@
+"""Dedup suite: oracle parity + semantic checks (constructed near-dups
+must actually be caught)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from selfhosted_rag_doc_chat_prototype_spark.operators import dedup
+
+from .helpers import assert_matches_oracle, duck_con
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    return duck_con(sf_dir)
+
+
+@pytest.mark.parametrize("name", sorted(dedup.ORACLE))
+def test_dedup_matches_oracle(name, spark, sf_dir, con):
+    sdf = dedup.QUERIES[name](spark, sf_dir)
+    assert_matches_oracle(sdf, con, dedup.ORACLE[name], name)
+
+
+def test_minhash_finds_planted_near_dups(spark, sf_dir):
+    """Every planted (doc, doc+1M) near-copy pair should be an LSH
+    candidate with high probability; require >= 90% recall."""
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    planted = [(d, d + 1000000) for d in range(0, 500, 5)]
+    found = sum(1 for p in planted if p in pairs)
+    assert found / len(planted) >= 0.9
+
+
+def test_exact_dedup_finds_all_planted_copies(spark, sf_dir):
+    rows = dedup.dedup_exact(spark, sf_dir).collect()
+    # every doc_id % 7 == 0 in [0, 500) was copied
+    assert len(rows) == len(range(0, 500, 7))
+    assert all(r.n_dups == 2 and r.max_id == r.min_id + 2000000 for r in rows)
+
+
+def test_simhash_hamming_close_for_near_dups(spark):
+    a = dedup._simhash64_py("the quick brown fox jumps over the lazy dog again and again today")
+    b = dedup._simhash64_py("brown fox jumps over the lazy dog again and again today")
+    c = dedup._simhash64_py("completely unrelated words about database engines and spark plans")
+    ham = lambda x, y: sum(1 for p, q in zip(x, y) if p != q)
+    assert len(a) == 64
+    assert ham(a, b) < ham(a, c)
+
+
+def test_embedding_cosine_is_symmetric_blocked(spark, sf_dir):
+    df = dedup.dedup_embedding_cosine(spark, sf_dir)
+    rows = df.collect()
+    assert all(r.vec_a < r.vec_b for r in rows)
+    assert all(-1.0 <= r.cos_sim <= 1.0 for r in rows)

@@ -57,9 +57,11 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -97,7 +99,7 @@ def main() -> int:
         else:
             print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    print(f"\n{n_run - len(failures)}/{n_run} pass ({len(qs)} registered)")
     return 1 if failures else 0
 
 
