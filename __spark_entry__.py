@@ -18,10 +18,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: regional revenue rollup (multi-way join + agg)
-    over the sf0.001 tables."""
+    """Flagship query: brute-force cosine top-k retrieval (the
+    reference's J4 RAG retrieval core) over the sf0.001 tables."""
     tune_session(spark)
-    return all_queries()["q5_regional_revenue"](spark, SMOKE_SF_DIR)
+    return all_queries()["anns_bruteforce_topk"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

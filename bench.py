@@ -27,6 +27,13 @@ HEADLINE = [
     "window_running_total",
     "rollup_events",
     "join_orders_without_lineitems",
+    "text_quality_flags",
+    "chunk_sliding_window",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "anns_bruteforce_topk",
+    "hybrid_fusion_topk",
+    "embed_documents",
 ]
 
 

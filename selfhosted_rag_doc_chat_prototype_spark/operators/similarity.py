@@ -1,0 +1,244 @@
+"""Vector similarity search -- the retrieval core of the reference
+(J4 top-k COSINE retrieval, ``services/database.py:271-272``, k default 4
+``shared/defaults.py:88``; J5 hybrid dense+sparse fusion,
+``services/database_qdrant_sparse_testing.py:32-69``) re-expressed as
+batch DataFrame queries.
+
+Three strategies:
+
+- **brute force** (correctness baseline): broadcast the (small) query
+  set against all candidates, cosine via higher-order functions, per-
+  query top-k window. O(Q*N) -- exact, fine when Q is small; the plan
+  broadcasts queries so candidates never shuffle.
+- **sign-LSH buckets** (scale path): 8-bit sign signature over leading
+  dimensions buckets the space; the join becomes equi on bucket
+  (O(N*Q/2^bits) pair work). Recall is partial by design -- the
+  classic ANN trade-off, same shape Qdrant's HNSW sidesteps online;
+  for 100 TB batch retrieval the bucket join + AQE is the right plan.
+- **hybrid fusion**: dense cosine union lexical (word-set Jaccard)
+  scores, min-max normalized per query and averaged (a deterministic
+  stand-in for the reference's DBSF), final top-k -- the dense-50 /
+  sparse-100 prefetch asymmetry of J5 maps to per-leg candidate caps.
+
+Queries are the first ``N_QUERIES`` vectors themselves (self excluded),
+so the whole pipeline is closed over the driver's tables and
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import table
+
+N_QUERIES = 8
+TOP_K = 10
+
+
+def dot(x: Column, y: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+    )
+
+
+def cosine(x: Column, y: Column) -> Column:
+    return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def anns_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _vectors(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = base.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(cand)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+def _sign_bucket(v: Column, bits: int = 8) -> Column:
+    """Axis-aligned sign-LSH signature over the first ``bits`` dims."""
+    return F.array_join(
+        F.transform(
+            F.slice(v, 1, bits),
+            lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+        "",
+    )
+
+
+def anns_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _vectors(spark, sf_dir).withColumn("bucket", _sign_bucket(F.col("v")))
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    cand = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("bucket").alias("cbucket"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(cand, F.col("bucket") == F.col("cbucket"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("qv"), F.col("cv")).alias("cos_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+def hybrid_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense (cosine) + lexical (word-set Jaccard on the documents
+    table, vec_id = doc_id) fused per query by min-max-normalized
+    average, top-k. Mirrors J5's two-leg prefetch + fusion."""
+    base = _vectors(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != F.lit(""))
+        ).alias("wset"),
+    )
+    both = base.join(docs, base.vec_id == docs.doc_id).select("vec_id", "v", "wset")
+    queries = both.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("wset").alias("qw"),
+    )
+    cand = both.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("wset").alias("cw"),
+    )
+    inter = F.size(F.array_intersect("qw", "cw"))
+    union = F.size("qw") + F.size("cw") - inter
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(cand)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("dense"),
+            (inter.cast("double") / union.cast("double")).alias("sparse"),
+        )
+    )
+    wq = Window.partitionBy("query_id")
+    norm = lambda c: (F.col(c) - F.min(c).over(wq)) / F.nullif(
+        F.max(c).over(wq) - F.min(c).over(wq), F.lit(0.0)
+    )
+    fused = scored.select(
+        "query_id", "neighbor_id",
+        (F.lit(0.5) * F.coalesce(norm("dense"), F.lit(0.0))
+         + F.lit(0.5) * F.coalesce(norm("sparse"), F.lit(0.0))).alias("fused_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("fused_raw"), F.asc("neighbor_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("fused_raw", 4).alias("fused_score"))
+    )
+
+
+QUERIES = {
+    "anns_bruteforce_topk": anns_bruteforce_topk,
+    "anns_lsh_bucketed": anns_lsh_bucketed,
+    "hybrid_fusion_topk": hybrid_fusion_topk,
+}
+
+_COS_SQL = "list_cosine_similarity(a.v, b.v)"
+
+ORACLE = {
+    "anns_bruteforce_topk": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS INTEGER) AS rank,
+               round({_COS_SQL}, 4) AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+        QUALIFY rank <= {TOP_K}
+    """,
+    "anns_lsh_bucketed": f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   array_to_string(list_transform(CAST(embedding AS DOUBLE[])[1:8],
+                       x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+            FROM embeddings
+        )
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS INTEGER) AS rank,
+               round({_COS_SQL}, 4) AS cos_sim
+        FROM e a
+        JOIN e b ON a.vec_id < {N_QUERIES} AND a.bucket = b.bucket
+                AND b.vec_id <> a.vec_id
+        QUALIFY rank <= {TOP_K}
+    """,
+    "hybrid_fusion_topk": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        d AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(
+                       string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS wset
+            FROM documents
+        ),
+        bd AS (
+            SELECT e.vec_id, e.v, d.wset FROM e JOIN d ON e.vec_id = d.doc_id
+        ),
+        scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   list_cosine_similarity(a.v, b.v) AS dense,
+                   len(list_intersect(a.wset, b.wset))::DOUBLE
+                       / (len(a.wset) + len(b.wset)
+                          - len(list_intersect(a.wset, b.wset)))::DOUBLE AS sparse
+            FROM bd a JOIN bd b
+              ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+        ),
+        fused AS (
+            SELECT query_id, neighbor_id,
+                   0.5 * coalesce((dense - min(dense) OVER (PARTITION BY query_id))
+                       / nullif(max(dense) OVER (PARTITION BY query_id)
+                                - min(dense) OVER (PARTITION BY query_id), 0.0), 0.0)
+                   + 0.5 * coalesce((sparse - min(sparse) OVER (PARTITION BY query_id))
+                       / nullif(max(sparse) OVER (PARTITION BY query_id)
+                                - min(sparse) OVER (PARTITION BY query_id), 0.0), 0.0)
+                       AS fused_raw
+            FROM scored
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY fused_raw DESC, neighbor_id ASC) AS INTEGER) AS rank,
+               round(fused_raw, 4) AS fused_score
+        FROM fused
+        QUALIFY rank <= {TOP_K}
+    """,
+}

@@ -1,0 +1,81 @@
+"""Similarity search + embedding operator tests: oracle parity,
+recall sanity of the LSH path vs brute force, and stub-model
+equivalence between the SQL form and the mapInPandas operator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from selfhosted_rag_doc_chat_prototype_spark.operators import embedding, similarity
+
+from .helpers import assert_matches_oracle, duck_con
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    return duck_con(sf_dir)
+
+
+@pytest.mark.parametrize("name", sorted(similarity.ORACLE))
+def test_similarity_matches_oracle(name, spark, sf_dir, con):
+    sdf = similarity.QUERIES[name](spark, sf_dir)
+    assert_matches_oracle(sdf, con, similarity.ORACLE[name], name)
+
+
+def test_embedding_matches_oracle(spark, sf_dir, con):
+    sdf = embedding.QUERIES["embed_documents"](spark, sf_dir)
+    assert_matches_oracle(sdf, con, embedding.ORACLE["embed_documents"], "embed_documents")
+
+
+def test_bruteforce_topk_shape(spark, sf_dir):
+    rows = similarity.anns_bruteforce_topk(spark, sf_dir).collect()
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, []).append(r)
+    assert set(by_query) == set(range(similarity.N_QUERIES))
+    for q, rs in by_query.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, similarity.TOP_K + 1))
+        # scores non-increasing with rank
+        ordered = sorted(rs, key=lambda r: r.rank)
+        assert all(
+            ordered[i].cos_sim >= ordered[i + 1].cos_sim - 1e-9
+            for i in range(len(ordered) - 1)
+        )
+        assert all(r.neighbor_id != q for r in rs)
+
+
+def test_lsh_results_subset_of_bucket_and_scored_exactly(spark, sf_dir):
+    """Every LSH hit must carry the same cosine the brute-force path
+    assigns it (the bucket only prunes candidates, never rescores)."""
+    bf = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in similarity.anns_bruteforce_topk(spark, sf_dir).collect()
+    }
+    lsh = similarity.anns_lsh_bucketed(spark, sf_dir).collect()
+    for r in lsh:
+        key = (r.query_id, r.neighbor_id)
+        if key in bf:  # overlap must agree on the score
+            assert abs(bf[key] - r.cos_sim) < 1e-9
+
+
+def test_stub_model_sql_and_pandas_agree(spark, sf_dir):
+    """embed_documents (codegen SQL form) == embed_map_in_pandas
+    (Arrow operator form) on the same corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    via_udf = embedding.embed_map_in_pandas(docs).collect()
+    sql_rows = embedding.embed_documents(spark, sf_dir).collect()
+    sql_map = {}
+    for r in sql_rows:
+        sql_map.setdefault(r.doc_id, {})[r.dim] = r.val
+    for r in via_udf:
+        expect = sql_map[r.doc_id]
+        for dim, v in enumerate(r.embedding):
+            assert abs(round(v, 4) - expect[dim]) <= 1e-4
+
+
+def test_embeddings_are_unit_norm():
+    v = embedding.embed_text_py("the quick brown fox jumps over the lazy dog")
+    assert abs(sum(x * x for x in v) - 1.0) < 1e-9
+    assert embedding.embed_text_py("") == [0.0] * embedding.DIM
