@@ -1,0 +1,223 @@
+"""The ingest DAG: the reference's entire 6-worker pipeline
+(SURVEY.md section 3.2 -- discovery, claim, extract+normalize, produce,
+consume) expressed as ONE batch DataFrame DAG:
+
+    binaryFile scan -> format dispatch (S6) -> extract (S2/S4/S5)
+      -> quality gate (F1) -> [LLM-normalize T2, bypassed when clean]
+      -> markdown chunk (T4/T6) -> mmh3 ids (T8) -> prefix (T7)
+      -> dropDuplicates(id)   [O11: dedup BEFORE the expensive embed]
+      -> embed (T9) -> chunks + embeddings parquet (K2/K3)
+
+The reference's process choreography -- atomic claims (ST6), Redis
+queues + backpressure (ST1/ST2), file-end sentinels (ST3), staging WAL
+(K4) -- is deliberately absent: Spark's scheduler, shuffle, and atomic
+job commit provide those guarantees (SURVEY section 4, O10).
+
+External-service stages (OCR S3, WhisperX S5, LLM-normalize T2) are
+**pluggable callables with deterministic in-container stubs**, exactly
+how the reference's own test suite mocks them (SURVEY section 5). The
+stub boundary is the ``mapInPandas`` batch -- swapping in a real
+endpoint changes no plan shape.
+
+Scale: the DAG is map-only until ``dropDuplicates`` (one shuffle on
+chunk id -- content-addressed, so uniformly distributed) and the final
+write. Embed happens after dedup, so duplicate content is embedded
+once. Writes partition by ``document_id`` prefix to keep per-file
+locality without small-file explosion.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text_quality as tq
+from ..functions.hashing import mmh3_chunk_id, mmh3_doc_id
+from ..operators.chunking import split_markdown
+from ..operators.embedding import embed_text_py
+from ..sources.binary import scan_binary_files, with_file_type
+
+_TAG_RE = re.compile(r"<[^>]+>")
+_BLANK_RE = re.compile(r"\n\s*\n+")
+
+CHUNK_COLUMNS = [
+    "id", "chunk", "source_file", "document_id", "type",
+    "chunk_index", "engine", "hash", "page",
+]
+
+
+def decode_text(raw: bytes) -> str:
+    """Charset-detected decode (document_processor.py:25-28): utf-8
+    first, latin-1 fallback -- deterministic, no chardet dependency."""
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
+def html_to_text(html: str) -> str:
+    """Tag strip + blank-line collapse (document_processor.py:21-37)."""
+    text = _TAG_RE.sub(" ", html)
+    text = text.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+    return _BLANK_RE.sub("\n\n", text).strip()
+
+
+# ---- stub external services (clearly marked; see module docstring) -------
+
+def stub_ocr(raw: bytes, path: str) -> list[tuple[int, str]]:
+    """STUB for S3 (Docling/EasyOCR): deterministic fake page text
+    derived from content length. Real OCR plugs in here."""
+    n_pages = max(1, len(raw) // 4096)
+    return [(i + 1, f"[stub-ocr {path.rsplit('/', 1)[-1]} page {i + 1}]")
+            for i in range(min(n_pages, 3))]
+
+
+def stub_transcribe(raw: bytes, path: str) -> list[tuple[int, str]]:
+    """STUB for S5 (WhisperX): deterministic fake transcript segments."""
+    n_seg = max(1, len(raw) // 2048)
+    return [(i, f"[stub-transcript {path.rsplit('/', 1)[-1]} segment {i}]")
+            for i in range(min(n_seg, 5))]
+
+
+def identity_normalizer(texts: list[str]) -> list[str]:
+    """STUB for T2 (LLM markdown normalization): identity. The
+    reference skips the LLM entirely when quality checks pass
+    (gatekeeper_logic.py:348-365); this models the bypass path."""
+    return texts
+
+
+# ---- DAG stages -----------------------------------------------------------
+
+def extract_documents(files: DataFrame) -> DataFrame:
+    """Per-format extraction fan-out: one (path, file_type, page, text)
+    row per page/segment. Text/HTML are decoded inline; PDF and media
+    route through the pluggable OCR/transcription stubs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, ftype, raw in zip(pdf["path"], pdf["file_type"], pdf["content"]):
+                raw = bytes(raw) if raw is not None else b""
+                if ftype == "text":
+                    rows.append((path, ftype, 1, decode_text(raw)))
+                elif ftype == "html":
+                    rows.append((path, ftype, 1, html_to_text(decode_text(raw))))
+                elif ftype == "pdf":
+                    rows.extend((path, ftype, pg, tx) for pg, tx in stub_ocr(raw, path))
+                elif ftype in ("audio", "video"):
+                    rows.extend(
+                        (path, ftype, seg, tx) for seg, tx in stub_transcribe(raw, path)
+                    )
+                # unknown types are dropped (reference: no handler -> failed)
+            yield pd.DataFrame(rows, columns=["path", "file_type", "page", "text"])
+
+    return files.select("path", "file_type", "content").mapInPandas(
+        run, "path string, file_type string, page int, text string"
+    )
+
+
+def normalize_stage(
+    pages: DataFrame, normalizer: Callable[[list[str]], list[str]] | None = None,
+    batch_size: int = 5,
+) -> DataFrame:
+    """T2 with the O1 compute-skipping gate: rows that pass the quality
+    predicates bypass the (expensive) normalizer entirely; only bad
+    pages are batched through it (GATEKEEPER_BATCH_SIZE=5)."""
+    normalizer = normalizer or identity_normalizer
+    clean = pages.filter(~tq.is_bad_ocr(F.col("text")))
+    dirty = pages.filter(tq.is_bad_ocr(F.col("text")))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf["text"].fillna("").tolist()
+            fixed: list[str] = []
+            for i in range(0, len(texts), batch_size):
+                fixed.extend(normalizer(texts[i : i + batch_size]))
+            out = pdf.copy()
+            out["text"] = fixed
+            yield out
+
+    normalized = dirty.mapInPandas(run, dirty.schema)
+    return clean.unionByName(normalized)
+
+
+def chunk_stage(pages: DataFrame, max_chars: int = 600) -> DataFrame:
+    """Per-document markdown chunking + reference-parity mmh3 ids +
+    passage prefixes, fanned out with mapInPandas. Emits the
+    parquet_chunks schema (sql/schema.sql:18-29)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, ftype, page, text in zip(
+                pdf["path"], pdf["file_type"], pdf["page"], pdf["text"]
+            ):
+                text = text or ""
+                doc_id = mmh3_doc_id(text if text else path)
+                for c in split_markdown(text, max_chars=max_chars):
+                    cid = mmh3_chunk_id(doc_id, c["chunk"])
+                    rows.append((
+                        cid,
+                        f"passage: [{doc_id}] {c['chunk']}",
+                        path.rsplit("/", 1)[-1],
+                        doc_id,
+                        ftype,
+                        c["chunk_index"],
+                        "stub" if ftype in ("pdf", "audio", "video") else "native",
+                        format(zlib.crc32(c["chunk"].encode()), "08x"),
+                        int(page) if c["page"] == -1 else int(c["page"]),
+                    ))
+            yield pd.DataFrame(rows, columns=CHUNK_COLUMNS)
+
+    schema = (
+        "id string, chunk string, source_file string, document_id string,"
+        " type string, chunk_index int, engine string, hash string, page int"
+    )
+    return pages.mapInPandas(run, schema)
+
+
+def embed_stage(chunks: DataFrame, model=None, batch_size: int = 25) -> DataFrame:
+    """T9 over chunk text -> (id, embedding). Runs AFTER dedup (O11)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = model or (lambda texts: [embed_text_py(t) for t in texts])
+        for pdf in batches:
+            texts = pdf["chunk"].fillna("").tolist()
+            vecs: list[list[float]] = []
+            for i in range(0, len(texts), batch_size):
+                vecs.extend(fn(texts[i : i + batch_size]))
+            yield pd.DataFrame({"id": pdf["id"], "embedding": vecs})
+
+    return chunks.select("id", "chunk").mapInPandas(
+        run, "id string, embedding array<double>"
+    )
+
+
+def ingest_pipeline(
+    spark: SparkSession,
+    staging_dir: str,
+    out_dir: str | None = None,
+    normalizer: Callable[[list[str]], list[str]] | None = None,
+    embed_model=None,
+) -> tuple[DataFrame, DataFrame]:
+    """The full DAG. Returns (chunks, embeddings); writes parquet when
+    ``out_dir`` is given (atomic job commit replaces the reference's
+    staging-WAL + sentinel finalize)."""
+    files = with_file_type(scan_binary_files(spark, staging_dir))
+    pages = extract_documents(files)
+    pages = normalize_stage(pages, normalizer=normalizer)
+    chunks = chunk_stage(pages)
+    # O11: content-keyed dedup BEFORE the expensive embed stage;
+    # deterministic winner via id (content-addressed, so any row is
+    # byte-identical anyway)
+    chunks = chunks.dropDuplicates(["id"])
+    embeddings = embed_stage(chunks, model=embed_model)
+    if out_dir:
+        chunks.write.mode("overwrite").parquet(f"{out_dir}/chunks")
+        embeddings.write.mode("overwrite").parquet(f"{out_dir}/embeddings")
+    return chunks, embeddings

@@ -1,0 +1,108 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata (reference: base64 image buffers + shape/dtype,
+``models/data_models.py:24-35``; preprocessing T14,
+``utils/ocr_utils.py:41-57``; PDF validity F11,
+``utils/text_utils.py:226-249``).
+
+The Spark-side plumbing is real and tested: schemas, Arrow batch
+shapes, partitioning, and the numpy math for resize/grayscale/frame
+sampling (images here are raw uint8 arrays + shape metadata, so numpy
+alone suffices). The *codec* step (JPEG/PNG/ffmpeg decode) is the only
+stub -- the image/audio libraries are not in this container -- and it
+raises ``NotImplementedError`` with a clear marker; everything
+downstream of the decode boundary is exercised with deterministic
+synthetic arrays.
+
+Scale: feature extraction is map-only over Arrow batches; binary
+payloads stay off the driver, and column pruning keeps metadata-only
+queries from ever reading the bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_OCR_DIM = 3000  # reference: MAX_OCR_DIM resize ceiling (ocr_utils.py:41-57)
+
+IMAGE_SCHEMA = (
+    "path string, image binary, height int, width int, channels int, dtype string"
+)
+
+
+def decode_image(raw: bytes, fmt: str) -> np.ndarray:
+    """STUB: real JPEG/PNG decode requires PIL/cv2 (not in container).
+    Raw uint8 buffers with shape metadata take the non-stub path."""
+    raise NotImplementedError(
+        "codec decode is stubbed in-container; supply raw uint8 buffers "
+        "with shape metadata, or plug a decoder in here"
+    )
+
+
+def _to_array(raw: bytes, h: int, w: int, c: int, dtype: str) -> np.ndarray:
+    return np.frombuffer(raw, dtype=np.dtype(dtype)).reshape(
+        (h, w) if c == 1 else (h, w, c)
+    )
+
+
+def grayscale(img: np.ndarray) -> np.ndarray:
+    """RGBA/RGB -> grayscale (T14), integer-exact luma approximation."""
+    if img.ndim == 2:
+        return img
+    rgb = img[..., :3].astype(np.uint32)
+    gray = (299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]) // 1000
+    return gray.astype(img.dtype)
+
+
+def resize_max_dim(img: np.ndarray, max_dim: int = MAX_OCR_DIM) -> np.ndarray:
+    """Downsample so max(h, w) <= max_dim (nearest-neighbor stride --
+    deterministic, no interpolation library)."""
+    h, w = img.shape[:2]
+    scale = max(h, w) / max_dim
+    if scale <= 1.0:
+        return img
+    step = int(np.ceil(scale))
+    return img[::step, ::step]
+
+
+def preprocess_images(df: DataFrame) -> DataFrame:
+    """T14 as a mapInPandas stage: grayscale + bounded resize; emits
+    processed bytes + refreshed metadata + mean intensity feature."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, raw, h, w, c, dt in zip(
+                pdf["path"], pdf["image"], pdf["height"], pdf["width"],
+                pdf["channels"], pdf["dtype"],
+            ):
+                img = _to_array(bytes(raw), int(h), int(w), int(c), dt)
+                out = resize_max_dim(grayscale(img))
+                rows.append((
+                    path, out.tobytes(), int(out.shape[0]), int(out.shape[1]),
+                    1, str(out.dtype), float(np.round(out.mean(), 4)),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "image", "height", "width", "channels",
+                         "dtype", "mean_intensity"],
+            )
+
+    return df.mapInPandas(run, IMAGE_SCHEMA + ", mean_intensity double")
+
+
+def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame sampling for video-as-binary: rows carry a frame_index;
+    keep every Nth (decode stub boundary -- indices are metadata)."""
+    return df.filter(F.col("frame_index") % every_n == 0)
+
+
+def is_valid_pdf_col(content: F.Column) -> F.Column:
+    """F11: magic-header check on the binary column
+    (text_utils.py:226-249; full first-page parse needs the codec
+    boundary)."""
+    return F.substring(content, 1, 4) == F.lit(b"%PDF")

@@ -22,10 +22,17 @@ def _modules():
         from ..operators import analytics
 
         mods = [analytics]
-        for name in ("textstats", "chunking", "dedup", "similarity", "embedding"):
+        for pkg, name in (
+            ("operators", "textstats"),
+            ("operators", "chunking"),
+            ("operators", "dedup"),
+            ("operators", "similarity"),
+            ("operators", "embedding"),
+            ("streaming", "telemetry"),
+        ):
             try:
                 mods.append(__import__(
-                    f"selfhosted_rag_doc_chat_prototype_spark.operators.{name}",
+                    f"selfhosted_rag_doc_chat_prototype_spark.{pkg}.{name}",
                     fromlist=[name],
                 ))
             except ImportError:

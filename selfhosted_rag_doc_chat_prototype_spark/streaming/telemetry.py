@@ -1,0 +1,166 @@
+"""Streaming operators for the telemetry domain (SURVEY.md section 2.10).
+
+The reference's MQTT hub keeps a per-agent last-100 ring buffer and
+marks agents offline after a 60 s heartbeat gap
+(``mqtt_agent_hub/mqtt/registry.py:30-36,82-95``). Here the ``events``
+table doubles as the telemetry stream (TESTDATA/FIXTURES convention):
+
+- ``stream_windowed_counts``: tumbling event-time window aggregation
+  with watermark (ST5/ST10) -- runs identically over ``readStream`` or
+  batch (same plan builder).
+- ``sessionize_batch``: gap-based sessionization (60 s heartbeat
+  staleness generalized to a gap threshold) as a *batch* window
+  computation -- lag + cumulative-sum-of-new-session-flags, fully
+  oracle-checkable.
+- ``stateful_user_stats``: ``applyInPandasWithState`` keyed state
+  (per-user running count/max, the ST10/ST11 state shape) for the
+  streaming path.
+- ``file_completion_sentinel``: ST3 semantics -- a file is complete
+  when its observed chunk count reaches ``expected_chunks`` -- as a
+  grouped aggregation emitting only completed groups.
+
+Scale: all stateful ops are keyed by user/agent id, so state
+partitions horizontally; watermarks bound state size; the batch
+sessionization is a single window shuffle per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import table
+
+GAP_SECONDS = 3600  # session gap threshold (60 s heartbeat, scaled to
+                    # the synthetic events cadence)
+
+
+def windowed_counts_plan(events: DataFrame, window: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Tumbling window per event_type; watermark only binds when the
+    source is streaming (harmless on batch)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed_counts_plan(table(spark, sf_dir, "events"))
+
+
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization: a new session starts when the inter-event
+    gap exceeds GAP_SECONDS. Output: per-session stats per user."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > GAP_SECONDS), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "duration_seconds"
+        ),
+    )
+
+
+def stateful_user_stats(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Per-user keyed state via applyInPandasWithState: running count,
+    running value sum, last-seen timestamp (the registry's per-agent
+    state shape, ST10)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double, last_ts timestamp"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        last_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            m = pdf["ts"].max()
+            last_ts = m if last_ts is None else max(last_ts, m)
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n],
+             "total_value": [round(total, 2)], "last_ts": [last_ts]}
+        )
+
+    timeouts = {
+        "NoTimeout": GroupStateTimeout.NoTimeout,
+        "ProcessingTimeTimeout": GroupStateTimeout.ProcessingTimeTimeout,
+    }[timeout]
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeouts
+    )
+
+
+def file_completion_sentinel(chunks: DataFrame) -> DataFrame:
+    """ST3: per-file completion barrier. A file finalizes exactly when
+    observed == expected (producer_utils.py:109-117 sentinel +
+    consumer_worker.py:63-97 flush) -- here a grouped count emitting
+    only completed files; in streaming this is the same plan under
+    ``outputMode("update")`` or applyInPandasWithState keyed by file."""
+    return (
+        chunks.groupBy("source_file", "expected_chunks")
+        .agg(F.count("*").alias("observed_chunks"))
+        .filter(F.col("observed_chunks") >= F.col("expected_chunks"))
+        .select("source_file", "expected_chunks", "observed_chunks")
+    )
+
+
+QUERIES = {
+    "stream_windowed_counts": stream_windowed_counts,
+    "sessionize_events": sessionize_batch,
+}
+
+ORACLE = {
+    "stream_windowed_counts": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "sessionize_events": f"""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR date_diff('second', lag(ts) OVER w, ts) > {GAP_SECONDS}
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT *, sum(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               CAST(count(*) AS BIGINT) AS n_events,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+               CAST(date_diff('second', min(ts), max(ts)) AS BIGINT)
+                   AS duration_seconds
+        FROM sess GROUP BY 1, 2
+    """,
+}
