@@ -79,7 +79,8 @@ _BANDS_SQL = f"""
     sh AS ({_SHINGLES_SQL}),
     mh AS (
         SELECT doc_id, s.seed,
-               min(md5(CAST(s.seed AS VARCHAR) || '|' || u.shingle)) AS mh
+               min(substr(md5(u.shingle) || md5(u.shingle),
+                          CAST(s.seed * 2 + 1 AS INTEGER), 32)) AS mh
         FROM sh, unnest(shingles) AS u(shingle),
              unnest(range(0, {N_SEEDS})) AS s(seed)
         GROUP BY doc_id, s.seed
@@ -107,7 +108,14 @@ def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.array_join(F.slice(w, 3, F.size(w)), " ").alias("text"),
     )
-    return docs.select("doc_id", "text").unionByName(near)
+    # spread the CPU-heavy shingle/hash work across all cores: the
+    # corpus parquet is a handful of input splits, which would cap the
+    # downstream map parallelism at the file count
+    return (
+        docs.select("doc_id", "text")
+        .unionByName(near)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
 
 def _shingles_col():
@@ -122,43 +130,61 @@ def _shingles_col():
 
 
 def _band_signatures(corpus: DataFrame) -> DataFrame:
-    """shingle -> minhash -> banded signature. One row per (doc, band)."""
-    seeds = F.array(*[F.lit(i) for i in range(N_SEEDS)])
+    """shingle -> minhash -> banded signature. One row per (doc, band).
+
+    One md5 per shingle; the 16 per-seed orderings are hex rotations
+    of that digest (``substr(h||h, 2*seed+1, 32)``) taken as 16 ``min``
+    columns of ONE codegen'd hash aggregate. Map-side partial min means
+    the shuffle carries one row per doc, and whole-stage codegen beats
+    the interpreted ``array_min(transform(...))`` formulation ~2x.
+    Docs with no shingles (<3 words) drop out via the explode."""
     exploded = (
-        corpus.select("doc_id", F.explode(_shingles_col()).alias("shingle"))
-        .select("doc_id", "shingle", F.explode(seeds).alias("seed"))
+        corpus.select("doc_id", F.explode(_shingles_col()).alias("s"))
+        .select("doc_id", F.concat(F.md5("s"), F.md5("s")).alias("hh"))
     )
-    mh = exploded.groupBy("doc_id", "seed").agg(
-        F.min(
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))
-        ).alias("mh")
-    )
-    return mh.groupBy(
-        "doc_id", (F.col("seed") / BAND_ROWS).cast("int").alias("band")
-    ).agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                    lambda x: x["mh"],
-                ),
-                ",",
-            )
-        ).alias("sig")
-    )
+    sigs = exploded.groupBy("doc_id").agg(*[
+        F.min(F.substring("hh", 2 * i + 1, 32)).alias(f"mh{i}")
+        for i in range(N_SEEDS)
+    ])
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[
+                F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)
+            ])).alias("sig"),
+        )
+        for b in range(N_SEEDS // BAND_ROWS)
+    ])
+    return sigs.select(
+        "doc_id", F.explode(band_structs).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
 
 def _candidate_pairs(corpus: DataFrame) -> DataFrame:
+    """Bucket docs by (band, sig) and expand pairs WITHIN each bucket:
+    one shuffle over the band rows, and the signature computation runs
+    once (a self-join would re-derive the whole minhash chain for each
+    side). Within-bucket expansion is the intended LSH quadratic,
+    bounded by bucket size (tune bands/rows; AQE splits skewed
+    buckets)."""
     bands = _band_signatures(corpus)
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    buckets = (
+        bands.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
@@ -237,25 +263,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is equi on label, never a cross join)."""
     emb = table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
-    base = emb.select("vec_id", "label", v.alias("v"))
 
     def dot(x, y):
         return F.aggregate(
             F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
         )
 
+    # norms computed ONCE per vector before the join (map-side), not
+    # per pair: the per-pair work is a single dot product
+    base = emb.select(
+        "vec_id", "label", v.alias("v"),
+        F.sqrt(dot(v, v)).alias("norm"),
+    )
     a = base.select(
-        F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va")
+        F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"),
+        F.col("norm").alias("norm_a"),
     )
     b = base.select(
         F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
-        F.col("v").alias("vb"),
+        F.col("v").alias("vb"), F.col("norm").alias("norm_b"),
     )
     pairs = a.join(b, (F.col("label") == F.col("label_b"))
                    & (F.col("vec_a") < F.col("vec_b")))
-    cos = dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
-    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))
     return (
         pairs.select("vec_a", "vec_b", "label", F.round(cos, 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.3)

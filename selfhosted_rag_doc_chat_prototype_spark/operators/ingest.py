@@ -198,6 +198,41 @@ def embed_stage(chunks: DataFrame, model=None, batch_size: int = 25) -> DataFram
     )
 
 
+def ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ingest DAG driven from the driver's tables: documents
+    become in-flight files (every 5th wrapped as HTML to exercise the
+    tag-strip branch), then extract -> quality gate -> chunk ->
+    content-addressed ids -> dedup, returning the chunk rows.
+
+    Registered rows-only: the hierarchical chunker is recursive and not
+    SQL-expressible (same reason ``chunk_markdown_docs`` is rows-only).
+    """
+    from ..sources.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    is_html = F.col("doc_id") % 5 == 0
+    files = docs.select(
+        F.concat(
+            F.lit("/corpus/doc_"), F.col("doc_id"),
+            F.when(is_html, F.lit(".html")).otherwise(F.lit(".txt")),
+        ).alias("path"),
+        F.when(is_html, F.concat(F.lit("<html><body><p>"), F.col("text"),
+                                 F.lit("</p></body></html>")))
+        .otherwise(F.col("text")).cast("binary").alias("content"),
+        F.length("text").alias("length"),
+    )
+    files = with_file_type(files)
+    pages = normalize_stage(extract_documents(files))
+    chunks = chunk_stage(pages).dropDuplicates(["id"])
+    return chunks.select(
+        "id", "source_file", "document_id", "type", "chunk_index", "page",
+        F.length("chunk").alias("chunk_len"),
+    )
+
+
+QUERIES = {"ingest_pipeline_e2e": ingest_e2e}
+
+
 def ingest_pipeline(
     spark: SparkSession,
     staging_dir: str,

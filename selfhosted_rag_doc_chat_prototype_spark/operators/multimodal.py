@@ -106,3 +106,67 @@ def is_valid_pdf_col(content: F.Column) -> F.Column:
     (text_utils.py:226-249; full first-page parse needs the codec
     boundary)."""
     return F.substring(content, 1, 4) == F.lit(b"%PDF")
+
+
+# ---- registry surface -----------------------------------------------------
+
+IMG_SIDE = 8  # 64-dim embedding -> 8x8 single-channel synthetic image
+
+
+def multimodal_image_stats(spark, sf_dir: str) -> DataFrame:
+    """Image-column feature extraction, end to end and oracle-checkable:
+    quantize each embedding vector into a synthetic 8x8 uint8 image
+    (pixel = clamp(floor((x + 1) * 127.5), 0, 255) -- floor, not round,
+    so Spark/numpy and DuckDB agree bit-exactly), run it through the
+    real binary-column plumbing (tobytes -> binary column -> frombuffer
+    -> grayscale/resize), and emit integer-exact features.
+
+    Scale shape: map-only over Arrow batches; binary payloads never
+    leave the executors; the scan prunes to (vec_id, embedding).
+    """
+    from ..sources.tables import table
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vec_id, v in zip(pdf["vec_id"], pdf["embedding"]):
+                arr = np.asarray(v, dtype=np.float64)
+                img = np.clip(np.floor((arr + 1.0) * 127.5), 0, 255).astype(
+                    np.uint8
+                ).reshape(IMG_SIDE, IMG_SIDE)
+                raw = img.tobytes()  # binary-column roundtrip
+                back = _to_array(raw, IMG_SIDE, IMG_SIDE, 1, "uint8")
+                out = resize_max_dim(grayscale(back))
+                rows.append((
+                    int(vec_id), int(out.shape[0]), int(out.shape[1]), 1,
+                    int(out.sum()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["vec_id", "height", "width", "channels",
+                         "sum_intensity"],
+            )
+
+    return emb.mapInPandas(
+        run,
+        "vec_id long, height int, width int, channels int, sum_intensity long",
+    )
+
+
+QUERIES = {"multimodal_image_stats": multimodal_image_stats}
+
+ORACLE = {
+    "multimodal_image_stats": f"""
+        SELECT vec_id,
+               CAST({IMG_SIDE} AS INTEGER) AS height,
+               CAST({IMG_SIDE} AS INTEGER) AS width,
+               CAST(1 AS INTEGER) AS channels,
+               CAST(list_sum(list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   x -> least(greatest(floor((x + 1.0) * 127.5), 0.0), 255.0)
+               )) AS BIGINT) AS sum_intensity
+        FROM embeddings
+    """,
+}

@@ -166,15 +166,124 @@ def hybrid_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_TERMS = ["table", "scan", "join"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+def sparse_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 sparse/BM25 leg (reference: fastembed ``Qdrant/bm25`` sparse
+    vectors, ``database_qdrant_sparse_testing.py:155-163``) as a batch
+    ranking query: Okapi BM25 (k1=1.2, b=0.75) of a fixed term query
+    against the documents corpus, global top-k.
+
+    Scale shape: term frequencies are per-row array expressions (no
+    explode, no shuffle); the only aggregations are two scalar rows
+    (corpus avgdl + per-term document frequencies) broadcast back via
+    crossJoin, then a global top-k. At 100 TB this is one map-only
+    scan + two tiny broadcasts + takeOrdered.
+    """
+    docs = table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.trim("text"), r"\s+"), lambda x: x != F.lit("")
+    )
+    base = docs.select(
+        "doc_id",
+        words.alias("w"),
+        F.size(words).cast("double").alias("dl"),
+    )
+    def tf_col(term: str) -> Column:
+        lit = F.lit(term)
+        return (
+            F.size(F.filter(F.col("w"), lambda x: x == lit))
+            .cast("double")
+            .alias(f"tf_{term}")
+        )
+
+    base = base.select("doc_id", "dl", *[tf_col(t) for t in BM25_TERMS])
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("double")).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = None
+    for t in BM25_TERMS:
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{t}") + 0.5)
+            / (F.col(f"df_{t}") + 0.5)
+            + 1.0
+        )
+        leg = (
+            idf
+            * F.col(f"tf_{t}") * (BM25_K1 + 1.0)
+            / (
+                F.col(f"tf_{t}")
+                + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = leg if score is None else score + leg
+    return (
+        scored.select("doc_id", F.round(score, 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+    )
+
+
 QUERIES = {
     "anns_bruteforce_topk": anns_bruteforce_topk,
     "anns_lsh_bucketed": anns_lsh_bucketed,
     "hybrid_fusion_topk": hybrid_fusion_topk,
+    "sparse_bm25_topk": sparse_bm25_topk,
 }
 
 _COS_SQL = "list_cosine_similarity(a.v, b.v)"
 
+_BM25_TF_COLS = ",\n           ".join(
+    f"CAST(len(list_filter(w, x -> x = '{t}')) AS DOUBLE) AS tf_{t}"
+    for t in BM25_TERMS
+)
+_BM25_DF_COLS = ",\n           ".join(
+    f"sum(CASE WHEN tf_{t} > 0 THEN 1.0 ELSE 0.0 END) AS df_{t}"
+    for t in BM25_TERMS
+)
+_BM25_SCORE = "\n             + ".join(
+    f"ln((n_docs - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0)"
+    f" * tf_{t} * ({BM25_K1} + 1.0)"
+    f" / (tf_{t} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
+    for t in BM25_TERMS
+)
+
+_BM25_SQL = f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ), t AS (
+        SELECT doc_id,
+               CAST(len(w) AS DOUBLE) AS dl,
+               {_BM25_TF_COLS}
+        FROM base
+    ), stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               avg(dl) AS avgdl,
+               {_BM25_DF_COLS}
+        FROM t
+    )
+    SELECT doc_id,
+           round({_BM25_SCORE}, 4) AS bm25
+    FROM t, stats
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT {BM25_TOP_K}
+"""
+
 ORACLE = {
+    "sparse_bm25_topk": _BM25_SQL,
     "anns_bruteforce_topk": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -28,6 +28,9 @@ def _modules():
             ("operators", "dedup"),
             ("operators", "similarity"),
             ("operators", "embedding"),
+            ("operators", "ingest"),
+            ("operators", "rag"),
+            ("operators", "multimodal"),
             ("streaming", "telemetry"),
         ):
             try:

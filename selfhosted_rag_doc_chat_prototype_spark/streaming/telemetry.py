@@ -127,6 +127,61 @@ def file_completion_sentinel(chunks: DataFrame) -> DataFrame:
     )
 
 
+CHUNK_TTL_MS = 300_000  # reference CHUNK_TIMEOUT=300s (shared/defaults.py:59)
+
+
+def file_sentinel_stateful(chunks: DataFrame, ttl_ms: int = CHUNK_TTL_MS) -> DataFrame:
+    """ST3 + ST5 as keyed state: per-file chunk counting with a
+    processing-time TTL. A file emits ``complete`` exactly when its
+    observed count reaches the sentinel's ``expected_chunks``
+    (producer_utils.py:109-117); state that idles past the TTL emits
+    ``evicted`` and is dropped -- the reference's CHUNK_TIMEOUT stale-
+    staging purge (consumer_worker.py:45-52, parquet_service.py:116-149).
+
+    State is keyed by source_file, so it partitions horizontally and
+    is bounded by (files in flight) x a few longs -- no payload is
+    retained, matching the reference's count-only sentinel check.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "source_file string, expected_chunks long, observed_chunks long,"
+        " status string"
+    )
+    state_schema = "observed long, expected long"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            observed, expected = state.get if state.exists else (0, -1)
+            state.remove()
+            yield pd.DataFrame(
+                {"source_file": [key[0]], "expected_chunks": [expected],
+                 "observed_chunks": [observed], "status": ["evicted"]}
+            )
+            return
+        observed, expected = state.get if state.exists else (0, -1)
+        for pdf in pdfs:
+            observed += len(pdf)
+            exp = pdf["expected_chunks"].dropna()
+            if len(exp):
+                expected = max(expected, int(exp.max()))
+        if expected >= 0 and observed >= expected:
+            state.remove()
+            yield pd.DataFrame(
+                {"source_file": [key[0]], "expected_chunks": [expected],
+                 "observed_chunks": [observed], "status": ["complete"]}
+            )
+        else:
+            state.update((observed, expected))
+            state.setTimeoutDuration(ttl_ms)
+
+    return chunks.groupBy("source_file").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
     "sessionize_events": sessionize_batch,

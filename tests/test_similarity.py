@@ -79,3 +79,20 @@ def test_embeddings_are_unit_norm():
     v = embedding.embed_text_py("the quick brown fox jumps over the lazy dog")
     assert abs(sum(x * x for x in v) - 1.0) < 1e-9
     assert embedding.embed_text_py("") == [0.0] * embedding.DIM
+
+
+def test_bm25_scores_rank_term_heavy_docs_first(spark, sf_dir):
+    """BM25 invariants: top-k size, descending order, and every scored
+    doc actually contains at least one query term."""
+    rows = similarity.sparse_bm25_topk(spark, sf_dir).collect()
+    assert len(rows) == similarity.BM25_TOP_K
+    assert all(
+        rows[i].bm25 >= rows[i + 1].bm25 - 1e-9 for i in range(len(rows) - 1)
+    )
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    for r in rows:
+        assert r.bm25 > 0
+        assert any(t in docs[r.doc_id].split() for t in similarity.BM25_TERMS)

@@ -138,3 +138,67 @@ def test_sessionize_gap_semantics(spark):
     )
     got = {(r.user_id, r.event_id): r.session_seq for r in sess.collect()}
     assert got == {(1, 1): 1, (1, 2): 1, (1, 3): 2, (2, 4): 1}
+
+
+def test_file_sentinel_stateful_stream(spark, tmp_path):
+    """ST3 over a real stream: only the file whose count reaches its
+    sentinel emits 'complete'; the straggler stays in state."""
+    rows = [("f1", 3, i) for i in range(3)] + [("f2", 5, i) for i in range(4)]
+    src = str(tmp_path / "chunks")
+    spark.createDataFrame(
+        rows, "source_file string, expected_chunks long, chunk_index long"
+    ).repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(
+        "source_file string, expected_chunks long, chunk_index long"
+    ).parquet(src)
+    q = (
+        telemetry.file_sentinel_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("sentinel_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sentinel_out").collect()
+    assert [(r.source_file, r.observed_chunks, r.status) for r in got] == [
+        ("f1", 3, "complete")
+    ]
+
+
+def test_file_sentinel_ttl_eviction_branch():
+    """ST5: a timed-out key emits 'evicted' and clears its state
+    (update fn driven directly with a fake GroupState)."""
+
+    class FakeState:
+        def __init__(self, value):
+            self._v, self.removed = value, False
+            self.hasTimedOut, self.exists = True, value is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def remove(self):
+            self.removed = True
+
+    # drive the inner update through the public builder's closure
+    captured = {}
+
+    class Capture:
+        def groupBy(self, *a):
+            return self
+
+        def applyInPandasWithState(self, fn, *a, **k):
+            captured["fn"] = fn
+            return None
+
+    telemetry.file_sentinel_stateful(Capture())
+    state = FakeState((4, 5))
+    out = list(captured["fn"](("f2",), iter([]), state))
+    assert state.removed
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (row["status"], row["observed_chunks"], row["expected_chunks"]) == (
+        "evicted", 4, 5,
+    )
