@@ -34,6 +34,12 @@ HEADLINE = [
     "anns_bruteforce_topk",
     "hybrid_fusion_topk",
     "embed_documents",
+    "sparse_bm25_topk",
+    "rag_retrieve_citations",
+    "interval_join_click_purchase",
+    "chat_session_history",
+    "ingest_pipeline_e2e",
+    "multimodal_image_stats",
 ]
 
 

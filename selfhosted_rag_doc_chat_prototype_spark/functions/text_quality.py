@@ -9,9 +9,10 @@ the hot path stays inside whole-stage codegen -- no Python UDFs.
 Deviation from the reference, by design: ``latin_script_ratio``
 (text_utils.py:74-79) uses ``\\p{Latin}`` which differs between Java
 regex and RE2; we use the ASCII-letter ratio so the DuckDB oracle and
-Spark agree bit-for-bit. Mojibake *fixing* (ftfy, text_utils.py:66-71)
-is not available in-container; detection (F3) is, via the same
-character class the reference greps for (text_utils.py:82-89).
+Spark agree bit-for-bit. Mojibake detection (F3) uses the same
+character class the reference greps for (text_utils.py:82-89);
+``fix_mojibake`` repairs the deterministic UTF-8-as-latin1 subset of
+what ftfy fixes (text_utils.py:66-71).
 """
 
 from __future__ import annotations
@@ -20,6 +21,25 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 MOJIBAKE_CLASS = "[âã¢£™žœÂÃ]"
+
+# the classic UTF-8-read-as-latin1 sequences the reference's ftfy pass
+# repairs (T13/F10, text_utils.py:66-71): for each true character, the
+# mojibake form is its UTF-8 bytes mis-decoded as latin-1 -- built
+# programmatically so every sequence is exact and collision-free
+_MOJI_CHARS = "\u2019\u201c\u201d\u2014\u2013\u00e9\u00e8\u00e4\u00f6\u00fc\u00f1\u00a0"
+MOJIBAKE_FIXES = [
+    (good.encode("utf-8").decode("latin-1"), good) for good in _MOJI_CHARS
+]
+
+
+def fix_mojibake(c: Column) -> Column:
+    """T13/F10: repair the common mojibake sequences (the reference
+    runs ftfy ``fix_text``; this is the deterministic declarative
+    subset, applied as chained JVM-side replaces)."""
+    out = c
+    for bad, good in MOJIBAKE_FIXES:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
 
 
 def words(c: Column) -> Column:

@@ -124,6 +124,27 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAX_TOKENS = 256  # reference MAX_TOKENS default (shared/defaults.py:61)
+
+
+def validate_token_budget(
+    df: DataFrame, text_col: str = "text", max_tokens: int = MAX_TOKENS,
+) -> tuple[DataFrame, DataFrame]:
+    """F14: the embed-time safety re-check (consumer_utils.py:43-54)
+    as a declarative split -- (within_budget, violations). The
+    reference raises on violation with failure accounting; in a batch
+    engine the violations side IS the failure accounting (count it,
+    route it to a quarantine sink), and the clean side proceeds to the
+    embed stage. Whitespace token count, matching the chunker's
+    budget convention."""
+    from ..functions.text_quality import n_tokens
+
+    flagged = df.withColumn("_n_tokens", n_tokens(F.col(text_col)))
+    ok = flagged.filter(F.col("_n_tokens") <= max_tokens).drop("_n_tokens")
+    bad = flagged.filter(F.col("_n_tokens") > max_tokens)
+    return ok, bad
+
+
 QUERIES = {"embed_documents": embed_documents}
 
 ORACLE = {

@@ -93,6 +93,40 @@ def identity_normalizer(texts: list[str]) -> list[str]:
 
 # ---- DAG stages -----------------------------------------------------------
 
+PAGE_BATCH = 5  # GATEKEEPER_BATCH_SIZE (shared/defaults.py:91)
+
+
+def tag_pages(pages: DataFrame) -> DataFrame:
+    """T1: wrap each content unit as ``### [INTERNAL_PAGE_n]\\n<text>``
+    and assign the 5-page normalization batch id
+    (gatekeeper_logic.py:208-231) -- pure column expressions."""
+    return pages.withColumn(
+        "tagged",
+        F.concat(
+            F.lit("### [INTERNAL_PAGE_"), F.col("page"), F.lit("]\n"),
+            F.coalesce(F.col("text"), F.lit("")),
+        ),
+    ).withColumn(
+        "page_batch",
+        ((F.col("page") - 1) / PAGE_BATCH).cast("int"),
+    )
+
+
+def assemble_markdown(tagged: DataFrame) -> DataFrame:
+    """Assemble per-document markdown from tagged pages (the producer's
+    one-.md-per-file input, producer_graph.py:205-235): pages ordered,
+    anchors preserved so the hierarchical chunker recovers page
+    numbers. One shuffle keyed by path; per-key state is the document
+    itself (documents are MB-scale, not partition-scale)."""
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("page", "tagged"))),
+        lambda x: x["tagged"],
+    )
+    return tagged.groupBy("path", "file_type").agg(
+        F.array_join(ordered, "\n").alias("markdown"),
+        F.min("page").alias("first_page"),
+    )
+
 def extract_documents(files: DataFrame) -> DataFrame:
     """Per-format extraction fan-out: one (path, file_type, page, text)
     row per page/segment. Text/HTML are decoded inline; PDF and media
@@ -223,7 +257,11 @@ def ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     files = with_file_type(files)
     pages = normalize_stage(extract_documents(files))
-    chunks = chunk_stage(pages).dropDuplicates(["id"])
+    docs_md = assemble_markdown(tag_pages(pages)).select(
+        "path", "file_type",
+        F.col("first_page").alias("page"), F.col("markdown").alias("text"),
+    )
+    chunks = chunk_stage(docs_md).dropDuplicates(["id"])
     return chunks.select(
         "id", "source_file", "document_id", "type", "chunk_index", "page",
         F.length("chunk").alias("chunk_len"),
@@ -246,7 +284,13 @@ def ingest_pipeline(
     files = with_file_type(scan_binary_files(spark, staging_dir))
     pages = extract_documents(files)
     pages = normalize_stage(pages, normalizer=normalizer)
-    chunks = chunk_stage(pages)
+    # T1: page anchors + per-doc markdown assembly, so the chunker
+    # recovers true page numbers and chunk_index is per-document
+    docs_md = assemble_markdown(tag_pages(pages)).select(
+        "path", "file_type",
+        F.col("first_page").alias("page"), F.col("markdown").alias("text"),
+    )
+    chunks = chunk_stage(docs_md)
     # O11: content-keyed dedup BEFORE the expensive embed stage;
     # deterministic winner via id (content-addressed, so any row is
     # byte-identical anyway)

@@ -125,12 +125,28 @@ def content_addressed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_slugify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slug generation with a content-hash suffix (reference: unicode-
+    fold slugify + blake2b suffix, ``gatekeeper_logic.py:60-67``; md5
+    stands in for blake2b -- both sides of the oracle agree)."""
+    docs = table(spark, sf_dir, "documents")
+    base = F.btrim(
+        F.regexp_replace(F.lower(F.substring("text", 1, 48)), "[^a-z0-9]+", "-"),
+        F.lit("-"),
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(base, F.lit("-"), F.substring(F.md5("text"), 1, 8)).alias("slug"),
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_flags": text_quality_flags,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
     "content_addressed_ids": content_addressed_ids,
+    "text_slugify": text_slugify,
 }
 
 _LANG_SQL = ", ".join(
@@ -139,6 +155,13 @@ _LANG_SQL = ", ".join(
 )
 
 ORACLE = {
+    "text_slugify": """
+        SELECT doc_id,
+               trim(regexp_replace(lower(substr(text, 1, 48)),
+                                   '[^a-z0-9]+', '-', 'g'), '-')
+               || '-' || substr(md5(text), 1, 8) AS slug
+        FROM documents
+    """,
     "text_token_stats": f"""
         WITH t AS (SELECT doc_id, text, {_W_SQL} AS w FROM documents)
         SELECT doc_id,

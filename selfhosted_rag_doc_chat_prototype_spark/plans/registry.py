@@ -31,6 +31,7 @@ def _modules():
             ("operators", "ingest"),
             ("operators", "rag"),
             ("operators", "multimodal"),
+            ("operators", "sessions"),
             ("streaming", "telemetry"),
         ):
             try:

@@ -127,6 +127,34 @@ def file_completion_sentinel(chunks: DataFrame) -> DataFrame:
     )
 
 
+def request_reply_stream_join(
+    requests: DataFrame, replies: DataFrame,
+    watermark: str = "30 minutes", window_minutes: int = 10,
+) -> DataFrame:
+    """ST8/J7 as a watermarked stream-stream join: requests correlate
+    to same-key replies arriving within ``window_minutes`` (the
+    reference's OCR/Whisper reply keys with 300 s expiry,
+    ``utils/ocr_utils.py:60-112``). Watermarks bound both join-state
+    buffers, so state is O(in-flight requests), mirroring the
+    reference's ephemeral reply-key TTL. Columns: requests(key,
+    req_id, req_ts), replies(key, reply_id, reply_ts). Works on batch
+    DataFrames too (watermark binds only when streaming).
+    """
+    req = requests.withWatermark("req_ts", watermark) if requests.isStreaming else requests
+    rep = replies.withWatermark("reply_ts", watermark) if replies.isStreaming else replies
+    cond = (
+        (req["key"] == rep["key"])
+        & (rep["reply_ts"] >= req["req_ts"])
+        & (rep["reply_ts"]
+           <= req["req_ts"] + F.expr(f"INTERVAL {window_minutes} MINUTES"))
+    )
+    return req.join(rep, cond).select(
+        req["key"].alias("key"), "req_id", "reply_id",
+        (F.unix_timestamp(rep["reply_ts"]) - F.unix_timestamp(req["req_ts"]))
+        .alias("latency_seconds"),
+    )
+
+
 CHUNK_TTL_MS = 300_000  # reference CHUNK_TIMEOUT=300s (shared/defaults.py:59)
 
 

@@ -120,3 +120,57 @@ def test_normalize_bypass_only_touches_bad_rows(spark):
     # only the gibberish row went through it
     assert out["f1"] == "perfectly clean readable sentence with many normal words"
     assert out["f2"].startswith("NORMALIZED::")
+
+
+def test_page_tagging_and_assembly(spark):
+    """T1: pages wrap as ### [INTERNAL_PAGE_n] in 5-page batches and
+    assemble into one ordered markdown doc; the chunker then recovers
+    true page numbers from the anchors."""
+    rows = [("d.pdf", "pdf", p, f"page {p} body") for p in (3, 1, 2, 7)]
+    df = spark.createDataFrame(
+        rows, "path string, file_type string, page int, text string"
+    )
+    tagged = {r.page: r for r in ingest.tag_pages(df).collect()}
+    assert tagged[1].tagged == "### [INTERNAL_PAGE_1]\npage 1 body"
+    assert tagged[1].page_batch == 0 and tagged[7].page_batch == 1
+    md = ingest.assemble_markdown(ingest.tag_pages(df)).collect()[0]
+    assert md.first_page == 1
+    assert md.markdown.index("[INTERNAL_PAGE_1]") < md.markdown.index(
+        "[INTERNAL_PAGE_7]"
+    )
+    from selfhosted_rag_doc_chat_prototype_spark.operators.chunking import (
+        split_markdown,
+    )
+    chunks = split_markdown(md.markdown)
+    assert {c["page"] for c in chunks} == {1, 2, 3, 7}
+
+
+def test_fix_mojibake_repairs_latin1_utf8(spark):
+    from selfhosted_rag_doc_chat_prototype_spark.functions.text_quality import (
+        fix_mojibake,
+        is_visibly_corrupt,
+    )
+
+    clean = "it\u2019s a caf\u00e9 \u2014 fine"
+    broken = clean.encode("utf-8").decode("latin-1")
+    df = spark.createDataFrame([(broken,)], "text string").select(
+        fix_mojibake(F.col("text")).alias("fixed"),
+        is_visibly_corrupt(F.col("text")).alias("was_corrupt"),
+    )
+    row = df.collect()[0]
+    assert row.fixed == clean
+    assert row.was_corrupt
+
+
+def test_embed_token_budget_guard(spark):
+    from selfhosted_rag_doc_chat_prototype_spark.operators.embedding import (
+        validate_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ok text"), (2, " ".join(["w"] * 300))], "id long, text string"
+    )
+    ok, bad = validate_token_budget(df)
+    assert [r.id for r in ok.collect()] == [1]
+    viol = bad.collect()
+    assert [(r.id, r._n_tokens) for r in viol] == [(2, 300)]

@@ -1,0 +1,53 @@
+"""Sink semantics: idempotent content-addressed writes, upsert
+convergence, bucket partitioning, and bucket-pruned point lookup."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from selfhosted_rag_doc_chat_prototype_spark import sinks
+
+
+def _chunks(spark, n=50, salt=""):
+    return spark.range(n).select(
+        F.concat(F.lit("id_"), F.col("id")).alias("id"),
+        F.concat(F.lit(f"chunk text {salt}"), F.col("id")).alias("chunk"),
+    )
+
+
+def test_write_is_idempotent_and_bucketed(spark, tmp_path):
+    path = str(tmp_path / "chunks")
+    df = _chunks(spark)
+    sinks.write_table(df.unionByName(df), path)  # duplicated input
+    back = sinks.read_table(spark, path)
+    assert back.count() == 50  # dedup-by-id
+    assert set(back.columns) == {"id", "chunk", "bucket"}
+    # partition dirs on disk
+    dirs = [d for d in os.listdir(path) if d.startswith("bucket=")]
+    assert 1 < len(dirs) <= sinks.DEFAULT_BUCKETS
+
+
+def test_upsert_new_rows_win(spark, tmp_path):
+    path = str(tmp_path / "chunks")
+    sinks.write_table(_chunks(spark, salt="old"), path)
+    newer = _chunks(spark, n=10, salt="new").unionByName(
+        spark.createDataFrame([("id_99", "brand new")], "id string, chunk string")
+    )
+    sinks.upsert_table(spark, newer, path)
+    back = {r.id: r.chunk for r in sinks.read_table(spark, path).collect()}
+    assert len(back) == 51  # 50 old ids (10 replaced) + 1 new id
+    assert back["id_3"] == "chunk text new3"     # replaced
+    assert back["id_30"] == "chunk text old30"   # untouched
+    assert back["id_99"] == "brand new"
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, tmp_path):
+    path = str(tmp_path / "chunks")
+    sinks.write_table(_chunks(spark), path)
+    row = sinks.point_lookup(spark, path, "id_7").collect()
+    assert [r.chunk for r in row] == ["chunk text 7"]
+    plan = sinks.point_lookup(spark, path, "id_7")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "PartitionFilters" in plan

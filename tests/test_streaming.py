@@ -202,3 +202,40 @@ def test_file_sentinel_ttl_eviction_branch():
     assert (row["status"], row["observed_chunks"], row["expected_chunks"]) == (
         "evicted", 4, 5,
     )
+
+
+def test_request_reply_stream_join(spark, sf_dir, tmp_path):
+    """J7/ST8: the watermarked stream-stream join must produce exactly
+    the batch interval-join pairs."""
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    req_b = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("key"), F.col("event_id").alias("req_id"),
+        F.col("ts").alias("req_ts"))
+    rep_b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key"), F.col("event_id").alias("reply_id"),
+        F.col("ts").alias("reply_ts"))
+    d_req, d_rep = str(tmp_path / "req"), str(tmp_path / "rep")
+    req_b.write.parquet(d_req)
+    rep_b.write.parquet(d_rep)
+    req_s = spark.readStream.schema(req_b.schema).parquet(d_req)
+    rep_s = spark.readStream.schema(rep_b.schema).parquet(d_rep)
+    q = (
+        telemetry.request_reply_stream_join(req_s, rep_s)
+        .writeStream.format("memory")
+        .queryName("rr_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.key, r.req_id, r.reply_id, r.latency_seconds)
+        for r in spark.sql("SELECT * FROM rr_join").collect()
+    }
+    want = {
+        (r.key, r.req_id, r.reply_id, r.latency_seconds)
+        for r in telemetry.request_reply_stream_join(req_b, rep_b).collect()
+    }
+    assert got == want and len(want) > 0
