@@ -275,15 +275,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", v.alias("v"),
         F.sqrt(dot(v, v)).alias("norm"),
     )
+    # the block key (label / IVF cell) is low-cardinality, which would
+    # cap the pair-scoring parallelism at #cells: salt side a, replicate
+    # side b across the salt space -> #cells x SALT join keys
+    SALT = 8
     a = base.select(
         F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"),
         F.col("norm").alias("norm_a"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(SALT)).alias("salt"),
     )
     b = base.select(
         F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
         F.col("v").alias("vb"), F.col("norm").alias("norm_b"),
-    )
+    ).withColumn("salt_b", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1))))
     pairs = a.join(b, (F.col("label") == F.col("label_b"))
+                   & (F.col("salt") == F.col("salt_b").cast("long"))
                    & (F.col("vec_a") < F.col("vec_b")))
     cos = dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))
     return (

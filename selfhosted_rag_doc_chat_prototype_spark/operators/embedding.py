@@ -99,7 +99,11 @@ def _votes_expr() -> str:
 def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked embedding build: whole-stage-codegen expression
     form of the stub model, exploded to (doc_id, dim, val)."""
-    docs = table(spark, sf_dir, "documents")
+    # the vote expression is the CPU; spread it across cores (the
+    # corpus parquet is a single input split at test scale)
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     vec = docs.selectExpr("doc_id", f"{_votes_expr()} AS votes")
     norm = F.sqrt(
         F.aggregate(

@@ -161,23 +161,26 @@ def normalize_stage(
 ) -> DataFrame:
     """T2 with the O1 compute-skipping gate: rows that pass the quality
     predicates bypass the (expensive) normalizer entirely; only bad
-    pages are batched through it (GATEKEEPER_BATCH_SIZE=5)."""
+    pages are batched through it (GATEKEEPER_BATCH_SIZE=5).
+
+    Single pass by design: the gate is a JVM-side flag column and the
+    routing happens INSIDE each Arrow batch -- a filter/union split
+    would evaluate the upstream extract operator once per branch."""
     normalizer = normalizer or identity_normalizer
-    clean = pages.filter(~tq.is_bad_ocr(F.col("text")))
-    dirty = pages.filter(tq.is_bad_ocr(F.col("text")))
+    flagged = pages.withColumn("_bad", tq.is_bad_ocr(F.col("text")))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            texts = pdf["text"].fillna("").tolist()
+            bad_idx = pdf.index[pdf["_bad"].fillna(False)]
+            texts = pdf.loc[bad_idx, "text"].fillna("").tolist()
             fixed: list[str] = []
             for i in range(0, len(texts), batch_size):
                 fixed.extend(normalizer(texts[i : i + batch_size]))
             out = pdf.copy()
-            out["text"] = fixed
-            yield out
+            out.loc[bad_idx, "text"] = fixed
+            yield out.drop(columns=["_bad"])
 
-    normalized = dirty.mapInPandas(run, dirty.schema)
-    return clean.unionByName(normalized)
+    return flagged.mapInPandas(run, pages.schema)
 
 
 def chunk_stage(pages: DataFrame, max_chars: int = 600) -> DataFrame:

@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) over the pure operator kernels --
+the reference's invariant-style tests (SURVEY.md section 5: zero-loss
+reconstruction, id determinism) generalized to generated inputs. No
+SparkSession needed: these are the exact functions the Arrow operators
+broadcast to executors."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from selfhosted_rag_doc_chat_prototype_spark.functions.hashing import (
+    mmh3_chunk_id,
+    mmh3_doc_id,
+    murmur3_32,
+)
+from selfhosted_rag_doc_chat_prototype_spark.functions.text_quality import (
+    MOJIBAKE_FIXES,
+)
+from selfhosted_rag_doc_chat_prototype_spark.operators.chunking import (
+    parse_front_matter,
+    split_markdown,
+    subsplit_exact,
+)
+from selfhosted_rag_doc_chat_prototype_spark.operators.dedup import _simhash64_py
+from selfhosted_rag_doc_chat_prototype_spark.operators.embedding import (
+    DIM,
+    embed_text_py,
+)
+
+text_st = st.text(max_size=400)
+word_text_st = st.text(
+    alphabet=st.sampled_from("abcdefghij XYZ.\n#-"), max_size=400
+)
+
+
+@given(text_st, st.integers(min_value=1, max_value=50))
+@settings(max_examples=200, deadline=None)
+def test_subsplit_zero_loss(text, max_chars):
+    """T6 invariant (test_no_loss_splitting.py:17-45): pieces cover the
+    input exactly -- never truncation, never padding."""
+    pieces = subsplit_exact(text, max_chars)
+    assert "".join(pieces) == text
+    assert all(len(p) <= max_chars for p in pieces)
+    if len(text) > 0:
+        assert all(len(p) > 0 for p in pieces)
+
+
+@given(word_text_st, st.integers(min_value=5, max_value=80))
+@settings(max_examples=200, deadline=None)
+def test_split_markdown_invariants(text, max_chars):
+    chunks = split_markdown(text, max_chars=max_chars)
+    # chunk_index is dense and ordered; chunks are non-empty and bounded
+    assert [c["chunk_index"] for c in chunks] == list(range(len(chunks)))
+    for c in chunks:
+        assert 0 < len(c["chunk"]) <= max_chars
+        # every chunk's content is literally present in the input
+        assert c["chunk"] in text
+
+
+@given(word_text_st)
+@settings(max_examples=100, deadline=None)
+def test_front_matter_never_loses_body(text):
+    _, body = parse_front_matter(text)
+    assert body in text
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_murmur3_deterministic_and_32bit(data):
+    a, b = murmur3_32(data), murmur3_32(data)
+    assert a == b
+    assert 0 <= a < 2**32
+
+
+@given(text_st, text_st)
+@settings(max_examples=100, deadline=None)
+def test_content_ids_shape_and_determinism(doc, chunk):
+    did = mmh3_doc_id(doc)
+    assert did.startswith("DOC_") and len(did) == 12
+    cid = mmh3_chunk_id(did, chunk)
+    assert cid.startswith(did + "_")
+    assert cid == mmh3_chunk_id(did, chunk)
+
+
+@given(text_st)
+@settings(max_examples=100, deadline=None)
+def test_embedding_unit_norm_or_zero(text):
+    v = embed_text_py(text)
+    assert len(v) == DIM
+    n = sum(x * x for x in v)
+    assert abs(n - 1.0) < 1e-9 or n == 0.0
+
+
+@given(text_st)
+@settings(max_examples=100, deadline=None)
+def test_simhash_is_64_bits(text):
+    bits = _simhash64_py(text)
+    assert len(bits) == 64 and set(bits) <= {"0", "1"}
+    assert bits == _simhash64_py(text)
+
+
+@given(st.text(alphabet=st.sampled_from("abc 'x’“éü—"), max_size=60))
+@settings(max_examples=100, deadline=None)
+def test_mojibake_fix_table_roundtrips(clean):
+    """Breaking a clean string (utf-8 bytes mis-read as latin-1) and
+    applying the fix table restores it, provided the string has no
+    characters outside the table (the table IS the supported subset)."""
+    broken = clean.encode("utf-8").decode("latin-1")
+    fixed = broken
+    for bad, good in MOJIBAKE_FIXES:
+        fixed = fixed.replace(bad, good)
+    assert fixed == clean

@@ -96,3 +96,22 @@ def test_bm25_scores_rank_term_heavy_docs_first(spark, sf_dir):
     for r in rows:
         assert r.bm25 > 0
         assert any(t in docs[r.doc_id].split() for t in similarity.BM25_TERMS)
+
+
+def test_ivf_recall_against_bruteforce(spark, sf_dir):
+    """IVF-probed results must (a) score identically to brute force on
+    overlapping pairs and (b) recover a healthy fraction of the true
+    top-k (nprobe/cells recall trade-off)."""
+    bf = {}
+    for r in similarity.anns_bruteforce_topk(spark, sf_dir).collect():
+        bf.setdefault(r.query_id, {})[r.neighbor_id] = r.cos_sim
+    ivf_rows = similarity.anns_ivf_topk(spark, sf_dir).collect()
+    assert len(ivf_rows) > 0
+    hits = total = 0
+    for r in ivf_rows:
+        if r.neighbor_id in bf.get(r.query_id, {}):
+            assert abs(bf[r.query_id][r.neighbor_id] - r.cos_sim) < 1e-9
+            hits += 1
+    for q, nbrs in bf.items():
+        total += len(nbrs)
+    assert hits / total >= 0.3  # nprobe=4 of 16 cells
