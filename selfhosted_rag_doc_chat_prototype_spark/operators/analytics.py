@@ -377,6 +377,23 @@ def rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day): all four grouping combinations in
+    one pass (SURVEY 2.6 note: the reference has no grouping sets;
+    Spark's are exposed for free on the engine's SQL surface)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.cube("event_type", _day("ts").alias("day"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("day", F.lit("(all)")).alias("day"),
+            "n",
+            "total_value",
+        )
+    )
+
+
 QUERIES = {
     "a1_events_per_day": a1_events_per_day,
     "a2_value_stats_by_type": a2_value_stats_by_type,
@@ -399,6 +416,7 @@ QUERIES = {
     "window_last_n_per_user": window_last_n_per_user,
     "set_error_not_purchase_user_days": set_error_not_purchase_user_days,
     "rollup_events": rollup_events,
+    "cube_events": cube_events,
 }
 
 ORACLE = {
@@ -573,6 +591,14 @@ ORACLE = {
         EXCEPT
         SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
         FROM events WHERE event_type = 'purchase'
+    """,
+    "cube_events": """
+        SELECT coalesce(event_type, '(all)') AS event_type,
+               coalesce(strftime(ts, '%Y-%m-%d'), '(all)') AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
     """,
     "rollup_events": """
         SELECT coalesce(event_type, '(all)') AS event_type,

@@ -239,3 +239,34 @@ def test_request_reply_stream_join(spark, sf_dir, tmp_path):
         for r in telemetry.request_reply_stream_join(req_b, rep_b).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_binaryfile_stream_discovery(spark, tmp_path):
+    """S1 streaming face: a staging directory watched as a file stream,
+    with ST2 backpressure (maxFilesPerTrigger) splitting discovery into
+    multiple micro-batches."""
+    d = tmp_path / "staging"
+    d.mkdir()
+    for i in range(6):
+        (d / f"doc{i}.txt").write_text(f"document number {i} body text")
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp,"
+            " length long, content binary"
+        )
+        .option("maxFilesPerTrigger", 2)  # ST2: bounded per micro-batch
+        .load(str(d))
+        .selectExpr("path", "length")
+    )
+    batches = []
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, epoch: batches.append(df.count())
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sum(batches) == 6
+    assert len(batches) == 3 and all(b == 2 for b in batches)
