@@ -67,12 +67,28 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
     total = round(time.time() - t_all, 3)
 
+    # derived throughput vs BASELINE.md anchors (reference: 10-15
+    # docs/min ingest; ~400 ms/query retrieval p50)
+    derived: dict[str, float] = {}
+    if "ingest_pipeline_e2e" in timings:
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        derived["ingest_docs_per_min"] = round(
+            60.0 * n_docs / timings["ingest_pipeline_e2e"], 1
+        )
+    if "rag_retrieve_citations" in timings:
+        from selfhosted_rag_doc_chat_prototype_spark.operators.rag import N_QUERIES
+
+        derived["retrieval_ms_per_query_batched"] = round(
+            1000.0 * timings["rag_retrieve_citations"] / N_QUERIES, 1
+        )
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_suite_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "derived": derived,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
     }))
 

@@ -118,10 +118,18 @@ def anns_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DENSE_PREFETCH = 50   # J5 asymmetry (database_qdrant_sparse_testing.py:33-46)
+SPARSE_PREFETCH = 100
+
+
 def hybrid_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense (cosine) + lexical (word-set Jaccard on the documents
-    table, vec_id = doc_id) fused per query by min-max-normalized
-    average, top-k. Mirrors J5's two-leg prefetch + fusion."""
+    table, vec_id = doc_id) fusion with the reference's prefetch
+    asymmetry: each leg keeps only its own top candidates (dense 50 /
+    sparse 100) BEFORE fusion, then min-max-normalized averaging over
+    the union, final top-k -- J5's two-leg prefetch + DBSF-style
+    fusion. The prefetch caps are the scale lever: fusion state is
+    O(Q * (50+100)), independent of corpus size."""
     base = _vectors(spark, sf_dir)
     docs = table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -150,11 +158,25 @@ def hybrid_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (inter.cast("double") / union.cast("double")).alias("sparse"),
         )
     )
+    wd = Window.partitionBy("query_id").orderBy(F.desc("dense"), F.asc("neighbor_id"))
+    ws = Window.partitionBy("query_id").orderBy(F.desc("sparse"), F.asc("neighbor_id"))
+    prefetched = (
+        scored.withColumn("dr", F.row_number().over(wd))
+        .withColumn("sr", F.row_number().over(ws))
+        .filter((F.col("dr") <= DENSE_PREFETCH) | (F.col("sr") <= SPARSE_PREFETCH))
+        .select(
+            "query_id", "neighbor_id",
+            # a candidate outside a leg's prefetch never contributes
+            # that leg's score (it was "not retrieved" by that leg)
+            F.when(F.col("dr") <= DENSE_PREFETCH, F.col("dense")).alias("dense"),
+            F.when(F.col("sr") <= SPARSE_PREFETCH, F.col("sparse")).alias("sparse"),
+        )
+    )
     wq = Window.partitionBy("query_id")
     norm = lambda c: (F.col(c) - F.min(c).over(wq)) / F.nullif(
         F.max(c).over(wq) - F.min(c).over(wq), F.lit(0.0)
     )
-    fused = scored.select(
+    fused = prefetched.select(
         "query_id", "neighbor_id",
         (F.lit(0.5) * F.coalesce(norm("dense"), F.lit(0.0))
          + F.lit(0.5) * F.coalesce(norm("sparse"), F.lit(0.0))).alias("fused_raw"),
@@ -405,6 +427,21 @@ ORACLE = {
             FROM bd a JOIN bd b
               ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
         ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY dense DESC, neighbor_id ASC) AS dr,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY sparse DESC, neighbor_id ASC) AS sr
+            FROM scored
+        ),
+        prefetched AS (
+            SELECT query_id, neighbor_id,
+                   CASE WHEN dr <= {DENSE_PREFETCH} THEN dense END AS dense,
+                   CASE WHEN sr <= {SPARSE_PREFETCH} THEN sparse END AS sparse
+            FROM ranked
+            WHERE dr <= {DENSE_PREFETCH} OR sr <= {SPARSE_PREFETCH}
+        ),
         fused AS (
             SELECT query_id, neighbor_id,
                    0.5 * coalesce((dense - min(dense) OVER (PARTITION BY query_id))
@@ -414,7 +451,7 @@ ORACLE = {
                        / nullif(max(sparse) OVER (PARTITION BY query_id)
                                 - min(sparse) OVER (PARTITION BY query_id), 0.0), 0.0)
                        AS fused_raw
-            FROM scored
+            FROM prefetched
         )
         SELECT query_id, neighbor_id,
                CAST(row_number() OVER (
