@@ -258,6 +258,11 @@ def ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text")).cast("binary").alias("content"),
         F.length("text").alias("length"),
     )
+    # no repartition here: extract/normalize are cheap on this corpus
+    # (decode + regex per row) and the heavy chunk stage runs after the
+    # assemble_markdown shuffle, which already spreads to
+    # spark.sql.shuffle.partitions -- measured 2-4x faster than forcing
+    # a binary-content shuffle + 32-way Python worker fan-out up front
     files = with_file_type(files)
     pages = normalize_stage(extract_documents(files))
     docs_md = assemble_markdown(tag_pages(pages)).select(
@@ -284,7 +289,14 @@ def ingest_pipeline(
     """The full DAG. Returns (chunks, embeddings); writes parquet when
     ``out_dir`` is given (atomic job commit replaces the reference's
     staging-WAL + sentinel finalize)."""
+    # binaryFile scans parallelize by file; a staging dir with fewer
+    # files than cores under-splits, starving the (genuinely expensive)
+    # per-file OCR/transcription stages -- rebalance only then, since
+    # the repartition shuffles raw file bytes
     files = with_file_type(scan_binary_files(spark, staging_dir))
+    par = spark.sparkContext.defaultParallelism
+    if files.rdd.getNumPartitions() < par:
+        files = files.repartition(par)
     pages = extract_documents(files)
     pages = normalize_stage(pages, normalizer=normalizer)
     # T1: page anchors + per-doc markdown assembly, so the chunker
