@@ -21,6 +21,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_regional_revenue",
+    "q9_profit_by_nation_year",
     "a1_events_per_day",
     "a7_weekly_lag",
     "a10_user_timing",

@@ -271,6 +271,62 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share. The part dimension
+    broadcasts; the conditional sum is one map-side partial agg over
+    the (filtered, pruned) lineitem scan -- a single shuffle of two
+    doubles regardless of fact size."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year over
+    lineitem x part x supplier x nation (profit = revenue - retail cost
+    stand-in). Both dimensions and the supplier->nation chain
+    broadcast; the only shuffle is the final (nation, year) agg."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    orders = table(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.4
+    )
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"),
+             F.count("*").alias("n_items"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Join patterns J1-J3 (SURVEY section 2.5): broadcast equi, anti, semi
 # --------------------------------------------------------------------------
@@ -409,6 +465,8 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_regional_revenue": q5_regional_revenue,
+    "q9_profit_by_nation_year": q9_profit_by_nation_year,
+    "q14_promo_revenue": q14_promo_revenue,
     "join_orders_without_lineitems": join_orders_without_lineitems,
     "join_customers_with_purchases": join_customers_with_purchases,
     "window_running_total": window_running_total,
@@ -542,6 +600,31 @@ ORACLE = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY 1
+    """,
+    "q14_promo_revenue": """
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4)
+                   AS promo_revenue_pct,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+    """,
+    "q9_profit_by_nation_year": """
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         - p_retailprice * l_quantity * 0.4), 2) AS profit,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
     """,
     "join_orders_without_lineitems": """
         SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice

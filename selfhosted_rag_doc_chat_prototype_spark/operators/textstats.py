@@ -29,6 +29,12 @@ STOPWORDS = {
 _W_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
 
 
+# BPE-ish pre-tokenizer split (letter runs / digit runs / single
+# punctuation), the GPT-2-family pre-tokenization shape restricted to
+# ASCII classes so Spark's Java regex and DuckDB's RE2 agree exactly
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     w = tq.words(F.col("text"))
@@ -36,6 +42,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(w).alias("n_tokens"),
         F.size(F.array_distinct(w)).alias("n_unique_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).alias("n_bpe_tokens"),
         F.round(tq.mean_word_len(F.col("text")), 4).alias("avg_token_len"),
         F.length("text").alias("n_chars_actual"),
     )
@@ -167,6 +174,8 @@ ORACLE = {
         SELECT doc_id,
                CAST(len(w) AS INTEGER) AS n_tokens,
                CAST(len(list_distinct(w)) AS INTEGER) AS n_unique_tokens,
+               CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INTEGER)
+                   AS n_bpe_tokens,
                round(CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum')
                      AS DOUBLE) / nullif(CAST(len(w) AS DOUBLE), 0.0), 4)
                    AS avg_token_len,
