@@ -80,6 +80,29 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_window_plan(events: DataFrame, gap_seconds: int = GAP_SECONDS,
+                        watermark: str = "2 hours") -> DataFrame:
+    """Gap sessionization via Spark's native ``session_window`` -- the
+    streaming-idiomatic form of ``sessionize_batch`` (identical
+    semantics: a new session starts when the inter-event gap exceeds
+    the gap duration). On a stream the watermark closes sessions and
+    bounds state; on batch the same plan runs as a one-shot agg."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(
+            "user_id", F.session_window("ts", f"{gap_seconds} seconds").alias("sw")
+        )
+        .agg(F.count("*").alias("n_events"),
+             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+             F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"))
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+def sessionize_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_window_plan(table(spark, sf_dir, "events"))
+
+
 def stateful_user_stats(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
     """Per-user keyed state via applyInPandasWithState: running count,
     running value sum, last-seen timestamp (the registry's per-agent
@@ -213,6 +236,7 @@ def file_sentinel_stateful(chunks: DataFrame, ttl_ms: int = CHUNK_TTL_MS) -> Dat
 QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
     "sessionize_events": sessionize_batch,
+    "sessionize_session_window": sessionize_session_window,
 }
 
 ORACLE = {
@@ -245,5 +269,30 @@ ORACLE = {
                CAST(date_diff('second', min(ts), max(ts)) AS BIGINT)
                    AS duration_seconds
         FROM sess GROUP BY 1, 2
+    """,
+    # session_window boundary: an event at exactly last_ts + gap falls
+    # outside the [start, last+gap) window, so new-session is gap >= GAP
+    # (sessionize_events' lag formulation uses strict >)
+    "sessionize_session_window": f"""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR date_diff('second', lag(ts) OVER w, ts)
+                                >= {GAP_SECONDS}
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT *, sum(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, session_seq
     """,
 }

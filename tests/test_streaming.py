@@ -65,6 +65,33 @@ def test_windowed_agg_stream_equals_batch(spark, sf_dir, events_stream_dir):
     assert got == want
 
 
+def test_session_window_stream_equals_batch(spark, sf_dir, events_stream_dir):
+    """Native session_window over readStream (availableNow, complete
+    mode) must produce the batch sessionization."""
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    batch_df = table(spark, sf_dir, "events")
+    stream = spark.readStream.schema(batch_df.schema).parquet(events_stream_dir)
+    q = (
+        telemetry.session_window_plan(stream)
+        .writeStream.format("memory")
+        .queryName("sess_win")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_win").collect()
+    )
+    want = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in telemetry.session_window_plan(batch_df).collect()
+    )
+    assert got == want
+
+
 def test_stateful_user_stats_stream(spark, sf_dir, events_stream_dir):
     """applyInPandasWithState over a real stream: final per-user state
     must equal the batch aggregation."""
