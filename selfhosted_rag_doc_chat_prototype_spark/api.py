@@ -84,6 +84,26 @@ class RagEngine:
             "chunk",
         )
 
+    def session_history(self, messages: DataFrame, session_id=None,
+                        max_msgs: int = 40) -> DataFrame:
+        """The ``/query`` session step (endpoints.py:48-65): resolve a
+        session's history, trimmed to the newest ``max_msgs``
+        (MAX_SESSION_TURNS*2 = 40, chat_session_service.py:55-60),
+        returned oldest-first. Retrieval itself is history-free in the
+        reference too -- history only feeds the generation prompt.
+
+        ``messages`` columns: (session_id, ts, role, content)."""
+        src = messages if session_id is None else messages.filter(
+            F.col("session_id") == session_id
+        )
+        w = Window.partitionBy("session_id").orderBy(F.desc("ts"))
+        return (
+            src.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_msgs)
+            .drop("_rn")
+            .orderBy("session_id", "ts")
+        )
+
     def status(self) -> DataFrame:
         """The ``/status`` aggregate: corpus counts per source type
         (the reference reads its lifecycle table; the batch engine's

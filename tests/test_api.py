@@ -50,6 +50,25 @@ def test_query_context_is_deduped(engine):
     assert len(chunks) == len(set(chunks))
 
 
+def test_session_history_trim(spark, engine):
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        ("s1", base + dt.timedelta(minutes=i),
+         "user" if i % 2 == 0 else "assistant", f"msg{i}")
+        for i in range(50)
+    ] + [("s2", base, "user", "hello")]
+    msgs = spark.createDataFrame(
+        rows, "session_id string, ts timestamp, role string, content string"
+    )
+    h1 = engine.session_history(msgs, "s1", max_msgs=40).collect()
+    assert len(h1) == 40
+    # newest 40 kept, returned oldest-first
+    assert h1[0].content == "msg10" and h1[-1].content == "msg49"
+    assert engine.session_history(msgs).count() == 41
+
+
 def test_load_roundtrip(spark, engine, tmp_path):
     out = str(tmp_path / "tables")
     engine.chunks.write.parquet(f"{out}/chunks")
