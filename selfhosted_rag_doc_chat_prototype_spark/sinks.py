@@ -76,6 +76,22 @@ def upsert_table(
     write_table(spark.read.parquet(staging), path, id_col, n_buckets)
 
 
+def write_bucketed_table(
+    df: DataFrame, table_name: str, id_col: str = "id",
+    n_buckets: int = DEFAULT_BUCKETS, sort_col: str | None = None,
+) -> None:
+    """Catalog-bucketed write (``bucketBy`` + ``saveAsTable``): unlike
+    the directory-partitioned ``write_table``, this records bucketing
+    in the catalog, so joins/aggregations between tables bucketed the
+    same way on the same key plan WITHOUT a shuffle exchange -- the
+    co-located-join strategy for the chunks x embeddings hot path
+    (ST1's partitioned-queue co-location, done the Spark way)."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, id_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 

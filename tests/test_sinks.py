@@ -51,3 +51,29 @@ def test_point_lookup_prunes_to_one_bucket(spark, tmp_path):
     plan = sinks.point_lookup(spark, path, "id_7")._jdf.queryExecution(
     ).executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Catalog bucketing: two tables bucketed identically on the join
+    key must sort-merge join with ZERO shuffle exchanges."""
+    import contextlib
+    import io
+
+    left = _chunks(spark, 60)
+    right = _chunks(spark, 60).withColumnRenamed("chunk", "other")
+    sinks.write_bucketed_table(left, "bk_left", n_buckets=4, sort_col="id")
+    sinks.write_bucketed_table(right, "bk_right", n_buckets=4, sort_col="id")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bk_left").join(spark.table("bk_right"), "id")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 60
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
