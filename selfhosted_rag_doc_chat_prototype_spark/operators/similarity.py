@@ -60,26 +60,7 @@ def anns_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    cand = base.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
-    scored = (
-        F.broadcast(queries)
-        .crossJoin(cand)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_raw"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_raw"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "rank",
-                F.round("cos_raw", 4).alias("cos_sim"))
-    )
+    return topk_cosine(base, queries, k=TOP_K, strategy="brute")
 
 
 def _sign_bucket(v: Column, bits: int = 8) -> Column:
@@ -94,28 +75,11 @@ def _sign_bucket(v: Column, bits: int = 8) -> Column:
 
 
 def anns_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = _vectors(spark, sf_dir).withColumn("bucket", _sign_bucket(F.col("v")))
+    base = _vectors(spark, sf_dir)
     queries = base.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    cand = base.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
-        F.col("bucket").alias("cbucket"),
-    )
-    scored = (
-        F.broadcast(queries)
-        .join(cand, F.col("bucket") == F.col("cbucket"))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id",
-                cosine(F.col("qv"), F.col("cv")).alias("cos_raw"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "rank",
-                F.round("cos_raw", 4).alias("cos_sim"))
-    )
+    return topk_cosine(base, queries, k=TOP_K, strategy="lsh")
 
 
 DENSE_PREFETCH = 50   # J5 asymmetry (database_qdrant_sparse_testing.py:33-46)
@@ -256,6 +220,64 @@ def anns_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+# ---- strategy planner -----------------------------------------------------
+
+BRUTE_FORCE_MAX_PAIRS = 50_000_000  # ~1 CPU-minute of 16-dim dot products
+
+
+def topk_cosine(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    strategy: str = "auto",
+    lsh_bits: int = 8,
+) -> DataFrame:
+    """General top-k cosine retrieval over (``vec_id``, ``v``) vectors
+    for (``query_id``, ``qv``) queries, with the physical strategy
+    either forced or cost-chosen -- the engine's stand-in for the
+    optional Catalyst rewrite of ``ORDER BY cosine_sim(...) LIMIT k``
+    (SURVEY section 7 "hard parts"): the same logical ask plans as
+
+    - ``brute``: broadcast queries x all candidates (exact) while the
+      pair count is affordable,
+    - ``lsh``: sign-LSH bucket equi-join (approximate) beyond it --
+      pair work drops by ~2^bits.
+
+    ``auto`` decides from |V| x |Q| against ``BRUTE_FORCE_MAX_PAIRS``.
+    Both plans broadcast the query side and never shuffle candidates
+    for scoring; the count() that prices the plan is a metadata-cheap
+    scan at the planner step (same information a real CBO reads from
+    table stats)."""
+    if strategy == "auto":
+        n_pairs = vectors.count() * queries.count()
+        strategy = "brute" if n_pairs <= BRUTE_FORCE_MAX_PAIRS else "lsh"
+    cand = vectors.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
+    )
+    q = queries.select("query_id", "qv")
+    if strategy == "brute":
+        joined = F.broadcast(q).crossJoin(cand)
+    elif strategy == "lsh":
+        joined = F.broadcast(
+            q.withColumn("bucket", _sign_bucket(F.col("qv"), lsh_bits))
+        ).join(
+            cand.withColumn("cbucket", _sign_bucket(F.col("cv"), lsh_bits)),
+            F.col("bucket") == F.col("cbucket"),
+        )
+    else:
+        raise ValueError(f"unknown strategy: {strategy!r}")
+    scored = joined.filter(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_raw")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank",
                 F.round("cos_raw", 4).alias("cos_sim"))
     )

@@ -115,3 +115,31 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
     for q, nbrs in bf.items():
         total += len(nbrs)
     assert hits / total >= 0.3  # nprobe=4 of 16 cells
+
+
+def test_topk_cosine_auto_strategy_picks_by_pair_count(spark, sf_dir):
+    """The planner's stand-in for the `ORDER BY cosine LIMIT k`
+    rewrite: small pair counts plan brute-force (exact), large ones
+    plan the LSH bucket join; forced strategies agree with auto's pick
+    on this corpus (small -> brute)."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators import similarity as sim
+
+    base = sim._vectors(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    auto = sim.topk_cosine(base, queries, k=5, strategy="auto")
+    brute = sim.topk_cosine(base, queries, k=5, strategy="brute")
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, brute.collect()))
+
+    lsh = sim.topk_cosine(base, queries, k=5, strategy="lsh").collect()
+    brute_rows = brute.collect()
+    # LSH returns a subset of each query's candidates, exactly scored
+    exact = {(r.query_id, r.neighbor_id): r.cos_sim for r in brute_rows}
+    for r in lsh:
+        if (r.query_id, r.neighbor_id) in exact:
+            assert abs(r.cos_sim - exact[(r.query_id, r.neighbor_id)]) < 1e-9
+
+    import pytest
+    with pytest.raises(ValueError):
+        sim.topk_cosine(base, queries, strategy="hnsw")
