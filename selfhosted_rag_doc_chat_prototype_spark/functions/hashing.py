@@ -61,13 +61,24 @@ def murmur3_32(data: bytes | str, seed: int = 0) -> int:
 
 
 def mmh3_doc_id(content: bytes | str) -> str:
-    """Reference document id (text_processor.py:175-178)."""
-    return "DOC_" + format(murmur3_32(content) & 0xFFFFFFFF, "08x")
+    """Reference document id, byte-exact (text_processor.py:175-178):
+    ``"DOC_" + hex(mmh3.hash(file_bytes) & 0xFFFFFFFF)[2:].upper().zfill(8)``
+    -- UPPERCASE, zero-padded to 8, hashed over the ORIGINAL file bytes."""
+    return "DOC_" + format(murmur3_32(content) & 0xFFFFFFFF, "08X")
 
 
 def mmh3_chunk_id(doc_id: str, chunk_text: str) -> str:
-    """Reference chunk id (text_processor.py:180-185)."""
-    return f"{doc_id}_{format(murmur3_32(chunk_text), 'x')}"
+    """Reference chunk id, byte-exact (text_processor.py:180-185):
+    ``f"{context}_{hex(mmh3.hash(chunk.encode()) & 0xFFFFFFFF)[2:].lower().zfill(8)}"``
+    -- lowercase, zero-padded to 8 (an unpadded format drops leading
+    zeros for ~1/16 of chunks and breaks cross-system id joins)."""
+    return f"{doc_id}_{format(murmur3_32(chunk_text) & 0xFFFFFFFF, '08x')}"
+
+
+def mmh3_content_hash(text: bytes | str) -> str:
+    """Reference chunk content hash (text_processor.py:154):
+    ``hex(mmh3.hash(text) & 0xFFFFFFFF)[2:].upper().zfill(8)``."""
+    return format(murmur3_32(text) & 0xFFFFFFFF, "08X")
 
 
 def doc_id_udf():
@@ -87,6 +98,59 @@ def chunk_id_udf():
         return pd.Series([mmh3_chunk_id(d, c) for d, c in zip(doc_id, chunk)])
 
     return _chunk_id
+
+
+# ---- uuid point ids (K1 idempotency) -------------------------------------
+# The reference converts string chunk ids to deterministic UUIDs for the
+# vector store: ``uuid.uuid5(uuid.UUID("6ba7b810-9dad-11d1-80b4-00c04fd430c8"),
+# str(id_))`` (services/database.py:260-268; the namespace is RFC 4122
+# NAMESPACE_DNS). uuid5 is sha1-based: Spark has sha1 (so the distributed
+# column below is byte-exact with uuid.uuid5) but DuckDB does not, so the
+# oracle-checked query surface uses the md5-based uuid3 twin (identical
+# construction, version nibble 3) computable in both engines.
+
+UUID_NAMESPACE = "6ba7b810-9dad-11d1-80b4-00c04fd430c8"
+_NS_BYTES = bytes.fromhex(UUID_NAMESPACE.replace("-", ""))
+
+
+def uuid5_point_id(id_: str) -> str:
+    import uuid
+
+    return str(uuid.uuid5(uuid.UUID(UUID_NAMESPACE), str(id_)))
+
+
+def _rfc4122_col(hex32: Column, version: str) -> Column:
+    """Format the first 32 hex chars of a digest as an RFC 4122 UUID:
+    patch the version nibble (13th hex char) and the variant nibble
+    (17th -> one of 89ab, keeping its low 2 bits)."""
+    h = F.lower(hex32)
+    variant = F.substring(
+        F.lit("89ab"),
+        (F.conv(F.substring(h, 17, 1), 16, 10).cast("int") % 4) + 1,
+        1,
+    )
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit(version), F.substring(h, 14, 3)),
+        F.concat(variant, F.substring(h, 18, 3)),
+        F.substring(h, 21, 12),
+    )
+
+
+def uuid5_col(name: Column) -> Column:
+    """Distributed ``uuid.uuid5(NAMESPACE_DNS, name)`` -- byte-exact
+    (golden-tested against the stdlib), pure codegen expressions."""
+    digest = F.sha1(F.concat(F.lit(_NS_BYTES), F.encode(name, "utf-8")))
+    return _rfc4122_col(F.substring(digest, 1, 32), "5")
+
+
+def uuid3_col(name: Column) -> Column:
+    """md5-based uuid3 twin of :func:`uuid5_col` (DuckDB has md5 but not
+    sha1, so this is the oracle-checkable variant)."""
+    digest = F.md5(F.concat(F.lit(_NS_BYTES), F.encode(name, "utf-8")))
+    return _rfc4122_col(digest, "3")
 
 
 # ---- oracle-parity (md5) variants: identical in Spark and DuckDB ---------

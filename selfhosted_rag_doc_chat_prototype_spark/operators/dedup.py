@@ -119,14 +119,21 @@ def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles_col():
-    """Distinct 3-word shingles of ``text``."""
+    """Distinct 3-word shingles of ``text``. Docs with <3 words yield an
+    empty array (guarded: an unguarded ``sequence(1, size(w)-2)`` is
+    descending there and the downstream ``slice`` throws
+    INVALID_PARAMETER_VALUE.START; the DuckDB oracle's
+    ``range(1, len(w)-1)`` is already empty for those)."""
     w = tq.words(F.col("text"))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 2),
-            lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
-        )
-    )
+    return F.when(
+        F.size(w) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 2),
+                lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _band_signatures(corpus: DataFrame) -> DataFrame:
@@ -137,7 +144,8 @@ def _band_signatures(corpus: DataFrame) -> DataFrame:
     columns of ONE codegen'd hash aggregate. Map-side partial min means
     the shuffle carries one row per doc, and whole-stage codegen beats
     the interpreted ``array_min(transform(...))`` formulation ~2x.
-    Docs with no shingles (<3 words) drop out via the explode."""
+    Docs with no shingles (<3 words, empty array) drop out via the
+    explode."""
     exploded = (
         corpus.select("doc_id", F.explode(_shingles_col()).alias("s"))
         .select("doc_id", F.concat(F.md5("s"), F.md5("s")).alias("hh"))

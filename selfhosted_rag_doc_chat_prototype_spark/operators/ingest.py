@@ -28,8 +28,8 @@ locality without small-file explosion.
 
 from __future__ import annotations
 
+import hashlib
 import re
-import zlib
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -122,36 +122,46 @@ def assemble_markdown(tagged: DataFrame) -> DataFrame:
         F.array_sort(F.collect_list(F.struct("page", "tagged"))),
         lambda x: x["tagged"],
     )
-    return tagged.groupBy("path", "file_type").agg(
+    return tagged.groupBy("path", "file_type", "doc_id").agg(
         F.array_join(ordered, "\n").alias("markdown"),
         F.min("page").alias("first_page"),
     )
 
 def extract_documents(files: DataFrame) -> DataFrame:
-    """Per-format extraction fan-out: one (path, file_type, page, text)
-    row per page/segment. Text/HTML are decoded inline; PDF and media
-    route through the pluggable OCR/transcription stubs."""
+    """Per-format extraction fan-out: one (path, file_type, page, text,
+    doc_id) row per page/segment. Text/HTML are decoded inline; PDF and
+    media route through the pluggable OCR/transcription stubs. The
+    document id is the reference-parity mmh3 of the ORIGINAL file bytes
+    (``get_document_id(file_bytes)``, text_processor.py:175-178) --
+    computed here, where the bytes still exist, and carried through the
+    rest of the DAG."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for path, ftype, raw in zip(pdf["path"], pdf["file_type"], pdf["content"]):
                 raw = bytes(raw) if raw is not None else b""
+                doc_id = mmh3_doc_id(raw)
                 if ftype == "text":
-                    rows.append((path, ftype, 1, decode_text(raw)))
+                    rows.append((path, ftype, 1, decode_text(raw), doc_id))
                 elif ftype == "html":
-                    rows.append((path, ftype, 1, html_to_text(decode_text(raw))))
+                    rows.append((path, ftype, 1, html_to_text(decode_text(raw)), doc_id))
                 elif ftype == "pdf":
-                    rows.extend((path, ftype, pg, tx) for pg, tx in stub_ocr(raw, path))
+                    rows.extend(
+                        (path, ftype, pg, tx, doc_id) for pg, tx in stub_ocr(raw, path)
+                    )
                 elif ftype in ("audio", "video"):
                     rows.extend(
-                        (path, ftype, seg, tx) for seg, tx in stub_transcribe(raw, path)
+                        (path, ftype, seg, tx, doc_id)
+                        for seg, tx in stub_transcribe(raw, path)
                     )
                 # unknown types are dropped (reference: no handler -> failed)
-            yield pd.DataFrame(rows, columns=["path", "file_type", "page", "text"])
+            yield pd.DataFrame(
+                rows, columns=["path", "file_type", "page", "text", "doc_id"]
+            )
 
     return files.select("path", "file_type", "content").mapInPandas(
-        run, "path string, file_type string, page int, text string"
+        run, "path string, file_type string, page int, text string, doc_id string"
     )
 
 
@@ -191,11 +201,10 @@ def chunk_stage(pages: DataFrame, max_chars: int = 600) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for path, ftype, page, text in zip(
-                pdf["path"], pdf["file_type"], pdf["page"], pdf["text"]
+            for path, ftype, page, text, doc_id in zip(
+                pdf["path"], pdf["file_type"], pdf["page"], pdf["text"], pdf["doc_id"]
             ):
                 text = text or ""
-                doc_id = mmh3_doc_id(text if text else path)
                 for c in split_markdown(text, max_chars=max_chars):
                     cid = mmh3_chunk_id(doc_id, c["chunk"])
                     rows.append((
@@ -206,7 +215,9 @@ def chunk_stage(pages: DataFrame, max_chars: int = 600) -> DataFrame:
                         ftype,
                         c["chunk_index"],
                         "stub" if ftype in ("pdf", "audio", "video") else "native",
-                        format(zlib.crc32(c["chunk"].encode()), "08x"),
+                        # wire hash: md5 hexdigest of the chunk text
+                        # (producer_graph.py:109)
+                        hashlib.md5(c["chunk"].encode()).hexdigest(),
                         int(page) if c["page"] == -1 else int(c["page"]),
                     ))
             yield pd.DataFrame(rows, columns=CHUNK_COLUMNS)
@@ -266,7 +277,7 @@ def ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = with_file_type(files)
     pages = normalize_stage(extract_documents(files))
     docs_md = assemble_markdown(tag_pages(pages)).select(
-        "path", "file_type",
+        "path", "file_type", "doc_id",
         F.col("first_page").alias("page"), F.col("markdown").alias("text"),
     )
     chunks = chunk_stage(docs_md).dropDuplicates(["id"])
@@ -302,7 +313,7 @@ def ingest_pipeline(
     # T1: page anchors + per-doc markdown assembly, so the chunker
     # recovers true page numbers and chunk_index is per-document
     docs_md = assemble_markdown(tag_pages(pages)).select(
-        "path", "file_type",
+        "path", "file_type", "doc_id",
         F.col("first_page").alias("page"), F.col("markdown").alias("text"),
     )
     chunks = chunk_stage(docs_md)

@@ -15,32 +15,42 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MODULES = None
 
+# every module here is REQUIRED: a failed import must fail the
+# correctness gate loudly, not silently shrink the query set (a broken
+# transitive import would otherwise report "N/N pass" over fewer N)
+_EXPECTED = (
+    ("operators", "analytics"),
+    ("operators", "textstats"),
+    ("operators", "chunking"),
+    ("operators", "dedup"),
+    ("operators", "similarity"),
+    ("operators", "embedding"),
+    ("operators", "ingest"),
+    ("operators", "rag"),
+    ("operators", "multimodal"),
+    ("operators", "sessions"),
+    ("streaming", "telemetry"),
+)
+
 
 def _modules():
     global _MODULES
     if _MODULES is None:
-        from ..operators import analytics
-
-        mods = [analytics]
-        for pkg, name in (
-            ("operators", "textstats"),
-            ("operators", "chunking"),
-            ("operators", "dedup"),
-            ("operators", "similarity"),
-            ("operators", "embedding"),
-            ("operators", "ingest"),
-            ("operators", "rag"),
-            ("operators", "multimodal"),
-            ("operators", "sessions"),
-            ("streaming", "telemetry"),
-        ):
+        mods = []
+        failed = []
+        for pkg, name in _EXPECTED:
             try:
                 mods.append(__import__(
                     f"selfhosted_rag_doc_chat_prototype_spark.{pkg}.{name}",
                     fromlist=[name],
                 ))
-            except ImportError:
-                pass
+            except ImportError as e:
+                failed.append(f"{pkg}.{name}: {e}")
+        if failed:
+            raise ImportError(
+                "query registry modules failed to import (correctness gate "
+                "would silently shrink): " + "; ".join(failed)
+            )
         _MODULES = mods
     return _MODULES
 

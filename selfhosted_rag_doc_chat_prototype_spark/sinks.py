@@ -20,6 +20,7 @@ partitions ~100 GB; local tests use 8).
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -59,7 +60,12 @@ def upsert_table(
     ``MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT``."""
     try:
         existing = spark.read.parquet(path).drop("bucket")
-    except Exception:
+    except AnalysisException as e:
+        # ONLY a missing target means "first write": any other read
+        # failure (corrupt footer, permissions) must propagate -- falling
+        # through would overwrite the table with just the new rows
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
         write_table(df, path, id_col, n_buckets)
         return
     merged = existing.join(
@@ -74,6 +80,16 @@ def upsert_table(
     staging = path.rstrip("/") + "__staging"
     merged.dropDuplicates([id_col]).write.mode("overwrite").parquet(staging)
     write_table(spark.read.parquet(staging), path, id_col, n_buckets)
+    _delete_dir(spark, staging)
+
+
+def _delete_dir(spark: SparkSession, path: str) -> None:
+    """Remove a staging directory through the Hadoop FS API (works for
+    any configured filesystem, not just file://)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
 
 
 def write_bucketed_table(

@@ -55,3 +55,20 @@ def test_embedding_cosine_is_symmetric_blocked(spark, sf_dir):
     rows = df.collect()
     assert all(r.vec_a < r.vec_b for r in rows)
     assert all(-1.0 <= r.cos_sim <= 1.0 for r in rows)
+
+
+def test_short_docs_survive_shingling(spark):
+    """Docs with <3 words must yield an empty shingle array, not an
+    INVALID_PARAMETER_VALUE.START crash from a descending sequence
+    (regression: a 2-word doc killed the whole LSH job)."""
+    df = spark.createDataFrame(
+        [(1, "two words"), (2, "one"), (3, ""), (4, None),
+         (5, "three words here exactly now")],
+        "doc_id long, text string",
+    )
+    sizes = {r.doc_id: r.n for r in
+             df.select("doc_id", F.size(dedup._shingles_col()).alias("n")).collect()}
+    assert sizes[1] == 0 and sizes[2] == 0 and sizes[3] == 0
+    assert sizes[5] == 3
+    # and the full candidate pipeline runs end-to-end over short docs
+    assert dedup._candidate_pairs(df.fillna({"text": ""})).count() == 0

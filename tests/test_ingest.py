@@ -126,9 +126,9 @@ def test_page_tagging_and_assembly(spark):
     """T1: pages wrap as ### [INTERNAL_PAGE_n] in 5-page batches and
     assemble into one ordered markdown doc; the chunker then recovers
     true page numbers from the anchors."""
-    rows = [("d.pdf", "pdf", p, f"page {p} body") for p in (3, 1, 2, 7)]
+    rows = [("d.pdf", "pdf", p, f"page {p} body", "DOC_0000TEST") for p in (3, 1, 2, 7)]
     df = spark.createDataFrame(
-        rows, "path string, file_type string, page int, text string"
+        rows, "path string, file_type string, page int, text string, doc_id string"
     )
     tagged = {r.page: r for r in ingest.tag_pages(df).collect()}
     assert tagged[1].tagged == "### [INTERNAL_PAGE_1]\npage 1 body"

@@ -77,3 +77,27 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_upsert_cleans_staging_and_raises_on_corrupt_target(spark, tmp_path):
+    """A transient/corrupt read of the target must NOT silently
+    overwrite it with only the new rows; staging dirs must not leak."""
+    import os
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([("a", 1)], "id string, v int")
+    sinks.upsert_table(spark, df, path)
+    sinks.upsert_table(spark, spark.createDataFrame([("b", 2)], "id string, v int"), path)
+    assert not os.path.exists(path.rstrip("/") + "__staging")
+    assert sinks.read_table(spark, path).count() == 2
+    # corrupt target: unreadable parquet footer -> must raise, not clobber
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "part-00000.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        sinks.upsert_table(spark, df, bad)
+    # the garbage file is still there -- nothing was clobbered
+    assert os.path.exists(os.path.join(bad, "part-00000.parquet"))

@@ -101,10 +101,66 @@ def test_murmur3_vectors(data, seed, expected):
     assert murmur3_32(data, seed) == expected
 
 
-def test_reference_id_shapes():
-    did = mmh3_doc_id("some file content")
-    assert did.startswith("DOC_") and len(did) == 12
-    cid = mmh3_chunk_id(did, "a chunk")
-    assert cid.startswith(did + "_")
-    # determinism
-    assert did == mmh3_doc_id("some file content")
+def _ref_doc_id(file_bytes):
+    """The reference's formula verbatim (text_processor.py:175-178),
+    with mmh3.hash (signed) replaced by the vector-validated
+    murmur3_32 (unsigned; ``& 0xFFFFFFFF`` makes them equal)."""
+    m_hash = hex(murmur3_32(file_bytes) & 0xFFFFFFFF)[2:].upper().zfill(8)
+    return f"DOC_{m_hash}"
+
+
+def _ref_chunk_id(context, chunk):
+    """text_processor.py:180-185 verbatim."""
+    c_hash = hex(murmur3_32(chunk.encode()) & 0xFFFFFFFF)[2:].lower().zfill(8)
+    return f"{context}_{c_hash}"
+
+
+def test_reference_id_byte_parity():
+    """Ids must be byte-identical to the reference's formulas --
+    UPPERCASE zfill-8 doc ids, lowercase zfill-8 chunk hashes -- since
+    they are the cross-system dedup/idempotency keys."""
+    for content in (b"", b"hello world", b"some file content", b"\x00\x01\xff"):
+        assert mmh3_doc_id(content) == _ref_doc_id(content)
+    for chunk in ("a chunk", "chunk-80", ""):  # chunk-80 hash has leading zeros
+        assert mmh3_chunk_id("DOC_AB12CD34", chunk) == _ref_chunk_id(
+            "DOC_AB12CD34", chunk
+        )
+    # pinned golden strings (computed from the published-vector-validated
+    # murmur3_32; chunk-80 exercises the zfill-8 leading-zero path)
+    assert mmh3_doc_id(b"") == "DOC_00000000"
+    assert mmh3_doc_id(b"hello world") == "DOC_5E928F0F"
+    assert mmh3_chunk_id("DOC_X", "chunk-80") == "DOC_X_00c697ea"
+    from selfhosted_rag_doc_chat_prototype_spark.functions.hashing import (
+        mmh3_content_hash,
+    )
+    assert mmh3_content_hash("a chunk") == "97E3161C"
+
+
+def test_uuid5_point_id_matches_stdlib(spark):
+    """K1 point ids: uuid5(NAMESPACE_DNS, id) exactly as
+    services/database.py:260-268; the distributed sha1 column must be
+    byte-equal to uuid.uuid5, and the md5 (uuid3) oracle twin to
+    uuid.uuid3."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from selfhosted_rag_doc_chat_prototype_spark.functions.hashing import (
+        UUID_NAMESPACE,
+        uuid3_col,
+        uuid5_col,
+        uuid5_point_id,
+    )
+
+    ns = uuid.UUID(UUID_NAMESPACE)
+    names = ["chunk-1", "DOC_00000000_deadbeef", "", "日本語 text"]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    rows = df.select(
+        "name",
+        uuid5_col(F.col("name")).alias("u5"),
+        uuid3_col(F.col("name")).alias("u3"),
+    ).collect()
+    for r in rows:
+        assert r.u5 == str(uuid.uuid5(ns, r.name)), r.name
+        assert r.u3 == str(uuid.uuid3(ns, r.name)), r.name
+    assert uuid5_point_id("chunk-1") == "45b4c7fb-c1ff-51c2-bb05-40d64e79c0ad"
