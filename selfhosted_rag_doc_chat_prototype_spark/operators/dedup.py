@@ -17,9 +17,12 @@ Five operators:
 - **SimHash**      : 64-bit sign-of-votes fingerprint (Charikar), Python
                      (Arrow pandas UDF) on the Spark side, oracle-checked
                      against an independent pure-SQL implementation.
-- **embedding cosine**: near-dup by vector similarity, *blocked* on the
-                     ``label`` column (an IVF-cell stand-in) so the join
-                     is an equi-join + filter, not a cross join.
+- **embedding cosine**: near-dup by vector similarity; candidates come
+                     from multi-table random-hyperplane sign-LSH
+                     buckets (shared with ``similarity.py``), so pair
+                     count tracks the duplicate rate instead of growing
+                     quadratically with corpus size; every surviving
+                     pair is scored ONCE, numpy-vectorized.
 
 The driver's synthetic corpus has no real duplicates, so each query
 deterministically constructs its dup-bearing corpus inline (exact
@@ -45,6 +48,7 @@ from pyspark.sql.functions import pandas_udf
 
 from ..functions import text_quality as tq
 from ..sources.tables import table
+from . import similarity as _sim
 
 N_SEEDS = 16
 BAND_ROWS = 4
@@ -266,44 +270,102 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash_udf()(F.col("text")).alias("simhash_bits"))
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup, blocked on ``label`` (IVF-cell blocking: the
-    join is equi on label, never a cross join)."""
+# embedding near-dup: candidate generation by multi-table
+# random-hyperplane sign-LSH (shared with operators/similarity.py), so
+# the expected pair count is the LSH collision count -- it grows with
+# the duplicate rate, NOT quadratically in corpus size (the earlier
+# fixed-cardinality label blocking was O(N^2/10)). At scale,
+# EMB_DEDUP_BITS rises with log2(N) to hold bucket sizes constant.
+EMB_DIM = 64
+EMB_DEDUP_BITS = 12
+EMB_DEDUP_TABLES = 3
+EMB_COS_THRESHOLD = 0.3
+
+
+def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings + planted near-copies (every 5th vector, shifted by
+    +0.01 per component) -- the vector-space analogue of the text
+    near-dup corpus above, identical in the DuckDB oracle."""
     emb = table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
+    base = emb.select("vec_id", v.alias("v"))
+    copies = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(v, lambda x: x + F.lit(0.01)).alias("v"),
+    )
+    return base.unionByName(copies).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup in three scale-safe stages:
+
+    1. signatures: map-only Arrow matmul (one numpy GEMM per batch);
+    2. candidates: groupBy (table, bucket) + within-bucket pair
+       expansion (same shape as minhash LSH above -- no self-join, and
+       pair count tracks actual near-duplicates);
+    3. scoring: candidate pairs equi-join their two vectors back and a
+       single ``mapInPandas`` stage computes each cosine ONCE,
+       vectorized in numpy. Filtering happens on the UDF *output*
+       column, which Catalyst cannot clone into a join condition (the
+       old plan double-evaluated an interpreted 64-dim HOF cosine in
+       BOTH the join and the project)."""
+    corpus = _emb_corpus(spark, sf_dir)
+    sig = _sim.rh_sig_udf(
+        _sim.hyperplanes(EMB_DIM, EMB_DEDUP_BITS, EMB_DEDUP_TABLES),
+        EMB_DEDUP_BITS, EMB_DEDUP_TABLES,
+    )
+    sigs = corpus.select(
+        "vec_id", F.posexplode(sig(F.col("v"))).alias("tbl", "bucket")
+    )
+    buckets = (
+        sigs.groupBy("tbl", "bucket")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
+            ),
         )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.vec_a").alias("vec_a"), F.col("p.vec_b").alias("vec_b"))
+        .distinct()
+    )
+    withv = (
+        pairs.join(corpus.select(F.col("vec_id").alias("vec_a"),
+                                 F.col("v").alias("va")), "vec_a")
+        .join(corpus.select(F.col("vec_id").alias("vec_b"),
+                            F.col("v").alias("vb")), "vec_b")
+        .select("vec_a", "vec_b", "va", "vb")
+    )
 
-    # norms computed ONCE per vector before the join (map-side), not
-    # per pair: the per-pair work is a single dot product
-    base = emb.select(
-        "vec_id", "label", v.alias("v"),
-        F.sqrt(dot(v, v)).alias("norm"),
-    )
-    # the block key (label / IVF cell) is low-cardinality, which would
-    # cap the pair-scoring parallelism at #cells: salt side a, replicate
-    # side b across the salt space -> #cells x SALT join keys
-    SALT = 8
-    a = base.select(
-        F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"),
-        F.col("norm").alias("norm_a"),
-        F.pmod(F.xxhash64("vec_id"), F.lit(SALT)).alias("salt"),
-    )
-    b = base.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
-        F.col("v").alias("vb"), F.col("norm").alias("norm_b"),
-    ).withColumn("salt_b", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1))))
-    pairs = a.join(b, (F.col("label") == F.col("label_b"))
-                   & (F.col("salt") == F.col("salt_b").cast("long"))
-                   & (F.col("vec_a") < F.col("vec_b")))
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))
-    return (
-        pairs.select("vec_a", "vec_b", "label", F.round(cos, 4).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.3)
-    )
+    def score(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf["va"].to_numpy())
+            b = np.stack(pdf["vb"].to_numpy())
+            cos = np.einsum("ij,ij->i", a, b) / (
+                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            )
+            # HALF_UP away from zero, matching Spark F.round and DuckDB
+            # round() (numpy's round is banker's)
+            cos4 = np.sign(cos) * np.floor(np.abs(cos) * 1e4 + 0.5) / 1e4
+            yield pd.DataFrame({
+                "vec_a": pdf["vec_a"], "vec_b": pdf["vec_b"], "cos_sim": cos4,
+            })
+
+    scored = withv.mapInPandas(score, "vec_a long, vec_b long, cos_sim double")
+    return scored.filter(F.col("cos_sim") >= EMB_COS_THRESHOLD)
 
 
 QUERIES = {
@@ -368,12 +430,36 @@ ORACLE = {
         FROM t
     """,
     "dedup_embedding_cosine": """
-        WITH e AS (
-            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        corpus AS (
+            SELECT vec_id, v FROM e0
+            UNION ALL
+            SELECT vec_id + 1000000 AS vec_id,
+                   list_transform(v, x -> x + 0.01) AS v
+            FROM e0 WHERE vec_id % 5 = 0
+        ),
+        _planes AS (SELECT {planes} AS h),
+        sig AS ({sig_body}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                                 AND a.vec_id < b.vec_id
+        ),
+        scored AS (
+            SELECT c.vec_a, c.vec_b,
+                   round(list_cosine_similarity(ca.v, cb.v), 4) AS cos_sim
+            FROM cand c
+            JOIN corpus ca ON ca.vec_id = c.vec_a
+            JOIN corpus cb ON cb.vec_id = c.vec_b
         )
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-               round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
-    """,
+        SELECT vec_a, vec_b, cos_sim FROM scored
+        WHERE cos_sim >= {thresh}
+    """.format(
+        planes=_sim.planes_sql_literal(
+            _sim.hyperplanes(EMB_DIM, EMB_DEDUP_BITS, EMB_DEDUP_TABLES)),
+        sig_body=_sim.rh_sig_sql(
+            _sim.hyperplanes(EMB_DIM, EMB_DEDUP_BITS, EMB_DEDUP_TABLES),
+            EMB_DEDUP_BITS, EMB_DEDUP_TABLES, "corpus", "vec_id"),
+        thresh=EMB_COS_THRESHOLD,
+    ),
 }

@@ -10,11 +10,13 @@ Three strategies:
   set against all candidates, cosine via higher-order functions, per-
   query top-k window. O(Q*N) -- exact, fine when Q is small; the plan
   broadcasts queries so candidates never shuffle.
-- **sign-LSH buckets** (scale path): 8-bit sign signature over leading
-  dimensions buckets the space; the join becomes equi on bucket
-  (O(N*Q/2^bits) pair work). Recall is partial by design -- the
-  classic ANN trade-off, same shape Qdrant's HNSW sidesteps online;
-  for 100 TB batch retrieval the bucket join + AQE is the right plan.
+- **sign-LSH buckets** (scale path): multi-table random-hyperplane
+  signatures (L tables OR-ed, seeded projection matrix) bucket the
+  space; the join becomes equi on (table, bucket) with per-table pair
+  work O(N*Q/2^bits). Recall is tunable via (bits, tables) and
+  asserted against the brute-force oracle in tests -- the classic ANN
+  trade-off, same shape Qdrant's HNSW sidesteps online; for 100 TB
+  batch retrieval the bucket equi-join + AQE is the right plan.
 - **hybrid fusion**: dense cosine union lexical (word-set Jaccard)
   scores, min-max normalized per query and averaged (a deterministic
   stand-in for the reference's DBSF), final top-k -- the dense-50 /
@@ -27,13 +29,80 @@ oracle-checkable.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..sources.tables import table
 
 N_QUERIES = 8
 TOP_K = 10
+
+# ---- random-hyperplane sign-LSH (shared with operators/dedup.py) ---------
+#
+# Buckets come from the sign pattern of projections onto SEEDED RANDOM
+# hyperplanes (Charikar SimHash for vectors), not axis-aligned leading
+# dims: random projections give the P(collision) = (1 - theta/pi)^bits
+# guarantee on ANY embedding distribution, where leading-dim signs fail
+# on real (e.g. PCA'd / normalized) embeddings whose first dims carry
+# most variance. L independent tables are OR-ed for recall -- the
+# standard multi-table LSH construction.
+#
+# The planes are rounded to 4 decimals so the SAME constants embed
+# byte-exactly in the Spark plan and the DuckDB oracle SQL.
+
+RH_SEED = 7
+LSH_BITS = 4     # per-table signature width; at scale pick ~log2(N/bucket)
+LSH_TABLES = 8   # OR-ed tables: the recall lever
+
+
+def hyperplanes(dim: int, bits: int, tables: int, seed: int = RH_SEED) -> np.ndarray:
+    """(tables*bits, dim) seeded Gaussian projection matrix."""
+    rng = np.random.default_rng(seed)
+    return np.round(rng.standard_normal((tables * bits, dim)), 4)
+
+
+def rh_sig_udf(planes: np.ndarray, bits: int, tables: int):
+    """Arrow-vectorized signatures: ONE (n x dim) @ (dim x tables*bits)
+    numpy matmul per batch, packed into per-table bucket strings --
+    map-only, no shuffle, ~100x a per-row Python signature."""
+    P = planes.T.copy()
+
+    @pandas_udf("array<string>")
+    def _sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        bitchars = np.where(np.stack(v.to_numpy()) @ P >= 0, "1", "0")
+        return pd.Series([
+            ["".join(row[t * bits:(t + 1) * bits]) for t in range(tables)]
+            for row in bitchars
+        ])
+
+    return _sig
+
+
+def planes_sql_literal(planes: np.ndarray) -> str:
+    """The plane matrix as a DuckDB DOUBLE[][] literal (repr round-trips
+    each rounded float to the identical binary double)."""
+    return "[" + ",".join(
+        "[" + ",".join(repr(float(x)) for x in p) + "]" for p in planes
+    ) + "]"
+
+
+def rh_sig_sql(planes: np.ndarray, bits: int, tables: int,
+               src: str, id_col: str) -> str:
+    """DuckDB CTE body computing (id, v, tbl, bucket) -- the oracle twin
+    of :func:`rh_sig_udf` over relation ``src(id_col, v)``. Expects a
+    CTE ``_planes(h)`` holding :func:`planes_sql_literal` in scope."""
+    return f"""
+        SELECT {id_col}, v, t.t AS tbl,
+               array_to_string(list_transform(range({bits}), j ->
+                   CASE WHEN list_dot_product(v, h[t.t * {bits} + j + 1]) >= 0
+                        THEN '1' ELSE '0' END), '') AS bucket
+        FROM {src}, _planes, range(0, {tables}) t(t)
+    """
 
 
 def dot(x: Column, y: Column) -> Column:
@@ -61,17 +130,6 @@ def anns_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     return topk_cosine(base, queries, k=TOP_K, strategy="brute")
-
-
-def _sign_bucket(v: Column, bits: int = 8) -> Column:
-    """Axis-aligned sign-LSH signature over the first ``bits`` dims."""
-    return F.array_join(
-        F.transform(
-            F.slice(v, 1, bits),
-            lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
-        ),
-        "",
-    )
 
 
 def anns_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,7 +293,8 @@ def topk_cosine(
     queries: DataFrame,
     k: int = TOP_K,
     strategy: str = "auto",
-    lsh_bits: int = 8,
+    lsh_bits: int = LSH_BITS,
+    lsh_tables: int = LSH_TABLES,
 ) -> DataFrame:
     """General top-k cosine retrieval over (``vec_id``, ``v``) vectors
     for (``query_id``, ``qv``) queries, with the physical strategy
@@ -245,14 +304,15 @@ def topk_cosine(
 
     - ``brute``: broadcast queries x all candidates (exact) while the
       pair count is affordable,
-    - ``lsh``: sign-LSH bucket equi-join (approximate) beyond it --
-      pair work drops by ~2^bits.
+    - ``lsh``: multi-table random-hyperplane sign-LSH (approximate)
+      beyond it -- per-table candidate work drops by ~2^bits, and the
+      L OR-ed tables recover recall.
 
     ``auto`` decides from |V| x |Q| against ``BRUTE_FORCE_MAX_PAIRS``.
     Both plans broadcast the query side and never shuffle candidates
-    for scoring; the count() that prices the plan is a metadata-cheap
-    scan at the planner step (same information a real CBO reads from
-    table stats)."""
+    for bucketing (signatures are map-only Arrow matmuls); the count()
+    that prices the plan is a metadata-cheap scan at the planner step
+    (same information a real CBO reads from table stats)."""
     if strategy == "auto":
         n_pairs = vectors.count() * queries.count()
         strategy = "brute" if n_pairs <= BRUTE_FORCE_MAX_PAIRS else "lsh"
@@ -263,11 +323,24 @@ def topk_cosine(
     if strategy == "brute":
         joined = F.broadcast(q).crossJoin(cand)
     elif strategy == "lsh":
-        joined = F.broadcast(
-            q.withColumn("bucket", _sign_bucket(F.col("qv"), lsh_bits))
-        ).join(
-            cand.withColumn("cbucket", _sign_bucket(F.col("cv"), lsh_bits)),
-            F.col("bucket") == F.col("cbucket"),
+        dim = len(q.select("qv").head()[0])
+        sig = rh_sig_udf(hyperplanes(dim, lsh_bits, lsh_tables),
+                         lsh_bits, lsh_tables)
+        qs = q.select(
+            "query_id", "qv", F.posexplode(sig(F.col("qv"))).alias("tbl", "bucket")
+        )
+        cs = cand.select(
+            "neighbor_id", "cv",
+            F.posexplode(sig(F.col("cv"))).alias("ctbl", "cbucket"),
+        )
+        # a pair colliding in several tables must score ONCE: dedup on
+        # (query, neighbor) after the bucket join (collision rows are
+        # value-identical, so any survivor is deterministic)
+        joined = (
+            F.broadcast(qs)
+            .join(cs, (F.col("tbl") == F.col("ctbl"))
+                  & (F.col("bucket") == F.col("cbucket")))
+            .dropDuplicates(["query_id", "neighbor_id"])
         )
     else:
         raise ValueError(f"unknown strategy: {strategy!r}")
@@ -413,22 +486,32 @@ ORACLE = {
         QUALIFY rank <= {TOP_K}
     """,
     "anns_lsh_bucketed": f"""
-        WITH e AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                   array_to_string(list_transform(CAST(embedding AS DOUBLE[])[1:8],
-                       x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
-            FROM embeddings
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        _planes AS (SELECT {{planes}} AS h),
+        sig AS ({{sig_body}}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+            FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+            WHERE a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+        ),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   list_cosine_similarity(qa.v, qb.v) AS cos_raw
+            FROM cand c
+            JOIN e qa ON qa.vec_id = c.query_id
+            JOIN e qb ON qb.vec_id = c.neighbor_id
         )
-        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-               CAST(row_number() OVER (
-                   PARTITION BY a.vec_id
-                   ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS INTEGER) AS rank,
-               round({_COS_SQL}, 4) AS cos_sim
-        FROM e a
-        JOIN e b ON a.vec_id < {N_QUERIES} AND a.bucket = b.bucket
-                AND b.vec_id <> a.vec_id
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_raw DESC, neighbor_id ASC) AS INTEGER) AS rank,
+               round(cos_raw, 4) AS cos_sim
+        FROM scored
         QUALIFY rank <= {TOP_K}
-    """,
+    """.format(
+        planes=planes_sql_literal(hyperplanes(64, LSH_BITS, LSH_TABLES)),
+        sig_body=rh_sig_sql(hyperplanes(64, LSH_BITS, LSH_TABLES),
+                            LSH_BITS, LSH_TABLES, "e", "vec_id"),
+    ),
     "hybrid_fusion_topk": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         d AS (

@@ -72,3 +72,15 @@ def test_short_docs_survive_shingling(spark):
     assert sizes[5] == 3
     # and the full candidate pipeline runs end-to-end over short docs
     assert dedup._candidate_pairs(df.fillna({"text": ""})).count() == 0
+
+
+def test_embedding_dedup_finds_planted_copies(spark, sf_dir):
+    """Every planted (v, v+0.01) near-copy must surface as an LSH
+    candidate pair with near-1 cosine; candidate volume stays linear
+    (no O(N^2) blocking)."""
+    rows = dedup.dedup_embedding_cosine(spark, sf_dir).collect()
+    pairs = {(r.vec_a, r.vec_b): r.cos_sim for r in rows}
+    planted = [(i, i + 1000000) for i in range(0, 500, 5)]
+    found = [p for p in planted if p in pairs]
+    assert len(found) / len(planted) >= 0.95
+    assert all(pairs[p] > 0.99 for p in found)

@@ -143,3 +143,17 @@ def test_topk_cosine_auto_strategy_picks_by_pair_count(spark, sf_dir):
     import pytest
     with pytest.raises(ValueError):
         sim.topk_cosine(base, queries, strategy="hnsw")
+
+def test_lsh_recall_against_bruteforce(spark, sf_dir):
+    """Multi-table random-hyperplane LSH must recover a healthy share
+    of the true top-k (deterministic seeded planes: 0.5625 recall@10 at
+    sf0.01 with bits=4, tables=8 -- the (bits, tables) trade-off)."""
+    bf = {}
+    for r in similarity.anns_bruteforce_topk(spark, sf_dir).collect():
+        bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    lsh = {}
+    for r in similarity.anns_lsh_bucketed(spark, sf_dir).collect():
+        lsh.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(bf[q] & lsh.get(q, set())) for q in bf)
+    total = sum(len(v) for v in bf.values())
+    assert hits / total >= 0.5
