@@ -17,10 +17,11 @@ Three strategies:
   asserted against the brute-force oracle in tests -- the classic ANN
   trade-off, same shape Qdrant's HNSW sidesteps online; for 100 TB
   batch retrieval the bucket equi-join + AQE is the right plan.
-- **hybrid fusion**: dense cosine union lexical (word-set Jaccard)
-  scores, min-max normalized per query and averaged (a deterministic
-  stand-in for the reference's DBSF), final top-k -- the dense-50 /
-  sparse-100 prefetch asymmetry of J5 maps to per-leg candidate caps.
+- **hybrid fusion**: dense cosine union sparse BM25 (dot product of
+  the query's one-hot term vector against the stored sparse vectors,
+  ``operators/sparse.py``), min-max normalized per query and averaged
+  (DBSF-style), final top-k -- the dense-50 / sparse-100 prefetch
+  asymmetry of J5 maps to per-leg candidate caps.
 
 Queries are the first ``N_QUERIES`` vectors themselves (self excluded),
 so the whole pipeline is closed over the driver's tables and
@@ -145,53 +146,67 @@ SPARSE_PREFETCH = 100
 
 
 def hybrid_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dense (cosine) + lexical (word-set Jaccard on the documents
-    table, vec_id = doc_id) fusion with the reference's prefetch
-    asymmetry: each leg keeps only its own top candidates (dense 50 /
-    sparse 100) BEFORE fusion, then min-max-normalized averaging over
-    the union, final top-k -- J5's two-leg prefetch + DBSF-style
-    fusion. The prefetch caps are the scale lever: fusion state is
-    O(Q * (50+100)), independent of corpus size."""
+    """Dense (cosine) + sparse (BM25 over the stored sparse vectors,
+    vec_id = doc_id) fusion with the reference's prefetch asymmetry:
+    each leg keeps only its own top candidates (dense 50 / sparse 100)
+    BEFORE fusion, then min-max-normalized averaging over the union,
+    final top-k -- J5's two-leg prefetch + DBSF-style fusion over a
+    real BM25 sparse leg (database_qdrant_sparse_testing.py:33-46,
+    155-163), not a lexical stand-in.
+
+    The sparse leg is the inverted-index join: broadcast the queries'
+    vocabulary indices against the exploded sparse vectors
+    (``operators/sparse.py``), so dot(query one-hot, doc sparse vector)
+    = BM25(q, d), and only posting rows sharing a term with some query
+    are aggregated. Leg scores are rounded to 6 decimals before
+    ranking so prefetch-boundary ties break identically on the
+    ``neighbor_id`` tie-break in Spark and the DuckDB oracle. The
+    prefetch caps are the scale lever: fusion state is O(Q*(50+100)),
+    independent of corpus size."""
+    from . import sparse as sp
+
     base = _vectors(spark, sf_dir)
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.array_distinct(
-            F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != F.lit(""))
-        ).alias("wset"),
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    both = base.join(docs, base.vec_id == docs.doc_id).select("vec_id", "v", "wset")
-    queries = both.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-        F.col("wset").alias("qw"),
+    cand = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
     )
-    cand = both.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
-        F.col("wset").alias("cw"),
-    )
-    inter = F.size(F.array_intersect("qw", "cw"))
-    union = F.size("qw") + F.size("cw") - inter
-    scored = (
+    dense = (
         F.broadcast(queries)
         .crossJoin(cand)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("dense"),
-            (inter.cast("double") / union.cast("double")).alias("sparse"),
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("dense"),
         )
     )
+    bm25 = (
+        sp.postings(spark, sf_dir)
+        .join(F.broadcast(sp.query_indices(spark, sf_dir, N_QUERIES)), "idx")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("sparse"))
+        .select("query_id", F.col("doc_id").alias("neighbor_id"), "sparse")
+    )
+    scored = dense.join(bm25, ["query_id", "neighbor_id"], "left")
     wd = Window.partitionBy("query_id").orderBy(F.desc("dense"), F.asc("neighbor_id"))
-    ws = Window.partitionBy("query_id").orderBy(F.desc("sparse"), F.asc("neighbor_id"))
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc_nulls_last("sparse"), F.asc("neighbor_id")
+    )
+    in_sparse = F.col("sparse").isNotNull() & (F.col("sr") <= SPARSE_PREFETCH)
     prefetched = (
         scored.withColumn("dr", F.row_number().over(wd))
         .withColumn("sr", F.row_number().over(ws))
-        .filter((F.col("dr") <= DENSE_PREFETCH) | (F.col("sr") <= SPARSE_PREFETCH))
+        .filter((F.col("dr") <= DENSE_PREFETCH)
+                | (F.col("sparse").isNotNull()
+                   & (F.col("sr") <= SPARSE_PREFETCH)))
         .select(
             "query_id", "neighbor_id",
             # a candidate outside a leg's prefetch never contributes
             # that leg's score (it was "not retrieved" by that leg)
             F.when(F.col("dr") <= DENSE_PREFETCH, F.col("dense")).alias("dense"),
-            F.when(F.col("sr") <= SPARSE_PREFETCH, F.col("sparse")).alias("sparse"),
+            F.when(in_sparse, F.col("sparse")).alias("sparse"),
         )
     )
     wq = Window.partitionBy("query_id")
@@ -434,6 +449,12 @@ QUERIES = {
 
 _COS_SQL = "list_cosine_similarity(a.v, b.v)"
 
+
+def _sparse_postings_sql() -> str:
+    from .sparse import POSTINGS_SQL
+
+    return POSTINGS_SQL
+
 _BM25_TF_COLS = ",\n           ".join(
     f"CAST(len(list_filter(w, x -> x = '{t}')) AS DOUBLE) AS tf_{t}"
     for t in BM25_TERMS
@@ -514,38 +535,53 @@ ORACLE = {
     ),
     "hybrid_fusion_topk": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        d AS (
-            SELECT doc_id,
-                   list_distinct(list_filter(
-                       string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS wset
-            FROM documents
+        {_sparse_postings_sql()},
+        qterms AS (
+            SELECT DISTINCT qt.query_id, v.idx
+            FROM (
+                SELECT q.doc_id AS query_id, u.term
+                FROM (SELECT doc_id,
+                             list_distinct(list_filter(
+                                 string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '')) AS wq
+                      FROM documents WHERE doc_id < {N_QUERIES}) q,
+                     unnest(q.wq) AS u(term)
+            ) qt JOIN vocab v ON qt.term = v.term
         ),
-        bd AS (
-            SELECT e.vec_id, e.v, d.wset FROM e JOIN d ON e.vec_id = d.doc_id
+        bm AS (
+            SELECT qt.query_id, p.doc_id AS neighbor_id,
+                   round(sum(p.w), 6) AS sparse
+            FROM post p JOIN qterms qt ON p.idx = qt.idx
+            WHERE p.doc_id <> qt.query_id
+            GROUP BY qt.query_id, p.doc_id
+        ),
+        dense AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS dense
+            FROM e a JOIN e b ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
         ),
         scored AS (
-            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-                   list_cosine_similarity(a.v, b.v) AS dense,
-                   len(list_intersect(a.wset, b.wset))::DOUBLE
-                       / (len(a.wset) + len(b.wset)
-                          - len(list_intersect(a.wset, b.wset)))::DOUBLE AS sparse
-            FROM bd a JOIN bd b
-              ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+            SELECT d.query_id, d.neighbor_id, d.dense, bm.sparse
+            FROM dense d
+            LEFT JOIN bm ON d.query_id = bm.query_id
+                        AND d.neighbor_id = bm.neighbor_id
         ),
         ranked AS (
             SELECT *,
                    row_number() OVER (PARTITION BY query_id
                        ORDER BY dense DESC, neighbor_id ASC) AS dr,
                    row_number() OVER (PARTITION BY query_id
-                       ORDER BY sparse DESC, neighbor_id ASC) AS sr
+                       ORDER BY sparse DESC NULLS LAST, neighbor_id ASC) AS sr
             FROM scored
         ),
         prefetched AS (
             SELECT query_id, neighbor_id,
                    CASE WHEN dr <= {DENSE_PREFETCH} THEN dense END AS dense,
-                   CASE WHEN sr <= {SPARSE_PREFETCH} THEN sparse END AS sparse
+                   CASE WHEN sparse IS NOT NULL AND sr <= {SPARSE_PREFETCH}
+                        THEN sparse END AS sparse
             FROM ranked
-            WHERE dr <= {DENSE_PREFETCH} OR sr <= {SPARSE_PREFETCH}
+            WHERE dr <= {DENSE_PREFETCH}
+               OR (sparse IS NOT NULL AND sr <= {SPARSE_PREFETCH})
         ),
         fused AS (
             SELECT query_id, neighbor_id,

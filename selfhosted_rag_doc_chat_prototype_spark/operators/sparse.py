@@ -1,0 +1,197 @@
+"""Sparse-vector representation + BM25 term weighting (SURVEY.md
+sections 1.3, 2.4 T10).
+
+The reference stores sparse BM25 embeddings next to the dense vectors
+(fastembed ``Qdrant/bm25``, ``services/database_qdrant_sparse_testing.py:
+148-163``) and fuses both legs at query time with prefetch caps
+(``:33-46``). This module is the representation half: every document
+gets a ``{indices: array<int>, values: array<double>}`` sparse vector
+whose entries are Okapi BM25 term weights (tf saturation * idf), over a
+deterministic corpus vocabulary. ``operators/similarity.py``'s hybrid
+fusion consumes the exploded postings produced here, so dot(query
+one-hot, doc sparse vector) IS the BM25 score.
+
+Scale shape (100 TB):
+
+- term explode + (doc, term) tf aggregation: one shuffle keyed by
+  (doc_id, term) with map-side combine; postings inherit it.
+- the vocabulary is tiny relative to the corpus (Heaps' law: ~millions
+  of terms vs billions of docs), so the ``row_number() OVER (ORDER BY
+  term)`` index assignment -- a single-partition window over the VOCAB
+  only, never the corpus -- is deliberate and cheap, and the vocab /
+  corpus-stats joins are broadcasts.
+- query-side term lookups join a broadcast vocab, so scoring a query
+  batch is one broadcast-join + groupBy over only the posting rows
+  that share a term with some query (the inverted-index join).
+- in production the vocab + sparse vectors are BUILT ONCE and stored
+  (``build_sparse_vectors`` -> K2/K3 sinks); queries consume the
+  stored postings. The self-contained oracle queries rebuild them
+  inline only so the DuckDB twin sees identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import table
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def words_col(text: Column) -> Column:
+    """Whitespace tokens of ``text`` (shared with the BM25/fusion SQL:
+    ``list_filter(string_split_regex(trim(text), '\\s+'), ...)``)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda x: x != F.lit(""))
+
+
+def _doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = words_col(F.col("text"))
+    return docs.select(
+        "doc_id", w.alias("w"), F.size(w).cast("double").alias("dl")
+    )
+
+
+def term_freqs(dw: DataFrame) -> DataFrame:
+    """(doc_id, dl, term, tf) -- one shuffle with map-side combine."""
+    return (
+        dw.select("doc_id", "dl", F.explode("w").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+
+
+def corpus_stats(dw: DataFrame) -> DataFrame:
+    return dw.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+
+def vocab(tf: DataFrame) -> DataFrame:
+    """(term, df, idx): deterministic dense index by sorted term. The
+    window is over the vocabulary only (see module docstring)."""
+    return (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .withColumn(
+            "idx",
+            F.row_number().over(Window.orderBy("term")).cast("int"),
+        )
+    )
+
+
+def _bm25_weight(tf: Column, dl: Column, df: Column, n_docs: Column,
+                 avgdl: Column) -> Column:
+    idf = F.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    return idf * tf * (BM25_K1 + 1.0) / (
+        tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+    )
+
+
+def postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, idx, w): the exploded sparse vectors / inverted index.
+    Vocab and corpus stats are broadcast; postings keep the corpus
+    partitioning."""
+    dw = _doc_words(spark, sf_dir)
+    tf = term_freqs(dw)
+    v = vocab(tf)
+    stats = corpus_stats(dw)
+    return (
+        tf.join(F.broadcast(v), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", "idx",
+            _bm25_weight(F.col("tf"), F.col("dl"), F.col("df"),
+                         F.col("n_docs"), F.col("avgdl")).alias("w"),
+        )
+    )
+
+
+def query_indices(spark: SparkSession, sf_dir: str, n_queries: int) -> DataFrame:
+    """(query_id, idx): distinct vocabulary indices of each query doc's
+    terms -- the one-hot query sparse vector, broadcast-sized."""
+    docs = table(spark, sf_dir, "documents")
+    q = docs.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array_distinct(words_col(F.col("text")))).alias("term"),
+    )
+    dw = _doc_words(spark, sf_dir)
+    return q.join(F.broadcast(vocab(term_freqs(dw))), "term").select(
+        "query_id", "idx"
+    )
+
+
+def build_sparse_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored representation: one ``{indices, values}`` sparse
+    vector per document, indices sorted, BM25 weights rounded for the
+    oracle-checked surface."""
+    post = postings(spark, sf_dir)
+    entries = F.array_sort(
+        F.collect_list(F.struct(F.col("idx"), F.round("w", 4).alias("w")))
+    )
+    return (
+        post.groupBy("doc_id")
+        .agg(entries.alias("e"))
+        .select(
+            "doc_id",
+            F.transform("e", lambda x: x["idx"]).alias("indices"),
+            F.transform("e", lambda x: x["w"]).alias("values"),
+        )
+    )
+
+
+QUERIES = {"sparse_vectors_build": build_sparse_vectors}
+
+_TF_SQL = """
+    SELECT doc_id, dl, u.term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (
+        SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, w
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS w
+              FROM documents)
+    ), unnest(w) AS u(term)
+    GROUP BY doc_id, dl, u.term
+"""
+
+_STATS_SQL = """
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           avg(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    x -> x <> '')) AS DOUBLE)) AS avgdl
+    FROM documents
+"""
+
+_VOCAB_SQL = """
+    SELECT term, CAST(count(*) AS DOUBLE) AS df,
+           CAST(row_number() OVER (ORDER BY term) AS INTEGER) AS idx
+    FROM tf GROUP BY term
+"""
+
+_W_SQL = (
+    f"ln((s.n_docs - v.df + 0.5) / (v.df + 0.5) + 1.0)"
+    f" * tf.tf * ({BM25_K1} + 1.0)"
+    f" / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl))"
+)
+
+POSTINGS_SQL = f"""
+    tf AS ({_TF_SQL}),
+    stats AS ({_STATS_SQL}),
+    vocab AS ({_VOCAB_SQL}),
+    post AS (
+        SELECT tf.doc_id, v.idx, {_W_SQL} AS w
+        FROM tf JOIN vocab v ON tf.term = v.term, stats s
+    )
+"""
+
+ORACLE = {
+    "sparse_vectors_build": f"""
+        WITH {POSTINGS_SQL}
+        SELECT doc_id,
+               list(idx ORDER BY idx) AS indices,
+               list(round(w, 4) ORDER BY idx) AS "values"
+        FROM post GROUP BY doc_id
+    """,
+}

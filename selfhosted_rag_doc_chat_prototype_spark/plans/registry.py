@@ -24,6 +24,7 @@ _EXPECTED = (
     ("operators", "chunking"),
     ("operators", "dedup"),
     ("operators", "similarity"),
+    ("operators", "sparse"),
     ("operators", "embedding"),
     ("operators", "ingest"),
     ("operators", "rag"),
