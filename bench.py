@@ -33,7 +33,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "anns_bruteforce_topk",
+    "anns_lsh_bucketed",
     "hybrid_fusion_topk",
+    "sparse_vectors_build",
     "embed_documents",
     "sparse_bm25_topk",
     "rag_retrieve_citations",
@@ -42,6 +44,55 @@ HEADLINE = [
     "ingest_pipeline_e2e",
     "multimodal_image_stats",
 ]
+
+
+SCALE_QUERIES = ["dedup_embedding_cosine", "anns_lsh_bucketed"]
+
+
+def scale_evidence(spark, sf_dir, queries, timings, n_runs):
+    """Direct evidence the vector paths are not quadratic: re-time the
+    LSH-blocked queries on a 10x embeddings table (replicas
+    decorrelated by deterministic sign flips so they behave like new
+    data, not 10 stacked copies) and report the wall-time ratio --
+    linear candidate generation should land near 10x, a quadratic
+    blocking near 100x."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = {}
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = tempfile.mkdtemp(prefix="sparkgraft_scale10x_")
+    try:
+        reps = spark.range(10).select(F.col("id").alias("rep"))
+        big = base.crossJoin(reps).select(
+            (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(
+                    F.pmod(i + F.col("rep"), F.lit(3)) == 0, -x
+                ).otherwise(x),
+            ).alias("embedding"),
+            "label",
+        )
+        big.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        for name in SCALE_QUERIES:
+            if name not in queries or name not in timings:
+                continue
+            best = float("inf")
+            for _ in range(n_runs):
+                t0 = time.time()
+                queries[name](spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.time() - t0)
+            out[f"{name}_10x_sec"] = round(best, 3)
+            if timings[name] > 0:
+                out[f"{name}_scale_ratio_10x"] = round(best / timings[name], 2)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
 
 
 def main() -> None:
@@ -63,7 +114,7 @@ def main() -> None:
     # best-of-N per query (default 2): a single-JVM bench is exposed to
     # transient GC/JIT/background noise; the minimum is the stable
     # estimate of the plan's cost. N and the per-run times are reported.
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     t_all = time.time()
     for name in names:
@@ -90,6 +141,8 @@ def main() -> None:
         derived["retrieval_ms_per_query_batched"] = round(
             1000.0 * timings["rag_retrieve_citations"] / N_QUERIES, 1
         )
+
+    derived.update(scale_evidence(spark, sf_dir, queries, timings, n_runs))
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

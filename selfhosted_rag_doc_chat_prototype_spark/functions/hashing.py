@@ -147,10 +147,19 @@ def uuid5_col(name: Column) -> Column:
 
 
 def uuid3_col(name: Column) -> Column:
-    """md5-based uuid3 twin of :func:`uuid5_col` (DuckDB has md5 but not
-    sha1, so this is the oracle-checkable variant)."""
+    """md5-based uuid3 twin of :func:`uuid5_col` -- byte-exact with
+    ``uuid.uuid3(NAMESPACE_DNS, name)`` (golden-tested)."""
     digest = F.md5(F.concat(F.lit(_NS_BYTES), F.encode(name, "utf-8")))
     return _rfc4122_col(digest, "3")
+
+
+def uuid_md5_col(name: Column) -> Column:
+    """Namespace-free md5 uuid (version nibble 3): the ORACLE-checkable
+    point-id variant -- DuckDB's md5 only accepts VARCHAR, so the
+    RFC 4122 namespace bytes (not valid UTF-8) cannot cross its string
+    boundary; exact ``uuid.uuid5`` parity is covered by
+    :func:`uuid5_col`'s golden tests instead."""
+    return _rfc4122_col(F.md5(name), "3")
 
 
 # ---- oracle-parity (md5) variants: identical in Spark and DuckDB ---------

@@ -48,6 +48,54 @@ def a1_events_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# A1b -- throughput per hour, last 24 h (docs/analytics.md:39-47: hour
+# bucketing + `new_at >= CURRENT_TIMESTAMP - INTERVAL 1 DAY`). "now"
+# anchors at the stream's max ts so the query is deterministic over
+# fixed test data; in production the anchor is current_timestamp().
+# --------------------------------------------------------------------------
+def a1_events_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("now_ts"))
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .filter(F.col("ts") >= F.col("now_ts") - F.expr("INTERVAL 24 HOURS"))
+        .groupBy(
+            F.concat(F.date_format("ts", "yyyy-MM-dd HH"), F.lit(":00"))
+            .alias("hour")
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+# --------------------------------------------------------------------------
+# gatekeeper_history failure analytics (sql/schema.sql:49-55): per-job
+# attempt/failure counts feeding the retry decision in
+# services/job_service.py. Jobs modeled as per-user event streams;
+# a job stays retry-eligible below 3 recorded failures.
+# --------------------------------------------------------------------------
+def gatekeeper_failure_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    failed = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    return (
+        ev.groupBy(
+            F.concat(F.lit("job_"), F.col("user_id").cast("string")).alias("slug")
+        )
+        .agg(
+            F.count("*").alias("n_attempts"),
+            F.sum(failed).alias("n_failures"),
+            F.round(
+                F.sum(failed) / F.count("*").cast("double"), 4
+            ).alias("failure_rate"),
+            F.date_format(
+                F.max(F.when(F.col("event_type") == "error", F.col("ts"))),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("last_failure_ts"),
+        )
+        .withColumn("retry_eligible", F.col("n_failures") < 3)
+    )
+
+
+# --------------------------------------------------------------------------
 # A2 -- latency/value distribution by type (docs/analytics.md:56-68)
 # --------------------------------------------------------------------------
 def a2_value_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,6 +500,8 @@ def cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "a1_events_per_day": a1_events_per_day,
+    "a1_events_per_hour": a1_events_per_hour,
+    "gatekeeper_failure_history": gatekeeper_failure_history,
     "a2_value_stats_by_type": a2_value_stats_by_type,
     "a3_efficiency_by_type": a3_efficiency_by_type,
     "a4_error_rate_by_day": a4_error_rate_by_day,
@@ -478,6 +528,27 @@ QUERIES = {
 }
 
 ORACLE = {
+    "a1_events_per_hour": """
+        WITH anchor AS (SELECT max(ts) AS now_ts FROM events)
+        SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events, anchor
+        WHERE ts >= now_ts - INTERVAL 24 HOURS
+        GROUP BY 1
+    """,
+    "gatekeeper_failure_history": """
+        SELECT 'job_' || CAST(user_id AS VARCHAR) AS slug,
+               CAST(count(*) AS BIGINT) AS n_attempts,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_failures,
+               round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 4) AS failure_rate,
+               strftime(max(CASE WHEN event_type = 'error' THEN ts END),
+                        '%Y-%m-%d %H:%M:%S') AS last_failure_ts,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) < 3
+                   AS retry_eligible
+        FROM events GROUP BY 1
+    """,
     "a1_events_per_day": """
         SELECT strftime(ts, '%Y-%m-%d') AS day,
                event_type,

@@ -31,13 +31,12 @@ from ..sources.tables import table
 
 MAX_SESSION_MSGS = 40  # MAX_SESSION_TURNS*2 (shared/defaults.py:102)
 REPLY_WINDOW_MIN = 10
+SESSION_TTL_HOURS = 24  # DEFAULT_SESSION_TTL_HOURS (shared/defaults.py:103)
+AGENT_HEARTBEAT_TIMEOUT_S = 60  # shared/defaults.py:9
 
 
-def chat_session_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessions = users; messages = events ordered by time with a
-    deterministic role assignment; history trimmed to the newest
-    MAX_SESSION_MSGS then rendered oldest-first."""
-    ev = table(spark, sf_dir, "events")
+def _history(ev: DataFrame) -> DataFrame:
+    """Per-session last-``MAX_SESSION_MSGS`` trim + ordered render."""
     role = F.when(F.col("event_id") % 2 == 0, "user").otherwise("assistant")
     msg = F.concat(role, F.lit(":"), F.col("event_type"))
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
@@ -53,6 +52,60 @@ def chat_session_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recent.groupBy(F.col("user_id").alias("session_id")).agg(
         F.count("*").alias("n_messages"),
         F.array_join(ordered, " | ").alias("history"),
+    )
+
+
+def chat_session_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions = users; messages = events ordered by time with a
+    deterministic role assignment; history trimmed to the newest
+    MAX_SESSION_MSGS then rendered oldest-first."""
+    return _history(table(spark, sf_dir, "events"))
+
+
+def chat_session_history_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST11 with the reference's TTL: a session expires
+    ``SESSION_TTL_HOURS`` after its LAST activity
+    (``chat_session_service.py:14-27`` re-arms ``client.expire(key,
+    SESSION_TTL_HOURS*3600)`` on every touch). Batch face: evict
+    sessions whose newest message is older than 24 h relative to the
+    stream's max ts (the deterministic "now" anchor), then trim+render
+    as usual. The eviction is a broadcast semi-join on session key --
+    same shape as the anti-join cleanup J2."""
+    ev = table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("now_ts"))
+    live = (
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(anchor))
+        .filter(
+            F.col("last_ts")
+            >= F.col("now_ts") - F.expr(f"INTERVAL {SESSION_TTL_HOURS} HOURS")
+        )
+        .select("user_id")
+    )
+    return _history(ev.join(F.broadcast(live), "user_id", "left_semi"))
+
+
+def stale_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mqtt hub's stale-agent snapshot (``mqtt/registry.py:82-95``
+    ``prune_stale``: agents with no heartbeat for
+    ``AGENT_HEARTBEAT_TIMEOUT`` seconds flip to offline). Agents =
+    per-user event streams; "now" anchors at the stream max ts. One
+    groupBy(max) + broadcast anchor -- map-side partial agg, no
+    second shuffle."""
+    ev = table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("now_ts"))
+    gap = F.unix_timestamp("now_ts") - F.unix_timestamp("last_seen_ts")
+    return (
+        ev.groupBy(F.col("user_id").alias("agent_id"))
+        .agg(F.max("ts").alias("last_seen_ts"))
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "agent_id",
+            F.date_format("last_seen_ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+            gap.alias("seconds_since_seen"),
+            (gap > AGENT_HEARTBEAT_TIMEOUT_S).alias("offline"),
+        )
     )
 
 
@@ -89,6 +142,8 @@ def set_click_and_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "chat_session_history": chat_session_history,
+    "chat_session_history_ttl": chat_session_history_ttl,
+    "stale_agents": stale_agents,
     "interval_join_click_purchase": interval_join_click_purchase,
     "set_click_and_purchase_users": set_click_and_purchase_users,
 }
@@ -108,6 +163,38 @@ ORACLE = {
                CAST(count(*) AS BIGINT) AS n_messages,
                string_agg(msg, ' | ' ORDER BY ts, event_id) AS history
         FROM recent GROUP BY user_id
+    """,
+    "chat_session_history_ttl": f"""
+        WITH anchor AS (SELECT max(ts) AS now_ts FROM events),
+        live AS (
+            SELECT user_id FROM events, anchor
+            GROUP BY user_id, now_ts
+            HAVING max(ts) >= now_ts - INTERVAL {SESSION_TTL_HOURS} HOURS
+        ),
+        recent AS (
+            SELECT e.user_id, e.ts, e.event_id,
+                   (CASE WHEN e.event_id % 2 = 0 THEN 'user'
+                         ELSE 'assistant' END) || ':' || e.event_type AS msg
+            FROM events e JOIN live USING (user_id)
+            QUALIFY row_number() OVER (
+                PARTITION BY e.user_id ORDER BY e.ts DESC, e.event_id DESC
+            ) <= {MAX_SESSION_MSGS}
+        )
+        SELECT user_id AS session_id,
+               CAST(count(*) AS BIGINT) AS n_messages,
+               string_agg(msg, ' | ' ORDER BY ts, event_id) AS history
+        FROM recent GROUP BY user_id
+    """,
+    "stale_agents": f"""
+        WITH anchor AS (SELECT max(ts) AS now_ts FROM events)
+        SELECT user_id AS agent_id,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+               CAST(date_diff('second', max(ts), now_ts) AS BIGINT)
+                   AS seconds_since_seen,
+               date_diff('second', max(ts), now_ts)
+                   > {AGENT_HEARTBEAT_TIMEOUT_S} AS offline
+        FROM events, anchor
+        GROUP BY user_id, now_ts
     """,
     "interval_join_click_purchase": f"""
         SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,

@@ -181,15 +181,9 @@ def hybrid_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("dense"),
         )
     )
-    bm25 = (
-        sp.postings(spark, sf_dir)
-        .join(F.broadcast(sp.query_indices(spark, sf_dir, N_QUERIES)), "idx")
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum("w"), 6).alias("sparse"))
-        .select("query_id", F.col("doc_id").alias("neighbor_id"), "sparse")
+    scored = dense.join(
+        sp.bm25_scores(spark, sf_dir, N_QUERIES), ["query_id", "neighbor_id"], "left"
     )
-    scored = dense.join(bm25, ["query_id", "neighbor_id"], "left")
     wd = Window.partitionBy("query_id").orderBy(F.desc("dense"), F.asc("neighbor_id"))
     ws = Window.partitionBy("query_id").orderBy(
         F.desc_nulls_last("sparse"), F.asc("neighbor_id")

@@ -110,17 +110,52 @@ def postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def query_indices(spark: SparkSession, sf_dir: str, n_queries: int) -> DataFrame:
-    """(query_id, idx): distinct vocabulary indices of each query doc's
-    terms -- the one-hot query sparse vector, broadcast-sized."""
+def _query_terms(spark: SparkSession, sf_dir: str, n_queries: int) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    q = docs.filter(F.col("doc_id") < n_queries).select(
+    return docs.filter(F.col("doc_id") < n_queries).select(
         F.col("doc_id").alias("query_id"),
         F.explode(F.array_distinct(words_col(F.col("text")))).alias("term"),
     )
+
+
+def query_indices(spark: SparkSession, sf_dir: str, n_queries: int) -> DataFrame:
+    """(query_id, idx): distinct vocabulary indices of each query doc's
+    terms -- the one-hot query sparse vector, broadcast-sized."""
     dw = _doc_words(spark, sf_dir)
-    return q.join(F.broadcast(vocab(term_freqs(dw))), "term").select(
-        "query_id", "idx"
+    return _query_terms(spark, sf_dir, n_queries).join(
+        F.broadcast(vocab(term_freqs(dw))), "term"
+    ).select("query_id", "idx")
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str, n_queries: int) -> DataFrame:
+    """(query_id, neighbor_id, sparse): BM25 of each query doc against
+    the corpus = dot(query one-hot, doc sparse vector), built from ONE
+    shared tf/vocab subtree (the corpus tokenize + (doc, term) shuffle
+    is the expensive part -- share it between the postings and the
+    query-term lookup instead of deriving it twice). Scores rounded to
+    6 so rank ties break identically in Spark and the oracle."""
+    dw = _doc_words(spark, sf_dir)
+    tf = term_freqs(dw)
+    v = vocab(tf)
+    stats = corpus_stats(dw)
+    post = (
+        tf.join(F.broadcast(v), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", "idx",
+            _bm25_weight(F.col("tf"), F.col("dl"), F.col("df"),
+                         F.col("n_docs"), F.col("avgdl")).alias("w"),
+        )
+    )
+    qi = _query_terms(spark, sf_dir, n_queries).join(
+        F.broadcast(v), "term"
+    ).select("query_id", "idx")
+    return (
+        post.join(F.broadcast(qi), "idx")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("sparse"))
+        .select("query_id", F.col("doc_id").alias("neighbor_id"), "sparse")
     )
 
 

@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text_quality as tq
-from ..functions.hashing import content_doc_id_col, passage_prefix_col
+from ..functions.hashing import (
+    content_doc_id_col,
+    passage_prefix_col,
+    uuid_md5_col,
+)
 from ..sources.tables import table
 
 STOPWORDS = {
@@ -124,11 +128,17 @@ def content_addressed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions.hashing and are unit-tested against public vectors)."""
     docs = table(spark, sf_dir, "documents")
     cid = content_doc_id_col(F.col("text"))
+    chunk_id = F.concat(cid, F.lit("_"), F.substring(F.md5("text"), 25, 8))
     return docs.select(
         "doc_id",
         cid.alias("content_id"),
-        F.concat(cid, F.lit("_"), F.substring(F.md5("text"), 25, 8)).alias("chunk_id"),
+        chunk_id.alias("chunk_id"),
         passage_prefix_col(cid, F.col("text")).alias("passage"),
+        # K1 vector-store point id: deterministic UUID of the chunk id
+        # (reference converts string ids with uuid5, database.py:260-268;
+        # this oracle-checkable column is the md5 variant, exact uuid5
+        # parity is golden-tested in functions.hashing)
+        uuid_md5_col(chunk_id).alias("point_uuid"),
     )
 
 
@@ -261,12 +271,22 @@ ORACLE = {
         FROM s
     """,
     "content_addressed_ids": """
-        SELECT doc_id,
-               'DOC_' || substr(md5(text), 1, 8) AS content_id,
-               'DOC_' || substr(md5(text), 1, 8) || '_' || substr(md5(text), 25, 8)
-                   AS chunk_id,
-               'passage: [' || 'DOC_' || substr(md5(text), 1, 8) || '] ' || text
-                   AS passage
-        FROM documents
+        WITH ids AS (
+            SELECT doc_id,
+                   'DOC_' || substr(md5(text), 1, 8) AS content_id,
+                   'DOC_' || substr(md5(text), 1, 8) || '_'
+                       || substr(md5(text), 25, 8) AS chunk_id,
+                   'passage: [' || 'DOC_' || substr(md5(text), 1, 8) || '] '
+                       || text AS passage
+            FROM documents
+        ), h AS (SELECT *, md5(chunk_id) AS hh FROM ids)
+        SELECT doc_id, content_id, chunk_id, passage,
+               substr(hh, 1, 8) || '-' || substr(hh, 9, 4) || '-3'
+                   || substr(hh, 14, 3) || '-'
+                   || substr('89ab',
+                             ((strpos('0123456789abcdef', substr(hh, 17, 1)) - 1)
+                              % 4) + 1, 1)
+                   || substr(hh, 18, 3) || '-' || substr(hh, 21, 12) AS point_uuid
+        FROM h
     """,
 }

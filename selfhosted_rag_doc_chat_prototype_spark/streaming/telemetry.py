@@ -136,6 +136,17 @@ def stateful_user_stats(events: DataFrame, timeout: str = "NoTimeout") -> DataFr
     )
 
 
+def agent_last_seen_plan(events: DataFrame) -> DataFrame:
+    """The mqtt registry's ``_last_seen`` map (``mqtt/registry.py:82-95``)
+    as a keyed max aggregation: per-agent newest heartbeat. The same
+    builder serves batch and ``readStream`` (complete/update mode);
+    ``operators/sessions.stale_agents`` derives the offline snapshot
+    from it by comparing against a "now" anchor at 60 s."""
+    return events.groupBy(F.col("user_id").alias("agent_id")).agg(
+        F.max("ts").alias("last_seen_ts")
+    )
+
+
 def file_completion_sentinel(chunks: DataFrame) -> DataFrame:
     """ST3: per-file completion barrier. A file finalizes exactly when
     observed == expected (producer_utils.py:109-117 sentinel +

@@ -297,3 +297,42 @@ def test_binaryfile_stream_discovery(spark, tmp_path):
     q.awaitTermination(120)
     assert sum(batches) == 6
     assert len(batches) == 3 and all(b == 2 for b in batches)
+
+
+def test_agent_last_seen_stream_matches_batch_stale_agents(
+    spark, sf_dir, events_stream_dir
+):
+    """Streaming twin of the stale-agent snapshot: the per-agent
+    last-heartbeat aggregation over readStream must yield the same
+    offline set the batch stale_agents query reports."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.sessions import (
+        AGENT_HEARTBEAT_TIMEOUT_S,
+        stale_agents,
+    )
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    batch_df = table(spark, sf_dir, "events")
+    stream = spark.readStream.schema(batch_df.schema).parquet(events_stream_dir)
+    q = (
+        telemetry.agent_last_seen_plan(stream)
+        .writeStream.format("memory")
+        .queryName("agent_seen")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    seen = {
+        r.agent_id: r.last_seen_ts
+        for r in spark.sql("SELECT * FROM agent_seen").collect()
+    }
+    now_ts = max(seen.values())
+    stream_offline = {
+        a for a, t in seen.items()
+        if (now_ts - t).total_seconds() > AGENT_HEARTBEAT_TIMEOUT_S
+    }
+    batch_offline = {
+        r.agent_id for r in stale_agents(spark, sf_dir).collect() if r.offline
+    }
+    assert stream_offline == batch_offline
+    assert len(seen) == len(stale_agents(spark, sf_dir).collect())
