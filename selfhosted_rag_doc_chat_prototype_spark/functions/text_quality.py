@@ -22,20 +22,43 @@ from pyspark.sql import functions as F
 
 MOJIBAKE_CLASS = "[âã¢£™žœÂÃ]"
 
-# the classic UTF-8-read-as-latin1 sequences the reference's ftfy pass
-# repairs (T13/F10, text_utils.py:66-71): for each true character, the
-# mojibake form is its UTF-8 bytes mis-decoded as latin-1 -- built
-# programmatically so every sequence is exact and collision-free
-_MOJI_CHARS = "\u2019\u201c\u201d\u2014\u2013\u00e9\u00e8\u00e4\u00f6\u00fc\u00f1\u00a0"
-MOJIBAKE_FIXES = [
-    (good.encode("utf-8").decode("latin-1"), good) for good in _MOJI_CHARS
-]
+# the classic UTF-8-read-as-wrong-charset sequences the reference's
+# ftfy pass repairs (T13/F10, text_utils.py:66-71): for each true
+# character, the mojibake forms are its UTF-8 bytes mis-decoded as (a)
+# windows-1252 -- the common real-world case, e.g. \u2019 -> "\u00e2\u20ac\u2122" --
+# and (b) latin-1. Built programmatically so every sequence is exact;
+# cp1252 first since its 3-char forms are never substrings of the
+# latin-1 forms' outputs.
+_MOJI_CHARS = (
+    "\u2018\u2019\u201a\u201c\u201d\u201e\u2013\u2014\u2026\u2022"  # punct
+    "\u20ac\u2122\u00b0\u00a9\u00ae\u00a0"                          # symbols
+    "\u00e0\u00e1\u00e2\u00e4\u00e7\u00e8\u00e9\u00ea\u00eb"       # accents
+    "\u00ed\u00ee\u00ef\u00f3\u00f4\u00f6\u00fa\u00fb\u00fc\u00f1\u00df"
+)
+
+
+def _moji_forms():
+    fixes = []
+    for good in _MOJI_CHARS:
+        raw = good.encode("utf-8")
+        for enc in ("cp1252", "latin-1"):
+            try:
+                bad = raw.decode(enc)
+            except UnicodeDecodeError:
+                continue  # bytes undefined in cp1252 (0x81, 0x8D, ...)
+            if bad != good and (bad, good) not in fixes:
+                fixes.append((bad, good))
+    return fixes
+
+
+MOJIBAKE_FIXES = _moji_forms()
 
 
 def fix_mojibake(c: Column) -> Column:
     """T13/F10: repair the common mojibake sequences (the reference
     runs ftfy ``fix_text``; this is the deterministic declarative
-    subset, applied as chained JVM-side replaces)."""
+    subset -- UTF-8 mis-decoded as cp1252 or latin-1 -- applied as
+    chained JVM-side replaces)."""
     out = c
     for bad, good in MOJIBAKE_FIXES:
         out = F.replace(out, F.lit(bad), F.lit(good))

@@ -155,7 +155,60 @@ def multimodal_image_stats(spark, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"multimodal_image_stats": multimodal_image_stats}
+AUDIO_FRAME = 16  # samples per analysis frame
+
+
+def multimodal_audio_frames(spark, sf_dir: str) -> DataFrame:
+    """Audio-column feature extraction, end to end and oracle-checkable:
+    quantize each embedding into int16 PCM samples
+    (``floor(x * 10000)`` -- integer-exact in Spark/numpy and DuckDB),
+    round-trip through a binary column (tobytes -> frombuffer, the real
+    audio-buffer plumbing), then frame into ``AUDIO_FRAME``-sample
+    windows and emit per-frame energy/peak/zero-crossing features --
+    the framing/feature side of the WhisperX boundary (S5/T15) with the
+    codec decode stubbed exactly like :func:`decode_image`.
+
+    Scale shape: map-only over Arrow batches; PCM bytes never leave the
+    executors; one output row per frame.
+    """
+    from ..sources.tables import table
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vec_id, v in zip(pdf["vec_id"], pdf["embedding"]):
+                arr = np.asarray(v, dtype=np.float64)
+                pcm = np.floor(arr * 10000.0).astype(np.int16)
+                raw = pcm.tobytes()  # binary-column roundtrip
+                back = np.frombuffer(raw, dtype=np.int16)
+                for f in range(len(back) // AUDIO_FRAME):
+                    fr = back[f * AUDIO_FRAME:(f + 1) * AUDIO_FRAME].astype(
+                        np.int64
+                    )
+                    rows.append((
+                        int(vec_id), f,
+                        int(np.abs(fr).sum()), int(np.abs(fr).max()),
+                        int(np.sum(fr[:-1] * fr[1:] < 0)),
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=["vec_id", "frame_idx", "sum_abs", "peak",
+                         "zero_crossings"],
+            )
+
+    return emb.mapInPandas(
+        run,
+        "vec_id long, frame_idx int, sum_abs long, peak long,"
+        " zero_crossings int",
+    )
+
+
+QUERIES = {
+    "multimodal_image_stats": multimodal_image_stats,
+    "multimodal_audio_frames": multimodal_audio_frames,
+}
 
 ORACLE = {
     "multimodal_image_stats": f"""
@@ -168,5 +221,26 @@ ORACLE = {
                    x -> least(greatest(floor((x + 1.0) * 127.5), 0.0), 255.0)
                )) AS BIGINT) AS sum_intensity
         FROM embeddings
+    """,
+    "multimodal_audio_frames": f"""
+        WITH p AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(floor(x * 10000.0) AS BIGINT)) AS pcm
+            FROM embeddings
+        ),
+        fr AS (
+            SELECT vec_id, f.f AS frame_idx,
+                   pcm[f.f * {AUDIO_FRAME} + 1 : f.f * {AUDIO_FRAME} + {AUDIO_FRAME}] AS w
+            FROM p, unnest(range(0, CAST(len(pcm) // {AUDIO_FRAME} AS BIGINT))) f(f)
+        )
+        SELECT vec_id,
+               CAST(frame_idx AS INTEGER) AS frame_idx,
+               CAST(list_sum(list_transform(w, x -> abs(x))) AS BIGINT) AS sum_abs,
+               CAST(list_max(list_transform(w, x -> abs(x))) AS BIGINT) AS peak,
+               CAST(len(list_filter(range(1, {AUDIO_FRAME}),
+                                    i -> w[i] * w[i + 1] < 0)) AS INTEGER)
+                   AS zero_crossings
+        FROM fr
     """,
 }

@@ -65,3 +65,21 @@ def test_is_valid_pdf_column(spark):
         "name", multimodal.is_valid_pdf_col(F.col("content")).alias("ok")
     ).collect()}
     assert out == {"good": True, "bad": False}
+
+
+def test_audio_frames_features(spark, sf_dir):
+    """PCM framing invariants: frames per vector = dim//FRAME, features
+    integer-exact, zero-crossing count bounded by frame length."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.multimodal import (
+        AUDIO_FRAME,
+        multimodal_audio_frames,
+    )
+
+    rows = multimodal_audio_frames(spark, sf_dir).collect()
+    per_vec = {}
+    for r in rows:
+        per_vec.setdefault(r.vec_id, []).append(r)
+        assert r.peak >= 0 and r.sum_abs >= r.peak
+        assert 0 <= r.zero_crossings < AUDIO_FRAME
+    n_frames = 64 // AUDIO_FRAME
+    assert all(len(v) == n_frames for v in per_vec.values())

@@ -164,3 +164,29 @@ def test_uuid5_point_id_matches_stdlib(spark):
         assert r.u5 == str(uuid.uuid5(ns, r.name)), r.name
         assert r.u3 == str(uuid.uuid3(ns, r.name)), r.name
     assert uuid5_point_id("chunk-1") == "45b4c7fb-c1ff-51c2-bb05-40d64e79c0ad"
+
+
+def test_fix_mojibake_repairs_cp1252_and_latin1_forms(spark):
+    """Every repaired character round-trips from BOTH mis-decode
+    charsets (cp1252 is the common real-world case: '’' arrives as
+    'â€™'), embedded mid-sentence."""
+    from pyspark.sql import functions as F
+
+    from selfhosted_rag_doc_chat_prototype_spark.functions.text_quality import (
+        _MOJI_CHARS,
+        fix_mojibake,
+    )
+
+    cases = []
+    for good in _MOJI_CHARS:
+        raw = good.encode("utf-8")
+        for enc in ("cp1252", "latin-1"):
+            try:
+                bad = raw.decode(enc)
+            except UnicodeDecodeError:
+                continue
+            cases.append((f"before {bad} after", f"before {good} after"))
+    df = spark.createDataFrame(cases, "moji string, want string")
+    rows = df.select(fix_mojibake(F.col("moji")).alias("got"), "want").collect()
+    for r in rows:
+        assert r.got == r.want
