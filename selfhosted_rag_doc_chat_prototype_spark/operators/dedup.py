@@ -368,12 +368,72 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("cos_sim") >= EMB_COS_THRESHOLD)
 
 
+CC_MAX_ITERS = 8
+
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the LSH candidate pairs: connected
+    components by min-label propagation, emitting (doc_id, cluster_id,
+    is_canonical) -- the keep-one-per-cluster selection step of a
+    training-data dedup pipeline (cluster_id = smallest doc id
+    reachable; the canonical doc is the cluster id holder).
+
+    Spark shape: the classic iterative CC loop (the 2-round core of
+    large-star/small-star) -- per round one equi-join of labels onto
+    the bidirectional edge list + a min aggregation; the driver reads
+    only a scalar convergence count per round. Near-dup graphs are
+    star-like (tiny diameter), so this converges in 2-3 rounds; the
+    ``CC_MAX_ITERS`` bound makes the worst case explicit. Labels are
+    cached per round and unpersisted to keep lineage flat."""
+    pairs = _candidate_pairs(_near_corpus(spark, sf_dir))
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    ).cache()
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .cache()
+    )
+    for _ in range(CC_MAX_ITERS):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "doc_id")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_jaccard_verify": dedup_jaccard_verify,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_connected_components": dedup_connected_components,
 }
 
 ORACLE = {
@@ -428,6 +488,31 @@ ORACLE = {
                             THEN 1 ELSE -1 END), 'sum') > 0
                         THEN '1' ELSE '0' END), '') AS simhash_bits
         FROM t
+    """,
+    # connected components as a recursive reachability closure: tiny at
+    # test scale because components are near-dup clusters, not the corpus
+    "dedup_connected_components": _BANDS_SQL.replace(
+        "WITH ", "WITH RECURSIVE ", 1
+    ) + """,
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                        AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM cand
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM cand
+        ),
+        reach(n, m) AS (
+            SELECT src AS n, src AS m FROM edges
+            UNION
+            SELECT r.n, e.dst AS m FROM reach r JOIN edges e ON r.m = e.src
+        )
+        SELECT n AS doc_id, min(m) AS cluster_id,
+               n = min(m) AS is_canonical
+        FROM reach GROUP BY n
     """,
     "dedup_embedding_cosine": """
         WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -221,15 +221,25 @@ def hybrid_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_CELLS = 16
-IVF_NPROBE = 4
+IVF_MIN_CELLS = 16
+IVF_PROBE_FRACTION = 0.25  # probe 1/4 of the cells
+
+
+def ivf_cells_for(n: int) -> int:
+    """The standard IVF sizing rule: cell count grows ~sqrt(N), so both
+    the per-cell candidate list and the centroid table scale as sqrt(N)
+    instead of one of them going linear."""
+    import math
+
+    return max(IVF_MIN_CELLS, math.isqrt(max(n, 1)))
 
 
 def anns_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
-    vector to one of ``IVF_CELLS`` cells; each query probes its
-    ``IVF_NPROBE`` nearest cells and scores only those candidates --
-    the classic IVF-Flat trade-off (probe fraction vs recall).
+    vector to one of ~sqrt(N) cells (``ivf_cells_for``); each query
+    probes its ``IVF_PROBE_FRACTION`` nearest cells and scores only
+    those candidates -- the classic IVF-Flat trade-off (probe fraction
+    vs recall).
 
     Scale shape: training is Spark ML KMeans (distributed, iterative);
     the centroid table is tiny and broadcast; cell assignment is
@@ -244,7 +254,9 @@ def anns_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = _vectors(spark, sf_dir)
     feat = base.select("vec_id", "v", array_to_vector("v").alias("features"))
-    model = KMeans(k=IVF_CELLS, seed=42, maxIter=8).fit(feat)
+    n_cells = ivf_cells_for(base.count())
+    n_probe = max(1, int(n_cells * IVF_PROBE_FRACTION))
+    model = KMeans(k=n_cells, seed=42, maxIter=8).fit(feat)
     assigned = model.transform(feat).select(
         "vec_id", "v", F.col("prediction").alias("cell")
     )
@@ -269,7 +281,7 @@ def anns_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries.crossJoin(F.broadcast(centroids))
         .select("query_id", "qv", "cell", l2.alias("dist"))
         .withColumn("probe_rank", F.row_number().over(wprobe))
-        .filter(F.col("probe_rank") <= IVF_NPROBE)
+        .filter(F.col("probe_rank") <= n_probe)
         .select("query_id", "qv", "cell")
     )
     cand = assigned.select(

@@ -84,3 +84,20 @@ def test_embedding_dedup_finds_planted_copies(spark, sf_dir):
     found = [p for p in planted if p in pairs]
     assert len(found) / len(planted) >= 0.95
     assert all(pairs[p] > 0.99 for p in found)
+
+
+def test_connected_components_cluster_planted_pairs(spark, sf_dir):
+    """Cluster invariants: exactly one canonical (min-id) doc per
+    cluster, and planted near-copies land in their original's
+    cluster."""
+    rows = dedup.dedup_connected_components(spark, sf_dir).collect()
+    comp = {r.doc_id: r.cluster_id for r in rows}
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r.cluster_id, []).append(r)
+    for cid, members in clusters.items():
+        assert sum(m.is_canonical for m in members) == 1
+        assert min(m.doc_id for m in members) == cid
+    planted = [d for d in range(0, 500, 5) if d in comp]
+    found = sum(1 for d in planted if comp.get(d + 1000000) == comp[d])
+    assert planted and found / len(planted) >= 0.9
