@@ -164,6 +164,28 @@ def a5_top20_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # A6 -- single-row pipeline summary (docs/analytics.md:141-151)
 # --------------------------------------------------------------------------
+# --------------------------------------------------------------------------
+# Sketch-based aggregates -- the 100 TB form of A2/A6's exact
+# distinct-count and median: HyperLogLog++ cardinality and a quantile
+# sketch are one pass, fixed memory, and merge commutatively (register-
+# wise max / sketch merge), so they distribute without a global sort or
+# a distinct shuffle. Registered rows-only BY DESIGN: the sketch
+# estimates are engine-specific (DuckDB's approx functions use different
+# sketches), so the gate checks rows and pytest asserts the estimates
+# land within tolerance of the exact values computed alongside.
+# --------------------------------------------------------------------------
+def sketch_cardinality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_hll"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_exact"),
+        F.round(F.expr("percentile_approx(value, 0.95, 1000)"), 4)
+        .alias("p95_sketch"),
+        F.count("*").alias("n"),
+    )
+
+
 def a6_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return ev.agg(
@@ -502,6 +524,7 @@ QUERIES = {
     "a1_events_per_day": a1_events_per_day,
     "a1_events_per_hour": a1_events_per_hour,
     "gatekeeper_failure_history": gatekeeper_failure_history,
+    "sketch_cardinality_quantiles": sketch_cardinality_quantiles,
     "a2_value_stats_by_type": a2_value_stats_by_type,
     "a3_efficiency_by_type": a3_efficiency_by_type,
     "a4_error_rate_by_day": a4_error_rate_by_day,

@@ -23,3 +23,17 @@ def test_analytics_matches_oracle(name, spark, sf_dir, con):
 
 def test_registry_is_consistent():
     assert set(analytics.ORACLE) == set(analytics.QUERIES)
+
+
+def test_sketch_estimates_within_tolerance(spark, sf_dir):
+    """HLL cardinality within 5% of exact; sketched p95 within 5% of
+    the exact percentile (the rows-only query's accuracy contract)."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.analytics import (
+        sketch_cardinality_quantiles,
+    )
+
+    rows = sketch_cardinality_quantiles(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert abs(r.n_users_hll - r.n_users_exact) / r.n_users_exact <= 0.05
+        assert abs(r.p95_sketch - r.p95_exact) / max(abs(r.p95_exact), 1e-9) <= 0.05
