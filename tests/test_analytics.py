@@ -15,14 +15,19 @@ def con(sf_dir):
     return duck_con(sf_dir)
 
 
-@pytest.mark.parametrize("name", sorted(analytics.QUERIES))
+@pytest.mark.parametrize("name", sorted(analytics.ORACLE))
 def test_analytics_matches_oracle(name, spark, sf_dir, con):
     sdf = analytics.QUERIES[name](spark, sf_dir)
     assert_matches_oracle(sdf, con, analytics.ORACLE[name], name)
 
 
 def test_registry_is_consistent():
-    assert set(analytics.ORACLE) == set(analytics.QUERIES)
+    # every oracle has a query; the only oracle-less queries are the
+    # declared rows-only ones (approximate sketches have no exact SQL twin)
+    assert set(analytics.ORACLE) <= set(analytics.QUERIES)
+    assert set(analytics.QUERIES) - set(analytics.ORACLE) == {
+        "sketch_cardinality_quantiles"
+    }
 
 
 def test_sketch_estimates_within_tolerance(spark, sf_dir):
