@@ -63,6 +63,36 @@ def term_freqs(dw: DataFrame) -> DataFrame:
     )
 
 
+# The tf relation is the shared subtree of every sparse consumer
+# (postings, vocab, query lookup); in production it is BUILT ONCE and
+# stored (module docstring). The self-contained queries reproduce that
+# shape by materializing tf to a parquet table once per (session,
+# sf_dir) -- without it the corpus tokenize + (doc, term) shuffle
+# re-executes up to 4x inside one plan (Catalyst does not reuse the
+# exchange across the differently-shaped aggregation subtrees above
+# it). A parquet round-trip (not .cache()) so every consumer gets a
+# plain pruned scan; values are unchanged because tf is deterministic.
+_TF_STORE: dict = {}
+
+
+def term_freqs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark, sf_dir)
+    if key not in _TF_STORE:
+        import hashlib
+        import os
+
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        path = os.path.join(
+            repo_root, "spark-warehouse", "matview",
+            "tf_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        )
+        term_freqs(_doc_words(spark, sf_dir)).write.mode("overwrite").parquet(path)
+        _TF_STORE[key] = spark.read.parquet(path)
+    return _TF_STORE[key]
+
+
 def corpus_stats(dw: DataFrame) -> DataFrame:
     return dw.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -96,7 +126,7 @@ def postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Vocab and corpus stats are broadcast; postings keep the corpus
     partitioning."""
     dw = _doc_words(spark, sf_dir)
-    tf = term_freqs(dw)
+    tf = term_freqs_cached(spark, sf_dir)
     v = vocab(tf)
     stats = corpus_stats(dw)
     return (
@@ -121,9 +151,8 @@ def _query_terms(spark: SparkSession, sf_dir: str, n_queries: int) -> DataFrame:
 def query_indices(spark: SparkSession, sf_dir: str, n_queries: int) -> DataFrame:
     """(query_id, idx): distinct vocabulary indices of each query doc's
     terms -- the one-hot query sparse vector, broadcast-sized."""
-    dw = _doc_words(spark, sf_dir)
     return _query_terms(spark, sf_dir, n_queries).join(
-        F.broadcast(vocab(term_freqs(dw))), "term"
+        F.broadcast(vocab(term_freqs_cached(spark, sf_dir))), "term"
     ).select("query_id", "idx")
 
 
@@ -135,7 +164,7 @@ def bm25_scores(spark: SparkSession, sf_dir: str, n_queries: int) -> DataFrame:
     query-term lookup instead of deriving it twice). Scores rounded to
     6 so rank ties break identically in Spark and the oracle."""
     dw = _doc_words(spark, sf_dir)
-    tf = term_freqs(dw)
+    tf = term_freqs_cached(spark, sf_dir)
     v = vocab(tf)
     stats = corpus_stats(dw)
     post = (
