@@ -43,6 +43,11 @@ HEADLINE = [
     "chat_session_history",
     "ingest_pipeline_e2e",
     "multimodal_image_stats",
+    "gopher_quality_filters",
+    "decontaminate_benchmark_overlap",
+    "pii_redaction",
+    "pack_concat_chunks",
+    "pack_greedy_firstfit",
 ]
 
 

@@ -23,6 +23,7 @@ _EXPECTED = (
     ("operators", "textstats"),
     ("operators", "chunking"),
     ("operators", "dedup"),
+    ("operators", "pretrain"),
     ("operators", "similarity"),
     ("operators", "sparse"),
     ("operators", "embedding"),

@@ -1,0 +1,58 @@
+"""Oracle-parity + invariants for the pretraining-curation surface
+(Gopher filters, decontamination, PII redaction, sequence packing)."""
+
+from __future__ import annotations
+
+import pytest
+
+from selfhosted_rag_doc_chat_prototype_spark.operators import pretrain
+
+from .helpers import assert_matches_oracle, duck_con
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    return duck_con(sf_dir)
+
+
+@pytest.mark.parametrize("name", sorted(pretrain.ORACLE))
+def test_pretrain_matches_oracle(name, spark, sf_dir, con):
+    sdf = pretrain.QUERIES[name](spark, sf_dir)
+    assert_matches_oracle(sdf, con, pretrain.ORACLE[name], name)
+
+
+def test_greedy_firstfit_invariants(spark, sf_dir):
+    """No bin overflows (unless a single oversized doc), bins are
+    contiguous from 0 per shard, and every doc is packed exactly once."""
+    rows = pretrain.pack_greedy_firstfit(spark, sf_dir).collect()
+    n_docs = (
+        pretrain._doc_tokens(spark, sf_dir).count()
+    )
+    assert len(rows) == n_docs
+    bins: dict = {}
+    for r in rows:
+        bins.setdefault((r.shard, r.bin_seq), []).append(r.tok)
+    for (shard, bin_seq), toks in bins.items():
+        assert sum(toks) <= pretrain.PACK_CAP or len(toks) == 1, (
+            f"bin ({shard},{bin_seq}) overflows with multiple docs"
+        )
+    for shard in {s for s, _ in bins}:
+        seqs = sorted(b for s, b in bins if s == shard)
+        assert seqs == list(range(len(seqs)))
+
+
+def test_concat_chunk_offsets_are_gapless(spark, sf_dir):
+    """Within a shard, token offsets tile the stream with no gaps and
+    no overlap: each doc starts where the previous one ended."""
+    rows = pretrain.pack_concat_chunks(spark, sf_dir).collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        pos = 0
+        for r in rs:
+            assert r.tok_start == pos, f"gap in shard {shard} at doc {r.doc_id}"
+            pos += r.tok
+            assert r.first_seq == r.tok_start // pretrain.PACK_CAP
+            assert r.n_seqs >= 1
