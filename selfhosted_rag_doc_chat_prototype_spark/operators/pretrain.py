@@ -69,6 +69,17 @@ BENCH_MOD = 13
 PACK_CAP = 512
 PACK_SHARD = 100
 
+# boilerplate removal: sentence = SENT_W-word group; a sentence seen in
+# >= BOILER_MIN_DOCS distinct docs is boilerplate (CCNet para-hash rule)
+SENT_W = 10
+BOILER_MIN_DOCS = 5
+BOILER_HEADER = "subscribe to our newsletter for the latest updates and offers"
+BOILER_FOOTER = "all rights reserved this content is protected by copyright law"
+
+# tempered sampling: keep-probability TSAMP_BASE * uniq_ratio^(1/TSAMP_T)
+TSAMP_BASE = 0.9
+TSAMP_T = 2.0
+
 _W_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
 
 
@@ -319,7 +330,123 @@ def pack_greedy_firstfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_boilerplate(docs: DataFrame) -> DataFrame:
+    """Deterministically salt a shared header/footer sentence (each
+    exactly SENT_W words, so it aligns to sentence boundaries when
+    prepended) onto id-keyed doc subsets -- the word-soup corpus has no
+    natural cross-document boilerplate, so the detector needs planted
+    positives, same pattern as the PII salt."""
+    did = F.col("doc_id")
+    h = F.when(did % 4 == 0, F.lit(BOILER_HEADER + " ")).otherwise(F.lit(""))
+    f2 = F.when(did % 6 == 0, F.lit(BOILER_FOOTER + " ")).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id", F.concat(h, f2, F.col("text")).alias("bt")
+    )
+
+
+def _sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_boilerplate(table(spark, sf_dir, "documents"))
+    w = tq.words(F.col("bt"))
+    n_sents = F.floor((F.size(w) - 1) / F.lit(SENT_W)).cast("int")
+    sents = F.when(
+        F.size(w) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_sents),
+            lambda i: F.concat_ws(
+                " ", F.slice(w, i * SENT_W + 1, SENT_W)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id", F.posexplode(sents).alias("pos", "sent")
+    )
+
+
+def boilerplate_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style boilerplate removal: split each doc into
+    SENT_W-word sentences, count distinct docs per sentence, drop
+    sentences appearing in >= BOILER_MIN_DOCS docs, and report per doc
+    the sentence counts plus the md5 of the cleaned re-assembly.
+
+    Scale shape: the sentence-frequency aggregate shuffles on
+    ``xxhash64(sent)`` (fixed 8-byte key, map-side combine), never the
+    sentence text; the surviving boilerplate set is tiny by definition
+    (each member repeats across >= BOILER_MIN_DOCS docs) and joins back
+    as a broadcast. One doc_id aggregation re-assembles. Nothing is
+    ever corpus x corpus."""
+    s = _sentences(spark, sf_dir).withColumn("sh", F.xxhash64("sent"))
+    boiler = (
+        s.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= BOILER_MIN_DOCS)
+        .select("sh", F.lit(1).alias("boiler"))
+    )
+    flagged = s.join(F.broadcast(boiler), "sh", "left")
+    clean = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("boiler").isNull(),
+                        F.struct(F.col("pos"), F.col("sent")),
+                    )
+                )
+            ),
+            lambda x: x["sent"],
+        ),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_sents"),
+        F.sum(F.coalesce(F.col("boiler"), F.lit(0)))
+        .cast("int")
+        .alias("n_boiler_sents"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+def quality_tempered_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened quality sampling: each doc keeps with
+    probability TSAMP_BASE * uniq_ratio^(1/TSAMP_T) against a
+    deterministic per-doc uniform draw (md5-keyed, salt 'tsamp:'), so
+    low-quality docs thin out smoothly instead of a hard cutoff --
+    the standard corpus-mixing move when a quality classifier score
+    exists. Unnormalized by design: the keep decision is purely
+    per-row (map-only, zero shuffle, stable under re-ingest);
+    exact-budget selection is corpus_sample_split's territory.
+
+    The keep boundary compares the draw against the probability
+    ROUNDED to 6 decimals on both engines, so a last-ulp float
+    difference can never flip a row."""
+    docs = table(spark, sf_dir, "documents")
+    w = tq.words(F.col("text"))
+    uniq = F.size(F.array_distinct(w)) / F.size(w)
+    p = F.round(
+        F.lit(TSAMP_BASE) * F.pow(uniq, F.lit(1.0 / TSAMP_T)), 6
+    )
+    draw = F.round(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("tsamp:"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(float(2**32)),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        F.round(uniq, 6).alias("uniq_ratio"),
+        p.alias("keep_p"),
+        draw.alias("draw"),
+        (draw < p).cast("int").alias("kept"),
+    )
+
+
 QUERIES = {
+    "boilerplate_sentence_dedup": boilerplate_sentence_dedup,
+    "quality_tempered_sample": quality_tempered_sample,
     "gopher_quality_filters": gopher_quality_filters,
     "decontaminate_benchmark_overlap": decontaminate_benchmark_overlap,
     "pii_redaction": pii_redaction,
@@ -377,7 +504,57 @@ _DECON_G_SQL = (
     f"i -> array_to_string(list_slice(w, i, i + {DECON_K - 1}), ' '))"
 )
 
+_BOILER_SYNTH_SQL = f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0 THEN '{BOILER_HEADER} ' ELSE '' END
+           || CASE WHEN doc_id % 6 = 0 THEN '{BOILER_FOOTER} ' ELSE '' END
+           || text AS bt
+    FROM documents
+"""
+
 ORACLE = {
+    "boilerplate_sentence_dedup": f"""
+        WITH p AS ({_BOILER_SYNTH_SQL}),
+        t AS (SELECT doc_id,
+                     list_filter(string_split_regex(trim(bt), '\\s+'),
+                                 x -> x <> '') AS w
+              FROM p),
+        s AS (SELECT doc_id, u.i AS pos,
+                     array_to_string(list_slice(
+                         w, u.i * {SENT_W} + 1, u.i * {SENT_W} + {SENT_W}),
+                         ' ') AS sent
+              FROM t, unnest(range(0, (len(w) - 1) // {SENT_W} + 1)) AS u(i)
+              WHERE len(w) > 0),
+        b AS (SELECT sent FROM s GROUP BY sent
+              HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}),
+        f AS (SELECT s.doc_id, s.pos, s.sent,
+                     CASE WHEN b.sent IS NOT NULL THEN 1 ELSE 0 END AS boiler
+              FROM s LEFT JOIN b USING (sent))
+        SELECT doc_id,
+               CAST(count(*) AS INTEGER) AS n_sents,
+               CAST(sum(boiler) AS INTEGER) AS n_boiler_sents,
+               md5(coalesce(string_agg(CASE WHEN boiler = 0 THEN sent END,
+                                       ' ' ORDER BY pos), '')) AS clean_md5
+        FROM f GROUP BY doc_id
+    """,
+    "quality_tempered_sample": f"""
+        WITH t AS (SELECT doc_id, {_W_SQL} AS w FROM documents),
+        m AS (
+            SELECT doc_id,
+                   round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+                       AS uniq_ratio,
+                   round({TSAMP_BASE} * pow(
+                       CAST(len(list_distinct(w)) AS DOUBLE) / len(w),
+                       {1.0 / TSAMP_T}), 6) AS keep_p,
+                   round(CAST(CAST('0x' || substr(
+                       md5('tsamp:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS UBIGINT) AS DOUBLE) / 4294967296.0, 6) AS draw
+            FROM t
+        )
+        SELECT doc_id, uniq_ratio, keep_p, draw,
+               CAST(draw < keep_p AS INTEGER) AS kept
+        FROM m
+    """,
     "gopher_quality_filters": f"""
         WITH t AS (SELECT doc_id, text, {_W_SQL} AS w FROM documents),
         m AS (

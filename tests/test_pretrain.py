@@ -41,6 +41,33 @@ def test_greedy_firstfit_invariants(spark, sf_dir):
         assert seqs == list(range(len(seqs)))
 
 
+def test_boilerplate_detects_planted_sentences(spark, sf_dir):
+    """Every planted header/footer sentence is flagged (n_boiler >=
+    planted count -- the corpus's own exact-duplicate doc groups may
+    legitimately add more), and clean docs exist on both sides."""
+    rows = pretrain.boilerplate_sentence_dedup(spark, sf_dir).collect()
+    for r in rows:
+        expect = (r.doc_id % 4 == 0) + (r.doc_id % 6 == 0)
+        assert r.n_boiler_sents >= expect, (
+            f"doc {r.doc_id}: {r.n_boiler_sents} boiler < planted {expect}"
+        )
+        assert r.n_boiler_sents < r.n_sents  # never erases a whole doc here
+    assert any(r.n_boiler_sents == 0 for r in rows)
+    assert any(r.n_boiler_sents >= 2 for r in rows)
+
+
+def test_tempered_sample_is_consistent_and_thinning(spark, sf_dir):
+    """kept == (draw < keep_p) row-wise, keep_p stays within
+    (0, TSAMP_BASE], and the realized keep rate sits strictly between
+    the hard-filter extremes (0 and 1)."""
+    rows = pretrain.quality_tempered_sample(spark, sf_dir).collect()
+    kept = sum(r.kept for r in rows)
+    assert 0 < kept < len(rows)
+    for r in rows:
+        assert r.kept == int(r.draw < r.keep_p)
+        assert 0.0 < r.keep_p <= pretrain.TSAMP_BASE
+
+
 def test_concat_chunk_offsets_are_gapless(spark, sf_dir):
     """Within a shard, token offsets tile the stream with no gaps and
     no overlap: each doc starts where the previous one ended."""

@@ -87,6 +87,36 @@ AUDIT = [
         "combine; vocab window runs over the vocabulary only; vocab and "
         "corpus stats broadcast back onto the postings.",
     ),
+    (
+        "gopher_quality_filters",
+        "Repetition/quality metrics are pure whole-stage-codegen column "
+        "expressions (sorted-gram linear aggregate, no Python, no "
+        "shuffle): map-only over the pruned (doc_id, text) scan.",
+    ),
+    (
+        "decontaminate_benchmark_overlap",
+        "Benchmark gram set broadcast into a semi-join against the "
+        "map-only corpus gram explode; one doc_id hash-aggregate with "
+        "map-side combine. Nothing scales with corpus x benchmark.",
+    ),
+    (
+        "pack_concat_chunks",
+        "Concat-and-chunk packing: one shuffle on the shard key, then a "
+        "running-sum window bounded to SHARD docs per partition -- no "
+        "global ordering, shards parallelize freely.",
+    ),
+    (
+        "dedup_connected_components",
+        "Near-dup clustering: LSH candidate edges only (no all-pairs); "
+        "the label-propagation loop joins the bounded edge set per "
+        "iteration with map-side-combined min-aggregates.",
+    ),
+    (
+        "corpus_sample_split",
+        "Deterministic hash-keyed sampling: map-only xxhash64 predicate "
+        "on the pruned scan, no shuffle, no sort, stable under "
+        "re-partitioning.",
+    ),
 ]
 
 
