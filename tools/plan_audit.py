@@ -108,26 +108,61 @@ AUDIT = [
     (
         "dedup_connected_components",
         "Near-dup clustering: LSH candidate edges only (no all-pairs); "
-        "the label-propagation loop joins the bounded edge set per "
-        "iteration with map-side-combined min-aggregates.",
+        "edges and labels are cached, so each propagation round is one "
+        "equi-join of the in-memory edge set + a map-side-combined min "
+        "aggregate -- the corpus is scanned once, not per round.",
     ),
     (
         "corpus_sample_split",
-        "Deterministic hash-keyed sampling: map-only xxhash64 predicate "
-        "on the pruned scan, no shuffle, no sort, stable under "
-        "re-partitioning.",
+        "Deterministic hash-keyed sampling: map-only salted-md5 "
+        "predicate on the pruned scan, no shuffle, no sort, stable "
+        "under re-partitioning.",
+    ),
+    (
+        "boilerplate_sentence_dedup",
+        "Sentence-frequency aggregate shuffles fixed-width xxhash64 "
+        "keys (map-side combine), the surviving boilerplate set "
+        "broadcasts back, and one doc_id aggregation re-assembles: "
+        "never corpus x corpus.",
+    ),
+    (
+        "quality_tempered_sample",
+        "Tempered sampling is a pure map-only column expression over "
+        "the pruned (doc_id, text) scan: zero shuffle at any corpus "
+        "size.",
     ),
 ]
 
 
+def _live_plan(plan: str) -> str:
+    """Drop subtrees under InMemoryRelation: a cached relation's
+    printed lineage is build-time history, not per-run work -- counting
+    its exchanges/scans would misstate an iterative query (e.g. the CC
+    loop) as re-deriving its inputs every round."""
+    out = []
+    skip_indent = None
+    for line in plan.splitlines():
+        indent = len(line) - len(line.lstrip(" :+-*"))
+        if skip_indent is not None:
+            if indent > skip_indent:
+                continue
+            skip_indent = None
+        if "InMemoryRelation" in line:
+            skip_indent = indent
+        out.append(line)
+    return "\n".join(out)
+
+
 def summarize(plan: str) -> dict:
+    live = _live_plan(plan)
     return {
-        "exchanges": len(re.findall(r"\bExchange\b", plan)),
-        "broadcasts": len(re.findall(r"BroadcastExchange", plan)),
-        "partial_aggs": len(re.findall(r"\bpartial_", plan)) > 0,
-        "scans": len(re.findall(r"Scan parquet", plan)),
-        "pushed": re.findall(r"PushedFilters: \[[^\]]*\]", plan)[:3],
-        "schemas": re.findall(r"ReadSchema: [^\n]*", plan)[:3],
+        "exchanges": len(re.findall(r"\bExchange\b", live)),
+        "broadcasts": len(re.findall(r"BroadcastExchange", live)),
+        "partial_aggs": len(re.findall(r"\bpartial_", live)) > 0,
+        "scans": len(re.findall(r"Scan parquet", live)),
+        "cached_scans": len(re.findall(r"InMemoryTableScan", live)),
+        "pushed": re.findall(r"PushedFilters: \[[^\]]*\]", live)[:3],
+        "schemas": re.findall(r"ReadSchema: [^\n]*", live)[:3],
     }
 
 
@@ -156,10 +191,15 @@ def main() -> None:
         out.append("")
         out.append(claim)
         out.append("")
+        cached = (
+            f", cached-relation scans: {s['cached_scans']}"
+            if s["cached_scans"]
+            else ""
+        )
         out.append(
             f"- exchanges: {s['exchanges']} (broadcast: {s['broadcasts']}), "
             f"parquet scans: {s['scans']}, "
-            f"map-side partial agg: {s['partial_aggs']}"
+            f"map-side partial agg: {s['partial_aggs']}{cached}"
         )
         for p in s["pushed"]:
             out.append(f"- `{p}`")
