@@ -368,6 +368,81 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order counts by priority for orders with at
+    least one late-shipping lineitem (EXISTS rewritten as LEFT SEMI
+    with the late predicate inside the join condition -- the semi join
+    stops probing an order on first match, and both sides keep pruned
+    scans). One shuffle pair for the semi join, one 5-group agg."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS"
+    )
+    return (
+        orders.join(
+            li.select("l_orderkey", "l_shipdate"),
+            (F.col("o_orderkey") == F.col("l_orderkey")) & late,
+            "left_semi",
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-side aggregation -- every predicate
+    (shipdate year, discount band, quantity cap) pushes into the
+    parquet scan, the projection prunes to three columns, and the
+    whole query is one map-side partial sum + a scalar exchange."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer,
+    top 20. The orders->lineitem join shuffles on the order key; the
+    customer dimension broadcasts onto the aggregated (custkey) rows;
+    the top-20 is TakeOrdered, never a global sort."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            "c_name",
+            "c_mktsegment",
+            "revenue",
+            "n_items",
+        )
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(20)
+    )
+
+
 def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit by supplier nation and order year over
     lineitem x part x supplier x nation (profit = revenue - retail cost
@@ -540,6 +615,9 @@ QUERIES = {
     "q5_regional_revenue": q5_regional_revenue,
     "q9_profit_by_nation_year": q9_profit_by_nation_year,
     "q14_promo_revenue": q14_promo_revenue,
+    "q4_order_priority": q4_order_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_item_revenue": q10_returned_item_revenue,
     "join_orders_without_lineitems": join_orders_without_lineitems,
     "join_customers_with_purchases": join_customers_with_purchases,
     "window_running_total": window_running_total,
@@ -694,6 +772,39 @@ ORACLE = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY 1
+    """,
+    "q4_order_priority": """
+        SELECT o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority
+    """,
+    "q6_forecast_revenue": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "q10_returned_item_revenue": """
+        WITH agg AS (
+            SELECT o_custkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_returnflag = 'R'
+            GROUP BY o_custkey
+        )
+        SELECT c_custkey AS custkey, c_name, c_mktsegment, revenue, n_items
+        FROM agg JOIN customer ON o_custkey = c_custkey
+        ORDER BY revenue DESC, custkey ASC
+        LIMIT 20
     """,
     "q14_promo_revenue": """
         SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'

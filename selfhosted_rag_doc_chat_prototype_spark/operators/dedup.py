@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..functions import text_quality as tq
-from ..sources.tables import table
+from ..sources.tables import rebalance, table
 from . import similarity as _sim
 
 N_SEEDS = 16
@@ -116,9 +116,7 @@ def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus parquet is a handful of input splits, which would cap the
     # downstream map parallelism at the file count
     return (
-        docs.select("doc_id", "text")
-        .unionByName(near)
-        .repartition(spark.sparkContext.defaultParallelism)
+        rebalance(docs.select("doc_id", "text").unionByName(near))
     )
 
 
@@ -293,9 +291,7 @@ def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.transform(v, lambda x: x + F.lit(0.01)).alias("v"),
     )
-    return base.unionByName(copies).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    return rebalance(base.unionByName(copies))
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

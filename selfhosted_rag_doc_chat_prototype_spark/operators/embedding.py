@@ -33,7 +33,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..sources.tables import table
+from ..sources.tables import rebalance, table
 
 DIM = 16
 _ALPHABET = "0123456789abcdef"
@@ -101,9 +101,7 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     form of the stub model, exploded to (doc_id, dim, val)."""
     # the vote expression is the CPU; spread it across cores (the
     # corpus parquet is a single input split at test scale)
-    docs = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = rebalance(table(spark, sf_dir, "documents"))
     vec = docs.selectExpr("doc_id", f"{_votes_expr()} AS votes")
     norm = F.sqrt(
         F.aggregate(

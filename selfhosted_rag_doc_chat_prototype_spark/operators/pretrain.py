@@ -42,7 +42,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text_quality as tq
-from ..sources.tables import table
+from ..sources.tables import rebalance, table
 
 # Gopher-style keep thresholds (word-count bounds relaxed to the
 # synthetic corpus's short docs would be cheating -- keep the published
@@ -151,8 +151,11 @@ def _dup_frac(w: Column, n: Column, k: int) -> Column:
 def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Gopher/C4 repetition + quality metrics and the
     combined keep decision. Flags compare the ROUNDED metrics so the
-    boundary never flips on cross-engine 1e-15 float noise."""
-    docs = table(spark, sf_dir, "documents")
+    boundary never flips on cross-engine 1e-15 float noise. The scan
+    is rebalanced across cores: the n-gram aggregates are the most
+    CPU-expensive per-row expressions in the engine, and a single
+    under-split row group would serialize them."""
+    docs = rebalance(table(spark, sf_dir, "documents"))
     w = tq.words(F.col("text"))
     n = F.size(w)
     mwl = F.round(tq.mean_word_len(F.col("text")), 4)
@@ -186,7 +189,7 @@ def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = rebalance(table(spark, sf_dir, "documents"))
     w = tq.words(F.col("text"))
     g = F.when(F.size(w) >= DECON_K, F.array_distinct(_grams(w, DECON_K)))
     return docs.select("doc_id", F.explode(g).alias("gram"))
@@ -345,7 +348,7 @@ def _with_boilerplate(docs: DataFrame) -> DataFrame:
 
 
 def _sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _with_boilerplate(table(spark, sf_dir, "documents"))
+    docs = _with_boilerplate(rebalance(table(spark, sf_dir, "documents")))
     w = tq.words(F.col("bt"))
     n_sents = F.floor((F.size(w) - 1) / F.lit(SENT_W)).cast("int")
     sents = F.when(

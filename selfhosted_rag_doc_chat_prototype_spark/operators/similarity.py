@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..sources.tables import table
+from ..sources.tables import rebalance, table
 
 N_QUERIES = 8
 TOP_K = 10
@@ -120,9 +120,9 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     # candidates carry the per-pair cosine CPU; spread them (the
     # embeddings parquet is a single input split at test scale)
-    return emb.select(
+    return rebalance(emb.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    ).repartition(spark.sparkContext.defaultParallelism)
+    ))
 
 
 def anns_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -21,7 +21,7 @@ from ..functions.hashing import (
     passage_prefix_col,
     uuid_md5_col,
 )
-from ..sources.tables import table
+from ..sources.tables import rebalance, table
 
 STOPWORDS = {
     "en": ["the", "of", "and", "to", "in", "is", "that", "it", "for", "on"],
@@ -74,7 +74,7 @@ def corpus_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = rebalance(table(spark, sf_dir, "documents"))
     w = tq.words(F.col("text"))
     return docs.select(
         "doc_id",
@@ -87,7 +87,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = rebalance(table(spark, sf_dir, "documents"))
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -108,7 +108,7 @@ def text_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language heuristic with a fixed priority order
     (deterministic tiebreak en > de > fr > es)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = rebalance(table(spark, sf_dir, "documents"))
     w = tq.words(F.col("text"))
     hits = {
         lang: F.size(F.array_intersect(w, F.array(*[F.lit(s) for s in sw])))
@@ -138,7 +138,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: min-hash over 5-word shingles (rolling
     content signature) + whole-document md5."""
-    docs = table(spark, sf_dir, "documents")
+    docs = rebalance(table(spark, sf_dir, "documents"))
     w = tq.words(F.col("text"))
     n = F.size(w)
     shingles = F.when(

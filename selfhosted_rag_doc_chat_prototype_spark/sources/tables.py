@@ -39,6 +39,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def rebalance(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the scan is under-split
+    (fewer partitions than cores) -- the local small-file corpus lands
+    in one parquet row group, serializing CPU-heavy per-row operators
+    onto a single core. On a real many-file table partitions >= cores,
+    so this is a no-op and costs no shuffle at scale. Same guard as
+    the ingest binary-file rebalance (operators/ingest.py)."""
+    spark = df.sparkSession
+    par = target or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 
