@@ -22,6 +22,9 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_regional_revenue",
     "q9_profit_by_nation_year",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q10_returned_item_revenue",
     "a1_events_per_day",
     "a7_weekly_lag",
     "a10_user_timing",
@@ -48,6 +51,8 @@ HEADLINE = [
     "pii_redaction",
     "pack_concat_chunks",
     "pack_greedy_firstfit",
+    "boilerplate_sentence_dedup",
+    "quality_tempered_sample",
 ]
 
 

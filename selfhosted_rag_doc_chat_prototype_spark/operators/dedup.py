@@ -215,6 +215,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_exact_dedup_plan(
+    stream_df: DataFrame,
+    ts_col: str = "ingest_ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``dedup_exact`` for continuous ingest: each
+    arriving document is admitted once per content hash, with state
+    BOUNDED by the watermark -- ``dropDuplicatesWithinWatermark``
+    evicts a hash key once the event-time watermark passes it, so
+    state tracks the arrival window, not the whole corpus (the
+    reference's staging claim-once semantics, SURVEY ST6, generalized
+    to content identity). For full-history dedup, run the batch
+    ``dedup_exact`` over the archive instead; the two compose as the
+    standard lambda split."""
+    return (
+        stream_df.withColumn("content_md5", F.md5(F.col("text")))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_md5"])
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _candidate_pairs(_near_corpus(spark, sf_dir))
 

@@ -336,3 +336,42 @@ def test_agent_last_seen_stream_matches_batch_stale_agents(
     }
     assert stream_offline == batch_offline
     assert len(seen) == len(stale_agents(spark, sf_dir).collect())
+
+
+def test_streaming_exact_dedup_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark admits each content hash once:
+    a planted duplicate burst collapses to one row per distinct text,
+    matching the batch dedup over the same data."""
+    from pyspark.sql import Row
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.dedup import (
+        streaming_exact_dedup_plan,
+    )
+
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        Row(doc_id=i, text=f"doc body {i % 4}",
+            ingest_ts=base + dt.timedelta(seconds=i))
+        for i in range(12)
+    ]
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(rows).repartition(3).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ingest_ts timestamp"
+    ).parquet(src)
+    q = (
+        streaming_exact_dedup_plan(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT text FROM dedup_stream").collect()
+    assert len(got) == 4                       # one per distinct body
+    assert {r.text for r in got} == {f"doc body {i}" for i in range(4)}

@@ -119,6 +119,18 @@ AUDIT = [
         "under re-partitioning.",
     ),
     (
+        "q6_forecast_revenue",
+        "The whole query is scan-side: every predicate in "
+        "PushedFilters, a 3-column ReadSchema, one map-side partial "
+        "sum, and a single scalar exchange.",
+    ),
+    (
+        "q4_order_priority",
+        "EXISTS as LEFT SEMI with the late-shipment predicate inside "
+        "the join condition: probing stops at first match, both scans "
+        "stay pruned, then one 5-group aggregate.",
+    ),
+    (
         "boilerplate_sentence_dedup",
         "Sentence-frequency aggregate shuffles fixed-width xxhash64 "
         "keys (map-side combine), the surviving boilerplate set "
