@@ -205,9 +205,73 @@ def multimodal_audio_frames(spark, sf_dir: str) -> DataFrame:
     )
 
 
+N_VIDEO_FRAMES = 12   # synthetic frames per "video"
+FRAME_SAMPLE_N = 3    # keep every Nth frame (sample_frames semantics)
+
+
+def multimodal_video_keyframes(spark, sf_dir: str) -> DataFrame:
+    """Video-column plumbing, end to end and oracle-checkable: render
+    each embedding into a ``N_VIDEO_FRAMES``-frame synthetic clip
+    (frame f = the 8x8 image brightened by +f, integer-exact), pack
+    the frames into ONE contiguous binary buffer (the video-as-binary
+    contract), then frombuffer -> reshape(frames, pixels) -> stride
+    sample every ``FRAME_SAMPLE_N``th frame, emitting per-keyframe
+    intensity and the scene-change metric (sum |pixel delta| vs the
+    previous keyframe). The ffmpeg decode that would produce the raw
+    frame buffer is the same stubbed codec boundary as
+    :func:`decode_image`.
+
+    Scale shape: map-only over Arrow batches; the frame buffer lives
+    only executor-side; output is one row per keyframe."""
+    from ..sources.tables import table
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_px = IMG_SIDE * IMG_SIDE
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vec_id, v in zip(pdf["vec_id"], pdf["embedding"]):
+                arr = np.asarray(v, dtype=np.float64)
+                base = np.clip(np.floor((arr + 1.0) * 127.5), 0, 255)
+                frames = np.stack([
+                    np.clip(base + f, 0, 255).astype(np.uint8)
+                    for f in range(N_VIDEO_FRAMES)
+                ])
+                raw = frames.tobytes()  # the packed video buffer
+                clip = np.frombuffer(raw, dtype=np.uint8).reshape(
+                    N_VIDEO_FRAMES, n_px
+                )
+                keyframes = clip[::FRAME_SAMPLE_N]
+                prev = None
+                for j, fr in enumerate(keyframes):
+                    f_idx = j * FRAME_SAMPLE_N
+                    diff = (
+                        0 if prev is None
+                        else int(np.abs(
+                            fr.astype(np.int64) - prev.astype(np.int64)
+                        ).sum())
+                    )
+                    rows.append((
+                        int(vec_id), f_idx, int(fr.sum()), diff,
+                    ))
+                    prev = fr
+            yield pd.DataFrame(
+                rows,
+                columns=["vec_id", "frame_idx", "sum_intensity",
+                         "diff_prev"],
+            )
+
+    return emb.mapInPandas(
+        run,
+        "vec_id long, frame_idx int, sum_intensity long, diff_prev long",
+    )
+
+
 QUERIES = {
     "multimodal_image_stats": multimodal_image_stats,
     "multimodal_audio_frames": multimodal_audio_frames,
+    "multimodal_video_keyframes": multimodal_video_keyframes,
 }
 
 ORACLE = {
@@ -221,6 +285,34 @@ ORACLE = {
                    x -> least(greatest(floor((x + 1.0) * 127.5), 0.0), 255.0)
                )) AS BIGINT) AS sum_intensity
         FROM embeddings
+    """,
+    "multimodal_video_keyframes": f"""
+        WITH px AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> least(greatest(floor((x + 1.0) * 127.5), 0.0),
+                                  255.0)) AS base
+            FROM embeddings
+        ),
+        kf AS (
+            SELECT vec_id, f.f AS frame_idx,
+                   list_transform(base,
+                       x -> least(x + f.f, 255.0)) AS fr,
+                   CASE WHEN f.f = 0 THEN NULL ELSE
+                       list_transform(base,
+                           x -> least(x + f.f - {FRAME_SAMPLE_N}, 255.0))
+                   END AS prev_fr
+            FROM px, unnest(range(0, {N_VIDEO_FRAMES}, {FRAME_SAMPLE_N}))
+                     f(f)
+        )
+        SELECT vec_id,
+               CAST(frame_idx AS INTEGER) AS frame_idx,
+               CAST(list_sum(fr) AS BIGINT) AS sum_intensity,
+               CAST(coalesce(list_sum(
+                   list_transform(range(1, len(fr) + 1),
+                                  i -> abs(fr[i] - prev_fr[i]))), 0)
+                   AS BIGINT) AS diff_prev
+        FROM kf
     """,
     "multimodal_audio_frames": f"""
         WITH p AS (

@@ -304,6 +304,22 @@ def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def firstfit_bins(tokens: list[int], cap: int) -> list[int]:
+    """Pure greedy first-fit kernel (the function the applyInPandas
+    groups run): scanning in order, open a new bin when the next doc
+    would overflow ``cap``; an oversized doc gets a bin of its own."""
+    bins: list[int] = []
+    bin_id, fill = -1, 0
+    for t in tokens:
+        if bin_id < 0 or fill + t > cap:
+            bin_id += 1
+            fill = t
+        else:
+            fill += t
+        bins.append(bin_id)
+    return bins
+
+
 def pack_greedy_firstfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy first-fit packing (docs never split): scanning each shard
     in doc_id order, a bin closes when the next doc would overflow
@@ -315,17 +331,7 @@ def pack_greedy_firstfit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def pack(pdf):
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        bins = []
-        bin_id, fill = -1, 0
-        for tok in pdf["tok"]:
-            t = int(tok)
-            if bin_id < 0 or fill + t > PACK_CAP:
-                bin_id += 1
-                fill = t
-            else:
-                fill += t
-            bins.append(bin_id)
-        pdf["bin_seq"] = bins
+        pdf["bin_seq"] = firstfit_bins([int(t) for t in pdf["tok"]], PACK_CAP)
         return pdf[["doc_id", "shard", "tok", "bin_seq"]]
 
     return base.groupBy("shard").applyInPandas(

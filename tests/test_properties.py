@@ -111,3 +111,35 @@ def test_mojibake_fix_table_roundtrips(clean):
     for bad, good in MOJIBAKE_FIXES:
         fixed = fixed.replace(bad, good)
     assert fixed == clean
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=900), max_size=80),
+    st.integers(min_value=1, max_value=600),
+)
+@settings(max_examples=200, deadline=None)
+def test_firstfit_bins_invariants(tokens, cap):
+    """First-fit packing invariants for ANY token sizes: bin ids are
+    contiguous and non-decreasing, no multi-doc bin exceeds cap, and
+    a doc is never split across bins (one id per doc)."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.pretrain import (
+        firstfit_bins,
+    )
+
+    bins = firstfit_bins(tokens, cap)
+    assert len(bins) == len(tokens)
+    if not tokens:
+        return
+    assert bins[0] == 0
+    assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+    fills: dict[int, list[int]] = {}
+    for t, b in zip(tokens, bins):
+        fills.setdefault(b, []).append(t)
+    for members in fills.values():
+        assert sum(members) <= cap or len(members) == 1
+    # greedy tightness: a doc opens a new bin only because it would
+    # not have fit in the previous one (or is first)
+    for i in range(1, len(tokens)):
+        if bins[i] != bins[i - 1]:
+            prev_fill = sum(fills[bins[i - 1]])
+            assert prev_fill + tokens[i] > cap
