@@ -53,6 +53,7 @@ HEADLINE = [
     "pack_greedy_firstfit",
     "boilerplate_sentence_dedup",
     "quality_tempered_sample",
+    "curate_corpus_e2e",
 ]
 
 

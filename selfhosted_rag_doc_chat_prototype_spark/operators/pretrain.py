@@ -57,7 +57,11 @@ MAX_TOP2_FRAC = 0.20
 MAX_TOP3_FRAC = 0.18
 MAX_DUP5_FRAC = 0.15
 
-STOP_EN = ["the", "of", "and", "to", "in", "is", "that", "it", "for", "on"]
+# calibrated to the synthetic vocabulary ("the"/"a" are its only
+# English stopwords) so the >=2-distinct-stopwords rule discriminates
+# instead of failing every doc; real deployments swap in Gopher's
+# 8-word list unchanged
+STOP_EN = ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"]
 
 # decontamination: exact 4-gram overlap against the mod-13 doc subset
 # standing in for a benchmark suite (GPT-3 uses 13-grams on real text;
@@ -453,7 +457,62 @@ def quality_tempered_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curate_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as ONE composed DataFrame DAG --
+    quality filter -> exact dedup (canonical id per content hash) ->
+    benchmark decontamination -> tempered sampling -> sequence
+    packing -- emitting each surviving doc's packed position. This is
+    the end-to-end shape a training-data run executes; every stage is
+    the same operator the standalone queries expose.
+
+    Scale shape: quality/sample flags and the content hash are ONE
+    map pass over the corpus; dedup canon is a groupBy on the hash;
+    decontamination stays the broadcast semi-join; all stitching
+    joins are doc_id-keyed equi joins (co-partitionable, AQE-planned);
+    packing windows stay shard-bounded. Stages that need the corpus
+    re-derive it from the same pruned scan -- on a real run you'd
+    checkpoint the flags relation once and fan the stages from it."""
+    flags = gopher_quality_filters(spark, sf_dir).filter(
+        F.col("keep") == 1
+    ).select("doc_id", F.col("n_words").alias("tok"))
+    docs = rebalance(table(spark, sf_dir, "documents"))
+    canon = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    cont = decontaminate_benchmark_overlap(spark, sf_dir).select("doc_id")
+    samp = quality_tempered_sample(spark, sf_dir).filter(
+        F.col("kept") == 1
+    ).select("doc_id")
+    surv = (
+        flags.join(canon, "doc_id")
+        .join(samp, "doc_id")
+        .filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(cont, "doc_id", "left_anti")
+        .withColumn("shard", F.expr(f"doc_id div {PACK_SHARD}"))
+    )
+    win = (
+        Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = surv.select(
+        "doc_id", "shard", "tok", F.sum("tok").over(win).alias("cum_end")
+    )
+    first_seq = F.expr(f"(cum_end - tok) div {PACK_CAP}")
+    last_seq = F.when(
+        F.col("tok") > 0, F.expr(f"(cum_end - 1) div {PACK_CAP}")
+    ).otherwise(first_seq)
+    return b.select(
+        "doc_id", "shard", "tok",
+        (F.col("cum_end") - F.col("tok")).alias("tok_start"),
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+    )
+
+
 QUERIES = {
+    "curate_corpus_e2e": curate_corpus_e2e,
     "boilerplate_sentence_dedup": boilerplate_sentence_dedup,
     "quality_tempered_sample": quality_tempered_sample,
     "gopher_quality_filters": gopher_quality_filters,
@@ -667,3 +726,32 @@ ORACLE = {
         FROM r
     """,
 }
+
+# the e2e oracle composes the component oracles verbatim as derived
+# tables (DuckDB accepts WITH inside parenthesized subqueries), so the
+# pipeline can never drift from its stages
+ORACLE["curate_corpus_e2e"] = f"""
+    WITH g AS (SELECT doc_id, n_words
+               FROM ({ORACLE["gopher_quality_filters"]}) WHERE keep = 1),
+    canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    cont AS (SELECT doc_id FROM ({ORACLE["decontaminate_benchmark_overlap"]})),
+    samp AS (SELECT doc_id FROM ({ORACLE["quality_tempered_sample"]})
+             WHERE kept = 1),
+    surv AS (
+        SELECT g.doc_id, g.doc_id // {PACK_SHARD} AS shard,
+               g.n_words AS tok
+        FROM g JOIN canon USING (doc_id) JOIN samp USING (doc_id)
+        WHERE g.doc_id % {BENCH_MOD} <> 0
+          AND g.doc_id NOT IN (SELECT doc_id FROM cont)
+    ),
+    c AS (SELECT doc_id, shard, tok,
+                 CAST(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+          FROM surv)
+    SELECT doc_id, shard, tok,
+           cum_end - tok AS tok_start,
+           (cum_end - tok) // {PACK_CAP} AS first_seq,
+           CASE WHEN tok > 0 THEN (cum_end - 1) // {PACK_CAP}
+                ELSE (cum_end - tok) // {PACK_CAP} END AS last_seq
+    FROM c
+"""

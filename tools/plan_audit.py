@@ -138,6 +138,13 @@ AUDIT = [
         "never corpus x corpus.",
     ),
     (
+        "curate_corpus_e2e",
+        "Five curation stages in one DAG: flags are a map pass, dedup "
+        "canon one hash groupBy, decontamination a broadcast "
+        "semi-join, stitching joins all doc_id-keyed equi joins, "
+        "packing a shard-bounded window.",
+    ),
+    (
         "quality_tempered_sample",
         "Tempered sampling is a pure map-only column expression over "
         "the pruned (doc_id, text) scan: zero shuffle at any corpus "
