@@ -58,6 +58,7 @@ HEADLINE = [
 
 
 SCALE_QUERIES = ["dedup_embedding_cosine", "anns_lsh_bucketed"]
+DOC_SCALE_QUERIES = ["dedup_minhash_lsh"]
 
 
 def scale_evidence(spark, sf_dir, queries, timings, n_runs):
@@ -103,6 +104,42 @@ def scale_evidence(spark, sf_dir, queries, timings, n_runs):
                 out[f"{name}_scale_ratio_10x"] = round(best / timings[name], 2)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+    # text path: 10x documents, every word suffixed per replica so
+    # shingles never collide across replicas (a correlated copy would
+    # measure the pair-explosion of planted duplicates, not the
+    # algorithm's growth). Linear candidate generation lands near 10x.
+    base_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d2 = tempfile.mkdtemp(prefix="sparkgraft_scale10x_docs_")
+    try:
+        parts = []
+        for rep in range(10):
+            parts.append(
+                base_docs.select(
+                    (F.col("doc_id") + rep * 10_000_000).alias("doc_id"),
+                    F.regexp_replace("text", r"(\S+)", f"$1x{rep}")
+                    .alias("text"),
+                )
+            )
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        big.write.mode("overwrite").parquet(f"{d2}/documents.parquet")
+        for name in DOC_SCALE_QUERIES:
+            if name not in queries or name not in timings:
+                continue
+            best = float("inf")
+            for _ in range(min(n_runs, 2)):
+                t0 = time.time()
+                queries[name](spark, d2).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.time() - t0)
+            out[f"{name}_10x_sec"] = round(best, 3)
+            if timings[name] > 0:
+                out[f"{name}_scale_ratio_10x"] = round(best / timings[name], 2)
+    finally:
+        shutil.rmtree(d2, ignore_errors=True)
     return out
 
 

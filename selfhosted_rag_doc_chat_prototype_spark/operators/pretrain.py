@@ -152,18 +152,28 @@ def _dup_frac(w: Column, n: Column, k: int) -> Column:
     )
 
 
-def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document Gopher/C4 repetition + quality metrics and the
-    combined keep decision. Flags compare the ROUNDED metrics so the
-    boundary never flips on cross-engine 1e-15 float noise. The scan
-    is rebalanced across cores: the n-gram aggregates are the most
-    CPU-expensive per-row expressions in the engine, and a single
-    under-split row group would serialize them."""
-    docs = rebalance(table(spark, sf_dir, "documents"))
-    w = tq.words(F.col("text"))
+def _quality_exprs(
+    text_col: str = "text",
+    *,
+    min_words: int = MIN_WORDS,
+    max_words: int = MAX_WORDS,
+    min_mean_word_len: float = MIN_MEAN_WORD_LEN,
+    max_mean_word_len: float = MAX_MEAN_WORD_LEN,
+    min_stopwords: int = MIN_STOPWORDS,
+    stop_words: list[str] | None = None,
+    min_alpha_frac: float = MIN_ALPHA_FRAC,
+    max_top2_frac: float = MAX_TOP2_FRAC,
+    max_top3_frac: float = MAX_TOP3_FRAC,
+    max_dup5_frac: float = MAX_DUP5_FRAC,
+) -> dict[str, Column]:
+    """The Gopher/C4 metric + keep expressions as named Columns, so
+    standalone queries and fused pipelines build from the same
+    definitions."""
+    stop_list = STOP_EN if stop_words is None else stop_words
+    w = tq.words(F.col(text_col))
     n = F.size(w)
-    mwl = F.round(tq.mean_word_len(F.col("text")), 4)
-    stop = F.size(F.array_intersect(w, F.array(*[F.lit(s) for s in STOP_EN])))
+    mwl = F.round(tq.mean_word_len(F.col(text_col)), 4)
+    stop = F.size(F.array_intersect(w, F.array(*[F.lit(s) for s in stop_list])))
     alpha = F.round(
         F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))) / n, 4
     )
@@ -171,48 +181,78 @@ def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     top3 = _top_frac(w, n, 3)
     dup5 = _dup_frac(w, n, 5)
     keep = (
-        (n >= MIN_WORDS) & (n <= MAX_WORDS)
-        & (mwl >= MIN_MEAN_WORD_LEN) & (mwl <= MAX_MEAN_WORD_LEN)
-        & (stop >= MIN_STOPWORDS)
-        & (alpha >= MIN_ALPHA_FRAC)
-        & (top2 <= MAX_TOP2_FRAC)
-        & (top3 <= MAX_TOP3_FRAC)
-        & (dup5 <= MAX_DUP5_FRAC)
+        (n >= min_words) & (n <= max_words)
+        & (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len)
+        & (stop >= min_stopwords)
+        & (alpha >= min_alpha_frac)
+        & (top2 <= max_top2_frac)
+        & (top3 <= max_top3_frac)
+        & (dup5 <= max_dup5_frac)
     )
+    return {
+        "n_words": n,
+        "mean_word_len": mwl,
+        "n_stopwords": stop,
+        "alpha_word_frac": alpha,
+        "top_2gram_frac": top2,
+        "top_3gram_frac": top3,
+        "dup_5gram_frac": dup5,
+        "keep": keep.cast("int"),
+    }
+
+
+def quality_metrics(docs: DataFrame, *, text_col: str = "text",
+                    **thresholds) -> DataFrame:
+    """DataFrame-first core of the Gopher/C4 filter: per-document
+    repetition + quality metrics and the combined keep decision over
+    ANY (doc_id, text) relation, thresholds parametrizable. Flags
+    compare the ROUNDED metrics so the boundary never flips on
+    cross-engine 1e-15 float noise."""
+    q = _quality_exprs(text_col, **thresholds)
     return docs.select(
-        "doc_id",
-        n.alias("n_words"),
-        mwl.alias("mean_word_len"),
-        stop.alias("n_stopwords"),
-        alpha.alias("alpha_word_frac"),
-        top2.alias("top_2gram_frac"),
-        top3.alias("top_3gram_frac"),
-        dup5.alias("dup_5gram_frac"),
-        keep.cast("int").alias("keep"),
+        "doc_id", *[expr.alias(name) for name, expr in q.items()]
     )
 
 
-def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = rebalance(table(spark, sf_dir, "documents"))
-    w = tq.words(F.col("text"))
-    g = F.when(F.size(w) >= DECON_K, F.array_distinct(_grams(w, DECON_K)))
+def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding of :func:`quality_metrics` at the published
+    thresholds. The scan is rebalanced across cores: the n-gram
+    aggregates are the most CPU-expensive per-row expressions in the
+    engine, and a single under-split row group would serialize them."""
+    return quality_metrics(rebalance(table(spark, sf_dir, "documents")))
+
+
+def doc_grams(docs: DataFrame, k: int = DECON_K,
+              text_col: str = "text") -> DataFrame:
+    """(doc_id, gram) exploded distinct k-grams of any corpus frame."""
+    w = tq.words(F.col(text_col))
+    g = F.when(F.size(w) >= k, F.array_distinct(_grams(w, k)))
     return docs.select("doc_id", F.explode(g).alias("gram"))
 
 
-def decontaminate_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus docs sharing any exact DECON_K-gram with the benchmark
-    subset, with the overlapping-n-gram count (distinct grams per doc).
-    The benchmark gram set is broadcast; the corpus side is map-only
-    plus one doc_id aggregation -- no corpus x corpus join."""
-    e = _doc_grams(spark, sf_dir)
-    bench = (
-        e.filter(F.col("doc_id") % BENCH_MOD == 0).select("gram").distinct()
-    )
+def ngram_overlap(corpus: DataFrame, bench: DataFrame,
+                  k: int = DECON_K) -> DataFrame:
+    """DataFrame-first decontamination core: corpus docs sharing any
+    exact k-gram with the benchmark relation, with the
+    overlapping-gram count (distinct grams per doc). The benchmark
+    gram set is broadcast; the corpus side is map-only plus one
+    doc_id aggregation -- no corpus x corpus join."""
+    bench_grams = doc_grams(bench, k).select("gram").distinct()
     return (
-        e.filter(F.col("doc_id") % BENCH_MOD != 0)
-        .join(F.broadcast(bench), "gram")
+        doc_grams(corpus, k)
+        .join(F.broadcast(bench_grams), "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap_ngrams"))
+    )
+
+
+def decontaminate_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding of :func:`ngram_overlap`: the mod-BENCH_MOD
+    doc subset stands in for the benchmark suite."""
+    docs = rebalance(table(spark, sf_dir, "documents"))
+    return ngram_overlap(
+        docs.filter(F.col("doc_id") % BENCH_MOD != 0),
+        docs.filter(F.col("doc_id") % BENCH_MOD == 0),
     )
 
 
@@ -246,12 +286,11 @@ def _with_pii(docs: DataFrame) -> DataFrame:
     )
 
 
-def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Detect + redact email/phone/IPv4: per-doc match counts and the
-    md5 of the redacted text (md5 keeps the oracle row compact while
-    still proving byte-identical redaction). Pure codegen regex ops."""
-    p = _with_pii(table(spark, sf_dir, "documents"))
-    pt = F.col("pt")
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """DataFrame-first PII pass over any (doc_id, <text_col>) frame:
+    per-doc match counts plus the full redacted text. Pure codegen
+    regex ops, map-only."""
+    pt = F.col(text_col)
     n_emails = F.size(F.regexp_extract_all(pt, F.lit(EMAIL_RE), F.lit(0)))
     n_ips = F.size(F.regexp_extract_all(pt, F.lit(IP_RE), F.lit(0)))
     n_phones = F.size(F.regexp_extract_all(pt, F.lit(PHONE_RE), F.lit(0)))
@@ -261,13 +300,24 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         PHONE_RE, "<PHONE>",
     )
-    return p.select(
+    return docs.select(
         "doc_id",
         n_emails.alias("n_emails"),
         n_phones.alias("n_phones"),
         n_ips.alias("n_ips"),
         ((n_emails + n_phones + n_ips) > 0).cast("int").alias("has_pii"),
-        F.md5(redacted).alias("redacted_md5"),
+        redacted.alias("redacted"),
+    )
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding of :func:`redact_pii` over the salted corpus;
+    the redacted text is md5'd to keep the oracle row compact while
+    still proving byte-identical redaction."""
+    p = redact_pii(_with_pii(table(spark, sf_dir, "documents")), "pt")
+    return p.select(
+        "doc_id", "n_emails", "n_phones", "n_ips", "has_pii",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
     )
 
 
@@ -281,31 +331,40 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GPT-style concat-and-chunk packing: within each id-range shard,
-    documents are concatenated in doc_id order and the token stream is
-    split every PACK_CAP tokens; each doc reports its token offset and
-    the first/last training sequence it lands in. One bounded window
-    per shard -- shards parallelize, nothing is globally ordered."""
-    base = _doc_tokens(spark, sf_dir)
+def pack_concat(tokens: DataFrame, cap: int = PACK_CAP,
+                with_n_seqs: bool = True) -> DataFrame:
+    """DataFrame-first concat-and-chunk packing over any
+    (doc_id, shard, tok) relation: within each shard, documents are
+    concatenated in doc_id order and the token stream is split every
+    ``cap`` tokens; each doc reports its token offset and the
+    first/last training sequence it lands in. One bounded window per
+    shard -- shards parallelize, nothing is globally ordered."""
     win = (
         Window.partitionBy("shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    b = base.select(
+    b = tokens.select(
         "doc_id", "shard", "tok", F.sum("tok").over(win).alias("cum_end")
     )
-    first_seq = F.expr(f"(cum_end - tok) div {PACK_CAP}")
+    first_seq = F.expr(f"(cum_end - tok) div {cap}")
     last_seq = F.when(
-        F.col("tok") > 0, F.expr(f"(cum_end - 1) div {PACK_CAP}")
+        F.col("tok") > 0, F.expr(f"(cum_end - 1) div {cap}")
     ).otherwise(first_seq)
-    return b.select(
-        "doc_id", "shard", "tok",
+    cols = [
+        F.col("doc_id"), F.col("shard"), F.col("tok"),
         (F.col("cum_end") - F.col("tok")).alias("tok_start"),
         first_seq.alias("first_seq"),
         last_seq.alias("last_seq"),
-        (last_seq - first_seq + 1).alias("n_seqs"),
-    )
+    ]
+    if with_n_seqs:
+        cols.append((last_seq - first_seq + 1).alias("n_seqs"))
+    return b.select(*cols)
+
+
+def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding of :func:`pack_concat` over the corpus's
+    whitespace token counts."""
+    return pack_concat(_doc_tokens(spark, sf_dir))
 
 
 def firstfit_bins(tokens: list[int], cap: int) -> list[int]:
@@ -324,23 +383,29 @@ def firstfit_bins(tokens: list[int], cap: int) -> list[int]:
     return bins
 
 
-def pack_greedy_firstfit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy first-fit packing (docs never split): scanning each shard
-    in doc_id order, a bin closes when the next doc would overflow
-    PACK_CAP; oversized docs get a bin of their own. Inherently
+def pack_firstfit(tokens: DataFrame, cap: int = PACK_CAP) -> DataFrame:
+    """DataFrame-first greedy first-fit packing (docs never split)
+    over any (doc_id, shard, tok) relation: scanning each shard in
+    doc_id order, a bin closes when the next doc would overflow
+    ``cap``; oversized docs get a bin of their own. Inherently
     sequential per shard, so it runs as one applyInPandas group per
     shard -- the custom-stateful escape hatch -- while shards fan out
-    across executors. Oracle: a recursive CTE replays the same scan."""
-    base = _doc_tokens(spark, sf_dir)
+    across executors."""
 
     def pack(pdf):
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        pdf["bin_seq"] = firstfit_bins([int(t) for t in pdf["tok"]], PACK_CAP)
+        pdf["bin_seq"] = firstfit_bins([int(t) for t in pdf["tok"]], cap)
         return pdf[["doc_id", "shard", "tok", "bin_seq"]]
 
-    return base.groupBy("shard").applyInPandas(
+    return tokens.groupBy("shard").applyInPandas(
         pack, "doc_id long, shard long, tok int, bin_seq int"
     )
+
+
+def pack_greedy_firstfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding of :func:`pack_firstfit`. Oracle: a recursive
+    CTE replays the same scan."""
+    return pack_firstfit(_doc_tokens(spark, sf_dir))
 
 
 def _with_boilerplate(docs: DataFrame) -> DataFrame:
@@ -357,16 +422,18 @@ def _with_boilerplate(docs: DataFrame) -> DataFrame:
     )
 
 
-def _sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _with_boilerplate(rebalance(table(spark, sf_dir, "documents")))
-    w = tq.words(F.col("bt"))
-    n_sents = F.floor((F.size(w) - 1) / F.lit(SENT_W)).cast("int")
+def doc_sentences(docs: DataFrame, text_col: str = "text",
+                  sent_w: int = SENT_W) -> DataFrame:
+    """(doc_id, pos, sent) -- consecutive ``sent_w``-word sentence
+    groups of any corpus frame (last partial group kept)."""
+    w = tq.words(F.col(text_col))
+    n_sents = F.floor((F.size(w) - 1) / F.lit(sent_w)).cast("int")
     sents = F.when(
         F.size(w) > 0,
         F.transform(
             F.sequence(F.lit(0), n_sents),
             lambda i: F.concat_ws(
-                " ", F.slice(w, i * SENT_W + 1, SENT_W)
+                " ", F.slice(w, i * sent_w + 1, sent_w)
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
@@ -375,23 +442,28 @@ def _sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def boilerplate_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet/C4-style boilerplate removal: split each doc into
-    SENT_W-word sentences, count distinct docs per sentence, drop
-    sentences appearing in >= BOILER_MIN_DOCS docs, and report per doc
-    the sentence counts plus the md5 of the cleaned re-assembly.
+def boilerplate_clean(docs: DataFrame, *, text_col: str = "text",
+                      sent_w: int = SENT_W,
+                      min_docs: int = BOILER_MIN_DOCS) -> DataFrame:
+    """DataFrame-first CCNet/C4-style boilerplate removal over any
+    (doc_id, <text_col>) frame: split each doc into ``sent_w``-word
+    sentences, count distinct docs per sentence, drop sentences
+    appearing in >= ``min_docs`` docs, and report per doc the
+    sentence counts plus the md5 of the cleaned re-assembly.
 
     Scale shape: the sentence-frequency aggregate shuffles on
     ``xxhash64(sent)`` (fixed 8-byte key, map-side combine), never the
     sentence text; the surviving boilerplate set is tiny by definition
-    (each member repeats across >= BOILER_MIN_DOCS docs) and joins back
+    (each member repeats across >= ``min_docs`` docs) and joins back
     as a broadcast. One doc_id aggregation re-assembles. Nothing is
     ever corpus x corpus."""
-    s = _sentences(spark, sf_dir).withColumn("sh", F.xxhash64("sent"))
+    s = doc_sentences(docs, text_col, sent_w).withColumn(
+        "sh", F.xxhash64("sent")
+    )
     boiler = (
         s.groupBy("sh")
         .agg(F.count_distinct("doc_id").alias("ndocs"))
-        .filter(F.col("ndocs") >= BOILER_MIN_DOCS)
+        .filter(F.col("ndocs") >= min_docs)
         .select("sh", F.lit(1).alias("boiler"))
     )
     flagged = s.join(F.broadcast(boiler), "sh", "left")
@@ -418,29 +490,28 @@ def boilerplate_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_tempered_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-flattened quality sampling: each doc keeps with
-    probability TSAMP_BASE * uniq_ratio^(1/TSAMP_T) against a
-    deterministic per-doc uniform draw (md5-keyed, salt 'tsamp:'), so
-    low-quality docs thin out smoothly instead of a hard cutoff --
-    the standard corpus-mixing move when a quality classifier score
-    exists. Unnormalized by design: the keep decision is purely
-    per-row (map-only, zero shuffle, stable under re-ingest);
-    exact-budget selection is corpus_sample_split's territory.
-
-    The keep boundary compares the draw against the probability
-    ROUNDED to 6 decimals on both engines, so a last-ulp float
-    difference can never flip a row."""
-    docs = table(spark, sf_dir, "documents")
-    w = tq.words(F.col("text"))
-    uniq = F.size(F.array_distinct(w)) / F.size(w)
-    p = F.round(
-        F.lit(TSAMP_BASE) * F.pow(uniq, F.lit(1.0 / TSAMP_T)), 6
+def boilerplate_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding of :func:`boilerplate_clean` over the salted
+    corpus (the word-soup fixture has no natural cross-document
+    boilerplate, so the detector needs planted positives)."""
+    return boilerplate_clean(
+        _with_boilerplate(rebalance(table(spark, sf_dir, "documents"))),
+        text_col="bt",
     )
+
+
+def _tempered_exprs(text_col: str = "text", *,
+                    base: float = TSAMP_BASE,
+                    temperature: float = TSAMP_T,
+                    salt: str = "tsamp:") -> dict[str, Column]:
+    """The tempered-sampling expressions as named Columns."""
+    w = tq.words(F.col(text_col))
+    uniq = F.size(F.array_distinct(w)) / F.size(w)
+    p = F.round(F.lit(base) * F.pow(uniq, F.lit(1.0 / temperature)), 6)
     draw = F.round(
         F.conv(
             F.substring(
-                F.md5(F.concat(F.lit("tsamp:"), F.col("doc_id").cast("string"))),
+                F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
                 1, 8,
             ),
             16, 10,
@@ -448,13 +519,36 @@ def quality_tempered_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(float(2**32)),
         6,
     )
+    return {
+        "uniq_ratio": F.round(uniq, 6),
+        "keep_p": p,
+        "draw": draw,
+        "kept": (draw < p).cast("int"),
+    }
+
+
+def tempered_sample(docs: DataFrame, *, text_col: str = "text",
+                    **kw) -> DataFrame:
+    """DataFrame-first temperature-flattened quality sampling over
+    any (doc_id, <text_col>) frame: each doc keeps with probability
+    ``base * uniq_ratio^(1/temperature)`` against a deterministic
+    per-doc uniform draw (md5-keyed on the salted id), so low-quality
+    docs thin out smoothly instead of a hard cutoff. Unnormalized by
+    design: the keep decision is purely per-row (map-only, zero
+    shuffle, stable under re-ingest). The keep boundary compares the
+    draw against the probability ROUNDED to 6 decimals so a last-ulp
+    float difference can never flip a row."""
+    t = _tempered_exprs(text_col, **kw)
     return docs.select(
-        "doc_id",
-        F.round(uniq, 6).alias("uniq_ratio"),
-        p.alias("keep_p"),
-        draw.alias("draw"),
-        (draw < p).cast("int").alias("kept"),
+        "doc_id", *[expr.alias(name) for name, expr in t.items()]
     )
+
+
+def quality_tempered_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding of :func:`tempered_sample` at the published
+    base/temperature (exact-budget selection is
+    corpus_sample_split's territory)."""
+    return tempered_sample(table(spark, sf_dir, "documents"))
 
 
 def curate_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -465,50 +559,39 @@ def curate_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     the end-to-end shape a training-data run executes; every stage is
     the same operator the standalone queries expose.
 
-    Scale shape: quality/sample flags and the content hash are ONE
-    map pass over the corpus; dedup canon is a groupBy on the hash;
-    decontamination stays the broadcast semi-join; all stitching
-    joins are doc_id-keyed equi joins (co-partitionable, AQE-planned);
-    packing windows stay shard-bounded. Stages that need the corpus
-    re-derive it from the same pruned scan -- on a real run you'd
-    checkpoint the flags relation once and fan the stages from it."""
-    flags = gopher_quality_filters(spark, sf_dir).filter(
-        F.col("keep") == 1
-    ).select("doc_id", F.col("n_words").alias("tok"))
+    Scale shape: quality keep, sample keep, token count, and the
+    content hash are ONE fused map pass over the corpus (the same
+    expression builders the standalone queries use); dedup canon is a
+    groupBy on the hash whose branch prunes to (doc_id, md5) -- the
+    gram metrics are never computed twice; decontamination stays the
+    broadcast semi-join; the two stitching joins are doc_id-keyed
+    equi joins (co-partitionable, AQE-planned); packing windows stay
+    shard-bounded."""
     docs = rebalance(table(spark, sf_dir, "documents"))
+    q = _quality_exprs()
+    t = _tempered_exprs()
+    base = docs.select(
+        "doc_id",
+        q["n_words"].alias("tok"),
+        q["keep"].alias("keep"),
+        t["kept"].alias("kept"),
+        F.md5("text").alias("h"),
+    )
+    flags = base.filter(
+        (F.col("keep") == 1) & (F.col("kept") == 1)
+        & (F.col("doc_id") % BENCH_MOD != 0)
+    ).select("doc_id", "tok")
     canon = (
-        docs.groupBy(F.md5("text").alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
+        base.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
     cont = decontaminate_benchmark_overlap(spark, sf_dir).select("doc_id")
-    samp = quality_tempered_sample(spark, sf_dir).filter(
-        F.col("kept") == 1
-    ).select("doc_id")
     surv = (
         flags.join(canon, "doc_id")
-        .join(samp, "doc_id")
-        .filter(F.col("doc_id") % BENCH_MOD != 0)
         .join(cont, "doc_id", "left_anti")
         .withColumn("shard", F.expr(f"doc_id div {PACK_SHARD}"))
     )
-    win = (
-        Window.partitionBy("shard").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    b = surv.select(
-        "doc_id", "shard", "tok", F.sum("tok").over(win).alias("cum_end")
-    )
-    first_seq = F.expr(f"(cum_end - tok) div {PACK_CAP}")
-    last_seq = F.when(
-        F.col("tok") > 0, F.expr(f"(cum_end - 1) div {PACK_CAP}")
-    ).otherwise(first_seq)
-    return b.select(
-        "doc_id", "shard", "tok",
-        (F.col("cum_end") - F.col("tok")).alias("tok_start"),
-        first_seq.alias("first_seq"),
-        last_seq.alias("last_seq"),
-    )
+    return pack_concat(surv, with_n_seqs=False)
 
 
 QUERIES = {
