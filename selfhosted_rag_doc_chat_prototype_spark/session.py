@@ -38,6 +38,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
+        # tz-less parquet timestamps (timestamp[us]) must read as
+        # instant-typed TIMESTAMP, not TIMESTAMP_NTZ: event-time
+        # watermarks reject NTZ, and under a UTC session the two have
+        # identical wall-clock semantics vs the DuckDB oracle.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
@@ -52,6 +57,10 @@ def tune_session(spark: SparkSession) -> SparkSession:
     """Apply engine-required runtime confs to an externally created
     session (the driver hands us one in ``__spark_entry__.entry``)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
