@@ -1,0 +1,688 @@
+"""TPC-H-shaped relational breadth, part 2: the remaining classic query
+shapes (q2/q7/q8/q12/q13/q15-q22) adapted to the driver's reduced star
+schema (no partsupp/commitdate/receiptdate/phone columns -- each
+adaptation keeps the query's DISTINCTIVE structure: correlated aggregate
+subqueries, decorrelated min-join-back, disjunctive pushdown, outer-join
+histograms, scalar-subquery broadcast, multi-EXISTS).
+
+These exercise the same operator set the reference's SQL surface exposes
+through DuckDB (SURVEY.md section 2.6: joins, grouped aggregation,
+having, subqueries) -- re-expressed as Catalyst-friendly DataFrame plans.
+
+Scale notes (100 TB):
+- Correlated subqueries (q2/q15/q17/q20) are decorrelated by hand into
+  groupBy + equi-join-back, the same rewrite Catalyst/DuckDB apply --
+  one extra shuffle over the AGGREGATED (small) side, never a per-row
+  re-scan of the fact table.
+- Scalar aggregates feeding a filter (q15's max, q22's avg) become
+  1-row broadcast joins, not collected driver constants -- the plan
+  stays lazy end-to-end.
+- The multi-EXISTS of q21 collapses to ONE shuffle by order key: both
+  the "some other supplier" and the "no other late supplier" conditions
+  are per-order aggregates computed together, then filtered -- instead
+  of the naive EXISTS + NOT-EXISTS pair of self-joins on lineitem.
+- Dimension tables broadcast (region/nation always; supplier/part/
+  customer at this SF -- at real scale AQE converts them to shuffle
+  joins automatically when they exceed the broadcast threshold).
+- Disjunctive predicates (q19) stay as one OR expression on the join so
+  the parquet scan receives the residual pushdown of the shared
+  ``p_partkey`` equi-condition plus min/max skipping on quantity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import table
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# --------------------------------------------------------------------------
+# Q2 shape: minimum-cost supplier per part within a region (correlated
+# min subquery, decorrelated). partsupp stand-in = distinct
+# (l_partkey, l_suppkey) shipping pairs; supply cost stand-in =
+# s_acctbal.
+# --------------------------------------------------------------------------
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every LARGE-type part, the EUROPE supplier(s) with the lowest
+    account balance among those that ever shipped it. The correlated
+    ``ps_supplycost = (SELECT min(...))`` of TPC-H Q2 is decorrelated:
+    aggregate min per part, equi-join back on (part, cost) -- the join
+    back is on the aggregated relation (<= one row per part), so the
+    expensive side is touched once."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+
+    eur_supp = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = (
+        li.select("l_partkey", "l_suppkey").distinct()
+        .join(F.broadcast(eur_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part.filter(F.col("p_type") == "LARGE")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    min_cost = ps.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
+        F.min("s_acctbal").alias("min_acctbal")
+    )
+    return (
+        ps.join(
+            F.broadcast(min_cost),
+            (F.col("p_partkey") == F.col("mc_partkey"))
+            & (F.col("s_acctbal") == F.col("min_acctbal")),
+        )
+        .select(
+            "p_partkey", "p_brand", "s_name", "n_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 shape: bilateral shipping volume between two nations by year.
+# --------------------------------------------------------------------------
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue flowing between NATION_1 and NATION_2 (either direction)
+    per ship year. Supplier-side and customer-side nation lookups are
+    independent broadcasts; the only big shuffle is lineitem x orders on
+    the order key, and the date filter pushes into the lineitem scan."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supp = table(spark, sf_dir, "supplier")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+
+    n1 = nation.select(F.col("n_nationkey").alias("sn_key"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("cn_key"),
+                       F.col("n_name").alias("cust_nation"))
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 shape: national market share within a region per year (CASE-sum
+# over total-sum ratio).
+# --------------------------------------------------------------------------
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_5's share of ASIA-customer revenue on ECONOMY parts per
+    order year. The numerator is a conditional partial-aggregable sum,
+    so the whole query is broadcast joins + one (year) shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    part = table(spark, sf_dir, "part")
+    supp = table(spark, sf_dir, "supplier")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+
+    cust_asia = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_n = nation.select(F.col("n_nationkey").alias("sn_key"),
+                           F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_asia), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", _rev()).otherwise(0.0))
+                / F.sum(_rev()),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(_rev()), 2).alias("total_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 shape: line counts by priority class after a fact-fact join
+# (shipmode stand-in = l_returnflag).
+# --------------------------------------------------------------------------
+def q12_returnflag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 shape: distribution of customers by order count (left outer join
+# + double aggregation, zeros included).
+# --------------------------------------------------------------------------
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed exactly N qualifying orders (orders
+    with a stated priority -- the NOT LIKE comment-filter stand-in),
+    INCLUDING N=0 via the left outer join's null preservation. Two
+    shuffles: custkey, then the tiny count-histogram."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders.filter(F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 shape: top supplier by quarterly revenue (view + scalar max,
+# decorrelated to a 1-row broadcast join).
+# --------------------------------------------------------------------------
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose 1997-Q1 revenue equals the maximum. The revenue
+    'view' aggregates once (one suppkey shuffle); its max is a 1-row
+    broadcast joined back on equality of the ROUNDED value, so both
+    engines compare identical 2-decimal quantities."""
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(max_rev),
+                     F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 shape: supplier-count per part attribute group with NOT-IN
+# exclusion (negative-balance suppliers stand in for the complaints
+# filter).
+# --------------------------------------------------------------------------
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct shipping suppliers per (brand, type, size) for parts
+    outside Brand#1/PROMO and sizes 1-8, excluding bad-standing
+    suppliers via anti-join. partsupp stand-in = distinct shipping
+    pairs; count-distinct collapses map-side after the pair dedup."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    supp = table(spark, sf_dir, "supplier")
+    good_parts = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(*range(1, 9))
+    )
+    bad_supp = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.select("l_partkey", "l_suppkey").distinct()
+        .join(F.broadcast(bad_supp),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(good_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 shape: correlated per-part average quantity subquery
+# (decorrelated to agg + join-back).
+# --------------------------------------------------------------------------
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average yearly revenue lost if Brand#3/SMALL orders below 20% of
+    the part's average quantity were not filled. The per-part threshold
+    aggregates over the SAME filtered join once, then joins back --
+    two passes over a part-pruned sliver of lineitem, never a per-row
+    subquery."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    target = part.filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    li_t = li.join(F.broadcast(target),
+                   F.col("l_partkey") == F.col("p_partkey"))
+    thresholds = li_t.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_limit")
+    )
+    return (
+        li_t.join(F.broadcast(thresholds),
+                  F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 shape: large-volume orders (HAVING on a fact aggregate, then
+# dimension enrichment, top-100).
+# --------------------------------------------------------------------------
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 shape: disjunction of conjunctive brand/size/quantity branches.
+# --------------------------------------------------------------------------
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three OR-ed (brand, size-range, quantity-range) branches over the
+    part join -- the classic test that an optimizer keeps the common
+    ``p_partkey`` equi-join while evaluating the disjunction as a
+    residual; quantity bounds still prune row groups via min/max
+    statistics."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    b1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(b1 | b2 | b3)
+        .agg(
+            F.round(F.sum(_rev()), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 shape: suppliers with excess shipped volume of a named part class
+# (nested IN chains -> aggregate + semi-join chain).
+# --------------------------------------------------------------------------
+def q20_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers that shipped more than 50 units of some '*bolt' part
+    during 1997. The innermost correlated sum becomes a (supp, part)
+    aggregate; each IN collapses to a semi-join, so no row is ever
+    duplicated on the way to the supplier list."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    bolts = part.filter(F.col("p_name").like("%bolt")).select("p_partkey")
+    heavy = (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .join(F.broadcast(bolts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(heavy),
+                  F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 shape: the only-late-supplier-in-a-multi-supplier-order count
+# (EXISTS + NOT EXISTS collapsed into one per-order aggregate).
+# --------------------------------------------------------------------------
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per supplier: in how many multi-supplier orders was it the ONLY
+    late shipper (late = shipped >60 days after the order date). TPC-H
+    phrases this as EXISTS(another supplier) AND NOT EXISTS(another
+    late supplier); both collapse into one groupBy(orderkey) that
+    counts suppliers and late suppliers together -- one lineitem
+    shuffle instead of two extra self-joins."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supp = table(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_supp_order = (
+        li.join(orders.select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(late, 1).otherwise(0)).alias("was_late"))
+    )
+    order_stats = per_supp_order.groupBy(F.col("l_orderkey").alias("so_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("was_late").alias("n_late"),
+    )
+    return (
+        per_supp_order.join(
+            order_stats,
+            (F.col("l_orderkey") == F.col("so_orderkey"))
+            & (F.col("n_suppliers") >= 2)
+            & (F.col("n_late") == 1),
+        )
+        .filter(F.col("was_late") == 1)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 shape: above-average balances with no recent orders (scalar
+# subquery + anti-join).
+# --------------------------------------------------------------------------
+def q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers in three market segments whose balance beats the
+    positive-balance average for those segments and who placed no order
+    since 2000 (the reduced schema has no phone country codes; segments
+    keep the IN-list shape, the recency anti-join keeps NOT EXISTS).
+    The average is a 1-row broadcast; the anti-join shuffles only the
+    filtered customer sliver against orders' custkeys."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    segs = F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING", "MACHINERY")
+    in_seg = cust.filter(segs)
+    avg_bal = in_seg.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= _ts("2000-01-01")).select("o_custkey")
+    return (
+        in_seg.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q12_returnflag_priority": q12_returnflag_priority,
+    "q13_customer_order_distribution": q13_customer_order_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_part_supplier_counts": q16_part_supplier_counts,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q19_disjunctive_predicates": q19_disjunctive_predicates,
+    "q20_excess_volume_suppliers": q20_excess_volume_suppliers,
+    "q21_sole_late_supplier": q21_sole_late_supplier,
+    "q22_idle_customer_balance": q22_idle_customer_balance,
+}
+
+ORACLE = {
+    "q2_min_cost_supplier": """
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        eur AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        cand AS (
+            SELECT p_partkey, p_brand, s_name, n_name, s_acctbal
+            FROM ps
+            JOIN eur ON l_suppkey = s_suppkey
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_type = 'LARGE'
+        )
+        SELECT p_partkey, p_brand, s_name, n_name,
+               round(s_acctbal, 2) AS s_acctbal
+        FROM cand c
+        WHERE s_acctbal = (SELECT min(s_acctbal) FROM cand m
+                           WHERE m.p_partkey = c.p_partkey)
+    """,
+    "q7_volume_shipping": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3
+    """,
+    "q8_market_share": """
+        SELECT year(o_orderdate) AS o_year,
+               round(sum(CASE WHEN n1.n_name = 'NATION_5'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        WHERE p_type = 'ECONOMY'
+          AND o_custkey IN (
+            SELECT c_custkey FROM customer
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region ON n2.n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA')
+        GROUP BY 1
+    """,
+    "q12_returnflag_priority": """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    """,
+    "q13_customer_order_distribution": """
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                            AND o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY 1
+        )
+        GROUP BY 1
+    """,
+    "q15_top_supplier": """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-04-01'
+            GROUP BY 1
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM revenue JOIN supplier ON supplier_no = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    "q16_part_supplier_counts": """
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM ps JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          AND p_size IN (1, 2, 3, 4, 5, 6, 7, 8)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+    """,
+    "q17_small_quantity_revenue": """
+        WITH li_t AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+        )
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM li_t a
+        WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM li_t b
+                            WHERE b.l_partkey = a.l_partkey)
+    """,
+    "q18_large_volume_customers": """
+        SELECT c_custkey, c_name, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               round(o_totalprice, 2) AS o_totalprice, total_qty
+        FROM (
+            SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+            FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250
+        )
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 100
+    """,
+    "q19_disjunctive_predicates": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q20_excess_volume_suppliers": """
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE '%bolt')
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY l_suppkey, l_partkey
+            HAVING sum(l_quantity) > 50)
+    """,
+    "q21_sole_late_supplier": """
+        WITH pso AS (
+            SELECT l_orderkey, l_suppkey,
+                   max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                            THEN 1 ELSE 0 END) AS was_late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        ),
+        os AS (
+            SELECT l_orderkey, count(*) AS n_suppliers, sum(was_late) AS n_late
+            FROM pso GROUP BY 1
+        )
+        SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM pso
+        JOIN os USING (l_orderkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE pso.was_late = 1 AND os.n_suppliers >= 2 AND os.n_late = 1
+        GROUP BY 1, 2
+        ORDER BY numwait DESC, s_suppkey ASC
+        LIMIT 100
+    """,
+    "q22_idle_customer_balance": """
+        WITH in_seg AS (
+            SELECT * FROM customer
+            WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+        )
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM in_seg c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM in_seg
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c.c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY 1
+    """,
+}

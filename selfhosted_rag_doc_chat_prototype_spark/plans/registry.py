@@ -20,6 +20,7 @@ _MODULES = None
 # transitive import would otherwise report "N/N pass" over fewer N)
 _EXPECTED = (
     ("operators", "analytics"),
+    ("operators", "tpch"),
     ("operators", "textstats"),
     ("operators", "chunking"),
     ("operators", "dedup"),
