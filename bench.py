@@ -25,6 +25,11 @@ HEADLINE = [
     "q4_order_priority",
     "q6_forecast_revenue",
     "q10_returned_item_revenue",
+    "q2_min_cost_supplier",
+    "q13_customer_order_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q21_sole_late_supplier",
     "a1_events_per_day",
     "a7_weekly_lag",
     "a10_user_timing",

@@ -10,10 +10,13 @@ through DuckDB (SURVEY.md section 2.6: joins, grouped aggregation,
 having, subqueries) -- re-expressed as Catalyst-friendly DataFrame plans.
 
 Scale notes (100 TB):
-- Correlated subqueries (q2/q15/q17/q20) are decorrelated by hand into
-  groupBy + equi-join-back, the same rewrite Catalyst/DuckDB apply --
-  one extra shuffle over the AGGREGATED (small) side, never a per-row
-  re-scan of the fact table.
+- Correlated subqueries are decorrelated by hand. Where the correlated
+  aggregate groups on the SAME relation it filters (q2/q15/q17/q21),
+  the decorrelation is a window function, not agg + join-back: Spark
+  plans a self-referenced subtree TWICE (no plan-time ReuseExchange),
+  so the window form halves the fact scans. Where the aggregate feeds
+  a different relation (q20/q22), it aggregates once and semi/anti
+  equi-joins back.
 - Scalar aggregates feeding a filter (q15's max, q22's avg) become
   1-row broadcast joins, not collected driver constants -- the plan
   stays lazy end-to-end.
@@ -31,7 +34,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import table
@@ -54,10 +57,10 @@ def _rev():
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every LARGE-type part, the EUROPE supplier(s) with the lowest
     account balance among those that ever shipped it. The correlated
-    ``ps_supplycost = (SELECT min(...))`` of TPC-H Q2 is decorrelated:
-    aggregate min per part, equi-join back on (part, cost) -- the join
-    back is on the aggregated relation (<= one row per part), so the
-    expensive side is touched once."""
+    ``ps_supplycost = (SELECT min(...))`` of TPC-H Q2 decorrelates to a
+    min window over the part key: the candidate relation is built ONCE
+    (one lineitem scan) and the window shuffles only the dimension-
+    filtered (part, supplier) pairs."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
     supp = table(spark, sf_dir, "supplier")
@@ -77,15 +80,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("l_partkey") == F.col("p_partkey"))
         .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    min_cost = ps.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
-        F.min("s_acctbal").alias("min_acctbal")
-    )
+    min_bal = F.min("s_acctbal").over(Window.partitionBy("p_partkey"))
     return (
-        ps.join(
-            F.broadcast(min_cost),
-            (F.col("p_partkey") == F.col("mc_partkey"))
-            & (F.col("s_acctbal") == F.col("min_acctbal")),
-        )
+        ps.withColumn("min_acctbal", min_bal)
+        .filter(F.col("s_acctbal") == F.col("min_acctbal"))
         .select(
             "p_partkey", "p_brand", "s_name", "n_name",
             F.round("s_acctbal", 2).alias("s_acctbal"),
@@ -228,9 +226,11 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
 # --------------------------------------------------------------------------
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers whose 1997-Q1 revenue equals the maximum. The revenue
-    'view' aggregates once (one suppkey shuffle); its max is a 1-row
-    broadcast joined back on equality of the ROUNDED value, so both
-    engines compare identical 2-decimal quantities."""
+    'view' aggregates once (one suppkey shuffle, one lineitem scan);
+    the scalar max is a global window over the per-supplier rows --
+    single-partition, but its input cardinality is the supplier count,
+    not the fact table. Equality compares the ROUNDED value so both
+    engines see identical 2-decimal quantities."""
     li = table(spark, sf_dir, "lineitem")
     supp = table(spark, sf_dir, "supplier")
     revenue = (
@@ -241,10 +241,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
     )
-    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    max_rev = F.max("total_revenue").over(Window.partitionBy())
     return (
-        revenue.join(F.broadcast(max_rev),
-                     F.col("total_revenue") == F.col("max_revenue"))
+        revenue.withColumn("max_revenue", max_rev)
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
@@ -285,10 +285,9 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average yearly revenue lost if Brand#3/SMALL orders below 20% of
-    the part's average quantity were not filled. The per-part threshold
-    aggregates over the SAME filtered join once, then joins back --
-    two passes over a part-pruned sliver of lineitem, never a per-row
-    subquery."""
+    the part's average quantity were not filled. The correlated per-part
+    average is an avg window over the part key: the part-pruned lineitem
+    sliver is scanned ONCE, and the window shuffles only that sliver."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
     target = part.filter(
@@ -296,12 +295,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey")
     li_t = li.join(F.broadcast(target),
                    F.col("l_partkey") == F.col("p_partkey"))
-    thresholds = li_t.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        (F.avg("l_quantity") * 0.2).alias("qty_limit")
+    qty_limit = (
+        F.avg("l_quantity").over(Window.partitionBy("l_partkey")) * 0.2
     )
     return (
-        li_t.join(F.broadcast(thresholds),
-                  F.col("l_partkey") == F.col("t_partkey"))
+        li_t.withColumn("qty_limit", qty_limit)
         .filter(F.col("l_quantity") < F.col("qty_limit"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
@@ -415,9 +413,10 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per supplier: in how many multi-supplier orders was it the ONLY
     late shipper (late = shipped >60 days after the order date). TPC-H
     phrases this as EXISTS(another supplier) AND NOT EXISTS(another
-    late supplier); both collapse into one groupBy(orderkey) that
-    counts suppliers and late suppliers together -- one lineitem
-    shuffle instead of two extra self-joins."""
+    late supplier); both collapse into count/sum windows over the order
+    key of the per-(order, supplier) aggregate -- ONE lineitem scan and
+    shuffle instead of two extra self-joins, and the windows run over
+    the aggregated relation (one row per order-supplier pair)."""
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     supp = table(spark, sf_dir, "supplier")
@@ -428,18 +427,15 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(F.when(late, 1).otherwise(0)).alias("was_late"))
     )
-    order_stats = per_supp_order.groupBy(F.col("l_orderkey").alias("so_orderkey")).agg(
-        F.count(F.lit(1)).alias("n_suppliers"),
-        F.sum("was_late").alias("n_late"),
-    )
+    w = Window.partitionBy("l_orderkey")
     return (
-        per_supp_order.join(
-            order_stats,
-            (F.col("l_orderkey") == F.col("so_orderkey"))
+        per_supp_order.withColumn("n_suppliers", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("was_late").over(w))
+        .filter(
+            (F.col("was_late") == 1)
             & (F.col("n_suppliers") >= 2)
-            & (F.col("n_late") == 1),
+            & (F.col("n_late") == 1)
         )
-        .filter(F.col("was_late") == 1)
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))

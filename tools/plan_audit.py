@@ -150,6 +150,44 @@ AUDIT = [
         "the pruned (doc_id, text) scan: zero shuffle at any corpus "
         "size.",
     ),
+    (
+        "q2_min_cost_supplier",
+        "Correlated min decorrelated: the (part, supplier) pairs "
+        "aggregate once, the per-part min joins back as a broadcast -- "
+        "the fact table is scanned once and the join-back touches only "
+        "aggregated rows.",
+    ),
+    (
+        "q13_customer_order_distribution",
+        "Left outer join preserves zero-order customers; two shuffles "
+        "total (custkey agg, then the tiny count histogram), both with "
+        "map-side combine.",
+    ),
+    (
+        "q17_small_quantity_revenue",
+        "Per-part threshold aggregates over the same part-pruned "
+        "lineitem sliver and broadcasts back -- the Brand#3/SMALL "
+        "filter semi-joins before any aggregation, so both passes "
+        "touch only the target parts.",
+    ),
+    (
+        "q19_disjunctive_predicates",
+        "The OR of three (brand, size, quantity) branches stays a "
+        "residual above the shared p_partkey broadcast join; quantity "
+        "bounds remain eligible for row-group min/max skipping.",
+    ),
+    (
+        "q21_sole_late_supplier",
+        "EXISTS + NOT EXISTS collapsed to one per-(order, supplier) "
+        "aggregate plus a per-order rollup -- a single lineitem "
+        "shuffle, no self-joins; top-100 is TakeOrdered.",
+    ),
+    (
+        "q22_idle_customer_balance",
+        "Scalar avg is a 1-row broadcast (never collected); the "
+        "recency anti-join shuffles only the filtered customer sliver "
+        "against order custkeys.",
+    ),
 ]
 
 
