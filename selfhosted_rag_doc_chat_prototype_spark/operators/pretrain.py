@@ -594,8 +594,88 @@ def curate_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_concat(surv, with_n_seqs=False)
 
 
+# ---- domain-mixture resampling --------------------------------------------
+# Pretraining runs rarely train on the crawl's natural domain mix: the
+# recipe assigns each domain (language, source, crawl snapshot) a target
+# share, and the sampler up/down-samples deterministically to hit it --
+# fractional repetition factors ("epochs") included, the Pile/LLaMA-style
+# mixture step. Decision is keyed on a salted content-independent id
+# hash (like corpus_sample_split above) so the realized subset is stable
+# under re-runs, insertions, and repartitioning.
+
+MIX_WEIGHTS = (
+    ("en", 0.5), ("de", 0.125), ("es", 0.125), ("fr", 0.125), ("zh", 0.125),
+)
+
+
+def mixture_resample(
+    docs: DataFrame,
+    weights=MIX_WEIGHTS,
+    *,
+    id_col: str = "doc_id",
+    domain_col: str = "lang",
+) -> DataFrame:
+    """Resample ``docs`` so each domain's expected share matches
+    ``weights`` while keeping the total corpus size: each domain's rate
+    is ``weight * N_total / N_domain``; a doc yields ``floor(rate)``
+    copies plus one more when its uniform draw falls below the
+    fractional part. The draw is the first 8 md5 hex chars of the
+    salted id mapped to [0, 1) -- identical arithmetic in the DuckDB
+    oracle, no engine RNG involved.
+
+    Scale shape: one counting pass (5-ish rows out), rates broadcast
+    back onto a second map-only pass -- never a corpus-wide shuffle on
+    the domain key, which would concentrate each domain's documents
+    (skew) for no reason. Domains without a weight drop out (the
+    recipe's explicit exclusion semantics)."""
+    wmap = F.create_map(*[F.lit(x) for kv in weights for x in kv])
+    counts = docs.groupBy(domain_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n_domain")
+    )
+    rates = (
+        counts.withColumn(
+            "n_total", F.sum("n_domain").over(Window.partitionBy())
+        )
+        .withColumn("w", wmap[F.col(domain_col)])
+        .filter(F.col("w").isNotNull())
+        .withColumn("rate", F.col("w") * F.col("n_total") / F.col("n_domain"))
+        .select(domain_col, "rate")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    n_copies = (
+        F.floor("rate")
+        + (u < (F.col("rate") - F.floor("rate"))).cast("long")
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(rates), domain_col)
+        .withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .select(
+            id_col,
+            domain_col,
+            F.round("rate", 6).alias("mix_rate"),
+            "n_copies",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))).alias("copy"),
+        )
+    )
+
+
+def domain_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_resample(table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "curate_corpus_e2e": curate_corpus_e2e,
+    "domain_mixture_resample": domain_mixture_resample,
     "boilerplate_sentence_dedup": boilerplate_sentence_dedup,
     "quality_tempered_sample": quality_tempered_sample,
     "gopher_quality_filters": gopher_quality_filters,
@@ -663,7 +743,39 @@ _BOILER_SYNTH_SQL = f"""
     FROM documents
 """
 
+_MIX_WTS_SQL = ", ".join(
+    f"('{lang}', CAST({w} AS DOUBLE))" for lang, w in MIX_WEIGHTS
+)
+
 ORACLE = {
+    "domain_mixture_resample": f"""
+        WITH counts AS (
+            SELECT lang, CAST(count(*) AS DOUBLE) AS n_domain
+            FROM documents GROUP BY 1
+        ),
+        tot AS (SELECT sum(n_domain) AS n_total FROM counts),
+        wts(lang, w) AS (VALUES {_MIX_WTS_SQL}),
+        rates AS (
+            SELECT c.lang, w * n_total / n_domain AS rate
+            FROM counts c JOIN wts USING (lang) CROSS JOIN tot
+        ),
+        per AS (
+            SELECT doc_id, d.lang, rate,
+                   CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) / 4294967296.0 AS u
+            FROM documents d JOIN rates USING (lang)
+        ),
+        cop AS (
+            SELECT doc_id, lang, round(rate, 6) AS mix_rate,
+                   CAST(floor(rate) AS BIGINT)
+                   + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END
+                       AS n_copies
+            FROM per
+        )
+        SELECT doc_id, lang, mix_rate, n_copies,
+               unnest(range(1, n_copies + 1)) AS copy
+        FROM cop WHERE n_copies > 0
+    """,
     "boilerplate_sentence_dedup": f"""
         WITH p AS ({_BOILER_SYNTH_SQL}),
         t AS (SELECT doc_id,
