@@ -561,11 +561,13 @@ def curate_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: quality keep, sample keep, token count, and the
     content hash are ONE fused map pass over the corpus (the same
-    expression builders the standalone queries use); dedup canon is a
-    groupBy on the hash whose branch prunes to (doc_id, md5) -- the
-    gram metrics are never computed twice; decontamination stays the
-    broadcast semi-join; the two stitching joins are doc_id-keyed
-    equi joins (co-partitionable, AQE-planned); packing windows stay
+    expression builders the standalone queries use), scanned ONCE:
+    the dedup canon (smallest doc_id per content hash, over the FULL
+    corpus, not just quality survivors) is a min window over the hash
+    -- one shuffle of the narrow flag rows replaces the former
+    groupBy-then-join-back pair, and the gram metrics are never
+    computed twice; decontamination stays the broadcast semi-join;
+    the stitching join is doc_id-keyed; packing windows stay
     shard-bounded."""
     docs = rebalance(table(spark, sf_dir, "documents"))
     q = _quality_exprs()
@@ -577,17 +579,16 @@ def curate_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["kept"].alias("kept"),
         F.md5("text").alias("h"),
     )
-    flags = base.filter(
-        (F.col("keep") == 1) & (F.col("kept") == 1)
-        & (F.col("doc_id") % BENCH_MOD != 0)
-    ).select("doc_id", "tok")
-    canon = (
-        base.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
+    canon_id = F.min("doc_id").over(Window.partitionBy("h"))
     cont = decontaminate_benchmark_overlap(spark, sf_dir).select("doc_id")
     surv = (
-        flags.join(canon, "doc_id")
+        base.withColumn("canon_id", canon_id)
+        .filter(
+            (F.col("keep") == 1) & (F.col("kept") == 1)
+            & (F.col("doc_id") % BENCH_MOD != 0)
+            & (F.col("doc_id") == F.col("canon_id"))
+        )
+        .select("doc_id", "tok")
         .join(cont, "doc_id", "left_anti")
         .withColumn("shard", F.expr(f"doc_id div {PACK_SHARD}"))
     )

@@ -108,6 +108,37 @@ def write_bucketed_table(
     w.saveAsTable(table_name)
 
 
+def streaming_upsert_sink(
+    stream_df: DataFrame, path: str, checkpoint_dir: str,
+    id_col: str = "id", n_buckets: int = DEFAULT_BUCKETS,
+):
+    """The K1 upsert's STREAMING face: continuous ingest lands each
+    micro-batch through the same idempotent content-addressed merge the
+    batch path uses (``foreachBatch`` -> :func:`upsert_table`), so
+    at-least-once delivery (source replays after failure) still
+    converges -- a redelivered document hits the same id and replaces
+    itself. This is the reference's staging -> searchable continuous
+    flow (claim loop + INSERT OR REPLACE, ``utils/consumer_utils.py:
+    21-132``) with Spark's checkpointed micro-batch exactly-once
+    bookkeeping replacing the Redis claim choreography (SURVEY
+    section 2.10).
+
+    Returns the started ``StreamingQuery``; callers own its lifecycle.
+    """
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_table(batch_df.sparkSession, batch_df, path, id_col, n_buckets)
+
+    return (
+        stream_df.writeStream
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 

@@ -45,11 +45,21 @@ def rebalance(df: DataFrame, target: int | None = None) -> DataFrame:
     in one parquet row group, serializing CPU-heavy per-row operators
     onto a single core. On a real many-file table partitions >= cores,
     so this is a no-op and costs no shuffle at scale. Same guard as
-    the ingest binary-file rebalance (operators/ingest.py)."""
+    the ingest binary-file rebalance (operators/ingest.py).
+
+    The always-true non-deterministic guard after the exchange is a
+    predicate-pushdown BARRIER: without it, Catalyst pushes any later
+    deterministic filter (e.g. a quality-flag predicate over expensive
+    gram metrics) back through the round-robin exchange into the
+    single-split scan stage, serializing exactly the CPU-heavy work the
+    repartition exists to spread (measured 9.5s -> 1.1s on the curation
+    flags path at sf0.1). Column pruning still reaches the scan; only
+    row filters stay above the exchange, where the corpus paths using
+    this helper want them anyway."""
     spark = df.sparkSession
     par = target or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
+        return df.repartition(par).where(F.monotonically_increasing_id() >= 0)
     return df
 
 

@@ -101,3 +101,39 @@ def test_upsert_cleans_staging_and_raises_on_corrupt_target(spark, tmp_path):
         sinks.upsert_table(spark, df, bad)
     # the garbage file is still there -- nothing was clobbered
     assert os.path.exists(os.path.join(bad, "part-00000.parquet"))
+
+
+def test_streaming_upsert_sink_converges(spark, tmp_path):
+    """Continuous ingest through foreachBatch + upsert_table: replayed
+    (duplicate) documents converge to one row per content id, and a
+    second delivery batch with overlapping ids replaces in place."""
+    src = str(tmp_path / "incoming")
+    target = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    _chunks(spark, n=20, salt="v1").write.mode("append").json(src)
+    stream = (
+        spark.readStream.schema("id string, chunk string").json(src)
+    )
+    q = sinks.streaming_upsert_sink(stream, target, ckpt)
+    q.awaitTermination(120)
+    back = {r.id: r.chunk for r in sinks.read_table(spark, target).collect()}
+    assert len(back) == 20
+    assert back["id_3"] == "chunk text v13"
+
+    # second delivery: 5 overlapping ids updated + 5 fresh ids; the
+    # checkpoint ensures already-processed files are not re-merged
+    _chunks(spark, n=25, salt="v2").filter(
+        F.col("id").isin(*[f"id_{i}" for i in range(15, 25)])
+    ).write.mode("append").json(src)
+    q2 = sinks.streaming_upsert_sink(
+        spark.readStream.schema("id string, chunk string").json(src),
+        target, ckpt,
+    )
+    q2.awaitTermination(120)
+    back = {r.id: r.chunk for r in sinks.read_table(spark, target).collect()}
+    assert len(back) == 25  # 20 originals + 5 fresh (20..24)
+    assert back["id_3"] == "chunk text v13"      # untouched
+    assert back["id_15"] == "chunk text v215"    # replaced by v2
+    assert back["id_22"] == "chunk text v222"    # fresh insert
