@@ -1,0 +1,107 @@
+"""Plan-shape regression guards: the scale properties PLANS.md documents,
+asserted so a refactor cannot silently lose them.
+
+Checks run on the PLANNED (not executed) queries at sf0.001: planning is
+cheap and the properties under test -- join strategy, pushdown, pruning,
+absence of cartesian products -- are decided at plan time.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from selfhosted_rag_doc_chat_prototype_spark.plans.registry import all_queries
+
+# queries whose CONSTRUCTION executes Spark jobs (iterative loops, KMeans
+# fits, model broadcasts): planning them here would run real work; their
+# plan shapes are asserted by their own dedicated tests instead.
+EAGER = {
+    "dedup_connected_components",   # driver-looped CC with per-round counts
+    "anns_ivf_topk",                # KMeans fit at build time
+    "ingest_pipeline_e2e",          # builds its own staging fixture dir
+}
+
+
+def _plan(spark, fn, sf_dir) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fn(spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    out = {}
+    for name, fn in all_queries().items():
+        if name in EAGER:
+            continue
+        out[name] = _plan(spark, fn, sf_dir)
+    return out
+
+
+def test_no_cartesian_products(plans):
+    """A CartesianProduct at 100 TB is always a bug: the intended 1-row
+    scalar joins plan as BroadcastNestedLoopJoin over a broadcast side,
+    never a partition-pair cross product."""
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert offenders == []
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q3_shipping_priority", "q5_regional_revenue", "q9_profit_by_nation_year",
+     "q2_min_cost_supplier", "q8_market_share", "q10_returned_item_revenue"],
+)
+def test_star_joins_broadcast(plans, name):
+    """Dimension joins must be broadcast: a shuffle join against nation/
+    region/part/customer wastes a fact-table exchange."""
+    assert "BroadcastHashJoin" in plans[name]
+
+
+@pytest.mark.parametrize(
+    "name, allowed",
+    [
+        ("text_token_stats", {"doc_id", "text"}),
+        ("text_quality_flags", {"doc_id", "text"}),
+        ("gopher_quality_filters", {"doc_id", "text"}),
+        ("quality_tempered_sample", {"doc_id", "text"}),
+        ("corpus_sample_split", {"doc_id"}),
+        ("q6_forecast_revenue",
+         {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}),
+    ],
+)
+def test_scan_column_pruning(plans, name, allowed):
+    """Scans must read only the referenced columns (ReadSchema pruning
+    survives the rebalance barrier)."""
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plans[name])
+    assert schemas, f"no ReadSchema found for {name}"
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert cols <= allowed, f"{name} reads {cols - allowed} beyond {allowed}"
+
+
+def test_q6_filters_pushed(plans):
+    """Q6's predicates must reach the parquet scan."""
+    p = plans["q6_forecast_revenue"]
+    assert "PushedFilters: [" in p
+    import re
+
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", p))
+    for col in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert col in pushed, f"{col} not pushed into the scan"
+
+
+def test_topk_plans_take_ordered(plans):
+    """LIMIT-after-ORDER BY must plan as TakeOrderedAndProject, never a
+    global sort of the full relation."""
+    for name in ["q3_shipping_priority", "q10_returned_item_revenue",
+                 "q18_large_volume_customers", "q21_sole_late_supplier",
+                 "a5_top20_events"]:
+        assert "TakeOrderedAndProject" in plans[name], name
+        # a global Sort node outside the top-k operator is the regression
+        assert "Sort [" not in plans[name].split("TakeOrderedAndProject")[0]
