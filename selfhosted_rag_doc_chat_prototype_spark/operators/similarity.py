@@ -84,6 +84,48 @@ def rh_sig_udf(planes: np.ndarray, bits: int, tables: int):
     return _sig
 
 
+N_PROBES = 2  # extra Hamming-1 probes per table (query side only)
+
+
+def rh_probe_sig_udf(planes: np.ndarray, bits: int, tables: int,
+                     n_probes: int = N_PROBES):
+    """Multi-probe signatures for the QUERY side: per table, the base
+    bucket plus ``n_probes`` perturbed buckets obtained by flipping the
+    lowest-|margin| bits -- the hyperplanes the vector sits closest to,
+    i.e. the flips most likely to reach a true neighbor's bucket
+    (Lv et al., multi-probe LSH). Probing multiplies candidate work by
+    (1 + n_probes) on the small query side ONLY, where adding a whole
+    table would also re-signature and re-shuffle the corpus side --
+    the standard recall/space trade: fewer tables, same recall.
+
+    Same Arrow matmul as :func:`rh_sig_udf`; emits (tbl, bucket)
+    structs ready to explode into the bucket equi-join."""
+    P = planes.T.copy()
+
+    @pandas_udf("array<struct<tbl:int,bucket:string>>")
+    def _sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        margins = np.stack(v.to_numpy()) @ P
+        out = []
+        for row in margins:
+            entries = []
+            for t in range(tables):
+                m = row[t * bits:(t + 1) * bits]
+                b = m >= 0
+                entries.append(
+                    (t, "".join("1" if x else "0" for x in b)))
+                for j in np.argsort(np.abs(m))[:n_probes]:
+                    fb = b.copy()
+                    fb[j] = not fb[j]
+                    entries.append(
+                        (t, "".join("1" if x else "0" for x in fb)))
+            out.append(entries)
+        return pd.Series(out)
+
+    return _sig
+
+
 def planes_sql_literal(planes: np.ndarray) -> str:
     """The plane matrix as a DuckDB DOUBLE[][] literal (repr round-trips
     each rounded float to the identical binary double)."""
@@ -139,6 +181,25 @@ def anns_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     return topk_cosine(base, queries, k=TOP_K, strategy="lsh")
+
+
+def anns_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe variant of :func:`anns_lsh_bucketed` with HALF the
+    tables: each query also probes the ``N_PROBES`` Hamming-1 buckets
+    whose hyperplanes it sits closest to, trading a (1 + probes)x
+    fan-out on the tiny query side for a 2x cut in corpus-side
+    signature/shuffle work at equal-or-better recall. Registered
+    rows-only (the margin-ordered bit flips have no clean SQL twin);
+    the recall floor vs brute force is asserted in
+    ``tests/test_similarity.py``."""
+    base = _vectors(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return topk_cosine(
+        base, queries, k=TOP_K, strategy="lsh_multiprobe",
+        lsh_tables=LSH_TABLES // 2,
+    )
 
 
 DENSE_PREFETCH = 50   # J5 asymmetry (database_qdrant_sparse_testing.py:33-46)
@@ -343,20 +404,30 @@ def topk_cosine(
     q = queries.select("query_id", "qv")
     if strategy == "brute":
         joined = F.broadcast(q).crossJoin(cand)
-    elif strategy == "lsh":
+    elif strategy in ("lsh", "lsh_multiprobe"):
         dim = len(q.select("qv").head()[0])
-        sig = rh_sig_udf(hyperplanes(dim, lsh_bits, lsh_tables),
-                         lsh_bits, lsh_tables)
-        qs = q.select(
-            "query_id", "qv", F.posexplode(sig(F.col("qv"))).alias("tbl", "bucket")
-        )
+        planes = hyperplanes(dim, lsh_bits, lsh_tables)
+        sig = rh_sig_udf(planes, lsh_bits, lsh_tables)
+        if strategy == "lsh_multiprobe":
+            psig = rh_probe_sig_udf(planes, lsh_bits, lsh_tables)
+            qs = q.select(
+                "query_id", "qv", F.explode(psig(F.col("qv"))).alias("tb")
+            ).select(
+                "query_id", "qv",
+                F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
+            )
+        else:
+            qs = q.select(
+                "query_id", "qv",
+                F.posexplode(sig(F.col("qv"))).alias("tbl", "bucket"),
+            )
         cs = cand.select(
             "neighbor_id", "cv",
             F.posexplode(sig(F.col("cv"))).alias("ctbl", "cbucket"),
         )
-        # a pair colliding in several tables must score ONCE: dedup on
-        # (query, neighbor) after the bucket join (collision rows are
-        # value-identical, so any survivor is deterministic)
+        # a pair colliding in several tables/probes must score ONCE:
+        # dedup on (query, neighbor) after the bucket join (collision
+        # rows are value-identical, so any survivor is deterministic)
         joined = (
             F.broadcast(qs)
             .join(cs, (F.col("tbl") == F.col("ctbl"))
@@ -448,6 +519,7 @@ def sparse_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "anns_bruteforce_topk": anns_bruteforce_topk,
     "anns_lsh_bucketed": anns_lsh_bucketed,
+    "anns_lsh_multiprobe": anns_lsh_multiprobe,
     "anns_ivf_topk": anns_ivf_topk,
     "hybrid_fusion_topk": hybrid_fusion_topk,
     "sparse_bm25_topk": sparse_bm25_topk,

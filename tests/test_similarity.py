@@ -157,3 +157,33 @@ def test_lsh_recall_against_bruteforce(spark, sf_dir):
     hits = sum(len(bf[q] & lsh.get(q, set())) for q in bf)
     total = sum(len(v) for v in bf.values())
     assert hits / total >= 0.5
+
+
+def test_multiprobe_recall_beats_half_tables(spark, sf_dir):
+    """Multi-probe with tables/2 must at least match plain LSH at
+    tables/2 and clear the same 0.5 recall floor as the full-table
+    configuration -- the probes are doing the recall work of the
+    dropped tables."""
+    bf = {}
+    for r in similarity.anns_bruteforce_topk(spark, sf_dir).collect():
+        bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    base = similarity._vectors(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") < similarity.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(bf[q] & got.get(q, set())) for q in bf) / sum(
+            len(v) for v in bf.values()
+        )
+
+    half = similarity.LSH_TABLES // 2
+    plain = recall(similarity.topk_cosine(
+        base, queries, strategy="lsh", lsh_tables=half))
+    probed = recall(similarity.anns_lsh_multiprobe(spark, sf_dir))
+    assert probed >= plain
+    assert probed >= 0.5
