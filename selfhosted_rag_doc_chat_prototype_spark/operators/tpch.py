@@ -174,6 +174,40 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q11 shape: value concentration -- parts whose stocked value exceeds a
+# fraction of the national total (scalar-sum subquery in HAVING).
+# partsupp value stand-in = shipped extendedprice*quantity by suppliers
+# of one nation.
+# --------------------------------------------------------------------------
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose NATION_0-supplied value exceeds 0.1% of that
+    nation's total. The correlated scalar total is a global sum window
+    over the per-part aggregate (cardinality = parts of one nation,
+    never the fact table), so the nation-pruned lineitem sliver is
+    scanned once."""
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    n0_supp = (
+        supp.join(F.broadcast(nation.filter(F.col("n_name") == "NATION_0")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    per_part = (
+        li.join(F.broadcast(n0_supp), F.col("l_suppkey") == F.col("s_suppkey"),
+                "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value_raw"))
+    )
+    total = F.sum("value_raw").over(Window.partitionBy())
+    return (
+        per_part.withColumn("total_value", total)
+        .filter(F.col("value_raw") > F.col("total_value") * 0.001)
+        .select("l_partkey", F.round("value_raw", 2).alias("part_value"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Q12 shape: line counts by priority class after a fact-fact join
 # (shipmode stand-in = l_returnflag).
 # --------------------------------------------------------------------------
@@ -480,6 +514,7 @@ QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
+    "q11_important_stock": q11_important_stock,
     "q12_returnflag_priority": q12_returnflag_priority,
     "q13_customer_order_distribution": q13_customer_order_distribution,
     "q15_top_supplier": q15_top_supplier,
@@ -551,6 +586,21 @@ ORACLE = {
             JOIN region ON n2.n_regionkey = r_regionkey
             WHERE r_name = 'ASIA')
         GROUP BY 1
+    """,
+    "q11_important_stock": """
+        WITH pp AS (
+            SELECT l_partkey,
+                   sum(l_extendedprice * l_quantity) AS value_raw
+            FROM lineitem
+            WHERE l_suppkey IN (
+                SELECT s_suppkey FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_0')
+            GROUP BY 1
+        )
+        SELECT l_partkey, round(value_raw, 2) AS part_value
+        FROM pp
+        WHERE value_raw > (SELECT sum(value_raw) FROM pp) * 0.001
     """,
     "q12_returnflag_priority": """
         SELECT l_returnflag,

@@ -139,6 +139,26 @@ def streaming_upsert_sink(
     )
 
 
+def compact_table(
+    spark: SparkSession, path: str, id_col: str = "id",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """Maintenance compaction: every micro-batch landed through
+    :func:`streaming_upsert_sink` (or any append) leaves its own file
+    set per bucket directory, and small files are the classic death of
+    100 TB scan throughput (per-file open cost, starved vectorized
+    reads, NameNode/listing pressure). Rewrite the table through the
+    same dedup-and-bucket path so each bucket collapses back to its
+    target file count, staged first so the read never races its own
+    overwrite. Contents are unchanged -- same idempotent id semantics,
+    byte-stable under re-runs."""
+    staging = path.rstrip("/") + "__compact"
+    df = spark.read.parquet(path).drop("bucket")
+    df.dropDuplicates([id_col]).write.mode("overwrite").parquet(staging)
+    write_table(spark.read.parquet(staging), path, id_col, n_buckets)
+    _delete_dir(spark, staging)
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
