@@ -126,6 +126,46 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- int8 vector quantization ---------------------------------------------
+# At 100 TB the embedding column IS the storage/IO bill of the ANN path
+# (a 1024-dim float32 vector is 4 KB/doc); symmetric per-vector int8
+# quantization cuts it 4x with bounded reconstruction error (half a
+# quantization step per component) -- the standard scalar-quantized
+# index layout (Qdrant/FAISS SQ8). Per-VECTOR scales keep the operator
+# map-only: no global min/max pass, no shuffle, and a vector's code is
+# independent of every other row (stable under re-ingest).
+
+QUANT_BITS_MAX = 127.0
+
+
+def quantize_int8(vectors: DataFrame, vec_col: str = "v") -> DataFrame:
+    """(id, v: array<double>) -> (id, scale, qv: array<int>) with
+    ``v_i ~= qv_i * scale``; zero vectors carry scale 0 and all-zero
+    codes. Pure column expressions (codegen, map-only)."""
+    v = F.col(vec_col)
+    maxabs = F.array_max(F.transform(v, F.abs))
+    scale = F.when(maxabs == 0.0, 0.0).otherwise(maxabs / F.lit(QUANT_BITS_MAX))
+    return vectors.withColumn("scale", scale).select(
+        *[c for c in vectors.columns if c != vec_col],
+        F.round("scale", 9).alias("scale"),
+        F.when(
+            F.col("scale") == 0.0,
+            F.transform(v, lambda x: F.lit(0)),
+        )
+        .otherwise(
+            F.transform(v, lambda x: F.round(x / F.col("scale")).cast("int"))
+        )
+        .alias("qv"),
+    )
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return quantize_int8(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+
+
 MAX_TOKENS = 256  # reference MAX_TOKENS default (shared/defaults.py:61)
 
 
@@ -147,7 +187,10 @@ def validate_token_budget(
     return ok, bad
 
 
-QUERIES = {"embed_documents": embed_documents}
+QUERIES = {
+    "embed_documents": embed_documents,
+    "embedding_quantize_int8": embedding_quantize_int8,
+}
 
 ORACLE = {
     "embed_documents": f"""
@@ -179,5 +222,27 @@ ORACLE = {
                           ELSE CAST(votes[CAST(u.j + 1 AS INTEGER)] AS DOUBLE) / nrm
                      END, 4) AS val
         FROM n, unnest(range(0, {DIM})) AS u(j)
+    """,
+    "embedding_quantize_int8": """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        s AS (
+            SELECT vec_id, v,
+                   CASE WHEN list_aggregate(list_transform(v, x -> abs(x)),
+                                            'max') = 0.0
+                        THEN 0.0
+                        ELSE list_aggregate(list_transform(v, x -> abs(x)),
+                                            'max') / 127.0
+                   END AS scale
+            FROM e
+        )
+        SELECT vec_id,
+               round(scale, 9) AS scale,
+               CASE WHEN scale = 0.0
+                    THEN list_transform(v, x -> 0)
+                    ELSE list_transform(v, x -> CAST(round(x / scale) AS INTEGER))
+               END AS qv
+        FROM s
     """,
 }

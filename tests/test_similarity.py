@@ -187,3 +187,43 @@ def test_multiprobe_recall_beats_half_tables(spark, sf_dir):
     probed = recall(similarity.anns_lsh_multiprobe(spark, sf_dir))
     assert probed >= plain
     assert probed >= 0.5
+
+
+def test_int8_quantization_error_and_recall(spark, sf_dir):
+    """Reconstruction error is bounded by half a quantization step per
+    component, and exact top-k over DEQUANTIZED vectors stays close to
+    the float top-k -- the accuracy contract of the 4x storage cut."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators import embedding as emb_mod
+
+    q = emb_mod.embedding_quantize_int8(spark, sf_dir)
+    base = similarity._vectors(spark, sf_dir)
+    joined = base.join(q, "vec_id").select(
+        F.max(
+            F.array_max(
+                F.zip_with(
+                    "v", "qv",
+                    lambda x, c: F.abs(x - c.cast("double") * F.col("scale")),
+                )
+            )
+            / F.nullif(F.col("scale"), F.lit(0.0))
+        ).alias("worst_steps")
+    )
+    assert joined.first().worst_steps <= 0.5 + 1e-9
+
+    deq = base.join(q, "vec_id").select(
+        "vec_id", "label",
+        F.zip_with("qv", F.array_repeat("scale", 64),
+                   lambda c, s: c.cast("double") * s).alias("v"),
+    )
+    bf, qr = {}, {}
+    queries_f = base.filter(F.col("vec_id") < similarity.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    queries_q = deq.filter(F.col("vec_id") < similarity.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    for r in similarity.topk_cosine(base, queries_f, strategy="brute").collect():
+        bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in similarity.topk_cosine(deq, queries_q, strategy="brute").collect():
+        qr.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recall = sum(len(bf[k] & qr.get(k, set())) for k in bf) / sum(
+        len(v) for v in bf.values())
+    assert recall >= 0.9
