@@ -71,29 +71,43 @@ _NEAR_CORPUS_SQL = f"""
     FROM (SELECT doc_id, {_W_SQL} AS w FROM documents WHERE doc_id % 5 = 0)
 """
 
-_SHINGLES_SQL = f"""
+def _shingles_sql(src: str) -> str:
+    return f"""
     SELECT doc_id,
            list_distinct(list_transform(range(1, len(w) - 1),
                i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS shingles
-    FROM (SELECT doc_id, {_W_SQL} AS w FROM corpus)
+    FROM (SELECT doc_id, {_W_SQL} AS w FROM {src})
 """
 
-_BANDS_SQL = f"""
-    WITH corpus AS ({_NEAR_CORPUS_SQL}),
-    sh AS ({_SHINGLES_SQL}),
-    mh AS (
+
+def _bands_cte(src: str, sfx: str = "") -> str:
+    """CTE chain ``sh{sfx}/mh{sfx}/bands{sfx}`` deriving banded minhash
+    signatures from relation ``src(doc_id, text)`` -- the oracle twin of
+    :func:`_band_signatures`, suffixable so two sides (corpus vs
+    benchmark) can coexist in one query."""
+    return f"""
+    sh{sfx} AS ({_shingles_sql(src)}),
+    mh{sfx} AS (
         SELECT doc_id, s.seed,
                min(substr(md5(u.shingle) || md5(u.shingle),
                           CAST(s.seed * 2 + 1 AS INTEGER), 32)) AS mh
-        FROM sh, unnest(shingles) AS u(shingle),
+        FROM sh{sfx}, unnest(shingles) AS u(shingle),
              unnest(range(0, {N_SEEDS})) AS s(seed)
         GROUP BY doc_id, s.seed
     ),
-    bands AS (
+    bands{sfx} AS (
         SELECT doc_id, CAST(seed // {BAND_ROWS} AS INTEGER) AS band,
                md5(string_agg(mh, ',' ORDER BY seed)) AS sig
-        FROM mh GROUP BY doc_id, seed // {BAND_ROWS}
+        FROM mh{sfx} GROUP BY doc_id, seed // {BAND_ROWS}
     )
+"""
+
+
+_SHINGLES_SQL = _shingles_sql("corpus")
+
+_BANDS_SQL = f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    {_bands_cte("corpus")}
 """
 
 
@@ -260,6 +274,64 @@ def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(inter.cast("double") / union.cast("double"), 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+FUZZY_BENCH_MOD = 13      # same benchmark stand-in as pretrain.BENCH_MOD
+FUZZY_BENCH_OFFSET = 5_000_000
+FUZZY_JACCARD = 0.5
+
+
+def decontaminate_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: training documents
+    whose minhash-LSH candidates against the benchmark set verify at
+    >= 0.5 shingle-Jaccard -- catching lightly edited benchmark leaks
+    that the exact n-gram overlap check
+    (``pretrain.decontaminate_benchmark_overlap``) can miss once a few
+    words change. Benchmark stand-in: every mod-13 doc re-enters as a
+    first-two-words-dropped near-copy, so each one's origin document
+    is a planted "contaminated" training doc.
+
+    Scale shape: the corpus side signatures once (the same single-pass
+    banded aggregate as ``dedup_minhash_lsh``); the benchmark side is
+    a few thousand rows at worst, so its banded signatures BROADCAST
+    into the candidate join -- no corpus shuffle keyed by bucket, and
+    the Jaccard verification touches only candidate pairs."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = tq.words(F.col("text"))
+    bench = docs.filter(F.col("doc_id") % FUZZY_BENCH_MOD == 0).select(
+        (F.col("doc_id") + FUZZY_BENCH_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(w, 3, F.size(w)), " ").alias("text"),
+    )
+    corpus_bands = _band_signatures(rebalance(docs))
+    bench_bands = (
+        _band_signatures(bench)
+        .withColumnRenamed("doc_id", "bench_id")
+        .withColumnRenamed("sig", "bsig")
+        .withColumnRenamed("band", "bband")
+    )
+    cand = (
+        corpus_bands.join(
+            F.broadcast(bench_bands),
+            (F.col("band") == F.col("bband")) & (F.col("sig") == F.col("bsig")),
+        )
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    sh_c = docs.select("doc_id", _shingles_col().alias("sh_a"))
+    sh_b = bench.select(
+        F.col("doc_id").alias("bench_id"), _shingles_col().alias("sh_b")
+    )
+    j = cand.join(sh_c, "doc_id").join(F.broadcast(sh_b), "bench_id")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        j.select(
+            "doc_id",
+            "bench_id",
+            F.round(inter.cast("double") / union.cast("double"), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= FUZZY_JACCARD)
     )
 
 
@@ -448,6 +520,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_jaccard_verify": dedup_jaccard_verify,
+    "decontaminate_fuzzy_minhash": decontaminate_fuzzy_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_connected_components": dedup_connected_components,
@@ -488,6 +561,32 @@ ORACLE = {
             JOIN sh sb ON sb.doc_id = c.doc_b
         )
         SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
+    """,
+    "decontaminate_fuzzy_minhash": f"""
+        WITH corpus AS (SELECT doc_id, text FROM documents),
+        bench AS (
+            SELECT doc_id + {FUZZY_BENCH_OFFSET} AS doc_id,
+                   array_to_string(list_slice(w, 3, len(w)), ' ') AS text
+            FROM (SELECT doc_id, {_W_SQL} AS w FROM documents
+                  WHERE doc_id % {FUZZY_BENCH_MOD} = 0)
+        ),
+        {_bands_cte("corpus", "_c")},
+        {_bands_cte("bench", "_b")},
+        cand AS (
+            SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_id
+            FROM bands_c c
+            JOIN bands_b b ON c.band = b.band AND c.sig = b.sig
+        )
+        SELECT * FROM (
+            SELECT cand.doc_id, bench_id,
+                   round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                         / (len(sa.shingles) + len(sb.shingles)
+                            - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE,
+                         4) AS jaccard
+            FROM cand
+            JOIN sh_c sa ON sa.doc_id = cand.doc_id
+            JOIN sh_b sb ON sb.doc_id = cand.bench_id
+        ) WHERE jaccard >= {FUZZY_JACCARD}
     """,
     "dedup_simhash": f"""
         WITH t AS (
