@@ -1,0 +1,99 @@
+"""The curation pipeline's CONTINUOUS face: the same quality /
+dedup / decontamination semantics as ``operators/pretrain.py`` and
+``operators/dedup.py``, composed over a document stream with bounded
+state (SURVEY.md section 2.10 generalized from telemetry to ingest).
+
+Stage placement follows what each stage needs, not a fixed recipe:
+
+- **quality gate** -- pure stateless column expressions (the exact
+  ``_quality_exprs``/``_tempered_exprs`` builders the batch queries
+  use); runs in-line on the stream with zero state.
+- **exact dedup** -- ``dropDuplicatesWithinWatermark`` on the content
+  hash: state holds only the arrival window, evicted by the event-time
+  watermark (the lambda split with the batch archive dedup is the
+  documented pattern on ``dedup.streaming_exact_dedup_plan``).
+- **decontamination** -- the benchmark gram set is STATIC and small
+  (benchmark suites are thousands of items); it broadcasts into a
+  stream-static LEFT SEMI equi-join on exploded grams to flag
+  contaminated docs, then the clean side proceeds. No stream state at
+  all: the join is per-row against a broadcast table.
+
+At 100 TB/day this is the shape you want: the only stateful operator is
+keyed by content hash with watermark-bounded size; everything else is
+map-side or broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.pretrain import DECON_K, _quality_exprs, _tempered_exprs
+
+
+def quality_gate(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stateless curation projection: keep flags + token count from the
+    shared expression builders. Works identically on a stream or batch
+    DataFrame (same plan)."""
+    q = _quality_exprs(text_col=text_col)
+    t = _tempered_exprs(text_col=text_col)
+    return docs.select(
+        "*",
+        q["n_words"].alias("tok"),
+        q["keep"].alias("quality_keep"),
+        t["kept"].alias("sample_keep"),
+        F.md5(text_col).alias("content_md5"),
+    ).filter((F.col("quality_keep") == 1) & (F.col("sample_keep") == 1))
+
+
+def doc_grams_stream(docs: DataFrame, text_col: str = "text",
+                     k: int = DECON_K) -> DataFrame:
+    """(doc_id, gram) explode of k-word grams -- stateless, stream-safe."""
+    w = F.filter(F.split(F.trim(text_col), r"\s+"), lambda x: x != F.lit(""))
+    grams = F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+
+
+def streaming_curation_plan(
+    stream_docs: DataFrame,
+    bench_grams: DataFrame,
+    ts_col: str = "ingest_ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """quality gate -> watermark-bounded exact dedup -> contaminated
+    docs flagged via a stream-static broadcast semi-join on grams,
+    subtracted with a stateless array check. Emits the surviving
+    (doc_id, tok, content_md5, ``ts_col``) rows in append mode.
+
+    ``bench_grams`` must be a STATIC (batch) DataFrame with a ``gram``
+    column; it is collected into a broadcast set ONCE per (micro-batch)
+    plan, matching the batch decontamination's broadcast semi-join
+    shape without adding a second stateful operator to the stream."""
+    gated = quality_gate(stream_docs)
+    deduped = (
+        gated.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_md5"])
+    )
+    w = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != F.lit(""))
+    grams = F.when(
+        F.size(w) >= DECON_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (DECON_K - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, DECON_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bench_set = F.broadcast(
+        bench_grams.select("gram").distinct()
+        .agg(F.collect_set("gram").alias("bench_grams"))
+    )
+    return (
+        deduped.crossJoin(bench_set)
+        .filter(F.size(F.array_intersect(grams, F.col("bench_grams"))) == 0)
+        .select("doc_id", "tok", "content_md5", ts_col)
+    )
