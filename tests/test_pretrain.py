@@ -83,3 +83,31 @@ def test_concat_chunk_offsets_are_gapless(spark, sf_dir):
             pos += r.tok
             assert r.first_seq == r.tok_start // pretrain.PACK_CAP
             assert r.n_seqs >= 1
+
+
+def test_mixture_resample_hits_target_shares(spark, sf_dir):
+    """Realized domain shares track the configured mixture within the
+    tolerance of the deterministic hash draws, and every copy count is
+    floor(rate) or ceil(rate)."""
+    from pyspark.sql import functions as F
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.pretrain import (
+        MIX_WEIGHTS,
+        domain_mixture_resample,
+    )
+
+    out = domain_mixture_resample(spark, sf_dir)
+    per_lang = {
+        r.lang: r.n for r in
+        out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(per_lang.values())
+    for lang, w in MIX_WEIGHTS:
+        realized = per_lang.get(lang, 0) / total
+        assert abs(realized - w) < 0.05, (lang, realized, w)
+
+    bad = out.filter(
+        (F.col("n_copies") < F.floor("mix_rate"))
+        | (F.col("n_copies") > F.ceil("mix_rate"))
+    ).count()
+    assert bad == 0
