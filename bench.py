@@ -59,6 +59,10 @@ HEADLINE = [
     "boilerplate_sentence_dedup",
     "quality_tempered_sample",
     "curate_corpus_e2e",
+    "domain_mixture_resample",
+    "decontaminate_fuzzy_minhash",
+    "embedding_quantize_int8",
+    "anns_lsh_multiprobe",
 ]
 
 

@@ -188,6 +188,25 @@ AUDIT = [
         "recency anti-join shuffles only the filtered customer sliver "
         "against order custkeys.",
     ),
+    (
+        "decontaminate_fuzzy_minhash",
+        "Corpus signatures once (single-pass banded aggregate); the "
+        "benchmark side's bands BROADCAST into the candidate join -- "
+        "no corpus shuffle keyed by bucket; Jaccard verification "
+        "touches candidates only.",
+    ),
+    (
+        "domain_mixture_resample",
+        "One counting pass emits ~|domains| rows; rates broadcast "
+        "back onto a map-only second pass -- no corpus-wide shuffle "
+        "on the (skewed) domain key.",
+    ),
+    (
+        "embedding_quantize_int8",
+        "Per-vector symmetric scales keep quantization map-only "
+        "codegen: no global stats pass, no shuffle, stable under "
+        "re-ingest.",
+    ),
 ]
 
 
