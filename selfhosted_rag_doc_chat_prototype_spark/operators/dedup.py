@@ -340,13 +340,15 @@ def decontaminate_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     a few thousand rows at worst, so its banded signatures BROADCAST
     into the candidate join -- no corpus shuffle keyed by bucket, and
     the Jaccard verification touches only candidate pairs."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # rebalance ONCE; both the signature chain and the shingle-verify
+    # pass are CPU-heavy per-row work that must spread across cores
+    docs = rebalance(table(spark, sf_dir, "documents").select("doc_id", "text"))
     w = tq.words(F.col("text"))
     bench = docs.filter(F.col("doc_id") % FUZZY_BENCH_MOD == 0).select(
         (F.col("doc_id") + FUZZY_BENCH_OFFSET).alias("doc_id"),
         F.array_join(F.slice(w, 3, F.size(w)), " ").alias("text"),
     )
-    corpus_bands = _band_signatures(rebalance(docs))
+    corpus_bands = _band_signatures(docs)
     bench_bands = (
         _band_signatures(bench)
         .withColumnRenamed("doc_id", "bench_id")
