@@ -105,6 +105,34 @@ def text_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-SOURCE quality dashboard a curation run reads before
+    choosing mixture weights / exclusions: document counts, flag rates,
+    and mean quality score per origin feed. Pure map expressions
+    followed by one low-cardinality aggregate (map-side combined) --
+    the per-key load per source is partial-aggregable, so source skew
+    does not concentrate work."""
+    docs = rebalance(table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    per_doc = docs.select(
+        "source",
+        tq.is_bad_ocr(t).cast("int").alias("bad"),
+        tq.is_gibberish(t).cast("int").alias("gib"),
+        tq.is_repetitive(t).cast("int").alias("rep"),
+        tq.quality_score(t).alias("qs"),
+        F.size(tq.words(t)).alias("n_words"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("bad").alias("n_bad"),
+        F.round(F.avg("bad"), 4).alias("bad_rate"),
+        F.round(F.avg("gib"), 4).alias("gibberish_rate"),
+        F.round(F.avg("rep"), 4).alias("repetitive_rate"),
+        F.round(F.avg("qs"), 4).alias("avg_quality"),
+        F.sum("n_words").alias("total_words"),
+    )
+
+
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language heuristic with a fixed priority order
     (deterministic tiebreak en > de > fr > es)."""
@@ -195,6 +223,7 @@ QUERIES = {
     "corpus_sample_split": corpus_sample_split,
     "text_token_stats": text_token_stats,
     "text_quality_flags": text_quality_flags,
+    "corpus_quality_by_source": corpus_quality_by_source,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
     "content_addressed_ids": content_addressed_ids,
@@ -236,6 +265,51 @@ ORACLE = {
                    AS avg_token_len,
                CAST(length(text) AS INTEGER) AS n_chars_actual
         FROM t
+    """,
+    "corpus_quality_by_source": f"""
+        WITH t AS (
+            SELECT source, text, {_W_SQL} AS w,
+                   list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+                   length(regexp_replace(text, '[A-Za-z ]', '', 'g'))::DOUBLE
+                       / nullif(length(text)::DOUBLE, 0.0) AS nar,
+                   length(regexp_replace(text, '[^ -~]', '', 'g'))::DOUBLE
+                       / nullif(length(text)::DOUBLE, 0.0) AS par
+            FROM documents
+        ), s AS (
+            SELECT *,
+                   len(list_distinct(w))::DOUBLE / nullif(len(w)::DOUBLE, 0.0) AS uwr,
+                   len(list_distinct(lines))::DOUBLE / nullif(len(lines)::DOUBLE, 0.0) AS ulr,
+                   list_aggregate(list_transform(w, x -> length(x)), 'sum')::DOUBLE
+                       / nullif(len(w)::DOUBLE, 0.0) AS mwl,
+                   len(list_filter(w, x -> length(x) > 30))::DOUBLE
+                       / nullif(len(w)::DOUBLE, 0.0) AS lwr,
+                   regexp_matches(text, '[âã¢£™žœÂÃ]') AS corrupt,
+                   len(w) < 5 AS lowq
+            FROM t
+        ), f AS (
+            SELECT source,
+                   CAST(coalesce(nar > 0.6, false) OR corrupt OR lowq
+                        OR coalesce(ulr < 0.3 OR uwr < 0.2, false)
+                        OR coalesce(mwl < 2.0 OR mwl > 20.0 OR lwr > 0.1, false)
+                        AS INTEGER) AS bad,
+                   CAST(coalesce(nar > 0.6, false) AS INTEGER) AS gib,
+                   CAST(coalesce(ulr < 0.3 OR uwr < 0.2, false) AS INTEGER) AS rep,
+                   greatest(1.0 - 0.3 * coalesce(nar, 1.0)
+                            - 0.2 * (1.0 - coalesce(uwr, 0.0))
+                            - 0.2 * (CASE WHEN lowq THEN 1.0 ELSE 0.0 END)
+                            - 0.3 * (1.0 - coalesce(par, 0.0)), 0.0) AS qs,
+                   len(w) AS n_words
+            FROM s
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(bad) AS BIGINT) AS n_bad,
+               round(avg(bad), 4) AS bad_rate,
+               round(avg(gib), 4) AS gibberish_rate,
+               round(avg(rep), 4) AS repetitive_rate,
+               round(avg(qs), 4) AS avg_quality,
+               CAST(sum(n_words) AS BIGINT) AS total_words
+        FROM f GROUP BY 1
     """,
     "text_quality_flags": f"""
         WITH t AS (
