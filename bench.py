@@ -67,7 +67,7 @@ HEADLINE = [
 
 
 SCALE_QUERIES = ["dedup_embedding_cosine", "anns_lsh_bucketed"]
-DOC_SCALE_QUERIES = ["dedup_minhash_lsh"]
+DOC_SCALE_QUERIES = ["dedup_minhash_lsh", "decontaminate_fuzzy_minhash"]
 
 
 def scale_evidence(spark, sf_dir, queries, timings, n_runs):
