@@ -674,9 +674,33 @@ def domain_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_resample(table(spark, sf_dir, "documents"))
 
 
+DOMAIN_CAP = 20
+
+
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture recipe's other half: a hard per-domain document CAP
+    (no single source may contribute more than ``DOMAIN_CAP`` docs),
+    selected deterministically by ranking each domain's docs on a
+    salted id hash -- a reproducible reservoir whose membership is
+    stable under re-runs and insertions of OTHER domains' docs.
+
+    Scale shape: one rank window per (small-cardinality) domain key
+    over (doc_id, source) pairs only -- the heavy text columns are
+    pruned before the shuffle, and the cap bounds output per domain."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h.alias("h"), "doc_id")
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= DOMAIN_CAP)
+    )
+
+
 QUERIES = {
     "curate_corpus_e2e": curate_corpus_e2e,
     "domain_mixture_resample": domain_mixture_resample,
+    "domain_cap_sample": domain_cap_sample,
     "boilerplate_sentence_dedup": boilerplate_sentence_dedup,
     "quality_tempered_sample": quality_tempered_sample,
     "gopher_quality_filters": gopher_quality_filters,
@@ -749,6 +773,16 @@ _MIX_WTS_SQL = ", ".join(
 )
 
 ORACLE = {
+    "domain_cap_sample": f"""
+        SELECT doc_id, source, pick_rank FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS pick_rank
+            FROM documents
+        ) WHERE pick_rank <= {DOMAIN_CAP}
+    """,
     "domain_mixture_resample": f"""
         WITH counts AS (
             SELECT lang, CAST(count(*) AS DOUBLE) AS n_domain
