@@ -111,3 +111,27 @@ def test_mixture_resample_hits_target_shares(spark, sf_dir):
         | (F.col("n_copies") > F.ceil("mix_rate"))
     ).count()
     assert bad == 0
+
+
+def test_mixture_drops_unweighted_domains(spark):
+    """Domains absent from the weight map are excluded (the recipe's
+    explicit exclusion semantics), and output totals track the summed
+    weight of the domains that remain."""
+    from pyspark.sql import functions as F
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.pretrain import (
+        mixture_resample,
+    )
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "keep_a")
+        .when(F.col("id") % 3 == 1, "keep_b")
+        .otherwise("exotic").alias("lang"),
+    )
+    out = mixture_resample(docs, (("keep_a", 0.5), ("keep_b", 0.5)))
+    langs = {r.lang for r in out.select("lang").distinct().collect()}
+    assert langs == {"keep_a", "keep_b"}
+    # weights sum to 1 over a corpus where the kept domains are 2/3 of
+    # rows: expected output ~= full corpus size (rate = 1.5 each)
+    assert abs(out.count() - 300) <= 30

@@ -227,3 +227,18 @@ def test_int8_quantization_error_and_recall(spark, sf_dir):
     recall = sum(len(bf[k] & qr.get(k, set())) for k in bf) / sum(
         len(v) for v in bf.values())
     assert recall >= 0.9
+
+
+def test_quantize_zero_vector_is_representable(spark):
+    """A zero vector must not divide by zero: scale 0, all-zero codes."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.embedding import (
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, v array<double>",
+    )
+    rows = {r.vec_id: r for r in quantize_int8(df).collect()}
+    assert rows[1].scale == 0.0 and rows[1].qv == [0, 0, 0]
+    assert rows[2].qv[1] in (-127, 127) and abs(rows[2].qv[1]) == 127
