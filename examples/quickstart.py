@@ -1,0 +1,55 @@
+"""Quickstart: the three workflows a reference user runs, end to end.
+
+    python examples/quickstart.py [sf_dir]
+
+1. RAG retrieval with citations (the `/api/v1/query` lifecycle).
+2. Corpus curation: quality -> dedup -> decontamination -> packing.
+3. Lifecycle analytics over the events stream.
+
+Each returns a DataFrame you can inspect, write, or compose further;
+nothing here is special-cased for the demo -- these are the same
+operators `__spark_entry__.queries()` registers and the DuckDB oracle
+gate checks.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from selfhosted_rag_doc_chat_prototype_spark.operators.analytics import (  # noqa: E402
+    a4_error_rate_by_day,
+)
+from selfhosted_rag_doc_chat_prototype_spark.operators.pretrain import (  # noqa: E402
+    curate_corpus_e2e,
+    domain_mixture_resample,
+)
+from selfhosted_rag_doc_chat_prototype_spark.operators.rag import (  # noqa: E402
+    rag_retrieve_citations,
+)
+from selfhosted_rag_doc_chat_prototype_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(cpus=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print("== RAG retrieval with citations ==")
+    rag_retrieve_citations(spark, sf_dir).show(8, truncate=60)
+
+    print("== Curated + packed pretraining corpus (first shards) ==")
+    curate_corpus_e2e(spark, sf_dir).show(8)
+
+    print("== Domain mixture after resampling ==")
+    domain_mixture_resample(spark, sf_dir).groupBy("lang").count().show()
+
+    print("== Error-rate analytics ==")
+    a4_error_rate_by_day(spark, sf_dir).orderBy("day").show(5)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
