@@ -202,6 +202,47 @@ def anns_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GROUP_TOP_K = 3
+
+
+def anns_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LABEL (multi-tenant / multi-collection) retrieval: each
+    query's top-k within EVERY label partition, one plan -- the batch
+    form of tenant-scoped vector search (the reference scopes Qdrant
+    queries per collection; here label stands for the collection key).
+
+    Scale shape: scoring is the same broadcast-queries map pass as the
+    brute-force path; the only shuffle is the per-(query, label) top-k
+    window. On a tenant-partitioned candidates table a single-tenant
+    query instead prunes to its partition before scoring -- this
+    grouped form is for the all-tenants batch sweep."""
+    base = _vectors(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = base.select(
+        F.col("vec_id").alias("neighbor_id"), "label", F.col("v").alias("cv")
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(cand)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "label", "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id", "label").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= GROUP_TOP_K)
+        .select("query_id", "label", "neighbor_id", "rank",
+                F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
 DENSE_PREFETCH = 50   # J5 asymmetry (database_qdrant_sparse_testing.py:33-46)
 SPARSE_PREFETCH = 100
 
@@ -520,6 +561,7 @@ QUERIES = {
     "anns_bruteforce_topk": anns_bruteforce_topk,
     "anns_lsh_bucketed": anns_lsh_bucketed,
     "anns_lsh_multiprobe": anns_lsh_multiprobe,
+    "anns_grouped_topk": anns_grouped_topk,
     "anns_ivf_topk": anns_ivf_topk,
     "hybrid_fusion_topk": hybrid_fusion_topk,
     "sparse_bm25_topk": sparse_bm25_topk,
@@ -583,6 +625,18 @@ ORACLE = {
                round({_COS_SQL}, 4) AS cos_sim
         FROM e a JOIN e b ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
         QUALIFY rank <= {TOP_K}
+    """,
+    "anns_grouped_topk": f"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings)
+        SELECT a.vec_id AS query_id, b.label,
+               b.vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                   PARTITION BY a.vec_id, b.label
+                   ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS INTEGER) AS rank,
+               round({_COS_SQL}, 4) AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+        QUALIFY rank <= {GROUP_TOP_K}
     """,
     "anns_lsh_bucketed": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
