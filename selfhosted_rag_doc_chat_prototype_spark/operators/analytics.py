@@ -578,6 +578,25 @@ def rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def pivot_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day x event-type count matrix via PIVOT -- the wide-format
+    export analytics dashboards consume. The pivot value list is
+    EXPLICIT (the five known event types), so Spark skips the extra
+    distinct-values job and the plan is a single groupBy with one
+    conditional count per column -- map-side combinable, one shuffle
+    of 5 small columns per day regardless of fact size."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(_day("ts").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
 def cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (event_type, day): all four grouping combinations in
     one pass (SURVEY 2.6 note: the reference has no grouping sets;
@@ -626,6 +645,7 @@ QUERIES = {
     "set_error_not_purchase_user_days": set_error_not_purchase_user_days,
     "rollup_events": rollup_events,
     "cube_events": cube_events,
+    "pivot_events_daily": pivot_events_daily,
 }
 
 ORACLE = {
@@ -895,5 +915,14 @@ ORACLE = {
                round(sum(value), 2) AS total_value
         FROM events
         GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
+    """,
+    "pivot_events_daily": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        FROM events GROUP BY 1
     """,
 }
