@@ -578,6 +578,46 @@ def rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((event_type), (day)) -- the two
+    one-dimensional summaries in ONE scan/shuffle, where rollup/cube
+    would also compute combinations nobody asked for. Expressed through
+    ``spark.sql`` over a registered view: the engine's SQL-string
+    surface is the same Catalyst plan space as the DataFrame API."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, '(all)') AS event_type,
+               coalesce(day, '(all)') AS day,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM (SELECT event_type, date_format(ts, 'yyyy-MM-dd') AS day, value
+              FROM events_v)
+        GROUP BY GROUPING SETS ((event_type), (day))
+        """
+    )
+
+
+def window_rolling_7day_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 7-DAY value sum: a RANGE window frame over
+    event-time seconds (time-based, not row-based -- gaps and bursts
+    weigh correctly). One shuffle by user; the frame is evaluated with
+    a sliding two-pointer over each user's sorted events, so cost is
+    linear in events, not events x window span."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round(F.sum("value").over(w), 2).alias("rolling_7d_value"),
+    )
+
+
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 
@@ -646,6 +686,8 @@ QUERIES = {
     "rollup_events": rollup_events,
     "cube_events": cube_events,
     "pivot_events_daily": pivot_events_daily,
+    "grouping_sets_events": grouping_sets_events,
+    "window_rolling_7day_value": window_rolling_7day_value,
 }
 
 ORACLE = {
@@ -915,6 +957,25 @@ ORACLE = {
                round(sum(value), 2) AS total_value
         FROM events
         GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
+    """,
+    "grouping_sets_events": """
+        SELECT coalesce(event_type, '(all)') AS event_type,
+               coalesce(day, '(all)') AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total_value
+        FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
+              FROM events)
+        GROUP BY GROUPING SETS ((event_type), (day))
+    """,
+    "window_rolling_7day_value": """
+        SELECT user_id, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               round(sum(value) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(epoch(ts) AS BIGINT)
+                   RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW
+               ), 2) AS rolling_7d_value
+        FROM events
     """,
     "pivot_events_daily": """
         SELECT strftime(ts, '%Y-%m-%d') AS day,
