@@ -34,7 +34,9 @@ HEADLINE = [
     "a7_weekly_lag",
     "a10_user_timing",
     "window_running_total",
+    "window_rolling_7day_value",
     "rollup_events",
+    "pivot_events_daily",
     "join_orders_without_lineitems",
     "text_quality_flags",
     "chunk_sliding_window",
