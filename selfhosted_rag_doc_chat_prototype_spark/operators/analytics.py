@@ -578,6 +578,81 @@ def rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill: carry each user's last known PURCHASE value forward
+    onto every subsequent event (``last_value IGNORE NULLS`` over an
+    unbounded-preceding frame) -- the telemetry forward-fill shape
+    (last reported reading applies until the next). One shuffle per
+    user key; the frame scans each partition once."""
+    ev = table(spark, sf_dir, "events")
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round(
+            F.last(purchase_val, ignorenulls=True).over(w), 2
+        ).alias("last_purchase_value"),
+    )
+
+
+def window_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) quartile assignment within each event type plus the
+    event's percent_rank -- the ranking-function family (ntile /
+    percent_rank) on one pass."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+def unpivot_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The melt inverse of :func:`pivot_events_daily`: wide day x type
+    counts back to long (day, event_type, n) via ``stack`` -- the
+    reshape pair analytics exports need in both directions. The stack
+    is a map-side expression over the already-aggregated wide rows."""
+    wide = pivot_events_daily(spark, sf_dir)
+    n = len(EVENT_TYPES)
+    stack_args = ", ".join(f"'{t}', {t}" for t in EVENT_TYPES)
+    return (
+        wide.selectExpr(
+            "day", f"stack({n}, {stack_args}) AS (event_type, n)"
+        )
+        .filter(F.col("n") > 0)
+    )
+
+
+def props_key_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property-key histogram: parse ``props`` into a MAP, explode
+    its keys, count occurrences per key -- the schema-discovery query
+    run before promoting semi-structured fields to columns. Parse and
+    explode are map-side; one small aggregate by key."""
+    ev = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    kv = ev.select(F.explode(m).alias("prop_key", "prop_val"))
+    return (
+        kv.groupBy(
+            "prop_key",
+            (F.col("prop_val").cast("long") - F.pmod(F.col("prop_val").cast("long"), 10))
+            .alias("val_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("prop_val").alias("n_distinct_vals"),
+        )
+    )
+
+
 def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS ((event_type), (day)) -- the two
     one-dimensional summaries in ONE scan/shuffle, where rollup/cube
@@ -688,6 +763,10 @@ QUERIES = {
     "pivot_events_daily": pivot_events_daily,
     "grouping_sets_events": grouping_sets_events,
     "window_rolling_7day_value": window_rolling_7day_value,
+    "window_forward_fill": window_forward_fill,
+    "window_value_quartiles": window_value_quartiles,
+    "unpivot_daily_counts": unpivot_daily_counts,
+    "props_key_histogram": props_key_histogram,
 }
 
 ORACLE = {
@@ -957,6 +1036,39 @@ ORACLE = {
                round(sum(value), 2) AS total_value
         FROM events
         GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
+    """,
+    "window_forward_fill": """
+        SELECT user_id, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+                                IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS last_purchase_value
+        FROM events
+    """,
+    "window_value_quartiles": """
+        SELECT event_id, event_type, value,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+    """,
+    "unpivot_daily_counts": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    "props_key_histogram": """
+        WITH kv AS (
+            SELECT k AS prop_key,
+                   CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS v
+            FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+        )
+        SELECT prop_key, v - (v % 10) AS val_bucket,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT v) AS BIGINT) AS n_distinct_vals
+        FROM kv GROUP BY 1, 2
     """,
     "grouping_sets_events": """
         SELECT coalesce(event_type, '(all)') AS event_type,
