@@ -133,6 +133,75 @@ def interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """AS-OF join: each ``left`` row picks up the MOST RECENT ``right``
+    row with the same key and ``right.ts <= left.ts`` -- the operator
+    Spark's join zoo lacks (and the classic time-series/point-in-time
+    lookup). Implemented as the scale-safe UNION + WINDOW form: tag
+    both sides, union, one per-key window ordered by (ts, side) with
+    ``last(..., ignorenulls)`` carrying right-side values forward onto
+    left rows.
+
+    Why not a range join: `l.ts >= r.ts` without an upper bound makes
+    every range/theta join quadratic per key (each left row matches ALL
+    earlier right rows, then a max-reduction throws the work away). The
+    union form is ONE shuffle on the key and a single ordered pass per
+    partition -- O(n log n) in the key's rows, no pair blow-up, and
+    exactly how the streaming forward-fill variant behaves under
+    watermarks. Ties (equal ts): the right row sorts BEFORE the left
+    row at the same instant, so a same-timestamp right row is visible
+    (ASOF >= semantics, matching DuckDB's ASOF JOIN).
+    """
+    lt = left.withColumn("_side", F.lit(1))
+    rt = right.withColumn("_side", F.lit(0))
+    allc = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = allc.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in value_cols
+        ],
+    )
+    keep = [c for c in left.columns] + [
+        F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols
+    ]
+    return filled.filter(F.col("_side") == 1).select(*keep)
+
+
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face: every click annotated with the user's most recent
+    purchase value at-or-before the click instant (NULL when none yet)."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    # one row per (user, instant): equal-timestamp purchases collapse to
+    # max(value) so the as-of pick is deterministic in both engines
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(clicks, buys, on="user_id", ts_col="ts",
+                    value_cols=["purchase_value"])
+    return out.select(
+        "user_id", "click_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.round("asof_purchase_value", 2).alias("last_purchase_value"),
+    )
+
+
 def set_click_and_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     clickers = ev.filter(F.col("event_type") == "click").select("user_id")
@@ -145,10 +214,27 @@ QUERIES = {
     "chat_session_history_ttl": chat_session_history_ttl,
     "stale_agents": stale_agents,
     "interval_join_click_purchase": interval_join_click_purchase,
+    "asof_join_last_purchase": asof_join_last_purchase,
     "set_click_and_purchase_users": set_click_and_purchase_users,
 }
 
 ORACLE = {
+    "asof_join_last_purchase": """
+        WITH clicks AS (
+            SELECT user_id, event_id AS click_id, ts FROM events
+            WHERE event_type = 'click'
+        ),
+        buys AS (
+            SELECT user_id, ts, max(value) AS purchase_value FROM events
+            WHERE event_type = 'purchase' GROUP BY 1, 2
+        )
+        SELECT c.user_id, c.click_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               round(b.purchase_value, 2) AS last_purchase_value
+        FROM clicks c
+        ASOF LEFT JOIN buys b
+            ON c.user_id = b.user_id AND c.ts >= b.ts
+    """,
     "chat_session_history": f"""
         WITH recent AS (
             SELECT user_id, ts, event_id,
