@@ -54,6 +54,44 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_counts_plan(table(spark, sf_dir, "events"))
 
 
+def continuous_rollup_sink(
+    stream_events: DataFrame, path: str, checkpoint_dir: str,
+    window: str = "1 hour", watermark: str = "2 hours",
+):
+    """The hypertable CONTINUOUS AGGREGATE pattern: the hourly rollup
+    is maintained incrementally as events stream in, not recomputed.
+    Each micro-batch re-emits only the windows it changed (update
+    output mode); ``foreachBatch`` merges them into the rollup table
+    through the same idempotent content-addressed upsert the chunk
+    store uses, keyed on (window_start, event_type) -- so replays and
+    late events within the watermark CONVERGE instead of duplicating.
+    State holds only windows newer than the watermark; the rollup
+    table holds all history.
+
+    Returns the started StreamingQuery; read the rollup with
+    ``sinks.read_table(spark, path)``."""
+    from ..sinks import upsert_table
+
+    agg = windowed_counts_plan(stream_events, window, watermark)
+    keyed = agg.select(
+        F.concat_ws("|", "window_start", "event_type").alias("id"), "*"
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_table(batch_df.sparkSession, batch_df, path, id_col="id")
+
+    return (
+        keyed.writeStream
+        .outputMode("update")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessionization: a new session starts when the inter-event
     gap exceeds GAP_SECONDS. Output: per-session stats per user."""

@@ -375,3 +375,40 @@ def test_streaming_exact_dedup_bounded_state(spark, tmp_path):
     got = spark.sql("SELECT text FROM dedup_stream").collect()
     assert len(got) == 4                       # one per distinct body
     assert {r.text for r in got} == {f"doc body {i}" for i in range(4)}
+
+
+def test_continuous_rollup_equals_batch(spark, sf_dir, events_stream_dir, tmp_path):
+    """The incrementally maintained hourly rollup converges to the
+    batch rollup over the same events, across TWO separate stream
+    runs (late-arriving second half updates existing windows)."""
+    from selfhosted_rag_doc_chat_prototype_spark import sinks
+    from selfhosted_rag_doc_chat_prototype_spark.streaming.telemetry import (
+        continuous_rollup_sink,
+        windowed_counts_plan,
+    )
+
+    target = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(events_stream_dir)
+        )
+        q = continuous_rollup_sink(stream, target, ckpt)
+        q.awaitTermination(240)
+
+    run_stream()   # first pass consumes all current files
+    run_stream()   # idempotent restart: checkpoint skips processed files
+
+    got = sinks.read_table(spark, target).select(
+        "window_start", "event_type", "n", "total_value"
+    )
+    expected = windowed_counts_plan(
+        spark.read.schema(schema).parquet(events_stream_dir)
+    )
+    g = {tuple(r) for r in got.collect()}
+    e = {tuple(r) for r in expected.collect()}
+    assert g == e
