@@ -50,6 +50,8 @@ HEADLINE = [
     "sparse_bm25_topk",
     "rag_retrieve_citations",
     "interval_join_click_purchase",
+    "asof_join_last_purchase",
+    "anns_grouped_topk",
     "chat_session_history",
     "ingest_pipeline_e2e",
     "multimodal_image_stats",

@@ -207,6 +207,22 @@ AUDIT = [
         "codegen: no global stats pass, no shuffle, stable under "
         "re-ingest.",
     ),
+    (
+        "asof_join_last_purchase",
+        "As-of join in union+window form: ONE shuffle on the key and a "
+        "single ordered pass -- no unbounded range join, no per-key "
+        "pair blow-up.",
+    ),
+    (
+        "anns_grouped_topk",
+        "Tenant-scoped retrieval: broadcast-query scoring map pass; the "
+        "only shuffle is the per-(query, label) top-k window.",
+    ),
+    (
+        "window_rolling_7day_value",
+        "Time-RANGE frame evaluated as a sliding two-pointer per user "
+        "partition: linear in events, one shuffle.",
+    ),
 ]
 
 
