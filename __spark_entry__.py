@@ -24,8 +24,19 @@ def entry(spark: SparkSession) -> DataFrame:
     return all_queries()["anns_bruteforce_topk"](spark, SMOKE_SF_DIR)
 
 
+def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # idempotent: the oracle compare depends on session confs the
+        # driver's vanilla session may not carry (UTC timezone for
+        # date bucketing, Arrow batching, AQE) -- pin them per call
+        tune_session(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return all_queries()
+    return {name: _tuned(fn) for name, fn in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
