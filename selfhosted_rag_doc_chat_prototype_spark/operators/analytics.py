@@ -578,6 +578,32 @@ def rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day trailing-7-day distinct users (the WAU-per-day series).
+    A sliding DISTINCT cannot merge across frames, so instead of a
+    range self-join each (user, day) pair is EXPLODED into the <= 7
+    report days it contributes to, then one distinct aggregate per
+    report day -- bounded 7x row amplification of the (already
+    deduplicated, narrow) pair set, map-side expansion, one shuffle.
+    Trailing windows that would extend past the data's last day are
+    dropped (every reported day has a full history behind it)."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    bounds = ev.agg(F.max(F.to_date("ts")).alias("max_d"))
+    return (
+        days.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+            ).alias("day"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("day") <= F.col("max_d"))
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
 def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-fill: carry each user's last known PURCHASE value forward
     onto every subsequent event (``last_value IGNORE NULLS`` over an
@@ -764,6 +790,7 @@ QUERIES = {
     "grouping_sets_events": grouping_sets_events,
     "window_rolling_7day_value": window_rolling_7day_value,
     "window_forward_fill": window_forward_fill,
+    "rolling_distinct_users_7d": rolling_distinct_users_7d,
     "window_value_quartiles": window_value_quartiles,
     "unpivot_daily_counts": unpivot_daily_counts,
     "props_key_histogram": props_key_histogram,
@@ -1036,6 +1063,16 @@ ORACLE = {
                round(sum(value), 2) AS total_value
         FROM events
         GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
+    """,
+    "rolling_distinct_users_7d": """
+        WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        mx AS (SELECT max(CAST(ts AS DATE)) AS max_d FROM events)
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM (SELECT user_id, d + CAST(i AS INTEGER) AS day
+              FROM du, unnest(range(0, 7)) t(i)), mx
+        WHERE day <= max_d
+        GROUP BY 1
     """,
     "window_forward_fill": """
         SELECT user_id, event_id,
