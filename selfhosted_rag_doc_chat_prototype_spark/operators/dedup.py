@@ -446,10 +446,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
        old plan double-evaluated an interpreted 64-dim HOF cosine in
        BOTH the join and the project)."""
     corpus = _emb_corpus(spark, sf_dir)
-    sig = _sim.rh_sig_udf(
-        _sim.hyperplanes(EMB_DIM, EMB_DEDUP_BITS, EMB_DEDUP_TABLES),
-        EMB_DEDUP_BITS, EMB_DEDUP_TABLES,
-    )
+    sig = _sim.rh_sig_udf(EMB_DEDUP_BITS, EMB_DEDUP_TABLES)
     sigs = corpus.select(
         "vec_id", F.posexplode(sig(F.col("v"))).alias("tbl", "bucket")
     )

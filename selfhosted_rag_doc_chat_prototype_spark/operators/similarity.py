@@ -65,17 +65,28 @@ def hyperplanes(dim: int, bits: int, tables: int, seed: int = RH_SEED) -> np.nda
     return np.round(rng.standard_normal((tables * bits, dim)), 4)
 
 
-def rh_sig_udf(planes: np.ndarray, bits: int, tables: int):
+def rh_sig_udf(bits: int, tables: int, seed: int = RH_SEED):
     """Arrow-vectorized signatures: ONE (n x dim) @ (dim x tables*bits)
     numpy matmul per batch, packed into per-table bucket strings --
-    map-only, no shuffle, ~100x a per-row Python signature."""
-    P = planes.T.copy()
+    map-only, no shuffle, ~100x a per-row Python signature.
+
+    The projection matrix is derived LAZILY from the first batch's
+    vector dim on each executor -- it is deterministic in (dim, bits,
+    tables, seed), so every executor derives the identical planes and
+    building the plan needs no driver-side dim-probe job (a
+    ``head()`` here would cost one full Spark job per planned query)."""
+    state: dict = {}
 
     @pandas_udf("array<string>")
     def _sig(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        bitchars = np.where(np.stack(v.to_numpy()) @ P >= 0, "1", "0")
+        M = np.stack(v.to_numpy())
+        P = state.get("P")
+        if P is None or P.shape[0] != M.shape[1]:
+            P = hyperplanes(M.shape[1], bits, tables, seed).T.copy()
+            state["P"] = P
+        bitchars = np.where(M @ P >= 0, "1", "0")
         return pd.Series([
             ["".join(row[t * bits:(t + 1) * bits]) for t in range(tables)]
             for row in bitchars
@@ -87,8 +98,8 @@ def rh_sig_udf(planes: np.ndarray, bits: int, tables: int):
 N_PROBES = 2  # extra Hamming-1 probes per table (query side only)
 
 
-def rh_probe_sig_udf(planes: np.ndarray, bits: int, tables: int,
-                     n_probes: int = N_PROBES):
+def rh_probe_sig_udf(bits: int, tables: int, n_probes: int = N_PROBES,
+                     seed: int = RH_SEED):
     """Multi-probe signatures for the QUERY side: per table, the base
     bucket plus ``n_probes`` perturbed buckets obtained by flipping the
     lowest-|margin| bits -- the hyperplanes the vector sits closest to,
@@ -98,15 +109,21 @@ def rh_probe_sig_udf(planes: np.ndarray, bits: int, tables: int,
     table would also re-signature and re-shuffle the corpus side --
     the standard recall/space trade: fewer tables, same recall.
 
-    Same Arrow matmul as :func:`rh_sig_udf`; emits (tbl, bucket)
-    structs ready to explode into the bucket equi-join."""
-    P = planes.T.copy()
+    Same Arrow matmul (and lazy plane derivation) as
+    :func:`rh_sig_udf`; emits (tbl, bucket) structs ready to explode
+    into the bucket equi-join."""
+    state: dict = {}
 
     @pandas_udf("array<struct<tbl:int,bucket:string>>")
     def _sig(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        margins = np.stack(v.to_numpy()) @ P
+        M = np.stack(v.to_numpy())
+        P = state.get("P")
+        if P is None or P.shape[0] != M.shape[1]:
+            P = hyperplanes(M.shape[1], bits, tables, seed).T.copy()
+            state["P"] = P
+        margins = M @ P
         out = []
         for row in margins:
             entries = []
@@ -160,11 +177,14 @@ def cosine(x: Column, y: Column) -> Column:
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    # candidates carry the per-pair cosine CPU; spread them (the
-    # embeddings parquet is a single input split at test scale)
-    return rebalance(emb.select(
+    # NOT rebalanced here: the strategies that carry per-pair cosine
+    # CPU on the full corpus (brute / grouped) spread their candidate
+    # side themselves; the LSH paths touch the corpus only for one
+    # Arrow matmul + bucket join, where a repartition of an under-split
+    # test-scale scan would cost more than it saves.
+    return emb.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    ))
+    )
 
 
 def anns_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,7 +245,7 @@ def anns_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         F.broadcast(queries)
-        .crossJoin(cand)
+        .crossJoin(rebalance(cand))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "label", "neighbor_id",
@@ -247,69 +267,66 @@ DENSE_PREFETCH = 50   # J5 asymmetry (database_qdrant_sparse_testing.py:33-46)
 SPARSE_PREFETCH = 100
 
 
-def hybrid_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hybrid_fusion_topk(spark: SparkSession, sf_dir: str,
+                       dense_strategy: str = "lsh") -> DataFrame:
     """Dense (cosine) + sparse (BM25 over the stored sparse vectors,
     vec_id = doc_id) fusion with the reference's prefetch asymmetry:
-    each leg keeps only its own top candidates (dense 50 / sparse 100)
-    BEFORE fusion, then min-max-normalized averaging over the union,
-    final top-k -- J5's two-leg prefetch + DBSF-style fusion over a
-    real BM25 sparse leg (database_qdrant_sparse_testing.py:33-46,
-    155-163), not a lexical stand-in.
+    each leg retrieves only its own top candidates (dense 50 / sparse
+    100), the union is min-max-normalized and averaged, final top-k --
+    J5's two-leg prefetch + DBSF-style fusion over a real BM25 sparse
+    leg (database_qdrant_sparse_testing.py:33-46, 155-163).
+
+    The dense prefetch is a RETRIEVAL, not a scan: it routes through
+    :func:`topk_cosine`, the engine's cost-gated ANN planner, so the
+    dense leg is the LSH bucket equi-join (corpus work ~N/2^bits per
+    table, never an exact O(Q*N) pass). ``dense_strategy`` defaults to
+    ``"lsh"`` rather than ``"auto"`` because the registered query must
+    have ONE deterministic plan for its DuckDB oracle twin -- at the
+    gate's sf0.01/sf0.1 sizes ``auto`` would (correctly) price the
+    exact scan as cheaper, which would leave the 100-TB plan shape
+    untested; pinning ``lsh`` makes the correctness gate and the bench
+    exercise exactly the plan that survives scale. Programmatic
+    callers retrieving against a corpus of unknown size should pass
+    ``"auto"``.
 
     The sparse leg is the inverted-index join: broadcast the queries'
     vocabulary indices against the exploded sparse vectors
     (``operators/sparse.py``), so dot(query one-hot, doc sparse vector)
     = BM25(q, d), and only posting rows sharing a term with some query
-    are aggregated. Leg scores are rounded to 6 decimals before
-    ranking so prefetch-boundary ties break identically on the
-    ``neighbor_id`` tie-break in Spark and the DuckDB oracle. The
-    prefetch caps are the scale lever: fusion state is O(Q*(50+100)),
-    independent of corpus size."""
+    are ranked. Leg scores are rounded to 6 decimals before ranking so
+    prefetch-boundary ties break identically on the ``neighbor_id``
+    tie-break in Spark and the DuckDB oracle.
+
+    Scale shape: each leg's state after prefetch is O(Q*cap); the
+    full-outer fusion join and every window below it run on at most
+    Q*(50+100) rows regardless of corpus size."""
     from . import sparse as sp
 
     base = _vectors(spark, sf_dir)
     queries = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    cand = base.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
-    )
-    dense = (
-        F.broadcast(queries)
-        .crossJoin(cand)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id", "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("dense"),
-        )
-    )
-    scored = dense.join(
-        sp.bm25_scores(spark, sf_dir, N_QUERIES), ["query_id", "neighbor_id"], "left"
-    )
-    wd = Window.partitionBy("query_id").orderBy(F.desc("dense"), F.asc("neighbor_id"))
+    dense = topk_cosine(
+        base, queries, k=DENSE_PREFETCH, strategy=dense_strategy,
+        pre_round=6, out_decimals=6,
+    ).select("query_id", "neighbor_id", F.col("cos_sim").alias("dense"))
     ws = Window.partitionBy("query_id").orderBy(
-        F.desc_nulls_last("sparse"), F.asc("neighbor_id")
+        F.desc("sparse"), F.asc("neighbor_id")
     )
-    in_sparse = F.col("sparse").isNotNull() & (F.col("sr") <= SPARSE_PREFETCH)
-    prefetched = (
-        scored.withColumn("dr", F.row_number().over(wd))
+    sparse = (
+        sp.bm25_scores(spark, sf_dir, N_QUERIES)
         .withColumn("sr", F.row_number().over(ws))
-        .filter((F.col("dr") <= DENSE_PREFETCH)
-                | (F.col("sparse").isNotNull()
-                   & (F.col("sr") <= SPARSE_PREFETCH)))
-        .select(
-            "query_id", "neighbor_id",
-            # a candidate outside a leg's prefetch never contributes
-            # that leg's score (it was "not retrieved" by that leg)
-            F.when(F.col("dr") <= DENSE_PREFETCH, F.col("dense")).alias("dense"),
-            F.when(in_sparse, F.col("sparse")).alias("sparse"),
-        )
+        .filter(F.col("sr") <= SPARSE_PREFETCH)
+        .select("query_id", "neighbor_id", "sparse")
+    )
+    unioned = dense.join(
+        sparse, ["query_id", "neighbor_id"], "full_outer"
     )
     wq = Window.partitionBy("query_id")
     norm = lambda c: (F.col(c) - F.min(c).over(wq)) / F.nullif(
         F.max(c).over(wq) - F.min(c).over(wq), F.lit(0.0)
     )
-    fused = prefetched.select(
+    fused = unioned.select(
         "query_id", "neighbor_id",
         (F.lit(0.5) * F.coalesce(norm("dense"), F.lit(0.0))
          + F.lit(0.5) * F.coalesce(norm("sparse"), F.lit(0.0))).alias("fused_raw"),
@@ -354,7 +371,7 @@ def anns_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    base = _vectors(spark, sf_dir)
+    base = rebalance(_vectors(spark, sf_dir))
     feat = base.select("vec_id", "v", array_to_vector("v").alias("features"))
     n_cells = ivf_cells_for(base.count())
     n_probe = max(1, int(n_cells * IVF_PROBE_FRACTION))
@@ -418,6 +435,8 @@ def topk_cosine(
     strategy: str = "auto",
     lsh_bits: int = LSH_BITS,
     lsh_tables: int = LSH_TABLES,
+    pre_round: int | None = None,
+    out_decimals: int = 4,
 ) -> DataFrame:
     """General top-k cosine retrieval over (``vec_id``, ``v``) vectors
     for (``query_id``, ``qv``) queries, with the physical strategy
@@ -435,7 +454,12 @@ def topk_cosine(
     Both plans broadcast the query side and never shuffle candidates
     for bucketing (signatures are map-only Arrow matmuls); the count()
     that prices the plan is a metadata-cheap scan at the planner step
-    (same information a real CBO reads from table stats)."""
+    (same information a real CBO reads from table stats).
+
+    ``pre_round`` (decimals) rounds the cosine BEFORE ranking so rank
+    ties at a prefetch boundary break identically in Spark and a
+    DuckDB oracle that ranks rounded scores (the hybrid fusion legs
+    need this); ``out_decimals`` rounds the emitted ``cos_sim``."""
     if strategy == "auto":
         n_pairs = vectors.count() * queries.count()
         strategy = "brute" if n_pairs <= BRUTE_FORCE_MAX_PAIRS else "lsh"
@@ -444,48 +468,73 @@ def topk_cosine(
     )
     q = queries.select("query_id", "qv")
     if strategy == "brute":
-        joined = F.broadcast(q).crossJoin(cand)
+        # the exact pass carries per-pair cosine CPU on the candidate
+        # side: spread an under-split scan (no-op at real scale)
+        joined = F.broadcast(q).crossJoin(rebalance(cand))
     elif strategy in ("lsh", "lsh_multiprobe"):
-        dim = len(q.select("qv").head()[0])
-        planes = hyperplanes(dim, lsh_bits, lsh_tables)
-        sig = rh_sig_udf(planes, lsh_bits, lsh_tables)
+        sig = rh_sig_udf(lsh_bits, lsh_tables)
         if strategy == "lsh_multiprobe":
-            psig = rh_probe_sig_udf(planes, lsh_bits, lsh_tables)
+            psig = rh_probe_sig_udf(lsh_bits, lsh_tables)
             qs = q.select(
                 "query_id", "qv", F.explode(psig(F.col("qv"))).alias("tb")
             ).select(
                 "query_id", "qv",
                 F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
             )
-        else:
-            qs = q.select(
-                "query_id", "qv",
-                F.posexplode(sig(F.col("qv"))).alias("tbl", "bucket"),
+            cs = cand.select(
+                "neighbor_id", "cv",
+                F.posexplode(sig(F.col("cv"))).alias("ctbl", "cbucket"),
             )
-        cs = cand.select(
-            "neighbor_id", "cv",
-            F.posexplode(sig(F.col("cv"))).alias("ctbl", "cbucket"),
-        )
-        # a pair colliding in several tables/probes must score ONCE:
-        # dedup on (query, neighbor) after the bucket join (collision
-        # rows are value-identical, so any survivor is deterministic)
-        joined = (
-            F.broadcast(qs)
-            .join(cs, (F.col("tbl") == F.col("ctbl"))
-                  & (F.col("bucket") == F.col("cbucket")))
-            .dropDuplicates(["query_id", "neighbor_id"])
-        )
+            # probe buckets are margin-derived, so a pair can collide
+            # through several (table, probe) routes with no cheap local
+            # "first route" predicate: dedup on (query, neighbor) after
+            # the bucket join (collision rows are value-identical, so
+            # any survivor is deterministic)
+            joined = (
+                F.broadcast(qs)
+                .join(cs, (F.col("tbl") == F.col("ctbl"))
+                      & (F.col("bucket") == F.col("cbucket")))
+                .dropDuplicates(["query_id", "neighbor_id"])
+            )
+        else:
+            qs = q.withColumn("qsig", sig(F.col("qv"))).select(
+                "query_id", "qv", "qsig",
+                F.posexplode("qsig").alias("tbl", "bucket"),
+            )
+            cs = cand.withColumn("csig", sig(F.col("cv"))).select(
+                "neighbor_id", "cv", "csig",
+                F.posexplode("csig").alias("ctbl", "cbucket"),
+            )
+            # a pair colliding in several tables must score ONCE. Both
+            # sides carry their full per-table signature arrays, so
+            # "first table where the pair collides" is a LOCAL
+            # predicate: keep the joined row only in that table. This
+            # is a map-side filter after the broadcast bucket join --
+            # no dropDuplicates exchange, which at 100 TB would
+            # re-shuffle every candidate pair.
+            first_hit = F.array_position(
+                F.zip_with("qsig", "csig", lambda a, b: a == b), F.lit(True)
+            ) - 1
+            joined = (
+                F.broadcast(qs)
+                .join(cs, (F.col("tbl") == F.col("ctbl"))
+                      & (F.col("bucket") == F.col("cbucket")))
+                .filter(F.col("tbl") == first_hit)
+            )
     else:
         raise ValueError(f"unknown strategy: {strategy!r}")
+    cos_raw = cosine(F.col("qv"), F.col("cv"))
+    if pre_round is not None:
+        cos_raw = F.round(cos_raw, pre_round)
     scored = joined.filter(F.col("query_id") != F.col("neighbor_id")).select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_raw")
+        "query_id", "neighbor_id", cos_raw.alias("cos_raw")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank",
-                F.round("cos_raw", 4).alias("cos_sim"))
+                F.round("cos_raw", out_decimals).alias("cos_sim"))
     )
 
 
@@ -665,8 +714,36 @@ ORACLE = {
         sig_body=rh_sig_sql(hyperplanes(64, LSH_BITS, LSH_TABLES),
                             LSH_BITS, LSH_TABLES, "e", "vec_id"),
     ),
+    # oracle twin of the prefetch-first fusion: the dense leg's
+    # candidate set is the SAME multi-table sign-LSH bucket join the
+    # Spark plan runs (rh_sig_sql twin, proven by anns_lsh_bucketed's
+    # oracle), ranked on 6-rounded cosine and capped at DENSE_PREFETCH;
+    # the sparse leg is the BM25 pair set capped at SPARSE_PREFETCH;
+    # fusion runs over the FULL OUTER union of the two prefetch lists.
     "hybrid_fusion_topk": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        _planes AS (SELECT {planes_sql_literal(hyperplanes(64, LSH_BITS, LSH_TABLES))} AS h),
+        sig AS ({rh_sig_sql(hyperplanes(64, LSH_BITS, LSH_TABLES),
+                            LSH_BITS, LSH_TABLES, "e", "vec_id")}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+            FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+            WHERE a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+        ),
+        dense_scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   round(list_cosine_similarity(qa.v, qb.v), 6) AS dense
+            FROM cand c
+            JOIN e qa ON qa.vec_id = c.query_id
+            JOIN e qb ON qb.vec_id = c.neighbor_id
+        ),
+        dense_pref AS (
+            SELECT query_id, neighbor_id, dense FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY dense DESC, neighbor_id ASC) AS dr
+                FROM dense_scored)
+            WHERE dr <= {DENSE_PREFETCH}
+        ),
         {_sparse_postings_sql()},
         qterms AS (
             SELECT DISTINCT qt.query_id, v.idx
@@ -687,33 +764,20 @@ ORACLE = {
             WHERE p.doc_id <> qt.query_id
             GROUP BY qt.query_id, p.doc_id
         ),
-        dense AS (
-            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-                   round(list_cosine_similarity(a.v, b.v), 6) AS dense
-            FROM e a JOIN e b ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
-        ),
-        scored AS (
-            SELECT d.query_id, d.neighbor_id, d.dense, bm.sparse
-            FROM dense d
-            LEFT JOIN bm ON d.query_id = bm.query_id
-                        AND d.neighbor_id = bm.neighbor_id
-        ),
-        ranked AS (
-            SELECT *,
-                   row_number() OVER (PARTITION BY query_id
-                       ORDER BY dense DESC, neighbor_id ASC) AS dr,
-                   row_number() OVER (PARTITION BY query_id
-                       ORDER BY sparse DESC NULLS LAST, neighbor_id ASC) AS sr
-            FROM scored
+        sparse_pref AS (
+            SELECT query_id, neighbor_id, sparse FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY sparse DESC, neighbor_id ASC) AS sr
+                FROM bm)
+            WHERE sr <= {SPARSE_PREFETCH}
         ),
         prefetched AS (
-            SELECT query_id, neighbor_id,
-                   CASE WHEN dr <= {DENSE_PREFETCH} THEN dense END AS dense,
-                   CASE WHEN sparse IS NOT NULL AND sr <= {SPARSE_PREFETCH}
-                        THEN sparse END AS sparse
-            FROM ranked
-            WHERE dr <= {DENSE_PREFETCH}
-               OR (sparse IS NOT NULL AND sr <= {SPARSE_PREFETCH})
+            SELECT coalesce(d.query_id, s.query_id) AS query_id,
+                   coalesce(d.neighbor_id, s.neighbor_id) AS neighbor_id,
+                   d.dense, s.sparse
+            FROM dense_pref d
+            FULL JOIN sparse_pref s
+              ON d.query_id = s.query_id AND d.neighbor_id = s.neighbor_id
         ),
         fused AS (
             SELECT query_id, neighbor_id,

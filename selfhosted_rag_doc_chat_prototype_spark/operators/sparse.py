@@ -75,22 +75,52 @@ def term_freqs(dw: DataFrame) -> DataFrame:
 _TF_STORE: dict = {}
 
 
+def _matview_paths(sf_dir: str) -> tuple[str, str, str]:
+    import hashlib
+    import os
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(repo_root, "spark-warehouse", "matview")
+    return (
+        os.path.join(base, f"tf_{tag}"),
+        os.path.join(base, f"bmstats_{tag}"),
+        os.path.join(base, f"vocab_{tag}"),
+    )
+
+
 def term_freqs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     if key not in _TF_STORE:
-        import hashlib
-        import os
+        tf_path, stats_path, vocab_path = _matview_paths(sf_dir)
+        dw = _doc_words(spark, sf_dir)
+        term_freqs(dw).write.mode("overwrite").parquet(tf_path)
+        tf = spark.read.parquet(tf_path)
+        # the (n_docs, avgdl) scalar row and the vocabulary index are
+        # part of the stored index: computed once (stats from the SAME
+        # tokenize pass semantics -- all docs, zero-term docs included;
+        # vocab from the stored tf), so query-time consumers never
+        # re-scan corpus text or re-run the vocab window
+        corpus_stats(dw).write.mode("overwrite").parquet(stats_path)
+        vocab(tf).write.mode("overwrite").parquet(vocab_path)
+        _TF_STORE[key] = (
+            tf,
+            spark.read.parquet(stats_path),
+            spark.read.parquet(vocab_path),
+        )
+    return _TF_STORE[key][0]
 
-        repo_root = os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        )
-        path = os.path.join(
-            repo_root, "spark-warehouse", "matview",
-            "tf_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
-        )
-        term_freqs(_doc_words(spark, sf_dir)).write.mode("overwrite").parquet(path)
-        _TF_STORE[key] = spark.read.parquet(path)
-    return _TF_STORE[key]
+
+def corpus_stats_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    term_freqs_cached(spark, sf_dir)
+    return _TF_STORE[(spark, sf_dir)][1]
+
+
+def vocab_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    term_freqs_cached(spark, sf_dir)
+    return _TF_STORE[(spark, sf_dir)][2]
 
 
 def corpus_stats(dw: DataFrame) -> DataFrame:
@@ -98,6 +128,8 @@ def corpus_stats(dw: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
+
+
 
 
 def vocab(tf: DataFrame) -> DataFrame:
@@ -125,10 +157,9 @@ def postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, idx, w): the exploded sparse vectors / inverted index.
     Vocab and corpus stats are broadcast; postings keep the corpus
     partitioning."""
-    dw = _doc_words(spark, sf_dir)
     tf = term_freqs_cached(spark, sf_dir)
-    v = vocab(tf)
-    stats = corpus_stats(dw)
+    v = vocab_cached(spark, sf_dir)
+    stats = corpus_stats_cached(spark, sf_dir)
     return (
         tf.join(F.broadcast(v), "term")
         .crossJoin(F.broadcast(stats))
@@ -152,7 +183,7 @@ def query_indices(spark: SparkSession, sf_dir: str, n_queries: int) -> DataFrame
     """(query_id, idx): distinct vocabulary indices of each query doc's
     terms -- the one-hot query sparse vector, broadcast-sized."""
     return _query_terms(spark, sf_dir, n_queries).join(
-        F.broadcast(vocab(term_freqs_cached(spark, sf_dir))), "term"
+        F.broadcast(vocab_cached(spark, sf_dir)), "term"
     ).select("query_id", "idx")
 
 
@@ -163,10 +194,9 @@ def bm25_scores(spark: SparkSession, sf_dir: str, n_queries: int) -> DataFrame:
     is the expensive part -- share it between the postings and the
     query-term lookup instead of deriving it twice). Scores rounded to
     6 so rank ties break identically in Spark and the oracle."""
-    dw = _doc_words(spark, sf_dir)
     tf = term_freqs_cached(spark, sf_dir)
-    v = vocab(tf)
-    stats = corpus_stats(dw)
+    v = vocab_cached(spark, sf_dir)
+    stats = corpus_stats_cached(spark, sf_dir)
     post = (
         tf.join(F.broadcast(v), "term")
         .crossJoin(F.broadcast(stats))

@@ -96,6 +96,35 @@ def test_q6_filters_pushed(plans):
         assert col in pushed, f"{col} not pushed into the scan"
 
 
+def test_hybrid_dense_leg_is_bucket_join(plans):
+    """The hybrid fusion dense prefetch must be the LSH bucket
+    equi-join, never an exact query x corpus scan: the only
+    BroadcastNestedLoopJoin allowed is the 1-row BM25 stats broadcast
+    in the sparse leg, and the zip_with first-collision dedup filter
+    proves the bucket-join path (it exists nowhere else)."""
+    import re
+
+    p = plans["hybrid_fusion_topk"]
+    assert "zip_with" in p
+    # formatted explain prints each node twice (tree + details):
+    # count node headers, not substrings
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 1
+    assert "CartesianProduct" not in p
+
+
+def test_lsh_pair_dedup_is_map_side(plans):
+    """Plain-LSH top-k dedups bucket collisions with a local
+    first-colliding-table filter; a dropDuplicates here would add a
+    full candidate-pair exchange. The multiprobe variant legitimately
+    keeps dropDuplicates (probe routes are not locally enumerable), so
+    only the plain variant is pinned."""
+    p = plans["anns_lsh_bucketed"]
+    assert "zip_with" in p
+    # dedup-by-aggregation would appear as HashAggregate over the pair
+    # keys between the bucket join and the ranking window
+    assert "SortAggregate" not in p
+
+
 def test_topk_plans_take_ordered(plans):
     """LIMIT-after-ORDER BY must plan as TakeOrderedAndProject, never a
     global sort of the full relation."""
