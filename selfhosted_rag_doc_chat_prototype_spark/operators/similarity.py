@@ -353,42 +353,84 @@ def ivf_cells_for(n: int) -> int:
     return max(IVF_MIN_CELLS, math.isqrt(max(n, 1)))
 
 
-def anns_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
-    vector to one of ~sqrt(N) cells (``ivf_cells_for``); each query
-    probes its ``IVF_PROBE_FRACTION`` nearest cells and scores only
-    those candidates -- the classic IVF-Flat trade-off (probe fraction
-    vs recall).
+# persisted-index registry: index build is a BATCH JOB (SURVEY section
+# 1.1 "index build = batch job"); serving a query batch reads the
+# stored centroids + assignments tables and must never re-train or
+# re-count the corpus. Parquet round-trip (same pattern as the BM25 tf
+# matview in operators/sparse.py) so every probe is a plain pruned scan.
+_IVF_STORE: dict = {}
 
-    Scale shape: training is Spark ML KMeans (distributed, iterative);
-    the centroid table is tiny and broadcast; cell assignment is
-    map-only; the probe join is equi on cell id, so candidate scoring
-    shuffles ~NPROBE/CELLS of the corpus per query batch instead of
-    all of it. Registered rows-only: a KMeans fit is not expressible
-    in the DuckDB oracle; recall against the exact brute-force path is
-    asserted in tests instead.
-    """
+
+def _ivf_paths(sf_dir: str) -> tuple[str, str]:
+    import hashlib
+    import os
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(repo_root, "spark-warehouse", "matview")
+    return (
+        os.path.join(base, f"ivf_centroids_{tag}"),
+        os.path.join(base, f"ivf_assign_{tag}"),
+    )
+
+
+def ivf_build(spark: SparkSession, sf_dir: str):
+    """Build (or load) the IVF index for ``sf_dir``'s embeddings:
+    a KMeans coarse quantizer over ~sqrt(N) cells (``ivf_cells_for``),
+    persisted as two tables --
+
+    - ``centroids``: (cell, centroid array<double>), CELLS rows;
+    - ``assignments``: (vec_id, v, cell), one row per corpus vector.
+
+    Training is Spark ML KMeans (distributed, iterative) and the
+    ``count()`` that sizes the cell count runs HERE, once per index
+    build, never at query time. Returns (centroids_df, assignments_df,
+    n_cells)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    base = rebalance(_vectors(spark, sf_dir))
-    feat = base.select("vec_id", "v", array_to_vector("v").alias("features"))
-    n_cells = ivf_cells_for(base.count())
-    n_probe = max(1, int(n_cells * IVF_PROBE_FRACTION))
-    model = KMeans(k=n_cells, seed=42, maxIter=8).fit(feat)
-    assigned = model.transform(feat).select(
-        "vec_id", "v", F.col("prediction").alias("cell")
-    )
+    key = (spark, sf_dir)
+    if key not in _IVF_STORE:
+        cent_path, assign_path = _ivf_paths(sf_dir)
+        base = rebalance(_vectors(spark, sf_dir))
+        feat = base.select(
+            "vec_id", "v", array_to_vector("v").alias("features")
+        )
+        n_cells = ivf_cells_for(base.count())
+        model = KMeans(k=n_cells, seed=42, maxIter=8).fit(feat)
+        model.transform(feat).select(
+            "vec_id", "v", F.col("prediction").alias("cell")
+        ).write.mode("overwrite").parquet(assign_path)
+        spark.createDataFrame(
+            [(i, [float(x) for x in c])
+             for i, c in enumerate(model.clusterCenters())],
+            "cell int, centroid array<double>",
+        ).write.mode("overwrite").parquet(cent_path)
+        _IVF_STORE[key] = (
+            spark.read.parquet(cent_path),
+            spark.read.parquet(assign_path),
+            n_cells,
+        )
+    return _IVF_STORE[key]
 
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell int, centroid array<double>",
-    )
-    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    # probe list: NPROBE nearest centroids per query (centroid table is
-    # CELLS rows -- broadcast both ways, negligible)
+
+def ivf_probe(centroids: DataFrame, assigned: DataFrame, queries: DataFrame,
+              n_cells: int, k: int = TOP_K,
+              probe_fraction: float = IVF_PROBE_FRACTION) -> DataFrame:
+    """Serve a (``query_id``, ``qv``) batch against a built IVF index:
+    each query probes its ``probe_fraction`` nearest cells and scores
+    only those candidates -- the classic IVF-Flat trade-off (probe
+    fraction vs recall).
+
+    Scale shape: the centroid table is CELLS ~ sqrt(N) rows and
+    broadcast; the probe list is broadcast back against the
+    assignments table as an equi-join on cell id, so candidate scoring
+    reads ~probe_fraction of the corpus per query batch instead of all
+    of it -- and the probe plan is two index-table scans + joins, no
+    training, no corpus count."""
+    n_probe = max(1, int(n_cells * probe_fraction))
     l2 = F.sqrt(
         F.aggregate(
             F.zip_with(F.col("qv"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
@@ -417,10 +459,25 @@ def anns_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank",
                 F.round("cos_raw", 4).alias("cos_sim"))
     )
+
+
+def anns_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN, build/probe split: :func:`ivf_build`
+    persists the index once per (session, sf_dir); this registered
+    query PROBES the stored tables (the queries themselves are read
+    from the assignments table), so its steady-state cost is the serve
+    path the bench should measure. Registered rows-only: a KMeans fit
+    is not expressible in the DuckDB oracle; recall against the exact
+    brute-force path is asserted in tests instead."""
+    centroids, assigned, n_cells = ivf_build(spark, sf_dir)
+    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return ivf_probe(centroids, assigned, queries, n_cells)
 
 
 # ---- strategy planner -----------------------------------------------------

@@ -117,6 +117,28 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
     assert hits / total >= 0.3  # nprobe=4 of 16 cells
 
 
+def test_ivf_probe_reads_persisted_index(spark, sf_dir):
+    """After ivf_build, serving a query batch must be a pure probe:
+    the plan scans the persisted centroids/assignments parquet and
+    contains no shuffle of the corpus for (re)assignment -- no KMeans
+    refit, no corpus count job at query time."""
+    import contextlib
+    import io
+
+    similarity.ivf_build(spark, sf_dir)  # warm: build once
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        similarity.anns_ivf_topk(spark, sf_dir).explain("formatted")
+    p = buf.getvalue()
+    assert "ivf_centroids_" in p
+    assert "ivf_assign_" in p
+    # the probe side never round-robins the corpus (that was the
+    # build-time rebalance); candidate access is the broadcast
+    # cell-id equi-join
+    assert "roundrobin" not in p.lower()
+    assert "BroadcastHashJoin" in p
+
+
 def test_topk_cosine_auto_strategy_picks_by_pair_count(spark, sf_dir):
     """The planner's stand-in for the `ORDER BY cosine LIMIT k`
     rewrite: small pair counts plan brute-force (exact), large ones
