@@ -6,13 +6,15 @@ predicates gating OCR retry and LLM normalization. Everything here is
 built-in ``pyspark.sql.functions`` (regex + higher-order functions) so
 the hot path stays inside whole-stage codegen -- no Python UDFs.
 
-Deviation from the reference, by design: ``latin_script_ratio``
-(text_utils.py:74-79) uses ``\\p{Latin}`` which differs between Java
-regex and RE2; we use the ASCII-letter ratio so the DuckDB oracle and
-Spark agree bit-for-bit. Mojibake detection (F3) uses the same
+``latin_script_ratio`` (text_utils.py:74-79) counts the reference's
+``\\p{Latin}|\\p{M}`` classes with Java's ``\\p{IsLatin}`` script
+property -- accented European text (e, n, u with diacritics) scores as
+Latin exactly as the reference's ``regex`` module scores it; the DuckDB
+oracle twin uses RE2's ``\\p{Latin}``, identical for every assigned
+character both engines know. Mojibake detection (F3) uses the same
 character class the reference greps for (text_utils.py:82-89);
-``fix_mojibake`` repairs the deterministic UTF-8-as-latin1 subset of
-what ftfy fixes (text_utils.py:66-71).
+``fix_mojibake`` repairs the deterministic UTF-8-as-latin1/cp1252
+subset of what ftfy fixes (text_utils.py:66-71).
 """
 
 from __future__ import annotations
@@ -37,6 +39,22 @@ _MOJI_CHARS = (
 )
 
 
+# HTML-entity remnants ftfy also unescapes (fix_text's
+# unescape_html='auto' path) -- the forms that survive a bad
+# HTML-to-text pass; applied after the encoding repairs.
+_HTML_ENTITY_FIXES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&nbsp;", "\xa0"),  # html.unescape maps to U+00A0, as ftfy does
+    # &amp; LAST: "&amp;lt;" must unescape exactly once (to "&lt;"),
+    # matching ftfy -- running &amp; earlier would cascade to "<"
+    ("&amp;", "&"),
+]
+
+
 def _moji_forms():
     fixes = []
     for good in _MOJI_CHARS:
@@ -48,7 +66,21 @@ def _moji_forms():
                 continue  # bytes undefined in cp1252 (0x81, 0x8D, ...)
             if bad != good and (bad, good) not in fixes:
                 fixes.append((bad, good))
-    return fixes
+                # DOUBLE-encoded form (ftfy's multi-pass repair): the
+                # gen-1 mojibake string itself re-encoded as UTF-8 and
+                # mis-decoded again -- e.g. ’ -> "â€™" ->
+                # "Ã¢â‚¬â„¢"
+                try:
+                    bad2 = bad.encode("utf-8").decode(enc)
+                except UnicodeDecodeError:
+                    continue
+                if bad2 != bad and (bad2, good) not in fixes:
+                    fixes.append((bad2, good))
+    # longest mis-decoded form first: a double-encoded sequence must
+    # repair in ONE replace to the true character, never partially via
+    # a shorter gen-1 rule that matches a substring of it
+    fixes.sort(key=lambda f: len(f[0]), reverse=True)
+    return fixes + _HTML_ENTITY_FIXES
 
 
 MOJIBAKE_FIXES = _moji_forms()
@@ -57,8 +89,10 @@ MOJIBAKE_FIXES = _moji_forms()
 def fix_mojibake(c: Column) -> Column:
     """T13/F10: repair the common mojibake sequences (the reference
     runs ftfy ``fix_text``; this is the deterministic declarative
-    subset -- UTF-8 mis-decoded as cp1252 or latin-1 -- applied as
-    chained JVM-side replaces)."""
+    subset -- UTF-8 mis-decoded as cp1252 or latin-1, the
+    DOUBLE-encoded second-generation forms of each, and the common
+    HTML-entity remnants -- applied as chained JVM-side replaces,
+    longest form first)."""
     out = c
     for bad, good in MOJIBAKE_FIXES:
         out = F.replace(out, F.lit(bad), F.lit(good))
@@ -96,6 +130,43 @@ def ascii_letter_ratio(c: Column) -> Column:
     kept = F.regexp_replace(c, "[^A-Za-z]", "")
     return F.length(kept).cast("double") / F.nullif(
         F.length(c).cast("double"), F.lit(0.0)
+    )
+
+
+# NON-printable per Python's str.isprintable (the reference's
+# ALLOW_LATIN_EXTENDED validity gate counts c.isprintable(),
+# text_utils.py:216-218): the Other categories (\p{C} = Cc Cf Cs Co Cn)
+# plus every Separator except the ASCII space -- Zl, Zp, and the Zs
+# members other than U+0020, enumerated because neither Java regex
+# (without intersection syntax RE2 lacks) nor RE2 can express
+# "Z minus space" portably.
+_NONPRINTABLE_CLASS = (
+    "[\\p{C}\\p{Zl}\\p{Zp}"
+    "\u00a0\u1680\u2000-\u200a\u202f\u205f\u3000]"
+)
+
+
+def unicode_printable_ratio(c: Column) -> Column:
+    """Fraction of unicode-printable chars (Python ``isprintable``
+    semantics, matching the reference's latin-extended validity path,
+    text_utils.py:216-218)."""
+    stripped = F.regexp_replace(c, _NONPRINTABLE_CLASS, "")
+    return F.length(stripped).cast("double") / F.nullif(
+        F.length(c).cast("double"), F.lit(0.0)
+    )
+
+
+def latin_script_ratio(c: Column) -> Column:
+    """F7: fraction of chars that are Latin-script letters or combining
+    marks -- the reference's ``regex.findall(r"\\p{Latin}|\\p{M}")``
+    count over total length (text_utils.py:72-77). Java regex spells
+    the script property ``\\p{IsLatin}``; stays whole-stage codegen."""
+    kept = F.regexp_replace(c, "[^\\p{IsLatin}\\p{M}]", "")
+    return F.coalesce(
+        F.length(kept).cast("double") / F.nullif(
+            F.length(c).cast("double"), F.lit(0.0)
+        ),
+        F.lit(0.0),
     )
 
 
@@ -169,13 +240,17 @@ def is_mostly_printable_ascii(c: Column, threshold: float = 0.75) -> Column:
     return F.coalesce(printable_ascii_ratio(c) >= threshold, F.lit(False))
 
 
-def is_invalid_text(c: Column, min_len: int = 20, min_letter: float = 0.7) -> Column:
-    """F9: too short, unprintable, or low letter ratio
-    (text_utils.py:205-224, with the ASCII-letter deviation noted above)."""
+def is_invalid_text(c: Column, min_len: int = 20, min_latin: float = 0.7) -> Column:
+    """F9, the reference's default ALLOW_LATIN_EXTENDED=true path
+    (text_utils.py:206-224; thresholds shared/defaults.py:66-67):
+    trimmed length < 20, unicode-printable ratio < 0.6, or Latin-script
+    ratio < 0.7. The reference runs fix_mojibake before the ratio
+    checks; pipelines here repair upstream -- pass the repaired
+    column (``fix_mojibake``) for byte-parity on mojibake'd input."""
     return (
-        (F.length(c) < min_len)
-        | (printable_ascii_ratio(c) < 0.6)
-        | (ascii_letter_ratio(c) < F.lit(min_letter) * 0.5)
+        (F.length(F.trim(c)) < min_len)
+        | (unicode_printable_ratio(c) < 0.6)
+        | (latin_script_ratio(c) < min_latin)
     )
 
 

@@ -93,6 +93,7 @@ def text_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(tq.nonalpha_ratio(t), 4).alias("nonalpha_ratio"),
         F.round(tq.printable_ascii_ratio(t), 4).alias("ascii_ratio"),
+        F.round(tq.latin_script_ratio(t), 4).alias("latin_ratio"),
         F.round(tq.unique_word_ratio(t), 4).alias("uniq_word_ratio"),
         F.round(tq.mean_word_len(t), 4).alias("mean_word_len"),
         tq.is_gibberish(t).cast("int").alias("is_gibberish"),
@@ -100,6 +101,7 @@ def text_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         tq.is_repetitive(t).cast("int").alias("is_repetitive"),
         tq.has_abnormal_word_lengths(t).cast("int").alias("abnormal_words"),
         tq.is_visibly_corrupt(t).cast("int").alias("is_corrupt"),
+        tq.is_invalid_text(t).cast("int").alias("is_invalid"),
         tq.is_bad_ocr(t).cast("int").alias("is_bad"),
         F.round(tq.quality_score(t), 4).alias("quality_score"),
     )
@@ -318,7 +320,14 @@ ORACLE = {
                    length(regexp_replace(text, '[A-Za-z ]', '', 'g'))::DOUBLE
                        / nullif(length(text)::DOUBLE, 0.0) AS nar,
                    length(regexp_replace(text, '[^ -~]', '', 'g'))::DOUBLE
-                       / nullif(length(text)::DOUBLE, 0.0) AS par
+                       / nullif(length(text)::DOUBLE, 0.0) AS par,
+                   coalesce(
+                       length(regexp_replace(text, '[^\\p{{Latin}}\\p{{M}}]', '', 'g'))::DOUBLE
+                           / nullif(length(text)::DOUBLE, 0.0), 0.0) AS lsr,
+                   length(regexp_replace(text,
+                       '[\\p{{C}}\\p{{Zl}}\\p{{Zp}}\\x{{00A0}}\\x{{1680}}\\x{{2000}}-\\x{{200A}}\\x{{202F}}\\x{{205F}}\\x{{3000}}]',
+                       '', 'g'))::DOUBLE
+                       / nullif(length(text)::DOUBLE, 0.0) AS upr
             FROM documents
         ), s AS (
             SELECT *,
@@ -335,6 +344,7 @@ ORACLE = {
         SELECT doc_id,
                round(nar, 4) AS nonalpha_ratio,
                round(par, 4) AS ascii_ratio,
+               round(lsr, 4) AS latin_ratio,
                round(uwr, 4) AS uniq_word_ratio,
                round(mwl, 4) AS mean_word_len,
                CAST(coalesce(nar > 0.6, false) AS INTEGER) AS is_gibberish,
@@ -343,6 +353,8 @@ ORACLE = {
                CAST(coalesce(mwl < 2.0 OR mwl > 20.0 OR lwr > 0.1, false) AS INTEGER)
                    AS abnormal_words,
                CAST(corrupt AS INTEGER) AS is_corrupt,
+               CAST((length(trim(text)) < 20 OR upr < 0.6 OR lsr < 0.7)
+                   AS INTEGER) AS is_invalid,
                CAST(coalesce(nar > 0.6, false) OR corrupt OR lowq
                     OR coalesce(ulr < 0.3 OR uwr < 0.2, false)
                     OR coalesce(mwl < 2.0 OR mwl > 20.0 OR lwr > 0.1, false)

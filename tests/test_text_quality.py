@@ -190,3 +190,110 @@ def test_fix_mojibake_repairs_cp1252_and_latin1_forms(spark):
     rows = df.select(fix_mojibake(F.col("moji")).alias("got"), "want").collect()
     for r in rows:
         assert r.got == r.want
+
+
+# F7 golden truth table: the reference counts regex.findall(r"\p{Latin}|\p{M}")
+# over total length (text_utils.py:72-77); expected ratios computed by hand
+# for fixed samples -- accented European letters ARE Latin script, Cyrillic
+# and CJK are NOT, combining marks count.
+ACCENTED = "café résumé naïve über straße élève français"   # 44 chars, 38 latin
+CYRILLIC = "привет мир как дела"                            # 0 latin
+CJK = "你好世界こんにちは"                                    # 0 latin
+COMBINING = "ééé"                          # NFD e-acute: all latin|mark
+MIXED = "abcабв"                                            # 3 of 6
+
+
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        (ACCENTED, round(38 / 44, 4)),
+        (CYRILLIC, 0.0),
+        (CJK, 0.0),
+        (COMBINING, 1.0),
+        (MIXED, 0.5),
+        ("", 0.0),  # reference returns 0.0 for empty text
+    ],
+)
+def test_latin_script_ratio_golden(spark, text, expected):
+    got = _eval(spark, text, lambda c: F.round(tq.latin_script_ratio(c), 4))
+    assert got == pytest.approx(expected, abs=1e-4), text
+
+
+def test_is_invalid_text_latin_extended_semantics(spark):
+    """F9's default ALLOW_LATIN_EXTENDED path (text_utils.py:206-224):
+    accented-Latin prose is VALID (the whole point of the script-ratio
+    gate -- the old ascii approximation rejected exactly these docs);
+    Cyrillic / CJK prose is invalid (latin ratio < 0.7); short or
+    control-ridden text is invalid."""
+    valid = [
+        CLEAN,
+        ACCENTED,  # 0.864 latin ratio >= 0.7 -- the fidelity fix
+        "Ceci est une phrase française accentuée été à côté.",
+    ]
+    invalid = [
+        CYRILLIC + " " + CYRILLIC,     # long enough, but not Latin script
+        CJK * 5,
+        SHORT,                          # trimmed length < 20
+        "ab\x00\x01\x02\x03\x04\x05\x06\x07\x08 def\x00\x01\x02\x03\x04\x05\x06\x07\x08\x0e\x0f",  # printable < 0.6
+    ]
+    for t in valid:
+        assert _eval(spark, t, tq.is_invalid_text) is False, t
+    for t in invalid:
+        assert _eval(spark, t, tq.is_invalid_text) is True, t
+
+
+def test_unicode_printable_ratio_matches_python_isprintable(spark):
+    """The enumerated non-printable class must agree with Python's
+    str.isprintable char-for-char on controls, format chars, and every
+    Unicode separator."""
+    samples = [
+        "plain ascii",
+        "tabs\tand\nnewlines",
+        "nbsp en-quad thin ideo　",
+        "zero-width​join‍",  # Cf format chars
+        "line para ",
+        "soft-hyphen­",
+    ]
+    for s in samples:
+        want = sum(1 for ch in s if ch.isprintable()) / len(s)
+        got = _eval(spark, s, tq.unicode_printable_ratio)
+        assert got == pytest.approx(want, abs=1e-9), repr(s)
+
+
+def test_fix_mojibake_repairs_double_encoded_forms(spark):
+    """ftfy's multi-pass repair: text that went through the UTF-8 ->
+    cp1252 mis-decode TWICE must come back in one fix_mojibake call
+    (goldens derived from the encoding round-trip itself, e.g.
+    the right-single-quote arriving as its second-generation form)."""
+    cases = []
+    # only chars whose BOTH generations decode under cp1252 get a
+    # gen-2 rule (bytes like 0x9D are undefined; _moji_forms skips
+    # them the same way)
+    for good in "’“”—€":
+        try:
+            bad1 = good.encode("utf-8").decode("cp1252")
+            bad2 = bad1.encode("utf-8").decode("cp1252")
+        except UnicodeDecodeError:
+            continue
+        cases.append((f"x {bad2} y", f"x {good} y"))
+    assert cases, "no double-encodable goldens"
+    df = spark.createDataFrame(cases, "moji string, want string")
+    for r in df.select(tq.fix_mojibake(F.col("moji")).alias("got"), "want").collect():
+        assert r.got == r.want
+
+
+def test_fix_mojibake_unescapes_html_entity_remnants(spark):
+    """Entity remnants unescape exactly once, matching ftfy: plain
+    entities resolve to their characters; a double-escaped
+    "&amp;lt;" yields "&lt;", never "<"."""
+    cases = [
+        ("a &amp; b", "a & b"),
+        ("1 &lt; 2 &gt; 0", "1 < 2 > 0"),
+        ("say &quot;hi&quot;", 'say "hi"'),
+        ("it&#39;s", "it's"),
+        ("non&nbsp;breaking", "non\xa0breaking"),
+        ("&amp;lt;tag&amp;gt;", "&lt;tag&gt;"),
+    ]
+    df = spark.createDataFrame(cases, "moji string, want string")
+    for r in df.select(tq.fix_mojibake(F.col("moji")).alias("got"), "want").collect():
+        assert r.got == r.want
