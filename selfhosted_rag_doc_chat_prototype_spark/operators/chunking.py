@@ -68,30 +68,62 @@ def chunk_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# T5: token-budget word chunker
+# T5: token-budget chunker (pinned BPE-ish pre-tokenizer)
 # --------------------------------------------------------------------------
-def word_budget_chunks(
-    df: DataFrame, text_col: str, id_cols: list[str], budget: int, overlap: int
+# The reference budgets chunks in HF-tokenizer tokens: encode, slide a
+# (budget - prefix) window with `overlap` tokens of lookback, decode
+# each window (text_processor.py:188-234; budget 512, overlap 50).
+# Token counts from a neural tokenizer aren't reproducible in a SQL
+# oracle, so the PINNED counter here is the deterministic BPE-ish
+# pre-tokenizer (letter runs / digit runs / single punctuation --
+# textstats.BPE_RE, the same regex n_bpe_tokens reports), which
+# over-counts a real BPE by design (every merge only shrinks counts),
+# keeping every chunk budget-respecting under the real tokenizer too.
+
+
+def token_budget_chunks(
+    df: DataFrame, text_col: str, id_cols: list[str],
+    budget: int = 512, overlap: int = 50,
 ) -> DataFrame:
+    """T5: sliding window in pre-tokenizer token space; chunk text is
+    the single-space join of its tokens (the pre-tokenizer's "decode";
+    a real HF tokenizer slot-in would decode original spacing).
+    Zero-loss in token space: every token of the document appears in
+    at least one chunk, and with ``overlap == 0`` the chunks
+    concatenate back to the exact token stream. Map-only, codegen."""
     step = budget - overlap
     assert step > 0
-    ids = ", ".join(id_cols)
-    words = f"filter(split(trim({text_col}), '\\\\s+'), x -> x != '')"
+    from .textstats import BPE_RE
+
+    toks = F.col("_toks")
+    entries = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 1, F.lit(step)),
+        lambda s: F.struct(
+            F.concat_ws(" ", F.slice(toks, s + 1, budget)).alias("chunk"),
+            F.least(F.lit(budget), F.size(toks) - s).alias("n_chunk_tokens"),
+        ),
+    )
     return (
-        df.filter(F.length(F.trim(F.col(text_col))) > 0)
-        .selectExpr(
-            ids,
-            f"posexplode(transform(sequence(0, size({words}) - 1, {step}),"
-            f" s -> concat_ws(' ', slice({words}, s + 1, {budget}))))"
-            " as (chunk_index, chunk)",
+        df.withColumn(
+            "_toks", F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0)
         )
-        .withColumn("n_chunk_tokens", F.size(F.split(F.col("chunk"), r"\s+")))
+        .filter(F.size("_toks") > 0)
+        .select(*id_cols, F.posexplode(entries).alias("chunk_index", "e"))
+        .select(
+            *id_cols, "chunk_index",
+            F.col("e.chunk").alias("chunk"),
+            F.col("e.n_chunk_tokens").alias("n_chunk_tokens"),
+        )
     )
 
 
 def chunk_word_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered T5 query. Budget/overlap scaled to the test corpus
+    (48/8: several windows per synthetic doc) -- the operator defaults
+    are the reference's 512/50; the boundary goldens in
+    tests/test_chunking.py exercise those."""
     docs = table(spark, sf_dir, "documents")
-    return word_budget_chunks(docs, "text", ["doc_id"], budget=32, overlap=8)
+    return token_budget_chunks(docs, "text", ["doc_id"], budget=48, overlap=8)
 
 
 # --------------------------------------------------------------------------
@@ -229,20 +261,29 @@ ORACLE = {
         FROM documents, unnest(range(0, length(text), 80)) AS t(s)
         WHERE length(text) > 0
     """,
-    "chunk_word_budget": """
+    "chunk_word_budget": None,  # built below (shares BPE_RE with textstats)
+}
+
+
+def _chunk_word_budget_sql() -> str:
+    from .textstats import BPE_RE
+
+    budget, overlap = 48, 8
+    step = budget - overlap
+    return f"""
         WITH t AS (
-            SELECT doc_id,
-                   list_filter(string_split_regex(trim(text), '\\s+'),
-                               x -> x <> '') AS w
-            FROM documents WHERE length(trim(text)) > 0
+            SELECT doc_id, regexp_extract_all(text, '{BPE_RE}') AS w
+            FROM documents
         )
         SELECT doc_id,
-               CAST(s // 24 AS INTEGER) AS chunk_index,
+               CAST(s // {step} AS INTEGER) AS chunk_index,
                array_to_string(list_slice(w, CAST(s + 1 AS INTEGER),
-                                          CAST(s + 32 AS INTEGER)), ' ') AS chunk,
-               CAST(len(list_slice(w, CAST(s + 1 AS INTEGER),
-                                   CAST(s + 32 AS INTEGER))) AS INTEGER)
-                   AS n_chunk_tokens
-        FROM t, unnest(range(0, len(w), 24)) AS u(s)
-    """,
-}
+                                          CAST(s + {budget} AS INTEGER)), ' ')
+                   AS chunk,
+               CAST(least({budget}, len(w) - s) AS INTEGER) AS n_chunk_tokens
+        FROM t, unnest(range(0, len(w), {step})) AS u(s)
+        WHERE len(w) > 0
+    """
+
+
+ORACLE["chunk_word_budget"] = _chunk_word_budget_sql()

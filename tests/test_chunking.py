@@ -104,3 +104,76 @@ def test_chunk_markdown_dataframe(spark):
     assert len(out) >= 4
     assert all(r.doc_id == 7 for r in out)
     assert {r.page for r in out} >= {1, 2}
+
+
+def test_token_budget_boundaries_512_50(spark):
+    """Boundary golden at the reference defaults (budget 512, overlap
+    50, text_processor.py:188-234): 1100 tokens slide as starts 0, 462,
+    924 -> windows of 512, 512, 176 tokens, and consecutive windows
+    share exactly 50 tokens."""
+    # letter-only words: "w0" would pre-tokenize as TWO tokens (letter
+    # run + digit run), doubling the count
+    import itertools
+    import string
+
+    words = [
+        "".join(t)
+        for t in itertools.islice(
+            itertools.product(string.ascii_lowercase, repeat=3), 1100
+        )
+    ]
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    rows = sorted(
+        (r.chunk_index, r.n_chunk_tokens, r.chunk)
+        for r in chunking.token_budget_chunks(df, "text", ["doc_id"]).collect()
+    )
+    assert [(i, n) for i, n, _ in rows] == [(0, 512), (1, 512), (2, 176)]
+    for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
+        assert a.split()[-50:] == b.split()[:50]  # 50-token lookback
+    # zero-loss in token space: the union of windows covers every token
+    covered = set()
+    for _, _, c in rows:
+        covered.update(c.split())
+    assert covered == set(words)
+
+
+def test_token_budget_counts_bpe_pretokens_not_words(spark):
+    """The budget counter is the BPE-ish pre-tokenizer: punctuation
+    splits off ("don't" = don + ' + t), so a 6-token budget covers
+    fewer WORDS than 6 -- the fidelity the word-count chunker lacked."""
+    df = spark.createDataFrame([(1, "don't stop me now, thanks")], ["doc_id", "text"])
+    rows = {r.chunk_index: r for r in
+            chunking.token_budget_chunks(df, "text", ["doc_id"],
+                                         budget=6, overlap=0).collect()}
+    # tokens: don ' t stop me now , thanks  (8 pre-tokens, 2 windows)
+    assert rows[0].chunk == "don ' t stop me now"
+    assert rows[0].n_chunk_tokens == 6
+    assert rows[1].chunk == ", thanks"
+    assert rows[1].n_chunk_tokens == 2
+
+
+def test_token_budget_zero_overlap_exact_cover(spark, sf_dir):
+    """With overlap=0 the windows concatenate back to the document's
+    exact token stream (T6 zero-loss, token space)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from selfhosted_rag_doc_chat_prototype_spark.operators.textstats import BPE_RE
+
+    chunks = chunking.token_budget_chunks(docs, "text", ["doc_id"],
+                                          budget=40, overlap=0)
+    recon = chunks.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_index", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("joined"),
+    )
+    want = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)
+        ).alias("stream"),
+    ).filter(F.length("stream") > 0)
+    bad = want.join(recon, "doc_id").filter(F.col("joined") != F.col("stream"))
+    assert bad.count() == 0
