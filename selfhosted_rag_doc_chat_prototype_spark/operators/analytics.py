@@ -585,8 +585,10 @@ def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     report days it contributes to, then one distinct aggregate per
     report day -- bounded 7x row amplification of the (already
     deduplicated, narrow) pair set, map-side expansion, one shuffle.
-    Trailing windows that would extend past the data's last day are
-    dropped (every reported day has a full history behind it)."""
+    Only TRAILING-edge windows are dropped (report days past the
+    data's last day); report days earlier than min(day)+6 are still
+    emitted with the partial history that exists before them, exactly
+    as the oracle computes them."""
     ev = table(spark, sf_dir, "events")
     days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
     bounds = ev.agg(F.max(F.to_date("ts")).alias("max_d"))
@@ -684,16 +686,21 @@ def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-dimensional summaries in ONE scan/shuffle, where rollup/cube
     would also compute combinations nobody asked for. Expressed through
     ``spark.sql`` over a registered view: the engine's SQL-string
-    surface is the same Catalyst plan space as the DataFrame API."""
-    table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    surface is the same Catalyst plan space as the DataFrame API. The
+    view name is derived from ``sf_dir`` so two callers on one shared
+    session with different corpora never clobber each other's view."""
+    import hashlib
+
+    view = "events_v_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    table(spark, sf_dir, "events").createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT coalesce(event_type, '(all)') AS event_type,
                coalesce(day, '(all)') AS day,
                count(*) AS n,
                round(sum(value), 2) AS total_value
         FROM (SELECT event_type, date_format(ts, 'yyyy-MM-dd') AS day, value
-              FROM events_v)
+              FROM {view})
         GROUP BY GROUPING SETS ((event_type), (day))
         """
     )
@@ -1096,15 +1103,21 @@ ORACLE = {
                CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY 1, 2
     """,
+    # twin of the Spark side's exact semantics on ANY props payload:
+    # TRY_CAST (Spark's cast yields NULL on non-numerics, DuckDB's
+    # plain CAST would error), pmod-style floor bucketing (DuckDB %
+    # takes the dividend's sign), and distinct over the RAW STRING
+    # value (the Spark side counts distinct prop_val strings)
     "props_key_histogram": """
         WITH kv AS (
             SELECT k AS prop_key,
-                   CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS v
+                   json_extract_string(props, '$.' || k) AS s,
+                   TRY_CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS v
             FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
         )
-        SELECT prop_key, v - (v % 10) AS val_bucket,
+        SELECT prop_key, v - ((v % 10 + 10) % 10) AS val_bucket,
                CAST(count(*) AS BIGINT) AS n_events,
-               CAST(count(DISTINCT v) AS BIGINT) AS n_distinct_vals
+               CAST(count(DISTINCT s) AS BIGINT) AS n_distinct_vals
         FROM kv GROUP BY 1, 2
     """,
     "grouping_sets_events": """

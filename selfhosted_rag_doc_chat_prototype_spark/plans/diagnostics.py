@@ -25,7 +25,12 @@ def skew_report(df: DataFrame, key_cols: list[str], top_n: int = 20) -> DataFram
     One aggregation pass over the keys (map-side combined) plus a
     scalar broadcast -- safe to run on the full fact table."""
     spark = df.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:
+        # the conf is "auto" under AQE-managed parallelism on some
+        # builds; fall back to the cluster's default parallelism
+        n_part = spark.sparkContext.defaultParallelism or 200
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
     totals = counts.agg(
         F.sum("n_rows").alias("total_rows"),

@@ -141,7 +141,7 @@ def streaming_upsert_sink(
 
 def compact_table(
     spark: SparkSession, path: str, id_col: str = "id",
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int = DEFAULT_BUCKETS, version_col: str | None = None,
 ) -> None:
     """Maintenance compaction: every micro-batch landed through
     :func:`streaming_upsert_sink` (or any append) leaves its own file
@@ -150,11 +150,44 @@ def compact_table(
     reads, NameNode/listing pressure). Rewrite the table through the
     same dedup-and-bucket path so each bucket collapses back to its
     target file count, staged first so the read never races its own
-    overwrite. Contents are unchanged -- same idempotent id semantics,
-    byte-stable under re-runs."""
+    overwrite.
+
+    Compaction is DETERMINISTIC even when append-mode writes left
+    conflicting rows for one id: the survivor per id is max over a
+    struct of the non-id columns -- ``version_col`` first when given
+    (newest version wins), remaining columns in name order as the
+    total-order tiebreak -- never dropDuplicates' partition-order
+    pick. Tables with unorderable (map-typed) columns fall back to
+    dropDuplicates after ASSERTING ids are unique, so a silent
+    arbitrary pick can never happen."""
+    from pyspark.sql.types import MapType
+
     staging = path.rstrip("/") + "__compact"
     df = spark.read.parquet(path).drop("bucket")
-    df.dropDuplicates([id_col]).write.mode("overwrite").parquet(staging)
+    others = [c for c in df.columns if c != id_col]
+    if any(isinstance(f.dataType, MapType) for f in df.schema.fields):
+        dup = (
+            df.groupBy(id_col).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                f"compact_table: conflicting rows per {id_col!r} and "
+                "map-typed columns prevent a deterministic survivor; "
+                "resolve versions upstream"
+            )
+        deduped = df.dropDuplicates([id_col])
+    else:
+        order = (
+            [version_col] + sorted(c for c in others if c != version_col)
+            if version_col else sorted(others)
+        )
+        deduped = (
+            df.groupBy(id_col)
+            .agg(F.max(F.struct(*order)).alias("_s"))
+            .select(id_col, *[F.col(f"_s.{c}").alias(c) for c in order])
+            .select(id_col, *others)  # restore original column order
+        )
+    deduped.write.mode("overwrite").parquet(staging)
     write_table(spark.read.parquet(staging), path, id_col, n_buckets)
     _delete_dir(spark, staging)
 

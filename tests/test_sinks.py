@@ -137,3 +137,25 @@ def test_streaming_upsert_sink_converges(spark, tmp_path):
     assert back["id_3"] == "chunk text v13"      # untouched
     assert back["id_15"] == "chunk text v215"    # replaced by v2
     assert back["id_22"] == "chunk text v222"    # fresh insert
+
+
+def test_compact_table_keeps_max_version_deterministically(spark, tmp_path):
+    """Append-mode writes can leave conflicting rows per id; compaction
+    must keep the max-version row (never dropDuplicates' arbitrary
+    partition-order pick), and re-running must be byte-stable."""
+    path = str(tmp_path / "tbl")
+    rows = [("a", 1, "old"), ("a", 3, "new"), ("a", 2, "mid"),
+            ("b", 1, "only")]
+    df = spark.createDataFrame(rows, "id string, version int, payload string")
+    sinks.write_table(df.filter("version = 1"), path, "id")
+    # raw appends bypass upsert's dedup, leaving 3 rows for id 'a'
+    for v in (3, 2):
+        d = df.filter(F.col("version") == v)
+        d.withColumn(
+            "bucket", F.pmod(F.xxhash64("id"), F.lit(sinks.DEFAULT_BUCKETS))
+        ).write.partitionBy("bucket").mode("append").parquet(path)
+    for _ in range(2):  # idempotent under re-runs
+        sinks.compact_table(spark, path, "id", version_col="version")
+        got = {r.id: (r.version, r.payload)
+               for r in sinks.read_table(spark, path).collect()}
+        assert got == {"a": (3, "new"), "b": (1, "only")}
