@@ -165,6 +165,44 @@ def rh_sig_sql(planes: np.ndarray, bits: int, tables: int,
     """
 
 
+def lsh_bucket_join(
+    q: DataFrame,
+    cand: DataFrame,
+    lsh_bits: int = LSH_BITS,
+    lsh_tables: int = LSH_TABLES,
+) -> DataFrame:
+    """The engine's shared ANN candidate generator: broadcast multi-table
+    sign-LSH bucket equi-join between a (small) query side carrying
+    ``qv`` and a candidate side carrying ``cv``. All other columns on
+    either side pass through, so callers can rank per extra keys (e.g.
+    the tenant ``label`` in :func:`anns_grouped_topk`).
+
+    A pair colliding in several tables must score ONCE. Both sides
+    carry their full per-table signature arrays, so "first table where
+    the pair collides" is a LOCAL predicate: keep the joined row only
+    in that table. This is a map-side filter after the broadcast bucket
+    join -- no dropDuplicates exchange, which at 100 TB would re-shuffle
+    every candidate pair."""
+    sig = rh_sig_udf(lsh_bits, lsh_tables)
+    qs = q.withColumn("qsig", sig(F.col("qv"))).select(
+        *q.columns, "qsig", F.posexplode("qsig").alias("tbl", "bucket"),
+    )
+    cs = cand.withColumn("csig", sig(F.col("cv"))).select(
+        *cand.columns, "csig",
+        F.posexplode("csig").alias("ctbl", "cbucket"),
+    )
+    first_hit = F.array_position(
+        F.zip_with("qsig", "csig", lambda a, b: a == b), F.lit(True)
+    ) - 1
+    return (
+        F.broadcast(qs)
+        .join(cs, (F.col("tbl") == F.col("ctbl"))
+              & (F.col("bucket") == F.col("cbucket")))
+        .filter(F.col("tbl") == first_hit)
+        .drop("qsig", "csig", "tbl", "bucket", "ctbl", "cbucket")
+    )
+
+
 def dot(x: Column, y: Column) -> Column:
     return F.aggregate(
         F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
@@ -225,7 +263,8 @@ def anns_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 GROUP_TOP_K = 3
 
 
-def anns_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def anns_grouped_topk(spark: SparkSession, sf_dir: str,
+                      strategy: str = "lsh") -> DataFrame:
     """Per-LABEL (multi-tenant / multi-collection) retrieval: each
     query's top-k within EVERY label partition, one plan -- the batch
     form of tenant-scoped vector search (the reference scopes Qdrant
@@ -235,7 +274,15 @@ def anns_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force path; the only shuffle is the per-(query, label) top-k
     window. On a tenant-partitioned candidates table a single-tenant
     query instead prunes to its partition before scoring -- this
-    grouped form is for the all-tenants batch sweep."""
+    grouped form is for the all-tenants batch sweep.
+
+    ``strategy`` mirrors :func:`hybrid_fusion_topk`'s reasoning: the
+    registered query pins ``"lsh"`` so candidates come from the
+    multi-table sign-LSH bucket equi-join (:func:`lsh_bucket_join`,
+    corpus work ~N/2^bits per table) with the ``label`` column passed
+    through and ranking per (query, label) -- the plan that survives a
+    100x corpus. ``"brute"`` keeps the exact broadcast scan as the
+    recall oracle for tests."""
     base = _vectors(spark, sf_dir)
     queries = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -243,9 +290,12 @@ def anns_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = base.select(
         F.col("vec_id").alias("neighbor_id"), "label", F.col("v").alias("cv")
     )
+    if strategy == "brute":
+        joined = F.broadcast(queries).crossJoin(rebalance(cand))
+    else:
+        joined = lsh_bucket_join(queries, cand)
     scored = (
-        F.broadcast(queries)
-        .crossJoin(rebalance(cand))
+        joined
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "label", "neighbor_id",
@@ -485,6 +535,22 @@ def anns_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 BRUTE_FORCE_MAX_PAIRS = 50_000_000  # ~1 CPU-minute of 16-dim dot products
 
 
+def planner_rowcount(df: DataFrame) -> int:
+    """Row count for pricing a physical strategy, the way a CBO reads
+    it: prefer Catalyst's table statistics (populated by ``ANALYZE
+    TABLE ... COMPUTE STATISTICS`` / CBO in a real deployment, where a
+    100-TB count job would be the wrong ritual) and only fall back to
+    a ``count()`` job when no stats exist (metadata-cheap for the
+    parquet scans at the correctness gate's scale)."""
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+    except Exception:
+        pass
+    return df.count()
+
+
 def topk_cosine(
     vectors: DataFrame,
     queries: DataFrame,
@@ -509,16 +575,17 @@ def topk_cosine(
 
     ``auto`` decides from |V| x |Q| against ``BRUTE_FORCE_MAX_PAIRS``.
     Both plans broadcast the query side and never shuffle candidates
-    for bucketing (signatures are map-only Arrow matmuls); the count()
-    that prices the plan is a metadata-cheap scan at the planner step
-    (same information a real CBO reads from table stats).
+    for bucketing (signatures are map-only Arrow matmuls); the pair
+    count that prices the plan comes from :func:`planner_rowcount` --
+    Catalyst table statistics when ANALYZE/CBO has populated them,
+    a metadata-cheap count() fallback otherwise.
 
     ``pre_round`` (decimals) rounds the cosine BEFORE ranking so rank
     ties at a prefetch boundary break identically in Spark and a
     DuckDB oracle that ranks rounded scores (the hybrid fusion legs
     need this); ``out_decimals`` rounds the emitted ``cos_sim``."""
     if strategy == "auto":
-        n_pairs = vectors.count() * queries.count()
+        n_pairs = planner_rowcount(vectors) * planner_rowcount(queries)
         strategy = "brute" if n_pairs <= BRUTE_FORCE_MAX_PAIRS else "lsh"
     cand = vectors.select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
@@ -529,8 +596,8 @@ def topk_cosine(
         # side: spread an under-split scan (no-op at real scale)
         joined = F.broadcast(q).crossJoin(rebalance(cand))
     elif strategy in ("lsh", "lsh_multiprobe"):
-        sig = rh_sig_udf(lsh_bits, lsh_tables)
         if strategy == "lsh_multiprobe":
+            sig = rh_sig_udf(lsh_bits, lsh_tables)
             psig = rh_probe_sig_udf(lsh_bits, lsh_tables)
             qs = q.select(
                 "query_id", "qv", F.explode(psig(F.col("qv"))).alias("tb")
@@ -554,30 +621,7 @@ def topk_cosine(
                 .dropDuplicates(["query_id", "neighbor_id"])
             )
         else:
-            qs = q.withColumn("qsig", sig(F.col("qv"))).select(
-                "query_id", "qv", "qsig",
-                F.posexplode("qsig").alias("tbl", "bucket"),
-            )
-            cs = cand.withColumn("csig", sig(F.col("cv"))).select(
-                "neighbor_id", "cv", "csig",
-                F.posexplode("csig").alias("ctbl", "cbucket"),
-            )
-            # a pair colliding in several tables must score ONCE. Both
-            # sides carry their full per-table signature arrays, so
-            # "first table where the pair collides" is a LOCAL
-            # predicate: keep the joined row only in that table. This
-            # is a map-side filter after the broadcast bucket join --
-            # no dropDuplicates exchange, which at 100 TB would
-            # re-shuffle every candidate pair.
-            first_hit = F.array_position(
-                F.zip_with("qsig", "csig", lambda a, b: a == b), F.lit(True)
-            ) - 1
-            joined = (
-                F.broadcast(qs)
-                .join(cs, (F.col("tbl") == F.col("ctbl"))
-                      & (F.col("bucket") == F.col("cbucket")))
-                .filter(F.col("tbl") == first_hit)
-            )
+            joined = lsh_bucket_join(q, cand, lsh_bits, lsh_tables)
     else:
         raise ValueError(f"unknown strategy: {strategy!r}")
     cos_raw = cosine(F.col("qv"), F.col("cv"))
@@ -732,16 +776,30 @@ ORACLE = {
         FROM e a JOIN e b ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
         QUALIFY rank <= {TOP_K}
     """,
+    # oracle twin of the LSH-candidate grouped retrieval: the candidate
+    # pair set is the same multi-table sign-LSH bucket join the Spark
+    # plan runs (rh_sig_sql twin, proven by anns_lsh_bucketed's
+    # oracle), ranked per (query, label) over those candidates only.
     "anns_grouped_topk": f"""
         WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-                   FROM embeddings)
-        SELECT a.vec_id AS query_id, b.label,
-               b.vec_id AS neighbor_id,
+                   FROM embeddings),
+        _planes AS (SELECT {planes_sql_literal(hyperplanes(64, LSH_BITS, LSH_TABLES))} AS h),
+        sig AS ({rh_sig_sql(hyperplanes(64, LSH_BITS, LSH_TABLES),
+                            LSH_BITS, LSH_TABLES, "e", "vec_id")}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+            FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+            WHERE a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+        )
+        SELECT c.query_id, qb.label, c.neighbor_id,
                CAST(row_number() OVER (
-                   PARTITION BY a.vec_id, b.label
-                   ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS INTEGER) AS rank,
-               round({_COS_SQL}, 4) AS cos_sim
-        FROM e a JOIN e b ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+                   PARTITION BY c.query_id, qb.label
+                   ORDER BY list_cosine_similarity(qa.v, qb.v) DESC,
+                            c.neighbor_id ASC) AS INTEGER) AS rank,
+               round(list_cosine_similarity(qa.v, qb.v), 4) AS cos_sim
+        FROM cand c
+        JOIN e qa ON qa.vec_id = c.query_id
+        JOIN e qb ON qb.vec_id = c.neighbor_id
         QUALIFY rank <= {GROUP_TOP_K}
     """,
     "anns_lsh_bucketed": f"""

@@ -44,6 +44,11 @@ def get_spark(
         # identical wall-clock semantics vs the DuckDB oracle.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # cost-based optimizer: inert on bare parquet paths (no catalog
+        # stats) but lets ANALYZE'd tables feed rowCount into join
+        # reordering and the engine's own strategy pricing
+        # (operators/similarity.planner_rowcount)
+        .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

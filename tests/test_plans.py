@@ -112,6 +112,18 @@ def test_hybrid_dense_leg_is_bucket_join(plans):
     assert "CartesianProduct" not in p
 
 
+def test_grouped_topk_is_bucket_join(plans):
+    """The per-label grouped retrieval must generate candidates through
+    the LSH bucket equi-join, never an exact query x corpus broadcast
+    scan (crossJoin would show as BroadcastNestedLoopJoin)."""
+    import re
+
+    p = plans["anns_grouped_topk"]
+    assert "zip_with" in p
+    assert not re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)
+    assert "CartesianProduct" not in p
+
+
 def test_lsh_pair_dedup_is_map_side(plans):
     """Plain-LSH top-k dedups bucket collisions with a local
     first-colliding-table filter; a dropDuplicates here would add a

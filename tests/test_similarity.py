@@ -181,6 +181,44 @@ def test_lsh_recall_against_bruteforce(spark, sf_dir):
     assert hits / total >= 0.5
 
 
+def test_planner_rowcount_prefers_catalyst_stats(spark, tmp_path):
+    """When ANALYZE TABLE has populated stats, pricing must read them
+    from the optimized plan (no count job); without stats it falls
+    back to count(). Both paths must return the exact row count."""
+    df = spark.range(123).toDF("x")
+    assert similarity.planner_rowcount(df) == 123
+
+    spark.sql("DROP TABLE IF EXISTS _pr_stats_t")
+    df.write.mode("overwrite").saveAsTable("_pr_stats_t")
+    prev_cbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.sql("ANALYZE TABLE _pr_stats_t COMPUTE STATISTICS")
+        t = spark.table("_pr_stats_t")
+        rc = t._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        assert rc.isDefined(), "ANALYZE did not populate rowCount stats"
+        assert similarity.planner_rowcount(t) == 123
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
+        spark.sql("DROP TABLE IF EXISTS _pr_stats_t")
+
+
+def test_grouped_topk_lsh_recall_per_label(spark, sf_dir):
+    """The registered grouped (per-tenant) retrieval runs on LSH
+    candidates; per-(query, label) it must recover a healthy share of
+    the exact per-label top-k (LSH changes the candidate set, never
+    the scores)."""
+    bf = {}
+    for r in similarity.anns_grouped_topk(spark, sf_dir, strategy="brute").collect():
+        bf.setdefault((r.query_id, r.label), set()).add(r.neighbor_id)
+    lsh = {}
+    for r in similarity.anns_grouped_topk(spark, sf_dir).collect():
+        lsh.setdefault((r.query_id, r.label), set()).add(r.neighbor_id)
+    hits = sum(len(bf[k] & lsh.get(k, set())) for k in bf)
+    total = sum(len(v) for v in bf.values())
+    assert hits / total >= 0.5
+
+
 def test_multiprobe_recall_beats_half_tables(spark, sf_dir):
     """Multi-probe with tables/2 must at least match plain LSH at
     tables/2 and clear the same 0.5 recall floor as the full-table
