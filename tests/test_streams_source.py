@@ -1,0 +1,106 @@
+"""S8 pluggable telemetry source: the broker is a config, not an
+architecture. The same windowed plan must produce the batch answer
+whether events arrive as parquet drops or as broker-wire JSON frames
+(the kafka/mqtt-bridge format, driven here through the file transport
+because the connector jar is not in the container); the wire parser
+itself is round-tripped and dead-letter-checked in batch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from selfhosted_rag_doc_chat_prototype_spark.sources import streams
+from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+from selfhosted_rag_doc_chat_prototype_spark.streaming import telemetry
+
+
+def _events(spark, sf_dir):
+    return table(spark, sf_dir, "events").select(
+        *[f.name for f in streams.TELEMETRY_SCHEMA.fields]
+    )
+
+
+def test_wire_format_roundtrip_batch(spark, sf_dir):
+    """encode -> decode is the identity on every telemetry column
+    (microsecond timestamps included), with no dead-lettered rows."""
+    ev = _events(spark, sf_dir)
+    back = streams.parse_telemetry_payload(
+        streams.telemetry_frames_to_json(ev)
+    )
+    assert back.filter(F.col("_corrupt").isNotNull()).count() == 0
+    cols = [f.name for f in streams.TELEMETRY_SCHEMA.fields]
+    diff = ev.select(cols).exceptAll(back.select(cols))
+    assert diff.count() == 0
+
+
+def test_malformed_frames_dead_letter_not_throw(spark):
+    """A poison message must surface in _corrupt, never kill the task."""
+    frames = spark.createDataFrame(
+        [("{not json",), ('{"event_id": 1, "ts": "2026-01-01T00:00:00Z", '
+                          '"user_id": 2, "event_type": "hb", "value": 1.0, '
+                          '"props": null}',)],
+        "value string",
+    )
+    rows = streams.parse_telemetry_payload(frames).collect()
+    bad = [r for r in rows if r._corrupt is not None]
+    good = [r for r in rows if r._corrupt is None]
+    assert len(bad) == 1 and bad[0].event_id is None
+    assert len(good) == 1 and good[0].event_id == 1
+
+
+@pytest.mark.parametrize("source", ["files", "jsonl"])
+def test_windowed_agg_stream_equals_batch_per_source(
+    spark, sf_dir, tmp_path_factory, source
+):
+    """Stream-equals-batch, parameterized over the source face: the
+    downstream plan builder never changes."""
+    ev = _events(spark, sf_dir)
+    d = str(tmp_path_factory.mktemp(f"tele_{source}"))
+    if source == "files":
+        ev.repartition(4).write.mode("overwrite").parquet(d)
+    else:
+        (streams.telemetry_frames_to_json(ev)
+         .select(F.col("value").cast("string"))
+         .repartition(4).write.mode("overwrite").text(d))
+    stream = telemetry.windowed_counts_plan(
+        streams.telemetry_stream(spark, source, path=d)
+        .select(*[f.name for f in streams.TELEMETRY_SCHEMA.fields])
+    )
+    name = f"tele_src_{source}"
+    q = (
+        stream.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 2))
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 2))
+        for r in telemetry.windowed_counts_plan(ev).collect()
+    }
+    assert got == want
+
+
+def test_rate_source_maps_to_telemetry_schema(spark):
+    df = streams.telemetry_stream(spark, "rate")
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        f.name for f in streams.TELEMETRY_SCHEMA.fields
+    ]
+
+
+def test_kafka_face_names_missing_package(spark):
+    """Without the connector jar the kafka face must fail with the
+    exact package coordinate a user needs, not a raw classpath error."""
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        streams.telemetry_stream(
+            spark, "kafka", brokers="localhost:9092", topic="telemetry"
+        )
+
+
+def test_unknown_source_rejected(spark):
+    with pytest.raises(ValueError, match="unknown telemetry source"):
+        streams.telemetry_stream(spark, "pulsar")
