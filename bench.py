@@ -73,26 +73,41 @@ HEADLINE = [
 ]
 
 
-SCALE_QUERIES = ["dedup_embedding_cosine", "anns_lsh_bucketed"]
-DOC_SCALE_QUERIES = ["dedup_minhash_lsh", "decontaminate_fuzzy_minhash"]
+# embedding-only paths get full best-of-N; the heavier doc/hybrid paths
+# best-of-2 (they rebuild per-corpus matviews on the first run)
+SCALE_QUERIES = ["dedup_embedding_cosine", "anns_lsh_bucketed",
+                 "anns_grouped_topk"]
+DOC_SCALE_QUERIES = ["dedup_minhash_lsh", "decontaminate_fuzzy_minhash",
+                     "hybrid_fusion_topk"]
 
 
 def scale_evidence(spark, sf_dir, queries, timings, n_runs):
-    """Direct evidence the vector paths are not quadratic: re-time the
-    LSH-blocked queries on a 10x embeddings table (replicas
-    decorrelated by deterministic sign flips so they behave like new
-    data, not 10 stacked copies) and report the wall-time ratio --
-    linear candidate generation should land near 10x, a quadratic
-    blocking near 100x."""
+    """Direct evidence the vector and shingle paths are not quadratic:
+    re-time the LSH-blocked queries on a 10x corpus and report the
+    wall-time ratio -- linear candidate generation should land near
+    10x (in practice lower, fixed overhead dominates at sf0.1), a
+    quadratic blocking near 100x.
+
+    One scale dir carries BOTH 10x tables so two-legged queries
+    (hybrid fusion reads documents for BM25 and embeddings for the
+    dense leg) run against a coherently scaled corpus:
+
+    - embeddings: replicas decorrelated by deterministic sign flips so
+      they behave like new data, not 10 stacked copies;
+    - documents: every word suffixed per replica so shingles never
+      collide across replicas (a correlated copy would measure the
+      pair-explosion of planted duplicates, not the algorithm's
+      growth). Replica 0 keeps original ids, so the query set
+      (id < N_QUERIES) is FIXED while the corpus grows 10x."""
     import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
     out = {}
-    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     d = tempfile.mkdtemp(prefix="sparkgraft_scale10x_")
     try:
+        base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         reps = spark.range(10).select(F.col("id").alias("rep"))
         big = base.crossJoin(reps).select(
             (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
@@ -105,11 +120,29 @@ def scale_evidence(spark, sf_dir, queries, timings, n_runs):
             "label",
         )
         big.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
-        for name in SCALE_QUERIES:
+
+        base_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        parts = []
+        for rep in range(10):
+            parts.append(
+                base_docs.select(
+                    (F.col("doc_id") + rep * 10_000_000).alias("doc_id"),
+                    F.regexp_replace("text", r"(\S+)", f"$1x{rep}")
+                    .alias("text"),
+                )
+            )
+        bigd = parts[0]
+        for p in parts[1:]:
+            bigd = bigd.unionByName(p)
+        bigd.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+        for name, runs in [(n, n_runs) for n in SCALE_QUERIES] + [
+            (n, min(n_runs, 2)) for n in DOC_SCALE_QUERIES
+        ]:
             if name not in queries or name not in timings:
                 continue
             best = float("inf")
-            for _ in range(n_runs):
+            for _ in range(runs):
                 t0 = time.time()
                 queries[name](spark, d).write.format("noop").mode(
                     "overwrite"
@@ -120,42 +153,17 @@ def scale_evidence(spark, sf_dir, queries, timings, n_runs):
                 out[f"{name}_scale_ratio_10x"] = round(best / timings[name], 2)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+        # drop the matview / index tables materialized for the
+        # throwaway scale dir (tagged by md5 of its path)
+        import glob
+        import hashlib
 
-    # text path: 10x documents, every word suffixed per replica so
-    # shingles never collide across replicas (a correlated copy would
-    # measure the pair-explosion of planted duplicates, not the
-    # algorithm's growth). Linear candidate generation lands near 10x.
-    base_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    d2 = tempfile.mkdtemp(prefix="sparkgraft_scale10x_docs_")
-    try:
-        parts = []
-        for rep in range(10):
-            parts.append(
-                base_docs.select(
-                    (F.col("doc_id") + rep * 10_000_000).alias("doc_id"),
-                    F.regexp_replace("text", r"(\S+)", f"$1x{rep}")
-                    .alias("text"),
-                )
-            )
-        big = parts[0]
-        for p in parts[1:]:
-            big = big.unionByName(p)
-        big.write.mode("overwrite").parquet(f"{d2}/documents.parquet")
-        for name in DOC_SCALE_QUERIES:
-            if name not in queries or name not in timings:
-                continue
-            best = float("inf")
-            for _ in range(min(n_runs, 2)):
-                t0 = time.time()
-                queries[name](spark, d2).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                best = min(best, time.time() - t0)
-            out[f"{name}_10x_sec"] = round(best, 3)
-            if timings[name] > 0:
-                out[f"{name}_scale_ratio_10x"] = round(best / timings[name], 2)
-    finally:
-        shutil.rmtree(d2, ignore_errors=True)
+        tag = hashlib.md5(d.encode()).hexdigest()[:8]
+        here = os.path.dirname(os.path.abspath(__file__))
+        for p in glob.glob(
+            os.path.join(here, "spark-warehouse", "matview", f"*_{tag}")
+        ):
+            shutil.rmtree(p, ignore_errors=True)
     return out
 
 
@@ -209,7 +217,7 @@ def main() -> None:
     derived.update(scale_evidence(spark, sf_dir, queries, timings, n_runs))
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    result = {
         "metric": "headline_suite_wall_seconds",
         "value": total,
         "unit": "sec",
@@ -218,7 +226,44 @@ def main() -> None:
         "runs_per_query": n_runs,
         "wall_seconds_all_runs": wall,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
-    }))
+    }
+
+    # full result -> committed file (the authoritative record); stdout
+    # gets ONE compact line bounded under the driver's 2000-char tail
+    # capture (BENCH_r02 recorded parsed:null because the verbose line
+    # overflowed it), shrinking "derived" first and falling back to a
+    # file pointer if the query map alone would still overflow.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_local.json"), "w") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+
+    compact = lambda obj: json.dumps(obj, separators=(",", ":"))
+    budget = 1950
+    anchors = {
+        k: v for k, v in derived.items()
+        if k in ("ingest_docs_per_min", "retrieval_ms_per_query_batched")
+    }
+    ratios = {
+        k: v for k, v in derived.items() if k.endswith("_scale_ratio_10x")
+    }
+    line = dict(result, detail_file="BENCH_local.json")
+    shrinks = [
+        lambda: line.update(
+            queries={k: round(v, 2) for k, v in timings.items()}),
+        lambda: line.update(derived={**anchors, **ratios}),
+        lambda: line.update(derived=anchors),
+        lambda: line.pop("derived", None),
+        lambda: (line.update(
+            queries=dict(sorted(line["queries"].items(),
+                                key=lambda kv: -kv[1])[:30])),
+                 line.update(queries_truncated_see_detail_file=True)),
+    ]
+    for shrink in shrinks:
+        if len(compact(line)) <= budget:
+            break
+        shrink()
+    print(compact(line))
 
 
 if __name__ == "__main__":
