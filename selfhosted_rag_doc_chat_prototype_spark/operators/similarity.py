@@ -170,12 +170,19 @@ def lsh_bucket_join(
     cand: DataFrame,
     lsh_bits: int = LSH_BITS,
     lsh_tables: int = LSH_TABLES,
+    cand_signed: DataFrame | None = None,
 ) -> DataFrame:
     """The engine's shared ANN candidate generator: broadcast multi-table
     sign-LSH bucket equi-join between a (small) query side carrying
     ``qv`` and a candidate side carrying ``cv``. All other columns on
     either side pass through, so callers can rank per extra keys (e.g.
     the tenant ``label`` in :func:`anns_grouped_topk`).
+
+    ``cand_signed``, when given, is a candidate side whose ``csig``
+    signature column is ALREADY materialized (the persisted index from
+    :func:`lsh_build`): the serve path then runs no corpus-side
+    signature pass at all -- index build is a batch job, probing reads
+    a stored table.
 
     A pair colliding in several tables must score ONCE. Both sides
     carry their full per-table signature arrays, so "first table where
@@ -187,8 +194,17 @@ def lsh_bucket_join(
     qs = q.withColumn("qsig", sig(F.col("qv"))).select(
         *q.columns, "qsig", F.posexplode("qsig").alias("tbl", "bucket"),
     )
-    cs = cand.withColumn("csig", sig(F.col("cv"))).select(
-        *cand.columns, "csig",
+    if cand_signed is not None:
+        # stored signatures may carry MORE tables than requested (one
+        # index serves every (tables <= stored) config, because the
+        # seeded plane stream is a prefix): slice to the first L
+        base_cs = cand_signed.withColumn(
+            "csig", F.slice("csig", 1, lsh_tables)
+        )
+    else:
+        base_cs = cand.withColumn("csig", sig(F.col("cv")))
+    cs = base_cs.select(
+        *[c for c in base_cs.columns if c != "csig"], "csig",
         F.posexplode("csig").alias("ctbl", "cbucket"),
     )
     first_hit = F.array_position(
@@ -201,6 +217,51 @@ def lsh_bucket_join(
         .filter(F.col("tbl") == first_hit)
         .drop("qsig", "csig", "tbl", "bucket", "ctbl", "cbucket")
     )
+
+
+# persisted sign-LSH signature index: like the IVF and BM25 matviews,
+# signature computation over the corpus is a BATCH INDEX BUILD (SURVEY
+# section 1.1), run once per (session, corpus) and persisted; every
+# retrieval query then probes the stored (id, label, v, sig) table with
+# no corpus-side signature pass. One stored index serves every
+# tables<=LSH_TABLES config (the seeded plane stream is a prefix, so
+# sig[:L] IS the L-table signature -- asserted in tests).
+_LSH_STORE: dict = {}
+
+
+def _lsh_path(sf_dir: str, bits: int, tables: int) -> str:
+    import hashlib
+    import os
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(
+        repo_root, "spark-warehouse", "matview",
+        f"lsh_sig_{bits}x{tables}_{tag}",
+    )
+
+
+def lsh_build(spark: SparkSession, sf_dir: str,
+              lsh_bits: int = LSH_BITS,
+              lsh_tables: int = LSH_TABLES) -> DataFrame:
+    """Build (or load) the persisted signature index over ``sf_dir``'s
+    embeddings: one row per vector, ``(neighbor_id, label, cv, csig)``
+    with the full ``lsh_tables``-table signature array. The Arrow
+    matmul signature pass runs HERE, once per index build, never at
+    query time."""
+    key = (spark, sf_dir, lsh_bits, lsh_tables)
+    if key not in _LSH_STORE:
+        path = _lsh_path(sf_dir, lsh_bits, lsh_tables)
+        sig = rh_sig_udf(lsh_bits, lsh_tables)
+        (_vectors(spark, sf_dir)
+         .select(F.col("vec_id").alias("neighbor_id"), "label",
+                 F.col("v").alias("cv"))
+         .withColumn("csig", sig(F.col("cv")))
+         .write.mode("overwrite").parquet(path))
+        _LSH_STORE[key] = spark.read.parquet(path)
+    return _LSH_STORE[key]
 
 
 def dot(x: Column, y: Column) -> Column:
@@ -234,11 +295,16 @@ def anns_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def anns_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH retrieval served from the persisted signature index
+    (:func:`lsh_build`): the first call per (session, corpus) builds
+    the index as a batch job; every call after probes the stored
+    table with no corpus-side signature pass."""
     base = _vectors(spark, sf_dir)
     queries = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    return topk_cosine(base, queries, k=TOP_K, strategy="lsh")
+    return topk_cosine(base, queries, k=TOP_K, strategy="lsh",
+                       cand_signed=lsh_build(spark, sf_dir))
 
 
 def anns_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,6 +323,7 @@ def anns_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine(
         base, queries, k=TOP_K, strategy="lsh_multiprobe",
         lsh_tables=LSH_TABLES // 2,
+        cand_signed=lsh_build(spark, sf_dir),
     )
 
 
@@ -293,7 +360,9 @@ def anns_grouped_topk(spark: SparkSession, sf_dir: str,
     if strategy == "brute":
         joined = F.broadcast(queries).crossJoin(rebalance(cand))
     else:
-        joined = lsh_bucket_join(queries, cand)
+        joined = lsh_bucket_join(
+            queries, cand, cand_signed=lsh_build(spark, sf_dir)
+        )
     scored = (
         joined
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -359,6 +428,7 @@ def hybrid_fusion_topk(spark: SparkSession, sf_dir: str,
     dense = topk_cosine(
         base, queries, k=DENSE_PREFETCH, strategy=dense_strategy,
         pre_round=6, out_decimals=6,
+        cand_signed=lsh_build(spark, sf_dir),
     ).select("query_id", "neighbor_id", F.col("cos_sim").alias("dense"))
     ws = Window.partitionBy("query_id").orderBy(
         F.desc("sparse"), F.asc("neighbor_id")
@@ -560,6 +630,7 @@ def topk_cosine(
     lsh_tables: int = LSH_TABLES,
     pre_round: int | None = None,
     out_decimals: int = 4,
+    cand_signed: DataFrame | None = None,
 ) -> DataFrame:
     """General top-k cosine retrieval over (``vec_id``, ``v``) vectors
     for (``query_id``, ``qv``) queries, with the physical strategy
@@ -597,7 +668,6 @@ def topk_cosine(
         joined = F.broadcast(q).crossJoin(rebalance(cand))
     elif strategy in ("lsh", "lsh_multiprobe"):
         if strategy == "lsh_multiprobe":
-            sig = rh_sig_udf(lsh_bits, lsh_tables)
             psig = rh_probe_sig_udf(lsh_bits, lsh_tables)
             qs = q.select(
                 "query_id", "qv", F.explode(psig(F.col("qv"))).alias("tb")
@@ -605,10 +675,18 @@ def topk_cosine(
                 "query_id", "qv",
                 F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
             )
-            cs = cand.select(
-                "neighbor_id", "cv",
-                F.posexplode(sig(F.col("cv"))).alias("ctbl", "cbucket"),
-            )
+            if cand_signed is not None:
+                cs = cand_signed.select(
+                    "neighbor_id", "cv",
+                    F.posexplode(F.slice("csig", 1, lsh_tables))
+                    .alias("ctbl", "cbucket"),
+                )
+            else:
+                sig = rh_sig_udf(lsh_bits, lsh_tables)
+                cs = cand.select(
+                    "neighbor_id", "cv",
+                    F.posexplode(sig(F.col("cv"))).alias("ctbl", "cbucket"),
+                )
             # probe buckets are margin-derived, so a pair can collide
             # through several (table, probe) routes with no cheap local
             # "first route" predicate: dedup on (query, neighbor) after
@@ -621,7 +699,9 @@ def topk_cosine(
                 .dropDuplicates(["query_id", "neighbor_id"])
             )
         else:
-            joined = lsh_bucket_join(q, cand, lsh_bits, lsh_tables)
+            joined = lsh_bucket_join(
+                q, cand, lsh_bits, lsh_tables, cand_signed=cand_signed
+            )
     else:
         raise ValueError(f"unknown strategy: {strategy!r}")
     cos_raw = cosine(F.col("qv"), F.col("cv"))

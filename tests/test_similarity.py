@@ -181,6 +181,18 @@ def test_lsh_recall_against_bruteforce(spark, sf_dir):
     assert hits / total >= 0.5
 
 
+def test_hyperplane_stream_is_a_prefix():
+    """One stored signature index serves every tables<=stored config:
+    the seeded Gaussian plane stream must be a prefix, so slicing the
+    stored signature array to L entries IS the L-table signature."""
+    import numpy as np
+
+    full = similarity.hyperplanes(64, similarity.LSH_BITS, similarity.LSH_TABLES)
+    half = similarity.hyperplanes(64, similarity.LSH_BITS,
+                                  similarity.LSH_TABLES // 2)
+    assert np.array_equal(full[: half.shape[0]], half)
+
+
 def test_planner_rowcount_prefers_catalyst_stats(spark, tmp_path):
     """When ANALYZE TABLE has populated stats, pricing must read them
     from the optimized plan (no count job); without stats it falls
