@@ -67,9 +67,10 @@ HEADLINE = [
     "decontaminate_fuzzy_minhash",
     "embedding_quantize_int8",
     "anns_lsh_multiprobe",
-    # probe-only latency: ivf_build persists the index on the first
-    # (warm-up) call, so best-of-N measures the serve path
+    # probe-only latency: ivf_build/pq_build persist their indexes on
+    # the first (warm-up) call, so best-of-N measures the serve path
     "anns_ivf_topk",
+    "anns_ivfpq_topk",
 ]
 
 

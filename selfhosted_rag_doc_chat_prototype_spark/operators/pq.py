@@ -1,0 +1,298 @@
+"""IVF-PQ approximate nearest neighbor: product quantization over the
+embedding corpus (Jegou, Douze, Schmid, "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011) composed with the engine's IVF
+coarse quantizer -- the memory-compression serve path for vector search
+at 100 TB, where the flat corpus (256 B/vector at 64-dim float32) does
+not fit executor memory but 8-16 B/vector PQ codes do.
+
+Role in the engine (extends the reference's J4 top-k retrieval,
+``services/database.py:271-272``, to corpus sizes its HNSW index cannot
+hold in RAM):
+
+- **build** (batch job, persisted like the IVF/LSH/BM25 matviews):
+  train ``M`` per-subspace codebooks of ``K=16`` centroids on a bounded
+  driver sample (the standard PQ training recipe -- FAISS trains on
+  ~100k vectors regardless of corpus size), then encode the FULL corpus
+  distributedly: one Arrow-batched numpy argmin per subspace, map-only.
+  Stored tables: ``codebooks`` (M*K rows) and ``codes`` (vec_id, cell,
+  M uint8s -- with the coarse IVF cell id for pruning).
+- **probe** (serve path): per query, build the M x K lookup table of
+  subspace inner products (tiny pandas UDF on the QUERY side only),
+  prune to the probed IVF cells, then score candidates with PURE
+  CODEGEN array lookups -- ``sum_j LUT[j, code_j]`` via higher-order
+  functions over the stored code arrays. No floating-point vector math
+  touches the corpus at serve time; the scan reads 16 B codes, not
+  256 B vectors.
+
+Because the driver's embeddings are unit-norm (asserted in tests),
+maximum-inner-product == cosine ranking, and the ADC score is the
+exact inner product against the quantized reconstruction.
+
+Registered rows-only (k-means training is not expressible in the
+DuckDB oracle); recall against the exact brute-force path and the
+quantization-error contract are asserted in ``tests/test_pq.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .similarity import (
+    IVF_PROBE_FRACTION,
+    N_QUERIES,
+    TOP_K,
+    _vectors,
+    ivf_build,
+)
+
+PQ_M = 16          # subspaces (dim 64 -> 4 dims each)
+PQ_K = 16          # centroids per subspace (4-bit codes)
+PQ_SEED = 11
+PQ_TRAIN_SAMPLE = 100_000  # bounded driver sample for codebook training
+PQ_ITERS = 10
+
+
+def _kmeans_1d(sub: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
+    """Seeded k-means++ init + Lloyd iterations on one subspace sample
+    (sub: n x dsub). Deterministic in (sample, seed)."""
+    n = sub.shape[0]
+    # k-means++ seeding
+    centers = [sub[rng.integers(n)]]
+    d2 = np.full(n, np.inf)
+    for _ in range(1, k):
+        d2 = np.minimum(d2, ((sub - centers[-1]) ** 2).sum(axis=1))
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        centers.append(sub[rng.choice(n, p=p)])
+    C = np.stack(centers)
+    for _ in range(iters):
+        # assign
+        dists = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = dists.argmin(axis=1)
+        # update (empty clusters keep their center)
+        for c in range(k):
+            m = a == c
+            if m.any():
+                C[c] = sub[m].mean(axis=0)
+    return C
+
+
+_PQ_STORE: dict = {}
+
+
+def _pq_paths(sf_dir: str) -> tuple[str, str]:
+    import hashlib
+    import os
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(repo_root, "spark-warehouse", "matview")
+    return (
+        os.path.join(base, f"pq_codebooks_{tag}"),
+        os.path.join(base, f"pq_codes_{tag}"),
+    )
+
+
+def pq_build(spark: SparkSession, sf_dir: str,
+             m: int = PQ_M, k: int = PQ_K):
+    """Build (or load) the PQ index for ``sf_dir``'s embeddings.
+
+    Training reads a BOUNDED sample to the driver (PQ_TRAIN_SAMPLE
+    rows -- at 64-dim float64 that is <=50 MB however large the
+    corpus); encoding the full corpus is a distributed Arrow map pass
+    (one (batch x dsub) @ (dsub x k) distance argmin per subspace).
+    Returns (codebooks ndarray m x k x dsub, codes_df, n_cells)."""
+    key = (spark, sf_dir, m, k)
+    if key not in _PQ_STORE:
+        cb_path, codes_path = _pq_paths(sf_dir)
+        centroids, assigned, n_cells = ivf_build(spark, sf_dir)
+
+        sample = np.stack(
+            assigned.select("v")
+            .limit(PQ_TRAIN_SAMPLE).toPandas()["v"].to_numpy()
+        )
+        dim = sample.shape[1]
+        assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+        dsub = dim // m
+        rng = np.random.default_rng(PQ_SEED)
+        codebooks = np.stack([
+            _kmeans_1d(sample[:, j * dsub:(j + 1) * dsub], k, PQ_ITERS, rng)
+            for j in range(m)
+        ])  # (m, k, dsub)
+
+        bc = spark.sparkContext.broadcast(codebooks)
+
+        def encode(it):
+            cb = bc.value
+            for pdf in it:
+                M_ = np.stack(pdf["v"].to_numpy())
+                codes = np.empty((len(pdf), m), dtype=np.int32)
+                for j in range(m):
+                    sub = M_[:, j * dsub:(j + 1) * dsub]
+                    # ||x - c||^2 argmin == argmin(-2 x.c + ||c||^2)
+                    d = (
+                        -2.0 * sub @ cb[j].T
+                        + (cb[j] ** 2).sum(axis=1)[None, :]
+                    )
+                    codes[:, j] = d.argmin(axis=1)
+                yield pd.DataFrame({
+                    "vec_id": pdf["vec_id"],
+                    "cell": pdf["cell"],
+                    "code": list(codes),
+                })
+
+        (assigned.select("vec_id", "cell", "v")
+         .mapInPandas(encode, "vec_id long, cell int, code array<int>")
+         .write.mode("overwrite").parquet(codes_path))
+
+        spark.createDataFrame(
+            [(j, c, [float(x) for x in codebooks[j, c]])
+             for j in range(m) for c in range(k)],
+            "j int, c int, centroid array<double>",
+        ).write.mode("overwrite").parquet(cb_path)
+
+        _PQ_STORE[key] = (
+            codebooks, spark.read.parquet(codes_path), n_cells
+        )
+    return _PQ_STORE[key]
+
+
+PQ_REFINE_FACTOR = 6  # exact-rescore the ADC top k*factor (FAISS refine)
+
+
+def pq_probe(spark: SparkSession, sf_dir: str, queries: DataFrame,
+             k: int = TOP_K, m: int = PQ_M, kc: int = PQ_K,
+             probe_fraction: float = IVF_PROBE_FRACTION,
+             refine_factor: int = PQ_REFINE_FACTOR) -> DataFrame:
+    """Serve a (query_id, qv) batch from the PQ index: per-query LUT of
+    subspace inner products (pandas UDF over the SMALL query side),
+    IVF cell pruning, then codegen ADC scoring over the stored codes --
+    ``sum_j LUT[j*K + code_j]`` as a higher-order-function fold, so the
+    corpus-side scan touches only code arrays.
+
+    ``refine_factor`` adds the standard refine stage: the ADC pass
+    keeps a k*factor shortlist per query, and only those Q*k*factor
+    rows join back to the full-vector table for exact rescoring --
+    recall then matches the exact-IVF path at the same probe fraction
+    (quantization distortion only affects which candidates make the
+    shortlist, not their final ranking), while the corpus-wide scan
+    still reads 16 B codes. ``refine_factor=0`` disables refinement
+    and returns raw ADC ranking."""
+    codebooks, codes, n_cells = pq_build(spark, sf_dir, m, kc)
+    centroids, _assigned, _ = ivf_build(spark, sf_dir)
+    n_probe = max(1, int(n_cells * probe_fraction))
+    bc = spark.sparkContext.broadcast(codebooks)
+    dsub = codebooks.shape[2]
+
+    @pandas_udf("array<double>")
+    def lut_udf(qv: pd.Series) -> pd.Series:
+        cb = bc.value
+        out = []
+        for v in qv:
+            q = np.asarray(v)
+            lut = np.concatenate([
+                cb[j] @ q[j * dsub:(j + 1) * dsub] for j in range(m)
+            ])  # (m*kc,) inner products
+            out.append(lut)
+        return pd.Series(out)
+
+    qlut = queries.select("query_id", "qv").withColumn(
+        "lut", lut_udf(F.col("qv"))
+    )
+
+    # IVF pruning: nearest probed cells per query (same rule as
+    # ivf_probe; L2 on unit-norm vectors ranks like cosine)
+    l2 = F.sqrt(F.aggregate(
+        F.zip_with(F.col("qv"), F.col("centroid"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.asc("cell"))
+    probes = (
+        qlut.crossJoin(F.broadcast(centroids))
+        .select("query_id", "lut", "cell", l2.alias("dist"))
+        .withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "lut", "cell")
+    )
+
+    cand = codes.select(
+        F.col("vec_id").alias("neighbor_id"), "code",
+        F.col("cell").alias("ccell"),
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc + F.element_at(
+            "lut", (j * kc + F.element_at("code", j + 1) + 1).cast("int")
+        ),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(cand, F.col("cell") == F.col("ccell"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id"))
+    if not refine_factor:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("adc_score", 4).alias("adc_score"))
+        )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * refine_factor)
+        .select("query_id", "neighbor_id")
+    )
+    from .similarity import cosine
+
+    exact = (
+        F.broadcast(
+            shortlist.join(
+                queries.select("query_id", "qv"), "query_id"
+            )
+        )
+        .join(
+            _assigned.select(F.col("vec_id").alias("neighbor_id"),
+                             F.col("v").alias("cv")),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id",
+                cosine(F.col("qv"), F.col("cv")).alias("cos_raw"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+def anns_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ retrieval over the persisted code index: build once per
+    (session, corpus), probe per call. Registered rows-only (k-means
+    training has no SQL twin); recall vs brute force and the ADC
+    error contract live in ``tests/test_pq.py``."""
+    base = _vectors(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return pq_probe(spark, sf_dir, queries)
+
+
+QUERIES = {
+    "anns_ivfpq_topk": anns_ivfpq_topk,
+}
+
+ORACLE: dict = {}

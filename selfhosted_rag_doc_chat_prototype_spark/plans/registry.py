@@ -26,6 +26,7 @@ _EXPECTED = (
     ("operators", "dedup"),
     ("operators", "pretrain"),
     ("operators", "similarity"),
+    ("operators", "pq"),
     ("operators", "sparse"),
     ("operators", "embedding"),
     ("operators", "ingest"),

@@ -21,6 +21,7 @@ from selfhosted_rag_doc_chat_prototype_spark.plans.registry import all_queries
 EAGER = {
     "dedup_connected_components",   # driver-looped CC with per-round counts
     "anns_ivf_topk",                # KMeans fit at build time
+    "anns_ivfpq_topk",              # PQ codebook training at build time
     "ingest_pipeline_e2e",          # builds its own staging fixture dir
 }
 

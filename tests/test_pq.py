@@ -1,0 +1,79 @@
+"""IVF-PQ contracts: the codegen ADC fold must equal the numpy
+reconstruction arithmetic exactly, refinement must recover the exact-
+IVF recall at the same probe fraction, and the index must be built
+once and probed thereafter."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from selfhosted_rag_doc_chat_prototype_spark.operators import pq, similarity
+
+
+def _recall(df, bf):
+    got = {}
+    for r in df.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return sum(len(bf[q] & got.get(q, set())) for q in bf) / sum(
+        len(v) for v in bf.values()
+    )
+
+
+def test_ivfpq_refined_recall_matches_exact_ivf(spark, sf_dir):
+    """With the refine stage, PQ quantization error may only cost
+    shortlist membership, not ranking: recall@10 must be within 0.05
+    of the exact-IVF path at the same probe fraction (seeded codebooks
+    make both sides deterministic)."""
+    bf = {}
+    for r in similarity.anns_bruteforce_topk(spark, sf_dir).collect():
+        bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    r_ivf = _recall(similarity.anns_ivf_topk(spark, sf_dir), bf)
+    r_pq = _recall(pq.anns_ivfpq_topk(spark, sf_dir), bf)
+    assert r_pq >= r_ivf - 0.05
+    assert r_pq >= 0.5
+
+
+def test_adc_fold_equals_numpy_reconstruction(spark, sf_dir):
+    """The higher-order-function ADC fold (sum_j LUT[j*K + code_j])
+    must reproduce numpy's inner product against the quantized
+    reconstruction bit-for-bit (up to the emitted rounding)."""
+    codebooks, codes_df, _ = pq.pq_build(spark, sf_dir)
+    base = similarity._vectors(spark, sf_dir)
+    q = (
+        base.filter(F.col("vec_id") == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    )
+    got = {
+        r.neighbor_id: r.adc_score
+        for r in pq.pq_probe(spark, sf_dir, q, refine_factor=0).collect()
+    }
+    assert got, "ADC probe returned nothing"
+
+    qv = np.asarray(base.filter(F.col("vec_id") == 0).head().v)
+    m, kc, dsub = codebooks.shape
+    codes = {r.vec_id: r.code for r in codes_df.collect()}
+    for nid, score in got.items():
+        recon = np.concatenate([codebooks[j, codes[nid][j]] for j in range(m)])
+        assert abs(float(qv @ recon) - score) < 1e-4, nid
+
+
+def test_codes_are_m_bytes_and_bounded(spark, sf_dir):
+    """The stored code table is the compression claim: M entries per
+    vector, each < K (8-16 B/vector vs 256 B raw), one row per corpus
+    vector."""
+    _, codes_df, _ = pq.pq_build(spark, sf_dir)
+    n_corpus = similarity._vectors(spark, sf_dir).count()
+    bad = codes_df.filter(
+        (F.size("code") != pq.PQ_M)
+        | (F.array_max("code") >= pq.PQ_K)
+        | (F.array_min("code") < 0)
+    ).count()
+    assert bad == 0
+    assert codes_df.count() == n_corpus
+
+
+def test_pq_index_built_once_per_session(spark, sf_dir):
+    a = pq.pq_build(spark, sf_dir)
+    b = pq.pq_build(spark, sf_dir)
+    assert a is b
