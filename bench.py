@@ -49,6 +49,8 @@ HEADLINE = [
     "embed_documents",
     "sparse_bm25_topk",
     "rag_retrieve_citations",
+    "rag_rerank_lexical",
+    "rag_mmr_rerank",
     "interval_join_click_purchase",
     "asof_join_last_purchase",
     "anns_grouped_topk",

@@ -74,9 +74,244 @@ def rag_retrieve_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"rag_retrieve_citations": rag_retrieve_citations}
+# ---- re-ranking stage (SURVEY section 3.1 extension) ---------------------
+#
+# The reference returns first-stage retrieval order directly
+# (services/database.py:271-272); production RAG inserts a re-rank
+# stage between retrieval and context assembly. Two batch re-rankers:
+#
+# - rag_rerank_lexical: cross-encoder-SHAPED reranker -- first-stage
+#   BM25 prefetch, then a pairwise (query, doc) scorer over the
+#   prefetch list only. The default scorer is deterministic token-set
+#   Jaccard overlap (pure codegen, full DuckDB oracle); a real neural
+#   cross-encoder plugs in through the same pairs->scores boundary as
+#   an Arrow-batched pandas scorer (crossencoder_score_pairs, the
+#   stub-model pattern used by operators/embedding.py).
+# - rag_mmr_rerank: Maximal Marginal Relevance (Carbonell & Goldstein,
+#   SIGIR 1998) -- greedy diversity selection over the dense prefetch.
+#   Sequential per query but the state is ONE prefetch list (<=30
+#   rows), so it runs as applyInPandas keyed by query: embarrassingly
+#   parallel across queries, bounded memory per group.
+
+RERANK_PREFETCH = 50
+RERANK_K = 10
+MMR_PREFETCH = 30
+MMR_K = 10
+MMR_LAMBDA = 0.5
+
+
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    toks = F.array_distinct(
+        F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != F.lit(""))
+    )
+    return docs.select("doc_id", toks.alias("toks"))
+
+
+def rag_rerank_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 prefetch (shared inverted-index subtree, capped at
+    RERANK_PREFETCH per query) re-ranked by token-set Jaccard between
+    the query document and each candidate -- the cross-encoder slot
+    with its deterministic default scorer. Scale shape: the scorer
+    touches only Q*prefetch pairs; token arrays join in broadcast
+    (query side) and the final ordering is a window over Q*prefetch
+    rows."""
+    from .sparse import bm25_scores
+
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("sparse"), F.asc("neighbor_id")
+    )
+    pref = (
+        bm25_scores(spark, sf_dir, N_QUERIES)
+        .withColumn("sr", F.row_number().over(ws))
+        .filter(F.col("sr") <= RERANK_PREFETCH)
+        .select("query_id", "neighbor_id", "sparse")
+    )
+    toks = _doc_tokens(table(spark, sf_dir, "documents"))
+    qt = toks.select(F.col("doc_id").alias("query_id"),
+                     F.col("toks").alias("q_toks"))
+    dt = toks.select(F.col("doc_id").alias("neighbor_id"),
+                     F.col("toks").alias("d_toks"))
+    jac = F.round(
+        F.size(F.array_intersect("q_toks", "d_toks"))
+        / F.size(F.array_union("q_toks", "d_toks")),
+        6,
+    )
+    scored = (
+        pref.join(F.broadcast(qt), "query_id")
+        .join(dt, "neighbor_id")
+        .select("query_id", "neighbor_id", "sparse", jac.alias("jac"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("jac"), F.desc("sparse"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rerank", F.row_number().over(w))
+        .filter(F.col("rerank") <= RERANK_K)
+        .select("query_id", "neighbor_id", "rerank",
+                F.col("jac").alias("rerank_score"),
+                F.col("sparse").alias("bm25_score"))
+    )
+
+
+def crossencoder_score_pairs(pairs: DataFrame, scorer=None) -> DataFrame:
+    """The neural cross-encoder boundary: ``pairs`` carries
+    (query_id, neighbor_id, q_text, d_text); ``scorer`` is a callable
+    ``(q_text: pd.Series, d_text: pd.Series) -> pd.Series[double]``
+    applied Arrow-batched. The default is a DETERMINISTIC STUB (length-
+    normalized common-token count mixed with a stable hash) standing in
+    for the model forward pass -- the real model (e.g. a sentence-
+    transformers CrossEncoder) plugs in with no plan change, exactly
+    like the embedding stub (operators/embedding.py)."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    if scorer is None:
+        def scorer(q: "pd.Series", d: "pd.Series") -> "pd.Series":
+            import numpy as np
+            out = []
+            for a, b in zip(q, d):
+                ta, tb = set(a.split()), set(b.split())
+                base = len(ta & tb) / max(len(ta | tb), 1)
+                h = (hash((len(a), len(b))) % 997) / 99700.0
+                out.append(base + h)
+            return pd.Series(np.asarray(out, dtype=float))
+
+    # wrap annotation-free: pandas_udf would otherwise try to parse the
+    # plugged scorer's type hints
+    score_udf = pandas_udf(lambda q, d: scorer(q, d), "double")
+    return pairs.withColumn("ce_score", score_udf("q_text", "d_text"))
+
+
+def rag_mmr_rerank(spark: SparkSession, sf_dir: str,
+                   lam: float = MMR_LAMBDA) -> DataFrame:
+    """MMR diversity re-ranking of the dense prefetch: greedily pick
+    argmax lam*sim(q,d) - (1-lam)*max_{s in S} sim(d,s) until MMR_K.
+    Candidates come from the persisted-index LSH prefetch; the greedy
+    loop runs in applyInPandas keyed by query_id over its <=MMR_PREFETCH
+    candidate vectors (one numpy Gram matrix per group). Registered
+    rows-only: the sequential argmax has no tractable SQL twin; parity
+    against a pure-python reference implementation is asserted in
+    tests."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import lsh_build, topk_cosine
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pref = topk_cosine(
+        emb, queries, k=MMR_PREFETCH, strategy="lsh",
+        cand_signed=lsh_build(spark, sf_dir),
+    ).select("query_id", "neighbor_id", F.col("cos_sim").alias("rel"))
+    cand = (
+        pref.join(F.broadcast(queries), "query_id")
+        .join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("v").alias("cv")), "neighbor_id")
+    )
+
+    out_schema = ("query_id long, neighbor_id long, mmr_rank int, "
+                  "relevance double, mmr_score double")
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        C = np.stack(pdf["cv"].to_numpy())
+        rel = pdf["rel"].to_numpy()
+        G = C @ C.T  # candidate-candidate cosine (unit-norm vectors)
+        chosen: list[int] = []
+        scores: list[float] = []
+        avail = list(range(len(pdf)))
+        while avail and len(chosen) < MMR_K:
+            if chosen:
+                div = G[np.ix_(avail, chosen)].max(axis=1)
+            else:
+                div = np.zeros(len(avail))
+            mmr_s = lam * rel[avail] - (1.0 - lam) * div
+            # ties break on neighbor_id (rows are id-sorted, argmax
+            # returns the first maximum)
+            j = int(np.argmax(np.round(mmr_s, 9)))
+            chosen.append(avail[j])
+            scores.append(float(mmr_s[j]))
+            avail.pop(j)
+        return pd.DataFrame({
+            "query_id": pdf["query_id"].iloc[chosen].to_numpy(),
+            "neighbor_id": pdf["neighbor_id"].iloc[chosen].to_numpy(),
+            "mmr_rank": np.arange(1, len(chosen) + 1, dtype="int32"),
+            "relevance": np.round(rel[chosen], 4),
+            "mmr_score": np.round(scores, 4),
+        })
+
+    return cand.groupBy("query_id").applyInPandas(mmr, out_schema)
+
+
+QUERIES = {
+    "rag_retrieve_citations": rag_retrieve_citations,
+    "rag_rerank_lexical": rag_rerank_lexical,
+    "rag_mmr_rerank": rag_mmr_rerank,
+}
+
+def _postings_sql() -> str:
+    from .sparse import POSTINGS_SQL
+
+    return POSTINGS_SQL
+
 
 ORACLE = {
+    "rag_rerank_lexical": f"""
+        WITH {_postings_sql()},
+        qterms AS (
+            SELECT DISTINCT qt.query_id, v.idx
+            FROM (
+                SELECT q.doc_id AS query_id, u.term
+                FROM (SELECT doc_id,
+                             list_distinct(list_filter(
+                                 string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '')) AS wq
+                      FROM documents WHERE doc_id < {N_QUERIES}) q,
+                     unnest(q.wq) AS u(term)
+            ) qt JOIN vocab v ON qt.term = v.term
+        ),
+        bm AS (
+            SELECT qt.query_id, p.doc_id AS neighbor_id,
+                   round(sum(p.w), 6) AS sparse
+            FROM post p JOIN qterms qt ON p.idx = qt.idx
+            WHERE p.doc_id <> qt.query_id
+            GROUP BY qt.query_id, p.doc_id
+        ),
+        pref AS (
+            SELECT query_id, neighbor_id, sparse FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY sparse DESC, neighbor_id ASC) AS sr
+                FROM bm)
+            WHERE sr <= {RERANK_PREFETCH}
+        ),
+        toks AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(
+                       string_split_regex(trim(text), '\\s+'),
+                       x -> x <> '')) AS toks
+            FROM documents
+        ),
+        scored AS (
+            SELECT p.query_id, p.neighbor_id, p.sparse,
+                   round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                         / len(list_distinct(a.toks || b.toks)), 6) AS jac
+            FROM pref p
+            JOIN toks a ON a.doc_id = p.query_id
+            JOIN toks b ON b.doc_id = p.neighbor_id
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY jac DESC, sparse DESC, neighbor_id ASC)
+                   AS INTEGER) AS rerank,
+               jac AS rerank_score, sparse AS bm25_score
+        FROM scored
+        QUALIFY rerank <= {RERANK_K}
+    """,
     "rag_retrieve_citations": f"""
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
