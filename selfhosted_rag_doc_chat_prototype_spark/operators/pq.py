@@ -162,6 +162,82 @@ def pq_build(spark: SparkSession, sf_dir: str,
     return _PQ_STORE[key]
 
 
+def pq_append(spark: SparkSession, sf_dir: str, new_vectors: DataFrame,
+              m: int = PQ_M, k: int = PQ_K):
+    """Incremental index maintenance: encode ONLY the new
+    (vec_id, embedding) batch with the FROZEN codebooks and coarse
+    centroids (no retrain, no archive re-encode -- the standard
+    IVF-PQ add path) and append to the persisted code table. Returns
+    the refreshed (codebooks, codes_df, n_cells)."""
+    codebooks, _codes, n_cells = pq_build(spark, sf_dir, m, k)
+    centroids, _a, _ = ivf_build(spark, sf_dir)
+    _cb_path, codes_path = _pq_paths(sf_dir)
+    bc = spark.sparkContext.broadcast(codebooks)
+    cent = np.stack([
+        np.asarray(r.centroid)
+        for r in sorted(centroids.collect(), key=lambda r: r.cell)
+    ])
+    bcent = spark.sparkContext.broadcast(cent)
+    dsub = codebooks.shape[2]
+
+    def encode(it):
+        cb, C = bc.value, bcent.value
+        for pdf in it:
+            M_ = np.stack(pdf["v"].to_numpy())
+            # coarse assign with the frozen centroids
+            d2 = (
+                -2.0 * M_ @ C.T + (C ** 2).sum(axis=1)[None, :]
+            )
+            cells = d2.argmin(axis=1).astype(np.int32)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                sub = M_[:, j * dsub:(j + 1) * dsub]
+                d = (
+                    -2.0 * sub @ cb[j].T
+                    + (cb[j] ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "cell": cells,
+                "code": list(codes),
+            })
+
+    nv = new_vectors.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    (nv.mapInPandas(encode, "vec_id long, cell int, code array<int>")
+     .write.mode("append").parquet(codes_path))
+
+    # the refine stage rescores from the IVF assignments table, so the
+    # full vectors (with their frozen-centroid cells) append there too
+    from .similarity import _ivf_paths, _IVF_STORE
+
+    _cent_path, assign_path = _ivf_paths(sf_dir)
+
+    def assign_only(it):
+        C = bcent.value
+        for pdf in it:
+            M_ = np.stack(pdf["v"].to_numpy())
+            d2 = -2.0 * M_ @ C.T + (C ** 2).sum(axis=1)[None, :]
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"], "v": pdf["v"],
+                "cell": d2.argmin(axis=1).astype(np.int32),
+            })
+
+    (nv.mapInPandas(assign_only, "vec_id long, v array<double>, cell int")
+     .write.mode("append").parquet(assign_path))
+    ivf_key = (spark, sf_dir)
+    if ivf_key in _IVF_STORE:
+        cents, _old, nc = _IVF_STORE[ivf_key]
+        _IVF_STORE[ivf_key] = (cents, spark.read.parquet(assign_path), nc)
+
+    _PQ_STORE[(spark, sf_dir, m, k)] = (
+        codebooks, spark.read.parquet(codes_path), n_cells
+    )
+    return _PQ_STORE[(spark, sf_dir, m, k)]
+
+
 PQ_REFINE_FACTOR = 6  # exact-rescore the ADC top k*factor (FAISS refine)
 
 

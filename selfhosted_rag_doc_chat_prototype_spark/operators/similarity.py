@@ -264,6 +264,29 @@ def lsh_build(spark: SparkSession, sf_dir: str,
     return _LSH_STORE[key]
 
 
+def lsh_append(spark: SparkSession, sf_dir: str, new_vectors: DataFrame,
+               lsh_bits: int = LSH_BITS,
+               lsh_tables: int = LSH_TABLES) -> DataFrame:
+    """Incremental index maintenance: signature-encode ONLY the new
+    (vec_id, label, embedding) batch and append it to the persisted
+    index -- the stored corpus is never re-signed (the same
+    incremental shape as ``dedup_incremental_minhash``: new-batch work
+    only, archive untouched). Signatures are deterministic in the
+    seeded planes, so appended rows are indistinguishable from built
+    rows. Returns the refreshed index DataFrame."""
+    key = (spark, sf_dir, lsh_bits, lsh_tables)
+    lsh_build(spark, sf_dir, lsh_bits, lsh_tables)  # ensure base exists
+    path = _lsh_path(sf_dir, lsh_bits, lsh_tables)
+    sig = rh_sig_udf(lsh_bits, lsh_tables)
+    (new_vectors
+     .select(F.col("vec_id").alias("neighbor_id"), "label",
+             F.col("embedding").cast("array<double>").alias("cv"))
+     .withColumn("csig", sig(F.col("cv")))
+     .write.mode("append").parquet(path))
+    _LSH_STORE[key] = spark.read.parquet(path)
+    return _LSH_STORE[key]
+
+
 def dot(x: Column, y: Column) -> Column:
     return F.aggregate(
         F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z

@@ -77,3 +77,49 @@ def test_pq_index_built_once_per_session(spark, sf_dir):
     a = pq.pq_build(spark, sf_dir)
     b = pq.pq_build(spark, sf_dir)
     assert a is b
+
+
+def test_incremental_appends_extend_indexes_without_retrain(
+    spark, sf_dir, tmp_path
+):
+    """Index lifecycle: build on a partial corpus, append the rest --
+    LSH appended signatures must be IDENTICAL to a full build (the
+    seeded planes are deterministic), and PQ appends must encode with
+    the FROZEN codebooks (same codebooks object, appended vectors
+    probe-able through both coarse cells and refine)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = str(tmp_path / "corpus")
+    emb.filter(F.col("vec_id") < 400).write.parquet(f"{d}/embeddings.parquet")
+    new_batch = emb.filter(F.col("vec_id") >= 400)
+
+    # --- LSH: build(400) + append(100) == signatures of build(500)
+    idx = similarity.lsh_build(spark, d)
+    assert idx.count() == 400
+    idx2 = similarity.lsh_append(spark, d, new_batch)
+    assert idx2.count() == 500
+    full_sig = {
+        r.neighbor_id: r.csig
+        for r in similarity.lsh_build(spark, sf_dir).collect()
+    }
+    for r in idx2.filter(F.col("neighbor_id") >= 400).collect():
+        assert r.csig == full_sig[r.neighbor_id], r.neighbor_id
+
+    # --- PQ: append with frozen codebooks; appended ids retrievable
+    cb0, codes0, _ = pq.pq_build(spark, d)
+    assert codes0.count() == 400
+    cb1, codes1, _ = pq.pq_append(spark, d, new_batch)
+    assert cb1 is cb0
+    assert codes1.count() == 500
+    assert codes1.filter(F.col("vec_id") >= 400).count() == 100
+    # a probe FOR an appended vector must find it (self-match excluded
+    # by id, so probe with a fresh query_id namespace)
+    q = new_batch.limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    got = pq.pq_probe(spark, d, q).collect()
+    assert got, "probe over appended index returned nothing"
+    target = q.head().query_id - 1_000_000
+    assert any(r.neighbor_id == target and r.rank == 1 for r in got), (
+        "appended vector not retrieved as its own nearest neighbor"
+    )

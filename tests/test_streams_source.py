@@ -104,3 +104,49 @@ def test_kafka_face_names_missing_package(spark):
 def test_unknown_source_rejected(spark):
     with pytest.raises(ValueError, match="unknown telemetry source"):
         streams.telemetry_stream(spark, "pulsar")
+
+
+def test_streaming_retrieval_serve_equals_batch(spark, sf_dir, tmp_path):
+    """Queries arriving on a stream must retrieve exactly what the
+    batch path retrieves from the same persisted LSH index, and a
+    REPLAY of the stream must converge (idempotent upsert), not
+    duplicate."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators import similarity
+    from selfhosted_rag_doc_chat_prototype_spark.sinks import read_table
+    from selfhosted_rag_doc_chat_prototype_spark.streaming.retrieval import (
+        retrieval_serve,
+    )
+
+    base = similarity._vectors(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") < similarity.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qdir = str(tmp_path / "queries")
+    queries.repartition(2).write.parquet(qdir)
+    out = str(tmp_path / "replies")
+
+    def run(ckpt):
+        stream = spark.readStream.schema(queries.schema).parquet(qdir)
+        q = retrieval_serve(
+            spark, sf_dir, stream, out, str(tmp_path / ckpt)
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in similarity.anns_lsh_bucketed(spark, sf_dir).collect()
+    }
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in read_table(spark, out).collect()
+    }
+    assert got == want
+
+    run("ckpt2")  # fresh checkpoint = full replay of the same queries
+    replay = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in read_table(spark, out).collect()
+    }
+    assert replay == want
+    assert read_table(spark, out).count() == len(want)
