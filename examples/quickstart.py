@@ -25,7 +25,11 @@ from selfhosted_rag_doc_chat_prototype_spark.operators.pretrain import (  # noqa
     curate_corpus_e2e,
     domain_mixture_resample,
 )
+from selfhosted_rag_doc_chat_prototype_spark.operators.pq import (  # noqa: E402
+    anns_ivfpq_topk,
+)
 from selfhosted_rag_doc_chat_prototype_spark.operators.rag import (  # noqa: E402
+    rag_mmr_rerank,
     rag_retrieve_citations,
 )
 from selfhosted_rag_doc_chat_prototype_spark.session import get_spark  # noqa: E402
@@ -38,6 +42,12 @@ def main() -> None:
 
     print("== RAG retrieval with citations ==")
     rag_retrieve_citations(spark, sf_dir).show(8, truncate=60)
+
+    print("== IVF-PQ retrieval (16 B/vector codes, exact refine) ==")
+    anns_ivfpq_topk(spark, sf_dir).show(8)
+
+    print("== MMR-diversified retrieval ==")
+    rag_mmr_rerank(spark, sf_dir).orderBy("query_id", "mmr_rank").show(8)
 
     print("== Curated + packed pretraining corpus (first shards) ==")
     curate_corpus_e2e(spark, sf_dir).show(8)

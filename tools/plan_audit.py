@@ -55,9 +55,10 @@ AUDIT = [
     ),
     (
         "hybrid_fusion_topk",
-        "Dense and sparse legs score once over a broadcast of the query "
-        "set; per-leg prefetch (50/100) bounds the fusion windows to "
-        "O(Q*150) rows independent of corpus size.",
+        "Dense leg probes the persisted LSH signature index (bucket "
+        "equi-join, no corpus-side signature pass); sparse leg reads the "
+        "stored BM25 postings; per-leg prefetch (50/100) bounds the "
+        "fusion windows to O(Q*150) rows independent of corpus size.",
     ),
     (
         "ingest_pipeline_e2e",
@@ -76,10 +77,11 @@ AUDIT = [
     ),
     (
         "anns_lsh_bucketed",
-        "Multi-table sign-LSH retrieval: signatures map-only on both "
-        "sides, query side broadcast into the (table, bucket) equi-join, "
-        "pair dedup + per-query top-k windows over the candidate set "
-        "only.",
+        "Multi-table sign-LSH retrieval served from the persisted "
+        "signature index: corpus side is a stored-table scan, query side "
+        "signatures map-only and broadcast into the (table, bucket) "
+        "equi-join, first-collision pair dedup is a local filter, "
+        "per-query top-k windows over the candidate set only.",
     ),
     (
         "sparse_vectors_build",
@@ -215,8 +217,30 @@ AUDIT = [
     ),
     (
         "anns_grouped_topk",
-        "Tenant-scoped retrieval: broadcast-query scoring map pass; the "
+        "Tenant-scoped retrieval over LSH candidates from the persisted "
+        "signature index (label passes through the bucket join); the "
         "only shuffle is the per-(query, label) top-k window.",
+    ),
+    (
+        "anns_ivfpq_topk",
+        "IVF-PQ serve: per-query LUT (pandas UDF on the 8-row query "
+        "side), broadcast probe list equi-joined to the stored code "
+        "table, ADC scoring as a codegen higher-order fold over 16-byte "
+        "codes, exact refine only on the Q*k*factor shortlist.",
+    ),
+    (
+        "rag_rerank_lexical",
+        "Cross-encoder-shaped rerank: BM25 prefetch from the stored "
+        "postings caps candidates at Q*50; Jaccard scoring is codegen "
+        "array arithmetic with the query token sets broadcast; final "
+        "ordering windows over Q*50 rows.",
+    ),
+    (
+        "rag_mmr_rerank",
+        "MMR diversity selection: LSH prefetch from the persisted index "
+        "bounds each query's candidate set; the greedy loop runs in "
+        "applyInPandas keyed by query (one small Gram matrix per group) "
+        "-- parallel across queries, bounded state.",
     ),
     (
         "window_rolling_7day_value",
