@@ -109,8 +109,24 @@ def pq_build(spark: SparkSession, sf_dir: str,
     Returns (codebooks ndarray m x k x dsub, codes_df, n_cells)."""
     key = (spark, sf_dir, m, k)
     if key not in _PQ_STORE:
+        from .similarity import _matview_complete
+
         cb_path, codes_path = _pq_paths(sf_dir)
         centroids, assigned, n_cells = ivf_build(spark, sf_dir)
+        if _matview_complete(cb_path) and _matview_complete(codes_path):
+            rows = sorted(
+                spark.read.parquet(cb_path).collect(),
+                key=lambda r: (r.j, r.c),
+            )
+            mm = max(r.j for r in rows) + 1
+            kk = max(r.c for r in rows) + 1
+            codebooks = np.array(
+                [np.asarray(r.centroid) for r in rows]
+            ).reshape(mm, kk, -1)
+            _PQ_STORE[key] = (
+                codebooks, spark.read.parquet(codes_path), n_cells
+            )
+            return _PQ_STORE[key]
 
         sample = np.stack(
             assigned.select("v")
@@ -160,6 +176,36 @@ def pq_build(spark: SparkSession, sf_dir: str,
             codebooks, spark.read.parquet(codes_path), n_cells
         )
     return _PQ_STORE[key]
+
+
+def pq_delete(spark: SparkSession, sf_dir: str, ids: list[int],
+              m: int = PQ_M, k: int = PQ_K):
+    """Delete vectors from the persisted PQ index (codes AND the IVF
+    assignments the refine stage rescores from) -- anti-join rewrite,
+    codebooks untouched. Returns the refreshed
+    (codebooks, codes_df, n_cells)."""
+    from .similarity import _IVF_STORE, _ivf_paths, _rewrite_matview
+
+    codebooks, codes, n_cells = pq_build(spark, sf_dir, m, k)
+    _cb_path, codes_path = _pq_paths(sf_dir)
+    ids_df = spark.createDataFrame([(int(i),) for i in ids],
+                                   "vec_id long")
+    _rewrite_matview(
+        codes.join(F.broadcast(ids_df), "vec_id", "left_anti"), codes_path
+    )
+    centroids, assigned, _nc = ivf_build(spark, sf_dir)
+    _cent_path, assign_path = _ivf_paths(sf_dir)
+    _rewrite_matview(
+        assigned.join(F.broadcast(ids_df), "vec_id", "left_anti"),
+        assign_path,
+    )
+    _IVF_STORE[(spark, sf_dir)] = (
+        centroids, spark.read.parquet(assign_path), n_cells
+    )
+    _PQ_STORE[(spark, sf_dir, m, k)] = (
+        codebooks, spark.read.parquet(codes_path), n_cells
+    )
+    return _PQ_STORE[(spark, sf_dir, m, k)]
 
 
 def pq_append(spark: SparkSession, sf_dir: str, new_vectors: DataFrame,

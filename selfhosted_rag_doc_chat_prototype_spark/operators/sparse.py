@@ -94,7 +94,17 @@ def _matview_paths(sf_dir: str) -> tuple[str, str, str]:
 def term_freqs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     if key not in _TF_STORE:
+        from .similarity import _matview_complete
+
         tf_path, stats_path, vocab_path = _matview_paths(sf_dir)
+        if all(_matview_complete(p)
+               for p in (tf_path, stats_path, vocab_path)):
+            _TF_STORE[key] = (
+                spark.read.parquet(tf_path),
+                spark.read.parquet(stats_path),
+                spark.read.parquet(vocab_path),
+            )
+            return _TF_STORE[key][0]
         dw = _doc_words(spark, sf_dir)
         term_freqs(dw).write.mode("overwrite").parquet(tf_path)
         tf = spark.read.parquet(tf_path)

@@ -123,3 +123,13 @@ def test_incremental_appends_extend_indexes_without_retrain(
     assert any(r.neighbor_id == target and r.rank == 1 for r in got), (
         "appended vector not retrieved as its own nearest neighbor"
     )
+
+    # --- delete: removed ids vanish from both indexes and results
+    victims = [400, 401, int(target)]
+    idx3 = similarity.lsh_delete(spark, d, victims)
+    assert idx3.filter(F.col("neighbor_id").isin(victims)).count() == 0
+    assert idx3.count() == 500 - len(set(victims))
+    _cb, codes2, _ = pq.pq_delete(spark, d, victims)
+    assert codes2.filter(F.col("vec_id").isin(victims)).count() == 0
+    got2 = pq.pq_probe(spark, d, q).collect()
+    assert all(r.neighbor_id not in set(victims) for r in got2)

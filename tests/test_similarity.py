@@ -231,6 +231,44 @@ def test_grouped_topk_lsh_recall_per_label(spark, sf_dir):
     assert hits / total >= 0.5
 
 
+def test_filtered_topk_prefilters_candidates(spark, sf_dir):
+    """Every returned neighbor must satisfy the payload filter, and
+    scores must equal the unfiltered path's for shared pairs (the
+    filter changes the candidate set, never the scores)."""
+    labels = {
+        r.vec_id: r.label
+        for r in similarity._vectors(spark, sf_dir).collect()
+    }
+    out = similarity.anns_filtered_topk(spark, sf_dir).collect()
+    assert out
+    assert all(labels[r.neighbor_id] in similarity.FILTER_LABELS
+               for r in out)
+    unfiltered = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in similarity.anns_lsh_bucketed(spark, sf_dir).collect()
+    }
+    for r in out:
+        if (r.query_id, r.neighbor_id) in unfiltered:
+            assert r.cos_sim == unfiltered[(r.query_id, r.neighbor_id)]
+
+
+def test_matview_reused_across_sessions_no_rewrite(spark, sf_dir):
+    """A complete on-disk index must be REUSED by a fresh session-store
+    (no overwrite: a concurrent session could be mid-scan on it)."""
+    import os
+
+    similarity.lsh_build(spark, sf_dir)
+    path = similarity._lsh_path(
+        sf_dir, similarity.LSH_BITS, similarity.LSH_TABLES)
+    mtime = os.path.getmtime(os.path.join(path, "_SUCCESS"))
+    # simulate a brand-new session: same disk state, empty store
+    similarity._LSH_STORE.pop(
+        (spark, sf_dir, similarity.LSH_BITS, similarity.LSH_TABLES))
+    idx = similarity.lsh_build(spark, sf_dir)
+    assert idx.count() > 0
+    assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mtime
+
+
 def test_multiprobe_recall_beats_half_tables(spark, sf_dir):
     """Multi-probe with tables/2 must at least match plain LSH at
     tables/2 and clear the same 0.5 recall floor as the full-table
