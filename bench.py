@@ -58,6 +58,7 @@ HEADLINE = [
     "ingest_pipeline_e2e",
     "multimodal_image_stats",
     "gopher_quality_filters",
+    "lm_perplexity_score",
     "decontaminate_benchmark_overlap",
     "pii_redaction",
     "pack_concat_chunks",

@@ -697,7 +697,81 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- CCNet-style LM perplexity scoring ------------------------------------
+
+LM_SAMPLE_FRACTION = 0.3  # LM trains on a bounded deterministic sample
+LM_K = 0.1                # add-k smoothing
+LM_MIN_BIGRAM = 2         # prune hapax bigrams: bounds the LM table
+
+
+def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity quality scoring, the CCNet recipe (Wenzek et al.,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data", 2020): score every document under a small language model and
+    use the score as a quality signal (low perplexity ~ fluent text;
+    outliers are boilerplate/gibberish). The reference LM here is a
+    bigram model with add-k smoothing trained on a DETERMINISTIC
+    md5-keyed sample of the corpus (CCNet trains on Wikipedia; the
+    sample stands in and keeps the gate self-contained).
+
+    Scale shape: LM training reads the bounded sample (two hash
+    aggregates; hapax bigrams pruned so the model table stays small --
+    CCNet's LM is a fixed artifact); scoring is an adjacent-pair
+    transform (map-only, no self-join) with the LM tables broadcast,
+    then one per-doc aggregation. Nothing scales with corpus x corpus.
+
+    Output: (doc_id, n_bigrams, ppl) for every document with at least
+    one bigram; ppl = exp(-mean log p(b|a))."""
+    docs = table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    toks = docs.select("doc_id", words.alias("w"))
+    lm_h = F.substring(
+        F.md5(F.concat(F.lit("lm:"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    from .textstats import _hex_threshold
+
+    train = toks.filter(lm_h < F.lit(_hex_threshold(LM_SAMPLE_FRACTION)))
+    uni = (
+        train.select(F.explode("w").alias("a"))
+        .groupBy("a").agg(F.count(F.lit(1)).cast("double").alias("c_a"))
+    )
+    vsize = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+
+    # adjacent pairs without a positional self-join: 0-based bracket
+    # indexing pairs each sliced token with its predecessor in place
+    bigram_expr = (
+        "transform(slice(w, 2, greatest(size(w) - 1, 0)),"
+        " (x, i) -> struct(w[i] AS a, x AS b))"
+    )
+    bi = (
+        train.select(F.explode(F.expr(bigram_expr)).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("double").alias("c_ab"))
+        .filter(F.col("c_ab") >= LM_MIN_BIGRAM)
+    )
+    pairs = toks.select(
+        "doc_id", F.explode(F.expr(bigram_expr)).alias("p")
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    logp = F.log(
+        (F.coalesce(F.col("c_ab"), F.lit(0.0)) + LM_K)
+        / (F.coalesce(F.col("c_a"), F.lit(0.0)) + LM_K * F.col("v"))
+    )
+    scored = (
+        pairs.join(F.broadcast(uni), "a", "left")
+        .join(F.broadcast(bi), ["a", "b"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .select("doc_id", logp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.exp(-F.avg("lp")), 4).alias("ppl"),
+    )
+
+
 QUERIES = {
+    "lm_perplexity_score": lm_perplexity_score,
     "curate_corpus_e2e": curate_corpus_e2e,
     "domain_mixture_resample": domain_mixture_resample,
     "domain_cap_sample": domain_cap_sample,
@@ -772,7 +846,52 @@ _MIX_WTS_SQL = ", ".join(
     f"('{lang}', CAST({w} AS DOUBLE))" for lang, w in MIX_WEIGHTS
 )
 
+from .textstats import _hex_threshold as _lm_hex_threshold  # noqa: E402
+
+_LM_THR = "'%s'" % _lm_hex_threshold(LM_SAMPLE_FRACTION)
+
 ORACLE = {
+    "lm_perplexity_score": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ),
+        train AS (
+            SELECT * FROM toks
+            WHERE substr(md5('lm:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < {_LM_THR}
+        ),
+        uni AS (
+            SELECT u.term AS a, CAST(count(*) AS DOUBLE) AS c_a
+            FROM train, unnest(w) AS u(term) GROUP BY 1
+        ),
+        vsize AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+        bi AS (
+            SELECT u.p['a'] AS a, u.p['b'] AS b,
+                   CAST(count(*) AS DOUBLE) AS c_ab
+            FROM train, unnest(list_transform(range(1, len(w)),
+                i -> struct_pack(a := w[i], b := w[i + 1]))) AS u(p)
+            GROUP BY 1, 2 HAVING count(*) >= {LM_MIN_BIGRAM}
+        ),
+        pairs AS (
+            SELECT doc_id, u.p['a'] AS a, u.p['b'] AS b
+            FROM toks, unnest(list_transform(range(1, len(w)),
+                i -> struct_pack(a := w[i], b := w[i + 1]))) AS u(p)
+        ),
+        scored AS (
+            SELECT p.doc_id,
+                   ln((coalesce(bi.c_ab, 0) + {LM_K})
+                      / (coalesce(uni.c_a, 0) + {LM_K} * v.v)) AS lp
+            FROM pairs p
+            LEFT JOIN uni ON p.a = uni.a
+            LEFT JOIN bi ON p.a = bi.a AND p.b = bi.b, vsize v
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(exp(-avg(lp)), 4) AS ppl
+        FROM scored GROUP BY doc_id
+    """,
     "domain_cap_sample": f"""
         SELECT doc_id, source, pick_rank FROM (
             SELECT doc_id, source,
