@@ -213,9 +213,10 @@ def pq_append(spark: SparkSession, sf_dir: str, new_vectors: DataFrame,
     """Incremental index maintenance: encode ONLY the new
     (vec_id, embedding) batch with the FROZEN codebooks and coarse
     centroids (no retrain, no archive re-encode -- the standard
-    IVF-PQ add path) and append to the persisted code table. Returns
-    the refreshed (codebooks, codes_df, n_cells)."""
-    codebooks, _codes, n_cells = pq_build(spark, sf_dir, m, k)
+    IVF-PQ add path) and append to the persisted code table.
+    IDEMPOTENT: ids already encoded are skipped, so replayed batches
+    converge. Returns the refreshed (codebooks, codes_df, n_cells)."""
+    codebooks, existing_codes, n_cells = pq_build(spark, sf_dir, m, k)
     centroids, _a, _ = ivf_build(spark, sf_dir)
     _cb_path, codes_path = _pq_paths(sf_dir)
     bc = spark.sparkContext.broadcast(codebooks)
@@ -251,7 +252,7 @@ def pq_append(spark: SparkSession, sf_dir: str, new_vectors: DataFrame,
 
     nv = new_vectors.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).join(existing_codes.select("vec_id"), "vec_id", "left_anti")
     (nv.mapInPandas(encode, "vec_id long, cell int, code array<int>")
      .write.mode("append").parquet(codes_path))
 

@@ -321,14 +321,17 @@ def lsh_append(spark: SparkSession, sf_dir: str, new_vectors: DataFrame,
     incremental shape as ``dedup_incremental_minhash``: new-batch work
     only, archive untouched). Signatures are deterministic in the
     seeded planes, so appended rows are indistinguishable from built
-    rows. Returns the refreshed index DataFrame."""
+    rows. IDEMPOTENT: ids already in the index are skipped, so a
+    replayed batch (at-least-once streaming delivery) converges
+    instead of duplicating. Returns the refreshed index DataFrame."""
     key = (spark, sf_dir, lsh_bits, lsh_tables)
-    lsh_build(spark, sf_dir, lsh_bits, lsh_tables)  # ensure base exists
+    existing = lsh_build(spark, sf_dir, lsh_bits, lsh_tables)
     path = _lsh_path(sf_dir, lsh_bits, lsh_tables)
     sig = rh_sig_udf(lsh_bits, lsh_tables)
     (new_vectors
      .select(F.col("vec_id").alias("neighbor_id"), "label",
              F.col("embedding").cast("array<double>").alias("cv"))
+     .join(existing.select("neighbor_id"), "neighbor_id", "left_anti")
      .withColumn("csig", sig(F.col("cv")))
      .write.mode("append").parquet(path))
     _LSH_STORE[key] = spark.read.parquet(path)

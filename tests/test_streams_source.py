@@ -106,6 +106,38 @@ def test_unknown_source_rejected(spark):
         streams.telemetry_stream(spark, "pulsar")
 
 
+def test_streaming_index_maintenance_converges(spark, sf_dir, tmp_path):
+    """New embeddings streamed in must land in the persisted LSH and
+    PQ indexes exactly once -- including when the whole stream is
+    REPLAYED from a fresh checkpoint (idempotent appends)."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators import pq, similarity
+    from selfhosted_rag_doc_chat_prototype_spark.streaming.indexing import (
+        index_maintenance,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = str(tmp_path / "corpus")
+    emb.filter(F.col("vec_id") < 400).write.parquet(f"{d}/embeddings.parquet")
+    similarity.lsh_build(spark, d)
+    pq.pq_build(spark, d)
+
+    sdir = str(tmp_path / "new_vecs")
+    emb.filter(F.col("vec_id") >= 400).repartition(2).write.parquet(sdir)
+
+    def run(ckpt):
+        stream = spark.readStream.schema(emb.schema).parquet(sdir)
+        q = index_maintenance(spark, d, stream, str(tmp_path / ckpt))
+        q.awaitTermination(180)
+
+    run("ckpt1")
+    assert similarity.lsh_build(spark, d).count() == 500
+    assert pq.pq_build(spark, d)[1].count() == 500
+
+    run("ckpt2")  # full replay: must converge, not duplicate
+    assert similarity.lsh_build(spark, d).count() == 500
+    assert pq.pq_build(spark, d)[1].count() == 500
+
+
 def test_streaming_retrieval_serve_equals_batch(spark, sf_dir, tmp_path):
     """Queries arriving on a stream must retrieve exactly what the
     batch path retrieves from the same persisted LSH index, and a
