@@ -44,6 +44,9 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "anns_bruteforce_topk",
     "anns_lsh_bucketed",
+    "anns_filtered_topk",
+    "anns_bq_hamming_topk",
+    "anns_label_maxsim_topk",
     "hybrid_fusion_topk",
     "sparse_vectors_build",
     "embed_documents",

@@ -408,6 +408,74 @@ def anns_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        cand_signed=idx)
 
 
+BQ_RERANK_FACTOR = 4  # exact-rerank the Hamming top k*factor
+
+
+def _bq_halves(v: Column) -> tuple[Column, Column]:
+    """Pack the sign bits of a 64-dim vector into two 32-bit halves
+    (as longs): per half, fold acc*2 + (x >= 0). Two halves keep the
+    fold inside non-overflowing BIGINT arithmetic in both engines."""
+    def fold(part: Column) -> Column:
+        return F.aggregate(
+            part, F.lit(0).cast("long"),
+            lambda acc, x: acc * 2 + F.when(x >= 0, 1).otherwise(0),
+        )
+
+    return fold(F.slice(v, 1, 32)), fold(F.slice(v, 33, 32))
+
+
+def anns_bq_hamming_topk(spark: SparkSession, sf_dir: str,
+                         k: int = TOP_K) -> DataFrame:
+    """Binary-quantized search (Qdrant's BQ feature): 1 bit per
+    dimension -- the whole 64-dim vector compresses to 8 BYTES, and
+    the prefilter is an EXHAUSTIVE scan of pure-codegen bit ops
+    (xor + bit_count on two packed 32-bit halves; no index, no Python,
+    no float math). The Hamming top k*{factor} shortlist then reranks
+    with exact cosine -- BQ's standard oversample+rescore recipe.
+
+    Scale shape: the scan reads 16 bytes/vector of packed bits (in a
+    real deployment a stored column next to the PQ codes); per-pair
+    work is two XOR+POPCNT, the cheapest possible candidate metric,
+    fully whole-stage-codegen. Rerank touches Q*k*{factor} vectors."""
+    base = _vectors(spark, sf_dir)
+    b1, b2 = _bq_halves(F.col("v"))
+    packed = base.select("vec_id", "v", b1.alias("b1"), b2.alias("b2"))
+    queries = packed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("b1").alias("q1"), F.col("b2").alias("q2"),
+    )
+    cand = packed.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+        "b1", "b2",
+    )
+    ham = (
+        F.bit_count(F.col("q1").bitwiseXOR(F.col("b1")))
+        + F.bit_count(F.col("q2").bitwiseXOR(F.col("b2")))
+    )
+    wh = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id"))
+    shortlist = (
+        F.broadcast(queries)
+        .crossJoin(rebalance(cand))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv", ham.alias("hamming"))
+        .withColumn("hr", F.row_number().over(wh))
+        .filter(F.col("hr") <= k * BQ_RERANK_FACTOR)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        shortlist.select(
+            "query_id", "neighbor_id", "hamming",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_raw"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "hamming",
+                F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
 MAXSIM_TOP_CHUNKS = 2
 MAXSIM_K = 5
 
@@ -948,6 +1016,7 @@ QUERIES = {
     "anns_lsh_bucketed": anns_lsh_bucketed,
     "anns_filtered_topk": anns_filtered_topk,
     "anns_label_maxsim_topk": anns_label_maxsim_topk,
+    "anns_bq_hamming_topk": anns_bq_hamming_topk,
     "anns_lsh_multiprobe": anns_lsh_multiprobe,
     "anns_grouped_topk": anns_grouped_topk,
     "anns_ivf_topk": anns_ivf_topk,
@@ -1096,6 +1165,52 @@ ORACLE = {
                    ORDER BY cos_raw DESC, neighbor_id ASC) AS INTEGER) AS rank,
                round(cos_raw, 4) AS cos_sim
         FROM scored
+        QUALIFY rank <= {TOP_K}
+    """,
+    # binary quantization: pack sign bits into two 32-bit halves with
+    # the same left fold, exhaustive Hamming prefilter, exact rerank
+    "anns_bq_hamming_topk": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        packed AS (
+            SELECT vec_id, v,
+                   list_reduce(list_transform(v[1:32],
+                       x -> CAST(CASE WHEN x >= 0 THEN 1 ELSE 0 END
+                                 AS BIGINT)),
+                       (a, b) -> a * 2 + b) AS b1,
+                   list_reduce(list_transform(v[33:64],
+                       x -> CAST(CASE WHEN x >= 0 THEN 1 ELSE 0 END
+                                 AS BIGINT)),
+                       (a, b) -> a * 2 + b) AS b2
+            FROM e
+        ),
+        shortlist AS (
+            SELECT * FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       q.v AS qv, c.v AS cv,
+                       CAST(bit_count(xor(CAST(q.b1 AS BIGINT),
+                                          CAST(c.b1 AS BIGINT)))
+                            + bit_count(xor(CAST(q.b2 AS BIGINT),
+                                            CAST(c.b2 AS BIGINT)))
+                            AS INTEGER) AS hamming,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY bit_count(xor(CAST(q.b1 AS BIGINT),
+                                                  CAST(c.b1 AS BIGINT)))
+                                    + bit_count(xor(CAST(q.b2 AS BIGINT),
+                                                    CAST(c.b2 AS BIGINT)))
+                                    ASC, c.vec_id ASC) AS hr
+                FROM packed q JOIN packed c
+                  ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id)
+            WHERE hr <= {TOP_K} * {BQ_RERANK_FACTOR}
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY list_cosine_similarity(qv, cv) DESC,
+                            neighbor_id ASC) AS INTEGER) AS rank,
+               hamming,
+               round(list_cosine_similarity(qv, cv), 4) AS cos_sim
+        FROM shortlist
         QUALIFY rank <= {TOP_K}
     """,
     # label-maxsim: same sig-CTE candidate set, per-(query, label)

@@ -231,6 +231,30 @@ def test_grouped_topk_lsh_recall_per_label(spark, sf_dir):
     assert hits / total >= 0.5
 
 
+def test_bq_hamming_recall_and_packing(spark, sf_dir):
+    """The 8-byte binary quantization must keep healthy recall through
+    the oversample+rescore recipe, and the packed halves must fit
+    32 bits each (the non-overflow contract of the fold)."""
+    from pyspark.sql import functions as F
+
+    bf = {}
+    for r in similarity.anns_bruteforce_topk(spark, sf_dir).collect():
+        bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in similarity.anns_bq_hamming_topk(spark, sf_dir).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(bf[q] & got.get(q, set())) for q in bf)
+    assert hits / sum(len(v) for v in bf.values()) >= 0.5
+
+    base = similarity._vectors(spark, sf_dir)
+    b1, b2 = similarity._bq_halves(F.col("v"))
+    bad = base.select(b1.alias("b1"), b2.alias("b2")).filter(
+        (F.col("b1") < 0) | (F.col("b1") >= 2**32)
+        | (F.col("b2") < 0) | (F.col("b2") >= 2**32)
+    ).count()
+    assert bad == 0
+
+
 def test_filtered_topk_prefilters_candidates(spark, sf_dir):
     """Every returned neighbor must satisfy the payload filter, and
     scores must equal the unfiltered path's for shared pairs (the
