@@ -83,7 +83,7 @@ def _kmeans_1d(sub: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
 _PQ_STORE: dict = {}
 
 
-def _pq_paths(sf_dir: str) -> tuple[str, str]:
+def _pq_paths(sf_dir: str, m: int = PQ_M, k: int = PQ_K) -> tuple[str, str]:
     import hashlib
     import os
 
@@ -92,9 +92,10 @@ def _pq_paths(sf_dir: str) -> tuple[str, str]:
     )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     base = os.path.join(repo_root, "spark-warehouse", "matview")
+    # (m, k) in the name: distinct PQ configs must never share a path
     return (
-        os.path.join(base, f"pq_codebooks_{tag}"),
-        os.path.join(base, f"pq_codes_{tag}"),
+        os.path.join(base, f"pq_codebooks_{m}x{k}_{tag}"),
+        os.path.join(base, f"pq_codes_{m}x{k}_{tag}"),
     )
 
 
@@ -111,7 +112,7 @@ def pq_build(spark: SparkSession, sf_dir: str,
     if key not in _PQ_STORE:
         from .similarity import _matview_complete
 
-        cb_path, codes_path = _pq_paths(sf_dir)
+        cb_path, codes_path = _pq_paths(sf_dir, m, k)
         centroids, assigned, n_cells = ivf_build(spark, sf_dir)
         if _matview_complete(cb_path) and _matview_complete(codes_path):
             rows = sorted(
@@ -187,7 +188,7 @@ def pq_delete(spark: SparkSession, sf_dir: str, ids: list[int],
     from .similarity import _IVF_STORE, _ivf_paths, _rewrite_matview
 
     codebooks, codes, n_cells = pq_build(spark, sf_dir, m, k)
-    _cb_path, codes_path = _pq_paths(sf_dir)
+    _cb_path, codes_path = _pq_paths(sf_dir, m, k)
     ids_df = spark.createDataFrame([(int(i),) for i in ids],
                                    "vec_id long")
     _rewrite_matview(
@@ -218,7 +219,7 @@ def pq_append(spark: SparkSession, sf_dir: str, new_vectors: DataFrame,
     converge. Returns the refreshed (codebooks, codes_df, n_cells)."""
     codebooks, existing_codes, n_cells = pq_build(spark, sf_dir, m, k)
     centroids, _a, _ = ivf_build(spark, sf_dir)
-    _cb_path, codes_path = _pq_paths(sf_dir)
+    _cb_path, codes_path = _pq_paths(sf_dir, m, k)
     bc = spark.sparkContext.broadcast(codebooks)
     cent = np.stack([
         np.asarray(r.centroid)

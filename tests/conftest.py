@@ -19,3 +19,26 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _cleanup_throwaway_matviews():
+    """Tests build persisted index matviews for throwaway tmp-path
+    corpora; their md5 tags are unique per run, so without cleanup the
+    matview dir grows forever. Keep only the stable /root/testdata
+    tags (reused across sessions by design)."""
+    yield
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    keep = {
+        hashlib.md5(f"/root/testdata/sf{s}".encode()).hexdigest()[:8]
+        for s in ("0.001", "0.01", "0.1", "1")
+    }
+    base = os.path.join("/root/repo", "spark-warehouse", "matview")
+    for p in glob.glob(os.path.join(base, "*_*")):
+        tag = p.rsplit("_", 1)[-1]
+        if len(tag) == 8 and tag not in keep:
+            shutil.rmtree(p, ignore_errors=True)

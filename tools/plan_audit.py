@@ -243,6 +243,20 @@ AUDIT = [
         "-- parallel across queries, bounded state.",
     ),
     (
+        "anns_bq_hamming_topk",
+        "Binary quantization: exhaustive xor+popcount prefilter over "
+        "two packed 32-bit halves, fully codegen (no index, no Python, "
+        "no float math in the scan); exact rerank on the Hamming "
+        "shortlist only.",
+    ),
+    (
+        "lm_perplexity_score",
+        "CCNet perplexity: LM tables from the bounded md5-sample "
+        "(hash aggregates), adjacent pairs via in-place slice transform "
+        "(no positional self-join), LM broadcast into the scoring map "
+        "pass, one per-doc aggregation.",
+    ),
+    (
         "window_rolling_7day_value",
         "Time-RANGE frame evaluated as a sliding two-pointer per user "
         "partition: linear in events, one shuffle.",
