@@ -143,21 +143,34 @@ def scale_evidence(spark, sf_dir, queries, timings, n_runs):
             bigd = bigd.unionByName(p)
         bigd.write.mode("overwrite").parquet(f"{d}/documents.parquet")
 
+        # the ratio must compare 1x and 10x under IDENTICAL JVM
+        # conditions: by this point the bench JVM has run the whole
+        # headline suite and sits in a different GC/code-cache state
+        # than when `timings` was collected, which was observed to
+        # inflate doc-path ratios ~2-3x. Re-time the 1x corpus here,
+        # interleaved with the 10x runs, and derive the ratio from
+        # that; the main-loop timing stays reported separately.
         for name, runs in [(n, n_runs) for n in SCALE_QUERIES] + [
             (n, min(n_runs, 2)) for n in DOC_SCALE_QUERIES
         ]:
             if name not in queries or name not in timings:
                 continue
+            best_1x = float("inf")
             best = float("inf")
             for _ in range(runs):
+                t0 = time.time()
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best_1x = min(best_1x, time.time() - t0)
                 t0 = time.time()
                 queries[name](spark, d).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 best = min(best, time.time() - t0)
             out[f"{name}_10x_sec"] = round(best, 3)
-            if timings[name] > 0:
-                out[f"{name}_scale_ratio_10x"] = round(best / timings[name], 2)
+            if best_1x > 0:
+                out[f"{name}_scale_ratio_10x"] = round(best / best_1x, 2)
     finally:
         shutil.rmtree(d, ignore_errors=True)
         # drop the matview / index tables materialized for the
