@@ -283,6 +283,10 @@ def main() -> None:
         if len(compact(line)) <= budget:
             break
         shrink()
+    if len(compact(line)) > budget:
+        # last resort: the full record lives in the detail file
+        line.pop("queries", None)
+        line["queries_see_detail_file"] = True
     print(compact(line))
 
 

@@ -253,12 +253,13 @@ def pq_append(spark: SparkSession, sf_dir: str, new_vectors: DataFrame,
 
     nv = new_vectors.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).join(existing_codes.select("vec_id"), "vec_id", "left_anti")
-    (nv.mapInPandas(encode, "vec_id long, cell int, code array<int>")
-     .write.mode("append").parquet(codes_path))
+    )
 
-    # the refine stage rescores from the IVF assignments table, so the
-    # full vectors (with their frozen-centroid cells) append there too
+    # per-TABLE idempotency: each write anti-joins its own table, so a
+    # crash between the two appends replays cleanly -- whichever table
+    # is behind catches up, whichever is current appends nothing. A
+    # single shared "already appended" key would leave the other table
+    # permanently short after a mid-function failure.
     from .similarity import _ivf_paths, _IVF_STORE
 
     _cent_path, assign_path = _ivf_paths(sf_dir)
@@ -273,8 +274,16 @@ def pq_append(spark: SparkSession, sf_dir: str, new_vectors: DataFrame,
                 "cell": d2.argmin(axis=1).astype(np.int32),
             })
 
-    (nv.mapInPandas(assign_only, "vec_id long, v array<double>, cell int")
+    # the refine stage rescores from the IVF assignments table, so the
+    # full vectors (with their frozen-centroid cells) append there too
+    (nv.join(spark.read.parquet(assign_path).select("vec_id"),
+             "vec_id", "left_anti")
+     .mapInPandas(assign_only, "vec_id long, v array<double>, cell int")
      .write.mode("append").parquet(assign_path))
+
+    (nv.join(existing_codes.select("vec_id"), "vec_id", "left_anti")
+     .mapInPandas(encode, "vec_id long, cell int, code array<int>")
+     .write.mode("append").parquet(codes_path))
     ivf_key = (spark, sf_dir)
     if ivf_key in _IVF_STORE:
         cents, _old, nc = _IVF_STORE[ivf_key]
@@ -292,7 +301,8 @@ PQ_REFINE_FACTOR = 6  # exact-rescore the ADC top k*factor (FAISS refine)
 def pq_probe(spark: SparkSession, sf_dir: str, queries: DataFrame,
              k: int = TOP_K, m: int = PQ_M, kc: int = PQ_K,
              probe_fraction: float = IVF_PROBE_FRACTION,
-             refine_factor: int = PQ_REFINE_FACTOR) -> DataFrame:
+             refine_factor: int = PQ_REFINE_FACTOR,
+             exclude_self: bool = True) -> DataFrame:
     """Serve a (query_id, qv) batch from the PQ index: per-query LUT of
     subspace inner products (pandas UDF over the SMALL query side),
     IVF cell pruning, then codegen ADC scoring over the stored codes --
@@ -357,12 +367,12 @@ def pq_probe(spark: SparkSession, sf_dir: str, queries: DataFrame,
             "lut", (j * kc + F.element_at("code", j + 1) + 1).cast("int")
         ),
     )
-    scored = (
-        F.broadcast(probes)
-        .join(cand, F.col("cell") == F.col("ccell"))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", adc.alias("adc_score"))
-    )
+    scored = F.broadcast(probes).join(cand, F.col("cell") == F.col("ccell"))
+    if exclude_self:
+        # only correct when query ids share the corpus vec_id space
+        # (the registered queries); external id spaces pass False
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select("query_id", "neighbor_id", adc.alias("adc_score"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("adc_score"), F.asc("neighbor_id"))
     if not refine_factor:

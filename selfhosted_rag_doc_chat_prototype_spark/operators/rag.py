@@ -208,10 +208,12 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str,
         emb, queries, k=MMR_PREFETCH, strategy="lsh",
         cand_signed=lsh_build(spark, sf_dir),
     ).select("query_id", "neighbor_id", F.col("cos_sim").alias("rel"))
-    cand = (
-        pref.join(F.broadcast(queries), "query_id")
-        .join(emb.select(F.col("vec_id").alias("neighbor_id"),
-                         F.col("v").alias("cv")), "neighbor_id")
+    # the greedy kernel needs only (rel, cv): query-candidate
+    # similarity is already in rel, so the query vectors never cross
+    # the Arrow boundary
+    cand = pref.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("v").alias("cv")), "neighbor_id"
     )
 
     out_schema = ("query_id long, neighbor_id long, mmr_rank int, "

@@ -644,7 +644,7 @@ def hybrid_fusion_topk(spark: SparkSession, sf_dir: str,
     dense = topk_cosine(
         base, queries, k=DENSE_PREFETCH, strategy=dense_strategy,
         pre_round=6, out_decimals=6,
-        cand_signed=lsh_build(spark, sf_dir),
+        cand_signed=lambda: lsh_build(spark, sf_dir),
     ).select("query_id", "neighbor_id", F.col("cos_sim").alias("dense"))
     ws = Window.partitionBy("query_id").orderBy(
         F.desc("sparse"), F.asc("neighbor_id")
@@ -835,7 +835,14 @@ def planner_rowcount(df: DataFrame) -> int:
     TABLE ... COMPUTE STATISTICS`` / CBO in a real deployment, where a
     100-TB count job would be the wrong ritual) and only fall back to
     a ``count()`` job when no stats exist (metadata-cheap for the
-    parquet scans at the correctness gate's scale)."""
+    parquet scans at the correctness gate's scale).
+
+    The stats path returns Catalyst's ESTIMATE: exact for a bare
+    ANALYZE'd table, selectivity-derived (possibly off by orders of
+    magnitude without histograms) under filters/joins -- the same
+    fidelity a real CBO prices with, and the reason
+    ``BRUTE_FORCE_MAX_PAIRS`` is a conservative budget rather than a
+    tight cutoff."""
     try:
         rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
         if rc.isDefined():
@@ -854,7 +861,8 @@ def topk_cosine(
     lsh_tables: int = LSH_TABLES,
     pre_round: int | None = None,
     out_decimals: int = 4,
-    cand_signed: DataFrame | None = None,
+    cand_signed=None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """General top-k cosine retrieval over (``vec_id``, ``v``) vectors
     for (``query_id``, ``qv``) queries, with the physical strategy
@@ -878,10 +886,27 @@ def topk_cosine(
     ``pre_round`` (decimals) rounds the cosine BEFORE ranking so rank
     ties at a prefetch boundary break identically in Spark and a
     DuckDB oracle that ranks rounded scores (the hybrid fusion legs
-    need this); ``out_decimals`` rounds the emitted ``cos_sim``."""
+    need this); ``out_decimals`` rounds the emitted ``cos_sim``.
+
+    ``cand_signed`` may be a DataFrame (the persisted signature index)
+    or a zero-arg callable returning one -- a callable resolves only
+    if an LSH strategy is chosen, so brute plans never build an index.
+
+    ``exclude_self`` drops pairs where ``query_id == neighbor_id``:
+    correct when queries ARE corpus vectors (every registered query);
+    pass ``False`` when query ids live in an EXTERNAL id space (e.g.
+    request sequence numbers), where an accidental collision with a
+    corpus vec_id would silently drop a real neighbor."""
     if strategy == "auto":
         n_pairs = planner_rowcount(vectors) * planner_rowcount(queries)
         strategy = "brute" if n_pairs <= BRUTE_FORCE_MAX_PAIRS else "lsh"
+    # a callable cand_signed (e.g. lambda: lsh_build(...)) resolves
+    # only AFTER the strategy decision, so a brute plan never pays an
+    # index build it will not read
+    if callable(cand_signed):
+        cand_signed = (
+            cand_signed() if strategy in ("lsh", "lsh_multiprobe") else None
+        )
     cand = vectors.select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
     )
@@ -931,7 +956,9 @@ def topk_cosine(
     cos_raw = cosine(F.col("qv"), F.col("cv"))
     if pre_round is not None:
         cos_raw = F.round(cos_raw, pre_round)
-    scored = joined.filter(F.col("query_id") != F.col("neighbor_id")).select(
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select(
         "query_id", "neighbor_id", cos_raw.alias("cos_raw")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))

@@ -160,14 +160,26 @@ def compact_table(
     pick. Tables with unorderable (map-typed) columns fall back to
     dropDuplicates after ASSERTING ids are unique, so a silent
     arbitrary pick can never happen."""
-    from pyspark.sql.types import MapType
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def _has_map(dt) -> bool:
+        # recursive: a map nested in an array/struct is just as
+        # unorderable as a top-level one (F.max would fail at analysis)
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
 
     staging = path.rstrip("/") + "__compact"
     df = spark.read.parquet(path).drop("bucket")
     others = [c for c in df.columns if c != id_col]
-    if any(isinstance(f.dataType, MapType) for f in df.schema.fields):
+    if any(_has_map(f.dataType) for f in df.schema.fields):
         dup = (
-            df.groupBy(id_col).count().filter(F.col("count") > 1).limit(1).count()
+            df.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1).limit(1).count()
         )
         if dup:
             raise ValueError(

@@ -33,10 +33,18 @@ def retrieval_serve(
     out_path: str,
     checkpoint_dir: str,
     k: int = TOP_K,
+    exclude_self: bool = False,
 ):
     """Serve a stream of (query_id, qv) rows against ``sf_dir``'s
     persisted LSH index; top-k rows upsert into ``out_path`` keyed by
-    (query_id, rank). Returns the started StreamingQuery."""
+    (query_id, rank). Returns the started StreamingQuery.
+
+    ``exclude_self`` defaults to False because streamed query ids
+    normally live in an EXTERNAL id space (request sequence numbers):
+    an accidental collision with a corpus vec_id must not silently
+    drop that neighbor. Pass True only when the stream replays corpus
+    vectors under their own ids (e.g. re-scoring the corpus against
+    itself)."""
     from ..sinks import upsert_table
 
     idx = lsh_build(spark, sf_dir)
@@ -46,7 +54,8 @@ def retrieval_serve(
         if batch_df.isEmpty():
             return
         res = topk_cosine(
-            corpus, batch_df, k=k, strategy="lsh", cand_signed=idx
+            corpus, batch_df, k=k, strategy="lsh", cand_signed=idx,
+            exclude_self=exclude_self,
         )
         keyed = res.select(
             F.concat_ws("|", "query_id", "rank").alias("id"), "*"

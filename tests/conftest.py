@@ -25,8 +25,13 @@ def sf_dir():
 def _cleanup_throwaway_matviews():
     """Tests build persisted index matviews for throwaway tmp-path
     corpora; their md5 tags are unique per run, so without cleanup the
-    matview dir grows forever. Keep only the stable /root/testdata
-    tags (reused across sessions by design)."""
+    matview dir grows forever. Remove only matviews CREATED DURING
+    THIS SESSION (mtime guard) whose tag is not a stable testdata
+    corpus -- never artifacts of earlier sessions or of a concurrent
+    run on another corpus, which could be mid-scan."""
+    import time
+
+    session_start = time.time()
     yield
     import glob
     import hashlib
@@ -40,5 +45,9 @@ def _cleanup_throwaway_matviews():
     base = os.path.join("/root/repo", "spark-warehouse", "matview")
     for p in glob.glob(os.path.join(base, "*_*")):
         tag = p.rsplit("_", 1)[-1]
-        if len(tag) == 8 and tag not in keep:
+        try:
+            fresh = os.path.getmtime(p) >= session_start
+        except OSError:
+            continue
+        if len(tag) == 8 and tag not in keep and fresh:
             shutil.rmtree(p, ignore_errors=True)

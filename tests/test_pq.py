@@ -111,15 +111,16 @@ def test_incremental_appends_extend_indexes_without_retrain(
     assert cb1 is cb0
     assert codes1.count() == 500
     assert codes1.filter(F.col("vec_id") >= 400).count() == 100
-    # a probe FOR an appended vector must find it (self-match excluded
-    # by id, so probe with a fresh query_id namespace)
+    # a probe FOR an appended vector must find it: the query id here is
+    # an external id that happens to equal a corpus vec_id, so
+    # exclude_self=False (the external-id-space contract)
     q = new_batch.limit(1).select(
-        (F.col("vec_id") + 1_000_000).alias("query_id"),
+        F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qv"),
     )
-    got = pq.pq_probe(spark, d, q).collect()
+    got = pq.pq_probe(spark, d, q, exclude_self=False).collect()
     assert got, "probe over appended index returned nothing"
-    target = q.head().query_id - 1_000_000
+    target = q.head().query_id
     assert any(r.neighbor_id == target and r.rank == 1 for r in got), (
         "appended vector not retrieved as its own nearest neighbor"
     )

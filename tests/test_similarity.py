@@ -181,6 +181,22 @@ def test_lsh_recall_against_bruteforce(spark, sf_dir):
     assert hits / total >= 0.5
 
 
+def test_hyperplane_stream_golden_pin():
+    """Signature parity across the driver, every executor, the DuckDB
+    oracle literals, AND any persisted index built by an earlier
+    session all assume numpy's seeded Generator stream is identical
+    everywhere. NumPy does not guarantee stream stability across major
+    versions, so pin the generated planes: if an upgrade changes the
+    stream this fails loudly instead of silently collapsing recall
+    against stored signatures (rebuild indexes + regenerate oracle
+    literals together in that case)."""
+    h = similarity.hyperplanes(64, similarity.LSH_BITS, similarity.LSH_TABLES)
+    assert h.shape == (32, 64)
+    assert [float(x) for x in h[0, :4]] == [0.0012, 0.2987, -0.2741, -0.8906]
+    assert float(h[-1, -1]) == -0.5542
+    assert abs(float(h.sum()) - (-85.5954)) < 1e-9
+
+
 def test_hyperplane_stream_is_a_prefix():
     """One stored signature index serves every tables<=stored config:
     the seeded Gaussian plane stream must be a prefix, so slicing the

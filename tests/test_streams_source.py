@@ -159,8 +159,12 @@ def test_streaming_retrieval_serve_equals_batch(spark, sf_dir, tmp_path):
 
     def run(ckpt):
         stream = spark.readStream.schema(queries.schema).parquet(qdir)
+        # these queries ARE corpus vectors under their own ids, so
+        # self-exclusion applies (external request-id streams keep the
+        # default False)
         q = retrieval_serve(
-            spark, sf_dir, stream, out, str(tmp_path / ckpt)
+            spark, sf_dir, stream, out, str(tmp_path / ckpt),
+            exclude_self=True,
         )
         q.awaitTermination(120)
 
