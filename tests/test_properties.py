@@ -34,6 +34,29 @@ word_text_st = st.text(
 )
 
 
+@given(st.integers(min_value=2, max_value=64),
+       st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=50, deadline=None)
+def test_pq_kmeans_deterministic_and_bounded(n, data_seed):
+    """The PQ codebook trainer must be deterministic in (sample, seed)
+    -- two builds over the same sample yield byte-identical persisted
+    codebooks -- and every center must stay inside the data's bounding
+    box (each Lloyd update is a mean of sample points; k-means++ seeds
+    are sample points)."""
+    import numpy as np
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.pq import _kmeans_1d
+
+    data = np.random.default_rng(data_seed).normal(size=(n, 4))
+    k = min(8, n)
+    a = _kmeans_1d(data, k, 5, np.random.default_rng(7))
+    b = _kmeans_1d(data, k, 5, np.random.default_rng(7))
+    assert np.array_equal(a, b)
+    assert a.shape == (k, 4)
+    assert (a >= data.min(axis=0) - 1e-12).all()
+    assert (a <= data.max(axis=0) + 1e-12).all()
+
+
 @given(text_st, st.integers(min_value=1, max_value=50))
 @settings(max_examples=200, deadline=None)
 def test_subsplit_zero_loss(text, max_chars):
