@@ -523,6 +523,33 @@ def anns_label_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index health monitor: per-(table, bucket) occupancy of the
+    persisted signature index, with each bucket's share of its table's
+    rows. The operational readout for the bucket equi-join: a bucket
+    holding a large share of the corpus is exactly the hot-key case
+    where the probe stops pruning (P(collision) ~ share) and the
+    standard salting/AQE-skew treatment applies -- same role as
+    ``plans/diagnostics.skew_report`` for shuffle keys, specialized to
+    the retrieval index.
+
+    Scale shape: one explode of the stored signature arrays and one
+    (tbl, bucket) aggregation over the index table -- never touches
+    text or vectors."""
+    idx = lsh_build(spark, sf_dir)
+    per_bucket = (
+        idx.select(F.posexplode("csig").alias("tbl", "bucket"))
+        .groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+    tot = Window.partitionBy("tbl")
+    return per_bucket.select(
+        "tbl", "bucket", "n_vectors",
+        F.round(F.col("n_vectors") / F.sum("n_vectors").over(tot), 4)
+        .alias("share"),
+    )
+
+
 def anns_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe variant of :func:`anns_lsh_bucketed` with HALF the
     tables: each query also probes the ``N_PROBES`` Hamming-1 buckets
@@ -1044,6 +1071,7 @@ QUERIES = {
     "anns_filtered_topk": anns_filtered_topk,
     "anns_label_maxsim_topk": anns_label_maxsim_topk,
     "anns_bq_hamming_topk": anns_bq_hamming_topk,
+    "lsh_bucket_histogram": lsh_bucket_histogram,
     "anns_lsh_multiprobe": anns_lsh_multiprobe,
     "anns_grouped_topk": anns_grouped_topk,
     "anns_ivf_topk": anns_ivf_topk,
@@ -1193,6 +1221,25 @@ ORACLE = {
                round(cos_raw, 4) AS cos_sim
         FROM scored
         QUALIFY rank <= {TOP_K}
+    """,
+    # index-health histogram: recompute signatures from embeddings via
+    # the rh_sig_sql twin (the oracle has no access to the stored
+    # index; determinism of the seeded planes makes the recompute
+    # byte-equivalent)
+    "lsh_bucket_histogram": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        _planes AS (SELECT {planes_sql_literal(hyperplanes(64, LSH_BITS, LSH_TABLES))} AS h),
+        sig AS ({rh_sig_sql(hyperplanes(64, LSH_BITS, LSH_TABLES),
+                            LSH_BITS, LSH_TABLES, "e", "vec_id")}),
+        per_bucket AS (
+            SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS n_vectors
+            FROM sig GROUP BY tbl, bucket
+        )
+        SELECT tbl, bucket, n_vectors,
+               round(n_vectors / sum(n_vectors) OVER (PARTITION BY tbl), 4)
+                   AS share
+        FROM per_bucket
     """,
     # binary quantization: pack sign bits into two 32-bit halves with
     # the same left fold, exhaustive Hamming prefilter, exact rerank
