@@ -396,16 +396,12 @@ def anns_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale) and the candidate set is filtered-first, never
     retrieve-then-drop -- the classic pre- vs post-filter ANN choice,
     taken the way a high-selectivity filter demands. Top-k is per
-    query over the filtered candidates only."""
-    base = _vectors(spark, sf_dir)
-    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    query over the filtered candidates only. (Registered face of
+    :func:`retrieve` with ``payload_filter``.)"""
+    return retrieve(
+        spark, sf_dir, k=TOP_K, strategy="lsh",
+        payload_filter=F.col("label").isin(FILTER_LABELS),
     )
-    idx = lsh_build(spark, sf_dir).filter(
-        F.col("label").isin(FILTER_LABELS)
-    )
-    return topk_cosine(base, queries, k=TOP_K, strategy="lsh",
-                       cand_signed=idx)
 
 
 BQ_RERANK_FACTOR = 4  # exact-rerank the Hamming top k*factor
@@ -424,25 +420,17 @@ def _bq_halves(v: Column) -> tuple[Column, Column]:
     return fold(F.slice(v, 1, 32)), fold(F.slice(v, 33, 32))
 
 
-def anns_bq_hamming_topk(spark: SparkSession, sf_dir: str,
-                         k: int = TOP_K) -> DataFrame:
-    """Binary-quantized search (Qdrant's BQ feature): 1 bit per
-    dimension -- the whole 64-dim vector compresses to 8 BYTES, and
-    the prefilter is an EXHAUSTIVE scan of pure-codegen bit ops
-    (xor + bit_count on two packed 32-bit halves; no index, no Python,
-    no float math). The Hamming top k*{factor} shortlist then reranks
-    with exact cosine -- BQ's standard oversample+rescore recipe.
-
-    Scale shape: the scan reads 16 bytes/vector of packed bits (in a
-    real deployment a stored column next to the PQ codes); per-pair
-    work is two XOR+POPCNT, the cheapest possible candidate metric,
-    fully whole-stage-codegen. Rerank touches Q*k*{factor} vectors."""
-    base = _vectors(spark, sf_dir)
+def bq_topk(base: DataFrame, queries: DataFrame, k: int = TOP_K,
+            exclude_self: bool = True) -> DataFrame:
+    """Binary-quantized top-k over (``vec_id``, ``v``) vectors for
+    (``query_id``, ``qv``) queries -- the parameterized core behind
+    :func:`anns_bq_hamming_topk` and the ``"bq"`` strategy of
+    :func:`retrieve`."""
     b1, b2 = _bq_halves(F.col("v"))
     packed = base.select("vec_id", "v", b1.alias("b1"), b2.alias("b2"))
-    queries = packed.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-        F.col("b1").alias("q1"), F.col("b2").alias("q2"),
+    qb1, qb2 = _bq_halves(F.col("qv"))
+    q = queries.select(
+        "query_id", "qv", qb1.alias("q1"), qb2.alias("q2"),
     )
     cand = packed.select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
@@ -454,10 +442,12 @@ def anns_bq_hamming_topk(spark: SparkSession, sf_dir: str,
     )
     wh = Window.partitionBy("query_id").orderBy(
         F.asc("hamming"), F.asc("neighbor_id"))
+    shortlist = F.broadcast(q).crossJoin(rebalance(cand))
+    if exclude_self:
+        shortlist = shortlist.filter(
+            F.col("query_id") != F.col("neighbor_id"))
     shortlist = (
-        F.broadcast(queries)
-        .crossJoin(rebalance(cand))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        shortlist
         .select("query_id", "qv", "neighbor_id", "cv", ham.alias("hamming"))
         .withColumn("hr", F.row_number().over(wh))
         .filter(F.col("hr") <= k * BQ_RERANK_FACTOR)
@@ -474,6 +464,26 @@ def anns_bq_hamming_topk(spark: SparkSession, sf_dir: str,
         .select("query_id", "neighbor_id", "rank", "hamming",
                 F.round("cos_raw", 4).alias("cos_sim"))
     )
+
+
+def anns_bq_hamming_topk(spark: SparkSession, sf_dir: str,
+                         k: int = TOP_K) -> DataFrame:
+    """Binary-quantized search (Qdrant's BQ feature): 1 bit per
+    dimension -- the whole 64-dim vector compresses to 8 BYTES, and
+    the prefilter is an EXHAUSTIVE scan of pure-codegen bit ops
+    (xor + bit_count on two packed 32-bit halves; no index, no Python,
+    no float math). The Hamming top k*{factor} shortlist then reranks
+    with exact cosine -- BQ's standard oversample+rescore recipe.
+
+    Scale shape: the scan reads 16 bytes/vector of packed bits (in a
+    real deployment a stored column next to the PQ codes); per-pair
+    work is two XOR+POPCNT, the cheapest possible candidate metric,
+    fully whole-stage-codegen. Rerank touches Q*k*{factor} vectors."""
+    base = _vectors(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return bq_topk(base, queries, k)
 
 
 MAXSIM_TOP_CHUNKS = 2
@@ -995,6 +1005,63 @@ def topk_cosine(
         .select("query_id", "neighbor_id", "rank",
                 F.round("cos_raw", out_decimals).alias("cos_sim"))
     )
+
+
+def retrieve(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: DataFrame | None = None,
+    k: int = TOP_K,
+    strategy: str = "auto",
+    payload_filter: Column | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """The engine's unified retrieval entry point -- the API face of
+    SURVEY section 7's optional ``ORDER BY cosine_sim(...) LIMIT k``
+    rewrite: one logical ask ("top-k nearest to these queries, under
+    this payload filter") planned onto whichever physical strategy
+    fits, all serving from the PERSISTED indexes.
+
+    Strategies: ``brute`` (exact scan), ``lsh`` (signature-index bucket
+    join), ``bq`` (binary-quantized Hamming prefilter + exact rerank),
+    ``ivfpq`` (PQ codes + refine), or ``auto`` -- which prices
+    brute-vs-lsh from :func:`planner_rowcount` exactly like
+    :func:`topk_cosine`. ``payload_filter`` (a Column predicate over
+    the index payload, e.g. ``F.col("label").isin(...)``) applies
+    BEFORE candidate generation on every strategy -- filtered-first,
+    never retrieve-then-drop. ``queries`` defaults to the corpus
+    vectors below ``N_QUERIES`` (the registered-query convention);
+    external callers pass their own (query_id, qv) batch and
+    ``exclude_self=False`` when query ids are not corpus ids."""
+    base = _vectors(spark, sf_dir)
+    if payload_filter is not None:
+        base = base.filter(payload_filter)
+    if queries is None:
+        queries = _vectors(spark, sf_dir).filter(
+            F.col("vec_id") < N_QUERIES
+        ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    if strategy in ("auto", "brute", "lsh", "lsh_multiprobe"):
+        idx = lsh_build(spark, sf_dir)
+        if payload_filter is not None:
+            idx = idx.filter(payload_filter)
+        return topk_cosine(
+            base, queries, k=k, strategy=strategy,
+            cand_signed=lambda: idx, exclude_self=exclude_self,
+        )
+    if strategy == "bq":
+        return bq_topk(base, queries, k, exclude_self=exclude_self)
+    if strategy == "ivfpq":
+        from .pq import pq_probe
+
+        if payload_filter is not None:
+            raise ValueError(
+                "ivfpq strategy stores codes without payload columns; "
+                "add the payload to the code table or use lsh/bq for "
+                "filtered retrieval"
+            )
+        return pq_probe(spark, sf_dir, queries, k=k,
+                        exclude_self=exclude_self)
+    raise ValueError(f"unknown retrieve strategy: {strategy!r}")
 
 
 BM25_TERMS = ["table", "scan", "join"]

@@ -292,6 +292,50 @@ def test_filtered_topk_prefilters_candidates(spark, sf_dir):
             assert r.cos_sim == unfiltered[(r.query_id, r.neighbor_id)]
 
 
+def test_retrieve_unified_planner(spark, sf_dir):
+    """One logical ask, four physical strategies: every strategy must
+    return k rows per query with scores equal to the exact cosine for
+    shared (query, neighbor) pairs; the payload filter must bind on
+    every strategy that supports it; external query ids with
+    exclude_self=False must be able to retrieve their own collision."""
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in similarity.retrieve(spark, sf_dir, strategy="brute").collect()
+    }
+    for strat in ["lsh", "bq", "ivfpq"]:
+        rows = similarity.retrieve(spark, sf_dir, strategy=strat).collect()
+        assert rows, strat
+        for r in rows:
+            if (r.query_id, r.neighbor_id) in exact:
+                assert abs(r.cos_sim - exact[(r.query_id, r.neighbor_id)]) \
+                    <= 1e-4, (strat, r)
+
+    labels = {
+        r.vec_id: r.label
+        for r in similarity._vectors(spark, sf_dir).collect()
+    }
+    flt = F.col("label").isin([1, 3])
+    for strat in ["brute", "lsh", "bq"]:
+        out = similarity.retrieve(
+            spark, sf_dir, strategy=strat, payload_filter=flt).collect()
+        assert out, strat
+        assert all(labels[r.neighbor_id] in (1, 3) for r in out), strat
+    import pytest
+    with pytest.raises(ValueError, match="ivfpq"):
+        similarity.retrieve(spark, sf_dir, strategy="ivfpq",
+                            payload_filter=flt)
+
+    # external id space: id collides with a corpus vec_id but is a
+    # different query -- with exclude_self=False nothing is dropped
+    q = similarity._vectors(spark, sf_dir).filter(
+        F.col("vec_id") == 42
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    got = similarity.retrieve(
+        spark, sf_dir, queries=q, strategy="bq", exclude_self=False
+    ).collect()
+    assert any(r.neighbor_id == 42 and r.rank == 1 for r in got)
+
+
 def test_matview_reused_across_sessions_no_rewrite(spark, sf_dir):
     """A complete on-disk index must be REUSED by a fresh session-store
     (no overwrite: a concurrent session could be mid-scan on it)."""
