@@ -189,10 +189,11 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str,
     argmax lam*sim(q,d) - (1-lam)*max_{s in S} sim(d,s) until MMR_K.
     Candidates come from the persisted-index LSH prefetch; the greedy
     loop runs in applyInPandas keyed by query_id over its <=MMR_PREFETCH
-    candidate vectors (one numpy Gram matrix per group). Registered
-    rows-only: the sequential argmax has no tractable SQL twin; parity
-    against a pure-python reference implementation is asserted in
-    tests."""
+    candidate vectors (one numpy Gram matrix per group). Fully oracled:
+    the sequential argmax IS SQL-expressible as a recursive CTE whose
+    state row carries the chosen-id list (see :func:`_mmr_oracle_sql`);
+    parity against a pure-python reference implementation is
+    additionally asserted in tests."""
     import numpy as np
     import pandas as pd
 
@@ -347,3 +348,88 @@ ORACLE = {
         FROM deduped
     """,
 }
+
+
+def _mmr_oracle_sql() -> str:
+    """DuckDB twin of :func:`rag_mmr_rerank`'s greedy kernel as a
+    recursive CTE: the state row per (query, iteration) carries the
+    chosen-id list; each step picks argmax over the remaining prefetch
+    candidates of ``lam*rel - (1-lam)*max sim-to-chosen`` via a LATERAL
+    top-1, exactly the python loop's selection rule (score rounded to
+    9 decimals before ranking, ties to the smallest neighbor_id; the
+    diversity term is the raw candidate-candidate dot product, the
+    same Gram matrix the Arrow kernel builds). The prefetch CTE is the
+    proven LSH-candidate twin at k = MMR_PREFETCH."""
+    from .similarity import (LSH_BITS, LSH_TABLES, hyperplanes,
+                             planes_sql_literal, rh_sig_sql)
+
+    planes = hyperplanes(64, LSH_BITS, LSH_TABLES)
+    lam = MMR_LAMBDA
+    return f"""
+        WITH RECURSIVE
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        _planes AS (SELECT {planes_sql_literal(planes)} AS h),
+        sig AS ({rh_sig_sql(planes, LSH_BITS, LSH_TABLES, "e", "vec_id")}),
+        candp AS (
+            SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+            FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+            WHERE a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+        ),
+        pref AS (
+            SELECT query_id, neighbor_id, round(cos_raw, 4) AS rel
+            FROM (
+                SELECT c.query_id, c.neighbor_id,
+                       list_cosine_similarity(qa.v, qn.v) AS cos_raw,
+                       row_number() OVER (PARTITION BY c.query_id
+                           ORDER BY list_cosine_similarity(qa.v, qn.v) DESC,
+                                    c.neighbor_id ASC) AS rn
+                FROM candp c
+                JOIN e qa ON qa.vec_id = c.query_id
+                JOIN e qn ON qn.vec_id = c.neighbor_id
+            ) WHERE rn <= {MMR_PREFETCH}
+        ),
+        psim AS (
+            SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+                   list_dot_product(va.v, vb.v) AS sim
+            FROM pref a JOIN pref b ON a.query_id = b.query_id
+            JOIN e va ON va.vec_id = a.neighbor_id
+            JOIN e vb ON vb.vec_id = b.neighbor_id
+        ),
+        sel AS (
+            SELECT query_id, 1 AS mmr_rank, neighbor_id, rel,
+                   {lam} * rel AS mmr_score, [neighbor_id] AS chosen
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY round({lam} * rel, 9) DESC, neighbor_id ASC)
+                      AS rn
+                  FROM pref) WHERE rn = 1
+            UNION ALL
+            SELECT s.query_id, s.mmr_rank + 1, b.neighbor_id, b.rel, b.raw,
+                   list_append(s.chosen, b.neighbor_id)
+            FROM sel s, LATERAL (
+                SELECT neighbor_id, rel, raw FROM (
+                    SELECT c.neighbor_id, c.rel,
+                           {lam} * c.rel - {1.0 - lam} * (
+                               SELECT max(p.sim) FROM psim p
+                               WHERE p.query_id = c.query_id
+                                 AND p.a_id = c.neighbor_id
+                                 AND list_contains(s.chosen, p.b_id)) AS raw
+                    FROM pref c
+                    WHERE c.query_id = s.query_id
+                      AND NOT list_contains(s.chosen, c.neighbor_id)
+                )
+                ORDER BY round(raw, 9) DESC, neighbor_id ASC
+                LIMIT 1
+            ) b
+            WHERE s.mmr_rank < {MMR_K}
+        )
+        SELECT query_id, neighbor_id, CAST(mmr_rank AS INTEGER) AS mmr_rank,
+               round(rel, 4) AS relevance,
+               -- round_even = numpy's half-to-even: MMR scores combine
+               -- 4-decimal rel values, so exact .xxxx5 halves are
+               -- common (lam = 0.5) and half-away would diverge
+               round_even(mmr_score, 4) AS mmr_score
+        FROM sel
+    """
+
+
+ORACLE["rag_mmr_rerank"] = _mmr_oracle_sql()

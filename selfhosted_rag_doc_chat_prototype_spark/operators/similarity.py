@@ -565,10 +565,11 @@ def anns_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables: each query also probes the ``N_PROBES`` Hamming-1 buckets
     whose hyperplanes it sits closest to, trading a (1 + probes)x
     fan-out on the tiny query side for a 2x cut in corpus-side
-    signature/shuffle work at equal-or-better recall. Registered
-    rows-only (the margin-ordered bit flips have no clean SQL twin);
-    the recall floor vs brute force is asserted in
-    ``tests/test_similarity.py``."""
+    signature/shuffle work at equal-or-better recall. Fully oracled:
+    the margin-ordered bit flips are deterministic in the projections,
+    so the DuckDB twin ranks planes by |dot| per (query, table) and
+    flips the closest ``N_PROBES`` bits; the recall floor vs brute
+    force is additionally asserted in ``tests/test_similarity.py``."""
     base = _vectors(spark, sf_dir)
     queries = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -1477,6 +1478,68 @@ ORACLE = {
                    ORDER BY fused_raw DESC, neighbor_id ASC) AS INTEGER) AS rank,
                round(fused_raw, 4) AS fused_score
         FROM fused
+        QUALIFY rank <= {TOP_K}
+    """,
+    # oracle twin of the multi-probe LSH path: the margin-ordered bit
+    # flips ARE SQL-expressible -- per (query, table), rank the
+    # hyperplanes by |projection| (ties broken by bit index; margins
+    # are float dot products so exact ties do not occur in practice)
+    # and emit the base bucket plus the N_PROBES Hamming-1 flips of
+    # the closest planes, exactly what rh_probe_sig_udf computes.
+    # Candidate side = the plain LSH_TABLES//2-table signature (the
+    # seeded plane stream is a prefix, so this equals the stored
+    # index sliced to half the tables, which is what the Spark plan
+    # probes). Pairs reachable through several (table, probe) routes
+    # collapse with DISTINCT, mirroring dropDuplicates.
+    "anns_lsh_multiprobe": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        _planes AS (SELECT {planes_sql_literal(hyperplanes(64, LSH_BITS, LSH_TABLES // 2))} AS h),
+        qm AS (
+            SELECT vec_id AS query_id, v, t.t AS tbl,
+                   list_transform(range({LSH_BITS}), j ->
+                       list_dot_product(v, h[t.t * {LSH_BITS} + j + 1])) AS m
+            FROM e, _planes, range(0, {LSH_TABLES // 2}) t(t)
+            WHERE vec_id < {N_QUERIES}
+        ),
+        qb AS (
+            SELECT query_id, tbl,
+                   array_to_string(list_transform(m, x ->
+                       CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+            FROM qm
+            UNION ALL
+            SELECT query_id, tbl,
+                   array_to_string(list_transform(range({LSH_BITS}), j ->
+                       CASE WHEN j = fj THEN
+                            (CASE WHEN m[j + 1] >= 0 THEN '0' ELSE '1' END)
+                       ELSE (CASE WHEN m[j + 1] >= 0 THEN '1' ELSE '0' END)
+                       END), '') AS bucket
+            FROM (
+                SELECT query_id, tbl, m, f.j AS fj,
+                       row_number() OVER (PARTITION BY query_id, tbl
+                           ORDER BY abs(m[f.j + 1]), f.j) AS rk
+                FROM qm, range(0, {LSH_BITS}) f(j)
+            )
+            WHERE rk <= {N_PROBES}
+        ),
+        sig AS ({rh_sig_sql(hyperplanes(64, LSH_BITS, LSH_TABLES // 2),
+                            LSH_BITS, LSH_TABLES // 2, "e", "vec_id")}),
+        cand AS (
+            SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+            FROM qb q JOIN sig c ON q.tbl = c.tbl AND q.bucket = c.bucket
+            WHERE c.vec_id <> q.query_id
+        ),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   list_cosine_similarity(qa.v, qn.v) AS cos_raw
+            FROM cand c
+            JOIN e qa ON qa.vec_id = c.query_id
+            JOIN e qn ON qn.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_raw DESC, neighbor_id ASC) AS INTEGER) AS rank,
+               round(cos_raw, 4) AS cos_sim
+        FROM scored
         QUALIFY rank <= {TOP_K}
     """,
 }
