@@ -469,6 +469,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.vec_a").alias("vec_a"), F.col("p.vec_b").alias("vec_b"))
         .distinct()
     )
+    scored = _score_pair_cosines(pairs, corpus)
+    return scored.filter(F.col("cos_sim") >= EMB_COS_THRESHOLD)
+
+
+def _score_pair_cosines(pairs: DataFrame, corpus: DataFrame) -> DataFrame:
+    """(vec_a, vec_b) candidate pairs -> (vec_a, vec_b, cos_sim):
+    equi-join the two vectors back and compute each cosine ONCE in a
+    single vectorized ``mapInPandas`` stage. Callers filter on the UDF
+    *output* column, which Catalyst cannot clone into a join condition
+    (the pre-rewrite plan double-evaluated an interpreted 64-dim HOF
+    cosine in BOTH the join and the project)."""
     withv = (
         pairs.join(corpus.select(F.col("vec_id").alias("vec_a"),
                                  F.col("v").alias("va")), "vec_a")
@@ -495,8 +506,76 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_a": pdf["vec_a"], "vec_b": pdf["vec_b"], "cos_sim": cos4,
             })
 
-    scored = withv.mapInPandas(score, "vec_a long, vec_b long, cos_sim double")
-    return scored.filter(F.col("cos_sim") >= EMB_COS_THRESHOLD)
+    return withv.mapInPandas(score, "vec_a long, vec_b long, cos_sim double")
+
+
+SEM_TAU = 0.95  # semantic-duplicate cosine threshold (SemDeDup eps)
+
+
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the embedding space into clusters,
+    call two members semantic duplicates when their cosine is >=
+    ``SEM_TAU``, and keep one representative per duplicate set --
+    emitting every corpus vector with its cluster key and keep flag
+    (the curation pipeline filters on ``kept = 1``).
+
+    Spark-first adaptation, declared deviations from the paper:
+
+    - cluster assignment is the table-0 sign-LSH bucket rather than
+      k-means (the paper's own ablations show the keep policy and
+      partition detail matter little; the random-hyperplane partition
+      keeps the operator fully declarative and oracle-checkable, and
+      is the same partition the ANN/dedup family already persists);
+    - the keep rule is the order-free declarative variant: ``b`` is
+      dropped iff SOME ``a < b`` in its cluster has ``cos(a, b) >=
+      SEM_TAU`` (the paper re-ranks within each duplicate group by
+      centroid distance; a sequential rule would need an iterative
+      pass for no measured quality gain).
+
+    Scale shape: identical to :func:`dedup_embedding_cosine` --
+    map-only Arrow signatures, per-bucket pair expansion (pair count
+    tracks the duplicate rate, never N^2), ONE vectorized cosine pass,
+    and a broadcast anti-join of the (small by definition) dropped
+    set back onto the corpus."""
+    corpus = _emb_corpus(spark, sf_dir)
+    sig = _sim.rh_sig_udf(EMB_DEDUP_BITS, 1)
+    sigs = corpus.select(
+        "vec_id", F.element_at(sig(F.col("v")), 1).alias("cluster")
+    )
+    buckets = (
+        sigs.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.vec_a").alias("vec_a"),
+                F.col("p.vec_b").alias("vec_b"))
+    )
+    dropped = (
+        _score_pair_cosines(pairs, corpus)
+        .filter(F.col("cos_sim") >= SEM_TAU)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return (
+        sigs.join(F.broadcast(dropped), "vec_id", "left")
+        .select(
+            "vec_id", "cluster",
+            F.col("dropped").isNull().cast("int").alias("kept"),
+        )
+    )
 
 
 CC_MAX_ITERS = 8
@@ -565,6 +644,7 @@ QUERIES = {
     "decontaminate_fuzzy_minhash": decontaminate_fuzzy_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_semantic_keep": dedup_semantic_keep,
     "dedup_connected_components": dedup_connected_components,
 }
 
@@ -672,6 +752,37 @@ ORACLE = {
                n = min(m) AS is_canonical
         FROM reach GROUP BY n
     """,
+    # single-table signature: each vector sits in exactly one bucket,
+    # so the self-join emits each in-cluster pair once; the keep flag
+    # is a NOT EXISTS against the (a < b, cos >= tau) dropped set
+    "dedup_semantic_keep": """
+        WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        corpus AS (
+            SELECT vec_id, v FROM e0
+            UNION ALL
+            SELECT vec_id + 1000000 AS vec_id,
+                   list_transform(v, x -> x + 0.01) AS v
+            FROM e0 WHERE vec_id % 5 = 0
+        ),
+        _planes AS (SELECT {planes} AS h),
+        sig AS ({sig_body}),
+        dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM sig a JOIN sig b ON a.bucket = b.bucket
+                                 AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {tau}
+        )
+        SELECT s.vec_id, s.bucket AS cluster,
+               CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+        FROM sig s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+    """.format(
+        planes=_sim.planes_sql_literal(
+            _sim.hyperplanes(EMB_DIM, EMB_DEDUP_BITS, 1)),
+        sig_body=_sim.rh_sig_sql(
+            _sim.hyperplanes(EMB_DIM, EMB_DEDUP_BITS, 1),
+            EMB_DEDUP_BITS, 1, "corpus", "vec_id"),
+        tau=SEM_TAU,
+    ),
     "dedup_embedding_cosine": """
         WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         corpus AS (

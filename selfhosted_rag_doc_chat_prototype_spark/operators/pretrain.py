@@ -500,6 +500,75 @@ def boilerplate_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INTRA_BASE_W = 30  # fixture truncation: three full SENT_W sentences
+
+
+def _with_intradoc_repeats(docs: DataFrame) -> DataFrame:
+    """Deterministically plant WITHIN-document repetition: truncate each
+    doc to its first ``INTRA_BASE_W`` words (sentence-aligned) and
+    re-append its own first sentence once for ``doc_id % 3 == 0`` docs,
+    twice for ``% 9 == 0`` -- the word-soup corpus has no natural
+    intra-document repeats, same planted-positive pattern as the
+    boilerplate and PII salts."""
+    w = tq.words(F.col("text"))
+    base = F.concat_ws(" ", F.slice(w, 1, INTRA_BASE_W))
+    first = F.concat_ws(" ", F.slice(w, 1, SENT_W))
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", base,
+            F.when(did % 3 == 0, first),
+            F.when(did % 9 == 0, first),
+        ).alias("bt"),
+    )
+
+
+def intradoc_dedup(docs: DataFrame, *, text_col: str = "text",
+                   sent_w: int = SENT_W) -> DataFrame:
+    """Within-document repeated-sentence removal (the intra-document
+    half of Gopher's repetition handling, Rae et al. 2021 -- the
+    cross-document half is :func:`boilerplate_clean`): split each doc
+    into ``sent_w``-word sentences, keep only the FIRST occurrence of
+    each repeated sentence, and report per doc the sentence counts
+    plus the md5 of the cleaned re-assembly.
+
+    Scale shape: the whole operator is ONE map-side projection -- the
+    sentence array, the keep-first filter (``array_position(sents, x)
+    == i + 1``, i.e. "this position is the first occurrence"), and the
+    re-assembly are all higher-order functions over per-row arrays, so
+    there is zero shuffle and no per-doc state leaves its row. The
+    keep-first scan is O(S^2) in the doc's SENTENCE count -- bounded by
+    the chunk-size guard upstream, and cheap next to the tokenize."""
+    w = tq.words(F.col(text_col))
+    n_sents = F.floor((F.size(w) - 1) / F.lit(sent_w)).cast("int")
+    sents = F.when(
+        F.size(w) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_sents),
+            lambda i: F.concat_ws(" ", F.slice(w, i * sent_w + 1, sent_w)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    kept = F.filter(
+        sents, lambda x, i: F.array_position(sents, x) == i + 1
+    )
+    return docs.select(
+        "doc_id",
+        F.size(sents).cast("int").alias("n_sents"),
+        (F.size(sents) - F.size(kept)).cast("int").alias("n_dup_sents"),
+        F.md5(F.concat_ws(" ", kept)).alias("clean_md5"),
+    )
+
+
+def intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding of :func:`intradoc_dedup` over the
+    planted-repeat corpus."""
+    return intradoc_dedup(
+        _with_intradoc_repeats(rebalance(table(spark, sf_dir, "documents"))),
+        text_col="bt",
+    )
+
+
 def _tempered_exprs(text_col: str = "text", *,
                     base: float = TSAMP_BASE,
                     temperature: float = TSAMP_T,
@@ -771,6 +840,7 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "intradoc_line_dedup": intradoc_line_dedup,
     "lm_perplexity_score": lm_perplexity_score,
     "curate_corpus_e2e": curate_corpus_e2e,
     "domain_mixture_resample": domain_mixture_resample,
@@ -929,6 +999,43 @@ ORACLE = {
         SELECT doc_id, lang, mix_rate, n_copies,
                unnest(range(1, n_copies + 1)) AS copy
         FROM cop WHERE n_copies > 0
+    """,
+    # keep-first-occurrence == row_number() over (doc, sent) by pos
+    "intradoc_line_dedup": f"""
+        WITH d AS (SELECT doc_id,
+                          list_filter(string_split_regex(trim(text), '\\s+'),
+                                      x -> x <> '') AS w0
+                   FROM documents),
+        p AS (SELECT doc_id,
+                     array_to_string(list_slice(w0, 1, {INTRA_BASE_W}), ' ')
+                     || CASE WHEN doc_id % 3 = 0 THEN ' ' ||
+                            array_to_string(list_slice(w0, 1, {SENT_W}), ' ')
+                        ELSE '' END
+                     || CASE WHEN doc_id % 9 = 0 THEN ' ' ||
+                            array_to_string(list_slice(w0, 1, {SENT_W}), ' ')
+                        ELSE '' END AS bt
+              FROM d),
+        t AS (SELECT doc_id,
+                     list_filter(string_split_regex(trim(bt), '\\s+'),
+                                 x -> x <> '') AS w
+              FROM p),
+        s AS (SELECT doc_id, u.i AS pos,
+                     array_to_string(list_slice(
+                         w, u.i * {SENT_W} + 1, u.i * {SENT_W} + {SENT_W}),
+                         ' ') AS sent
+              FROM t, unnest(range(0, (len(w) - 1) // {SENT_W} + 1)) AS u(i)
+              WHERE len(w) > 0),
+        f AS (SELECT doc_id, pos, sent,
+                     row_number() OVER (PARTITION BY doc_id, sent
+                                        ORDER BY pos) AS occ
+              FROM s)
+        SELECT doc_id,
+               CAST(count(*) AS INTEGER) AS n_sents,
+               CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS INTEGER)
+                   AS n_dup_sents,
+               md5(coalesce(string_agg(CASE WHEN occ = 1 THEN sent END,
+                                       ' ' ORDER BY pos), '')) AS clean_md5
+        FROM f GROUP BY doc_id
     """,
     "boilerplate_sentence_dedup": f"""
         WITH p AS ({_BOILER_SYNTH_SQL}),

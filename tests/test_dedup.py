@@ -86,6 +86,19 @@ def test_embedding_dedup_finds_planted_copies(spark, sf_dir):
     assert all(pairs[p] > 0.99 for p in found)
 
 
+def test_semantic_keep_drops_only_planted_copies(spark, sf_dir):
+    """Every dropped vector is a planted near-copy (originals always
+    win the a < b keep rule), a healthy share of planted copies land
+    in their original's cluster and get dropped (single-table
+    partition -> boundary misses are expected, not total), and output
+    covers the whole corpus exactly once."""
+    rows = dedup.dedup_semantic_keep(spark, sf_dir).collect()
+    assert len(rows) == len({r.vec_id for r in rows}) == 600
+    dropped = {r.vec_id for r in rows if r.kept == 0}
+    assert dropped and all(v >= 1000000 for v in dropped)
+    assert len(dropped) / 100 >= 0.5  # cluster-boundary misses bounded
+
+
 def test_connected_components_cluster_planted_pairs(spark, sf_dir):
     """Cluster invariants: exactly one canonical (min-id) doc per
     cluster, and planted near-copies land in their original's

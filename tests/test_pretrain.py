@@ -56,6 +56,26 @@ def test_boilerplate_detects_planted_sentences(spark, sf_dir):
     assert any(r.n_boiler_sents >= 2 for r in rows)
 
 
+def test_intradoc_dedup_detects_planted_repeats(spark, sf_dir):
+    """Docs whose planted repeat aligns to a sentence boundary (base
+    truncation filled all INTRA_BASE_W words) report >= 1 duplicate
+    sentence; unplanted docs report 0; cleaning never drops below one
+    kept sentence."""
+    rows = pretrain.intradoc_line_dedup(spark, sf_dir).collect()
+    hits = 0
+    for r in rows:
+        kept = r.n_sents - r.n_dup_sents
+        assert kept >= 1
+        if r.doc_id % 3 != 0:
+            assert r.n_dup_sents == 0, f"doc {r.doc_id}: unplanted dup"
+        else:
+            # a short doc (< INTRA_BASE_W base words) misaligns the
+            # appended sentence, so <= planted, never more
+            assert r.n_dup_sents <= 1 + (r.doc_id % 9 == 0)
+            hits += r.n_dup_sents > 0
+    assert hits > 0
+
+
 def test_tempered_sample_is_consistent_and_thinning(spark, sf_dir):
     """kept == (draw < keep_p) row-wise, keep_p stays within
     (0, TSAMP_BASE], and the realized keep rate sits strictly between
