@@ -569,6 +569,47 @@ def intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURR_PHASES = 10
+
+
+def curriculum_quality_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction over the corpus: score every document
+    (unique-word ratio, the same signal the tempered sampler uses),
+    cut the score distribution into ``CURR_PHASES`` equal-mass phases
+    at its exact deciles, and attach a deterministic md5 shuffle key --
+    a training reader orders by (phase, shuffle_key) to sweep
+    easy-to-hard (curriculum learning, Bengio et al. 2009) with a
+    reproducible within-phase shuffle.
+
+    Scale shape: phase assignment deliberately avoids the naive global
+    ``ntile`` window (a single-partition total sort): ONE exact
+    percentile aggregate produces the 9 boundaries, which broadcast
+    back onto a map-only bucketing pass -- the same counting-pass +
+    broadcast-rates shape as the domain mixture. Boundaries and scores
+    are rounded to 6 decimals on BOTH engines so a last-ulp
+    interpolation difference can never flip a phase."""
+    docs = rebalance(table(spark, sf_dir, "documents"))
+    w = tq.words(F.col("text"))
+    score = F.round(F.size(F.array_distinct(w)) / F.size(w), 6)
+    scored = docs.select("doc_id", score.alias("score"))
+    qs = ", ".join(
+        str(i / CURR_PHASES) for i in range(1, CURR_PHASES)
+    )
+    bounds = scored.agg(
+        F.transform(
+            F.expr(f"percentile(score, array({qs}))"),
+            lambda b: F.round(b, 6),
+        ).alias("bs")
+    )
+    return scored.crossJoin(F.broadcast(bounds)).select(
+        "doc_id", "score",
+        (1 + F.size(F.filter("bs", lambda b: F.col("score") > b)))
+        .cast("int").alias("phase"),
+        F.md5(F.concat(F.lit("curr:"), F.col("doc_id").cast("string")))
+        .alias("shuffle_key"),
+    )
+
+
 def _tempered_exprs(text_col: str = "text", *,
                     base: float = TSAMP_BASE,
                     temperature: float = TSAMP_T,
@@ -841,6 +882,7 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "intradoc_line_dedup": intradoc_line_dedup,
+    "curriculum_quality_phases": curriculum_quality_phases,
     "lm_perplexity_score": lm_perplexity_score,
     "curate_corpus_e2e": curate_corpus_e2e,
     "domain_mixture_resample": domain_mixture_resample,
@@ -1060,6 +1102,24 @@ ORACLE = {
                md5(coalesce(string_agg(CASE WHEN boiler = 0 THEN sent END,
                                        ' ' ORDER BY pos), '')) AS clean_md5
         FROM f GROUP BY doc_id
+    """,
+    "curriculum_quality_phases": f"""
+        WITH t AS (SELECT doc_id, {_W_SQL} AS w FROM documents),
+        s AS (SELECT doc_id,
+                     round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+                         AS score
+              FROM t),
+        b AS (SELECT list_transform(
+                  quantile_cont(score,
+                      [{", ".join(str(i / CURR_PHASES)
+                                  for i in range(1, CURR_PHASES))}]),
+                  x -> round(x, 6)) AS bs
+              FROM s)
+        SELECT doc_id, score,
+               CAST(1 + len(list_filter(bs, x -> score > x)) AS INTEGER)
+                   AS phase,
+               md5('curr:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        FROM s, b
     """,
     "quality_tempered_sample": f"""
         WITH t AS (SELECT doc_id, {_W_SQL} AS w FROM documents),

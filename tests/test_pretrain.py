@@ -76,6 +76,23 @@ def test_intradoc_dedup_detects_planted_repeats(spark, sf_dir):
     assert hits > 0
 
 
+def test_curriculum_phases_are_equal_mass_and_monotone(spark, sf_dir):
+    """Phases cover 1..CURR_PHASES, sizes are balanced within the
+    slack ties allow, and phase is monotone in score (no inversion)."""
+    rows = pretrain.curriculum_quality_phases(spark, sf_dir).collect()
+    by_phase: dict = {}
+    for r in rows:
+        by_phase.setdefault(r.phase, []).append(r.score)
+    assert min(by_phase) == 1 and max(by_phase) == pretrain.CURR_PHASES
+    expect = len(rows) / pretrain.CURR_PHASES
+    for scores in by_phase.values():
+        assert len(scores) <= 2 * expect
+    for p in range(1, pretrain.CURR_PHASES):
+        assert max(by_phase.get(p, [0])) <= min(
+            by_phase.get(p + 1, [1])
+        ), f"phase {p} overlaps {p + 1}"
+
+
 def test_tempered_sample_is_consistent_and_thinning(spark, sf_dir):
     """kept == (draw < keep_p) row-wise, keep_p stays within
     (0, TSAMP_BASE], and the realized keep rate sits strictly between
