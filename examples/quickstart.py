@@ -21,8 +21,13 @@ sys.path.insert(0, ".")
 from selfhosted_rag_doc_chat_prototype_spark.operators.analytics import (  # noqa: E402
     a4_error_rate_by_day,
 )
+from selfhosted_rag_doc_chat_prototype_spark.operators.dedup import (  # noqa: E402
+    dedup_semantic_keep,
+    knn_graph_lsh,
+)
 from selfhosted_rag_doc_chat_prototype_spark.operators.pretrain import (  # noqa: E402
     curate_corpus_e2e,
+    curriculum_quality_phases,
     domain_mixture_resample,
 )
 from selfhosted_rag_doc_chat_prototype_spark.operators.pq import (  # noqa: E402
@@ -54,6 +59,16 @@ def main() -> None:
 
     print("== Domain mixture after resampling ==")
     domain_mixture_resample(spark, sf_dir).groupBy("lang").count().show()
+
+    print("== Semantic dedup (SemDeDup): kept share per cluster size ==")
+    dedup_semantic_keep(spark, sf_dir).groupBy("kept").count().show()
+
+    print("== kNN graph head (graph-based curation input) ==")
+    knn_graph_lsh(spark, sf_dir).orderBy("vec_id", "rank").show(8)
+
+    print("== Curriculum phases (easy-to-hard reader order) ==")
+    curriculum_quality_phases(spark, sf_dir).groupBy("phase").count() \
+        .orderBy("phase").show()
 
     print("== Error-rate analytics ==")
     a4_error_rate_by_day(spark, sf_dir).orderBy("day").show(5)

@@ -42,7 +42,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -578,6 +578,76 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_GRAPH = 5       # neighbors kept per vector
+KNN_BITS = 4      # scale rule: ~log2(N / target bucket size)
+KNN_TABLES = 2    # recall lever, same trade as the ANN serving path
+
+
+def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over the whole embedding
+    corpus: each vector's top-``K_GRAPH`` neighbors among its
+    multi-table sign-LSH bucket mates -- the all-pairs building block
+    graph-based curation reads (diversity sampling, density scoring,
+    cluster discovery). Unlike the retrieval family, BOTH sides are
+    the corpus, so this is the bucket SELF-join shape, not a
+    broadcast-query probe.
+
+    Scale shape: signatures are the map-only Arrow pass; candidate
+    pairs come from per-bucket expansion exactly like the dedup
+    family (volume tracks bucket occupancy -- ``KNN_BITS`` rises with
+    log2(N) to hold it linear); each unordered pair's cosine is
+    computed ONCE in the shared vectorized kernel and mirrored into
+    both directions; the only other shuffle is the per-source top-k
+    window (<= K_GRAPH rows per vector survive)."""
+    corpus = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sig = _sim.rh_sig_udf(KNN_BITS, KNN_TABLES)
+    sigs = corpus.select(
+        "vec_id", F.posexplode(sig(F.col("v"))).alias("tbl", "bucket")
+    )
+    buckets = (
+        sigs.groupBy("tbl", "bucket")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.vec_a").alias("vec_a"),
+                F.col("p.vec_b").alias("vec_b"))
+        .distinct()
+    )
+    scored = _score_pair_cosines(pairs, corpus)
+    both = scored.unionByName(
+        scored.select(
+            F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"),
+            "cos_sim",
+        )
+    )
+    w = Window.partitionBy("vec_a").orderBy(
+        F.desc("cos_sim"), F.asc("vec_b")
+    )
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K_GRAPH)
+        .select(
+            F.col("vec_a").alias("vec_id"),
+            F.col("vec_b").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "cos_sim",
+        )
+    )
+
+
 CC_MAX_ITERS = 8
 
 
@@ -645,6 +715,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_semantic_keep": dedup_semantic_keep,
+    "knn_graph_lsh": knn_graph_lsh,
     "dedup_connected_components": dedup_connected_components,
 }
 
@@ -752,6 +823,45 @@ ORACLE = {
                n = min(m) AS is_canonical
         FROM reach GROUP BY n
     """,
+    # bucket SELF-join twin: candidate pairs from the same multi-table
+    # signature join as the Spark plan, each unordered pair scored once
+    # and mirrored, then top-K_GRAPH per source
+    "knn_graph_lsh": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        _planes AS (SELECT {planes} AS h),
+        sig AS ({sig_body}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                                 AND a.vec_id < b.vec_id
+        ),
+        scored AS (
+            SELECT c.vec_a, c.vec_b,
+                   round(list_cosine_similarity(ca.v, cb.v), 4) AS cos_sim
+            FROM cand c
+            JOIN e ca ON ca.vec_id = c.vec_a
+            JOIN e cb ON cb.vec_id = c.vec_b
+        ),
+        mirrored AS (
+            SELECT vec_a, vec_b, cos_sim FROM scored
+            UNION ALL
+            SELECT vec_b AS vec_a, vec_a AS vec_b, cos_sim FROM scored
+        )
+        SELECT vec_a AS vec_id, vec_b AS neighbor_id,
+               CAST(row_number() OVER (PARTITION BY vec_a
+                   ORDER BY cos_sim DESC, vec_b ASC) AS INTEGER) AS rank,
+               cos_sim
+        FROM mirrored
+        QUALIFY rank <= {k}
+    """.format(
+        planes=_sim.planes_sql_literal(
+            _sim.hyperplanes(EMB_DIM, KNN_BITS, KNN_TABLES)),
+        sig_body=_sim.rh_sig_sql(
+            _sim.hyperplanes(EMB_DIM, KNN_BITS, KNN_TABLES),
+            KNN_BITS, KNN_TABLES, "e", "vec_id"),
+        k=K_GRAPH,
+    ),
     # single-table signature: each vector sits in exactly one bucket,
     # so the self-join emits each in-cluster pair once; the keep flag
     # is a NOT EXISTS against the (a < b, cos >= tau) dropped set

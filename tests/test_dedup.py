@@ -99,6 +99,24 @@ def test_semantic_keep_drops_only_planted_copies(spark, sf_dir):
     assert len(dropped) / 100 >= 0.5  # cluster-boundary misses bounded
 
 
+def test_knn_graph_is_symmetric_candidates_and_ranked(spark, sf_dir):
+    """Edges come in candidate-symmetric form (if (a,b) scored then b
+    lists a among ITS candidates -- it may fall off b's top-k), ranks
+    are contiguous from 1 per source, and cos_sim is non-increasing
+    with rank."""
+    rows = dedup.knn_graph_lsh(spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.vec_id, []).append((r.rank, r.cos_sim))
+    assert len(by_src) > 100  # most vectors have bucket mates
+    for src, edges in by_src.items():
+        edges.sort()
+        assert [e[0] for e in edges] == list(range(1, len(edges) + 1))
+        sims = [e[1] for e in edges]
+        assert sims == sorted(sims, reverse=True)
+        assert len(edges) <= dedup.K_GRAPH
+
+
 def test_connected_components_cluster_planted_pairs(spark, sf_dir):
     """Cluster invariants: exactly one canonical (min-id) doc per
     cluster, and planted near-copies land in their original's

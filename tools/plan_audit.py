@@ -261,6 +261,30 @@ AUDIT = [
         "Time-RANGE frame evaluated as a sliding two-pointer per user "
         "partition: linear in events, one shuffle.",
     ),
+    (
+        "intradoc_line_dedup",
+        "Whole operator is one map-side projection: sentence array, "
+        "keep-first filter, and re-assembly as higher-order functions "
+        "over per-row arrays -- zero exchanges below the scan spread.",
+    ),
+    (
+        "dedup_semantic_keep",
+        "Cluster = table-0 sign-LSH bucket (map-only Arrow pass); "
+        "in-cluster pair expansion bounds candidate volume; single "
+        "vectorized cosine pass; dropped set broadcast back.",
+    ),
+    (
+        "knn_graph_lsh",
+        "Bucket SELF-join shape: per-bucket pair expansion, each "
+        "unordered pair scored once then mirrored, per-source top-k "
+        "window -- no broadcast of the (large) query side anywhere.",
+    ),
+    (
+        "curriculum_quality_phases",
+        "Phase boundaries from ONE exact-percentile aggregate, "
+        "broadcast onto a map-only bucketing pass -- no global ntile "
+        "sort window.",
+    ),
 ]
 
 
