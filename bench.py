@@ -87,7 +87,7 @@ HEADLINE = [
 # embedding-only paths get full best-of-N; the heavier doc/hybrid paths
 # best-of-2 (they rebuild per-corpus matviews on the first run)
 SCALE_QUERIES = ["dedup_embedding_cosine", "anns_lsh_bucketed",
-                 "anns_grouped_topk"]
+                 "anns_grouped_topk", "dedup_semantic_keep"]
 DOC_SCALE_QUERIES = ["dedup_minhash_lsh", "decontaminate_fuzzy_minhash",
                      "hybrid_fusion_topk"]
 
@@ -175,6 +175,28 @@ def scale_evidence(spark, sf_dir, queries, timings, n_runs):
             out[f"{name}_10x_sec"] = round(best, 3)
             if best_1x > 0:
                 out[f"{name}_scale_ratio_10x"] = round(best / best_1x, 2)
+
+        # knn graph: apply the documented signature-width rule on BOTH
+        # corpora (knn_bits_for) -- with bits pinned, within-bucket
+        # pair expansion is quadratic in N, so a fixed-bits 10x run
+        # would measure the un-tuned config, not the operator's
+        # linear-at-constant-occupancy scale shape
+        from selfhosted_rag_doc_chat_prototype_spark.operators.dedup import (
+            knn_bits_for, knn_graph)
+
+        n1 = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        best_1x = best = float("inf")
+        for _ in range(min(n_runs, 2)):
+            t0 = time.time()
+            knn_graph(spark, sf_dir, bits=knn_bits_for(n1)).write.format(
+                "noop").mode("overwrite").save()
+            best_1x = min(best_1x, time.time() - t0)
+            t0 = time.time()
+            knn_graph(spark, d, bits=knn_bits_for(10 * n1)).write.format(
+                "noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        out["knn_graph_sized_10x_sec"] = round(best, 3)
+        out["knn_graph_sized_scale_ratio_10x"] = round(best / best_1x, 2)
     finally:
         shutil.rmtree(d, ignore_errors=True)
         # drop the matview / index tables materialized for the

@@ -579,11 +579,34 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 K_GRAPH = 5       # neighbors kept per vector
-KNN_BITS = 4      # scale rule: ~log2(N / target bucket size)
+KNN_BITS = 4      # pinned for the registered fixture + its oracle
 KNN_TABLES = 2    # recall lever, same trade as the ANN serving path
+KNN_TARGET_BUCKET = 32  # bucket occupancy the bits rule holds constant
+
+
+def knn_bits_for(n: int, target_bucket: int = KNN_TARGET_BUCKET) -> int:
+    """The signature width that holds expected bucket occupancy at
+    ``target_bucket`` for an ``n``-vector corpus: per-vector candidate
+    work stays O(target_bucket) and TOTAL pair volume stays linear in
+    n. With bits pinned, within-bucket pair expansion is quadratic in
+    n -- this rule is what makes the kNN graph a linear job at any
+    corpus size."""
+    import math
+
+    return max(1, math.ceil(math.log2(max(2.0, n / target_bucket))))
 
 
 def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered fixture of :func:`knn_graph` at the pinned
+    ``KNN_BITS`` the static DuckDB oracle mirrors. Production callers
+    size the signature with :func:`knn_bits_for` (the bench's 10x
+    scale run does exactly that)."""
+    return knn_graph(spark, sf_dir)
+
+
+def knn_graph(spark: SparkSession, sf_dir: str,
+              bits: int = KNN_BITS,
+              tables: int = KNN_TABLES) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH over the whole embedding
     corpus: each vector's top-``K_GRAPH`` neighbors among its
     multi-table sign-LSH bucket mates -- the all-pairs building block
@@ -594,15 +617,16 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: signatures are the map-only Arrow pass; candidate
     pairs come from per-bucket expansion exactly like the dedup
-    family (volume tracks bucket occupancy -- ``KNN_BITS`` rises with
-    log2(N) to hold it linear); each unordered pair's cosine is
+    family. Bucket occupancy -- and with it total pair volume -- is
+    held constant by sizing ``bits`` with :func:`knn_bits_for`
+    (~log2(N / target occupancy)); each unordered pair's cosine is
     computed ONCE in the shared vectorized kernel and mirrored into
     both directions; the only other shuffle is the per-source top-k
     window (<= K_GRAPH rows per vector survive)."""
     corpus = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    sig = _sim.rh_sig_udf(KNN_BITS, KNN_TABLES)
+    sig = _sim.rh_sig_udf(bits, tables)
     sigs = corpus.select(
         "vec_id", F.posexplode(sig(F.col("v"))).alias("tbl", "bucket")
     )
