@@ -524,6 +524,35 @@ def _with_intradoc_repeats(docs: DataFrame) -> DataFrame:
     )
 
 
+def _intradoc_arrays(text_col: str, sent_w: int) -> tuple[Column, Column]:
+    """(sents, kept) column pair: the sentence array of ``text_col``
+    and its keep-first-occurrence filtrate -- shared by the batch
+    reporting operator and the streaming clean stage."""
+    w = tq.words(F.col(text_col))
+    n_sents = F.floor((F.size(w) - 1) / F.lit(sent_w)).cast("int")
+    sents = F.when(
+        F.size(w) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_sents),
+            lambda i: F.concat_ws(" ", F.slice(w, i * sent_w + 1, sent_w)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    kept = F.filter(
+        sents, lambda x, i: F.array_position(sents, x) == i + 1
+    )
+    return sents, kept
+
+
+def intradoc_clean_text(text_col: str = "text",
+                        sent_w: int = SENT_W) -> Column:
+    """The cleaned re-assembly as a plain column expression: stateless
+    and stream-safe (the streaming curation face applies it in-line
+    before hashing/dedup, so a doc re-delivered with extra repetition
+    still dedups to the same content hash)."""
+    _, kept = _intradoc_arrays(text_col, sent_w)
+    return F.concat_ws(" ", kept)
+
+
 def intradoc_dedup(docs: DataFrame, *, text_col: str = "text",
                    sent_w: int = SENT_W) -> DataFrame:
     """Within-document repeated-sentence removal (the intra-document
@@ -540,18 +569,7 @@ def intradoc_dedup(docs: DataFrame, *, text_col: str = "text",
     there is zero shuffle and no per-doc state leaves its row. The
     keep-first scan is O(S^2) in the doc's SENTENCE count -- bounded by
     the chunk-size guard upstream, and cheap next to the tokenize."""
-    w = tq.words(F.col(text_col))
-    n_sents = F.floor((F.size(w) - 1) / F.lit(sent_w)).cast("int")
-    sents = F.when(
-        F.size(w) > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_sents),
-            lambda i: F.concat_ws(" ", F.slice(w, i * sent_w + 1, sent_w)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    kept = F.filter(
-        sents, lambda x, i: F.array_position(sents, x) == i + 1
-    )
+    sents, kept = _intradoc_arrays(text_col, sent_w)
     return docs.select(
         "doc_id",
         F.size(sents).cast("int").alias("n_sents"),

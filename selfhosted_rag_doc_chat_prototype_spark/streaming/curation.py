@@ -28,7 +28,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.pretrain import DECON_K, _quality_exprs, _tempered_exprs
+from ..operators.pretrain import (DECON_K, _quality_exprs, _tempered_exprs,
+                                  intradoc_clean_text)
+
+
+def intradoc_clean(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stateless within-document repetition removal (the streaming face
+    of ``pretrain.intradoc_dedup``): rewrite ``text_col`` to its
+    keep-first-sentence form in-line. Placed BEFORE hashing/dedup so a
+    re-delivered doc that grew trailing repetition still collapses to
+    the same content hash."""
+    return docs.withColumn(text_col, intradoc_clean_text(text_col))
 
 
 def quality_gate(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -65,6 +75,7 @@ def streaming_curation_plan(
     bench_grams: DataFrame,
     ts_col: str = "ingest_ts",
     watermark: str = "10 minutes",
+    clean_intradoc: bool = False,
 ) -> DataFrame:
     """quality gate -> watermark-bounded exact dedup -> contaminated
     docs flagged via a stream-static broadcast semi-join on grams,
@@ -74,7 +85,13 @@ def streaming_curation_plan(
     ``bench_grams`` must be a STATIC (batch) DataFrame with a ``gram``
     column; it is collected into a broadcast set ONCE per (micro-batch)
     plan, matching the batch decontamination's broadcast semi-join
-    shape without adding a second stateful operator to the stream."""
+    shape without adding a second stateful operator to the stream.
+
+    ``clean_intradoc`` prepends the stateless within-document
+    repetition cleaner, so re-deliveries that grew repetition still
+    dedup by content hash."""
+    if clean_intradoc:
+        stream_docs = intradoc_clean(stream_docs)
     gated = quality_gate(stream_docs)
     deduped = (
         gated.withWatermark(ts_col, watermark)

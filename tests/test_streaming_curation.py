@@ -96,3 +96,40 @@ def test_stream_curation_equals_batch(spark, sf_dir, doc_stream_dir, tmp_path):
     contaminated = {r.doc_id for r in got.collect()
                     if r.doc_id % BENCH_MOD == 0 and r.doc_id < 800000}
     assert contaminated == set()
+
+
+def test_stream_curation_with_intradoc_clean(spark, sf_dir, doc_stream_dir,
+                                             tmp_path):
+    """With the stateless intradoc cleaner in front, the stream's
+    surviving content hashes equal the batch composition's (clean ->
+    gate -> content dedup), and every hash is the hash of a CLEANED
+    text (planted trailing repetition collapses before hashing)."""
+    bench = _bench_grams(spark, sf_dir)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ingest_ts timestamp"
+    ).parquet(doc_stream_dir)
+    out = str(tmp_path / "curated_clean")
+    q = (
+        curation.streaming_curation_plan(stream, bench, clean_intradoc=True)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_clean"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+
+    batch_docs = curation.intradoc_clean(spark.read.parquet(doc_stream_dir))
+    gated = curation.quality_gate(batch_docs)
+    expected = gated.dropDuplicates(["content_md5"])
+
+    got_hashes = {r.content_md5 for r in got.collect()}
+    exp_hashes = {r.content_md5 for r in expected.collect()}
+    # stream output is the batch set minus contamination -- subset with
+    # equality on the clean side
+    assert got_hashes <= exp_hashes
+    cleaned_md5 = {
+        r.m for r in batch_docs.select(F.md5("text").alias("m")).collect()
+    }
+    assert got_hashes <= cleaned_md5  # hashes are of CLEANED text
