@@ -22,13 +22,25 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import table
-from .similarity import cosine
+from . import similarity as _sim
 
 N_QUERIES = 8
 RETRIEVER_TOP_K = 4  # reference default (shared/defaults.py:88)
 
 
-def rag_retrieve_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rag_retrieve_citations(spark: SparkSession, sf_dir: str,
+                           dense_strategy: str = "lsh") -> DataFrame:
+    """The flagship retrieval: the dense top-k is a RETRIEVAL through
+    :func:`similarity.topk_cosine` (the cost-gated ANN planner) served
+    from the persisted signature index, not an unconditional exact
+    corpus scan. ``dense_strategy`` pins ``"lsh"`` for the same reason
+    :func:`similarity.hybrid_fusion_topk` does: the registered query
+    needs ONE deterministic plan for its DuckDB oracle twin, and at
+    the gate's sf sizes ``auto`` would (correctly) price the exact
+    scan cheaper, leaving the 100-TB plan shape untested. Programmatic
+    callers with unknown corpus size pass ``"auto"``."""
+    from .similarity import lsh_build, topk_cosine
+
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -37,20 +49,11 @@ def rag_retrieve_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    cand = emb.select(F.col("vec_id").alias("doc_id"), F.col("v").alias("cv"))
-
-    w_rank = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_raw"), F.asc("doc_id")
-    )
-    topk = (
-        F.broadcast(queries)
-        .crossJoin(cand)
-        .filter(F.col("query_id") != F.col("doc_id"))
-        .select(
-            "query_id", "doc_id", cosine(F.col("qv"), F.col("cv")).alias("cos_raw")
-        )
-        .withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= RETRIEVER_TOP_K)
+    topk = topk_cosine(
+        emb, queries, k=RETRIEVER_TOP_K, strategy=dense_strategy,
+        cand_signed=lambda: lsh_build(spark, sf_dir),
+    ).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank", "cos_sim"
     )
 
     # T11: dedup retrieved context on exact content, best-ranked wins
@@ -66,7 +69,7 @@ def rag_retrieve_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.row_number().over(w_src).alias("source_n"),
         "doc_id",
-        F.round("cos_raw", 4).alias("cos_sim"),
+        "cos_sim",
         F.concat(
             F.lit("[source"), F.row_number().over(w_src), F.lit("]("),
             F.col("source"), F.lit("#doc"), F.col("doc_id"), F.lit(")"),
@@ -315,19 +318,30 @@ ORACLE = {
         FROM scored
         QUALIFY rerank <= {RERANK_K}
     """,
+    # dense top-k over the LSH candidate set (the rh_sig_sql twin,
+    # proven by anns_lsh_bucketed's oracle), mirroring the pinned-lsh
+    # serve path -- not an exact all-pairs scan
     "rag_retrieve_citations": f"""
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ),
+        _planes AS (SELECT {{planes}} AS h),
+        sig AS ({{sig_body}}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS doc_id
+            FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+            WHERE a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+        ),
         topk AS (
-            SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
-                   list_cosine_similarity(a.v, b.v) AS cos_raw,
+            SELECT c.query_id, c.doc_id,
+                   list_cosine_similarity(qa.v, qb.v) AS cos_raw,
                    CAST(row_number() OVER (
-                       PARTITION BY a.vec_id
-                       ORDER BY list_cosine_similarity(a.v, b.v) DESC,
-                                b.vec_id ASC) AS INTEGER) AS rank
-            FROM e a JOIN e b
-              ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+                       PARTITION BY c.query_id
+                       ORDER BY list_cosine_similarity(qa.v, qb.v) DESC,
+                                c.doc_id ASC) AS INTEGER) AS rank
+            FROM cand c
+            JOIN e qa ON qa.vec_id = c.query_id
+            JOIN e qb ON qb.vec_id = c.doc_id
             QUALIFY rank <= {RETRIEVER_TOP_K}
         ),
         deduped AS (
@@ -346,7 +360,13 @@ ORACLE = {
                    PARTITION BY query_id ORDER BY rank ASC)
                    || '](' || source || '#doc' || doc_id || ')' AS citation
         FROM deduped
-    """,
+    """.format(
+        planes=_sim.planes_sql_literal(
+            _sim.hyperplanes(64, _sim.LSH_BITS, _sim.LSH_TABLES)),
+        sig_body=_sim.rh_sig_sql(
+            _sim.hyperplanes(64, _sim.LSH_BITS, _sim.LSH_TABLES),
+            _sim.LSH_BITS, _sim.LSH_TABLES, "e", "vec_id"),
+    ),
 }
 
 

@@ -76,6 +76,26 @@ def test_intradoc_dedup_detects_planted_repeats(spark, sf_dir):
     assert hits > 0
 
 
+def test_intradoc_clean_is_idempotent(spark, sf_dir):
+    """Cleaning an already-cleaned text is a no-op over the whole
+    planted-repeat corpus (sentence boundaries re-derive identically
+    because removal only ever deletes whole SENT_W-word groups)."""
+    from pyspark.sql import functions as F
+
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    docs = pretrain._with_intradoc_repeats(
+        table(spark, sf_dir, "documents")
+    )
+    once = pretrain.intradoc_clean_text("bt")
+    again = docs.select(
+        once.alias("c1")
+    ).select(
+        "c1", pretrain.intradoc_clean_text("c1").alias("c2")
+    )
+    assert again.filter(F.col("c1") != F.col("c2")).count() == 0
+
+
 def test_curriculum_phases_are_equal_mass_and_monotone(spark, sf_dir):
     """Phases cover 1..CURR_PHASES, sizes are balanced within the
     slack ties allow, and phase is monotone in score (no inversion)."""

@@ -166,3 +166,23 @@ def test_firstfit_bins_invariants(tokens, cap):
         if bins[i] != bins[i - 1]:
             prev_fill = sum(fills[bins[i - 1]])
             assert prev_fill + tokens[i] > cap
+
+
+@given(st.integers(min_value=1, max_value=10**13),
+       st.integers(min_value=4, max_value=1024))
+@settings(max_examples=200, deadline=None)
+def test_knn_bits_rule_bounds_occupancy(n, target):
+    """knn_bits_for keeps expected bucket occupancy n / 2^bits within
+    (target/2, target] whenever the corpus is big enough to split (the
+    ceil can only overshoot the power of two by < 1 bit), and never
+    returns a degenerate width."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.dedup import (
+        knn_bits_for,
+    )
+
+    bits = knn_bits_for(n, target)
+    assert bits >= 1
+    occ = n / 2**bits
+    if n > 2 * target:
+        assert occ <= target
+        assert occ > target / 2
