@@ -74,9 +74,11 @@ HEADLINE = [
     "embedding_quantize_int8",
     "anns_lsh_multiprobe",
     "intradoc_line_dedup",
+    "dedup_substring_spans",
     "dedup_semantic_keep",
     "knn_graph_lsh",
     "curriculum_quality_phases",
+    "vocab_top_coverage",
     # probe-only latency: ivf_build/pq_build persist their indexes on
     # the first (warm-up) call, so best-of-N measures the serve path
     "anns_ivf_topk",

@@ -578,6 +578,61 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_K = 20        # words per span (Lee et al. 2022 use 50 BPE tokens)
+SPAN_DUP_FRAC = 0.5  # doc flagged when half its spans repeat elsewhere
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication report (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" --
+    ExactSubstr): for every document, the fraction of its sliding
+    ``SPAN_K``-word spans that also occur in at least one OTHER
+    document, plus the ``is_dup`` flag at ``SPAN_DUP_FRAC``. Catches
+    the near-copies exact content hashing misses (a copy with two
+    words dropped still shares almost every span) without minhash's
+    probabilistic miss rate -- the third leg of the dedup family next
+    to exact-hash and MinHash/LSH.
+
+    Scale shape (the suffix-array of the paper re-expressed as
+    relational ops): span explode is map-side; the span-frequency
+    aggregate shuffles ``xxhash64(span)`` 8-byte keys with map-side
+    combine, never span text; the join back is a plain shuffle
+    equi-join on the same key (the duplicated-span set is NOT
+    broadcastable by definition); one final doc_id aggregation. Runs
+    on the near-copy corpus so planted positives exist."""
+    corpus = _near_corpus(spark, sf_dir)
+    w = tq.words(F.col("text"))
+    n = F.size(w)
+    spans = F.when(
+        n >= SPAN_K,
+        F.transform(
+            F.sequence(F.lit(1), n - SPAN_K + 1),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, SPAN_K))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    ex = corpus.select("doc_id", F.explode(spans).alias("sh"))
+    freq = (
+        ex.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+    )
+    flagged = ex.join(freq, "sh")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_spans"),
+            F.sum((F.col("ndocs") > 1).cast("int")).cast("int")
+            .alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id", "n_spans", "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 4)
+            .alias("dup_frac"),
+            (F.col("n_dup_spans") / F.col("n_spans") >= SPAN_DUP_FRAC)
+            .cast("int").alias("is_dup"),
+        )
+    )
+
+
 K_GRAPH = 5       # neighbors kept per vector
 KNN_BITS = 4      # pinned for the registered fixture + its oracle
 KNN_TABLES = 2    # recall lever, same trade as the ANN serving path
@@ -733,6 +788,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_substring_spans": dedup_substring_spans,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_jaccard_verify": dedup_jaccard_verify,
     "decontaminate_fuzzy_minhash": decontaminate_fuzzy_minhash,
@@ -758,6 +814,29 @@ ORACLE = {
         FROM bands a
         JOIN bands b ON a.band = b.band AND a.sig = b.sig
                     AND a.doc_id < b.doc_id
+    """,
+    # the oracle groups on the span TEXT where the Spark side groups
+    # on xxhash64(span) -- equivalent up to 2^-64 hash collisions; the
+    # is_dup threshold compares the UNROUNDED fraction on both sides
+    "dedup_substring_spans": f"""
+        WITH corpus AS ({_NEAR_CORPUS_SQL}),
+        t AS (SELECT doc_id, {_W_SQL} AS w FROM corpus),
+        s AS (SELECT doc_id,
+                     array_to_string(
+                         list_slice(w, u.i, u.i + {SPAN_K - 1}), ' ') AS span
+              FROM t, unnest(range(1, len(w) - {SPAN_K} + 2)) AS u(i)
+              WHERE len(w) >= {SPAN_K}),
+        freq AS (SELECT span, count(DISTINCT doc_id) AS ndocs
+                 FROM s GROUP BY span)
+        SELECT doc_id,
+               CAST(count(*) AS INTEGER) AS n_spans,
+               CAST(sum(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) AS INTEGER)
+                   AS n_dup_spans,
+               round(sum(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 4) AS dup_frac,
+               CAST(sum(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END)::DOUBLE
+                    / count(*) >= {SPAN_DUP_FRAC} AS INTEGER) AS is_dup
+        FROM s JOIN freq f USING (span) GROUP BY doc_id
     """,
     "dedup_jaccard_verify": f"""
         {_BANDS_SQL},

@@ -221,7 +221,47 @@ def text_slugify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_TOP = 1000
+
+
+def vocab_top_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary report: the corpus's ``VOCAB_TOP``
+    most frequent words with rank, token share, and cumulative
+    coverage -- the table a tokenizer build (BPE / unigram-LM) reads
+    to pick its vocabulary size (coverage@V).
+
+    Scale shape: ONE word-count aggregate with map-side combine is the
+    only corpus-sized step; the ordered top-V cut compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort of the
+    vocab relation), and the rank/cumulative windows then run on the
+    V surviving rows only (a deliberate, bounded single-partition
+    window -- V is a constant, not data-sized). Shares are against the
+    FULL corpus token count, computed before the cut and broadcast."""
+    from pyspark.sql import Window
+
+    docs = rebalance(table(spark, sf_dir, "documents"))
+    words = docs.select(F.explode(tq.words(F.col("text"))).alias("word"))
+    counts = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    total = counts.agg(F.sum("n_tokens").alias("total"))
+    top = counts.orderBy(F.desc("n_tokens"), F.asc("word")).limit(VOCAB_TOP)
+    w = Window.orderBy(F.desc("n_tokens"), F.asc("word"))
+    cum = Window.orderBy(F.desc("n_tokens"), F.asc("word")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return top.crossJoin(F.broadcast(total)).select(
+        "word",
+        F.row_number().over(w).cast("int").alias("rank"),
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("total"), 6).alias("share"),
+        F.round(F.sum("n_tokens").over(cum) / F.col("total"), 6)
+        .alias("cum_coverage"),
+    )
+
+
 QUERIES = {
+    "vocab_top_coverage": vocab_top_coverage,
     "corpus_sample_split": corpus_sample_split,
     "text_token_stats": text_token_stats,
     "text_quality_flags": text_quality_flags,
@@ -239,6 +279,30 @@ _LANG_SQL = ", ".join(
 
 
 ORACLE = {
+    "vocab_top_coverage": f"""
+        WITH words AS (
+            SELECT u.word FROM (SELECT {_W_SQL} AS w FROM documents) t,
+                 unnest(t.w) AS u(word)
+        ),
+        counts AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS n_tokens
+            FROM words GROUP BY word
+        ),
+        total AS (SELECT sum(n_tokens) AS total FROM counts),
+        top AS (
+            SELECT word, n_tokens FROM counts
+            ORDER BY n_tokens DESC, word ASC LIMIT {VOCAB_TOP}
+        )
+        SELECT word,
+               CAST(row_number() OVER (ORDER BY n_tokens DESC, word ASC)
+                   AS INTEGER) AS rank,
+               n_tokens,
+               round(n_tokens / total.total, 6) AS share,
+               round(sum(n_tokens) OVER (ORDER BY n_tokens DESC, word ASC
+                     ROWS UNBOUNDED PRECEDING) / total.total, 6)
+                   AS cum_coverage
+        FROM top, total
+    """,
     "corpus_sample_split": f"""
         SELECT doc_id,
                CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)

@@ -99,6 +99,34 @@ def test_semantic_keep_drops_only_planted_copies(spark, sf_dir):
     assert len(dropped) / 100 >= 0.5  # cluster-boundary misses bounded
 
 
+def test_substring_spans_flag_near_copies(spark, sf_dir):
+    """Planted near-copies (first two words dropped) share almost every
+    span with their original: both sides of each planted pair are
+    flagged; docs outside the planted set stay clean (the word-soup
+    corpus has no natural 20-word repeats)."""
+    rows = {r.doc_id: r for r in
+            dedup.dedup_substring_spans(spark, sf_dir).collect()}
+    planted = [i for i in range(0, 500, 5) if i + 1000000 in rows]
+    assert planted
+    for i in planted:
+        # copy spans are a subset of the original's (same words, first
+        # two dropped) -> every copy span repeats
+        assert rows[i + 1000000].is_dup == 1, f"copy of {i} unflagged"
+        assert rows[i + 1000000].dup_frac == 1.0
+        # the original shares n_spans - 2 of its spans; below 4 spans
+        # that legitimately falls under the 0.5 flag threshold
+        if rows[i].n_spans >= 4:
+            assert rows[i].is_dup == 1, f"original {i} unflagged"
+    # the corpus carries natural exact-duplicate doc groups (same
+    # caveat as the boilerplate test), so unplanted docs may be
+    # legitimately flagged -- but the majority must stay clean, and
+    # the flag must agree with the threshold row-wise
+    unplanted = [r for d, r in rows.items() if d < 1000000 and d % 5 != 0]
+    assert sum(r.is_dup == 0 for r in unplanted) > len(unplanted) / 2
+    for r in rows.values():
+        assert r.is_dup == int(r.n_dup_spans / r.n_spans >= 0.5)
+
+
 def test_knn_graph_is_symmetric_candidates_and_ranked(spark, sf_dir):
     """Edges come in candidate-symmetric form (if (a,b) scored then b
     lists a among ITS candidates -- it may fall off b's top-k), ranks
