@@ -79,6 +79,7 @@ HEADLINE = [
     "knn_graph_lsh",
     "curriculum_quality_phases",
     "vocab_top_coverage",
+    "funnel_view_click_purchase",
     # probe-only latency: ivf_build/pq_build persist their indexes on
     # the first (warm-up) call, so best-of-N measures the serve path
     "anns_ivf_topk",

@@ -578,6 +578,66 @@ def rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user
+    counts at each step only if that event happened strictly AFTER the
+    user's previous-step time (first-touch attribution), the classic
+    product-analytics funnel the lifecycle dashboard reads next to the
+    error-rate series.
+
+    Scale shape: the three step times are conditional-min windows over
+    ONE user-keyed exchange (same partitioning, so Catalyst stacks the
+    window phases on a single shuffle); the per-user reduction and the
+    final 3-row unpivot are a tiny aggregate."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    df = ev.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    df = df.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    df = df.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per = df.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    row = per.agg(
+        F.count("t1").alias("n1"), F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    )
+    steps = F.array(
+        F.struct(F.lit("view").alias("step"), F.lit(1).alias("step_n"),
+                 F.col("n1").alias("n_users")),
+        F.struct(F.lit("click").alias("step"), F.lit(2).alias("step_n"),
+                 F.col("n2").alias("n_users")),
+        F.struct(F.lit("purchase").alias("step"), F.lit(3).alias("step_n"),
+                 F.col("n3").alias("n_users")),
+    )
+    return row.select(F.explode(steps).alias("s"), "n1").select(
+        F.col("s.step").alias("step"),
+        F.col("s.step_n").alias("step_n"),
+        F.col("s.n_users").alias("n_users"),
+        F.round(F.col("s.n_users") / F.col("n1"), 4).alias("conv_rate"),
+    )
+
+
 def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day trailing-7-day distinct users (the WAU-per-day series).
     A sliding DISTINCT cannot merge across frames, so instead of a
@@ -798,6 +858,7 @@ QUERIES = {
     "window_rolling_7day_value": window_rolling_7day_value,
     "window_forward_fill": window_forward_fill,
     "rolling_distinct_users_7d": rolling_distinct_users_7d,
+    "funnel_view_click_purchase": funnel_view_click_purchase,
     "window_value_quartiles": window_value_quartiles,
     "unpivot_daily_counts": unpivot_daily_counts,
     "props_key_histogram": props_key_histogram,
@@ -1070,6 +1131,41 @@ ORACLE = {
                round(sum(value), 2) AS total_value
         FROM events
         GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
+    """,
+    # first-touch ordered funnel: step times via correlated mins with
+    # STRICT after-previous-step comparisons (NULL-propagating on both
+    # engines: a user missing step k never reaches step k+1)
+    "funnel_view_click_purchase": """
+        WITH u1 AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+            FROM events GROUP BY user_id
+        ),
+        u2 AS (
+            SELECT u1.user_id, u1.t1,
+                   (SELECT min(e.ts) FROM events e
+                    WHERE e.user_id = u1.user_id
+                      AND e.event_type = 'click' AND e.ts > u1.t1) AS t2
+            FROM u1
+        ),
+        u3 AS (
+            SELECT u2.*, (SELECT min(e.ts) FROM events e
+                          WHERE e.user_id = u2.user_id
+                            AND e.event_type = 'purchase'
+                            AND e.ts > u2.t2) AS t3
+            FROM u2
+        ),
+        c AS (SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3
+              FROM u3)
+        SELECT 'view' AS step, CAST(1 AS INTEGER) AS step_n,
+               CAST(n1 AS BIGINT) AS n_users,
+               round(n1::DOUBLE / n1, 4) AS conv_rate FROM c
+        UNION ALL
+        SELECT 'click', CAST(2 AS INTEGER), CAST(n2 AS BIGINT),
+               round(n2::DOUBLE / n1, 4) FROM c
+        UNION ALL
+        SELECT 'purchase', CAST(3 AS INTEGER), CAST(n3 AS BIGINT),
+               round(n3::DOUBLE / n1, 4) FROM c
     """,
     "rolling_distinct_users_7d": """
         WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),

@@ -381,6 +381,39 @@ def anns_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                        cand_signed=lsh_build(spark, sf_dir))
 
 
+def anns_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality observable: per-query recall@``TOP_K`` of the
+    LSH serve path against the exact top-k -- the number an index
+    operator watches when tuning bits/tables (the recall floor the
+    tests assert, surfaced as a queryable report instead of a test
+    side effect). Both legs are the registered retrieval plans; the
+    join and the per-query aggregate run on O(Q * k) rows."""
+    exact = anns_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = anns_lsh_bucketed(spark, sf_dir).select(
+        F.col("query_id").alias("q2"),
+        F.col("neighbor_id").alias("lsh_neighbor_id"),
+    )
+    hit = exact.join(
+        approx,
+        (F.col("query_id") == F.col("q2"))
+        & (F.col("neighbor_id") == F.col("lsh_neighbor_id")),
+        "left",
+    )
+    return (
+        hit.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_exact"),
+            F.count("lsh_neighbor_id").cast("int").alias("n_hits"),
+        )
+        .select(
+            "query_id", "n_exact", "n_hits",
+            F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall"),
+        )
+    )
+
+
 FILTER_LABELS = [0, 2, 4]  # the registered filtered query's payload filter
 
 
@@ -1141,6 +1174,7 @@ QUERIES = {
     "anns_bq_hamming_topk": anns_bq_hamming_topk,
     "lsh_bucket_histogram": lsh_bucket_histogram,
     "anns_lsh_multiprobe": anns_lsh_multiprobe,
+    "anns_recall_report": anns_recall_report,
     "anns_grouped_topk": anns_grouped_topk,
     "anns_ivf_topk": anns_ivf_topk,
     "hybrid_fusion_topk": hybrid_fusion_topk,
@@ -1479,6 +1513,47 @@ ORACLE = {
                round(fused_raw, 4) AS fused_score
         FROM fused
         QUALIFY rank <= {TOP_K}
+    """,
+    # recall@k of the LSH leg vs the exact leg: both CTEs are the
+    # proven twins (brute all-pairs rank; rh_sig_sql candidate rank)
+    "anns_recall_report": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        brute AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+                                b.vec_id ASC) AS rk
+            FROM e a JOIN e b ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+            QUALIFY rk <= {TOP_K}
+        ),
+        _planes AS (SELECT {planes_sql_literal(hyperplanes(64, LSH_BITS, LSH_TABLES))} AS h),
+        sig AS ({rh_sig_sql(hyperplanes(64, LSH_BITS, LSH_TABLES),
+                            LSH_BITS, LSH_TABLES, "e", "vec_id")}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+            FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+            WHERE a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+        ),
+        lshk AS (
+            SELECT c.query_id, c.neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY list_cosine_similarity(qa.v, qb.v) DESC,
+                                c.neighbor_id ASC) AS rk
+            FROM cand c
+            JOIN e qa ON qa.vec_id = c.query_id
+            JOIN e qb ON qb.vec_id = c.neighbor_id
+            QUALIFY rk <= {TOP_K}
+        )
+        SELECT b.query_id,
+               CAST(count(*) AS INTEGER) AS n_exact,
+               CAST(count(l.neighbor_id) AS INTEGER) AS n_hits,
+               round(count(l.neighbor_id)::DOUBLE / count(*), 4) AS recall
+        FROM brute b
+        LEFT JOIN lshk l ON b.query_id = l.query_id
+                        AND b.neighbor_id = l.neighbor_id
+        GROUP BY b.query_id
     """,
     # oracle twin of the multi-probe LSH path: the margin-ordered bit
     # flips ARE SQL-expressible -- per (query, table), rank the
