@@ -80,6 +80,7 @@ HEADLINE = [
     "curriculum_quality_phases",
     "vocab_top_coverage",
     "funnel_view_click_purchase",
+    "text_winnow_fingerprint",
     # probe-only latency: ivf_build/pq_build persist their indexes on
     # the first (warm-up) call, so best-of-N measures the serve path
     "anns_ivf_topk",

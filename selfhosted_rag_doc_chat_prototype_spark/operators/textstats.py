@@ -186,6 +186,67 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WIN_K = 4  # words per winnowing k-gram
+WIN_W = 5  # winnow window: any shared run of >= W+K-1 words is caught
+
+
+def winnow_exprs(text: "F.Column") -> tuple["F.Column", "F.Column"]:
+    """(gram_hashes, sorted_distinct_fingerprints) column pair for any
+    text column -- the winnowing kernel, factored so the guarantee
+    property is testable on arbitrary frames."""
+    w = tq.words(text)
+    n = F.size(w)
+    grams = F.when(
+        n >= WIN_K,
+        F.transform(
+            F.sequence(F.lit(1), n - WIN_K + 1),
+            lambda i: F.concat_ws(" ", F.slice(w, i, WIN_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gh = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+    )
+    m = F.size(gh)
+    wins = F.when(
+        m >= WIN_W,
+        F.transform(
+            F.sequence(F.lit(1), m - WIN_W + 1),
+            lambda i: F.array_min(F.slice(gh, i, WIN_W)),
+        ),
+    ).otherwise(
+        F.when(m > 0, F.array(F.array_min(gh)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return gh, F.array_sort(F.array_distinct(wins))
+
+
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    2003): hash every ``WIN_K``-word gram, slide a ``WIN_W``-hash
+    window, record each window's minimum -- the fingerprint set
+    GUARANTEES any shared run of >= WIN_W + WIN_K - 1 words between
+    two documents contributes a common fingerprint, the detection
+    bound plain min-hash (:func:`text_fingerprint`) cannot give.
+    Emits per doc the gram/fingerprint counts, the smallest
+    fingerprint, and the md5 of the sorted fingerprint set (the
+    compare key a plagiarism/overlap index stores).
+
+    Scale shape: entirely map-side higher-order functions over per-row
+    arrays -- zero shuffle below the scan spread; the 32-bit gram hash
+    comes from a md5 prefix so the DuckDB twin is bit-identical."""
+    docs = rebalance(table(spark, sf_dir, "documents"))
+    gh, fps = winnow_exprs(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(gh).cast("int").alias("n_grams"),
+        F.size(fps).cast("int").alias("n_fingerprints"),
+        F.element_at(fps, 1).alias("fp_min"),
+        F.md5(F.concat_ws(",", F.transform(fps, lambda x: x.cast("string"))))
+        .alias("fp_set_md5"),
+    )
+
+
 def content_addressed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7/T8: content-addressed ids + passage-prefix enrichment
     (md5 oracle-parity variant; mmh3 reference-parity ids live in
@@ -268,6 +329,7 @@ QUERIES = {
     "corpus_quality_by_source": corpus_quality_by_source,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
+    "text_winnow_fingerprint": text_winnow_fingerprint,
     "content_addressed_ids": content_addressed_ids,
     "text_slugify": text_slugify,
 }
@@ -279,6 +341,40 @@ _LANG_SQL = ", ".join(
 
 
 ORACLE = {
+    # NULL-less bit-identical twin: the 32-bit gram hash is a md5
+    # prefix on both engines; empty/short docs fall through the same
+    # guards (no grams -> empty set -> md5(''))
+    "text_winnow_fingerprint": f"""
+        WITH t AS (SELECT doc_id, {_W_SQL} AS w FROM documents),
+        g AS (
+            SELECT doc_id,
+                   CASE WHEN len(w) >= {WIN_K} THEN
+                       list_transform(range(1, len(w) - {WIN_K} + 2), i ->
+                           CAST('0x' || substr(md5(array_to_string(
+                               list_slice(w, i, i + {WIN_K - 1}), ' ')),
+                               1, 8) AS BIGINT))
+                   ELSE [] END AS gh
+            FROM t
+        ),
+        f AS (
+            SELECT doc_id, gh,
+                   list_sort(list_distinct(
+                       CASE WHEN len(gh) >= {WIN_W} THEN
+                           list_transform(range(1, len(gh) - {WIN_W} + 2),
+                               i -> list_aggregate(
+                                   list_slice(gh, i, i + {WIN_W - 1}), 'min'))
+                       WHEN len(gh) > 0 THEN
+                           [list_aggregate(gh, 'min')]
+                       ELSE [] END)) AS fps
+            FROM g
+        )
+        SELECT doc_id,
+               CAST(len(gh) AS INTEGER) AS n_grams,
+               CAST(len(fps) AS INTEGER) AS n_fingerprints,
+               fps[1] AS fp_min,
+               md5(array_to_string(fps, ',')) AS fp_set_md5
+        FROM f
+    """,
     "vocab_top_coverage": f"""
         WITH words AS (
             SELECT u.word FROM (SELECT {_W_SQL} AS w FROM documents) t,
