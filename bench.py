@@ -200,7 +200,8 @@ def scale_evidence(spark, sf_dir, queries, timings, n_runs):
                 "noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         out["knn_graph_sized_10x_sec"] = round(best, 3)
-        out["knn_graph_sized_scale_ratio_10x"] = round(best / best_1x, 2)
+        if best_1x > 0:
+            out["knn_graph_sized_scale_ratio_10x"] = round(best / best_1x, 2)
     finally:
         shutil.rmtree(d, ignore_errors=True)
         # drop the matview / index tables materialized for the

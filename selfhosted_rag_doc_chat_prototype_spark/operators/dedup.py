@@ -455,6 +455,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    pairs = _bucket_pairs(buckets).distinct()
+    scored = _score_pair_cosines(pairs, corpus)
+    return scored.filter(F.col("cos_sim") >= EMB_COS_THRESHOLD)
+
+
+def _bucket_pairs(buckets: DataFrame) -> DataFrame:
+    """Within-bucket (vec_a < vec_b) pair expansion over an aggregated
+    bucket relation carrying a SORTED ``ids`` array -- the shared
+    candidate generator of the embedding dedup / semantic dedup / kNN
+    graph family (each caller supplies its own groupBy keys and
+    ``size > 1`` filter). Map-side: the expansion is a higher-order
+    transform over the already-aggregated rows."""
     pair_expr = F.flatten(
         F.transform(
             F.col("ids"),
@@ -464,13 +476,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    pairs = (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .select(F.col("p.vec_a").alias("vec_a"), F.col("p.vec_b").alias("vec_b"))
-        .distinct()
+    return buckets.select(F.explode(pair_expr).alias("p")).select(
+        F.col("p.vec_a").alias("vec_a"), F.col("p.vec_b").alias("vec_b")
     )
-    scored = _score_pair_cosines(pairs, corpus)
-    return scored.filter(F.col("cos_sim") >= EMB_COS_THRESHOLD)
 
 
 def _score_pair_cosines(pairs: DataFrame, corpus: DataFrame) -> DataFrame:
@@ -537,30 +545,21 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only Arrow signatures, per-bucket pair expansion (pair count
     tracks the duplicate rate, never N^2), ONE vectorized cosine pass,
     and a broadcast anti-join of the (small by definition) dropped
-    set back onto the corpus."""
+    set back onto the corpus. Both the pair subtree and the output
+    membership derive from ONE cluster aggregate, so the signature
+    pass and its shuffle execute once (ReusedExchange), not once per
+    branch."""
     corpus = _emb_corpus(spark, sf_dir)
     sig = _sim.rh_sig_udf(EMB_DEDUP_BITS, 1)
     sigs = corpus.select(
         "vec_id", F.element_at(sig(F.col("v")), 1).alias("cluster")
     )
-    buckets = (
-        sigs.groupBy("cluster")
-        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+    buckets = sigs.groupBy("cluster").agg(
+        F.array_sort(F.collect_list("vec_id")).alias("ids")
     )
-    pair_expr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
-            ),
-        )
-    )
-    pairs = (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .select(F.col("p.vec_a").alias("vec_a"),
-                F.col("p.vec_b").alias("vec_b"))
+    pairs = _bucket_pairs(buckets.filter(F.size("ids") > 1))
+    members = buckets.select(
+        "cluster", F.explode("ids").alias("vec_id")
     )
     dropped = (
         _score_pair_cosines(pairs, corpus)
@@ -570,7 +569,7 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dropped", F.lit(1))
     )
     return (
-        sigs.join(F.broadcast(dropped), "vec_id", "left")
+        members.join(F.broadcast(dropped), "vec_id", "left")
         .select(
             "vec_id", "cluster",
             F.col("dropped").isNull().cast("int").alias("kept"),
@@ -587,7 +586,10 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Deduplicating Training Data Makes Language Models Better" --
     ExactSubstr): for every document, the fraction of its sliding
     ``SPAN_K``-word spans that also occur in at least one OTHER
-    document, plus the ``is_dup`` flag at ``SPAN_DUP_FRAC``. Catches
+    document, plus the ``is_dup`` flag at ``SPAN_DUP_FRAC``. Documents
+    shorter than ``SPAN_K`` words have no spans and are absent from
+    the report by contract (sub-span duplication is exact-hash
+    dedup's job, not substring matching's). Catches
     the near-copies exact content hashing misses (a copy with two
     words dropped still shares almost every span) without minhash's
     probabilistic miss rate -- the third leg of the dedup family next
@@ -690,28 +692,22 @@ def knn_graph(spark: SparkSession, sf_dir: str,
         .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pair_expr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
-            ),
-        )
-    )
-    pairs = (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .select(F.col("p.vec_a").alias("vec_a"),
-                F.col("p.vec_b").alias("vec_b"))
-        .distinct()
-    )
+    pairs = _bucket_pairs(buckets).distinct()
     scored = _score_pair_cosines(pairs, corpus)
-    both = scored.unionByName(
-        scored.select(
-            F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"),
-            "cos_sim",
-        )
-    )
+    # mirror each scored row map-side (explode of the two directions)
+    # rather than unioning a second copy of the scoring subtree, which
+    # would re-run the pair generation AND the Python cosine kernel
+    both = scored.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("vec_a").alias("src"),
+                         F.col("vec_b").alias("dst"), F.col("cos_sim")),
+                F.struct(F.col("vec_b").alias("src"),
+                         F.col("vec_a").alias("dst"), F.col("cos_sim")),
+            )
+        ).alias("e")
+    ).select(F.col("e.src").alias("vec_a"), F.col("e.dst").alias("vec_b"),
+             F.col("e.cos_sim").alias("cos_sim"))
     w = Window.partitionBy("vec_a").orderBy(
         F.desc("cos_sim"), F.asc("vec_b")
     )

@@ -1089,13 +1089,15 @@ ORACLE = {
                      row_number() OVER (PARTITION BY doc_id, sent
                                         ORDER BY pos) AS occ
               FROM s)
-        SELECT doc_id,
-               CAST(count(*) AS INTEGER) AS n_sents,
-               CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS INTEGER)
-                   AS n_dup_sents,
+        -- LEFT JOIN from the doc relation: a wordless doc must still
+        -- emit (0, 0, md5('')) exactly as the Spark side does
+        SELECT t.doc_id,
+               CAST(count(f.sent) AS INTEGER) AS n_sents,
+               CAST(coalesce(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END), 0)
+                    AS INTEGER) AS n_dup_sents,
                md5(coalesce(string_agg(CASE WHEN occ = 1 THEN sent END,
                                        ' ' ORDER BY pos), '')) AS clean_md5
-        FROM f GROUP BY doc_id
+        FROM t LEFT JOIN f USING (doc_id) GROUP BY t.doc_id
     """,
     "boilerplate_sentence_dedup": f"""
         WITH p AS ({_BOILER_SYNTH_SQL}),
