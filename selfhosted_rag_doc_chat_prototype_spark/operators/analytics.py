@@ -638,6 +638,41 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection over the event stream: each day's
+    event count scored against the mean/stddev of its 7 PRIOR days
+    (current day excluded -- the day under test must not contaminate
+    its own baseline); days without a full 7-day history are not
+    scored. The monitoring query behind a 'traffic dropped/spiked'
+    alert.
+
+    Scale shape: the corpus-sized step is the one map-combined daily
+    count; the trailing windows then run on the AGGREGATED day
+    relation, whose cardinality is the calendar, not the data -- the
+    single-partition window is bounded by days-of-history and is the
+    correct plan, unlike a per-event global sort."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.orderBy("d").rowsBetween(-7, -1)
+    rn = Window.orderBy("d")
+    scored = daily.select(
+        "d", "n_events",
+        F.avg("n_events").over(w).alias("m"),
+        F.stddev("n_events").over(w).alias("s"),
+        F.row_number().over(rn).alias("rn"),
+    ).filter(F.col("rn") > 7)
+    return scored.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.round("m", 6).alias("base_mean"),
+        F.round("s", 6).alias("base_std"),
+        F.when(F.col("s") > 0, F.round((F.col("n_events") - F.col("m"))
+                                       / F.col("s"), 4)).alias("zscore"),
+    )
+
+
 def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day trailing-7-day distinct users (the WAU-per-day series).
     A sliding DISTINCT cannot merge across frames, so instead of a
@@ -859,6 +894,7 @@ QUERIES = {
     "window_forward_fill": window_forward_fill,
     "rolling_distinct_users_7d": rolling_distinct_users_7d,
     "funnel_view_click_purchase": funnel_view_click_purchase,
+    "daily_anomaly_zscore": daily_anomaly_zscore,
     "window_value_quartiles": window_value_quartiles,
     "unpivot_daily_counts": unpivot_daily_counts,
     "props_key_histogram": props_key_histogram,
@@ -1131,6 +1167,29 @@ ORACLE = {
                round(sum(value), 2) AS total_value
         FROM events
         GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
+    """,
+    # trailing-window anomaly baseline over the aggregated DAY relation
+    "daily_anomaly_zscore": """
+        WITH daily AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1
+        ),
+        wd AS (
+            SELECT day, n_events,
+                   avg(n_events) OVER w AS m,
+                   stddev(n_events) OVER w AS s,
+                   row_number() OVER (ORDER BY day) AS rn
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING
+                         AND 1 PRECEDING)
+        )
+        SELECT day, n_events,
+               round(m, 6) AS base_mean,
+               round(s, 6) AS base_std,
+               CASE WHEN s > 0 THEN round((n_events - m) / s, 4) END
+                   AS zscore
+        FROM wd WHERE rn > 7
     """,
     # first-touch ordered funnel: step times via correlated mins with
     # STRICT after-previous-step comparisons (NULL-propagating on both

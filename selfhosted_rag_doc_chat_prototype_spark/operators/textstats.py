@@ -247,6 +247,60 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOP_TERMS_PER_SOURCE = 5
+
+
+def top_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain heavy hitters: the ``TOP_TERMS_PER_SOURCE`` most
+    frequent words within every source -- the per-domain twin of
+    :func:`vocab_top_coverage` a mixture recipe reads to spot
+    domain-specific vocabulary drift.
+
+    Scale shape: one (source, word) aggregate with map-side combine,
+    then the top-k window partitions by source (many small partitions,
+    never a global sort)."""
+    docs = rebalance(table(spark, sf_dir, "documents"))
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select("source", F.explode(tq.words(F.col("text"))).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_tokens"), F.asc("word")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_TERMS_PER_SOURCE)
+        .select("source", F.col("rank").cast("int").alias("rank"),
+                "word", "n_tokens")
+    )
+
+
+def embedding_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column health: per label, the count, dimension, mean/min
+    L2 norm, and zero-vector count -- the sanity dashboard an index
+    build job checks before training quantizers (a batch of zero or
+    denormalized vectors silently poisons cosine scores). Map-side
+    norm via a higher-order aggregate; one small label aggregate."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return (
+        emb.select("label", F.size(v).alias("dim"), norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.max("dim").cast("int").alias("dim"),
+            F.round(F.avg("norm"), 6).alias("mean_norm"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.sum((F.col("norm") == 0.0).cast("int")).cast("int")
+            .alias("n_zero"),
+        )
+    )
+
+
 def content_addressed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7/T8: content-addressed ids + passage-prefix enrichment
     (md5 oracle-parity variant; mmh3 reference-parity ids live in
@@ -330,6 +384,8 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
     "text_winnow_fingerprint": text_winnow_fingerprint,
+    "top_terms_by_source": top_terms_by_source,
+    "embedding_health_report": embedding_health_report,
     "content_addressed_ids": content_addressed_ids,
     "text_slugify": text_slugify,
 }
@@ -341,6 +397,40 @@ _LANG_SQL = ", ".join(
 
 
 ORACLE = {
+    "top_terms_by_source": f"""
+        WITH counts AS (
+            SELECT source, u.word,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM (SELECT source, {_W_SQL} AS w FROM documents) t,
+                 unnest(t.w) AS u(word)
+            GROUP BY source, u.word
+        )
+        SELECT source,
+               CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY n_tokens DESC, word ASC) AS INTEGER) AS rank,
+               word, n_tokens
+        FROM counts
+        QUALIFY rank <= {TOP_TERMS_PER_SOURCE}
+    """,
+    "embedding_health_report": """
+        WITH e AS (
+            SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        n AS (
+            SELECT label, len(v) AS dim,
+                   sqrt(list_aggregate(list_transform(v, x -> x * x),
+                                       'sum')) AS norm
+            FROM e
+        )
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(max(dim) AS INTEGER) AS dim,
+               round(avg(norm), 6) AS mean_norm,
+               round(min(norm), 6) AS min_norm,
+               CAST(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS INTEGER)
+                   AS n_zero
+        FROM n GROUP BY label
+    """,
     # NULL-less bit-identical twin: the 32-bit gram hash is a md5
     # prefix on both engines; empty/short docs fall through the same
     # guards (no grams -> empty set -> md5(''))

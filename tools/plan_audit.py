@@ -285,6 +285,31 @@ AUDIT = [
         "broadcast onto a map-only bucketing pass -- no global ntile "
         "sort window.",
     ),
+    (
+        "dedup_substring_spans",
+        "Span-hash frequency aggregate (8-byte keys, map-side combine) "
+        "+ shuffle equi-join back; nothing corpus x corpus.",
+    ),
+    (
+        "text_winnow_fingerprint",
+        "Entirely map-side higher-order functions (gram hash, windowed "
+        "min, set md5); zero exchanges below the scan spread.",
+    ),
+    (
+        "vocab_top_coverage",
+        "One map-combined word-count aggregate; the top-V cut is "
+        "TakeOrderedAndProject; rank/cumsum windows run on V rows.",
+    ),
+    (
+        "funnel_view_click_purchase",
+        "Three conditional-min window phases stacked on one user-keyed "
+        "exchange; final 3-row unpivot.",
+    ),
+    (
+        "anns_recall_report",
+        "Both legs are the registered retrieval plans; the compare "
+        "join and per-query aggregate run on Q*k rows.",
+    ),
 ]
 
 
