@@ -174,6 +174,54 @@ def stateful_user_stats(events: DataFrame, timeout: str = "NoTimeout") -> DataFr
     )
 
 
+def funnel_stateful(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch conversion funnel
+    (``analytics.funnel_view_click_purchase``): keyed state per user
+    carries the first-touch step times (t1=view, t2=first click after
+    t1, t3=first purchase after t2); each update emits the user's
+    current snapshot with the reached step. Greedy in-event-time-order
+    advancement equals the batch correlated-min semantics whenever a
+    user's events arrive time-ordered ACROSS micro-batches (within a
+    batch they are sorted here); late cross-batch arrivals follow
+    standard streaming-funnel first-touch semantics -- an earlier view
+    surfacing after a later one was locked in does not rewrite
+    history. State is three timestamps per user: bounded."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = ("user_id long, t1 timestamp, t2 timestamp, "
+                  "t3 timestamp, step int")
+    state_schema = "t1 timestamp, t2 timestamp, t3 timestamp"
+
+    def update(key, pdfs, state: GroupState):
+        t1, t2, t3 = state.get if state.exists else (None, None, None)
+        parts = [pdf[["ts", "event_type"]] for pdf in pdfs]
+        rows = (
+            pd.concat(parts).sort_values("ts")
+            if parts else pd.DataFrame(columns=["ts", "event_type"])
+        )
+        for ts, et in zip(rows["ts"], rows["event_type"]):
+            if et == "view" and t1 is None:
+                t1 = ts
+            elif et == "click" and t1 is not None and t2 is None and ts > t1:
+                t2 = ts
+            elif (et == "purchase" and t2 is not None and t3 is None
+                  and ts > t2):
+                t3 = ts
+        state.update((t1, t2, t3))
+        step = 3 if t3 is not None else 2 if t2 is not None else (
+            1 if t1 is not None else 0)
+        yield pd.DataFrame({
+            "user_id": [key[0]], "t1": [t1], "t2": [t2], "t3": [t3],
+            "step": [step],
+        })
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def agent_last_seen_plan(events: DataFrame) -> DataFrame:
     """The mqtt registry's ``_last_seen`` map (``mqtt/registry.py:82-95``)
     as a keyed max aggregation: per-agent newest heartbeat. The same

@@ -412,3 +412,62 @@ def test_continuous_rollup_equals_batch(spark, sf_dir, events_stream_dir, tmp_pa
     g = {tuple(r) for r in got.collect()}
     e = {tuple(r) for r in expected.collect()}
     assert g == e
+
+
+def test_funnel_stateful_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming funnel state equals the batch funnel's per-user step
+    times when a user's events arrive time-ordered across micro-batches
+    (fixture splits the stream at the median day)."""
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    cut = ev.selectExpr(
+        "timestamp_micros(CAST(percentile(unix_micros(ts), 0.5) AS LONG)) AS c"
+    ).collect()[0].c
+    d = str(tmp_path / "funnel_stream")
+    ev.filter(F.col("ts") <= F.lit(cut)).coalesce(1).write.mode(
+        "append").parquet(d)
+    ev.filter(F.col("ts") > F.lit(cut)).coalesce(1).write.mode(
+        "append").parquet(d)
+
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, ts timestamp"
+    ).option("maxFilesPerTrigger", 1).parquet(d)
+    q = (
+        telemetry.funnel_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT user_id, t1, t2, t3, step FROM funnel_state"
+    ).collect()
+    final = {}
+    for r in rows:  # update mode re-emits; the highest step (then
+        # latest emission order) is the final state snapshot
+        if r.user_id not in final or r.step >= final[r.user_id].step:
+            final[r.user_id] = r
+
+    # batch twin: the analytics funnel's per-user correlated mins
+    w1 = F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+    per = ev.groupBy("user_id").agg(w1.alias("t1"))
+    ev2 = ev.join(per, "user_id")
+    t2 = ev2.filter((F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t1"))).groupBy("user_id").agg(
+        F.min("ts").alias("t2"))
+    ev3 = ev2.join(t2, "user_id", "left")
+    t3 = ev3.filter((F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2"))).groupBy("user_id").agg(
+        F.min("ts").alias("t3"))
+    want = {
+        r.user_id: (r.t1, r.t2, r.t3)
+        for r in per.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left").collect()
+    }
+    assert set(final) == set(want)
+    for u, (b1, b2, b3) in want.items():
+        s = final[u]
+        assert (s.t1, s.t2, s.t3) == (b1, b2, b3), f"user {u} diverges"
