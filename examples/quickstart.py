@@ -20,6 +20,7 @@ sys.path.insert(0, ".")
 
 from selfhosted_rag_doc_chat_prototype_spark.operators.analytics import (  # noqa: E402
     a4_error_rate_by_day,
+    funnel_view_click_purchase,
 )
 from selfhosted_rag_doc_chat_prototype_spark.operators.dedup import (  # noqa: E402
     dedup_semantic_keep,
@@ -72,6 +73,9 @@ def main() -> None:
 
     print("== Error-rate analytics ==")
     a4_error_rate_by_day(spark, sf_dir).orderBy("day").show(5)
+
+    print("== Conversion funnel (view -> click -> purchase) ==")
+    funnel_view_click_purchase(spark, sf_dir).orderBy("step_n").show()
 
     spark.stop()
 
