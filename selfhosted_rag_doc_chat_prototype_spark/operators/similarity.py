@@ -382,36 +382,49 @@ def anns_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def anns_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Index-quality observable: per-query recall@``TOP_K`` of the
-    LSH serve path against the exact top-k -- the number an index
-    operator watches when tuning bits/tables (the recall floor the
-    tests assert, surfaced as a queryable report instead of a test
-    side effect). Both legs are the registered retrieval plans; the
-    join and the per-query aggregate run on O(Q * k) rows."""
+    """Index-quality observable: per-(strategy, query) recall@``TOP_K``
+    of each approximate serve path (full-table LSH and half-table
+    multiprobe) against the exact top-k -- the number an index
+    operator watches when tuning bits/tables/probes (the recall floor
+    the tests assert, surfaced as a queryable report instead of a test
+    side effect). Every leg is a registered retrieval plan; the
+    compare joins and per-query aggregates run on O(Q * k) rows."""
     exact = anns_bruteforce_topk(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
-    approx = anns_lsh_bucketed(spark, sf_dir).select(
-        F.col("query_id").alias("q2"),
-        F.col("neighbor_id").alias("lsh_neighbor_id"),
-    )
-    hit = exact.join(
-        approx,
-        (F.col("query_id") == F.col("q2"))
-        & (F.col("neighbor_id") == F.col("lsh_neighbor_id")),
-        "left",
-    )
-    return (
-        hit.groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_exact"),
-            F.count("lsh_neighbor_id").cast("int").alias("n_hits"),
+    legs = [
+        ("lsh", anns_lsh_bucketed(spark, sf_dir)),
+        ("lsh_multiprobe", anns_lsh_multiprobe(spark, sf_dir)),
+    ]
+    outs = []
+    for name, approx_df in legs:
+        approx = approx_df.select(
+            F.col("query_id").alias("q2"),
+            F.col("neighbor_id").alias("a_neighbor_id"),
         )
-        .select(
-            "query_id", "n_exact", "n_hits",
-            F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall"),
+        hit = exact.join(
+            approx,
+            (F.col("query_id") == F.col("q2"))
+            & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+            "left",
         )
-    )
+        outs.append(
+            hit.groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("n_exact"),
+                F.count("a_neighbor_id").cast("int").alias("n_hits"),
+            )
+            .select(
+                F.lit(name).alias("strategy"), "query_id", "n_exact",
+                "n_hits",
+                F.round(F.col("n_hits") / F.col("n_exact"), 4)
+                .alias("recall"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 FILTER_LABELS = [0, 2, 4]  # the registered filtered query's payload filter
@@ -1514,8 +1527,11 @@ ORACLE = {
         FROM fused
         QUALIFY rank <= {TOP_K}
     """,
-    # recall@k of the LSH leg vs the exact leg: both CTEs are the
-    # proven twins (brute all-pairs rank; rh_sig_sql candidate rank)
+    # recall@k of each approximate leg vs the exact leg. ONE _planes
+    # literal serves both: the half-table multiprobe signature indexes
+    # h[t*bits + j + 1] only for t < LSH_TABLES//2, which is a prefix
+    # of the full matrix (the same seeded-stream property the stored
+    # index slice relies on).
     "anns_recall_report": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         brute AS (
@@ -1545,14 +1561,68 @@ ORACLE = {
             JOIN e qa ON qa.vec_id = c.query_id
             JOIN e qb ON qb.vec_id = c.neighbor_id
             QUALIFY rk <= {TOP_K}
+        ),
+        sigh AS ({rh_sig_sql(hyperplanes(64, LSH_BITS, LSH_TABLES // 2),
+                             LSH_BITS, LSH_TABLES // 2, "e", "vec_id")}),
+        qm AS (
+            SELECT vec_id AS query_id, v, t.t AS tbl,
+                   list_transform(range({LSH_BITS}), j ->
+                       list_dot_product(v, h[t.t * {LSH_BITS} + j + 1])) AS m
+            FROM e, _planes, range(0, {LSH_TABLES // 2}) t(t)
+            WHERE vec_id < {N_QUERIES}
+        ),
+        qb AS (
+            SELECT query_id, tbl,
+                   array_to_string(list_transform(m, x ->
+                       CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+            FROM qm
+            UNION ALL
+            SELECT query_id, tbl,
+                   array_to_string(list_transform(range({LSH_BITS}), j ->
+                       CASE WHEN j = fj THEN
+                            (CASE WHEN m[j + 1] >= 0 THEN '0' ELSE '1' END)
+                       ELSE (CASE WHEN m[j + 1] >= 0 THEN '1' ELSE '0' END)
+                       END), '') AS bucket
+            FROM (
+                SELECT query_id, tbl, m, f.j AS fj,
+                       row_number() OVER (PARTITION BY query_id, tbl
+                           ORDER BY abs(m[f.j + 1]), f.j) AS rk
+                FROM qm, range(0, {LSH_BITS}) f(j)
+            )
+            WHERE rk <= {N_PROBES}
+        ),
+        candm AS (
+            SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+            FROM qb q JOIN sigh c ON q.tbl = c.tbl AND q.bucket = c.bucket
+            WHERE c.vec_id <> q.query_id
+        ),
+        mpk AS (
+            SELECT c.query_id, c.neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY list_cosine_similarity(qa.v, qb2.v) DESC,
+                                c.neighbor_id ASC) AS rk
+            FROM candm c
+            JOIN e qa ON qa.vec_id = c.query_id
+            JOIN e qb2 ON qb2.vec_id = c.neighbor_id
+            QUALIFY rk <= {TOP_K}
         )
-        SELECT b.query_id,
+        SELECT 'lsh' AS strategy, b.query_id,
                CAST(count(*) AS INTEGER) AS n_exact,
                CAST(count(l.neighbor_id) AS INTEGER) AS n_hits,
                round(count(l.neighbor_id)::DOUBLE / count(*), 4) AS recall
         FROM brute b
         LEFT JOIN lshk l ON b.query_id = l.query_id
                         AND b.neighbor_id = l.neighbor_id
+        GROUP BY b.query_id
+        UNION ALL
+        SELECT 'lsh_multiprobe', b.query_id,
+               CAST(count(*) AS INTEGER),
+               CAST(count(l.neighbor_id) AS INTEGER),
+               round(count(l.neighbor_id)::DOUBLE / count(*), 4)
+        FROM brute b
+        LEFT JOIN mpk l ON b.query_id = l.query_id
+                       AND b.neighbor_id = l.neighbor_id
         GROUP BY b.query_id
     """,
     # oracle twin of the multi-probe LSH path: the margin-ordered bit
