@@ -301,6 +301,25 @@ def embedding_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding space, exploded to (label,
+    dim, mean) rows -- the k-means-free cluster summary an IVF build
+    seeds from and a drift monitor diffs across snapshots. One
+    posexplode (map-side) and one map-combined (label, dim) average;
+    row volume is N x dim but every row is 24 bytes and the aggregate
+    combines before the shuffle."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    d = emb.select("label", F.posexplode(v).alias("dim", "x"))
+    return (
+        d.groupBy("label", F.col("dim").cast("int").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("x"), 6).alias("mean"),
+        )
+    )
+
+
 def content_addressed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7/T8: content-addressed ids + passage-prefix enrichment
     (md5 oracle-parity variant; mmh3 reference-parity ids live in
@@ -386,6 +405,7 @@ QUERIES = {
     "text_winnow_fingerprint": text_winnow_fingerprint,
     "top_terms_by_source": top_terms_by_source,
     "embedding_health_report": embedding_health_report,
+    "label_centroids": label_centroids,
     "content_addressed_ids": content_addressed_ids,
     "text_slugify": text_slugify,
 }
@@ -411,6 +431,18 @@ ORACLE = {
                word, n_tokens
         FROM counts
         QUALIFY rank <= {TOP_TERMS_PER_SOURCE}
+    """,
+    # indexed-lambda explode (range() cannot be laterally correlated)
+    "label_centroids": """
+        SELECT label, CAST(u.s.d AS INTEGER) AS dim,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               round(avg(u.s.x), 6) AS mean
+        FROM (SELECT label,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                         (x, i) -> struct_pack(d := i - 1, x := x)) AS vs
+              FROM embeddings),
+             unnest(vs) AS u(s)
+        GROUP BY label, u.s.d
     """,
     "embedding_health_report": """
         WITH e AS (
