@@ -40,25 +40,20 @@ def test_sample_split_is_deterministic_and_calibrated(spark, sf_dir):
     assert 0.04 <= sampled / n <= 0.18
 
 
-def test_winnowing_guarantee(spark):
+def test_winnowing_guarantee():
     """The winnowing bound: two documents sharing a contiguous run of
     >= WIN_W + WIN_K - 1 words MUST share at least one fingerprint;
-    disjoint-vocabulary docs share none."""
-    from pyspark.sql import functions as F
-
+    disjoint-vocabulary docs share none. Pure-python kernel (the same
+    function the Arrow operator broadcasts)."""
     run = "w1 w2 w3 w4 w5 w6 w7 w8"  # WIN_W + WIN_K - 1 = 8 words
-    df = spark.createDataFrame(
-        [
-            (1, f"{run} tail1 tail2 tail3"),
-            (2, f"lead1 lead2 lead3 {run}"),
-            (3, "x1 x2 x3 x4 x5 x6 x7 x8 x9"),
-        ],
-        "doc_id long, text string",
-    )
-    _, fps = textstats.winnow_exprs(F.col("text"))
+    texts = {
+        1: f"{run} tail1 tail2 tail3",
+        2: f"lead1 lead2 lead3 {run}",
+        3: "x1 x2 x3 x4 x5 x6 x7 x8 x9",
+    }
     sets = {
-        r.doc_id: set(r.fps)
-        for r in df.select("doc_id", fps.alias("fps")).collect()
+        d: set(textstats.winnow_fps_py(t.split())[1])
+        for d, t in texts.items()
     }
     assert sets[1] & sets[2], "shared 8-word run produced no common fp"
     assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])

@@ -292,8 +292,9 @@ AUDIT = [
     ),
     (
         "text_winnow_fingerprint",
-        "Entirely map-side higher-order functions (gram hash, windowed "
-        "min, set md5); zero exchanges below the scan spread.",
+        "One Arrow mapInPandas pass (each gram hashed once; interpreted "
+        "HOF lambdas would re-evaluate the gram array per window); zero "
+        "exchanges below the scan spread.",
     ),
     (
         "vocab_top_coverage",
