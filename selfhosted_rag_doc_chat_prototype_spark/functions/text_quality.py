@@ -105,6 +105,24 @@ def words(c: Column) -> Column:
     return F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != F.lit(""))
 
 
+def let(expr: Column, body) -> Column:
+    """Let-binding for column expressions: evaluate ``expr`` ONCE per
+    row and bind it as a lambda variable inside ``body``.
+
+    Interpreted higher-order-function lambdas re-evaluate their
+    free-variable subtrees on EVERY element (there is no common
+    subexpression elimination outside whole-stage codegen), so any HOF
+    whose lambda references an expensive outer array expression -- a
+    regex split, a per-element hash transform -- silently goes
+    quadratic in the array length. Wrapping the expensive expression
+    in a single-element array and ``transform``-ing over it turns it
+    into a BOUND VARIABLE, evaluated once per row regardless of how
+    many inner lambda evaluations read it (measured 6x on the 3-word
+    shingle builder at sf0.1; 39x on the winnowing windows before its
+    kernel moved to Arrow)."""
+    return F.transform(F.array(expr), body)[0]
+
+
 def n_tokens(c: Column) -> Column:
     return F.size(words(c))
 

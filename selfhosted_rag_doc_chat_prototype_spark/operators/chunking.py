@@ -95,12 +95,21 @@ def token_budget_chunks(
     assert step > 0
     from .textstats import BPE_RE
 
-    toks = F.col("_toks")
-    entries = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 1, F.lit(step)),
-        lambda s: F.struct(
-            F.concat_ws(" ", F.slice(toks, s + 1, budget)).alias("chunk"),
-            F.least(F.lit(budget), F.size(toks) - s).alias("n_chunk_tokens"),
+    from ..functions.text_quality import let
+
+    # let-bound: after projection collapse the `_toks` alias inlines
+    # its regexp_extract_all into every lambda reference; the bind
+    # keeps it one evaluation per row
+    entries = let(
+        F.col("_toks"),
+        lambda toks: F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 1, F.lit(step)),
+            lambda s: F.struct(
+                F.concat_ws(" ", F.slice(toks, s + 1, budget))
+                .alias("chunk"),
+                F.least(F.lit(budget), F.size(toks) - s)
+                .alias("n_chunk_tokens"),
+            ),
         ),
     )
     return (

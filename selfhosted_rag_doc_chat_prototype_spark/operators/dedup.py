@@ -139,17 +139,21 @@ def _shingles_col():
     empty array (guarded: an unguarded ``sequence(1, size(w)-2)`` is
     descending there and the downstream ``slice`` throws
     INVALID_PARAMETER_VALUE.START; the DuckDB oracle's
-    ``range(1, len(w)-1)`` is already empty for those)."""
-    w = tq.words(F.col("text"))
-    return F.when(
-        F.size(w) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - 2),
-                lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    ``range(1, len(w)-1)`` is already empty for those). The word array
+    is let-bound (``tq.let``) so the per-shingle lambda reads a bound
+    variable instead of re-splitting the text per element."""
+    return tq.let(
+        tq.words(F.col("text")),
+        lambda w: F.when(
+            F.size(w) >= 3,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 2),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def _band_signatures(corpus: DataFrame) -> DataFrame:
@@ -603,15 +607,17 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcastable by definition); one final doc_id aggregation. Runs
     on the near-copy corpus so planted positives exist."""
     corpus = _near_corpus(spark, sf_dir)
-    w = tq.words(F.col("text"))
-    n = F.size(w)
-    spans = F.when(
-        n >= SPAN_K,
-        F.transform(
-            F.sequence(F.lit(1), n - SPAN_K + 1),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, SPAN_K))),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    spans = tq.let(
+        tq.words(F.col("text")),
+        lambda w: F.when(
+            F.size(w) >= SPAN_K,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - SPAN_K + 1),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(w, i, SPAN_K))),
+            ),
+        ).otherwise(F.array().cast("array<bigint>")),
+    )
     ex = corpus.select("doc_id", F.explode(spans).alias("sh"))
     freq = (
         ex.groupBy("sh")

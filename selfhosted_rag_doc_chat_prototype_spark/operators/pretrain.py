@@ -88,10 +88,17 @@ _W_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
 
 
 def _grams(w: Column, k: int) -> Column:
-    """k-grams of the word array (caller guards size(w) >= k)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.size(w) - (k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+    """k-grams of the word array (caller guards size(w) >= k). ``w``
+    is let-bound so the per-gram lambda reads a bound variable -- an
+    unbound reference would re-evaluate the underlying split once per
+    gram (interpreted HOFs do no CSE), going quadratic in doc
+    length."""
+    return tq.let(
+        w,
+        lambda wv: F.transform(
+            F.sequence(F.lit(1), F.size(wv) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(wv, i, k)),
+        ),
     )
 
 
@@ -425,18 +432,23 @@ def _with_boilerplate(docs: DataFrame) -> DataFrame:
 def doc_sentences(docs: DataFrame, text_col: str = "text",
                   sent_w: int = SENT_W) -> DataFrame:
     """(doc_id, pos, sent) -- consecutive ``sent_w``-word sentence
-    groups of any corpus frame (last partial group kept)."""
-    w = tq.words(F.col(text_col))
-    n_sents = F.floor((F.size(w) - 1) / F.lit(sent_w)).cast("int")
-    sents = F.when(
-        F.size(w) > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_sents),
-            lambda i: F.concat_ws(
-                " ", F.slice(w, i * sent_w + 1, sent_w)
+    groups of any corpus frame (last partial group kept). Word array
+    let-bound (see :func:`tq.let`)."""
+    sents = tq.let(
+        tq.words(F.col(text_col)),
+        lambda w: F.when(
+            F.size(w) > 0,
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size(w) - 1) / F.lit(sent_w)).cast("int"),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(w, i * sent_w + 1, sent_w)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>")),
+    )
     return docs.select(
         "doc_id", F.posexplode(sents).alias("pos", "sent")
     )
@@ -524,23 +536,40 @@ def _with_intradoc_repeats(docs: DataFrame) -> DataFrame:
     )
 
 
-def _intradoc_arrays(text_col: str, sent_w: int) -> tuple[Column, Column]:
-    """(sents, kept) column pair: the sentence array of ``text_col``
-    and its keep-first-occurrence filtrate -- shared by the batch
-    reporting operator and the streaming clean stage."""
-    w = tq.words(F.col(text_col))
-    n_sents = F.floor((F.size(w) - 1) / F.lit(sent_w)).cast("int")
-    sents = F.when(
-        F.size(w) > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_sents),
-            lambda i: F.concat_ws(" ", F.slice(w, i * sent_w + 1, sent_w)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    kept = F.filter(
-        sents, lambda x, i: F.array_position(sents, x) == i + 1
+def _intradoc_struct(text_col: str, sent_w: int) -> Column:
+    """struct(n_sents, n_kept, clean) for ``text_col`` -- the intradoc
+    kernel shared by the batch reporting operator and the streaming
+    clean stage. Both the word array and the sentence array are
+    let-bound (``tq.let``): the keep-first filter's lambda reads the
+    sentence array per element, and an unbound reference would
+    re-split the whole text once per sentence (interpreted HOFs do no
+    CSE)."""
+    sents = tq.let(
+        tq.words(F.col(text_col)),
+        lambda w: F.when(
+            F.size(w) > 0,
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size(w) - 1) / F.lit(sent_w)).cast("int"),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(w, i * sent_w + 1, sent_w)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
-    return sents, kept
+
+    def body(s: Column) -> Column:
+        kept = F.filter(
+            s, lambda x, i: F.array_position(s, x) == i + 1
+        )
+        return F.struct(
+            F.size(s).cast("int").alias("n_sents"),
+            F.size(kept).cast("int").alias("n_kept"),
+            F.concat_ws(" ", kept).alias("clean"),
+        )
+
+    return tq.let(sents, body)
 
 
 def intradoc_clean_text(text_col: str = "text",
@@ -549,8 +578,7 @@ def intradoc_clean_text(text_col: str = "text",
     and stream-safe (the streaming curation face applies it in-line
     before hashing/dedup, so a doc re-delivered with extra repetition
     still dedups to the same content hash)."""
-    _, kept = _intradoc_arrays(text_col, sent_w)
-    return F.concat_ws(" ", kept)
+    return _intradoc_struct(text_col, sent_w)["clean"]
 
 
 def intradoc_dedup(docs: DataFrame, *, text_col: str = "text",
@@ -569,12 +597,13 @@ def intradoc_dedup(docs: DataFrame, *, text_col: str = "text",
     there is zero shuffle and no per-doc state leaves its row. The
     keep-first scan is O(S^2) in the doc's SENTENCE count -- bounded by
     the chunk-size guard upstream, and cheap next to the tokenize."""
-    sents, kept = _intradoc_arrays(text_col, sent_w)
-    return docs.select(
+    st = _intradoc_struct(text_col, sent_w)
+    return docs.select("doc_id", st.alias("st")).select(
         "doc_id",
-        F.size(sents).cast("int").alias("n_sents"),
-        (F.size(sents) - F.size(kept)).cast("int").alias("n_dup_sents"),
-        F.md5(F.concat_ws(" ", kept)).alias("clean_md5"),
+        F.col("st.n_sents").alias("n_sents"),
+        (F.col("st.n_sents") - F.col("st.n_kept")).cast("int")
+        .alias("n_dup_sents"),
+        F.md5(F.col("st.clean")).alias("clean_md5"),
     )
 
 

@@ -169,15 +169,16 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: min-hash over 5-word shingles (rolling
     content signature) + whole-document md5."""
     docs = rebalance(table(spark, sf_dir, "documents"))
-    w = tq.words(F.col("text"))
-    n = F.size(w)
-    shingles = F.when(
-        n >= 5,
-        F.transform(
-            F.sequence(F.lit(1), n - 4),
-            lambda i: F.concat_ws(" ", F.slice(w, i, 5)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", w)))
+    shingles = tq.let(
+        tq.words(F.col("text")),
+        lambda w: F.when(
+            F.size(w) >= 5,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 4),
+                lambda i: F.concat_ws(" ", F.slice(w, i, 5)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", w))),
+    )
     return docs.select(
         "doc_id",
         F.array_min(F.transform(shingles, F.md5)).alias("fp_shingle_min"),
