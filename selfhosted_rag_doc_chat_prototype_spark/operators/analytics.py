@@ -650,10 +650,23 @@ def daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     count; the trailing windows then run on the AGGREGATED day
     relation, whose cardinality is the calendar, not the data -- the
     single-partition window is bounded by days-of-history and is the
-    correct plan, unlike a per-event global sort."""
+    correct plan, unlike a per-event global sort.
+
+    The day axis is DENSIFIED over [min(day), max(day)] with
+    zero-count fill before windowing: a total-outage day (0 events)
+    is precisely the anomaly this query alerts on and must receive a
+    row and a z-score, and the 7-PRIOR-row frame is then truly 7
+    PRIOR CALENDAR DAYS even across gaps."""
     ev = table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
-        F.count(F.lit(1)).alias("n_events")
+    counts = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = counts.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    daily = days.join(counts, "d", "left").select(
+        "d", F.coalesce("n", F.lit(0)).alias("n_events")
     )
     w = Window.orderBy("d").rowsBetween(-7, -1)
     rn = Window.orderBy("d")
@@ -1168,23 +1181,34 @@ ORACLE = {
         FROM events
         GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
     """,
-    # trailing-window anomaly baseline over the aggregated DAY relation
+    # trailing-window anomaly baseline over the DENSIFIED day axis
+    # (zero-event days get a row; the frame is 7 true calendar days)
     "daily_anomaly_zscore": """
-        WITH daily AS (
-            SELECT strftime(ts, '%Y-%m-%d') AS day,
-                   CAST(count(*) AS BIGINT) AS n_events
+        WITH counts AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS n
             FROM events GROUP BY 1
         ),
+        b AS (SELECT min(d) AS lo, max(d) AS hi FROM counts),
+        days AS (
+            SELECT CAST(unnest(generate_series(lo::TIMESTAMP,
+                       hi::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS d
+            FROM b
+        ),
+        daily AS (
+            SELECT days.d, coalesce(c.n, 0) AS n_events
+            FROM days LEFT JOIN counts c ON days.d = c.d
+        ),
         wd AS (
-            SELECT day, n_events,
+            SELECT d, n_events,
                    avg(n_events) OVER w AS m,
                    stddev(n_events) OVER w AS s,
-                   row_number() OVER (ORDER BY day) AS rn
+                   row_number() OVER (ORDER BY d) AS rn
             FROM daily
-            WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING
+            WINDOW w AS (ORDER BY d ROWS BETWEEN 7 PRECEDING
                          AND 1 PRECEDING)
         )
-        SELECT day, n_events,
+        SELECT strftime(d, '%Y-%m-%d') AS day, n_events,
                round(m, 6) AS base_mean,
                round(s, 6) AS base_std,
                CASE WHEN s > 0 THEN round((n_events - m) / s, 4) END

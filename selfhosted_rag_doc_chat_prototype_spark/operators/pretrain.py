@@ -229,12 +229,25 @@ def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_metrics(rebalance(table(spark, sf_dir, "documents")))
 
 
+def gram_array(text_col: str = "text", k: int = DECON_K) -> Column:
+    """k-gram array of a text column (empty below k words) -- THE
+    shared gram builder (batch decontamination and the streaming
+    curation face both use it; hand-rolled copies risk re-introducing
+    the unbound-lambda quadratic)."""
+    return tq.let(
+        tq.words(F.col(text_col)),
+        lambda w: F.when(F.size(w) >= k, _grams(w, k))
+        .otherwise(F.array().cast("array<string>")),
+    )
+
+
 def doc_grams(docs: DataFrame, k: int = DECON_K,
               text_col: str = "text") -> DataFrame:
     """(doc_id, gram) exploded distinct k-grams of any corpus frame."""
-    w = tq.words(F.col(text_col))
-    g = F.when(F.size(w) >= k, F.array_distinct(_grams(w, k)))
-    return docs.select("doc_id", F.explode(g).alias("gram"))
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(gram_array(text_col, k))).alias("gram"),
+    )
 
 
 def ngram_overlap(corpus: DataFrame, bench: DataFrame,

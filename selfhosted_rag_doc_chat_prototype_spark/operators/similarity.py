@@ -389,42 +389,46 @@ def anns_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tests assert, surfaced as a queryable report instead of a test
     side effect). Every leg is a registered retrieval plan; the
     compare joins and per-query aggregates run on O(Q * k) rows."""
-    exact = anns_bruteforce_topk(spark, sf_dir).select(
-        "query_id", "neighbor_id"
-    )
     legs = [
         ("lsh", anns_lsh_bucketed(spark, sf_dir)),
         ("lsh_multiprobe", anns_lsh_multiprobe(spark, sf_dir)),
     ]
-    outs = []
+    # ONE exact leg: tag it with every strategy via a map-side explode
+    # and left-join the unioned approximate legs -- joining each leg
+    # against `exact` separately would embed the O(N*Q) brute pass
+    # once per strategy in the physical plan
+    exact = anns_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    ).withColumn(
+        "strategy",
+        F.explode(F.array(*[F.lit(name) for name, _ in legs])),
+    )
+    approx = None
     for name, approx_df in legs:
-        approx = approx_df.select(
+        leg = approx_df.select(
+            F.lit(name).alias("strategy"),
             F.col("query_id").alias("q2"),
             F.col("neighbor_id").alias("a_neighbor_id"),
         )
-        hit = exact.join(
-            approx,
-            (F.col("query_id") == F.col("q2"))
-            & (F.col("neighbor_id") == F.col("a_neighbor_id")),
-            "left",
+        approx = leg if approx is None else approx.unionByName(leg)
+    hit = exact.join(
+        approx,
+        (exact["strategy"] == approx["strategy"])
+        & (F.col("query_id") == F.col("q2"))
+        & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+        "left",
+    ).drop(approx["strategy"])
+    return (
+        hit.groupBy("strategy", "query_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_exact"),
+            F.count("a_neighbor_id").cast("int").alias("n_hits"),
         )
-        outs.append(
-            hit.groupBy("query_id")
-            .agg(
-                F.count(F.lit(1)).cast("int").alias("n_exact"),
-                F.count("a_neighbor_id").cast("int").alias("n_hits"),
-            )
-            .select(
-                F.lit(name).alias("strategy"), "query_id", "n_exact",
-                "n_hits",
-                F.round(F.col("n_hits") / F.col("n_exact"), 4)
-                .alias("recall"),
-            )
+        .select(
+            "strategy", "query_id", "n_exact", "n_hits",
+            F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall"),
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    )
 
 
 FILTER_LABELS = [0, 2, 4]  # the registered filtered query's payload filter

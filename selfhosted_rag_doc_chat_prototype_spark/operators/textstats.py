@@ -191,6 +191,21 @@ WIN_K = 4  # words per winnowing k-gram
 WIN_W = 5  # winnow window: any shared run of >= W+K-1 words is caught
 
 
+import re as _re
+
+# Java regex \s (tq.words) is ASCII [ \t\n\x0B\f\r]; python's default
+# \s is Unicode-aware and would also split on NBSP etc., silently
+# changing fingerprints vs the column-expression convention
+_ASCII_WS = _re.compile(r"\s+", _re.ASCII)
+
+
+def winnow_words(text: str) -> list[str]:
+    """The tq.words tokenization (ASCII-whitespace split, empties
+    dropped) in python -- MUST stay aligned with ``tq.words`` and the
+    oracle's ``string_split_regex`` or fingerprints drift."""
+    return [t for t in _ASCII_WS.split(text or "") if t]
+
+
 def winnow_fps_py(ws: list[str]) -> tuple[int, list[int]]:
     """Pure-python winnowing kernel: (n_grams, sorted distinct
     fingerprints) for a word list. Broadcast to executors by the Arrow
@@ -246,7 +261,7 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = {"doc_id": [], "n_grams": [], "n_fingerprints": [],
                    "fp_min": [], "fp_set_md5": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                ws = (text or "").split()
+                ws = winnow_words(text)
                 n_grams, fps = winnow_fps_py(ws)
                 out["doc_id"].append(doc_id)
                 out["n_grams"].append(n_grams)

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.pretrain import (DECON_K, _quality_exprs, _tempered_exprs,
-                                  intradoc_clean_text)
+                                  gram_array, intradoc_clean_text)
 
 
 def intradoc_clean(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -56,29 +56,14 @@ def quality_gate(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).filter((F.col("quality_keep") == 1) & (F.col("sample_keep") == 1))
 
 
-def _gram_array(text_col: str, k: int):
-    """k-gram array of a text column, word array let-bound (the
-    per-gram lambda must read a bound variable, not re-split the text
-    per element)."""
-    from ..functions import text_quality as tq
-
-    return tq.let(
-        tq.words(F.col(text_col)),
-        lambda w: F.when(
-            F.size(w) >= k,
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - (k - 1)),
-                lambda i: F.concat_ws(" ", F.slice(w, i, k)),
-            ),
-        ).otherwise(F.array().cast("array<string>")),
-    )
-
-
 def doc_grams_stream(docs: DataFrame, text_col: str = "text",
                      k: int = DECON_K) -> DataFrame:
-    """(doc_id, gram) explode of k-word grams -- stateless, stream-safe."""
-    grams = _gram_array(text_col, k)
-    return docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+    """(doc_id, gram) explode of k-word grams -- stateless, stream-safe
+    (the same ``pretrain.gram_array`` builder the batch side uses)."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(gram_array(text_col, k))).alias("gram"),
+    )
 
 
 def streaming_curation_plan(
@@ -108,7 +93,7 @@ def streaming_curation_plan(
         gated.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["content_md5"])
     )
-    grams = _gram_array("text", DECON_K)
+    grams = gram_array("text", DECON_K)
     bench_set = F.broadcast(
         bench_grams.select("gram").distinct()
         .agg(F.collect_set("gram").alias("bench_grams"))

@@ -201,6 +201,11 @@ def funnel_stateful(events: DataFrame) -> DataFrame:
             if parts else pd.DataFrame(columns=["ts", "event_type"])
         )
         for ts, et in zip(rows["ts"], rows["event_type"]):
+            if pd.isna(ts):
+                # the batch twin's min(when(...)) ignores NULL ts; a
+                # NaT locked in as t1 would poison every later
+                # comparison (NaT > x is always False)
+                continue
             if et == "view" and t1 is None:
                 t1 = ts
             elif et == "click" and t1 is not None and t2 is None and ts > t1:
