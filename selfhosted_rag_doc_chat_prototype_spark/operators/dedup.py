@@ -135,25 +135,13 @@ def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles_col():
-    """Distinct 3-word shingles of ``text``. Docs with <3 words yield an
-    empty array (guarded: an unguarded ``sequence(1, size(w)-2)`` is
-    descending there and the downstream ``slice`` throws
-    INVALID_PARAMETER_VALUE.START; the DuckDB oracle's
-    ``range(1, len(w)-1)`` is already empty for those). The word array
-    is let-bound (``tq.let``) so the per-shingle lambda reads a bound
-    variable instead of re-splitting the text per element."""
-    return tq.let(
-        tq.words(F.col("text")),
-        lambda w: F.when(
-            F.size(w) >= 3,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(w) - 2),
-                    lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
-                )
-            ),
-        ).otherwise(F.array().cast("array<string>")),
-    )
+    """Distinct 3-word shingles of ``text`` -- the shared let-bound
+    k-gram builder (``pretrain.gram_array``) at k=3; docs with <3
+    words yield an empty array there, matching the DuckDB oracle's
+    empty ``range(1, len(w)-1)``."""
+    from .pretrain import gram_array
+
+    return F.array_distinct(gram_array("text", 3))
 
 
 def _band_signatures(corpus: DataFrame) -> DataFrame:
