@@ -95,7 +95,7 @@ HEADLINE = [
 SCALE_QUERIES = ["dedup_embedding_cosine", "anns_lsh_bucketed",
                  "anns_grouped_topk", "dedup_semantic_keep"]
 DOC_SCALE_QUERIES = ["dedup_minhash_lsh", "decontaminate_fuzzy_minhash",
-                     "hybrid_fusion_topk"]
+                     "hybrid_fusion_topk", "dedup_substring_spans"]
 
 
 def scale_evidence(spark, sf_dir, queries, timings, n_runs):

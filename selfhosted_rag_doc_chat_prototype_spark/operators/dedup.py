@@ -594,18 +594,10 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the same key (the duplicated-span set is NOT
     broadcastable by definition); one final doc_id aggregation. Runs
     on the near-copy corpus so planted positives exist."""
+    from .pretrain import gram_array
+
     corpus = _near_corpus(spark, sf_dir)
-    spans = tq.let(
-        tq.words(F.col("text")),
-        lambda w: F.when(
-            F.size(w) >= SPAN_K,
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - SPAN_K + 1),
-                lambda i: F.xxhash64(
-                    F.concat_ws(" ", F.slice(w, i, SPAN_K))),
-            ),
-        ).otherwise(F.array().cast("array<bigint>")),
-    )
+    spans = F.transform(gram_array("text", SPAN_K), lambda g: F.xxhash64(g))
     ex = corpus.select("doc_id", F.explode(spans).alias("sh"))
     freq = (
         ex.groupBy("sh")
