@@ -297,3 +297,31 @@ def test_fix_mojibake_unescapes_html_entity_remnants(spark):
     df = spark.createDataFrame(cases, "moji string, want string")
     for r in df.select(tq.fix_mojibake(F.col("moji")).alias("got"), "want").collect():
         assert r.got == r.want
+
+
+def test_let_binding_preserves_semantics(spark):
+    """tq.let(expr, body) must equal body(expr) row-for-row (it exists
+    purely to change evaluation COUNT, never results), including empty
+    and single-word edge rows."""
+    from pyspark.sql import functions as F
+
+    from selfhosted_rag_doc_chat_prototype_spark.functions import (
+        text_quality as tq,
+    )
+
+    df = spark.createDataFrame(
+        [("a b c d e",), ("x",), ("",), ("  spaced   out  ",)],
+        "text string",
+    )
+    bound = tq.let(
+        tq.words(F.col("text")),
+        lambda w: F.concat(F.concat_ws("|", w), F.size(w).cast("string")),
+    )
+    plain = F.concat(
+        F.concat_ws("|", tq.words(F.col("text"))),
+        F.size(tq.words(F.col("text"))).cast("string"),
+    )
+    assert (
+        df.select(bound.alias("b"), plain.alias("p"))
+        .filter(F.col("b") != F.col("p")).count() == 0
+    )
