@@ -186,3 +186,29 @@ def test_knn_bits_rule_bounds_occupancy(n, target):
     if n > 2 * target:
         assert occ <= target
         assert occ > target / 2
+
+
+@given(
+    st.lists(st.text(alphabet="abcdef", min_size=1, max_size=3),
+             min_size=0, max_size=30),
+    st.lists(st.text(alphabet="uvwxyz", min_size=1, max_size=3),
+             min_size=0, max_size=30),
+    st.integers(min_value=0, max_value=30),
+    st.integers(min_value=0, max_value=30),
+)
+@settings(max_examples=100, deadline=None)
+def test_winnowing_guarantee_property(pre_a, pre_b, cut_a, cut_b):
+    """Schleimer et al.'s bound on generated inputs: embed one shared
+    WIN_W + WIN_K - 1 word run at arbitrary positions inside two
+    otherwise disjoint-alphabet documents -- they MUST share a
+    fingerprint."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.textstats import (
+        WIN_K, WIN_W, winnow_fps_py,
+    )
+
+    run = [f"shared{i}" for i in range(WIN_W + WIN_K - 1)]
+    doc_a = pre_a[: cut_a] + run + pre_a[cut_a:]
+    doc_b = pre_b[: cut_b] + run + pre_b[cut_b:]
+    _, fa = winnow_fps_py(doc_a)
+    _, fb = winnow_fps_py(doc_b)
+    assert set(fa) & set(fb), "shared run lost by winnowing"
