@@ -28,9 +28,12 @@ Because the driver's embeddings are unit-norm (asserted in tests),
 maximum-inner-product == cosine ranking, and the ADC score is the
 exact inner product against the quantized reconstruction.
 
-Registered rows-only (k-means training is not expressible in the
-DuckDB oracle); recall against the exact brute-force path and the
-quantization-error contract are asserted in ``tests/test_pq.py``.
+Registered with a FULL DuckDB oracle: the k-means fits are not
+SQL-expressible, but the registered query only PROBES the persisted
+index, and the frozen codebook/code/centroid parquet is plain
+relational input the oracle reads directly (``read_parquet`` +
+``corpus_key`` filter). Recall against the exact brute-force path and
+the quantization-error contract are asserted in ``tests/test_pq.py``.
 """
 
 from __future__ import annotations
@@ -87,15 +90,15 @@ def _pq_paths(sf_dir: str, m: int = PQ_M, k: int = PQ_K) -> tuple[str, str]:
     import hashlib
     import os
 
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
+    from .similarity import matview_root
+
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(repo_root, "spark-warehouse", "matview")
-    # (m, k) in the name: distinct PQ configs must never share a path
+    # (m, k) in the name: distinct PQ configs must never share a path;
+    # v2 layout (corpus_key column) gets its own prefix so the oracle's
+    # glob never unions files with the pre-key schema
     return (
-        os.path.join(base, f"pq_codebooks_{m}x{k}_{tag}"),
-        os.path.join(base, f"pq_codes_{m}x{k}_{tag}"),
+        os.path.join(matview_root(), f"pq_cb2_{m}x{k}_{tag}"),
+        os.path.join(matview_root(), f"pq_code2_{m}x{k}_{tag}"),
     )
 
 
@@ -163,14 +166,18 @@ def pq_build(spark: SparkSession, sf_dir: str,
                     "code": list(codes),
                 })
 
+        # same corpus_key the IVF build stamped (centroids are never
+        # mutated, so this read is the stable source of the lineage key)
+        ckey = int(centroids.select("corpus_key").first()[0])
         (assigned.select("vec_id", "cell", "v")
          .mapInPandas(encode, "vec_id long, cell int, code array<int>")
+         .withColumn("corpus_key", F.lit(ckey))
          .write.mode("overwrite").parquet(codes_path))
 
         spark.createDataFrame(
-            [(j, c, [float(x) for x in codebooks[j, c]])
+            [(j, c, [float(x) for x in codebooks[j, c]], ckey)
              for j in range(m) for c in range(k)],
-            "j int, c int, centroid array<double>",
+            "j int, c int, centroid array<double>, corpus_key long",
         ).write.mode("overwrite").parquet(cb_path)
 
         _PQ_STORE[key] = (
@@ -274,15 +281,22 @@ def pq_append(spark: SparkSession, sf_dir: str, new_vectors: DataFrame,
                 "cell": d2.argmin(axis=1).astype(np.int32),
             })
 
+    # appended rows carry the BUILD-time corpus_key (the index lineage
+    # tag the oracle globs on): one parquet directory must never hold
+    # two schemas, and the key identifies the index, not the batch
+    ckey = int(centroids.select("corpus_key").first()[0])
+
     # the refine stage rescores from the IVF assignments table, so the
     # full vectors (with their frozen-centroid cells) append there too
     (nv.join(spark.read.parquet(assign_path).select("vec_id"),
              "vec_id", "left_anti")
      .mapInPandas(assign_only, "vec_id long, v array<double>, cell int")
+     .withColumn("corpus_key", F.lit(ckey))
      .write.mode("append").parquet(assign_path))
 
     (nv.join(existing_codes.select("vec_id"), "vec_id", "left_anti")
      .mapInPandas(encode, "vec_id long, cell int, code array<int>")
+     .withColumn("corpus_key", F.lit(ckey))
      .write.mode("append").parquet(codes_path))
     ivf_key = (spark, sf_dir)
     if ivf_key in _IVF_STORE:
@@ -415,9 +429,15 @@ def pq_probe(spark: SparkSession, sf_dir: str, queries: DataFrame,
 
 def anns_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ retrieval over the persisted code index: build once per
-    (session, corpus), probe per call. Registered rows-only (k-means
-    training has no SQL twin); recall vs brute force and the ADC
-    error contract live in ``tests/test_pq.py``."""
+    (session, corpus), probe per call. FULL oracle: the k-means fits
+    (coarse + per-subspace) have no SQL twin, but the probe is
+    deterministic relational work over the FROZEN codebook/code/
+    centroid parquet -- the oracle reads the same matviews via
+    ``read_parquet`` (``corpus_key``-filtered) and mirrors cell
+    pruning, ADC scoring (inner product against the quantized
+    reconstruction == the LUT-sum identity), shortlist, and exact
+    refine. Recall vs brute force and the ADC error contract stay in
+    ``tests/test_pq.py``."""
     base = _vectors(spark, sf_dir)
     queries = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -429,4 +449,93 @@ QUERIES = {
     "anns_ivfpq_topk": anns_ivfpq_topk,
 }
 
-ORACLE: dict = {}
+
+def _pq_oracle_sql() -> str:
+    """Oracle twin of the persisted-index IVF-PQ probe (see
+    ``anns_ivf_topk``'s twin for the glob + corpus_key mechanism).
+    ADC scoring uses the identity ``sum_j LUT[j][code_j] == <qv,
+    reconstruction>``: the codebooks collapse to ONE ordered list
+    (``cbl``), each candidate's quantized reconstruction is a
+    flatten-of-lookups over its code array, and the score is a single
+    dot product -- mathematically the Spark fold, in relational form.
+    Shortlist (k * refine_factor by ADC) then exact cosine rerank from
+    the assignments table, exactly :func:`pq_probe`."""
+    import os
+
+    from .similarity import (
+        CORPUS_KEY_SQL,
+        IVF_PROBE_FRACTION,
+        TOP_K,
+        matview_root,
+    )
+
+    cb_glob = os.path.join(matview_root(), f"pq_cb2_{PQ_M}x{PQ_K}_*", "*.parquet")
+    code_glob = os.path.join(matview_root(), f"pq_code2_{PQ_M}x{PQ_K}_*", "*.parquet")
+    cent_glob = os.path.join(matview_root(), "ivf_cent2_*", "*.parquet")
+    asg_glob = os.path.join(matview_root(), "ivf_asg2_*", "*.parquet")
+    shortlist = TOP_K * PQ_REFINE_FACTOR
+    return f"""
+        WITH ck AS (SELECT {CORPUS_KEY_SQL} AS k),
+        cent AS (
+            SELECT cell, centroid FROM read_parquet('{cent_glob}')
+            WHERE corpus_key = (SELECT k FROM ck)
+        ),
+        assign AS (
+            SELECT vec_id, v FROM read_parquet('{asg_glob}')
+            WHERE corpus_key = (SELECT k FROM ck)
+        ),
+        cb AS (
+            SELECT j, c, centroid FROM read_parquet('{cb_glob}')
+            WHERE corpus_key = (SELECT k FROM ck)
+        ),
+        cbl AS (SELECT list(centroid ORDER BY j * {PQ_K} + c) AS cbs FROM cb),
+        codes AS (
+            SELECT vec_id, cell, code FROM read_parquet('{code_glob}')
+            WHERE corpus_key = (SELECT k FROM ck)
+        ),
+        q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < {N_QUERIES}),
+        np AS (SELECT greatest(1, CAST(trunc(count(*) * {IVF_PROBE_FRACTION})
+                                       AS INT)) AS n
+               FROM cent),
+        probes AS (
+            SELECT query_id, qv, cell FROM (
+                SELECT q.query_id, q.qv, c.cell,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY list_distance(q.qv, c.centroid) ASC,
+                                    c.cell ASC) AS pr
+                FROM q, cent c)
+            WHERE pr <= (SELECT n FROM np)
+        ),
+        adc AS (
+            SELECT p.query_id, p.qv, t.vec_id AS neighbor_id,
+                   list_dot_product(p.qv,
+                       flatten(list_transform(range({PQ_M}), j ->
+                           l.cbs[j * {PQ_K} + t.code[j + 1] + 1]))
+                   ) AS adc_score
+            FROM probes p
+            JOIN codes t ON t.cell = p.cell AND t.vec_id <> p.query_id,
+            cbl l
+        ),
+        shortlist AS (
+            SELECT query_id, qv, neighbor_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY adc_score DESC, neighbor_id ASC) AS r
+                  FROM adc)
+            WHERE r <= {shortlist}
+        ),
+        exact AS (
+            SELECT s.query_id, s.neighbor_id,
+                   list_cosine_similarity(s.qv, a.v) AS cos_raw
+            FROM shortlist s JOIN assign a ON a.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_raw DESC, neighbor_id ASC) AS INTEGER) AS rank,
+               round(cos_raw, 4) AS cos_sim
+        FROM exact
+        QUALIFY rank <= {TOP_K}
+    """
+
+
+ORACLE: dict = {"anns_ivfpq_topk": _pq_oracle_sql()}

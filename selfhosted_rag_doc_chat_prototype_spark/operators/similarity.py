@@ -785,18 +785,58 @@ def ivf_cells_for(n: int) -> int:
 _IVF_STORE: dict = {}
 
 
+def matview_root() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "spark-warehouse", "matview",
+    )
+
+
+# ---- cross-engine corpus identity key ------------------------------------
+#
+# The IVF/PQ oracles read the PERSISTED index parquet (the k-means fit
+# itself has no SQL twin, but the frozen probe tables do). The oracle
+# SQL is one static string while the matview path is per-corpus, so
+# every stamped index row carries a ``corpus_key`` that the oracle can
+# recompute from its ``embeddings`` view and filter on: a content
+# fingerprint in EXACT integer arithmetic that Spark and DuckDB agree
+# on bit-for-bit (floor of a double product, then integer sum -- no
+# cross-engine float-rounding or hash-function divergence). Row count
+# alone cannot discriminate (sf0.001 and sf0.01 both hold 500 vectors
+# with different contents).
+
+CORPUS_KEY_SQL = (
+    "(SELECT sum((vec_id + 1) * CAST(floor(CAST(embedding[1] AS DOUBLE)"
+    " * 1000) AS BIGINT)) FROM embeddings)"
+)
+
+
+def corpus_fingerprint(base: DataFrame) -> int:
+    """Integer content fingerprint of a (vec_id, v) corpus; the exact
+    twin of :data:`CORPUS_KEY_SQL`. Runs one small aggregate -- called
+    at index BUILD time only, never on the probe path."""
+    row = base.agg(F.sum(
+        (F.col("vec_id") + F.lit(1))
+        * F.floor(F.element_at("v", 1) * 1000).cast("long")
+    )).first()
+    return int(row[0])
+
+
 def _ivf_paths(sf_dir: str) -> tuple[str, str]:
     import hashlib
     import os
 
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(repo_root, "spark-warehouse", "matview")
+    base = matview_root()
+    # v2 layout (corpus_key column): distinct prefix so the oracle's
+    # glob never unions files with the pre-key schema
     return (
-        os.path.join(base, f"ivf_centroids_{tag}"),
-        os.path.join(base, f"ivf_assign_{tag}"),
+        os.path.join(base, f"ivf_cent2_{tag}"),
+        os.path.join(base, f"ivf_asg2_{tag}"),
     )
 
 
@@ -831,14 +871,16 @@ def ivf_build(spark: SparkSession, sf_dir: str):
             "vec_id", "v", array_to_vector("v").alias("features")
         )
         n_cells = ivf_cells_for(base.count())
+        ckey = corpus_fingerprint(base)
         model = KMeans(k=n_cells, seed=42, maxIter=8).fit(feat)
         model.transform(feat).select(
             "vec_id", "v", F.col("prediction").alias("cell")
+        ).withColumn("corpus_key", F.lit(ckey)
         ).write.mode("overwrite").parquet(assign_path)
         spark.createDataFrame(
-            [(i, [float(x) for x in c])
+            [(i, [float(x) for x in c], ckey)
              for i, c in enumerate(model.clusterCenters())],
-            "cell int, centroid array<double>",
+            "cell int, centroid array<double>, corpus_key long",
         ).write.mode("overwrite").parquet(cent_path)
         _IVF_STORE[key] = (
             spark.read.parquet(cent_path),
@@ -902,9 +944,12 @@ def anns_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     persists the index once per (session, sf_dir); this registered
     query PROBES the stored tables (the queries themselves are read
     from the assignments table), so its steady-state cost is the serve
-    path the bench should measure. Registered rows-only: a KMeans fit
-    is not expressible in the DuckDB oracle; recall against the exact
-    brute-force path is asserted in tests instead."""
+    path the bench should measure. FULL oracle: the k-means fit has no
+    SQL twin, but the probe is deterministic relational work over the
+    frozen centroid/assignment parquet -- the oracle reads the same
+    matview via ``read_parquet`` (``corpus_key``-filtered) and mirrors
+    cell ranking, candidate scoring, and top-k. Recall against the
+    exact brute-force path stays asserted in tests."""
     centroids, assigned, n_cells = ivf_build(spark, sf_dir)
     queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -1692,3 +1737,54 @@ ORACLE = {
         QUALIFY rank <= {TOP_K}
     """,
 }
+
+# oracle twin of the PERSISTED-index IVF probe: the k-means fit has no
+# SQL twin, but the registered query never trains -- it probes the
+# frozen centroid/assignment matview, and DuckDB reads the identical
+# parquet via read_parquet (corpus_key-filtered so the one static glob
+# resolves to THIS corpus's index; see CORPUS_KEY_SQL). Cell ranking
+# (L2 asc, cell asc; sqrt is monotone so list_distance ranks like the
+# Spark sqrt-fold), candidate equi-join on cell, self-exclusion, and
+# the cosine top-k all mirror ivf_probe line for line. The Spark side
+# always runs before the oracle in the gate, so the matview exists.
+import os as _os  # noqa: E402  (module-local alias for the glob below)
+
+ORACLE["anns_ivf_topk"] = f"""
+    WITH ck AS (SELECT {CORPUS_KEY_SQL} AS k),
+    cent AS (
+        SELECT cell, centroid
+        FROM read_parquet('{_os.path.join(matview_root(), "ivf_cent2_*", "*.parquet")}')
+        WHERE corpus_key = (SELECT k FROM ck)
+    ),
+    assign AS (
+        SELECT vec_id, v, cell
+        FROM read_parquet('{_os.path.join(matview_root(), "ivf_asg2_*", "*.parquet")}')
+        WHERE corpus_key = (SELECT k FROM ck)
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM assign
+          WHERE vec_id < {N_QUERIES}),
+    np AS (SELECT greatest(1, CAST(trunc(count(*) * {IVF_PROBE_FRACTION})
+                                   AS INT)) AS n
+           FROM cent),
+    probes AS (
+        SELECT query_id, qv, cell FROM (
+            SELECT q.query_id, q.qv, c.cell,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_distance(q.qv, c.centroid) ASC,
+                                c.cell ASC) AS pr
+            FROM q, cent c)
+        WHERE pr <= (SELECT n FROM np)
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               list_cosine_similarity(p.qv, a.v) AS cos_raw
+        FROM probes p
+        JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_raw DESC, neighbor_id ASC) AS INTEGER) AS rank,
+           round(cos_raw, 4) AS cos_sim
+    FROM scored
+    QUALIFY rank <= {TOP_K}
+"""

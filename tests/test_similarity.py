@@ -130,8 +130,8 @@ def test_ivf_probe_reads_persisted_index(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         similarity.anns_ivf_topk(spark, sf_dir).explain("formatted")
     p = buf.getvalue()
-    assert "ivf_centroids_" in p
-    assert "ivf_assign_" in p
+    assert "ivf_cent2_" in p
+    assert "ivf_asg2_" in p
     # the probe side never round-robins the corpus (that was the
     # build-time rebalance); candidate access is the broadcast
     # cell-id equi-join
