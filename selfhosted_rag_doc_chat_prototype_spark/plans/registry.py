@@ -23,6 +23,7 @@ _EXPECTED = (
     ("operators", "tpch"),
     ("operators", "textstats"),
     ("operators", "chunking"),
+    ("operators", "mdsplit"),
     ("operators", "dedup"),
     ("operators", "pretrain"),
     ("operators", "similarity"),
