@@ -712,36 +712,47 @@ def knn_graph(spark: SparkSession, sf_dir: str,
 CC_MAX_ITERS = 8
 
 
-def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERS from the LSH candidate pairs: connected
-    components by min-label propagation, emitting (doc_id, cluster_id,
-    is_canonical) -- the keep-one-per-cluster selection step of a
-    training-data dedup pipeline (cluster_id = smallest doc id
-    reachable; the canonical doc is the cluster id holder).
+def connected_components_labels(
+    edges: DataFrame, max_iters: int = CC_MAX_ITERS
+) -> DataFrame:
+    """Connected-component labels (doc_id -> smallest reachable id)
+    over a BIDIRECTIONAL (src, dst) edge list: min-label propagation
+    PLUS pointer jumping. Each round (a) pulls the neighborhood min
+    through one equi-join + min aggregation, then (b) rebinds every
+    label to its label's label (path doubling) -- the label map is
+    monotone (label(x) <= x), so the jump is one self-join. Reach
+    roughly doubles per round (reach' >= 2*reach + 1), giving
+    O(log diameter) rounds where plain propagation needs O(diameter):
+    at 100 TB a template-heavy crawl can chain near-dups hundreds of
+    hops deep, and ``CC_MAX_ITERS`` = 8 covers diameter ~500.
 
-    Spark shape: the classic iterative CC loop (the 2-round core of
-    large-star/small-star) -- per round one equi-join of labels onto
-    the bidirectional edge list + a min aggregation; the driver reads
-    only a scalar convergence count per round. Near-dup graphs are
-    star-like (tiny diameter), so this converges in 2-3 rounds; the
-    ``CC_MAX_ITERS`` bound makes the worst case explicit. Labels are
-    cached per round and unpersisted to keep lineage flat."""
-    pairs = _candidate_pairs(_near_corpus(spark, sf_dir))
-    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
-        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
-    ).cache()
+    LOUD non-convergence: if labels still changed on the last allowed
+    round, this RAISES rather than silently emitting split clusters --
+    a dedup pipeline acting on partial clusters would ship duplicate
+    training data with no alarm. The driver reads only a scalar
+    convergence count per round.
+
+    Each round ends in an EAGER ``localCheckpoint``: the jump is a
+    self-join, so without truncation the LOGICAL plan doubles per
+    round and Catalyst re-analysis goes exponential even though
+    execution would read the cache (measured: round 3 of a 10-node
+    chain already cost 45 s on lineage alone). On a real cluster the
+    equivalent is a reliable ``checkpoint`` dir (localCheckpoint
+    trades executor-loss recovery for speed -- the right trade for an
+    8-round loop whose failure mode is rerun-the-job)."""
     labels = (
         edges.select(F.col("src").alias("doc_id")).distinct()
         .withColumn("label", F.col("doc_id"))
-        .cache()
+        .localCheckpoint()
     )
-    for _ in range(CC_MAX_ITERS):
+    changed = -1
+    for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        prop = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
@@ -749,7 +760,21 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .cache()
+            .localCheckpoint()
+        )
+        # pointer jump: label <- label(label); every label IS a node
+        # id in the graph, and label() only decreases, so coalesce is
+        # a safety net, not a semantic branch
+        new_labels = (
+            prop.join(
+                prop.selectExpr("doc_id AS label", "label AS jumped"),
+                "label", "left",
+            )
+            .select(
+                "doc_id",
+                F.coalesce("jumped", F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
         )
         changed = (
             new_labels.withColumnRenamed("label", "new_label")
@@ -757,10 +782,33 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("new_label") != F.col("label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected components did not converge within {max_iters} "
+            f"rounds ({changed} labels still moving): the component "
+            "diameter exceeds the doubling reach -- raise CC_MAX_ITERS "
+            "rather than act on split clusters"
+        )
+    return labels
+
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the LSH candidate pairs: connected
+    components (see :func:`connected_components_labels`), emitting
+    (doc_id, cluster_id, is_canonical) -- the keep-one-per-cluster
+    selection step of a training-data dedup pipeline (cluster_id =
+    smallest doc id reachable; the canonical doc is the cluster id
+    holder). Near-dup graphs are star-like (tiny diameter), so this
+    converges in 2-3 rounds; pathological chains are covered by the
+    pointer-jumped O(log diameter) bound and the convergence raise."""
+    pairs = _candidate_pairs(_near_corpus(spark, sf_dir))
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    ).cache()
+    labels = connected_components_labels(edges)
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),

@@ -221,3 +221,40 @@ def test_incremental_minhash_against_persisted_index(spark, sf_dir, tmp_path):
     # near-dups of the template-heavy synthetic corpus (e.g. docs 0/50/82
     # share a template), which is precisely what the operator is for
     assert expected <= {(r.new_id, r.archive_id) for r in verified}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Pathological path graph far longer than CC_MAX_ITERS: plain
+    min-label propagation would need ~N rounds and silently emit split
+    clusters at the iteration cap; the pointer-jumped loop's reach
+    doubles per round, so a 100-hop chain converges within the default
+    8-round bound with every node labeled 0."""
+    n = 100
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    edges = pairs.unionByName(
+        pairs.selectExpr("dst AS src", "src AS dst")
+    )
+    labels = {
+        r.doc_id: r.label
+        for r in dedup.connected_components_labels(edges).collect()
+    }
+    assert len(labels) == n + 1
+    assert set(labels.values()) == {0}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """The iteration cap must be LOUD: exiting with labels still
+    moving raises instead of returning split clusters."""
+    import pytest as _pytest
+
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    edges = pairs.unionByName(
+        pairs.selectExpr("dst AS src", "src AS dst")
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components_labels(edges, max_iters=2)
