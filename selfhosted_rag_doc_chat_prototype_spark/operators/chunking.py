@@ -76,9 +76,15 @@ def chunk_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Token counts from a neural tokenizer aren't reproducible in a SQL
 # oracle, so the PINNED counter here is the deterministic BPE-ish
 # pre-tokenizer (letter runs / digit runs / single punctuation --
-# textstats.BPE_RE, the same regex n_bpe_tokens reports), which
-# over-counts a real BPE by design (every merge only shrinks counts),
-# keeping every chunk budget-respecting under the real tokenizer too.
+# textstats.BPE_RE, the same regex n_bpe_tokens reports). Relation to
+# a real BPE's count is PRECISE, not hand-wavy: a BPE token never
+# crosses a pre-token boundary, so the pre-token count is the real
+# count's LOWER bound, with equality exactly when the tokenizer's
+# vocab covers every pre-token (a tokenizer trained on the serving
+# corpus). tests/test_bpe_budget.py proves the budget holds -- and is
+# tight -- for every emitted chunk under the committed merge-table
+# tokenizer (functions/bpe.py); open-vocabulary callers re-count
+# chunks through that encoder interface instead of assuming the bound.
 
 
 def token_budget_chunks(
