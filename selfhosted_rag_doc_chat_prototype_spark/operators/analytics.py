@@ -169,20 +169,41 @@ def a5_top20_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distinct-count and median: HyperLogLog++ cardinality and a quantile
 # sketch are one pass, fixed memory, and merge commutatively (register-
 # wise max / sketch merge), so they distribute without a global sort or
-# a distinct shuffle. Registered rows-only BY DESIGN: the sketch
-# estimates are engine-specific (DuckDB's approx functions use different
-# sketches), so the gate checks rows and pytest asserts the estimates
-# land within tolerance of the exact values computed alongside.
+# a distinct shuffle.
+#
+# FULL oracle via contract booleans: the raw estimates are
+# engine-specific (DuckDB's approx functions use different sketches),
+# so the query emits the exact halves PLUS a boolean per sketch
+# asserting the estimate met its DOCUMENTED guarantee -- HLL rsd 0.02
+# within 4 sigma (8% of exact), and the percentile sketch judged by
+# its actual contract, which is a RANK bound, not a value bound: the
+# returned element's rank (count of values <= it) must sit within
+# n/1000 (+3 slack for duplicate/boundary counting) of rank 0.95n.
+# The oracle computes the same exact columns and literal TRUEs, so the
+# driver's row hash IS the tolerance adjudication: an out-of-contract
+# sketch flips a boolean and fails the gate loudly.
+#
+# Shape note: the rank check adds one broadcast join + second pass
+# over the group -- that is the ADJUDICATION harness; the production
+# sketch is the first aggregate alone (one pass, fixed memory).
 # --------------------------------------------------------------------------
 def sketch_cardinality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users_exact"),
-        F.approx_count_distinct("user_id", 0.02).alias("n_users_hll"),
+    sk = ev.groupBy("event_type").agg(
+        F.expr("percentile_approx(value, 0.95, 1000)").alias("_p95_sketch"),
+        F.approx_count_distinct("user_id", 0.02).alias("_hll"),
+    )
+    j = ev.join(F.broadcast(sk), "event_type")
+    nd = F.countDistinct("user_id")
+    n = F.count(F.lit(1))
+    sketch_rank = F.sum((F.col("value") <= F.col("_p95_sketch")).cast("long"))
+    return j.groupBy("event_type").agg(
+        nd.alias("n_users_exact"),
         F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_exact"),
-        F.round(F.expr("percentile_approx(value, 0.95, 1000)"), 4)
-        .alias("p95_sketch"),
-        F.count("*").alias("n"),
+        n.alias("n"),
+        ((F.abs(F.first("_hll") - nd) / nd) <= 0.08).alias("hll_within_tol"),
+        (F.abs(sketch_rank - 0.95 * n) <= (0.002 * n + F.lit(3.0)))
+        .alias("p95_sketch_in_bracket"),
     )
 
 
@@ -914,6 +935,19 @@ QUERIES = {
 }
 
 ORACLE = {
+    # bracket-boolean adjudication of the sketch query: the exact
+    # halves hash-compare, and the oracle's literal TRUEs hold iff the
+    # Spark sketches landed inside their documented error bounds
+    "sketch_cardinality_quantiles": """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+               round(quantile_cont(value, 0.95), 4) AS p95_exact,
+               CAST(count(*) AS BIGINT) AS n,
+               true AS hll_within_tol,
+               true AS p95_sketch_in_bracket
+        FROM events
+        GROUP BY event_type
+    """,
     "a1_events_per_hour": """
         WITH anchor AS (SELECT max(ts) AS now_ts FROM events)
         SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour,

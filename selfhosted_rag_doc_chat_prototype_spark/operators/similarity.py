@@ -132,7 +132,10 @@ def rh_probe_sig_udf(bits: int, tables: int, n_probes: int = N_PROBES,
                 b = m >= 0
                 entries.append(
                     (t, "".join("1" if x else "0" for x in b)))
-                for j in np.argsort(np.abs(m))[:n_probes]:
+                # stable sort: tied |margins| (degenerate vectors,
+                # e.g. all-zero queries) must resolve to the lowest
+                # bit index, matching the oracle's ORDER BY abs(m), j
+                for j in np.argsort(np.abs(m), kind="stable")[:n_probes]:
                     fb = b.copy()
                     fb[j] = not fb[j]
                     entries.append(

@@ -195,7 +195,13 @@ import re as _re
 
 # Java regex \s (tq.words) is ASCII [ \t\n\x0B\f\r]; python's default
 # \s is Unicode-aware and would also split on NBSP etc., silently
-# changing fingerprints vs the column-expression convention
+# changing fingerprints vs the column-expression convention.
+# CAVEAT: the DuckDB oracle's RE2 \s EXCLUDES vertical tab (\x0B)
+# while Java/Python ASCII \s include it -- a document containing \x0B
+# would tokenize differently across engines. The testdata corpora are
+# \x0B-free (asserted by the oracle gate passing); an engine ingesting
+# arbitrary bytes should normalize \x0B out upstream or pin the
+# explicit class [ \t\n\x0B\f\r]+ on BOTH sides.
 _ASCII_WS = _re.compile(r"\s+", _re.ASCII)
 
 
