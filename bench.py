@@ -191,6 +191,10 @@ def scale_evidence(spark, sf_dir, queries, timings, n_runs):
             knn_bits_for, knn_graph)
 
         n1 = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        # size from the GENERATED corpus's actual count, not 10*n1: if
+        # the generator's planting ratio ever changes, an assumed count
+        # would quietly measure a mis-sized signature config
+        n10 = spark.read.parquet(f"{d}/embeddings.parquet").count()
         best_1x = best = float("inf")
         for _ in range(min(n_runs, 2)):
             t0 = time.time()
@@ -198,12 +202,14 @@ def scale_evidence(spark, sf_dir, queries, timings, n_runs):
                 "noop").mode("overwrite").save()
             best_1x = min(best_1x, time.time() - t0)
             t0 = time.time()
-            knn_graph(spark, d, bits=knn_bits_for(10 * n1)).write.format(
+            knn_graph(spark, d, bits=knn_bits_for(n10)).write.format(
                 "noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         out["knn_graph_sized_10x_sec"] = round(best, 3)
         if best_1x > 0:
             out["knn_graph_sized_scale_ratio_10x"] = round(best / best_1x, 2)
+
+        out.update(append_scale_evidence(spark, sf_dir, d, n_runs))
     finally:
         shutil.rmtree(d, ignore_errors=True)
         # drop the matview / index tables materialized for the
@@ -212,6 +218,90 @@ def scale_evidence(spark, sf_dir, queries, timings, n_runs):
         import hashlib
 
         tag = hashlib.md5(d.encode()).hexdigest()[:8]
+        here = os.path.dirname(os.path.abspath(__file__))
+        for p in glob.glob(
+            os.path.join(here, "spark-warehouse", "matview", f"*_{tag}")
+        ):
+            shutil.rmtree(p, ignore_errors=True)
+    return out
+
+
+APPEND_BATCH = 200  # the steady-state micro-batch an index serves
+
+
+def append_scale_evidence(spark, sf_dir, d10, n_runs):
+    """Index-lifecycle mutations at 10x: appending a FIXED-size batch
+    to the persisted LSH and IVF-PQ indexes must cost ~the same against
+    a 10x archive as against 1x (the incremental contract: sign/encode
+    only the batch, anti-join the archive's id column, append parquet
+    -- nothing re-reads archive vectors). Ratio ~1 is the pass shape;
+    ~10 would mean the append secretly re-processes the archive.
+
+    The 1x archive is a THROWAWAY copy of the corpus: appends mutate
+    the persisted matview, and appending synthetic rows to the real
+    corpus's index would desync it from the embeddings table the
+    DuckDB oracles recompute from. Each timed run appends a DISTINCT
+    id range -- the appends are idempotent, so re-appending the same
+    ids would time the skip path, not the write."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.pq import (
+        pq_append, pq_build)
+    from selfhosted_rag_doc_chat_prototype_spark.operators.similarity import (
+        lsh_append, lsh_build)
+
+    out = {}
+    d1 = tempfile.mkdtemp(prefix="sparkgraft_scale1x_")
+    try:
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").write.parquet(
+            f"{d1}/embeddings.parquet"
+        )
+        # untimed: build both archives' indexes (batch index build)
+        lsh_build(spark, d1)
+        lsh_build(spark, d10)
+        pq_build(spark, d1)
+        pq_build(spark, d10)
+
+        batch_base = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .limit(APPEND_BATCH).cache()
+        )
+        batch_base.count()
+
+        for name, append_fn in [
+            ("lsh_append", lsh_append),
+            ("pq_append", pq_append),
+        ]:
+            best_1x = best = float("inf")
+            for r in range(min(n_runs, 2)):
+                for tag_dir, offset, record in [
+                    (d1, 90_000_000 + r * 10_000, "1x"),
+                    (d10, 95_000_000 + r * 10_000, "10x"),
+                ]:
+                    batch = batch_base.select(
+                        (F.col("vec_id") + offset).alias("vec_id"),
+                        "label", "embedding",
+                    )
+                    t0 = time.time()
+                    append_fn(spark, tag_dir, batch)
+                    dt = time.time() - t0
+                    if record == "1x":
+                        best_1x = min(best_1x, dt)
+                    else:
+                        best = min(best, dt)
+            out[f"{name}_10x_sec"] = round(best, 3)
+            if best_1x > 0:
+                out[f"{name}_scale_ratio_10x"] = round(best / best_1x, 2)
+        batch_base.unpersist()
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        import glob
+        import hashlib
+
+        tag = hashlib.md5(d1.encode()).hexdigest()[:8]
         here = os.path.dirname(os.path.abspath(__file__))
         for p in glob.glob(
             os.path.join(here, "spark-warehouse", "matview", f"*_{tag}")
