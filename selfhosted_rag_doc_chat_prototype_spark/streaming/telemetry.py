@@ -174,55 +174,124 @@ def stateful_user_stats(events: DataFrame, timeout: str = "NoTimeout") -> DataFr
     )
 
 
-def funnel_stateful(events: DataFrame) -> DataFrame:
+def _fold_funnel(t1, t2, t3, rows):
+    """Advance the funnel (t1=first view, t2=first click after t1,
+    t3=first purchase after t2) through (ts, event_type) rows that MUST
+    already be in event-time order. NaT/NULL ts are skipped -- the
+    batch twin's min(when(...)) ignores NULLs, and a NaT locked in as
+    t1 would poison every later comparison (NaT > x is always False)."""
+    import pandas as pd
+
+    for ts, et in rows:
+        if pd.isna(ts):
+            continue
+        if et == "view" and t1 is None:
+            t1 = ts
+        elif et == "click" and t1 is not None and t2 is None and ts > t1:
+            t2 = ts
+        elif et == "purchase" and t2 is not None and t3 is None and ts > t2:
+            t3 = ts
+    return t1, t2, t3
+
+
+def funnel_stateful(events: DataFrame, ordered: bool = True,
+                    delay: str = "2 hours") -> DataFrame:
     """Streaming twin of the batch conversion funnel
     (``analytics.funnel_view_click_purchase``): keyed state per user
-    carries the first-touch step times (t1=view, t2=first click after
-    t1, t3=first purchase after t2); each update emits the user's
-    current snapshot with the reached step. Greedy in-event-time-order
-    advancement equals the batch correlated-min semantics whenever a
-    user's events arrive time-ordered ACROSS micro-batches (within a
-    batch they are sorted here); late cross-batch arrivals follow
-    standard streaming-funnel first-touch semantics -- an earlier view
-    surfacing after a later one was locked in does not rewrite
-    history. State is three timestamps per user: bounded."""
+    carries the first-touch step times; each update emits the user's
+    current snapshot with the reached step.
+
+    ``ordered=True`` (default): greedy in-event-time-order advancement
+    -- equals the batch correlated-min semantics whenever a user's
+    events arrive time-ordered ACROSS micro-batches (within a batch
+    they are sorted here); late cross-batch arrivals follow standard
+    streaming-funnel first-touch semantics (an earlier view surfacing
+    after a later one was locked in does not rewrite history). State
+    is three timestamps per user: bounded.
+
+    ``ordered=False``: watermark-delayed -- per-user events BUFFER in
+    state until the watermark (``delay`` behind max event time) passes
+    them, and only then fold into the committed step times, in event-
+    time order; each emission is the committed fold extended
+    provisionally through the still-buffered tail. Stream-equals-batch
+    then holds under ARBITRARY micro-batch reordering of events no
+    later than ``delay`` (the normal out-of-order case), at the cost
+    of state linear in each user's events inside the watermark window
+    -- the standard completeness-vs-state trade, chosen per funnel."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = ("user_id long, t1 timestamp, t2 timestamp, "
                   "t3 timestamp, step int")
-    state_schema = "t1 timestamp, t2 timestamp, t3 timestamp"
 
-    def update(key, pdfs, state: GroupState):
-        t1, t2, t3 = state.get if state.exists else (None, None, None)
-        parts = [pdf[["ts", "event_type"]] for pdf in pdfs]
-        rows = (
-            pd.concat(parts).sort_values("ts")
-            if parts else pd.DataFrame(columns=["ts", "event_type"])
-        )
-        for ts, et in zip(rows["ts"], rows["event_type"]):
-            if pd.isna(ts):
-                # the batch twin's min(when(...)) ignores NULL ts; a
-                # NaT locked in as t1 would poison every later
-                # comparison (NaT > x is always False)
-                continue
-            if et == "view" and t1 is None:
-                t1 = ts
-            elif et == "click" and t1 is not None and t2 is None and ts > t1:
-                t2 = ts
-            elif (et == "purchase" and t2 is not None and t3 is None
-                  and ts > t2):
-                t3 = ts
-        state.update((t1, t2, t3))
+    def snapshot(key, t1, t2, t3):
         step = 3 if t3 is not None else 2 if t2 is not None else (
             1 if t1 is not None else 0)
-        yield pd.DataFrame({
+        return pd.DataFrame({
             "user_id": [key[0]], "t1": [t1], "t2": [t2], "t3": [t3],
             "step": [step],
         })
 
-    return events.groupBy("user_id").applyInPandasWithState(
-        update, out_schema, state_schema, "update",
+    if ordered:
+        state_schema = "t1 timestamp, t2 timestamp, t3 timestamp"
+
+        def update(key, pdfs, state: GroupState):
+            t1, t2, t3 = state.get if state.exists else (None, None, None)
+            parts = [pdf[["ts", "event_type"]] for pdf in pdfs]
+            rows = (
+                pd.concat(parts).sort_values("ts")
+                if parts else pd.DataFrame(columns=["ts", "event_type"])
+            )
+            t1, t2, t3 = _fold_funnel(
+                t1, t2, t3, zip(rows["ts"], rows["event_type"])
+            )
+            state.update((t1, t2, t3))
+            yield snapshot(key, t1, t2, t3)
+
+        return events.groupBy("user_id").applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+    state_schema = ("t1 timestamp, t2 timestamp, t3 timestamp, "
+                    "buf_ts array<timestamp>, buf_et array<string>")
+    src = events.withWatermark("ts", delay) if events.isStreaming else events
+
+    def update_delayed(key, pdfs, state: GroupState):
+        t1, t2, t3, buf_ts, buf_et = (
+            state.get if state.exists else (None, None, None, [], [])
+        )
+        buf = [
+            (pd.Timestamp(ts), et)
+            for ts, et in zip(buf_ts or [], buf_et or [])
+        ]
+        for pdf in pdfs:
+            buf.extend(
+                (ts, et) for ts, et in zip(pdf["ts"], pdf["event_type"])
+                if not pd.isna(ts)
+            )
+        buf.sort(key=lambda r: r[0])
+        try:
+            wm_ms = state.getCurrentWatermarkMs()
+        except Exception:
+            wm_ms = 0
+        wm = pd.Timestamp(wm_ms, unit="ms") if wm_ms > 0 else None
+        if wm is not None:
+            ripe = [r for r in buf if r[0] <= wm]
+            buf = [r for r in buf if r[0] > wm]
+            t1, t2, t3 = _fold_funnel(t1, t2, t3, ripe)
+        state.update((
+            t1, t2, t3,
+            [r[0] for r in buf], [r[1] for r in buf],
+        ))
+        # provisional fold through the buffered tail: the emission
+        # reflects everything seen so far in event-time order, while
+        # committed state stays replay-safe behind the watermark
+        p1, p2, p3 = _fold_funnel(t1, t2, t3, buf)
+        yield snapshot(key, p1, p2, p3)
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        update_delayed, out_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout,
     )
 

@@ -471,3 +471,65 @@ def test_funnel_stateful_equals_batch(spark, sf_dir, tmp_path):
     for u, (b1, b2, b3) in want.items():
         s = final[u]
         assert (s.t1, s.t2, s.t3) == (b1, b2, b3), f"user {u} diverges"
+
+
+def test_funnel_delayed_equals_batch_under_reordering(spark, sf_dir, tmp_path):
+    """The watermark-delayed funnel must equal the batch correlated-min
+    funnel under ARBITRARY micro-batch reordering: events are split
+    into files by hash parity (each user's events scattered across
+    batches out of time order), where the ordered variant's first-touch
+    greedy lock-in would diverge."""
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    d = str(tmp_path / "funnel_shuffled")
+    # deterministic scatter: parity of md5(ts) splits each user's
+    # timeline across the two micro-batches
+    parts = ev.withColumn(
+        "bucket", F.conv(F.substring(F.md5(F.col("ts").cast("string")), 1, 2),
+                         16, 10).cast("int") % 2
+    )
+    parts.filter("bucket = 0").drop("bucket").coalesce(1).write.mode(
+        "append").parquet(d)
+    parts.filter("bucket = 1").drop("bucket").coalesce(1).write.mode(
+        "append").parquet(d)
+
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, ts timestamp"
+    ).option("maxFilesPerTrigger", 1).parquet(d)
+    q = (
+        telemetry.funnel_stateful(stream, ordered=False, delay="365 days")
+        .writeStream.format("memory")
+        .queryName("funnel_delayed")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT user_id, t1, t2, t3, step FROM funnel_delayed"
+    ).collect()
+    final = {}
+    for r in rows:
+        if r.user_id not in final or r.step >= final[r.user_id].step:
+            final[r.user_id] = r
+
+    w1 = F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+    per = ev.groupBy("user_id").agg(w1.alias("t1"))
+    ev2 = ev.join(per, "user_id")
+    t2 = ev2.filter((F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t1"))).groupBy("user_id").agg(
+        F.min("ts").alias("t2"))
+    ev3 = ev2.join(t2, "user_id", "left")
+    t3 = ev3.filter((F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2"))).groupBy("user_id").agg(
+        F.min("ts").alias("t3"))
+    want = {
+        r.user_id: (r.t1, r.t2, r.t3)
+        for r in per.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left").collect()
+    }
+    assert set(final) == set(want)
+    for u, (b1, b2, b3) in want.items():
+        s = final[u]
+        assert (s.t1, s.t2, s.t3) == (b1, b2, b3), f"user {u} diverges"
