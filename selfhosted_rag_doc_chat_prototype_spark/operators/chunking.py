@@ -141,6 +141,77 @@ def chunk_word_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_chunks(docs, "text", ["doc_id"], budget=48, overlap=8)
 
 
+def token_budget_chunks_bpe(
+    df: DataFrame, text_col: str, id_cols: list[str],
+    budget: int = 512, overlap: int = 50, merges_path: str | None = None,
+) -> DataFrame:
+    """T5 with a REAL tokenizer in the slot: encode each document with
+    the pinned merge-table BPE (``functions/bpe.py``), slide (budget,
+    overlap) windows in TOKEN space, decode each window back to text
+    -- the reference's ``make_chunk`` loop (text_processor.py:188-234)
+    with the committed local tokenizer instead of a network-downloaded
+    HF one. Arrow-batched ``mapInPandas`` fan-out, map-only; the merge
+    table loads once per executor task from the packaged fixture."""
+    import os
+
+    from ..functions.bpe import BPETokenizer
+
+    step = budget - overlap
+    assert step > 0
+    if merges_path is None:
+        merges_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "functions", "bpe_merges.json",
+        )
+
+    def gen(batches):
+        tok = BPETokenizer.load(merges_path)
+        for pdf in batches:
+            rows = []
+            for vals in pdf.itertuples(index=False):
+                rec = vals._asdict()
+                toks = tok.encode(rec[text_col] or "")
+                if not toks:
+                    continue
+                idx = 0
+                for s in range(0, len(toks), step):
+                    window = toks[s:s + budget]
+                    text = (
+                        "".join(window).replace("</w>", " ").strip()
+                    )
+                    rows.append(
+                        tuple(rec[c] for c in id_cols)
+                        + (idx, text, len(window))
+                    )
+                    idx += 1
+            yield pd.DataFrame(
+                rows,
+                columns=[*id_cols, "chunk_index", "chunk", "n_chunk_tokens"],
+            )
+
+    id_schema = ", ".join(
+        f"{c} {dict(df.dtypes)[c]}" for c in id_cols
+    )
+    return df.select(*id_cols, text_col).mapInPandas(
+        gen,
+        f"{id_schema}, chunk_index int, chunk string, n_chunk_tokens int",
+    )
+
+
+def chunk_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered real-tokenizer T5 (48/8 like ``chunk_word_budget``).
+    FULL oracle: the pinned tokenizer covers every corpus pre-token
+    (trained to convergence -- asserted in tests/test_bpe_budget.py),
+    so token windows coincide with pre-token windows and the SQL twin
+    is the same window algebra as ``chunk_word_budget``; on an
+    open-vocabulary corpus the two entries would diverge, which is
+    exactly the coverage condition the BPE fixture documents."""
+    docs = table(spark, sf_dir, "documents")
+    return token_budget_chunks_bpe(
+        docs, "text", ["doc_id"], budget=48, overlap=8
+    )
+
+
 # --------------------------------------------------------------------------
 # T4: hierarchical Markdown splitter (pure function + mapInPandas fan-out)
 # --------------------------------------------------------------------------
@@ -263,6 +334,7 @@ def chunk_markdown_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "chunk_sliding_window": chunk_sliding_window,
     "chunk_word_budget": chunk_word_budget,
+    "chunk_token_budget_bpe": chunk_token_budget_bpe,
     "chunk_markdown_docs": chunk_markdown_docs,
 }
 
@@ -302,3 +374,6 @@ def _chunk_word_budget_sql() -> str:
 
 
 ORACLE["chunk_word_budget"] = _chunk_word_budget_sql()
+# identical window algebra: under full vocab coverage the real-BPE
+# token stream IS the pre-token stream (see chunk_token_budget_bpe)
+ORACLE["chunk_token_budget_bpe"] = _chunk_word_budget_sql()

@@ -16,7 +16,8 @@ from selfhosted_rag_doc_chat_prototype_spark.operators.chunking import (
     token_budget_chunks,
 )
 
-FIXTURE = "/root/repo/tests/fixtures/bpe_merges.json"
+FIXTURE = ("/root/repo/selfhosted_rag_doc_chat_prototype_spark/functions/"
+           "bpe_merges.json")
 
 
 @pytest.fixture(scope="module")
@@ -84,3 +85,19 @@ def test_encode_roundtrips_spaced_text(tok):
     text = "key agg row scan slow fast"
     toks = tok.encode(text)
     assert " ".join(t.replace("</w>", "") for t in toks if t != "</w>") == text
+
+
+def test_bpe_chunker_equals_pretoken_chunker_under_coverage(spark, sf_dir):
+    """On a fully-covered corpus the real-BPE chunker and the
+    pre-token chunker must agree row for row (the coverage condition
+    made executable); each emitted chunk re-counts within budget."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.chunking import (
+        chunk_token_budget_bpe,
+        chunk_word_budget,
+    )
+
+    a = {(r.doc_id, r.chunk_index): (r.chunk, r.n_chunk_tokens)
+         for r in chunk_token_budget_bpe(spark, sf_dir).collect()}
+    b = {(r.doc_id, r.chunk_index): (r.chunk, r.n_chunk_tokens)
+         for r in chunk_word_budget(spark, sf_dir).collect()}
+    assert a == b and a

@@ -26,7 +26,8 @@ SF_DIRS = [
     "/root/testdata/sf0.01",
     "/root/testdata/sf0.1",
 ]
-OUT = "/root/repo/tests/fixtures/bpe_merges.json"
+OUT = ("/root/repo/selfhosted_rag_doc_chat_prototype_spark/functions/"
+       "bpe_merges.json")
 
 
 def main() -> int:
