@@ -110,9 +110,11 @@ AUDIT = [
     (
         "dedup_connected_components",
         "Near-dup clustering: LSH candidate edges only (no all-pairs); "
-        "edges and labels are cached, so each propagation round is one "
-        "equi-join of the in-memory edge set + a map-side-combined min "
-        "aggregate -- the corpus is scanned once, not per round.",
+        "each round is one equi-join of the cached edge set + a "
+        "map-side-combined min aggregate + the pointer-jump self-join, "
+        "ending in an eager localCheckpoint that truncates the logical "
+        "lineage (the self-join would otherwise double the plan per "
+        "round) -- the corpus is scanned once, not per round.",
     ),
     (
         "corpus_sample_split",
@@ -310,6 +312,26 @@ AUDIT = [
         "anns_recall_report",
         "Both legs are the registered retrieval plans; the compare "
         "join and per-query aggregate run on Q*k rows.",
+    ),
+    (
+        "anns_ivf_topk",
+        "IVF serve from the persisted matview: centroid table "
+        "(~sqrt(N) rows) broadcast for cell ranking, probe list "
+        "broadcast back into the cell equi-join against the stored "
+        "assignments -- candidate scoring reads ~probe_fraction of "
+        "the corpus, no training, no corpus count at query time.",
+    ),
+    (
+        "chunk_markdown_reference",
+        "Reference-parity markdown chunking is one Arrow mapInPandas "
+        "fan-out over the pruned (doc_id, text) scan -- map-only, the "
+        "per-document splitter is a pure function, no driver loop.",
+    ),
+    (
+        "chunk_token_budget_bpe",
+        "Real-BPE token-window chunking: merge-table encode + window "
+        "slicing inside one Arrow map stage; no shuffle below the "
+        "scan spread.",
     ),
 ]
 
