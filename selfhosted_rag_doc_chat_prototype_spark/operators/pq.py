@@ -450,92 +450,14 @@ QUERIES = {
 }
 
 
-def _pq_oracle_sql() -> str:
-    """Oracle twin of the persisted-index IVF-PQ probe (see
-    ``anns_ivf_topk``'s twin for the glob + corpus_key mechanism).
-    ADC scoring uses the identity ``sum_j LUT[j][code_j] == <qv,
-    reconstruction>``: the codebooks collapse to ONE ordered list
-    (``cbl``), each candidate's quantized reconstruction is a
-    flatten-of-lookups over its code array, and the score is a single
-    dot product -- mathematically the Spark fold, in relational form.
-    Shortlist (k * refine_factor by ADC) then exact cosine rerank from
-    the assignments table, exactly :func:`pq_probe`."""
-    import os
+# the oracle twin lives in operators/similarity.py (the recall report
+# embeds it and tests parametrize over that module's ORACLE); assert
+# the parameters stayed in sync before re-exporting it
+from .similarity import PQ_ORACLE_PARAMS, ivfpq_oracle_sql  # noqa: E402
 
-    from .similarity import (
-        CORPUS_KEY_SQL,
-        IVF_PROBE_FRACTION,
-        TOP_K,
-        matview_root,
-    )
+assert PQ_ORACLE_PARAMS == (PQ_M, PQ_K, PQ_REFINE_FACTOR), (
+    "IVF-PQ oracle parameters diverged from the operator's: "
+    f"{PQ_ORACLE_PARAMS} != {(PQ_M, PQ_K, PQ_REFINE_FACTOR)}"
+)
 
-    cb_glob = os.path.join(matview_root(), f"pq_cb2_{PQ_M}x{PQ_K}_*", "*.parquet")
-    code_glob = os.path.join(matview_root(), f"pq_code2_{PQ_M}x{PQ_K}_*", "*.parquet")
-    cent_glob = os.path.join(matview_root(), "ivf_cent2_*", "*.parquet")
-    asg_glob = os.path.join(matview_root(), "ivf_asg2_*", "*.parquet")
-    shortlist = TOP_K * PQ_REFINE_FACTOR
-    return f"""
-        WITH ck AS (SELECT {CORPUS_KEY_SQL} AS k),
-        cent AS (
-            SELECT cell, centroid FROM read_parquet('{cent_glob}')
-            WHERE corpus_key = (SELECT k FROM ck)
-        ),
-        assign AS (
-            SELECT vec_id, v FROM read_parquet('{asg_glob}')
-            WHERE corpus_key = (SELECT k FROM ck)
-        ),
-        cb AS (
-            SELECT j, c, centroid FROM read_parquet('{cb_glob}')
-            WHERE corpus_key = (SELECT k FROM ck)
-        ),
-        cbl AS (SELECT list(centroid ORDER BY j * {PQ_K} + c) AS cbs FROM cb),
-        codes AS (
-            SELECT vec_id, cell, code FROM read_parquet('{code_glob}')
-            WHERE corpus_key = (SELECT k FROM ck)
-        ),
-        q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-              FROM embeddings WHERE vec_id < {N_QUERIES}),
-        np AS (SELECT greatest(1, CAST(trunc(count(*) * {IVF_PROBE_FRACTION})
-                                       AS INT)) AS n
-               FROM cent),
-        probes AS (
-            SELECT query_id, qv, cell FROM (
-                SELECT q.query_id, q.qv, c.cell,
-                       row_number() OVER (PARTITION BY q.query_id
-                           ORDER BY list_distance(q.qv, c.centroid) ASC,
-                                    c.cell ASC) AS pr
-                FROM q, cent c)
-            WHERE pr <= (SELECT n FROM np)
-        ),
-        adc AS (
-            SELECT p.query_id, p.qv, t.vec_id AS neighbor_id,
-                   list_dot_product(p.qv,
-                       flatten(list_transform(range({PQ_M}), j ->
-                           l.cbs[j * {PQ_K} + t.code[j + 1] + 1]))
-                   ) AS adc_score
-            FROM probes p
-            JOIN codes t ON t.cell = p.cell AND t.vec_id <> p.query_id,
-            cbl l
-        ),
-        shortlist AS (
-            SELECT query_id, qv, neighbor_id
-            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                      ORDER BY adc_score DESC, neighbor_id ASC) AS r
-                  FROM adc)
-            WHERE r <= {shortlist}
-        ),
-        exact AS (
-            SELECT s.query_id, s.neighbor_id,
-                   list_cosine_similarity(s.qv, a.v) AS cos_raw
-            FROM shortlist s JOIN assign a ON a.vec_id = s.neighbor_id
-        )
-        SELECT query_id, neighbor_id,
-               CAST(row_number() OVER (PARTITION BY query_id
-                   ORDER BY cos_raw DESC, neighbor_id ASC) AS INTEGER) AS rank,
-               round(cos_raw, 4) AS cos_sim
-        FROM exact
-        QUALIFY rank <= {TOP_K}
-    """
-
-
-ORACLE: dict = {"anns_ivfpq_topk": _pq_oracle_sql()}
+ORACLE: dict = {"anns_ivfpq_topk": ivfpq_oracle_sql()}

@@ -386,15 +386,19 @@ def anns_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def anns_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-quality observable: per-(strategy, query) recall@``TOP_K``
-    of each approximate serve path (full-table LSH and half-table
-    multiprobe) against the exact top-k -- the number an index
+    of each approximate serve path (full-table LSH, half-table
+    multiprobe, IVF, and IVF-PQ) against the exact top-k -- the number an index
     operator watches when tuning bits/tables/probes (the recall floor
     the tests assert, surfaced as a queryable report instead of a test
     side effect). Every leg is a registered retrieval plan; the
     compare joins and per-query aggregates run on O(Q * k) rows."""
+    from .pq import anns_ivfpq_topk  # runtime import: pq imports us
+
     legs = [
         ("lsh", anns_lsh_bucketed(spark, sf_dir)),
         ("lsh_multiprobe", anns_lsh_multiprobe(spark, sf_dir)),
+        ("ivf", anns_ivf_topk(spark, sf_dir)),
+        ("ivfpq", anns_ivfpq_topk(spark, sf_dir)),
     ]
     # ONE exact leg: tag it with every strategy via a map-side explode
     # and left-join the unioned approximate legs -- joining each leg
@@ -1790,4 +1794,118 @@ ORACLE["anns_ivf_topk"] = f"""
            round(cos_raw, 4) AS cos_sim
     FROM scored
     QUALIFY rank <= {TOP_K}
+"""
+
+# the IVF-PQ twin lives here (not operators/pq.py) because the recall
+# report below embeds it and tests parametrize over THIS module's
+# ORACLE; pq.py re-exports it and asserts the parameter sync
+PQ_ORACLE_PARAMS = (16, 16, 6)  # (m, k, refine_factor) == pq.py's
+
+
+def ivfpq_oracle_sql() -> str:
+    """Oracle twin of the persisted-index IVF-PQ probe (see
+    ``anns_ivf_topk``'s twin for the glob + corpus_key mechanism).
+    ADC scoring uses the identity ``sum_j LUT[j][code_j] == <qv,
+    reconstruction>``: the codebooks collapse to ONE ordered list
+    (``cbl``), each candidate's quantized reconstruction is a
+    flatten-of-lookups over its code array, and the score is a single
+    dot product -- mathematically the Spark fold, in relational form.
+    Shortlist (k * refine_factor by ADC) then exact cosine rerank from
+    the assignments table, exactly ``pq.pq_probe``."""
+    m, k, refine = PQ_ORACLE_PARAMS
+    cb_glob = _os.path.join(matview_root(), f"pq_cb2_{m}x{k}_*", "*.parquet")
+    code_glob = _os.path.join(
+        matview_root(), f"pq_code2_{m}x{k}_*", "*.parquet")
+    cent_glob = _os.path.join(matview_root(), "ivf_cent2_*", "*.parquet")
+    asg_glob = _os.path.join(matview_root(), "ivf_asg2_*", "*.parquet")
+    shortlist = TOP_K * refine
+    return f"""
+        WITH ck AS (SELECT {CORPUS_KEY_SQL} AS k),
+        cent AS (
+            SELECT cell, centroid FROM read_parquet('{cent_glob}')
+            WHERE corpus_key = (SELECT k FROM ck)
+        ),
+        assign AS (
+            SELECT vec_id, v FROM read_parquet('{asg_glob}')
+            WHERE corpus_key = (SELECT k FROM ck)
+        ),
+        cb AS (
+            SELECT j, c, centroid FROM read_parquet('{cb_glob}')
+            WHERE corpus_key = (SELECT k FROM ck)
+        ),
+        cbl AS (SELECT list(centroid ORDER BY j * {k} + c) AS cbs FROM cb),
+        codes AS (
+            SELECT vec_id, cell, code FROM read_parquet('{code_glob}')
+            WHERE corpus_key = (SELECT k FROM ck)
+        ),
+        q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < {N_QUERIES}),
+        np AS (SELECT greatest(1, CAST(trunc(count(*) * {IVF_PROBE_FRACTION})
+                                       AS INT)) AS n
+               FROM cent),
+        probes AS (
+            SELECT query_id, qv, cell FROM (
+                SELECT q.query_id, q.qv, c.cell,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY list_distance(q.qv, c.centroid) ASC,
+                                    c.cell ASC) AS pr
+                FROM q, cent c)
+            WHERE pr <= (SELECT n FROM np)
+        ),
+        adc AS (
+            SELECT p.query_id, p.qv, t.vec_id AS neighbor_id,
+                   list_dot_product(p.qv,
+                       flatten(list_transform(range({m}), j ->
+                           l.cbs[j * {k} + t.code[j + 1] + 1]))
+                   ) AS adc_score
+            FROM probes p
+            JOIN codes t ON t.cell = p.cell AND t.vec_id <> p.query_id,
+            cbl l
+        ),
+        shortlist AS (
+            SELECT query_id, qv, neighbor_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY adc_score DESC, neighbor_id ASC) AS r
+                  FROM adc)
+            WHERE r <= {shortlist}
+        ),
+        exact AS (
+            SELECT s.query_id, s.neighbor_id,
+                   list_cosine_similarity(s.qv, a.v) AS cos_raw
+            FROM shortlist s JOIN assign a ON a.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_raw DESC, neighbor_id ASC) AS INTEGER) AS rank,
+               round(cos_raw, 4) AS cos_sim
+        FROM exact
+        QUALIFY rank <= {TOP_K}
+    """
+
+
+# extend the recall report's oracle with the two persisted-index legs:
+# each standalone top-k twin drops in as a derived table (DuckDB
+# allows a WITH inside a subquery), joined against the shared `brute`
+# CTE exactly like the LSH legs
+ORACLE["anns_recall_report"] = ORACLE["anns_recall_report"].rstrip() + f"""
+    UNION ALL
+    SELECT 'ivf', b.query_id,
+           CAST(count(*) AS INTEGER),
+           CAST(count(l.neighbor_id) AS INTEGER),
+           round(count(l.neighbor_id)::DOUBLE / count(*), 4)
+    FROM brute b
+    LEFT JOIN (SELECT query_id, neighbor_id
+               FROM ({ORACLE["anns_ivf_topk"]})) l
+           ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+    GROUP BY b.query_id
+    UNION ALL
+    SELECT 'ivfpq', b.query_id,
+           CAST(count(*) AS INTEGER),
+           CAST(count(l.neighbor_id) AS INTEGER),
+           round(count(l.neighbor_id)::DOUBLE / count(*), 4)
+    FROM brute b
+    LEFT JOIN (SELECT query_id, neighbor_id
+               FROM ({ivfpq_oracle_sql()})) l
+           ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+    GROUP BY b.query_id
 """
