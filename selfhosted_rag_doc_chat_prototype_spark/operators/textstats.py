@@ -434,8 +434,53 @@ def vocab_top_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAIR_TOP = 50
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep, pair level: the FIRST BPE merge round's adjacent
+    symbol-pair frequencies at corpus scale -- the distributed half of
+    ``functions/bpe.py``'s driver-side trainer (which runs this same
+    statistic per round on its in-memory vocab). At 100 TB a tokenizer
+    build re-runs this query per merge on the re-segmented word table;
+    round one over raw characters is the expensive, corpus-shaped one.
+
+    Scale shape: the corpus-sized step is ONE word-frequency hash
+    aggregate (map-side combine); pair explosion then runs on the
+    DISTINCT word table (vocabulary-sized, not corpus-sized) weighted
+    by frequency, and the top cut is TakeOrderedAndProject. The char
+    array is let-bound so the interpreted pair lambda does not
+    re-evaluate the regexp per element."""
+    docs = rebalance(table(spark, sf_dir, "documents"))
+    words = docs.select(
+        F.explode(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).alias("w")
+    )
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = tq.let(
+        F.concat(
+            F.regexp_extract_all("w", F.lit("."), 0),
+            F.array(F.lit("</w>")),
+        ),
+        lambda c: F.transform(
+            F.sequence(F.lit(1), F.size(c) - 1),
+            lambda i: F.struct(
+                F.element_at(c, i).alias("a"),
+                F.element_at(c, i + F.lit(1)).alias("b"),
+            ),
+        ),
+    )
+    return (
+        wf.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+        .limit(PAIR_TOP)
+    )
+
+
 QUERIES = {
     "vocab_top_coverage": vocab_top_coverage,
+    "bpe_pair_counts": bpe_pair_counts,
     "corpus_sample_split": corpus_sample_split,
     "text_token_stats": text_token_stats,
     "text_quality_flags": text_quality_flags,
@@ -457,6 +502,27 @@ _LANG_SQL = ", ".join(
 
 
 ORACLE = {
+    "bpe_pair_counts": f"""
+        WITH w AS (
+            SELECT unnest(regexp_extract_all(text, '{BPE_RE}')) AS w
+            FROM documents
+        ),
+        wf AS (SELECT w, count(*) AS freq FROM w GROUP BY w),
+        sy AS (
+            SELECT freq,
+                   list_append(regexp_extract_all(w, '.'), '</w>') AS c
+            FROM wf
+        ),
+        p AS (
+            SELECT c[i] AS a, c[i + 1] AS b, freq
+            FROM sy, unnest(range(1, len(c))) AS t(i)
+        )
+        SELECT a, b, CAST(sum(freq) AS BIGINT) AS pair_count
+        FROM p
+        GROUP BY a, b
+        ORDER BY pair_count DESC, a, b
+        LIMIT {PAIR_TOP}
+    """,
     "top_terms_by_source": f"""
         WITH counts AS (
             SELECT source, u.word,

@@ -101,3 +101,34 @@ def test_bpe_chunker_equals_pretoken_chunker_under_coverage(spark, sf_dir):
     b = {(r.doc_id, r.chunk_index): (r.chunk, r.n_chunk_tokens)
          for r in chunk_word_budget(spark, sf_dir).collect()}
     assert a == b and a
+
+
+def test_pair_counts_query_matches_trainer_round_one(spark, sf_dir):
+    """The distributed pair-count query and the driver-side trainer
+    agree on round-one statistics: the query's top pair count equals
+    the count of the trainer's first chosen merge, and every queried
+    pair count matches a local recount."""
+    import re
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.textstats import (
+        bpe_pair_counts,
+    )
+
+    got = {(r.a, r.b): r.pair_count
+           for r in bpe_pair_counts(spark, sf_dir).collect()}
+    assert got
+
+    freqs: dict[str, int] = {}
+    for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        for w in re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", r.text):
+            freqs[w] = freqs.get(w, 0) + 1
+    pairs: dict[tuple, int] = {}
+    for w, f in freqs.items():
+        seq = list(w) + ["</w>"]
+        for a, b in zip(seq, seq[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + f
+    for k, v in got.items():
+        assert pairs[k] == v, k
+    # the trainer's first merge is a maximal-count pair
+    first = train_bpe(freqs, max_merges=1)[0]
+    assert pairs[first] == max(got.values())
