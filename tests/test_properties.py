@@ -212,3 +212,58 @@ def test_winnowing_guarantee_property(pre_a, pre_b, cut_a, cut_b):
     _, fa = winnow_fps_py(doc_a)
     _, fb = winnow_fps_py(doc_b)
     assert set(fa) & set(fb), "shared run lost by winnowing"
+
+
+# ---- BPE tokenizer properties (functions/bpe.py) --------------------------
+
+_WORDS = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1, max_size=12,
+)
+
+
+@given(
+    vocab=st.dictionaries(_WORDS, st.integers(1, 50), min_size=1, max_size=30),
+    text_words=st.lists(_WORDS, min_size=0, max_size=40),
+)
+@settings(max_examples=60, deadline=None)
+def test_pretoken_count_lower_bounds_bpe_count(vocab, text_words):
+    """The T5 budget claim's general direction: a BPE token never
+    crosses a pre-token boundary, so for ANY merge table (here: one
+    trained on an arbitrary unrelated vocab) and ANY text, the real
+    token count is >= the pre-token count -- with equality exactly
+    when every pre-token is covered."""
+    import re
+
+    from selfhosted_rag_doc_chat_prototype_spark.functions.bpe import (
+        BPETokenizer,
+        train_bpe,
+    )
+
+    tok = BPETokenizer(train_bpe(vocab, max_merges=64))
+    text = " ".join(text_words)
+    pre = re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", text)
+    n_real = tok.n_tokens(text)
+    assert n_real >= len(pre)
+    if all(tok.covers(w) for w in pre):
+        assert n_real == len(pre)
+
+
+@given(vocab=st.dictionaries(_WORDS, st.integers(1, 50),
+                             min_size=1, max_size=25))
+@settings(max_examples=40, deadline=None)
+def test_bpe_trains_to_convergence_and_roundtrips(vocab):
+    """Training to convergence covers its own vocab (every trained
+    word encodes to ONE token), training is order-insensitive, and
+    encode is deterministic."""
+    from selfhosted_rag_doc_chat_prototype_spark.functions.bpe import (
+        BPETokenizer,
+        train_bpe,
+    )
+
+    merges = train_bpe(vocab)
+    assert merges == train_bpe(dict(reversed(list(vocab.items()))))
+    tok = BPETokenizer(merges)
+    for w in vocab:
+        assert tok.covers(w), w
+        assert tok.encode(w) == tok.encode(w)
