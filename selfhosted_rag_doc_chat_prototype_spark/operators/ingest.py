@@ -193,10 +193,31 @@ def normalize_stage(
     return flagged.mapInPandas(run, pages.schema)
 
 
-def chunk_stage(pages: DataFrame, max_chars: int = 600) -> DataFrame:
+def chunk_stage(pages: DataFrame, max_chars: int = 600,
+                splitter: str = "spark", budget: int = 512) -> DataFrame:
     """Per-document markdown chunking + reference-parity mmh3 ids +
     passage prefixes, fanned out with mapInPandas. Emits the
-    parquet_chunks schema (sql/schema.sql:18-29)."""
+    parquet_chunks schema (sql/schema.sql:18-29).
+
+    ``splitter="spark"`` (default) uses the engine's char-bounded
+    hierarchical splitter; ``splitter="reference"`` routes through
+    ``mdsplit.split_markdown_doc_parity`` -- the boundary-exact
+    reimplementation of the reference's langchain pipeline -- so chunk
+    TEXT and therefore the mmh3 chunk ids (the reference's dedup key)
+    reproduce the reference byte for byte under the pinned
+    tokenizer."""
+
+    def split_ref(text: str, doc_id: str):
+        from .mdsplit import split_markdown_doc_parity
+
+        chunks, metas = split_markdown_doc_parity(
+            text, rel_path="", budget=budget, document_id=doc_id
+        )
+        return [
+            {"chunk": c, "chunk_index": m["chunk_index"],
+             "page": m["page"]}
+            for c, m in zip(chunks, metas)
+        ]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -205,7 +226,11 @@ def chunk_stage(pages: DataFrame, max_chars: int = 600) -> DataFrame:
                 pdf["path"], pdf["file_type"], pdf["page"], pdf["text"], pdf["doc_id"]
             ):
                 text = text or ""
-                for c in split_markdown(text, max_chars=max_chars):
+                pieces = (
+                    split_ref(text, doc_id) if splitter == "reference"
+                    else split_markdown(text, max_chars=max_chars)
+                )
+                for c in pieces:
                     cid = mmh3_chunk_id(doc_id, c["chunk"])
                     rows.append((
                         cid,
@@ -296,10 +321,13 @@ def ingest_pipeline(
     out_dir: str | None = None,
     normalizer: Callable[[list[str]], list[str]] | None = None,
     embed_model=None,
+    splitter: str = "spark",
 ) -> tuple[DataFrame, DataFrame]:
     """The full DAG. Returns (chunks, embeddings); writes parquet when
     ``out_dir`` is given (atomic job commit replaces the reference's
-    staging-WAL + sentinel finalize)."""
+    staging-WAL + sentinel finalize). ``splitter="reference"`` chunks
+    with the boundary-exact parity splitter (see ``chunk_stage``), so
+    ids match what the reference's producer would have written."""
     # binaryFile scans parallelize by file; a staging dir with fewer
     # files than cores under-splits, starving the (genuinely expensive)
     # per-file OCR/transcription stages -- rebalance only then, since
@@ -316,7 +344,7 @@ def ingest_pipeline(
         "path", "file_type", "doc_id",
         F.col("first_page").alias("page"), F.col("markdown").alias("text"),
     )
-    chunks = chunk_stage(docs_md)
+    chunks = chunk_stage(docs_md, splitter=splitter)
     # O11: content-keyed dedup BEFORE the expensive embed stage;
     # deterministic winner via id (content-addressed, so any row is
     # byte-identical anyway)

@@ -174,3 +174,40 @@ def test_embed_token_budget_guard(spark):
     assert [r.id for r in ok.collect()] == [1]
     viol = bad.collect()
     assert [(r.id, r._n_tokens) for r in viol] == [(2, 300)]
+
+
+def test_chunk_stage_reference_splitter_parity(spark):
+    """chunk_stage(splitter="reference") must emit exactly the chunks
+    (text, index, page) the boundary-exact parity splitter produces,
+    with the reference's mmh3 id scheme -- the end-to-end form of the
+    mdsplit goldens."""
+    from selfhosted_rag_doc_chat_prototype_spark.functions.hashing import (
+        mmh3_chunk_id,
+    )
+    from selfhosted_rag_doc_chat_prototype_spark.operators.mdsplit import (
+        split_markdown_doc_parity,
+    )
+
+    text = (
+        "# Doc\n### [INTERNAL_PAGE_1] inline anchor content\n"
+        + "first page words " * 40
+        + "\n### [INTERNAL_PAGE_2]\n" + "second page words " * 40
+    )
+    doc_id = "DOC_CAFEBABE"
+    pages = spark.createDataFrame(
+        [("f.md", "text", 1, text, doc_id)],
+        "path string, file_type string, page int, text string, doc_id string",
+    )
+    got = sorted(
+        ingest.chunk_stage(pages, splitter="reference").collect(),
+        key=lambda r: r.chunk_index,
+    )
+    chunks, metas = split_markdown_doc_parity(
+        text, rel_path="", document_id=doc_id
+    )
+    assert len(got) == len(chunks) > 2
+    for r, c, m in zip(got, chunks, metas):
+        assert r.chunk == f"passage: [{doc_id}] {c}"
+        assert r.id == mmh3_chunk_id(doc_id, c)
+        assert r.chunk_index == m["chunk_index"]
+        assert r.page == m["page"]

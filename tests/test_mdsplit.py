@@ -2,8 +2,8 @@
 merge-window cases, the reference's own zero-loss invariants, and
 Spark-vs-local agreement. The langchain cross-check test runs only
 where ``langchain_text_splitters`` is importable (not this container;
-``tools/gen_markdown_goldens.py --cross-check`` covers the judge's
-environment)."""
+``tools/gen_markdown_goldens.py`` auto-cross-checks wherever langchain
+is importable)."""
 
 from __future__ import annotations
 
