@@ -324,9 +324,12 @@ def chunk_markdown(df: DataFrame, text_col: str = "text",
 
 
 def chunk_markdown_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Markdown-split the documents corpus (plain text degenerates to a
-    single (root) section per doc -- the plumbing and bounds still
-    apply). Rows-only check: procedural splitter, no SQL oracle."""
+    """Markdown-split the documents corpus. FULL oracle for the corpus
+    shape: plain single-line text degenerates to one (root) section
+    whose zero-loss sub-split is exact 120-char windows, which the SQL
+    twin replays directly; the markdown structure (front matter,
+    headers, anchors) is exercised by unit tests and, boundary-exactly,
+    by the mdsplit parity goldens."""
     docs = table(spark, sf_dir, "documents")
     return chunk_markdown(docs, max_chars=120)
 
@@ -377,3 +380,20 @@ ORACLE["chunk_word_budget"] = _chunk_word_budget_sql()
 # identical window algebra: under full vocab coverage the real-BPE
 # token stream IS the pre-token stream (see chunk_token_budget_bpe)
 ORACLE["chunk_token_budget_bpe"] = _chunk_word_budget_sql()
+# flat-prose corpus shape: one (root) section (python .strip() of the
+# body -- mirrored with an explicit whitespace class), exact 120-char
+# zero-loss windows
+ORACLE["chunk_markdown_docs"] = """
+    WITH d AS (
+        SELECT doc_id,
+               trim(text, ' ' || chr(9) || chr(10) || chr(13)) AS body
+        FROM documents
+    )
+    SELECT doc_id,
+           '(root)' AS section,
+           -1 AS page,
+           CAST(s // 120 AS INTEGER) AS chunk_index,
+           substr(body, CAST(s + 1 AS INTEGER), 120) AS chunk
+    FROM (SELECT * FROM d WHERE length(body) > 0) b,
+         unnest(range(0, length(body), 120)) AS t(s)
+"""
