@@ -85,8 +85,21 @@ class BPETokenizer:
     def __init__(self, merges: list[tuple[str, str]]):
         self.merges = list(merges)
         self.ranks = {tuple(m): i for i, m in enumerate(merges)}
+        # per-word memo: natural text is Zipf-distributed, so the same
+        # few thousand words dominate -- the merge loop runs once per
+        # DISTINCT word per executor task, not once per occurrence
+        self._cache: dict[str, list[str]] = {}
 
     def _encode_word(self, word: str) -> list[str]:
+        hit = self._cache.get(word)
+        if hit is not None:
+            return hit
+        seq = self._encode_word_uncached(word)
+        if len(self._cache) < 1_000_000:  # bound executor memory
+            self._cache[word] = seq
+        return seq
+
+    def _encode_word_uncached(self, word: str) -> list[str]:
         seq = list(word) + [_EOW]
         while len(seq) > 1:
             ranked = [
