@@ -186,3 +186,42 @@ def test_spark_fanout_matches_local(spark, sf_dir):
             )
             n_checked += 1
     assert n_checked == len(got) and n_checked > 0
+
+
+def test_langchain_published_test_vectors():
+    """External validation without the package installed: langchain's
+    own published MarkdownHeaderTextSplitter unit-test vectors
+    (libs/text-splitters tests), replayed against the replica --
+    covers indented headers (lines strip first), '  \\n' same-metadata
+    aggregation, nested-header metadata, and fenced code shielding."""
+    doc1 = ("# Foo\n\n    ## Bar\n\nHi this is Jim\n\nHi this is Joe\n\n"
+            " ## Baz\n\n Hi this is Molly")
+    assert markdown_header_split(
+        doc1, [("#", "Header 1"), ("##", "Header 2")]
+    ) == [
+        ("Hi this is Jim  \nHi this is Joe",
+         {"Header 1": "Foo", "Header 2": "Bar"}),
+        ("Hi this is Molly", {"Header 1": "Foo", "Header 2": "Baz"}),
+    ]
+
+    doc2 = ("# Foo\n\n    ## Bar\n\nHi this is Jim\n\nHi this is Joe\n\n"
+            " ### Boo \n\n Hi this is Lance \n\n ## Baz\n\n"
+            " Hi this is Molly")
+    assert markdown_header_split(
+        doc2, [("#", "Header 1"), ("##", "Header 2"), ("###", "Header 3")]
+    ) == [
+        ("Hi this is Jim  \nHi this is Joe",
+         {"Header 1": "Foo", "Header 2": "Bar"}),
+        ("Hi this is Lance",
+         {"Header 1": "Foo", "Header 2": "Bar", "Header 3": "Boo"}),
+        ("Hi this is Molly", {"Header 1": "Foo", "Header 2": "Baz"}),
+    ]
+
+    doc3 = ("# Foo\n```\nfoo()\n# Not a header\nbar()\n```\n\n"
+            "## Baz\n\nHi this is Molly")
+    assert markdown_header_split(
+        doc3, [("#", "Header 1"), ("##", "Header 2")]
+    ) == [
+        ("```\nfoo()\n# Not a header\nbar()\n```", {"Header 1": "Foo"}),
+        ("Hi this is Molly", {"Header 1": "Foo", "Header 2": "Baz"}),
+    ]
