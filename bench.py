@@ -87,6 +87,15 @@ HEADLINE = [
     # the first (warm-up) call, so best-of-N measures the serve path
     "anns_ivf_topk",
     "anns_ivfpq_topk",
+    # round 4: parity chunkers, tokenizer-prep pair stats, the
+    # 4-strategy recall report, clustering, and the sketch query
+    "chunk_markdown_reference",
+    "chunk_token_budget_bpe",
+    "chunk_word_budget",
+    "bpe_pair_counts",
+    "anns_recall_report",
+    "dedup_connected_components",
+    "sketch_cardinality_quantiles",
 ]
 
 
