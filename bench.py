@@ -265,9 +265,14 @@ def append_scale_evidence(spark, sf_dir, d10, n_runs):
     out = {}
     d1 = tempfile.mkdtemp(prefix="sparkgraft_scale1x_")
     try:
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet").write.parquet(
-            f"{d1}/embeddings.parquet"
-        )
+        # vec_ids shifted so the copy's corpus_key fingerprint DIFFERS
+        # from the real corpus's: a byte-identical copy would stamp its
+        # throwaway matviews with the production key, and a crash
+        # before the finally-cleanup would then permanently alias them
+        # into the IVF/PQ oracles' corpus_key-filtered globs
+        (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+         .withColumn("vec_id", F.col("vec_id") + 50_000_000)
+         .write.parquet(f"{d1}/embeddings.parquet"))
         # untimed: build both archives' indexes (batch index build)
         lsh_build(spark, d1)
         lsh_build(spark, d10)

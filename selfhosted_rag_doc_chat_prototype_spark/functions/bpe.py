@@ -32,7 +32,12 @@ from __future__ import annotations
 import json
 import re
 
-_PRETOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+# textstats.BPE_RE with re.ASCII: python's default \s is Unicode-aware
+# and would diverge from the Java-regex codegen twin on NBSP-class
+# whitespace (the same pitfall textstats._ASCII_WS documents) --
+# without it, a pre-token the distributed counter emits could be one
+# this encoder never sees, silently breaking n_bpe >= n_pretokens
+_PRETOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", re.ASCII)
 _EOW = "</w>"
 
 

@@ -196,13 +196,20 @@ def sketch_cardinality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = ev.join(F.broadcast(sk), "event_type")
     nd = F.countDistinct("user_id")
     n = F.count(F.lit(1))
-    sketch_rank = F.sum((F.col("value") <= F.col("_p95_sketch")).cast("long"))
+    # the returned element occupies the whole rank RANGE
+    # [count(< v) + 1, count(<= v)] (ties collapse to one value); the
+    # contract holds iff that range INTERSECTS the target bracket --
+    # judging count(<= v) alone would flip false on a heavy tie
+    # spanning the quantile even though the sketch met its guarantee
+    lo_rank = F.sum((F.col("value") < F.col("_p95_sketch")).cast("long")) + 1
+    hi_rank = F.sum((F.col("value") <= F.col("_p95_sketch")).cast("long"))
+    tol = 0.002 * n + F.lit(3.0)
     return j.groupBy("event_type").agg(
         nd.alias("n_users_exact"),
         F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_exact"),
         n.alias("n"),
         ((F.abs(F.first("_hll") - nd) / nd) <= 0.08).alias("hll_within_tol"),
-        (F.abs(sketch_rank - 0.95 * n) <= (0.002 * n + F.lit(3.0)))
+        ((lo_rank <= 0.95 * n + tol) & (hi_rank >= 0.95 * n - tol))
         .alias("p95_sketch_in_bracket"),
     )
 

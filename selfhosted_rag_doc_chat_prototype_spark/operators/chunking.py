@@ -380,9 +380,12 @@ ORACLE["chunk_word_budget"] = _chunk_word_budget_sql()
 # identical window algebra: under full vocab coverage the real-BPE
 # token stream IS the pre-token stream (see chunk_token_budget_bpe)
 ORACLE["chunk_token_budget_bpe"] = _chunk_word_budget_sql()
-# flat-prose corpus shape: one (root) section (python .strip() of the
-# body -- mirrored with an explicit whitespace class), exact 120-char
-# zero-loss windows
+# flat-prose corpus shape: one (root) section, exact 120-char
+# zero-loss windows. The trim class covers the ASCII whitespace the
+# corpus can carry; python-side .strip()/splitlines() additionally
+# normalize \x0b/\x0c/NEL/U+2028 and Unicode spaces, so a corpus
+# containing those would need the same normalization mirrored here
+# (same caveat family as textstats._ASCII_WS)
 ORACLE["chunk_markdown_docs"] = """
     WITH d AS (
         SELECT doc_id,

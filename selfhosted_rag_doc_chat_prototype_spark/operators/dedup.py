@@ -782,6 +782,13 @@ def connected_components_labels(
             .filter(F.col("new_label") != F.col("label"))
             .count()
         )
+        # free the superseded checkpoints: new_labels' blocks are
+        # materialized (eager localCheckpoint), so the previous
+        # round's labels and the intermediate prop are dead weight --
+        # without this, max_iters rounds hold ~3x rounds live copies
+        # of the corpus-sized label table in executor storage
+        prop.unpersist()
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -387,8 +387,13 @@ def pq_probe(spark: SparkSession, sf_dir: str, queries: DataFrame,
         # (the registered queries); external id spaces pass False
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = scored.select("query_id", "neighbor_id", adc.alias("adc_score"))
+    # rank on the ROUNDED score: the raw fold's last ~1e-15 differs
+    # between this fold and the oracle's reconstruction dot product
+    # (summation order), and an unrounded cut could shortlist
+    # different near-tied candidates per engine; at 6 decimals ties
+    # collapse and neighbor_id breaks them identically on both sides
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("adc_score"), F.asc("neighbor_id"))
+        F.desc(F.round("adc_score", 6)), F.asc("neighbor_id"))
     if not refine_factor:
         return (
             scored.withColumn("rank", F.row_number().over(w))

@@ -249,14 +249,8 @@ def _lsh_path(sf_dir: str, bits: int, tables: int) -> str:
     import hashlib
     import os
 
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(
-        repo_root, "spark-warehouse", "matview",
-        f"lsh_sig_{bits}x{tables}_{tag}",
-    )
+    return os.path.join(matview_root(), f"lsh_sig_{bits}x{tables}_{tag}")
 
 
 def lsh_build(spark: SparkSession, sf_dir: str,
@@ -1863,9 +1857,12 @@ def ivfpq_oracle_sql() -> str:
             cbl l
         ),
         shortlist AS (
+            -- rounded-score rank mirrors pq_probe: raw float sums
+            -- differ ~1e-15 across engines' summation orders
             SELECT query_id, qv, neighbor_id
             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                      ORDER BY adc_score DESC, neighbor_id ASC) AS r
+                      ORDER BY round(adc_score, 6) DESC,
+                               neighbor_id ASC) AS r
                   FROM adc)
             WHERE r <= {shortlist}
         ),

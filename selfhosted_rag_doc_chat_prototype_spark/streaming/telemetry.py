@@ -255,6 +255,17 @@ def funnel_stateful(events: DataFrame, ordered: bool = True,
 
     state_schema = ("t1 timestamp, t2 timestamp, t3 timestamp, "
                     "buf_ts array<timestamp>, buf_et array<string>")
+    # the ripeness compare pairs SESSION-rendered naive event times
+    # with the epoch-UTC watermark (getCurrentWatermarkMs); they only
+    # measure the same clock under a UTC session -- fail loudly rather
+    # than silently commit still-reorderable events hours early
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00"):
+        raise ValueError(
+            f"funnel_stateful(ordered=False) requires a UTC session "
+            f"timezone (got {tz!r}): buffered event times are "
+            "session-naive while the watermark is epoch-UTC"
+        )
     src = events.withWatermark("ts", delay) if events.isStreaming else events
 
     def update_delayed(key, pdfs, state: GroupState):

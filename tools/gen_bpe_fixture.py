@@ -1,5 +1,7 @@
 """Train and commit the pinned BPE tokenizer fixture for the T5
-budget-guarantee test (``tests/fixtures/bpe_merges.json``).
+budget-guarantee test (packaged at
+``selfhosted_rag_doc_chat_prototype_spark/functions/bpe_merges.json`` so product code
+never reads from tests/).
 
 Trains on the pre-token frequency map of ALL testdata corpora (the
 tokenizer-trained-on-the-serving-corpus scenario), to convergence --
