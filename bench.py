@@ -94,6 +94,7 @@ HEADLINE = [
     "chunk_word_budget",
     "bpe_pair_counts",
     "anns_recall_report",
+    "anns_ivf_filtered_topk",
     "dedup_connected_components",
     "sketch_cardinality_quantiles",
 ]

@@ -958,6 +958,33 @@ def anns_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe(centroids, assigned, queries, n_cells)
 
 
+def anns_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-filtered IVF serve (the IVF twin of
+    ``anns_filtered_topk``'s Qdrant-style pre-filter): the candidate
+    side of the probe is restricted to ``FILTER_LABELS`` BEFORE
+    scoring -- filtered-first, so cell lists shrink with the filter's
+    selectivity instead of post-filtering a full top-k.
+
+    The label lives in the embeddings table and reaches the
+    assignments by a vec_id equi-join here; a production IVF index
+    stores the payload inline with the assignment row (one wider
+    matview column) and skips the join -- this form documents the
+    lookup the inline payload replaces. FULL oracle: the filter
+    mirrors into the candidate CTE of the IVF twin."""
+    centroids, assigned, n_cells = ivf_build(spark, sf_dir)
+    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    allowed = (
+        _vectors(spark, sf_dir)
+        .filter(F.col("label").isin(FILTER_LABELS))
+        .select("vec_id")
+    )
+    return ivf_probe(
+        centroids, assigned.join(allowed, "vec_id"), queries, n_cells
+    )
+
+
 # ---- strategy planner -----------------------------------------------------
 
 BRUTE_FORCE_MAX_PAIRS = 50_000_000  # ~1 CPU-minute of 16-dim dot products
@@ -1240,6 +1267,7 @@ QUERIES = {
     "anns_recall_report": anns_recall_report,
     "anns_grouped_topk": anns_grouped_topk,
     "anns_ivf_topk": anns_ivf_topk,
+    "anns_ivf_filtered_topk": anns_ivf_filtered_topk,
     "hybrid_fusion_topk": hybrid_fusion_topk,
     "sparse_bm25_topk": sparse_bm25_topk,
 }
@@ -1750,7 +1778,16 @@ ORACLE = {
 # always runs before the oracle in the gate, so the matview exists.
 import os as _os  # noqa: E402  (module-local alias for the glob below)
 
-ORACLE["anns_ivf_topk"] = f"""
+
+def _ivf_oracle_sql(filter_labels: list[int] | None = None) -> str:
+    """The IVF probe twin; ``filter_labels`` mirrors the payload
+    pre-filter into the candidate join (anns_ivf_filtered_topk)."""
+    label_join = (
+        "JOIN embeddings e ON e.vec_id = a.vec_id AND e.label IN ("
+        + ", ".join(str(x) for x in filter_labels) + ")"
+        if filter_labels else ""
+    )
+    return f"""
     WITH ck AS (SELECT {CORPUS_KEY_SQL} AS k),
     cent AS (
         SELECT cell, centroid
@@ -1781,6 +1818,7 @@ ORACLE["anns_ivf_topk"] = f"""
                list_cosine_similarity(p.qv, a.v) AS cos_raw
         FROM probes p
         JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        {label_join}
     )
     SELECT query_id, neighbor_id,
            CAST(row_number() OVER (PARTITION BY query_id
@@ -1789,6 +1827,10 @@ ORACLE["anns_ivf_topk"] = f"""
     FROM scored
     QUALIFY rank <= {TOP_K}
 """
+
+
+ORACLE["anns_ivf_topk"] = _ivf_oracle_sql()
+ORACLE["anns_ivf_filtered_topk"] = _ivf_oracle_sql(FILTER_LABELS)
 
 # the IVF-PQ twin lives here (not operators/pq.py) because the recall
 # report below embeds it and tests parametrize over THIS module's
