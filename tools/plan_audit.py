@@ -333,6 +333,13 @@ AUDIT = [
         "slicing inside one Arrow map stage; no shuffle below the "
         "scan spread.",
     ),
+    (
+        "anns_ivf_filtered_topk",
+        "Filtered-first IVF: the payload filter lands on the pruned "
+        "embeddings scan and semi-joins the assignments BEFORE cell "
+        "scoring, so candidate volume shrinks with the filter's "
+        "selectivity; probe list stays broadcast.",
+    ),
 ]
 
 
