@@ -940,7 +940,51 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEQLEN_BUCKET = 16  # tokens per histogram bucket
+
+
+def seq_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution (whitespace tokens, SEQLEN_BUCKET-
+    wide buckets) with per-bucket doc/token shares and the cumulative
+    doc share -- the observable a packing configuration reads before
+    choosing its cap (padding waste and split frequency both follow
+    from where the mass sits relative to PACK_CAP) and a tokenizer
+    build reads before choosing context length.
+
+    Scale shape: one map pass computes per-doc token counts, one small
+    aggregate reduces to <=max_len/bucket rows; the share windows run
+    on that constant-sized bucket relation only (deliberate bounded
+    single-partition window), with corpus totals broadcast."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tok = F.size(tq.words(F.col("text")))
+    agg = (
+        docs.select(
+            (F.floor(tok / SEQLEN_BUCKET) * SEQLEN_BUCKET)
+            .cast("int").alias("bucket_lo"),
+            tok.alias("tok"),
+        )
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("tok").alias("n_tokens"))
+    )
+    total = agg.agg(F.sum("n_docs").alias("td"),
+                    F.sum("n_tokens").alias("tt"))
+    cum = Window.orderBy("bucket_lo").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return agg.crossJoin(F.broadcast(total)).select(
+        "bucket_lo", "n_docs", "n_tokens",
+        F.round(F.col("n_docs") / F.col("td"), 6).alias("doc_share"),
+        F.round(F.sum("n_docs").over(cum) / F.col("td"), 6)
+        .alias("cum_doc_share"),
+        F.round(F.col("n_tokens") / F.col("tt"), 6).alias("token_share"),
+    )
+
+
 QUERIES = {
+    "seq_len_histogram": seq_len_histogram,
     "intradoc_line_dedup": intradoc_line_dedup,
     "curriculum_quality_phases": curriculum_quality_phases,
     "lm_perplexity_score": lm_perplexity_score,
@@ -1023,6 +1067,24 @@ from .textstats import _hex_threshold as _lm_hex_threshold  # noqa: E402
 _LM_THR = "'%s'" % _lm_hex_threshold(LM_SAMPLE_FRACTION)
 
 ORACLE = {
+    "seq_len_histogram": f"""
+        WITH t AS (SELECT CAST(len({_W_SQL}) AS BIGINT) AS tok
+                   FROM documents),
+        agg AS (
+            SELECT CAST((tok // {SEQLEN_BUCKET}) * {SEQLEN_BUCKET} AS INT)
+                       AS bucket_lo,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(tok) AS BIGINT) AS n_tokens
+            FROM t GROUP BY 1
+        ),
+        tot AS (SELECT sum(n_docs) AS td, sum(n_tokens) AS tt FROM agg)
+        SELECT bucket_lo, n_docs, n_tokens,
+               round(n_docs / td, 6) AS doc_share,
+               round(sum(n_docs) OVER (ORDER BY bucket_lo
+                     ROWS UNBOUNDED PRECEDING) / td, 6) AS cum_doc_share,
+               round(n_tokens / tt, 6) AS token_share
+        FROM agg, tot
+    """,
     "lm_perplexity_score": f"""
         WITH toks AS (
             SELECT doc_id,
