@@ -97,6 +97,7 @@ HEADLINE = [
     "anns_ivf_filtered_topk",
     "dedup_connected_components",
     "sketch_cardinality_quantiles",
+    "seq_len_histogram",
 ]
 
 
