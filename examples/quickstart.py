@@ -31,8 +31,14 @@ from selfhosted_rag_doc_chat_prototype_spark.operators.pretrain import (  # noqa
     curriculum_quality_phases,
     domain_mixture_resample,
 )
+from selfhosted_rag_doc_chat_prototype_spark.operators.mdsplit import (  # noqa: E402
+    chunk_markdown_reference,
+)
 from selfhosted_rag_doc_chat_prototype_spark.operators.pq import (  # noqa: E402
     anns_ivfpq_topk,
+)
+from selfhosted_rag_doc_chat_prototype_spark.operators.similarity import (  # noqa: E402
+    anns_recall_report,
 )
 from selfhosted_rag_doc_chat_prototype_spark.operators.rag import (  # noqa: E402
     rag_mmr_rerank,
@@ -51,6 +57,13 @@ def main() -> None:
 
     print("== IVF-PQ retrieval (16 B/vector codes, exact refine) ==")
     anns_ivfpq_topk(spark, sf_dir).show(8)
+
+    print("== Recall@10 per approximate serve path (index tuning) ==")
+    anns_recall_report(spark, sf_dir).groupBy("strategy") \
+        .avg("recall").orderBy("strategy").show()
+
+    print("== Reference-boundary markdown chunks (parity splitter) ==")
+    chunk_markdown_reference(spark, sf_dir).show(4, truncate=50)
 
     print("== MMR-diversified retrieval ==")
     rag_mmr_rerank(spark, sf_dir).orderBy("query_id", "mmr_rank").show(8)
