@@ -955,10 +955,11 @@ def seq_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate reduces to <=max_len/bucket rows; the share windows run
     on that constant-sized bucket relation only (deliberate bounded
     single-partition window), with corpus totals broadcast."""
-    from pyspark.sql import Window
-
     docs = table(spark, sf_dir, "documents")
-    tok = F.size(tq.words(F.col("text")))
+    # coalesce: a NULL text must count as 0 tokens on BOTH sides
+    # (F.size of a null array is -1 under legacy sizeOfNull, which
+    # would invent a bucket_lo=-16 row the oracle's NULL len cannot)
+    tok = F.size(tq.words(F.coalesce(F.col("text"), F.lit(""))))
     agg = (
         docs.select(
             (F.floor(tok / SEQLEN_BUCKET) * SEQLEN_BUCKET)
@@ -1068,7 +1069,9 @@ _LM_THR = "'%s'" % _lm_hex_threshold(LM_SAMPLE_FRACTION)
 
 ORACLE = {
     "seq_len_histogram": f"""
-        WITH t AS (SELECT CAST(len({_W_SQL}) AS BIGINT) AS tok
+        WITH t AS (SELECT CAST(len(list_filter(string_split_regex(
+                       trim(coalesce(text, '')), '\\s+'), x -> x <> ''))
+                       AS BIGINT) AS tok
                    FROM documents),
         agg AS (
             SELECT CAST((tok // {SEQLEN_BUCKET}) * {SEQLEN_BUCKET} AS INT)
