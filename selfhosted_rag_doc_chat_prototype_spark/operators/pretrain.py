@@ -177,12 +177,19 @@ def _quality_exprs(
     standalone queries and fused pipelines build from the same
     definitions."""
     stop_list = STOP_EN if stop_words is None else stop_words
-    w = tq.words(F.col(text_col))
+    # NULL text counts as an empty document (n = 0, keep = 0), not a
+    # null token array (F.size of which is -1); the empty-doc ratios
+    # are NULL via nullif rather than a division-by-zero crash --
+    # mirrored in the oracle, asserted in tests/test_null_robustness
+    text0 = F.coalesce(F.col(text_col), F.lit(""))
+    w = tq.words(text0)
     n = F.size(w)
-    mwl = F.round(tq.mean_word_len(F.col(text_col)), 4)
+    mwl = F.round(tq.mean_word_len(text0), 4)
     stop = F.size(F.array_intersect(w, F.array(*[F.lit(s) for s in stop_list])))
     alpha = F.round(
-        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))) / n, 4
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+        / F.nullif(n.cast("double"), F.lit(0.0)),
+        4,
     )
     top2 = _top_frac(w, n, 2)
     top3 = _top_frac(w, n, 3)
@@ -1267,7 +1274,11 @@ ORACLE = {
         FROM m
     """,
     "gopher_quality_filters": f"""
-        WITH t AS (SELECT doc_id, text, {_W_SQL} AS w FROM documents),
+        WITH t AS (SELECT doc_id, text,
+                          list_filter(string_split_regex(
+                              trim(coalesce(text, '')), '\\s+'),
+                              x -> x <> '') AS w
+                   FROM documents),
         m AS (
             SELECT doc_id,
                    CAST(len(w) AS INTEGER) AS n_words,
@@ -1279,7 +1290,8 @@ ORACLE = {
                        AS n_stopwords,
                    round(CAST(len(list_filter(w,
                               x -> regexp_matches(x, '[A-Za-z]')))
-                         AS DOUBLE) / len(w), 4) AS alpha_word_frac,
+                         AS DOUBLE) / nullif(CAST(len(w) AS DOUBLE), 0.0),
+                         4) AS alpha_word_frac,
                    {_top_frac_sql(2)} AS top_2gram_frac,
                    {_top_frac_sql(3)} AS top_3gram_frac,
                    {_dup_frac_sql(5)} AS dup_5gram_frac

@@ -169,8 +169,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: min-hash over 5-word shingles (rolling
     content signature) + whole-document md5."""
     docs = rebalance(table(spark, sf_dir, "documents"))
+    # NULL text fingerprints as the empty document on BOTH sides
+    # (concat_ws silently skips nulls, which would md5('') here while
+    # the oracle's md5(NULL) propagated NULL)
+    text0 = F.coalesce(F.col("text"), F.lit(""))
     shingles = tq.let(
-        tq.words(F.col("text")),
+        tq.words(text0),
         lambda w: F.when(
             F.size(w) >= 5,
             F.transform(
@@ -182,7 +186,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.array_min(F.transform(shingles, F.md5)).alias("fp_shingle_min"),
-        F.md5("text").alias("fp_doc"),
+        F.md5(text0).alias("fp_doc"),
         F.size(shingles).alias("n_shingles"),
     )
 
@@ -365,13 +369,19 @@ def content_addressed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (md5 oracle-parity variant; mmh3 reference-parity ids live in
     functions.hashing and are unit-tested against public vectors)."""
     docs = table(spark, sf_dir, "documents")
-    cid = content_doc_id_col(F.col("text"))
-    chunk_id = F.concat(cid, F.lit("_"), F.substring(F.md5("text"), 25, 8))
+    # a NULL document content-addresses as the empty document: ids and
+    # passage stay DEFINED (dedup and upsert keys must never be NULL),
+    # identically on both sides -- without the coalesce, concat_ws
+    # inside the uuid builder silently skipped the null md5 and
+    # emitted '' where the oracle's || propagation emitted NULL
+    text0 = F.coalesce(F.col("text"), F.lit(""))
+    cid = content_doc_id_col(text0)
+    chunk_id = F.concat(cid, F.lit("_"), F.substring(F.md5(text0), 25, 8))
     return docs.select(
         "doc_id",
         cid.alias("content_id"),
         chunk_id.alias("chunk_id"),
-        passage_prefix_col(cid, F.col("text")).alias("passage"),
+        passage_prefix_col(cid, text0).alias("passage"),
         # K1 vector-store point id: deterministic UUID of the chunk id
         # (reference converts string ids with uuid5, database.py:260-268;
         # this oracle-checkable column is the md5 variant, exact uuid5
@@ -573,7 +583,11 @@ ORACLE = {
     # prefix on both engines; empty/short docs fall through the same
     # guards (no grams -> empty set -> md5(''))
     "text_winnow_fingerprint": f"""
-        WITH t AS (SELECT doc_id, {_W_SQL} AS w FROM documents),
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split_regex(
+                              trim(coalesce(text, '')), '\\s+'),
+                              x -> x <> '') AS w
+                   FROM documents),
         g AS (
             SELECT doc_id,
                    CASE WHEN len(w) >= {WIN_K} THEN
@@ -600,7 +614,7 @@ ORACLE = {
                CAST(len(gh) AS INTEGER) AS n_grams,
                CAST(len(fps) AS INTEGER) AS n_fingerprints,
                fps[1] AS fp_min,
-               md5(array_to_string(fps, ',')) AS fp_set_md5
+               md5(coalesce(array_to_string(fps, ','), '')) AS fp_set_md5
         FROM f
     """,
     "vocab_top_coverage": f"""
@@ -772,13 +786,18 @@ ORACLE = {
         FROM h
     """,
     "text_fingerprint": f"""
-        WITH t AS (SELECT doc_id, text, {_W_SQL} AS w FROM documents),
+        WITH t AS (SELECT doc_id, coalesce(text, '') AS text,
+                          list_filter(string_split_regex(
+                              trim(coalesce(text, '')), '\\s+'),
+                              x -> x <> '') AS w
+                   FROM documents),
         s AS (
             SELECT doc_id,
                    CASE WHEN len(w) >= 5
                         THEN list_transform(range(1, len(w) - 3),
                              i -> array_to_string(list_slice(w, i, i + 4), ' '))
-                        ELSE [array_to_string(w, ' ')] END AS shingles,
+                        ELSE [coalesce(array_to_string(w, ' '), '')]
+                        END AS shingles,
                    text
             FROM t
         )
@@ -790,14 +809,16 @@ ORACLE = {
         FROM s
     """,
     "content_addressed_ids": """
-        WITH ids AS (
+        WITH d AS (SELECT doc_id, coalesce(text, '') AS text
+                   FROM documents),
+        ids AS (
             SELECT doc_id,
                    'DOC_' || substr(md5(text), 1, 8) AS content_id,
                    'DOC_' || substr(md5(text), 1, 8) || '_'
                        || substr(md5(text), 25, 8) AS chunk_id,
                    'passage: [' || 'DOC_' || substr(md5(text), 1, 8) || '] '
                        || text AS passage
-            FROM documents
+            FROM d
         ), h AS (SELECT *, md5(chunk_id) AS hh FROM ids)
         SELECT doc_id, content_id, chunk_id, passage,
                substr(hh, 1, 8) || '-' || substr(hh, 9, 4) || '-3'
