@@ -85,6 +85,11 @@ TSAMP_BASE = 0.9
 TSAMP_T = 2.0
 
 _W_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+# null-safe twin: operators that treat NULL text as the empty document
+# (tempered sampling, curriculum, packing, histogram) coalesce on the
+# Spark side and mirror with this in their oracles
+_W0_SQL = ("list_filter(string_split_regex(trim(coalesce(text, '')),"
+           " '\\s+'), x -> x <> '')")
 
 
 def _grams(w: Column, k: int) -> Column:
@@ -350,7 +355,9 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    w = tq.words(F.col("text"))
+    # NULL text packs as a zero-token document (F.size of a null array
+    # is NULL and crashes the int() in the first-fit kernel)
+    w = tq.words(F.coalesce(F.col("text"), F.lit("")))
     return docs.select(
         "doc_id",
         F.expr(f"doc_id div {PACK_SHARD}").alias("shard"),
@@ -656,8 +663,11 @@ def curriculum_quality_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     are rounded to 6 decimals on BOTH engines so a last-ulp
     interpolation difference can never flip a phase."""
     docs = rebalance(table(spark, sf_dir, "documents"))
-    w = tq.words(F.col("text"))
-    score = F.round(F.size(F.array_distinct(w)) / F.size(w), 6)
+    w = tq.words(F.coalesce(F.col("text"), F.lit("")))
+    score = F.round(
+        F.size(F.array_distinct(w))
+        / F.nullif(F.size(w).cast("double"), F.lit(0.0)), 6
+    )
     scored = docs.select("doc_id", score.alias("score"))
     qs = ", ".join(
         str(i / CURR_PHASES) for i in range(1, CURR_PHASES)
@@ -682,8 +692,10 @@ def _tempered_exprs(text_col: str = "text", *,
                     temperature: float = TSAMP_T,
                     salt: str = "tsamp:") -> dict[str, Column]:
     """The tempered-sampling expressions as named Columns."""
-    w = tq.words(F.col(text_col))
-    uniq = F.size(F.array_distinct(w)) / F.size(w)
+    # NULL text == empty document: ratio NULL (not a crash), kept 0
+    w = tq.words(F.coalesce(F.col(text_col), F.lit("")))
+    uniq = (F.size(F.array_distinct(w))
+            / F.nullif(F.size(w).cast("double"), F.lit(0.0)))
     p = F.round(F.lit(base) * F.pow(uniq, F.lit(1.0 / temperature)), 6)
     draw = F.round(
         F.conv(
@@ -700,7 +712,7 @@ def _tempered_exprs(text_col: str = "text", *,
         "uniq_ratio": F.round(uniq, 6),
         "keep_p": p,
         "draw": draw,
-        "kept": (draw < p).cast("int"),
+        "kept": F.coalesce(draw < p, F.lit(False)).cast("int"),
     }
 
 
@@ -1238,9 +1250,10 @@ ORACLE = {
         FROM f GROUP BY doc_id
     """,
     "curriculum_quality_phases": f"""
-        WITH t AS (SELECT doc_id, {_W_SQL} AS w FROM documents),
+        WITH t AS (SELECT doc_id, {_W0_SQL} AS w FROM documents),
         s AS (SELECT doc_id,
-                     round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+                     round(CAST(len(list_distinct(w)) AS DOUBLE)
+                           / nullif(CAST(len(w) AS DOUBLE), 0.0), 6)
                          AS score
               FROM t),
         b AS (SELECT list_transform(
@@ -1256,13 +1269,15 @@ ORACLE = {
         FROM s, b
     """,
     "quality_tempered_sample": f"""
-        WITH t AS (SELECT doc_id, {_W_SQL} AS w FROM documents),
+        WITH t AS (SELECT doc_id, {_W0_SQL} AS w FROM documents),
         m AS (
             SELECT doc_id,
-                   round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+                   round(CAST(len(list_distinct(w)) AS DOUBLE)
+                         / nullif(CAST(len(w) AS DOUBLE), 0.0), 6)
                        AS uniq_ratio,
                    round({TSAMP_BASE} * pow(
-                       CAST(len(list_distinct(w)) AS DOUBLE) / len(w),
+                       CAST(len(list_distinct(w)) AS DOUBLE)
+                       / nullif(CAST(len(w) AS DOUBLE), 0.0),
                        {1.0 / TSAMP_T}), 6) AS keep_p,
                    round(CAST(CAST('0x' || substr(
                        md5('tsamp:' || CAST(doc_id AS VARCHAR)), 1, 8)
@@ -1270,7 +1285,7 @@ ORACLE = {
             FROM t
         )
         SELECT doc_id, uniq_ratio, keep_p, draw,
-               CAST(draw < keep_p AS INTEGER) AS kept
+               CAST(coalesce(draw < keep_p, false) AS INTEGER) AS kept
         FROM m
     """,
     "gopher_quality_filters": f"""
@@ -1341,7 +1356,7 @@ ORACLE = {
     """,
     "pack_concat_chunks": f"""
         WITH t AS (SELECT doc_id, doc_id // {PACK_SHARD} AS shard,
-                          CAST(len({_W_SQL}) AS INTEGER) AS tok
+                          CAST(len({_W0_SQL}) AS INTEGER) AS tok
                    FROM documents),
         c AS (SELECT doc_id, shard, tok,
                      CAST(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
@@ -1360,7 +1375,7 @@ ORACLE = {
     "pack_greedy_firstfit": f"""
         WITH RECURSIVE t AS (
             SELECT doc_id, doc_id // {PACK_SHARD} AS shard,
-                   CAST(len({_W_SQL}) AS INTEGER) AS tok,
+                   CAST(len({_W0_SQL}) AS INTEGER) AS tok,
                    row_number() OVER (PARTITION BY doc_id // {PACK_SHARD}
                                       ORDER BY doc_id) AS rn
             FROM documents

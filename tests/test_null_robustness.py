@@ -30,6 +30,28 @@ NULL_SWEEP = [
     "intradoc_line_dedup",
     "vocab_top_coverage",
     "text_winnow_fingerprint",
+    "quality_tempered_sample",
+    "curriculum_quality_phases",
+    "pack_concat_chunks",
+    "pack_greedy_firstfit",
+    "curate_corpus_e2e",
+    "dedup_minhash_lsh",
+    "dedup_jaccard_verify",
+    "dedup_simhash",
+    "dedup_substring_spans",
+    "boilerplate_sentence_dedup",
+    "decontaminate_benchmark_overlap",
+    "decontaminate_fuzzy_minhash",
+    "lm_perplexity_score",
+    "pii_redaction",
+    "domain_mixture_resample",
+    "domain_cap_sample",
+    "corpus_quality_by_source",
+    "top_terms_by_source",
+    "sparse_vectors_build",
+    "sparse_bm25_topk",
+    "corpus_sample_split",
+    "a8_doc_distribution",
 ]
 
 
