@@ -193,7 +193,11 @@ def sketch_cardinality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile_approx(value, 0.95, 1000)").alias("_p95_sketch"),
         F.approx_count_distinct("user_id", 0.02).alias("_hll"),
     )
-    j = ev.join(F.broadcast(sk), "event_type")
+    # null-safe key: a NULL event_type is a real group on both sides,
+    # and a plain equi-join would silently drop it from the harness
+    j = ev.join(
+        F.broadcast(sk), ev["event_type"].eqNullSafe(sk["event_type"])
+    ).drop(sk["event_type"])
     nd = F.countDistinct("user_id")
     n = F.count(F.lit(1))
     # the returned element occupies the whole rank RANGE
@@ -230,7 +234,10 @@ def a6_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def a7_weekly_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    weekly = ev.groupBy(
+    # an event without an event time has no week: excluded on both
+    # sides (Spark would otherwise emit a NULL week group whose lag
+    # ORDER BY placement differs cross-engine: NULLS FIRST vs LAST)
+    weekly = ev.filter(F.col("ts").isNotNull()).groupBy(
         F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias("week")
     ).agg(F.count("*").alias("n_events"))
     w = Window.orderBy("week")
@@ -1024,7 +1031,7 @@ ORACLE = {
         WITH weekly AS (
             SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
                    CAST(count(*) AS BIGINT) AS n_events
-            FROM events GROUP BY 1
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
         )
         SELECT week, n_events,
                lag(n_events) OVER (ORDER BY week) AS prev_week_events,
@@ -1055,8 +1062,12 @@ ORACLE = {
     """,
     "a11_json_props": """
         SELECT event_type,
-               round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
-               CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
+               round(avg(CASE WHEN json_valid(props) THEN
+                   CAST(json_extract_string(props, '$.k') AS INTEGER)
+                   END), 4) AS avg_k,
+               CAST(max(CASE WHEN json_valid(props) THEN
+                   CAST(json_extract_string(props, '$.k') AS INTEGER)
+                   END) AS INTEGER) AS max_k,
                CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY 1
     """,
@@ -1306,7 +1317,8 @@ ORACLE = {
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
                round(last_value(CASE WHEN event_type = 'purchase' THEN value END
                                 IGNORE NULLS) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
+                   PARTITION BY user_id
+                   ORDER BY ts NULLS FIRST, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ), 2) AS last_purchase_value
         FROM events
@@ -1316,12 +1328,15 @@ ORACLE = {
                CAST(ntile(4) OVER w AS INTEGER) AS quartile,
                round(percent_rank() OVER w, 6) AS pct_rank
         FROM events
-        WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+        WINDOW w AS (PARTITION BY event_type
+                     ORDER BY value ASC NULLS FIRST, event_id ASC)
     """,
     "unpivot_daily_counts": """
         SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
                CAST(count(*) AS BIGINT) AS n
-        FROM events GROUP BY 1, 2
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase', 'error', 'signup')
+        GROUP BY 1, 2
     """,
     # twin of the Spark side's exact semantics on ANY props payload:
     # TRY_CAST (Spark's cast yields NULL on non-numerics, DuckDB's
@@ -1333,7 +1348,9 @@ ORACLE = {
             SELECT k AS prop_key,
                    json_extract_string(props, '$.' || k) AS s,
                    TRY_CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS v
-            FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+            FROM (SELECT props, unnest(json_keys(props)) AS k
+                  FROM events
+                  WHERE props IS NOT NULL AND json_valid(props))
         )
         SELECT prop_key, v - ((v % 10 + 10) % 10) AS val_bucket,
                CAST(count(*) AS BIGINT) AS n_events,

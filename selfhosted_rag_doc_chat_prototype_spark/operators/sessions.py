@@ -38,10 +38,17 @@ AGENT_HEARTBEAT_TIMEOUT_S = 60  # shared/defaults.py:9
 def _history(ev: DataFrame) -> DataFrame:
     """Per-session last-``MAX_SESSION_MSGS`` trim + ordered render."""
     role = F.when(F.col("event_id") % 2 == 0, "user").otherwise("assistant")
-    msg = F.concat(role, F.lit(":"), F.col("event_type"))
+    # NULL-safe rendering: a typeless message renders as "role:" (a
+    # NULL inside concat would null the whole msg), and a message
+    # without a timestamp cannot be recency-ordered -- excluded on
+    # both sides (array_sort's null-field placement differs from the
+    # oracle's ORDER BY null ordering)
+    msg = F.concat(role, F.lit(":"),
+                   F.coalesce(F.col("event_type"), F.lit("")))
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     recent = (
-        ev.select("user_id", "ts", "event_id", msg.alias("msg"))
+        ev.filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", msg.alias("msg"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= MAX_SESSION_MSGS)
     )
@@ -239,8 +246,10 @@ ORACLE = {
         WITH recent AS (
             SELECT user_id, ts, event_id,
                    (CASE WHEN event_id % 2 = 0 THEN 'user'
-                         ELSE 'assistant' END) || ':' || event_type AS msg
+                         ELSE 'assistant' END) || ':'
+                       || coalesce(event_type, '') AS msg
             FROM events
+            WHERE ts IS NOT NULL
             QUALIFY row_number() OVER (
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC
             ) <= {MAX_SESSION_MSGS}
@@ -260,8 +269,10 @@ ORACLE = {
         recent AS (
             SELECT e.user_id, e.ts, e.event_id,
                    (CASE WHEN e.event_id % 2 = 0 THEN 'user'
-                         ELSE 'assistant' END) || ':' || e.event_type AS msg
+                         ELSE 'assistant' END) || ':'
+                       || coalesce(e.event_type, '') AS msg
             FROM events e JOIN live USING (user_id)
+            WHERE e.ts IS NOT NULL
             QUALIFY row_number() OVER (
                 PARTITION BY e.user_id ORDER BY e.ts DESC, e.event_id DESC
             ) <= {MAX_SESSION_MSGS}

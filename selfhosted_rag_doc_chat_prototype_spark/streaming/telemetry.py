@@ -95,7 +95,10 @@ def continuous_rollup_sink(
 def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessionization: a new session starts when the inter-event
     gap exceeds GAP_SECONDS. Output: per-session stats per user."""
-    ev = table(spark, sf_dir, "events")
+    # an event without an event time cannot be placed in a session
+    # timeline: excluded on both sides (cross-engine NULL ordering
+    # would otherwise open a phantom session vs absorb the row)
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     flagged = ev.withColumn(
@@ -436,6 +439,7 @@ ORACLE = {
                              OR date_diff('second', lag(ts) OVER w, ts) > {GAP_SECONDS}
                         THEN 1 ELSE 0 END AS new_session
             FROM events
+            WHERE ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         sess AS (
@@ -463,6 +467,7 @@ ORACLE = {
                                 >= {GAP_SECONDS}
                         THEN 1 ELSE 0 END AS new_session
             FROM events
+            WHERE ts IS NOT NULL  -- session_window drops null times
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         sess AS (

@@ -94,3 +94,80 @@ def test_null_text_matches_oracle(name, spark, null_corpus, null_con):
 
     sdf = e.queries()[name](spark, null_corpus)
     assert_matches_oracle(sdf, null_con, e.oracle_sql()[name], name)
+
+
+EVENTS_NULL_SWEEP = [
+    "a1_events_per_day", "a2_value_stats_by_type", "a3_efficiency_by_type",
+    "a4_error_rate_by_day", "a5_top20_events", "a6_summary",
+    "a7_weekly_lag", "a9_backlog", "a10_user_timing", "a11_json_props",
+    "props_key_histogram", "grouping_sets_events", "rollup_events",
+    "pivot_events_daily", "unpivot_daily_counts", "window_running_total",
+    "window_rolling_7day_value", "window_value_quartiles",
+    "window_forward_fill", "funnel_view_click_purchase",
+    "daily_anomaly_zscore", "set_error_not_purchase_user_days",
+    "gatekeeper_failure_history", "interval_join_click_purchase",
+    "asof_join_last_purchase", "sessionize_events", "sessionize_session_window", "chat_session_history",
+    "chat_session_history_ttl", "stale_agents",
+    "sketch_cardinality_quantiles",
+]
+
+
+@pytest.fixture(scope="module")
+def null_events(spark, tmp_path_factory, sf_dir):
+    """Events corpus with NULL user_id / event_type / value / ts /
+    props plus malformed JSON, alongside normal rows. Queries that also
+    read other tables (window_running_total joins orders) get the real
+    sf tables copied in."""
+    import datetime as dt
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("null_events"))
+    ts0 = dt.datetime(2026, 3, 1, 12, 0, 0)
+    rows = [
+        (i, i % 7, ["view", "click", "purchase", "error", "signup"][i % 5],
+         float(i), ts0 + dt.timedelta(hours=i), '{"k":"1"}')
+        for i in range(40)
+    ]
+    rows += [
+        (100, None, "view", 1.0, ts0, '{"k":"2"}'),
+        (101, 3, None, 2.0, ts0 + dt.timedelta(days=1), None),
+        (102, 4, "click", None, ts0 + dt.timedelta(days=2), "{}"),
+        (103, 5, "view", 3.0, None, "not json"),
+    ]
+    pq.write_table(pa.table({
+        "event_id": [r[0] for r in rows],
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": [r[2] for r in rows],
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "ts": pa.array([r[4] for r in rows], pa.timestamp("us")),
+        "props": [r[5] for r in rows],
+    }), f"{d}/events.parquet")
+    for t in ["orders", "lineitem", "customer"]:
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    return d
+
+
+@pytest.fixture(scope="module")
+def null_events_con(null_events):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ["events", "orders", "lineitem", "customer"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{null_events}/{t}.parquet'"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", EVENTS_NULL_SWEEP)
+def test_null_events_match_oracle(name, spark, null_events, null_events_con):
+    import __spark_entry__ as e
+
+    from .helpers import assert_matches_oracle
+
+    sdf = e.queries()[name](spark, null_events)
+    assert_matches_oracle(sdf, null_events_con, e.oracle_sql()[name], name)
