@@ -414,7 +414,9 @@ def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings + planted near-copies (every 5th vector, shifted by
     +0.01 per component) -- the vector-space analogue of the text
     near-dup corpus above, identical in the DuckDB oracle."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()  # failed embeds never dedup
+    )
     v = F.col("embedding").cast("array<double>")
     base = emb.select("vec_id", v.alias("v"))
     copies = emb.filter(F.col("vec_id") % 5 == 0).select(
@@ -666,7 +668,9 @@ def knn_graph(spark: SparkSession, sf_dir: str,
     computed ONCE in the shared vectorized kernel and mirrored into
     both directions; the only other shuffle is the per-source top-k
     window (<= K_GRAPH rows per vector survive)."""
-    corpus = table(spark, sf_dir, "embeddings").select(
+    corpus = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    ).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     sig = _sim.rh_sig_udf(bits, tables)
@@ -968,7 +972,7 @@ ORACLE = {
     # and mirrored, then top-K_GRAPH per source
     "knn_graph_lsh": """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                   FROM embeddings),
+                   FROM embeddings WHERE embedding IS NOT NULL),
         _planes AS (SELECT {planes} AS h),
         sig AS ({sig_body}),
         cand AS (
@@ -1006,7 +1010,7 @@ ORACLE = {
     # so the self-join emits each in-cluster pair once; the keep flag
     # is a NOT EXISTS against the (a < b, cos >= tau) dropped set
     "dedup_semantic_keep": """
-        WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
         corpus AS (
             SELECT vec_id, v FROM e0
             UNION ALL
@@ -1034,7 +1038,7 @@ ORACLE = {
         tau=SEM_TAU,
     ),
     "dedup_embedding_cosine": """
-        WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
         corpus AS (
             SELECT vec_id, v FROM e0
             UNION ALL

@@ -258,7 +258,7 @@ def pq_append(spark: SparkSession, sf_dir: str, new_vectors: DataFrame,
                 "code": list(codes),
             })
 
-    nv = new_vectors.select(
+    nv = new_vectors.filter(F.col("embedding").isNotNull()).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
 

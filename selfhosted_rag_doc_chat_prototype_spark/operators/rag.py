@@ -41,7 +41,9 @@ def rag_retrieve_citations(spark: SparkSession, sf_dir: str,
     callers with unknown corpus size pass ``"auto"``."""
     from .similarity import lsh_build, topk_cosine
 
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    ).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     docs = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
@@ -202,7 +204,9 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str,
 
     from .similarity import lsh_build, topk_cosine
 
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    ).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -323,7 +327,7 @@ ORACLE = {
     # serve path -- not an exact all-pairs scan
     "rag_retrieve_citations": f"""
         WITH e AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL
         ),
         _planes AS (SELECT {{planes}} AS h),
         sig AS ({{sig_body}}),
@@ -387,7 +391,7 @@ def _mmr_oracle_sql() -> str:
     lam = MMR_LAMBDA
     return f"""
         WITH RECURSIVE
-        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
         _planes AS (SELECT {planes_sql_literal(planes)} AS h),
         sig AS ({rh_sig_sql(planes, LSH_BITS, LSH_TABLES, "e", "vec_id")}),
         candp AS (

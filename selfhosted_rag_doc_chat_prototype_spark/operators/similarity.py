@@ -326,6 +326,7 @@ def lsh_append(spark: SparkSession, sf_dir: str, new_vectors: DataFrame,
     path = _lsh_path(sf_dir, lsh_bits, lsh_tables)
     sig = rh_sig_udf(lsh_bits, lsh_tables)
     (new_vectors
+     .filter(F.col("embedding").isNotNull())
      .select(F.col("vec_id").alias("neighbor_id"), "label",
              F.col("embedding").cast("array<double>").alias("cv"))
      .join(existing.select("neighbor_id"), "neighbor_id", "left_anti")
@@ -352,7 +353,12 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side themselves; the LSH paths touch the corpus only for one
     # Arrow matmul + bucket join, where a repartition of an under-split
     # test-scale scan would cost more than it saves.
-    return emb.select(
+    # a NULL embedding (failed embed row) cannot enter any vector
+    # path: the Arrow signature matmuls np.stack and would crash, and
+    # an index must not hold empty points -- excluded here and in
+    # every oracle's embeddings CTE; embedding_health_report counts
+    # the excluded rows (n_null)
+    return emb.filter(F.col("embedding").isNotNull()).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
 
@@ -1322,7 +1328,7 @@ _BM25_SQL = f"""
 ORACLE = {
     "sparse_bm25_topk": _BM25_SQL,
     "anns_bruteforce_topk": f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL)
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                CAST(row_number() OVER (
                    PARTITION BY a.vec_id
@@ -1337,7 +1343,7 @@ ORACLE = {
     # oracle), ranked per (query, label) over those candidates only.
     "anns_grouped_topk": f"""
         WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-                   FROM embeddings),
+                   FROM embeddings WHERE embedding IS NOT NULL),
         _planes AS (SELECT {planes_sql_literal(hyperplanes(64, LSH_BITS, LSH_TABLES))} AS h),
         sig AS ({rh_sig_sql(hyperplanes(64, LSH_BITS, LSH_TABLES),
                             LSH_BITS, LSH_TABLES, "e", "vec_id")}),
@@ -1358,7 +1364,7 @@ ORACLE = {
         QUALIFY rank <= {GROUP_TOP_K}
     """,
     "anns_lsh_bucketed": f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
         _planes AS (SELECT {{planes}} AS h),
         sig AS ({{sig_body}}),
         cand AS (
@@ -1389,7 +1395,7 @@ ORACLE = {
     # mirroring the pre-filter index probe
     "anns_filtered_topk": f"""
         WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-                   FROM embeddings),
+                   FROM embeddings WHERE embedding IS NOT NULL),
         _planes AS (SELECT {planes_sql_literal(hyperplanes(64, LSH_BITS, LSH_TABLES))} AS h),
         sig AS ({rh_sig_sql(hyperplanes(64, LSH_BITS, LSH_TABLES),
                             LSH_BITS, LSH_TABLES, "e", "vec_id")}),
@@ -1421,7 +1427,7 @@ ORACLE = {
     # byte-equivalent)
     "lsh_bucket_histogram": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                   FROM embeddings),
+                   FROM embeddings WHERE embedding IS NOT NULL),
         _planes AS (SELECT {planes_sql_literal(hyperplanes(64, LSH_BITS, LSH_TABLES))} AS h),
         sig AS ({rh_sig_sql(hyperplanes(64, LSH_BITS, LSH_TABLES),
                             LSH_BITS, LSH_TABLES, "e", "vec_id")}),
@@ -1438,7 +1444,7 @@ ORACLE = {
     # the same left fold, exhaustive Hamming prefilter, exact rerank
     "anns_bq_hamming_topk": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                   FROM embeddings),
+                   FROM embeddings WHERE embedding IS NOT NULL),
         packed AS (
             SELECT vec_id, v,
                    list_reduce(list_transform(v[1:32],
@@ -1484,7 +1490,7 @@ ORACLE = {
     # top-chunk window, then per-query label ranking
     "anns_label_maxsim_topk": f"""
         WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-                   FROM embeddings),
+                   FROM embeddings WHERE embedding IS NOT NULL),
         _planes AS (SELECT {planes_sql_literal(hyperplanes(64, LSH_BITS, LSH_TABLES))} AS h),
         sig AS ({rh_sig_sql(hyperplanes(64, LSH_BITS, LSH_TABLES),
                             LSH_BITS, LSH_TABLES, "e", "vec_id")}),
@@ -1528,7 +1534,7 @@ ORACLE = {
     # the sparse leg is the BM25 pair set capped at SPARSE_PREFETCH;
     # fusion runs over the FULL OUTER union of the two prefetch lists.
     "hybrid_fusion_topk": f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
         _planes AS (SELECT {planes_sql_literal(hyperplanes(64, LSH_BITS, LSH_TABLES))} AS h),
         sig AS ({rh_sig_sql(hyperplanes(64, LSH_BITS, LSH_TABLES),
                             LSH_BITS, LSH_TABLES, "e", "vec_id")}),
@@ -1611,7 +1617,7 @@ ORACLE = {
     # of the full matrix (the same seeded-stream property the stored
     # index slice relies on).
     "anns_recall_report": f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
         brute AS (
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                    row_number() OVER (
@@ -1715,7 +1721,7 @@ ORACLE = {
     # probes). Pairs reachable through several (table, probe) routes
     # collapse with DISTINCT, mirroring dropDuplicates.
     "anns_lsh_multiprobe": f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
         _planes AS (SELECT {planes_sql_literal(hyperplanes(64, LSH_BITS, LSH_TABLES // 2))} AS h),
         qm AS (
             SELECT vec_id AS query_id, v, t.t AS tbl,
@@ -1875,7 +1881,7 @@ def ivfpq_oracle_sql() -> str:
             WHERE corpus_key = (SELECT k FROM ck)
         ),
         q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-              FROM embeddings WHERE vec_id < {N_QUERIES}),
+              FROM embeddings WHERE vec_id < {N_QUERIES} AND embedding IS NOT NULL),
         np AS (SELECT greatest(1, CAST(trunc(count(*) * {IVF_PROBE_FRACTION})
                                        AS INT)) AS n
                FROM cent),

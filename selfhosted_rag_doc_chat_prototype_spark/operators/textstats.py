@@ -341,6 +341,10 @@ def embedding_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("norm"), 6).alias("min_norm"),
             F.sum((F.col("norm") == 0.0).cast("int")).cast("int")
             .alias("n_zero"),
+            # rows the vector paths exclude (failed embeds): the
+            # observable that explains index_count < corpus_count
+            F.sum(F.col("norm").isNull().cast("int")).cast("int")
+            .alias("n_null"),
         )
     )
 
@@ -576,7 +580,9 @@ ORACLE = {
                round(avg(norm), 6) AS mean_norm,
                round(min(norm), 6) AS min_norm,
                CAST(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS INTEGER)
-                   AS n_zero
+                   AS n_zero,
+               CAST(coalesce(sum(CASE WHEN norm IS NULL THEN 1 ELSE 0 END), 0)
+                   AS INTEGER) AS n_null
         FROM n GROUP BY label
     """,
     # NULL-less bit-identical twin: the 32-bit gram hash is a md5

@@ -171,3 +171,81 @@ def test_null_events_match_oracle(name, spark, null_events, null_events_con):
 
     sdf = e.queries()[name](spark, null_events)
     assert_matches_oracle(sdf, null_events_con, e.oracle_sql()[name], name)
+
+
+EMB_NULL_SWEEP = [
+    "anns_bruteforce_topk", "anns_lsh_bucketed", "anns_lsh_multiprobe",
+    "anns_filtered_topk", "anns_grouped_topk", "anns_bq_hamming_topk",
+    "anns_label_maxsim_topk", "lsh_bucket_histogram",
+    "dedup_embedding_cosine", "dedup_semantic_keep", "knn_graph_lsh",
+    "dedup_connected_components", "embedding_health_report",
+    "label_centroids", "embedding_quantize_int8", "anns_ivf_topk",
+    "anns_ivfpq_topk", "anns_ivf_filtered_topk", "anns_recall_report",
+    "rag_retrieve_citations", "rag_mmr_rerank", "hybrid_fusion_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def null_embeddings(spark, tmp_path_factory):
+    """Embeddings corpus with one NULL vector (a failed embed row):
+    every vector path must EXCLUDE it -- identically in the oracle --
+    and embedding_health_report must count it (n_null)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("null_embeddings"))
+    # seed from the tmp path: the IVF/PQ oracles resolve their
+    # persisted matviews by corpus CONTENT fingerprint, so a
+    # byte-identical corpus at a fresh path would alias any stale
+    # matview a previous run left behind (same corpus_key, two dirs)
+    rng = np.random.default_rng(abs(hash(d)) % (2**32))
+    vecs = [
+        list(map(float, v / np.linalg.norm(v)))
+        for v in rng.standard_normal((30, 64))
+    ]
+    vecs[7] = None
+    pq.write_table(pa.table({
+        "vec_id": list(range(30)),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": [i % 5 for i in range(30)],
+    }), f"{d}/embeddings.parquet")
+    pq.write_table(pa.table({
+        "doc_id": list(range(30)),
+        "text": ["key agg row scan slow value table part"] * 30,
+        "lang": ["en"] * 30, "source": ["s0"] * 30, "n_chars": [38] * 30,
+    }), f"{d}/documents.parquet")
+    return d
+
+
+@pytest.fixture(scope="module")
+def null_emb_con(null_embeddings):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ["embeddings", "documents"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{null_embeddings}/{t}.parquet'"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", EMB_NULL_SWEEP)
+def test_null_embedding_matches_oracle(name, spark, null_embeddings,
+                                       null_emb_con):
+    import __spark_entry__ as e
+
+    from .helpers import assert_matches_oracle
+
+    sdf = e.queries()[name](spark, null_embeddings)
+    assert_matches_oracle(sdf, null_emb_con, e.oracle_sql()[name], name)
+
+
+def test_health_report_counts_null_vectors(spark, null_embeddings):
+    import __spark_entry__ as e
+
+    rows = e.queries()["embedding_health_report"](
+        spark, null_embeddings
+    ).collect()
+    assert sum(r.n_null for r in rows) == 1
