@@ -200,6 +200,12 @@ def sketch_cardinality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop(sk["event_type"])
     nd = F.countDistinct("user_id")
     n = F.count(F.lit(1))
+    # the rank target and tolerance are over the VALID values (both
+    # percentile forms skip NULLs); and a group with no users / no
+    # values satisfies its contract trivially (estimate of nothing is
+    # 0 / no percentile to bracket) -- the booleans must stay TOTAL or
+    # an all-NULL group emits NULL against the oracle's literal true
+    n_val = F.count("value")
     # the returned element occupies the whole rank RANGE
     # [count(< v) + 1, count(<= v)] (ties collapse to one value); the
     # contract holds iff that range INTERSECTS the target bracket --
@@ -207,14 +213,20 @@ def sketch_cardinality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spanning the quantile even though the sketch met its guarantee
     lo_rank = F.sum((F.col("value") < F.col("_p95_sketch")).cast("long")) + 1
     hi_rank = F.sum((F.col("value") <= F.col("_p95_sketch")).cast("long"))
-    tol = 0.002 * n + F.lit(3.0)
+    tol = 0.002 * n_val + F.lit(3.0)
+    hll_ok = F.when(
+        nd > 0, (F.abs(F.first("_hll") - nd) / nd) <= 0.08
+    ).otherwise(F.first("_hll") == 0)
+    bracket_ok = F.when(
+        n_val > 0,
+        (lo_rank <= 0.95 * n_val + tol) & (hi_rank >= 0.95 * n_val - tol),
+    ).otherwise(F.lit(True))
     return j.groupBy("event_type").agg(
         nd.alias("n_users_exact"),
         F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_exact"),
         n.alias("n"),
-        ((F.abs(F.first("_hll") - nd) / nd) <= 0.08).alias("hll_within_tol"),
-        ((lo_rank <= 0.95 * n + tol) & (hi_rank >= 0.95 * n - tol))
-        .alias("p95_sketch_in_bracket"),
+        hll_ok.alias("hll_within_tol"),
+        bracket_ok.alias("p95_sketch_in_bracket"),
     )
 
 
@@ -294,7 +306,9 @@ def a10_user_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def a11_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    # try_cast both here and in the oracle: a valid-JSON non-numeric k
+    # must degrade to NULL, not abort the job under ANSI casting
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("int")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -814,7 +828,10 @@ def props_key_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         kv.groupBy(
             "prop_key",
-            (F.col("prop_val").cast("long") - F.pmod(F.col("prop_val").cast("long"), 10))
+            # try_cast: non-numeric property values bucket as NULL on
+            # both engines instead of aborting under ANSI casting
+            (F.col("prop_val").try_cast("long")
+             - F.pmod(F.col("prop_val").try_cast("long"), 10))
             .alias("val_bucket"),
         )
         .agg(
@@ -870,6 +887,7 @@ def window_rolling_7day_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+_EVENT_TYPES_SQL = ", ".join(f"'{t}'" for t in EVENT_TYPES)
 
 
 def pivot_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1063,10 +1081,10 @@ ORACLE = {
     "a11_json_props": """
         SELECT event_type,
                round(avg(CASE WHEN json_valid(props) THEN
-                   CAST(json_extract_string(props, '$.k') AS INTEGER)
+                   TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
                    END), 4) AS avg_k,
                CAST(max(CASE WHEN json_valid(props) THEN
-                   CAST(json_extract_string(props, '$.k') AS INTEGER)
+                   TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
                    END) AS INTEGER) AS max_k,
                CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY 1
@@ -1331,11 +1349,11 @@ ORACLE = {
         WINDOW w AS (PARTITION BY event_type
                      ORDER BY value ASC NULLS FIRST, event_id ASC)
     """,
-    "unpivot_daily_counts": """
+    "unpivot_daily_counts": f"""
         SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
                CAST(count(*) AS BIGINT) AS n
         FROM events
-        WHERE event_type IN ('view', 'click', 'purchase', 'error', 'signup')
+        WHERE event_type IN ({_EVENT_TYPES_SQL})
         GROUP BY 1, 2
     """,
     # twin of the Spark side's exact semantics on ANY props payload:

@@ -1088,9 +1088,7 @@ _LM_THR = "'%s'" % _lm_hex_threshold(LM_SAMPLE_FRACTION)
 
 ORACLE = {
     "seq_len_histogram": f"""
-        WITH t AS (SELECT CAST(len(list_filter(string_split_regex(
-                       trim(coalesce(text, '')), '\\s+'), x -> x <> ''))
-                       AS BIGINT) AS tok
+        WITH t AS (SELECT CAST(len({_W0_SQL}) AS BIGINT) AS tok
                    FROM documents),
         agg AS (
             SELECT CAST((tok // {SEQLEN_BUCKET}) * {SEQLEN_BUCKET} AS INT)
@@ -1289,10 +1287,7 @@ ORACLE = {
         FROM m
     """,
     "gopher_quality_filters": f"""
-        WITH t AS (SELECT doc_id, text,
-                          list_filter(string_split_regex(
-                              trim(coalesce(text, '')), '\\s+'),
-                              x -> x <> '') AS w
+        WITH t AS (SELECT doc_id, text, {_W0_SQL} AS w
                    FROM documents),
         m AS (
             SELECT doc_id,

@@ -31,6 +31,10 @@ STOPWORDS = {
 }
 
 _W_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+# null-safe twin (NULL text == empty document); keep in sync with the
+# operators that coalesce text on the Spark side
+_W0_SQL = ("list_filter(string_split_regex(trim(coalesce(text, '')),"
+           " '\\s+'), x -> x <> '')")
 
 
 # BPE-ish pre-tokenizer split (letter runs / digit runs / single
@@ -339,8 +343,11 @@ def embedding_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dim").cast("int").alias("dim"),
             F.round(F.avg("norm"), 6).alias("mean_norm"),
             F.round(F.min("norm"), 6).alias("min_norm"),
-            F.sum((F.col("norm") == 0.0).cast("int")).cast("int")
-            .alias("n_zero"),
+            # coalesce: an all-NULL label group sums nothing -> NULL,
+            # while the oracle's CASE..ELSE 0 sums zeros
+            F.coalesce(
+                F.sum((F.col("norm") == 0.0).cast("int")), F.lit(0)
+            ).cast("int").alias("n_zero"),
             # rows the vector paths exclude (failed embeds): the
             # observable that explains index_count < corpus_count
             F.sum(F.col("norm").isNull().cast("int")).cast("int")
@@ -590,9 +597,7 @@ ORACLE = {
     # guards (no grams -> empty set -> md5(''))
     "text_winnow_fingerprint": f"""
         WITH t AS (SELECT doc_id,
-                          list_filter(string_split_regex(
-                              trim(coalesce(text, '')), '\\s+'),
-                              x -> x <> '') AS w
+                          {_W0_SQL} AS w
                    FROM documents),
         g AS (
             SELECT doc_id,
@@ -793,9 +798,7 @@ ORACLE = {
     """,
     "text_fingerprint": f"""
         WITH t AS (SELECT doc_id, coalesce(text, '') AS text,
-                          list_filter(string_split_regex(
-                              trim(coalesce(text, '')), '\\s+'),
-                              x -> x <> '') AS w
+                          {_W0_SQL} AS w
                    FROM documents),
         s AS (
             SELECT doc_id,

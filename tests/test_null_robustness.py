@@ -136,6 +136,11 @@ def null_events(spark, tmp_path_factory, sf_dir):
         (101, 3, None, 2.0, ts0 + dt.timedelta(days=1), None),
         (102, 4, "click", None, ts0 + dt.timedelta(days=2), "{}"),
         (103, 5, "view", 3.0, None, "not json"),
+        # a group whose EVERY row has NULL value and NULL user, with a
+        # valid-JSON non-numeric property: the contract booleans must
+        # stay total and casts lenient on both engines
+        (200, None, "ghost", None, ts0, '{"k":"abc"}'),
+        (201, None, "ghost", None, ts0, None),
     ]
     pq.write_table(pa.table({
         "event_id": [r[0] for r in rows],
@@ -199,12 +204,18 @@ def null_embeddings(spark, tmp_path_factory):
     # persisted matviews by corpus CONTENT fingerprint, so a
     # byte-identical corpus at a fresh path would alias any stale
     # matview a previous run left behind (same corpus_key, two dirs)
-    rng = np.random.default_rng(abs(hash(d)) % (2**32))
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(d.encode()))
     vecs = [
         list(map(float, v / np.linalg.norm(v)))
         for v in rng.standard_normal((30, 64))
     ]
     vecs[7] = None
+    # one label's vectors ALL failed to embed (a dead embed shard):
+    # per-label aggregates must stay total, not NULL-vs-0 diverge
+    for i in range(3, 30, 5):
+        vecs[i] = None
     pq.write_table(pa.table({
         "vec_id": list(range(30)),
         "embedding": pa.array(vecs, pa.list_(pa.float32())),
@@ -248,4 +259,4 @@ def test_health_report_counts_null_vectors(spark, null_embeddings):
     rows = e.queries()["embedding_health_report"](
         spark, null_embeddings
     ).collect()
-    assert sum(r.n_null for r in rows) == 1
+    assert sum(r.n_null for r in rows) == 7  # 1 mixed + 6 dead-shard
