@@ -198,7 +198,24 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str,
     the sequential argmax IS SQL-expressible as a recursive CTE whose
     state row carries the chosen-id list (see :func:`_mmr_oracle_sql`);
     parity against a pure-python reference implementation is
-    additionally asserted in tests."""
+    additionally asserted in tests.
+
+    ROUNDING CONTRACT (docs/ROUNDING.md): every arithmetic step after
+    the initial per-engine rounding runs in EXACT INTEGER MICRO-UNITS
+    so no emitted value can sit on a decimal boundary two engines round
+    differently. ``rel`` enters as the 4-decimal prefetch cosine
+    (``rel_u = rint(rel * 1e4)``, exact -- rel is already rounded);
+    the pairwise Gram term is half-even-rounded ONCE at 6 decimals
+    (``sim_u = rint(sim * 1e6)``, mirrored by the oracle's
+    ``round_even(sim * 1e6, 0)``); the score is the integer
+    ``score_u = lam_u*rel_u*100 - (100-lam_u)*max(sim_u)`` in 1e-8
+    units (``lam`` must be exact at 2 decimals). Selection ranks the
+    INTEGER, and the emitted doubles divide the same integers by 1e4 /
+    1e8 -- bit-identical across engines. The previous formulation
+    (``round(lam*rel, 4)`` with lam=0.5 over a 4-decimal rel) put
+    ~half of all rank-1 scores EXACTLY on a 5th-decimal half-boundary,
+    where a one-ulp raw-dot difference (numpy BLAS vs DuckDB
+    list_dot_product) flipped the rounded value."""
     import numpy as np
     import pandas as pd
 
@@ -227,32 +244,44 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str,
     out_schema = ("query_id long, neighbor_id long, mmr_rank int, "
                   "relevance double, mmr_score double")
 
+    lam_u = int(round(lam * 100))
+    if abs(lam * 100 - lam_u) > 1e-9:
+        raise ValueError(
+            f"lam must be exact at 2 decimals for the integer-unit "
+            f"scoring contract (got {lam!r})"
+        )
+
     def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
         C = np.stack(pdf["cv"].to_numpy())
-        rel = pdf["rel"].to_numpy()
-        G = C @ C.T  # candidate-candidate cosine (unit-norm vectors)
+        # rel is the prefetch's 4-decimal cosine: *1e4 recovers the
+        # exact integer; the Gram term rounds half-even ONCE at 1e-6
+        # (both mirrored in the oracle -- see the docstring contract)
+        rel_u = np.rint(pdf["rel"].to_numpy() * 1e4).astype(np.int64)
+        G_u = np.rint((C @ C.T) * 1e6).astype(np.int64)
         chosen: list[int] = []
-        scores: list[float] = []
+        scores_u: list[int] = []
         avail = list(range(len(pdf)))
         while avail and len(chosen) < MMR_K:
             if chosen:
-                div = G[np.ix_(avail, chosen)].max(axis=1)
+                div_u = G_u[np.ix_(avail, chosen)].max(axis=1)
             else:
-                div = np.zeros(len(avail))
-            mmr_s = lam * rel[avail] - (1.0 - lam) * div
+                div_u = np.zeros(len(avail), dtype=np.int64)
+            # integer score in 1e-8 units: lam_u(1e-2)*rel_u(1e-4)*100
+            # and (100-lam_u)(1e-2)*div_u(1e-6) share the 1e-8 scale
+            score_u = lam_u * rel_u[avail] * 100 - (100 - lam_u) * div_u
             # ties break on neighbor_id (rows are id-sorted, argmax
             # returns the first maximum)
-            j = int(np.argmax(np.round(mmr_s, 9)))
+            j = int(np.argmax(score_u))
             chosen.append(avail[j])
-            scores.append(float(mmr_s[j]))
+            scores_u.append(int(score_u[j]))
             avail.pop(j)
         return pd.DataFrame({
             "query_id": pdf["query_id"].iloc[chosen].to_numpy(),
             "neighbor_id": pdf["neighbor_id"].iloc[chosen].to_numpy(),
             "mmr_rank": np.arange(1, len(chosen) + 1, dtype="int32"),
-            "relevance": np.round(rel[chosen], 4),
-            "mmr_score": np.round(scores, 4),
+            "relevance": rel_u[chosen] / 1e4,
+            "mmr_score": np.asarray(scores_u, dtype=np.int64) / 1e8,
         })
 
     return cand.groupBy("query_id").applyInPandas(mmr, out_schema)
@@ -378,17 +407,22 @@ def _mmr_oracle_sql() -> str:
     """DuckDB twin of :func:`rag_mmr_rerank`'s greedy kernel as a
     recursive CTE: the state row per (query, iteration) carries the
     chosen-id list; each step picks argmax over the remaining prefetch
-    candidates of ``lam*rel - (1-lam)*max sim-to-chosen`` via a LATERAL
-    top-1, exactly the python loop's selection rule (score rounded to
-    9 decimals before ranking, ties to the smallest neighbor_id; the
-    diversity term is the raw candidate-candidate dot product, the
-    same Gram matrix the Arrow kernel builds). The prefetch CTE is the
-    proven LSH-candidate twin at k = MMR_PREFETCH."""
+    candidates via a LATERAL top-1, exactly the python loop's selection
+    rule. Scoring follows the INTEGER MICRO-UNIT contract the operator
+    documents: ``rel_u = round(rel * 1e4)`` recovers the prefetch's
+    exact 4-decimal cosine as an integer, the Gram term rounds
+    half-even once at 1e-6 (``round_even(sim * 1e6, 0)`` == numpy
+    rint), and the selection ranks the exact BIGINT
+    ``lam_u*rel_u*100 - (100-lam_u)*max(sim_u)`` (1e-8 units) with
+    ties to the smallest neighbor_id. Emitted doubles divide the same
+    integers both engines hold, so no decimal boundary exists to
+    disagree on. The prefetch CTE is the proven LSH-candidate twin at
+    k = MMR_PREFETCH."""
     from .similarity import (LSH_BITS, LSH_TABLES, hyperplanes,
                              planes_sql_literal, rh_sig_sql)
 
     planes = hyperplanes(64, LSH_BITS, LSH_TABLES)
-    lam = MMR_LAMBDA
+    lam_u = int(round(MMR_LAMBDA * 100))
     return f"""
         WITH RECURSIVE
         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
@@ -400,7 +434,8 @@ def _mmr_oracle_sql() -> str:
             WHERE a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
         ),
         pref AS (
-            SELECT query_id, neighbor_id, round(cos_raw, 4) AS rel
+            SELECT query_id, neighbor_id,
+                   CAST(round(round(cos_raw, 4) * 10000) AS BIGINT) AS rel_u
             FROM (
                 SELECT c.query_id, c.neighbor_id,
                        list_cosine_similarity(qa.v, qn.v) AS cos_raw,
@@ -414,44 +449,43 @@ def _mmr_oracle_sql() -> str:
         ),
         psim AS (
             SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
-                   list_dot_product(va.v, vb.v) AS sim
+                   CAST(round_even(list_dot_product(va.v, vb.v) * 1000000,
+                                   0) AS BIGINT) AS sim_u
             FROM pref a JOIN pref b ON a.query_id = b.query_id
             JOIN e va ON va.vec_id = a.neighbor_id
             JOIN e vb ON vb.vec_id = b.neighbor_id
         ),
         sel AS (
-            SELECT query_id, 1 AS mmr_rank, neighbor_id, rel,
-                   {lam} * rel AS mmr_score, [neighbor_id] AS chosen
+            SELECT query_id, 1 AS mmr_rank, neighbor_id, rel_u,
+                   {lam_u} * rel_u * 100 AS score_u, [neighbor_id] AS chosen
             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                      ORDER BY round({lam} * rel, 9) DESC, neighbor_id ASC)
+                      ORDER BY {lam_u} * rel_u * 100 DESC, neighbor_id ASC)
                       AS rn
                   FROM pref) WHERE rn = 1
             UNION ALL
-            SELECT s.query_id, s.mmr_rank + 1, b.neighbor_id, b.rel, b.raw,
-                   list_append(s.chosen, b.neighbor_id)
+            SELECT s.query_id, s.mmr_rank + 1, b.neighbor_id, b.rel_u,
+                   b.score_u, list_append(s.chosen, b.neighbor_id)
             FROM sel s, LATERAL (
-                SELECT neighbor_id, rel, raw FROM (
-                    SELECT c.neighbor_id, c.rel,
-                           {lam} * c.rel - {1.0 - lam} * (
-                               SELECT max(p.sim) FROM psim p
+                SELECT neighbor_id, rel_u, score_u FROM (
+                    SELECT c.neighbor_id, c.rel_u,
+                           {lam_u} * c.rel_u * 100 - {100 - lam_u} * (
+                               SELECT max(p.sim_u) FROM psim p
                                WHERE p.query_id = c.query_id
                                  AND p.a_id = c.neighbor_id
-                                 AND list_contains(s.chosen, p.b_id)) AS raw
+                                 AND list_contains(s.chosen, p.b_id))
+                               AS score_u
                     FROM pref c
                     WHERE c.query_id = s.query_id
                       AND NOT list_contains(s.chosen, c.neighbor_id)
                 )
-                ORDER BY round(raw, 9) DESC, neighbor_id ASC
+                ORDER BY score_u DESC, neighbor_id ASC
                 LIMIT 1
             ) b
             WHERE s.mmr_rank < {MMR_K}
         )
         SELECT query_id, neighbor_id, CAST(mmr_rank AS INTEGER) AS mmr_rank,
-               round(rel, 4) AS relevance,
-               -- round_even = numpy's half-to-even: MMR scores combine
-               -- 4-decimal rel values, so exact .xxxx5 halves are
-               -- common (lam = 0.5) and half-away would diverge
-               round_even(mmr_score, 4) AS mmr_score
+               rel_u / 10000.0 AS relevance,
+               score_u / 100000000.0 AS mmr_score
         FROM sel
     """
 

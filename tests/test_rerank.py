@@ -28,18 +28,21 @@ def test_rag_matches_oracle(name, spark, sf_dir, con):
 
 def _mmr_reference(pref_rows, vecs, lam, k):
     """Pure-python MMR over one query's prefetch list (id-sorted,
-    first-argmax tie-break -- the operator's documented semantics)."""
+    first-argmax tie-break) under the operator's integer micro-unit
+    scoring contract (rel at 1e-4, Gram term half-even at 1e-6,
+    score ranked as the exact 1e-8-unit integer)."""
+    lam_u = int(round(lam * 100))
     rows = sorted(pref_rows, key=lambda r: r[0])
     ids = [r[0] for r in rows]
-    rel = np.array([r[1] for r in rows])
+    rel_u = np.rint(np.array([r[1] for r in rows]) * 1e4).astype(np.int64)
     C = np.stack([vecs[i] for i in ids])
-    G = C @ C.T
+    G_u = np.rint((C @ C.T) * 1e6).astype(np.int64)
     chosen, avail = [], list(range(len(ids)))
     while avail and len(chosen) < k:
-        div = (G[np.ix_(avail, chosen)].max(axis=1)
-               if chosen else np.zeros(len(avail)))
-        s = lam * rel[avail] - (1 - lam) * div
-        j = int(np.argmax(np.round(s, 9)))
+        div_u = (G_u[np.ix_(avail, chosen)].max(axis=1)
+                 if chosen else np.zeros(len(avail), dtype=np.int64))
+        s = lam_u * rel_u[avail] * 100 - (100 - lam_u) * div_u
+        j = int(np.argmax(s))
         chosen.append(avail[j])
         avail.pop(j)
     return [ids[i] for i in chosen]
