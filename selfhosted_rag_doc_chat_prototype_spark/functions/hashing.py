@@ -100,6 +100,98 @@ def chunk_id_udf():
     return _chunk_id
 
 
+# ---- murmur3_32 as inline DuckDB SQL (oracle twin of the mmh3 ids) -------
+#
+# The ingest DAG's ids are reference-parity mmh3 (above); DuckDB has no
+# murmur3 builtin and the driver's oracle connection cannot register
+# Python UDFs, so the oracle computes the hash IN SQL: bytes via
+# hex(encode(..)), 4-byte little-endian blocks, and the block mixer as
+# a list_reduce fold -- exact 32-bit arithmetic (HUGEINT products
+# masked mod 2^32), validated in tests against :func:`murmur3_32` and
+# its published vectors. Cost is O(len) lambda evaluations per row:
+# fine for an oracle twin, never used on the Spark serving path.
+
+def _let(name: str, val: str, body: str) -> str:
+    """SQL let-binding: evaluate ``val`` once, reference it as ``name``
+    in ``body`` (single-element list_transform)."""
+    return f"list_transform([{val}], {name} -> {body})[1]"
+
+
+def _mul32(e: str, c: int) -> str:
+    # k*c overflows BIGINT for k near 2^32; widen, mask, narrow
+    return f"CAST((CAST({e} AS HUGEINT) * {c}) % 4294967296 AS BIGINT)"
+
+
+def _rotl32(name: str, r: int) -> str:
+    # name must be a let-bound var (referenced twice); the two parts
+    # are bit-disjoint so | == +
+    return (f"(({name} * {1 << r}) % 4294967296"
+            f" + {name} // {1 << (32 - r)})")
+
+
+def murmur3_32_sql(expr: str) -> str:
+    """Inline DuckDB expression computing ``murmur3_32(utf8(expr))``
+    (unsigned, seed 0) -- the exact twin of :func:`murmur3_32`."""
+    block_body = _let(
+        "mk1", _mul32("mk", 0xCC9E2D51),
+        _let("mk2", _rotl32("mk1", 15),
+             _let("mk3", _mul32("mk2", 0x1B873593),
+                  _let("mh1", "xor(mh, mk3)",
+                       _let("mh2", _rotl32("mh1", 13),
+                            "(mh2 * 5 + 3864292196) % 4294967296")))))
+    tail_mix = _let(
+        "mt1", _mul32("mtk", 0xCC9E2D51),
+        _let("mt2", _rotl32("mt1", 15), _mul32("mt2", 0x1B873593)))
+    fmix = _let(
+        "mf1", "xor(mhh, mn)",
+        _let("mf2", "xor(mf1, mf1 // 65536)",
+             _let("mf3", _mul32("mf2", 0x85EBCA6B),
+                  _let("mf4", "xor(mf3, mf3 // 8192)",
+                       _let("mf5", _mul32("mf4", 0xC2B2AE35),
+                            "xor(mf5, mf5 // 65536)")))))
+    hexv = "strpos('0123456789ABCDEF', mhx[mp]) - 1"
+    hexv2 = "strpos('0123456789ABCDEF', mhx[mp + 1]) - 1"
+    return _let(
+        "mhx", f"hex(encode({expr}))",
+        _let(
+            "mb",
+            f"list_transform(range(1, length(mhx) + 1, 2),"
+            f" mp -> ({hexv}) * 16 + ({hexv2}))",
+            _let(
+                "mn", "len(mb)",
+                _let(
+                    "mh0",
+                    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+                    " list_transform(range(mn // 4), mj ->"
+                    " mb[4*mj + 1] + mb[4*mj + 2] * 256"
+                    " + mb[4*mj + 3] * 65536 + mb[4*mj + 4] * 16777216)),"
+                    f" (mh, mk) -> {block_body})",
+                    _let(
+                        "mtk",
+                        "CASE WHEN mn % 4 >= 1 THEN mb[(mn // 4)*4 + 1]"
+                        " ELSE 0 END"
+                        " + CASE WHEN mn % 4 >= 2 THEN"
+                        " mb[(mn // 4)*4 + 2] * 256 ELSE 0 END"
+                        " + CASE WHEN mn % 4 = 3 THEN"
+                        " mb[(mn // 4)*4 + 3] * 65536 ELSE 0 END",
+                        _let(
+                            "mhh",
+                            "CASE WHEN mn % 4 = 0 THEN mh0"
+                            f" ELSE xor(mh0, {tail_mix}) END",
+                            fmix))))))
+
+
+def mmh3_doc_id_sql(expr: str) -> str:
+    """SQL twin of :func:`mmh3_doc_id` over the utf8 bytes of expr."""
+    return f"('DOC_' || printf('%08X', {murmur3_32_sql(expr)}))"
+
+
+def mmh3_chunk_id_sql(doc_id_expr: str, chunk_expr: str) -> str:
+    """SQL twin of :func:`mmh3_chunk_id`."""
+    return (f"({doc_id_expr} || '_'"
+            f" || printf('%08x', {murmur3_32_sql(chunk_expr)}))")
+
+
 # ---- uuid point ids (K1 idempotency) -------------------------------------
 # The reference converts string chunk ids to deterministic UUIDs for the
 # vector store: ``uuid.uuid5(uuid.UUID("6ba7b810-9dad-11d1-80b4-00c04fd430c8"),

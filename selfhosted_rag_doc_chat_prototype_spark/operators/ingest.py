@@ -277,9 +277,21 @@ def ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag-strip branch), then extract -> quality gate -> chunk ->
     content-addressed ids -> dedup, returning the chunk rows.
 
-    Registered rows-only: the hierarchical chunker is recursive and not
-    SQL-expressible (same reason ``chunk_markdown_docs`` is rows-only).
+    Registered with a FULL oracle since round 5: the mmh3 ids are
+    computed in SQL by the exact murmur3_32 twin
+    (``functions.hashing.murmur3_32_sql``, vector-tested), and for the
+    corpus shape (single-line prose, no markdown headers) the chunk
+    text path -- extract -> tag -> assemble -> split -> sub-split --
+    reduces to the ``chunk_markdown_docs`` window algebra wrapped in
+    the html-strip and passage-prefix transforms, all SQL-expressible.
+    The duplicate-id winner is pinned to ``min(source_file)`` so the
+    result is well-defined when distinct files carry identical bytes
+    (``dropDuplicates`` picks an arbitrary row; the reference's
+    INSERT OR REPLACE is equally last-writer-nondeterministic --
+    parity on content, determinism on provenance).
     """
+    from pyspark.sql import Window
+
     from ..sources.tables import table
 
     docs = table(spark, sf_dir, "documents")
@@ -305,7 +317,12 @@ def ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "path", "file_type", "doc_id",
         F.col("first_page").alias("page"), F.col("markdown").alias("text"),
     )
-    chunks = chunk_stage(docs_md).dropDuplicates(["id"])
+    chunks = chunk_stage(docs_md)
+    w_dup = Window.partitionBy("id").orderBy(F.asc("source_file"))
+    chunks = (
+        chunks.withColumn("_rn", F.row_number().over(w_dup))
+        .filter(F.col("_rn") == 1)
+    )
     return chunks.select(
         "id", "source_file", "document_id", "type", "chunk_index", "page",
         F.length("chunk").alias("chunk_len"),
@@ -313,6 +330,92 @@ def ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {"ingest_pipeline_e2e": ingest_e2e}
+
+
+def _ingest_e2e_oracle_sql() -> str:
+    """Full DuckDB twin of :func:`ingest_e2e` for the corpus shape
+    (single-line prose, no markdown headers, no front matter):
+
+    - file synthesis + format dispatch: every 5th doc html-wrapped;
+    - ``document_id``: exact mmh3 over the ORIGINAL file bytes
+      (``murmur3_32_sql``, byte-parity with ``mmh3_doc_id``);
+    - extract: the ``html_to_text`` transform chain (tag strip to
+      space, the 3 entity unescapes, blank-line collapse, strip) --
+      RE2's ``\\s`` excludes ``\\x0B`` where Python's includes it, the
+      same documented class caveat as ``textstats._ASCII_WS``;
+    - chunk: after page tagging the single-line body degenerates to
+      one (root) section at page 1 whose zero-loss sub-split is exact
+      600-char windows (the ``chunk_markdown_docs`` algebra);
+    - ids: mmh3 chunk ids in SQL; ``chunk_len`` counts the 24-char
+      ``passage: [DOC_xxxxxxxx] `` prefix the chunk column carries;
+    - dedup: min-source_file winner per id (matches the Spark side).
+
+    Normalize is the identity stub here (the O1 bypass path), so the
+    oracle needs no LLM twin; OCR/transcription branches never fire
+    (documents enter as text/html)."""
+    from ..functions.hashing import mmh3_chunk_id_sql, mmh3_doc_id_sql
+
+    ascii_ws = "' ' || chr(9) || chr(10) || chr(13) || chr(12)"
+    return f"""
+        WITH raw AS (
+            SELECT doc_id AS src_id,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN '<html><body><p>' || text
+                             || '</p></body></html>'
+                        ELSE text END AS file_bytes,
+                   CASE WHEN doc_id % 5 = 0 THEN 'html' ELSE 'text'
+                        END AS ftype,
+                   'doc_' || doc_id
+                       || CASE WHEN doc_id % 5 = 0 THEN '.html'
+                          ELSE '.txt' END AS source_file,
+                   text
+            FROM documents
+            WHERE text IS NOT NULL
+        ),
+        ex AS (
+            SELECT src_id, ftype, source_file,
+                   {mmh3_doc_id_sql('file_bytes')} AS document_id,
+                   CASE WHEN ftype = 'html' THEN
+                       trim(regexp_replace(
+                           replace(replace(replace(
+                               regexp_replace(file_bytes,
+                                              '<[^>]+>', ' ', 'g'),
+                               '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                           '\\n\\s*\\n+', chr(10) || chr(10), 'g'),
+                           {ascii_ws})
+                   ELSE text END AS extracted
+            FROM raw
+        ),
+        body AS (
+            SELECT *, trim(extracted, {ascii_ws}) AS sect
+            FROM ex
+        ),
+        pieces AS (
+            SELECT b.src_id, b.ftype, b.source_file, b.document_id,
+                   CAST(s // 600 AS INTEGER) AS chunk_index,
+                   substr(b.sect, CAST(s + 1 AS INTEGER), 600) AS piece
+            FROM (SELECT * FROM body WHERE length(sect) > 0) b,
+                 unnest(range(0, length(b.sect), 600)) AS t(s)
+        )
+        ,
+        idd AS (
+            SELECT {mmh3_chunk_id_sql('document_id', 'piece')} AS id,
+                   source_file, document_id, ftype AS type, chunk_index,
+                   1 AS page,
+                   CAST(24 + length(piece) AS INTEGER) AS chunk_len
+            FROM pieces
+        )
+        SELECT id, source_file, document_id, type, chunk_index,
+               page, chunk_len
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY id ORDER BY source_file ASC) AS rn
+            FROM idd
+        ) WHERE rn = 1
+    """
+
+
+ORACLE = {"ingest_pipeline_e2e": _ingest_e2e_oracle_sql()}
 
 
 def ingest_pipeline(

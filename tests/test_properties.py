@@ -96,6 +96,32 @@ def test_murmur3_deterministic_and_32bit(data):
     assert 0 <= a < 2**32
 
 
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=20))
+@settings(max_examples=25, deadline=None)
+def test_murmur3_sql_twin_matches_python(texts):
+    """The inline DuckDB murmur3_32 (the ingest-e2e oracle's id
+    arithmetic) is byte-exact with the Python implementation on
+    arbitrary unicode, including the published-vector cases."""
+    import duckdb
+
+    from selfhosted_rag_doc_chat_prototype_spark.functions.hashing import (
+        murmur3_32_sql,
+    )
+
+    texts = texts + ["", "a", "abc", "abcd", "hello", "x" * 257]
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t(i INT, s VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)",
+                        list(enumerate(texts)))
+        got = [r[0] for r in con.execute(
+            f"SELECT {murmur3_32_sql('s')} FROM t ORDER BY i"
+        ).fetchall()]
+    finally:
+        con.close()
+    assert got == [murmur3_32(t) for t in texts]
+
+
 @given(text_st, text_st)
 @settings(max_examples=100, deadline=None)
 def test_content_ids_shape_and_determinism(doc, chunk):
