@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from .similarity import (
+    INDEX_BUILD_VER,
     IVF_PROBE_FRACTION,
     N_QUERIES,
     TOP_K,
@@ -94,11 +95,11 @@ def _pq_paths(sf_dir: str, m: int = PQ_M, k: int = PQ_K) -> tuple[str, str]:
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     # (m, k) in the name: distinct PQ configs must never share a path;
-    # v2 layout (corpus_key column) gets its own prefix so the oracle's
-    # glob never unions files with the pre-key schema
+    # v3 layout (corpus_key + build_ver columns) gets its own prefix
+    # so the oracle's glob never unions files with an older schema
     return (
-        os.path.join(matview_root(), f"pq_cb2_{m}x{k}_{tag}"),
-        os.path.join(matview_root(), f"pq_code2_{m}x{k}_{tag}"),
+        os.path.join(matview_root(), f"pq_cb3_{m}x{k}_{tag}"),
+        os.path.join(matview_root(), f"pq_code3_{m}x{k}_{tag}"),
     )
 
 
@@ -117,20 +118,32 @@ def pq_build(spark: SparkSession, sf_dir: str,
 
         cb_path, codes_path = _pq_paths(sf_dir, m, k)
         centroids, assigned, n_cells = ivf_build(spark, sf_dir)
+        # the IVF load above already validated its matview against the
+        # CURRENT corpus fingerprint; the PQ tables must carry the same
+        # lineage (key, ver) or they were built for another corpus /
+        # under older rules and must rebuild
+        ckey_now = int(centroids.select("corpus_key").first()[0])
         if _matview_complete(cb_path) and _matview_complete(codes_path):
-            rows = sorted(
-                spark.read.parquet(cb_path).collect(),
-                key=lambda r: (r.j, r.c),
+            cb_df = spark.read.parquet(cb_path)
+            stored = (
+                cb_df.select("corpus_key", "build_ver").first()
+                if "build_ver" in cb_df.columns else None
             )
-            mm = max(r.j for r in rows) + 1
-            kk = max(r.c for r in rows) + 1
-            codebooks = np.array(
-                [np.asarray(r.centroid) for r in rows]
-            ).reshape(mm, kk, -1)
-            _PQ_STORE[key] = (
-                codebooks, spark.read.parquet(codes_path), n_cells
-            )
-            return _PQ_STORE[key]
+            if (stored is not None and int(stored[0]) == ckey_now
+                    and int(stored[1]) == INDEX_BUILD_VER):
+                rows = sorted(
+                    cb_df.collect(),
+                    key=lambda r: (r.j, r.c),
+                )
+                mm = max(r.j for r in rows) + 1
+                kk = max(r.c for r in rows) + 1
+                codebooks = np.array(
+                    [np.asarray(r.centroid) for r in rows]
+                ).reshape(mm, kk, -1)
+                _PQ_STORE[key] = (
+                    codebooks, spark.read.parquet(codes_path), n_cells
+                )
+                return _PQ_STORE[key]
 
         sample = np.stack(
             assigned.select("v")
@@ -168,16 +181,18 @@ def pq_build(spark: SparkSession, sf_dir: str,
 
         # same corpus_key the IVF build stamped (centroids are never
         # mutated, so this read is the stable source of the lineage key)
-        ckey = int(centroids.select("corpus_key").first()[0])
         (assigned.select("vec_id", "cell", "v")
          .mapInPandas(encode, "vec_id long, cell int, code array<int>")
-         .withColumn("corpus_key", F.lit(ckey))
+         .withColumn("corpus_key", F.lit(ckey_now))
+         .withColumn("build_ver", F.lit(INDEX_BUILD_VER))
          .write.mode("overwrite").parquet(codes_path))
 
         spark.createDataFrame(
-            [(j, c, [float(x) for x in codebooks[j, c]], ckey)
+            [(j, c, [float(x) for x in codebooks[j, c]], ckey_now,
+              INDEX_BUILD_VER)
              for j in range(m) for c in range(k)],
-            "j int, c int, centroid array<double>, corpus_key long",
+            "j int, c int, centroid array<double>, corpus_key long,"
+            " build_ver int",
         ).write.mode("overwrite").parquet(cb_path)
 
         _PQ_STORE[key] = (
@@ -292,11 +307,13 @@ def pq_append(spark: SparkSession, sf_dir: str, new_vectors: DataFrame,
              "vec_id", "left_anti")
      .mapInPandas(assign_only, "vec_id long, v array<double>, cell int")
      .withColumn("corpus_key", F.lit(ckey))
+     .withColumn("build_ver", F.lit(INDEX_BUILD_VER))
      .write.mode("append").parquet(assign_path))
 
     (nv.join(existing_codes.select("vec_id"), "vec_id", "left_anti")
      .mapInPandas(encode, "vec_id long, cell int, code array<int>")
      .withColumn("corpus_key", F.lit(ckey))
+     .withColumn("build_ver", F.lit(INDEX_BUILD_VER))
      .write.mode("append").parquet(codes_path))
     ivf_key = (spark, sf_dir)
     if ivf_key in _IVF_STORE:

@@ -821,6 +821,18 @@ CORPUS_KEY_SQL = (
     " * 1000) AS BIGINT)) FROM embeddings)"
 )
 
+# Build-recipe version stamped on every persisted index row alongside
+# corpus_key. corpus_key identifies the CORPUS; build_ver identifies
+# the BUILD RULES (cell sizing ivf_cells_for, probe semantics, column
+# layout). Two index generations of the same corpus built under
+# different rules therefore never alias under one (key, ver) pair --
+# bump this constant whenever the sizing rule, seeds, or schema
+# change. The oracles additionally SELECT DISTINCT: a byte-identical
+# corpus indexed under two sf_dir paths produces byte-identical index
+# rows in two glob-matched dirs, which must collapse to one logical
+# index rather than duplicate every candidate.
+INDEX_BUILD_VER = 3
+
 
 def corpus_fingerprint(base: DataFrame) -> int:
     """Integer content fingerprint of a (vec_id, v) corpus; the exact
@@ -839,11 +851,11 @@ def _ivf_paths(sf_dir: str) -> tuple[str, str]:
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     base = matview_root()
-    # v2 layout (corpus_key column): distinct prefix so the oracle's
-    # glob never unions files with the pre-key schema
+    # v3 layout (corpus_key + build_ver columns): distinct prefix so
+    # the oracle's glob never unions files with an older schema
     return (
-        os.path.join(base, f"ivf_cent2_{tag}"),
-        os.path.join(base, f"ivf_asg2_{tag}"),
+        os.path.join(base, f"ivf_cent3_{tag}"),
+        os.path.join(base, f"ivf_asg3_{tag}"),
     )
 
 
@@ -865,29 +877,42 @@ def ivf_build(spark: SparkSession, sf_dir: str):
     key = (spark, sf_dir)
     if key not in _IVF_STORE:
         cent_path, assign_path = _ivf_paths(sf_dir)
+        base = rebalance(_vectors(spark, sf_dir))
+        ckey = corpus_fingerprint(base)
         if _matview_complete(cent_path) and _matview_complete(assign_path):
             centroids = spark.read.parquet(cent_path)
-            _IVF_STORE[key] = (
-                centroids,
-                spark.read.parquet(assign_path),
-                centroids.count(),
+            # lineage validation (one tiny row read; the fingerprint
+            # aggregate above is the only corpus scan and runs once per
+            # session): a corpus replaced IN PLACE under the same
+            # sf_dir, or an index persisted under older build rules,
+            # must rebuild rather than silently serve stale cells
+            stored = (
+                centroids.select("corpus_key", "build_ver").first()
+                if "build_ver" in centroids.columns else None
             )
-            return _IVF_STORE[key]
-        base = rebalance(_vectors(spark, sf_dir))
+            if (stored is not None and int(stored[0]) == ckey
+                    and int(stored[1]) == INDEX_BUILD_VER):
+                _IVF_STORE[key] = (
+                    centroids,
+                    spark.read.parquet(assign_path),
+                    centroids.count(),
+                )
+                return _IVF_STORE[key]
         feat = base.select(
             "vec_id", "v", array_to_vector("v").alias("features")
         )
         n_cells = ivf_cells_for(base.count())
-        ckey = corpus_fingerprint(base)
         model = KMeans(k=n_cells, seed=42, maxIter=8).fit(feat)
         model.transform(feat).select(
             "vec_id", "v", F.col("prediction").alias("cell")
         ).withColumn("corpus_key", F.lit(ckey)
+        ).withColumn("build_ver", F.lit(INDEX_BUILD_VER)
         ).write.mode("overwrite").parquet(assign_path)
         spark.createDataFrame(
-            [(i, [float(x) for x in c], ckey)
+            [(i, [float(x) for x in c], ckey, INDEX_BUILD_VER)
              for i, c in enumerate(model.clusterCenters())],
-            "cell int, centroid array<double>, corpus_key long",
+            "cell int, centroid array<double>, corpus_key long,"
+            " build_ver int",
         ).write.mode("overwrite").parquet(cent_path)
         _IVF_STORE[key] = (
             spark.read.parquet(cent_path),
@@ -1796,14 +1821,16 @@ def _ivf_oracle_sql(filter_labels: list[int] | None = None) -> str:
     return f"""
     WITH ck AS (SELECT {CORPUS_KEY_SQL} AS k),
     cent AS (
-        SELECT cell, centroid
-        FROM read_parquet('{_os.path.join(matview_root(), "ivf_cent2_*", "*.parquet")}')
+        SELECT DISTINCT cell, centroid
+        FROM read_parquet('{_os.path.join(matview_root(), "ivf_cent3_*", "*.parquet")}')
         WHERE corpus_key = (SELECT k FROM ck)
+          AND build_ver = {INDEX_BUILD_VER}
     ),
     assign AS (
-        SELECT vec_id, v, cell
-        FROM read_parquet('{_os.path.join(matview_root(), "ivf_asg2_*", "*.parquet")}')
+        SELECT DISTINCT vec_id, v, cell
+        FROM read_parquet('{_os.path.join(matview_root(), "ivf_asg3_*", "*.parquet")}')
         WHERE corpus_key = (SELECT k FROM ck)
+          AND build_ver = {INDEX_BUILD_VER}
     ),
     q AS (SELECT vec_id AS query_id, v AS qv FROM assign
           WHERE vec_id < {N_QUERIES}),
@@ -1855,30 +1882,35 @@ def ivfpq_oracle_sql() -> str:
     Shortlist (k * refine_factor by ADC) then exact cosine rerank from
     the assignments table, exactly ``pq.pq_probe``."""
     m, k, refine = PQ_ORACLE_PARAMS
-    cb_glob = _os.path.join(matview_root(), f"pq_cb2_{m}x{k}_*", "*.parquet")
+    cb_glob = _os.path.join(matview_root(), f"pq_cb3_{m}x{k}_*", "*.parquet")
     code_glob = _os.path.join(
-        matview_root(), f"pq_code2_{m}x{k}_*", "*.parquet")
-    cent_glob = _os.path.join(matview_root(), "ivf_cent2_*", "*.parquet")
-    asg_glob = _os.path.join(matview_root(), "ivf_asg2_*", "*.parquet")
+        matview_root(), f"pq_code3_{m}x{k}_*", "*.parquet")
+    cent_glob = _os.path.join(matview_root(), "ivf_cent3_*", "*.parquet")
+    asg_glob = _os.path.join(matview_root(), "ivf_asg3_*", "*.parquet")
     shortlist = TOP_K * refine
     return f"""
         WITH ck AS (SELECT {CORPUS_KEY_SQL} AS k),
         cent AS (
-            SELECT cell, centroid FROM read_parquet('{cent_glob}')
+            SELECT DISTINCT cell, centroid FROM read_parquet('{cent_glob}')
             WHERE corpus_key = (SELECT k FROM ck)
+              AND build_ver = {INDEX_BUILD_VER}
         ),
         assign AS (
-            SELECT vec_id, v FROM read_parquet('{asg_glob}')
+            SELECT DISTINCT vec_id, v FROM read_parquet('{asg_glob}')
             WHERE corpus_key = (SELECT k FROM ck)
+              AND build_ver = {INDEX_BUILD_VER}
         ),
         cb AS (
-            SELECT j, c, centroid FROM read_parquet('{cb_glob}')
+            SELECT DISTINCT j, c, centroid FROM read_parquet('{cb_glob}')
             WHERE corpus_key = (SELECT k FROM ck)
+              AND build_ver = {INDEX_BUILD_VER}
         ),
         cbl AS (SELECT list(centroid ORDER BY j * {k} + c) AS cbs FROM cb),
         codes AS (
-            SELECT vec_id, cell, code FROM read_parquet('{code_glob}')
+            SELECT DISTINCT vec_id, cell, code
+            FROM read_parquet('{code_glob}')
             WHERE corpus_key = (SELECT k FROM ck)
+              AND build_ver = {INDEX_BUILD_VER}
         ),
         q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
               FROM embeddings WHERE vec_id < {N_QUERIES} AND embedding IS NOT NULL),

@@ -130,13 +130,53 @@ def test_ivf_probe_reads_persisted_index(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         similarity.anns_ivf_topk(spark, sf_dir).explain("formatted")
     p = buf.getvalue()
-    assert "ivf_cent2_" in p
-    assert "ivf_asg2_" in p
+    assert "ivf_cent3_" in p
+    assert "ivf_asg3_" in p
     # the probe side never round-robins the corpus (that was the
     # build-time rebalance); candidate access is the broadcast
     # cell-id equi-join
     assert "roundrobin" not in p.lower()
     assert "BroadcastHashJoin" in p
+
+
+def test_ivf_matview_rebuilds_on_corpus_change(spark, tmp_path):
+    """Lineage validation: a corpus replaced IN PLACE under the same
+    sf_dir must trigger a rebuild on the next (new-session) load, not
+    silently serve the stale persisted index; the stamped corpus_key
+    always matches the CURRENT corpus fingerprint and carries the
+    build-rules version."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "corpus")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+
+    def write(seed: int) -> None:
+        rng = np.random.default_rng(zlib.crc32(d.encode()) ^ seed)
+        vecs = [list(map(float, v / np.linalg.norm(v)))
+                for v in rng.standard_normal((30, 64))]
+        pq.write_table(pa.table({
+            "vec_id": list(range(30)),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": [i % 5 for i in range(30)],
+        }), f"{d}/embeddings.parquet")
+
+    write(1)
+    cents1, _a1, _n1 = similarity.ivf_build(spark, d)
+    k1 = int(cents1.select("corpus_key").first()[0])
+
+    write(2)  # corpus changes under the same path...
+    similarity._IVF_STORE.clear()  # ...and a new session loads
+    cents2, _a2, _n2 = similarity.ivf_build(spark, d)
+    row = cents2.select("corpus_key", "build_ver").first()
+    expected = similarity.corpus_fingerprint(similarity._vectors(spark, d))
+    assert int(row[0]) == expected != k1
+    assert int(row[1]) == similarity.INDEX_BUILD_VER
 
 
 def test_topk_cosine_auto_strategy_picks_by_pair_count(spark, sf_dir):
