@@ -197,8 +197,18 @@ def _fold_funnel(t1, t2, t3, rows):
     return t1, t2, t3
 
 
+def _interval_ms(s: str) -> int:
+    """Parse a simple ``"<n> <unit>"`` interval (seconds/minutes/hours/
+    days) to milliseconds."""
+    n, unit = s.split()
+    mult = {"second": 1_000, "minute": 60_000, "hour": 3_600_000,
+            "day": 86_400_000}[unit.rstrip("s")]
+    return int(float(n) * mult)
+
+
 def funnel_stateful(events: DataFrame, ordered: bool = True,
-                    delay: str = "2 hours") -> DataFrame:
+                    delay: str = "2 hours",
+                    state_ttl: str | None = None) -> DataFrame:
     """Streaming twin of the batch conversion funnel
     (``analytics.funnel_view_click_purchase``): keyed state per user
     carries the first-touch step times; each update emits the user's
@@ -220,7 +230,19 @@ def funnel_stateful(events: DataFrame, ordered: bool = True,
     then holds under ARBITRARY micro-batch reordering of events no
     later than ``delay`` (the normal out-of-order case), at the cost
     of state linear in each user's events inside the watermark window
-    -- the standard completeness-vs-state trade, chosen per funnel."""
+    -- the standard completeness-vs-state trade, chosen per funnel.
+
+    ``state_ttl`` (ordered=False, streaming only) bounds the keyed
+    state on an unbounded user universe: a user idle past ``ttl`` of
+    EVENT time (watermark-driven ``EventTimeTimeout``) folds any
+    remaining buffer -- all ripe by then, since the watermark passed
+    last_seen + ttl -- emits a final snapshot, and is EVICTED. The
+    contract is sessionization's: post-TTL activity for that user
+    begins a NEW funnel observation rather than resuming the evicted
+    one (the reference's own stale-state purge, ST5/CHUNK_TIMEOUT,
+    makes the same trade). ``None`` (default) keeps exact
+    unbounded-horizon semantics; crawl-scale deployments should set a
+    horizon matched to how long a funnel meaningfully stays open."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -257,7 +279,8 @@ def funnel_stateful(events: DataFrame, ordered: bool = True,
         )
 
     state_schema = ("t1 timestamp, t2 timestamp, t3 timestamp, "
-                    "buf_ts array<timestamp>, buf_et array<string>")
+                    "buf_ts array<timestamp>, buf_et array<string>, "
+                    "last_ts timestamp")
     # the ripeness compare pairs SESSION-rendered naive event times
     # with the epoch-UTC watermark (getCurrentWatermarkMs); they only
     # measure the same clock under a UTC session -- fail loudly rather
@@ -270,21 +293,39 @@ def funnel_stateful(events: DataFrame, ordered: bool = True,
             "session-naive while the watermark is epoch-UTC"
         )
     src = events.withWatermark("ts", delay) if events.isStreaming else events
+    ttl_ms = (
+        _interval_ms(state_ttl)
+        if state_ttl is not None and events.isStreaming else None
+    )
 
     def update_delayed(key, pdfs, state: GroupState):
-        t1, t2, t3, buf_ts, buf_et = (
-            state.get if state.exists else (None, None, None, [], [])
+        t1, t2, t3, buf_ts, buf_et, last_ts = (
+            state.get if state.exists
+            else (None, None, None, [], [], None)
         )
         buf = [
             (pd.Timestamp(ts), et)
             for ts, et in zip(buf_ts or [], buf_et or [])
         ]
+        if ttl_ms is not None and state.hasTimedOut:
+            # idle past the event-time TTL: everything buffered is ripe
+            # (watermark >= last_ts + ttl >= every buffered ts) -- fold,
+            # emit the final snapshot, evict
+            t1, t2, t3 = _fold_funnel(t1, t2, t3, buf)
+            state.remove()
+            yield snapshot(key, t1, t2, t3)
+            return
         for pdf in pdfs:
             buf.extend(
                 (ts, et) for ts, et in zip(pdf["ts"], pdf["event_type"])
                 if not pd.isna(ts)
             )
         buf.sort(key=lambda r: r[0])
+        if buf:
+            last_ts = (
+                buf[-1][0] if last_ts is None
+                else max(pd.Timestamp(last_ts), buf[-1][0])
+            )
         try:
             wm_ms = state.getCurrentWatermarkMs()
         except Exception:
@@ -296,8 +337,15 @@ def funnel_stateful(events: DataFrame, ordered: bool = True,
             t1, t2, t3 = _fold_funnel(t1, t2, t3, ripe)
         state.update((
             t1, t2, t3,
-            [r[0] for r in buf], [r[1] for r in buf],
+            [r[0] for r in buf], [r[1] for r in buf], last_ts,
         ))
+        if ttl_ms is not None:
+            # timeout timestamps must sit beyond the current watermark
+            last_ms = (
+                int(pd.Timestamp(last_ts).value // 1_000_000)
+                if last_ts is not None else wm_ms
+            )
+            state.setTimeoutTimestamp(max(last_ms + ttl_ms, wm_ms + 1))
         # provisional fold through the buffered tail: the emission
         # reflects everything seen so far in event-time order, while
         # committed state stays replay-safe behind the watermark
@@ -306,7 +354,8 @@ def funnel_stateful(events: DataFrame, ordered: bool = True,
 
     return src.groupBy("user_id").applyInPandasWithState(
         update_delayed, out_schema, state_schema, "update",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout,
     )
 
 

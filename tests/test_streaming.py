@@ -533,3 +533,67 @@ def test_funnel_delayed_equals_batch_under_reordering(spark, sf_dir, tmp_path):
     for u, (b1, b2, b3) in want.items():
         s = final[u]
         assert (s.t1, s.t2, s.t3) == (b1, b2, b3), f"user {u} diverges"
+
+
+def test_funnel_delayed_ttl_bounds_state(spark, tmp_path):
+    """With an event-time state TTL, a long replay over a growing user
+    universe must NOT accumulate keyed state for every user ever seen:
+    users idle past the TTL fold their buffer, emit a final snapshot,
+    and evict. Asserts the state-store row count across the replay
+    stays bounded by the active window, not the universe, while every
+    user still got a correct final emission."""
+    import datetime
+
+    d = str(tmp_path / "funnel_ttl")
+    base = datetime.datetime(2025, 1, 1)
+    users_per_day, days = 30, 6
+    rows = []
+    for day in range(days):
+        for i in range(users_per_day):
+            uid = day * users_per_day + i
+            t0 = base + datetime.timedelta(days=day, minutes=i)
+            rows.append((uid, "view", t0))
+            rows.append((uid, "click", t0 + datetime.timedelta(seconds=60)))
+            rows.append((uid, "purchase",
+                         t0 + datetime.timedelta(seconds=120)))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    for day in range(days):
+        lo = base + datetime.timedelta(days=day)
+        hi = base + datetime.timedelta(days=day + 1)
+        (df.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+         .coalesce(1).write.mode("append").parquet(d))
+
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, ts timestamp"
+    ).option("maxFilesPerTrigger", 1).parquet(d)
+    q = (
+        telemetry.funnel_stateful(stream, ordered=False, delay="5 minutes",
+                                  state_ttl="2 hours")
+        .writeStream.format("memory")
+        .queryName("funnel_ttl")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in (q.recentProgress or [])
+        if p.get("stateOperators")
+    ]
+    assert state_rows, "no state metrics captured"
+    total_users = users_per_day * days
+    # bounded: never holds more than ~two day-slices of users at once
+    assert max(state_rows) <= 2 * users_per_day + 5 < total_users
+    # and eviction did not lose correctness: every user's final
+    # emission reached step 3 with its own timestamps
+    final = {}
+    for r in spark.sql(
+        "SELECT user_id, t1, t2, t3, step FROM funnel_ttl"
+    ).collect():
+        if r.user_id not in final or r.step >= final[r.user_id].step:
+            final[r.user_id] = r
+    assert len(final) == total_users
+    assert all(r.step == 3 for r in final.values())
