@@ -32,12 +32,11 @@ from __future__ import annotations
 import json
 import re
 
-# textstats.BPE_RE with re.ASCII: python's default \s is Unicode-aware
-# and would diverge from the Java-regex codegen twin on NBSP-class
-# whitespace (the same pitfall textstats._ASCII_WS documents) --
-# without it, a pre-token the distributed counter emits could be one
-# this encoder never sees, silently breaking n_bpe >= n_pretokens
-_PRETOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", re.ASCII)
+# textstats.BPE_RE verbatim (explicit whitespace class since round 5:
+# identical across Python/Java/RE2, closing the \x0B and NBSP-class
+# divergences) -- a pre-token the distributed counter emits must be
+# one this encoder sees, or n_bpe >= n_pretokens silently breaks
+_PRETOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]")
 _EOW = "</w>"
 
 

@@ -102,7 +102,7 @@ def fix_mojibake(c: Column) -> Column:
 def words(c: Column) -> Column:
     """Whitespace tokens, empties dropped (the reference's
     ``len(text.split())`` convention, text_utils.py:141-147)."""
-    return F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != F.lit(""))
+    return F.filter(F.split(F.trim(c), r"[ \t\n\x0B\f\r]+"), lambda x: x != F.lit(""))
 
 
 def let(expr: Column, body) -> Column:

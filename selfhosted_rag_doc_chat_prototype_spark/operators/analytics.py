@@ -1078,16 +1078,28 @@ ORACLE = {
                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
         FROM events GROUP BY 1
     """,
+    # integral-guarded cast: Spark try_cast(string -> int) yields NULL
+    # for decimal strings ('3.7'), DuckDB TRY_CAST ROUNDS them to 4 --
+    # the regexp pins both engines to the integer-literal semantic
+    # (sign + digits, surrounding whitespace trimmed like Spark's cast)
     "a11_json_props": """
+        WITH kx AS (
+            SELECT event_type,
+                   CASE WHEN json_valid(props) THEN
+                       trim(json_extract_string(props, '$.k')) END AS ks
+            FROM events
+        ),
+        kv AS (
+            SELECT event_type,
+                   CASE WHEN regexp_matches(ks, '^[+-]?[0-9]+$')
+                        THEN TRY_CAST(ks AS INTEGER) END AS k
+            FROM kx
+        )
         SELECT event_type,
-               round(avg(CASE WHEN json_valid(props) THEN
-                   TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
-                   END), 4) AS avg_k,
-               CAST(max(CASE WHEN json_valid(props) THEN
-                   TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
-                   END) AS INTEGER) AS max_k,
+               round(avg(k), 4) AS avg_k,
+               CAST(max(k) AS INTEGER) AS max_k,
                CAST(count(*) AS BIGINT) AS n
-        FROM events GROUP BY 1
+        FROM kv GROUP BY 1
     """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -1357,15 +1369,21 @@ ORACLE = {
         GROUP BY 1, 2
     """,
     # twin of the Spark side's exact semantics on ANY props payload:
-    # TRY_CAST (Spark's cast yields NULL on non-numerics, DuckDB's
-    # plain CAST would error), pmod-style floor bucketing (DuckDB %
-    # takes the dividend's sign), and distinct over the RAW STRING
-    # value (the Spark side counts distinct prop_val strings)
+    # integral-guarded TRY_CAST (Spark try_cast NULLs decimal strings
+    # where DuckDB TRY_CAST rounds them -- the regexp pins the
+    # integer-literal semantic on both engines), pmod-style floor
+    # bucketing (DuckDB % takes the dividend's sign), and distinct
+    # over the RAW STRING value (the Spark side counts distinct
+    # prop_val strings)
     "props_key_histogram": """
         WITH kv AS (
             SELECT k AS prop_key,
                    json_extract_string(props, '$.' || k) AS s,
-                   TRY_CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS v
+                   CASE WHEN regexp_matches(
+                            trim(json_extract_string(props, '$.' || k)),
+                            '^[+-]?[0-9]+$')
+                        THEN TRY_CAST(trim(json_extract_string(
+                            props, '$.' || k)) AS BIGINT) END AS v
             FROM (SELECT props, unnest(json_keys(props)) AS k
                   FROM events
                   WHERE props IS NOT NULL AND json_valid(props))

@@ -228,7 +228,7 @@ def parse_front_matter(text: str) -> tuple[dict[str, str], str]:
     end = text.find("\n---", 4)
     if end == -1:
         return meta, text
-    for line in text[4:end].splitlines():
+    for line in text[4:end].split("\n"):
         if ":" in line:
             k, v = line.split(":", 1)
             meta[k.strip()] = v.strip()
@@ -250,7 +250,10 @@ def split_markdown_sections(text: str) -> list[tuple[str, int, str]]:
         if content:
             sections.append((" / ".join(path) or "(root)", page, content))
 
-    for line in body.splitlines():
+    # split on '\n' exactly, NOT splitlines(): splitlines also breaks
+    # on \x0B/\f/U+2028 etc., which no SQL twin treats as line ends --
+    # the engine's line boundary is the newline character, period
+    for line in body.split("\n"):
         m = _HEADER_RE.match(line)
         if m:
             flush()

@@ -53,7 +53,7 @@ from . import similarity as _sim
 N_SEEDS = 16
 BAND_ROWS = 4
 
-_W_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+_W_SQL = "list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
 
 _EXACT_CORPUS_SQL = """
     SELECT doc_id, text FROM documents

@@ -88,7 +88,7 @@ def embed_map_in_pandas(
 def _votes_expr() -> str:
     """Pure-SQL (Spark dialect) equivalent of the stub model's integer
     vote vector, over distinct words in first-occurrence order."""
-    words = "array_distinct(filter(split(trim(text), '\\\\s+'), x -> x != ''))"
+    words = "array_distinct(filter(split(trim(text), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), x -> x != ''))"
     return (
         f"transform(sequence(0, {DIM - 1}), j -> "
         f"aggregate(transform({words}, w -> md5(w)), 0, "
@@ -197,7 +197,7 @@ ORACLE = {
         WITH t AS (
             SELECT doc_id,
                    list_transform(list_distinct(list_filter(
-                       string_split_regex(trim(text), '\\s+'), x -> x <> '')),
+                       string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')),
                        w -> md5(w)) AS hs
             FROM documents
         ),

@@ -42,9 +42,18 @@ into the same slot unchanged.
 Goldens: ``tests/fixtures/markdown_goldens.json`` (written by
 ``tools/gen_markdown_goldens.py``) pins chunk text + indices + ids for
 varied docs (front matter, page anchors, nested headers, code fences,
-oversize sections). The generator cross-checks against the real
-langchain splitters when they are importable (they are not in this
-container; the fixture file records which path produced it).
+oversize sections). EVIDENCE STATUS (be precise about what is proven):
+the fixture records ``generator: "replica"`` -- langchain is not
+importable in this container, so the cross-check hook in the generator
+has never executed against the real library, and the goldens pin THIS
+implementation's output (regression protection, not external
+validation). External evidence is (a) the copied published langchain
+test vectors in ``tests/test_mdsplit.py`` for the header splitter and
+(b) hand-computed merge-window cases; true byte-parity of the
+RecursiveCharacterTextSplitter merge window against langchain 0.3.x
+remains UNVERIFIED until someone runs the generator with the package
+installed (it then asserts byte-identity and flips the ``generator``
+tag).
 
 Scale: the splitter is a per-document pure function fanned out with
 Arrow ``mapInPandas`` -- map-only, no shuffle, no driver loop.
@@ -279,7 +288,16 @@ def parse_front_matter_yamlish(text: str) -> tuple[dict, str]:
     (text_processor.py:33-45). Values parsed as plain ``k: v`` lines --
     the documents this engine feeds it never carry nested YAML, and a
     malformed header degrades to {} exactly like the reference's
-    ``except`` arm."""
+    ``except`` arm.
+
+    DOCUMENTED DEVIATION: the reference runs ``yaml.safe_load``, so
+    typed scalars come back typed (``count: 3`` -> int 3, ``tags:
+    [a, b]`` -> list); this parser yields the raw STRING for every
+    value. Chunk *metadata* for typed front matter therefore differs
+    (``"3"`` vs ``3``) while chunk text and boundaries are unaffected
+    -- the same caveat family as the nested-YAML note above. Callers
+    comparing metadata byte-for-byte against the reference should
+    plug a YAML parser here."""
     m = _FRONT_MATTER_RE.search(text)
     if not m:
         return {}, text
@@ -301,16 +319,32 @@ def split_markdown_doc_parity(
     budget: int | None = None,
     prefix: str = "passage: ",
     document_id: str | None = None,
+    max_tokens: int | None = None,
 ) -> tuple[list[str], list[dict]]:
     """The reference's ``split_markdown_doc`` end to end: returns
     (chunks, metadata) with the same chunk boundaries, indices, pages,
-    and id/hash scheme (mmh3 via ``functions.hashing.murmur3_32``,
-    byte-parity golden-tested)."""
+    and id/hash scheme (mmh3 via ``functions.hashing.murmur3_32``).
+    The id/hash arithmetic is byte-parity-tested against published
+    murmur vectors; the CHUNK BOUNDARIES are replica-golden-pinned plus
+    published-vector-tested for the header splitter -- see the module
+    docstring's evidence-status note for what remains unverified.
+
+    ``budget`` sizes the merge window (``chunk_size = 0.85*budget -
+    prefix``); ``max_tokens`` gates the oversize overflow check and the
+    sub-split window, mirroring the reference's GLOBAL ``MAX_TOKENS``
+    (text_processor.py:115,126), which it applies regardless of the
+    requested chunk size. Byte-parity with the reference requires
+    ``budget == max_tokens == MAX_TOKENS`` -- the reference never
+    varies them independently -- so ``max_tokens`` defaults to
+    ``budget`` and exists for callers reproducing a deployment where
+    the env-tuned global differs from the split budget."""
     from ..functions.hashing import murmur3_32
 
     tokenizer = tokenizer or CharTokenizer()
     if budget is None:
         budget = DEFAULT_BUDGET
+    if max_tokens is None:
+        max_tokens = budget
 
     file_meta, body = parse_front_matter_yamlish(text)
     body = _PAGE_ANCHOR_INLINE_RE.sub(r"\1\n\2", body)
@@ -363,7 +397,9 @@ def split_markdown_doc_parity(
             full = tokenizer.encode(
                 f"{enrichment_prefix}{piece}", add_special_tokens=True
             )
-            if len(full) <= budget:
+            # the overflow gate and sub-split window use max_tokens
+            # (the reference's global MAX_TOKENS), not the merge budget
+            if len(full) <= max_tokens:
                 emit(piece, sect_meta, page)
             else:
                 # non-destructive oversize sub-split (T6): token-window
@@ -371,7 +407,7 @@ def split_markdown_doc_parity(
                 content_tokens = tokenizer.encode(
                     piece, add_special_tokens=False
                 )
-                available = budget - prefix_len - SUBSPLIT_SAFETY
+                available = max_tokens - prefix_len - SUBSPLIT_SAFETY
                 start = 0
                 while start < len(content_tokens):
                     end = min(start + available, len(content_tokens))
@@ -480,12 +516,22 @@ def _md_ref_oracle_sql() -> str:
     sep_len = prefix_len  # token_len("") = prefix_len + 0
     return f"""
         WITH RECURSIVE docs AS (
-            SELECT doc_id, trim(text) AS text,
+            -- doc_key hashes the RAW text column (the Python side
+            -- hashes the unmodified document; a same-SELECT alias
+            -- would lateral-capture and hash the trimmed value).
+            -- w mirrors the parity splitter's line handling: ASCII
+            -- control characters are REMOVED (langchain 0.3.x strips
+            -- non-printables per line, text_processor.py:60-75), then
+            -- space-split -- so a \\x0B/\\t-bearing document cleans
+            -- identically on both engines.
+            SELECT doc_id,
                    'DOC_' || substr(md5(text), 1, 8) AS doc_key,
-                   list_filter(string_split(trim(text), ' '),
+                   list_filter(string_split(trim(regexp_replace(
+                       text, '[\\x00-\\x1f\\x7f]', '', 'g')), ' '),
                                x -> x <> '') AS w
             FROM documents
-            WHERE length(trim(text)) > 0
+            WHERE length(trim(regexp_replace(
+                      text, '[\\x00-\\x1f\\x7f]', '', 'g'))) > 0
         ),
         st AS (
                 SELECT doc_id, w, len(w) AS n,

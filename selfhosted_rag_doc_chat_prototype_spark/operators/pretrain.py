@@ -84,12 +84,12 @@ BOILER_FOOTER = "all rights reserved this content is protected by copyright law"
 TSAMP_BASE = 0.9
 TSAMP_T = 2.0
 
-_W_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+_W_SQL = "list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
 # null-safe twin: operators that treat NULL text as the empty document
 # (tempered sampling, curriculum, packing, histogram) coalesce on the
 # Spark side and mirror with this in their oracles
 _W0_SQL = ("list_filter(string_split_regex(trim(coalesce(text, '')),"
-           " '\\s+'), x -> x <> '')")
+           " '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')")
 
 
 def _grams(w: Column, k: int) -> Column:
@@ -913,7 +913,7 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     one bigram; ppl = exp(-mean log p(b|a))."""
     docs = table(spark, sf_dir, "documents")
     words = F.filter(
-        F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != F.lit("")
+        F.split(F.lower(F.trim("text")), r"[ \t\n\x0B\f\r]+"), lambda x: x != F.lit("")
     )
     toks = docs.select("doc_id", words.alias("w"))
     lm_h = F.substring(
@@ -1108,7 +1108,7 @@ ORACLE = {
     "lm_perplexity_score": f"""
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                   list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
                                x -> x <> '') AS w
             FROM documents
         ),
@@ -1187,7 +1187,7 @@ ORACLE = {
     # keep-first-occurrence == row_number() over (doc, sent) by pos
     "intradoc_line_dedup": f"""
         WITH d AS (SELECT doc_id,
-                          list_filter(string_split_regex(trim(text), '\\s+'),
+                          list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                       x -> x <> '') AS w0
                    FROM documents),
         p AS (SELECT doc_id,
@@ -1200,7 +1200,7 @@ ORACLE = {
                         ELSE '' END AS bt
               FROM d),
         t AS (SELECT doc_id,
-                     list_filter(string_split_regex(trim(bt), '\\s+'),
+                     list_filter(string_split_regex(trim(bt), '[ \\t\\n\\x0B\\f\\r]+'),
                                  x -> x <> '') AS w
               FROM p),
         s AS (SELECT doc_id, u.i AS pos,
@@ -1226,7 +1226,7 @@ ORACLE = {
     "boilerplate_sentence_dedup": f"""
         WITH p AS ({_BOILER_SYNTH_SQL}),
         t AS (SELECT doc_id,
-                     list_filter(string_split_regex(trim(bt), '\\s+'),
+                     list_filter(string_split_regex(trim(bt), '[ \\t\\n\\x0B\\f\\r]+'),
                                  x -> x <> '') AS w
               FROM p),
         s AS (SELECT doc_id, u.i AS pos,

@@ -107,7 +107,7 @@ MMR_LAMBDA = 0.5
 
 def _doc_tokens(docs: DataFrame) -> DataFrame:
     toks = F.array_distinct(
-        F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != F.lit(""))
+        F.filter(F.split(F.trim("text"), r"[ \t\n\x0B\f\r]+"), lambda x: x != F.lit(""))
     )
     return docs.select("doc_id", toks.alias("toks"))
 
@@ -308,7 +308,7 @@ ORACLE = {
                 SELECT q.doc_id AS query_id, u.term
                 FROM (SELECT doc_id,
                              list_distinct(list_filter(
-                                 string_split_regex(trim(text), '\\s+'),
+                                 string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                  x -> x <> '')) AS wq
                       FROM documents WHERE doc_id < {N_QUERIES}) q,
                      unnest(q.wq) AS u(term)
@@ -331,7 +331,7 @@ ORACLE = {
         toks AS (
             SELECT doc_id,
                    list_distinct(list_filter(
-                       string_split_regex(trim(text), '\\s+'),
+                       string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
                        x -> x <> '')) AS toks
             FROM documents
         ),

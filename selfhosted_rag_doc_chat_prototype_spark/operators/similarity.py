@@ -1239,7 +1239,7 @@ def sparse_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     words = F.filter(
-        F.split(F.trim("text"), r"\s+"), lambda x: x != F.lit("")
+        F.split(F.trim("text"), r"[ \t\n\x0B\f\r]+"), lambda x: x != F.lit("")
     )
     base = docs.select(
         "doc_id",
@@ -1329,7 +1329,7 @@ _BM25_SCORE = "\n             + ".join(
 _BM25_SQL = f"""
     WITH base AS (
         SELECT doc_id,
-               list_filter(string_split_regex(trim(text), '\\s+'),
+               list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
                            x -> x <> '') AS w
         FROM documents
     ), t AS (
@@ -1589,7 +1589,7 @@ ORACLE = {
                 SELECT q.doc_id AS query_id, u.term
                 FROM (SELECT doc_id,
                              list_distinct(list_filter(
-                                 string_split_regex(trim(text), '\\s+'),
+                                 string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                  x -> x <> '')) AS wq
                       FROM documents WHERE doc_id < {N_QUERIES}) q,
                      unnest(q.wq) AS u(term)

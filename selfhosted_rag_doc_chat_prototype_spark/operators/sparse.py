@@ -42,8 +42,8 @@ BM25_B = 0.75
 
 def words_col(text: Column) -> Column:
     """Whitespace tokens of ``text`` (shared with the BM25/fusion SQL:
-    ``list_filter(string_split_regex(trim(text), '\\s+'), ...)``)."""
-    return F.filter(F.split(F.trim(text), r"\s+"), lambda x: x != F.lit(""))
+    ``list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), ...)``)."""
+    return F.filter(F.split(F.trim(text), r"[ \t\n\x0B\f\r]+"), lambda x: x != F.lit(""))
 
 
 def _doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,7 +254,7 @@ _TF_SQL = """
     FROM (
         SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, w
         FROM (SELECT doc_id,
-                     list_filter(string_split_regex(trim(text), '\\s+'),
+                     list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                  x -> x <> '') AS w
               FROM documents)
     ), unnest(w) AS u(term)
@@ -263,7 +263,7 @@ _TF_SQL = """
 
 _STATS_SQL = """
     SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-           avg(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+           avg(CAST(len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                     x -> x <> '')) AS DOUBLE)) AS avgdl
     FROM documents
 """

@@ -30,17 +30,20 @@ STOPWORDS = {
     "es": ["el", "los", "las", "y", "una", "es", "por", "con", "para", "como"],
 }
 
-_W_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+_W_SQL = "list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
 # null-safe twin (NULL text == empty document); keep in sync with the
 # operators that coalesce text on the Spark side
 _W0_SQL = ("list_filter(string_split_regex(trim(coalesce(text, '')),"
-           " '\\s+'), x -> x <> '')")
+           " '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')")
 
 
 # BPE-ish pre-tokenizer split (letter runs / digit runs / single
 # punctuation), the GPT-2-family pre-tokenization shape restricted to
 # ASCII classes so Spark's Java regex and DuckDB's RE2 agree exactly
-BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# explicit whitespace class, not \s: Java \s includes \x0B where
+# RE2's excludes it (and Python's unicode \s includes NBSP etc.);
+# the literal class means every engine tokenizes identically
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 # ---- deterministic sampling / split ---------------------------------------
@@ -201,15 +204,13 @@ WIN_W = 5  # winnow window: any shared run of >= W+K-1 words is caught
 
 import re as _re
 
-# Java regex \s (tq.words) is ASCII [ \t\n\x0B\f\r]; python's default
-# \s is Unicode-aware and would also split on NBSP etc., silently
-# changing fingerprints vs the column-expression convention.
-# CAVEAT: the DuckDB oracle's RE2 \s EXCLUDES vertical tab (\x0B)
-# while Java/Python ASCII \s include it -- a document containing \x0B
-# would tokenize differently across engines. The testdata corpora are
-# \x0B-free (asserted by the oracle gate passing); an engine ingesting
-# arbitrary bytes should normalize \x0B out upstream or pin the
-# explicit class [ \t\n\x0B\f\r]+ on BOTH sides.
+# The tokenization convention is the EXPLICIT class [ \t\n\x0B\f\r]+
+# on every side (closed in round 5): Java \s and Python ASCII \s both
+# equal that class, but RE2's \s EXCLUDES vertical tab, so the DuckDB
+# oracles previously diverged on \x0B-bearing text. All engine and
+# oracle splits now pin the class literally (tq.words, _W_SQL twins),
+# and the null-robustness corpus carries a \x0B row to keep it honest.
+# Python's re.ASCII \s == [ \t\n\x0B\f\r] -- aligned by construction.
 _ASCII_WS = _re.compile(r"\s+", _re.ASCII)
 
 

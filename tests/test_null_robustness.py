@@ -61,15 +61,23 @@ def null_corpus(spark, tmp_path_factory):
     import pyarrow.parquet as pq
 
     d = str(tmp_path_factory.mktemp("null_corpus"))
+    # doc 5 carries an INTERNAL vertical tab: the tokenization contract
+    # pins the explicit class [ \t\n\x0B\f\r]+ on every engine (Java \s
+    # includes \x0B, RE2's excludes it), and this row keeps that honest
+    texts = [
+        "key agg row scan slow", None, "", "   ",
+        "table value part hash merge",
+        # corpus-vocabulary words so the pinned-BPE coverage condition
+        # (chunk_token_budget_bpe's documented oracle precondition)
+        # still holds once the \x0B is treated as whitespace
+        "key\x0Bagg row\x0Bscan merge",
+    ]
     pq.write_table(pa.table({
-        "doc_id": [0, 1, 2, 3, 4],
-        "text": [
-            "key agg row scan slow", None, "", "   ",
-            "table value part hash merge",
-        ],
-        "lang": ["en"] * 5,
-        "source": ["s0"] * 5,
-        "n_chars": [21, 0, 0, 3, 27],
+        "doc_id": list(range(len(texts))),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["s0"] * len(texts),
+        "n_chars": [len(t) if t else 0 for t in texts],
     }), f"{d}/documents.parquet")
     return d
 
@@ -141,6 +149,12 @@ def null_events(spark, tmp_path_factory, sf_dir):
         # stay total and casts lenient on both engines
         (200, None, "ghost", None, ts0, '{"k":"abc"}'),
         (201, None, "ghost", None, ts0, None),
+        # decimal-string and whitespace-padded integer properties: the
+        # cast contract is INTEGER-LITERAL (Spark try_cast NULLs '3.7'
+        # where an unguarded DuckDB TRY_CAST would round it to 4)
+        (202, 6, "view", 4.0, ts0 + dt.timedelta(hours=3), '{"k":"3.7"}'),
+        (203, 6, "click", 5.0, ts0 + dt.timedelta(hours=4),
+         '{"k":" 12 "}'),
     ]
     pq.write_table(pa.table({
         "event_id": [r[0] for r in rows],
