@@ -98,6 +98,11 @@ HEADLINE = [
     "dedup_connected_components",
     "sketch_cardinality_quantiles",
     "seq_len_histogram",
+    # round 5: perceptual-hash image dedup, cross-encoder re-rank
+    # (stub model boundary), per-doc tf-idf keywords
+    "multimodal_phash_dedup",
+    "rag_rerank_crossencoder",
+    "tfidf_top_terms",
 ]
 
 

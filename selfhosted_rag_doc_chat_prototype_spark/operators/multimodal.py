@@ -268,13 +268,186 @@ def multimodal_video_keyframes(spark, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- perceptual-hash near-duplicate images (banded, codegen-only) --------
+
+PHASH_BITS = 64            # one bit per pixel of the 8x8 image
+PHASH_BANDS = 4            # 16-bit bands for the LSH bucket join
+PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS
+PHASH_MAX_HAMMING = 12     # near-dup threshold
+
+
+def _phash_bands(px: F.Column, total: F.Column) -> F.Column:
+    """aHash bands from a 64-pixel integer image: bit_i = (pixel_i *
+    64 > sum(pixels)) -- the mean threshold in EXACT integer arithmetic
+    (no division) -- packed into ``PHASH_BANDS`` x 16-bit integers via
+    a Horner fold. Pure codegen higher-order functions; the DuckDB
+    twin is the same fold over ``list_reduce``."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1)),
+        lambda j: F.aggregate(
+            # descending bit order => acc*2 + bit == the packed int
+            F.sequence(j * PHASH_BAND_BITS + PHASH_BAND_BITS,
+                       j * PHASH_BAND_BITS + 1, F.lit(-1)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc * 2 + F.when(
+                F.element_at(px, i.cast("int")) * 64 > total, F.lit(1)
+            ).otherwise(F.lit(0)).cast("long"),
+        ),
+    )
+
+
+def multimodal_phash_dedup(spark, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE detection over binary-image semantics, the
+    pipeline a crawl-scale multimodal corpus runs after decode: aHash
+    perceptual fingerprints + banded LSH bucketing + exact Hamming
+    verify -- never all-pairs. Each embedding renders the two video
+    keyframes (frames 0 and ``FRAME_SAMPLE_N`` of the
+    ``multimodal_video_keyframes`` contract: frame f = image + f
+    brightness), which are near-duplicates BY CONSTRUCTION, so the
+    operator's recall is observable on synthetic data: every vector
+    must pair its own two frames, plus any true cross-image
+    collisions.
+
+    Everything is integer-exact pure codegen (quantize -> threshold ->
+    Horner bit-pack -> band equi-join -> popcount Hamming), with a
+    full DuckDB oracle. Scale shape: candidate pairs are bounded by
+    band-bucket occupancy (16-bit bands over mean-thresholded bits are
+    near-uniform on real images); the verify step touches only
+    candidates, exactly like the text MinHash/LSH family."""
+    from ..sources.tables import table
+
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+    base_px = F.transform(
+        F.col("v"),
+        lambda x: F.least(
+            F.greatest(F.floor((x + 1.0) * 127.5), F.lit(0.0)),
+            F.lit(255.0)),
+    )
+    frames = emb.select(
+        "vec_id",
+        F.explode(F.array(F.lit(0), F.lit(FRAME_SAMPLE_N)))
+        .alias("frame_idx"),
+        base_px.alias("px0"),
+    ).select(
+        "vec_id", "frame_idx",
+        F.transform(
+            "px0", lambda x: F.least(x + F.col("frame_idx"), F.lit(255.0))
+        ).alias("px"),
+    )
+    # let-bound: projection collapse would otherwise inline the px
+    # transform chain into every per-bit lambda reference (the
+    # interpreted-HOF re-evaluation pitfall, functions.text_quality.let)
+    from ..functions.text_quality import let as _let
+
+    hashed = frames.select(
+        "vec_id", "frame_idx",
+        _let(
+            F.col("px"),
+            lambda px: _let(
+                F.aggregate(px, F.lit(0.0), lambda a, x: a + x),
+                lambda total: _phash_bands(px, total),
+            ),
+        ).alias("bands"),
+    )
+    banded = hashed.select(
+        "vec_id", "frame_idx", "bands",
+        F.posexplode("bands").alias("band_idx", "band_val"),
+    )
+    a = banded.select(
+        F.col("vec_id").alias("a_vec"), F.col("frame_idx").alias("a_frame"),
+        F.col("bands").alias("a_bands"), "band_idx", "band_val",
+    )
+    b = banded.select(
+        F.col("vec_id").alias("b_vec"), F.col("frame_idx").alias("b_frame"),
+        F.col("bands").alias("b_bands"), "band_idx", "band_val",
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(
+            (F.col("a_vec") < F.col("b_vec"))
+            | ((F.col("a_vec") == F.col("b_vec"))
+               & (F.col("a_frame") < F.col("b_frame")))
+        )
+        .select("a_vec", "a_frame", "b_vec", "b_frame",
+                "a_bands", "b_bands")
+        .dropDuplicates(["a_vec", "a_frame", "b_vec", "b_frame"])
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            "a_bands", "b_bands",
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    return (
+        pairs.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .select("a_vec", "a_frame", "b_vec", "b_frame", "hamming")
+    )
+
+
 QUERIES = {
     "multimodal_image_stats": multimodal_image_stats,
     "multimodal_audio_frames": multimodal_audio_frames,
     "multimodal_video_keyframes": multimodal_video_keyframes,
+    "multimodal_phash_dedup": multimodal_phash_dedup,
 }
 
+_PHASH_BANDS_SQL = (
+    "list_transform(range(0, {bands}), j -> "
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(j * {bb} + {bb}, j * {bb}, -1), "
+    "i -> CAST(CASE WHEN px[CAST(i AS INT)] * 64 > total THEN 1 "
+    "ELSE 0 END AS BIGINT))), (acc, x) -> acc * 2 + x))"
+).format(bands=PHASH_BANDS, bb=PHASH_BAND_BITS)
+
 ORACLE = {
+    "multimodal_phash_dedup": f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        frames AS (
+            SELECT vec_id, f.f AS frame_idx,
+                   list_transform(v, x -> least(
+                       least(greatest(floor((x + 1.0) * 127.5), 0.0),
+                             255.0) + f.f, 255.0)) AS px
+            FROM e, unnest([0, {FRAME_SAMPLE_N}]) f(f)
+        ),
+        hashed AS (
+            SELECT vec_id, frame_idx, {_PHASH_BANDS_SQL} AS bands
+            FROM (SELECT vec_id, frame_idx, px, list_sum(px) AS total
+                  FROM frames)
+        ),
+        banded AS (
+            SELECT vec_id, frame_idx, bands, b.j AS band_idx,
+                   bands[b.j + 1] AS band_val
+            FROM hashed, range(0, {PHASH_BANDS}) b(j)
+        ),
+        pairs AS (
+            SELECT DISTINCT
+                   a.vec_id AS a_vec, a.frame_idx AS a_frame,
+                   b.vec_id AS b_vec, b.frame_idx AS b_frame,
+                   a.bands AS a_bands, b.bands AS b_bands
+            FROM banded a
+            JOIN banded b ON a.band_idx = b.band_idx
+                         AND a.band_val = b.band_val
+            WHERE a.vec_id < b.vec_id
+               OR (a.vec_id = b.vec_id AND a.frame_idx < b.frame_idx)
+        )
+        SELECT a_vec, CAST(a_frame AS INTEGER) AS a_frame,
+               b_vec, CAST(b_frame AS INTEGER) AS b_frame,
+               CAST(h AS INTEGER) AS hamming
+        FROM (
+            SELECT *, list_sum(list_transform(range(1, {PHASH_BANDS} + 1),
+                       j -> bit_count(xor(a_bands[CAST(j AS INT)],
+                                          b_bands[CAST(j AS INT)])))) AS h
+            FROM pairs
+        ) WHERE h <= {PHASH_MAX_HAMMING}
+    """,
     "multimodal_image_stats": f"""
         SELECT vec_id,
                CAST({IMG_SIDE} AS INTEGER) AS height,

@@ -158,34 +158,91 @@ def rag_rerank_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stub_ce_score(a: str, b: str) -> float:
+    """The default cross-encoder stub's scoring rule, deliberately
+    SQL-expressible so the registered query has a FULL oracle: distinct
+    ASCII-whitespace token overlap (Jaccard) plus a deterministic
+    length-derived jitter (integer arithmetic, identical floats in
+    Spark and DuckDB per docs/ROUNDING.md rule 4)."""
+    import re
+
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    ta = {t for t in ws.split(a.strip()) if t}
+    tb = {t for t in ws.split(b.strip()) if t}
+    base = len(ta & tb) / max(len(ta | tb), 1)
+    jitter = ((len(a) * 31 + len(b)) % 997) / 99700.0
+    # emitted UNROUNDED: both engines derive the identical float from
+    # identical integers (ROUNDING.md rule 4); a final round() would
+    # only re-introduce a boundary (python half-even vs DuckDB
+    # half-away on exact k/128-style dyadics)
+    return base + jitter
+
+
 def crossencoder_score_pairs(pairs: DataFrame, scorer=None) -> DataFrame:
     """The neural cross-encoder boundary: ``pairs`` carries
     (query_id, neighbor_id, q_text, d_text); ``scorer`` is a callable
     ``(q_text: pd.Series, d_text: pd.Series) -> pd.Series[double]``
-    applied Arrow-batched. The default is a DETERMINISTIC STUB (length-
-    normalized common-token count mixed with a stable hash) standing in
-    for the model forward pass -- the real model (e.g. a sentence-
-    transformers CrossEncoder) plugs in with no plan change, exactly
-    like the embedding stub (operators/embedding.py)."""
+    applied Arrow-batched. The default is the DETERMINISTIC STUB
+    :func:`_stub_ce_score` standing in for the model forward pass --
+    the real model (e.g. a sentence-transformers CrossEncoder) plugs
+    in with no plan change, exactly like the embedding stub
+    (operators/embedding.py)."""
     import pandas as pd
 
     from pyspark.sql.functions import pandas_udf
 
     if scorer is None:
         def scorer(q: "pd.Series", d: "pd.Series") -> "pd.Series":
-            import numpy as np
-            out = []
-            for a, b in zip(q, d):
-                ta, tb = set(a.split()), set(b.split())
-                base = len(ta & tb) / max(len(ta | tb), 1)
-                h = (hash((len(a), len(b))) % 997) / 99700.0
-                out.append(base + h)
-            return pd.Series(np.asarray(out, dtype=float))
+            return pd.Series(
+                [_stub_ce_score(a or "", b or "") for a, b in zip(q, d)],
+                dtype=float,
+            )
 
     # wrap annotation-free: pandas_udf would otherwise try to parse the
     # plugged scorer's type hints
     score_udf = pandas_udf(lambda q, d: scorer(q, d), "double")
     return pairs.withColumn("ce_score", score_udf("q_text", "d_text"))
+
+
+def rag_rerank_crossencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-encoder re-rank stage AS A REGISTERED QUERY: BM25
+    prefetch (capped at RERANK_PREFETCH pairs per query), (q_text,
+    d_text) pair assembly, Arrow-batched scoring through the
+    :func:`crossencoder_score_pairs` model boundary (default stub),
+    top-RERANK_K by score. This exercises the REAL serving plan --
+    broadcast query texts, pair scoring on Q*prefetch rows only, a
+    final tiny window -- with a full DuckDB oracle because the stub's
+    rule is SQL-expressible; a neural model swaps in with no plan
+    change (and would drop to rows-only checking, like the other
+    pluggable boundaries)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("sparse"), F.asc("neighbor_id")
+    )
+    from .sparse import bm25_scores
+
+    pref = (
+        bm25_scores(spark, sf_dir, N_QUERIES)
+        .withColumn("sr", F.row_number().over(ws))
+        .filter(F.col("sr") <= RERANK_PREFETCH)
+        .select("query_id", "neighbor_id")
+    )
+    qt = docs.select(F.col("doc_id").alias("query_id"),
+                     F.col("text").alias("q_text"))
+    dt = docs.select(F.col("doc_id").alias("neighbor_id"),
+                     F.col("text").alias("d_text"))
+    pairs = pref.join(F.broadcast(qt), "query_id").join(dt, "neighbor_id")
+    scored = crossencoder_score_pairs(pairs)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("ce_score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rerank", F.row_number().over(w))
+        .filter(F.col("rerank") <= RERANK_K)
+        .select("query_id", "neighbor_id", "rerank", "ce_score")
+    )
 
 
 def rag_mmr_rerank(spark: SparkSession, sf_dir: str,
@@ -290,6 +347,7 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str,
 QUERIES = {
     "rag_retrieve_citations": rag_retrieve_citations,
     "rag_rerank_lexical": rag_rerank_lexical,
+    "rag_rerank_crossencoder": rag_rerank_crossencoder,
     "rag_mmr_rerank": rag_mmr_rerank,
 }
 
@@ -491,3 +549,69 @@ def _mmr_oracle_sql() -> str:
 
 
 ORACLE["rag_mmr_rerank"] = _mmr_oracle_sql()
+
+
+def _crossencoder_oracle_sql() -> str:
+    """Full twin of :func:`rag_rerank_crossencoder` under the default
+    stub: the BM25 prefetch CTEs are the lexical reranker's proven
+    twin; the score is the stub's exact rule -- distinct-token Jaccard
+    plus the integer length jitter, emitted UNROUNDED because both
+    engines compute the identical float from identical integers."""
+    cls = "[ \\t\\n\\x0B\\f\\r]+"
+    return f"""
+        WITH {_postings_sql()},
+        qterms AS (
+            SELECT DISTINCT qt.query_id, v.idx
+            FROM (
+                SELECT q.doc_id AS query_id, u.term
+                FROM (SELECT doc_id,
+                             list_distinct(list_filter(
+                                 string_split_regex(trim(text), '{cls}'),
+                                 x -> x <> '')) AS wq
+                      FROM documents WHERE doc_id < {N_QUERIES}) q,
+                     unnest(q.wq) AS u(term)
+            ) qt JOIN vocab v ON qt.term = v.term
+        ),
+        bm AS (
+            SELECT qt.query_id, p.doc_id AS neighbor_id,
+                   round(sum(p.w), 6) AS sparse
+            FROM post p JOIN qterms qt ON p.idx = qt.idx
+            WHERE p.doc_id <> qt.query_id
+            GROUP BY qt.query_id, p.doc_id
+        ),
+        pref AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY sparse DESC, neighbor_id ASC) AS sr
+                FROM bm)
+            WHERE sr <= {RERANK_PREFETCH}
+        ),
+        toks AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(
+                       string_split_regex(trim(coalesce(text, '')),
+                                          '{cls}'),
+                       x -> x <> '')) AS toks,
+                   length(coalesce(text, '')) AS ln
+            FROM documents
+        ),
+        scored AS (
+            SELECT p.query_id, p.neighbor_id,
+                   CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                       / greatest(len(list_distinct(a.toks || b.toks)), 1)
+                   + ((a.ln * 31 + b.ln) % 997) / 99700.0 AS ce_score
+            FROM pref p
+            JOIN toks a ON a.doc_id = p.query_id
+            JOIN toks b ON b.doc_id = p.neighbor_id
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY ce_score DESC, neighbor_id ASC)
+                   AS INTEGER) AS rerank,
+               ce_score
+        FROM scored
+        QUALIFY rerank <= {RERANK_K}
+    """
+
+
+ORACLE["rag_rerank_crossencoder"] = _crossencoder_oracle_sql()

@@ -247,7 +247,50 @@ def build_sparse_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"sparse_vectors_build": build_sparse_vectors}
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-``TFIDF_TOP_K`` terms by
+    classic tf-idf (``(tf/dl) * ln(n_docs/df)``) over the SAME stored
+    tf/vocab subtree the BM25 postings consume -- the
+    keyword/tagging stage of a curation pipeline, with a full oracle.
+    Scale shape: one broadcast join onto the persisted tf matview plus
+    a per-document top-k window (k rows per doc, never corpus-wide);
+    the score rounds once at 6 decimals BEFORE ranking (ln() is not
+    correctly-rounded across libm/JVM -- docs/ROUNDING.md rule 2, the
+    BM25 convention)."""
+    tf = term_freqs_cached(spark, sf_dir)
+    v = vocab_cached(spark, sf_dir)
+    stats = corpus_stats_cached(spark, sf_dir)
+    scored = (
+        tf.join(F.broadcast(v), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", "term",
+            # rounded ONCE before ranking: ln() is not guaranteed
+            # correctly-rounded across libm/JVM, so rank on the
+            # 6-decimal value like the BM25 convention
+            F.round(
+                (F.col("tf") / F.col("dl"))
+                * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tfidf", "term_rank")
+    )
+
+
+QUERIES = {
+    "sparse_vectors_build": build_sparse_vectors,
+    "tfidf_top_terms": tfidf_top_terms,
+}
 
 _TF_SQL = """
     SELECT doc_id, dl, u.term, CAST(count(*) AS DOUBLE) AS tf
@@ -297,5 +340,18 @@ ORACLE = {
                list(idx ORDER BY idx) AS indices,
                list(round(w, 4) ORDER BY idx) AS "values"
         FROM post GROUP BY doc_id
+    """,
+    "tfidf_top_terms": f"""
+        WITH {POSTINGS_SQL},
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round((tf.tf / tf.dl) * ln(s.n_docs / v.df), 6) AS tfidf
+            FROM tf JOIN vocab v ON tf.term = v.term, stats s
+        )
+        SELECT doc_id, term, tfidf,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, term ASC) AS INTEGER) AS term_rank
+        FROM scored
+        QUALIFY term_rank <= {TFIDF_TOP_K}
     """,
 }

@@ -50,6 +50,8 @@ NULL_SWEEP = [
     "top_terms_by_source",
     "sparse_vectors_build",
     "sparse_bm25_topk",
+    "tfidf_top_terms",
+    "rag_rerank_crossencoder",
     "corpus_sample_split",
     "a8_doc_distribution",
 ]
@@ -201,6 +203,7 @@ EMB_NULL_SWEEP = [
     "label_centroids", "embedding_quantize_int8", "anns_ivf_topk",
     "anns_ivfpq_topk", "anns_ivf_filtered_topk", "anns_recall_report",
     "rag_retrieve_citations", "rag_mmr_rerank", "hybrid_fusion_topk",
+    "multimodal_phash_dedup",
 ]
 
 
