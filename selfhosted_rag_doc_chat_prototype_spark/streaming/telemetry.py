@@ -505,15 +505,20 @@ ORACLE = {
                    AS duration_seconds
         FROM sess GROUP BY 1, 2
     """,
-    # session_window boundary: an event at exactly last_ts + gap falls
-    # outside the [start, last+gap) window, so new-session is gap >= GAP
-    # (sessionize_events' lag formulation uses strict >)
+    # session_window boundary, verified EMPIRICALLY (round 5): Spark
+    # MERGES an event arriving at exactly last_ts + gap (windows
+    # [t, t+gap) and [t+gap, t+2gap) touch and Spark's merge rule is
+    # start <= prev_end), so new-session is strict gap > GAP -- the
+    # same formulation as sessionize_events. The previous ">=" read
+    # the [start, last+gap) interval as exclusive and diverged on
+    # exactly-gap-apart events (caught by a boundary row in the
+    # null-robustness corpus).
     "sessionize_session_window": f"""
         WITH flagged AS (
             SELECT user_id, ts,
                    CASE WHEN lag(ts) OVER w IS NULL
                              OR date_diff('second', lag(ts) OVER w, ts)
-                                >= {GAP_SECONDS}
+                                > {GAP_SECONDS}
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WHERE ts IS NOT NULL  -- session_window drops null times
