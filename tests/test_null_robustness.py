@@ -153,10 +153,28 @@ def null_events(spark, tmp_path_factory, sf_dir):
         (201, None, "ghost", None, ts0, None),
         # decimal-string and whitespace-padded integer properties: the
         # cast contract is INTEGER-LITERAL (Spark try_cast NULLs '3.7'
-        # where an unguarded DuckDB TRY_CAST would round it to 4)
+        # where an unguarded DuckDB TRY_CAST would round it to 4).
+        # These two rows are ALSO exactly GAP_SECONDS apart -- the
+        # boundary that exposed the session_window >= vs > divergence
         (202, 6, "view", 4.0, ts0 + dt.timedelta(hours=3), '{"k":"3.7"}'),
         (203, 6, "click", 5.0, ts0 + dt.timedelta(hours=4),
          '{"k":" 12 "}'),
+        # time-comparison BOUNDARY probes (every <=/</>=/> against a
+        # window edge must agree across engines):
+        # - purchase at EXACTLY click_ts (interval join lower bound >=;
+        #   as-of equal-ts visibility; funnel's strict ts > t2)
+        (210, 8, "click", 1.0, ts0 + dt.timedelta(days=3), None),
+        (211, 8, "purchase", 2.0, ts0 + dt.timedelta(days=3), None),
+        # - purchase at EXACTLY click_ts + REPLY_WINDOW (upper bound <=)
+        (212, 8, "purchase", 3.0,
+         ts0 + dt.timedelta(days=3, minutes=10), None),
+        # - view/click at the SAME instant (funnel's strict ts > t1:
+        #   the click must NOT advance the funnel)
+        (213, 9, "view", 1.0, ts0 + dt.timedelta(days=4), None),
+        (214, 9, "click", 1.0, ts0 + dt.timedelta(days=4), None),
+        # - rows exactly 6 days (the rolling RANGE bound) apart
+        (215, 9, "view", 2.0, ts0 + dt.timedelta(days=4, seconds=518400),
+         None),
     ]
     pq.write_table(pa.table({
         "event_id": [r[0] for r in rows],
