@@ -103,6 +103,7 @@ HEADLINE = [
     "multimodal_phash_dedup",
     "rag_rerank_crossencoder",
     "tfidf_top_terms",
+    "text_nfc_normalize",
 ]
 
 

@@ -417,6 +417,48 @@ def text_slugify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (T13 family): composed and decomposed
+    forms of the same visible text hash and dedup DIFFERENTLY
+    (``'caf\\u00e9' != 'cafe\\u0301'``), so a crawl-scale pipeline
+    normalizes before content-addressing. Arrow-batched
+    ``unicodedata.normalize`` on the Spark side, ``nfc_normalize`` in
+    the DuckDB oracle -- both implement the Unicode standard, and
+    parity is asserted on composed/decomposed/compatibility corpus
+    rows in the null-robustness suite (NFC is the dedup-safe form;
+    NFKC's compatibility folding is lossy and deliberately NOT
+    applied).
+
+    Scale shape: map-only over Arrow batches, scan pruned to
+    (doc_id, text); the changed flag lets a pipeline route only
+    denormalized documents through a rewrite."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # annotation-free lambda: the module uses postponed annotations and
+    # pandas is function-local, so hinted signatures don't resolve here
+    nfc = pandas_udf(
+        lambda s: s.map(
+            lambda t: unicodedata.normalize("NFC", t)
+            if t is not None else None
+        ),
+        "string",
+    )
+
+    out = docs.withColumn("nfc_text", nfc("text"))
+    return out.select(
+        "doc_id",
+        "nfc_text",
+        F.coalesce(F.col("nfc_text") != F.col("text"), F.lit(False))
+        .alias("changed"),
+        F.coalesce(F.length("nfc_text"), F.lit(0)).cast("int")
+        .alias("n_chars_nfc"),
+    )
+
+
 VOCAB_TOP = 1000
 
 
@@ -515,6 +557,7 @@ QUERIES = {
     "label_centroids": label_centroids,
     "content_addressed_ids": content_addressed_ids,
     "text_slugify": text_slugify,
+    "text_nfc_normalize": text_nfc_normalize,
 }
 
 _LANG_SQL = ", ".join(
@@ -524,6 +567,14 @@ _LANG_SQL = ", ".join(
 
 
 ORACLE = {
+    "text_nfc_normalize": """
+        SELECT doc_id,
+               nfc_normalize(text) AS nfc_text,
+               coalesce(nfc_normalize(text) <> text, false) AS changed,
+               CAST(coalesce(length(nfc_normalize(text)), 0) AS INTEGER)
+                   AS n_chars_nfc
+        FROM documents
+    """,
     "bpe_pair_counts": f"""
         WITH w AS (
             SELECT unnest(regexp_extract_all(text, '{BPE_RE}')) AS w

@@ -52,6 +52,7 @@ NULL_SWEEP = [
     "sparse_bm25_topk",
     "tfidf_top_terms",
     "rag_rerank_crossencoder",
+    "text_nfc_normalize",
     "corpus_sample_split",
     "a8_doc_distribution",
 ]
@@ -104,6 +105,62 @@ def test_null_text_matches_oracle(name, spark, null_corpus, null_con):
 
     sdf = e.queries()[name](spark, null_corpus)
     assert_matches_oracle(sdf, null_con, e.oracle_sql()[name], name)
+
+
+# ---- non-ASCII / normalization-form probes --------------------------------
+# Composed vs decomposed accents, a compatibility ligature, and
+# fullwidth letters: every hash/measure/tokenize convention must agree
+# across engines BEFORE any normalization. chunk_token_budget_bpe is
+# excluded by its documented precondition (the pinned tokenizer's vocab
+# covers the TESTDATA corpus; these synthetic words are open-vocabulary
+# by construction, where the window-algebra oracle deliberately
+# diverges).
+UNICODE_SWEEP = [n for n in NULL_SWEEP if n != "chunk_token_budget_bpe"]
+
+
+@pytest.fixture(scope="module")
+def unicode_corpus(spark, tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("unicode_corpus"))
+    texts = [
+        "key agg row scan slow",
+        "cafe\u0301 caf\u00e9 scan row",  # decomposed vs composed
+        "ﬁle merge ＡＢ half½",  # ligature, fullwidth
+        "naïve résumé merge",
+    ]
+    pq.write_table(pa.table({
+        "doc_id": list(range(len(texts))),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["s0"] * len(texts),
+        "n_chars": [len(t) for t in texts],
+    }), f"{d}/documents.parquet")
+    return d
+
+
+@pytest.fixture(scope="module")
+def unicode_con(unicode_corpus):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{unicode_corpus}/documents.parquet'"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", UNICODE_SWEEP)
+def test_unicode_text_matches_oracle(name, spark, unicode_corpus,
+                                     unicode_con):
+    import __spark_entry__ as e
+
+    from .helpers import assert_matches_oracle
+
+    sdf = e.queries()[name](spark, unicode_corpus)
+    assert_matches_oracle(sdf, unicode_con, e.oracle_sql()[name], name)
 
 
 EVENTS_NULL_SWEEP = [

@@ -340,6 +340,28 @@ AUDIT = [
         "scoring, so candidate volume shrinks with the filter's "
         "selectivity; probe list stays broadcast.",
     ),
+    (
+        "multimodal_phash_dedup",
+        "Perceptual-hash near-dup images: quantize/threshold/bit-pack "
+        "are let-bound codegen HOFs over the pruned embeddings scan; "
+        "candidates come from the 16-bit band equi-join (never "
+        "all-pairs) and the Hamming verify is popcount over the "
+        "joined band arrays.",
+    ),
+    (
+        "rag_rerank_crossencoder",
+        "Cross-encoder serve plan: BM25 prefetch from the stored "
+        "tf/vocab matviews caps pairs at Q*prefetch; query texts "
+        "broadcast onto the pair assembly; the Arrow-batched scorer "
+        "touches only those rows; final top-k is a window over "
+        "Q*prefetch.",
+    ),
+    (
+        "tfidf_top_terms",
+        "Keyword extraction over the persisted tf matview: broadcast "
+        "vocab/stats joins, per-document top-k window -- k rows per "
+        "doc, never a corpus-wide sort.",
+    ),
 ]
 
 
