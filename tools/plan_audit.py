@@ -362,6 +362,11 @@ AUDIT = [
         "vocab/stats joins, per-document top-k window -- k rows per "
         "doc, never a corpus-wide sort.",
     ),
+    (
+        "text_nfc_normalize",
+        "Unicode NFC: one Arrow-batched scalar pandas UDF over the "
+        "pruned (doc_id, text) scan -- map-only, zero shuffle.",
+    ),
 ]
 
 
