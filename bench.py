@@ -104,6 +104,9 @@ HEADLINE = [
     "rag_rerank_crossencoder",
     "tfidf_top_terms",
     "text_nfc_normalize",
+    # round 5: exact-integer Lloyd k-means + bit-exact JL projection
+    "embed_kmeans",
+    "embed_random_projection",
 ]
 
 

@@ -1,0 +1,291 @@
+"""Distributed ML primitives over the embedding corpus: k-means
+clustering and Johnson-Lindenstrauss random projection.
+
+Reference parity: the reference clusters its vector store server-side
+(Qdrant's HNSW build / payload-partitioned collections,
+``doc-ingest-chat/services/database.py``) and never materializes a
+trainable clustering in the pipeline; a 100 TB curation stack needs
+both as first-class batch operators (IVF coarse quantizers, SemDeDup's
+cluster stage, dataset cartography). Both operators here are built for
+the cross-engine correctness gate:
+
+- ``embed_kmeans``: Lloyd's algorithm with a FIXED iteration count and
+  deterministic seeding, computed in EXACT INTEGER MICRO-UNITS
+  (docs/ROUNDING.md rule 1). Vectors quantize once to ``BIGINT``
+  micro-units (``floor(x * 1e6 + 0.5)`` -- float64 ops, identical in
+  every IEEE-754 engine), and every subsequent step (squared
+  distances, argmin with cluster-id tie-break, centroid = truncated
+  integer mean) is integer arithmetic, so Spark and the unrolled
+  recursive-free DuckDB oracle agree BIT-EXACTLY -- no rounding, no
+  float summation order anywhere.
+- ``embed_random_projection``: dense JL sign projection. The
+  Rademacher sign matrix derives from an integer mixing hash of
+  (input_dim, output_dim) evaluated inside both engines, and each
+  output coordinate is a SEQUENTIAL left fold of float64 products
+  (Spark ``aggregate``, DuckDB ``list_reduce``) divided by an exact
+  power of two -- bit-identical across engines with NO rounding at
+  all (the strongest form of the rounding contract).
+
+Scale shape: k-means is the canonical broadcast-centroids pattern --
+each iteration is one map-side assignment against K broadcast
+centroids plus one (cluster, dim)-keyed partial-aggregated sum
+(K x dim rows collected, bounded); the corpus is never shuffled. The
+projection is map-only over a pruned (vec_id, label, embedding) scan:
+zero shuffles, whole-stage codegen end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import table
+
+# k-means
+KM_K = 8          # clusters
+KM_ITERS = 3      # fixed Lloyd iterations (assignment passes)
+KM_SCALE = 1_000_000  # micro-unit quantization of float64 coords
+
+# random projection
+RP_DIMS = 16      # output dimensionality
+RP_DIV = 4        # sqrt(RP_DIMS) -- exact power of two, lossless division
+_RP_A = 2_654_435_761   # Knuth multiplicative hash constants
+_RP_B = 1_013_904_223   # Numerical Recipes LCG increment
+_RP_MOD = 4_294_967_296  # 2^32
+_RP_SHIFT = 8_192        # 2^13: take bit 13 of the mixed word
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Valid vectors quantized to integer micro-units. ``floor(x * 1e6
+    + 0.5)`` uses only float64 multiply/add/floor -- bit-deterministic
+    across engines on the identical float32-widened input -- and lands
+    in BIGINT exactly. NULL embeddings (failed embeds) are excluded on
+    both sides, same contract as every vector path."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = F.expr(
+        f"transform(CAST(embedding AS ARRAY<DOUBLE>), "
+        f"x -> CAST(floor(x * {KM_SCALE}.0 + 0.5) AS BIGINT))"
+    )
+    return (
+        emb.filter(F.col("embedding").isNotNull())
+        .select("vec_id", "label", q.alias("q"))
+    )
+
+
+def _tdiv(s: int, n: int) -> int:
+    """Truncate-toward-zero integer division: Spark ``div`` and DuckDB
+    ``//`` both truncate; Python ``//`` floors, so negative sums need
+    the explicit form."""
+    return -((-s) // n) if (s < 0) != (n < 0) else s // n
+
+
+def _assign(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Map-side assignment against broadcast centroid literals: argmin
+    of exact integer squared distance, ties to the lowest cluster id
+    (struct (dist, cl) min -- lexicographic, both engines)."""
+    cands = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("q"),
+                    F.array(*[F.lit(int(ci)) for ci in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, z: acc + z,
+            ).alias("d"),
+            F.lit(cl).cast("int").alias("cl"),
+        )
+        for cl, c in enumerate(centroids)
+    ])
+    best = F.array_min(cands)
+    return q.select(
+        "vec_id", "q",
+        best.getField("cl").alias("cluster"),
+        best.getField("d").alias("dist_u"),
+    )
+
+
+def embed_kmeans(spark: SparkSession, sf_dir: str,
+                 k: int = KM_K, iters: int = KM_ITERS) -> DataFrame:
+    """Fixed-iteration Lloyd k-means over the embedding corpus, seeded
+    from the ``k`` lowest vec_ids, all arithmetic in exact integer
+    micro-units. Emits the FINAL assignment: (vec_id, cluster, exact
+    squared distance in micro-unit^2, cluster size).
+
+    Driver-side state is bounded at K x dim integers per iteration
+    (the canonical broadcast-centroids k-means: Spark MLlib's KMeans
+    does exactly this collect-and-broadcast per step); the corpus
+    itself is never shuffled -- assignment is map-only and the
+    centroid recompute is one partial-aggregated (cluster, dim) sum.
+    Empty clusters keep their previous centroid (both engines).
+    """
+    q = _quantized(spark, sf_dir)
+    q.persist()
+    try:
+        seeds = (
+            q.orderBy("vec_id").limit(k)
+            .select("q").collect()
+        )
+        centroids = [list(r.q) for r in seeds]
+        if not centroids:
+            return _assign(q, [[ ]]).limit(0).withColumn(
+                "n_in_cluster", F.lit(0).cast("long"))
+        for it in range(iters):
+            assigned = _assign(q, centroids)
+            if it == iters - 1:
+                break
+            sums = (
+                assigned.select("cluster", F.posexplode("q").alias("i", "x"))
+                .groupBy("cluster", "i")
+                .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            new: dict[int, dict[int, tuple[int, int]]] = {}
+            for r in sums:
+                new.setdefault(r.cluster, {})[r.i] = (r.sx, r.n)
+            centroids = [
+                [_tdiv(new[cl][i][0], new[cl][i][1])
+                 for i in range(len(c))] if cl in new else c
+                for cl, c in enumerate(centroids)
+            ]
+    finally:
+        q.unpersist()
+    w = Window.partitionBy("cluster")
+    return assigned.select(
+        "vec_id", "cluster", "dist_u",
+        F.count(F.lit(1)).over(w).alias("n_in_cluster"),
+    )
+
+
+def _km_oracle_sql(k: int = KM_K, iters: int = KM_ITERS,
+                   scale: int = KM_SCALE) -> str:
+    """Unrolled Lloyd iterations as chained CTEs -- same exact integer
+    arithmetic: DuckDB ``//`` truncates toward zero like Spark ``div``,
+    ``%`` carries the dividend's sign in both, and the 1-based lambda
+    index aligns with 1-based list indexing."""
+    parts = [f"""
+        q AS (
+            SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * {scale}.0 + 0.5) AS BIGINT)) AS q
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                       AS cl, q AS c
+            FROM q ORDER BY vec_id LIMIT {k}
+        )"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+        a{t} AS (
+            SELECT v.vec_id, v.q, c.cl,
+                   list_aggregate(list_transform(v.q,
+                       (x, i) -> (x - c.c[i]) * (x - c.c[i])), 'sum') AS dist
+            FROM q v, c{t - 1} c
+            QUALIFY row_number() OVER (
+                PARTITION BY v.vec_id ORDER BY dist, c.cl) = 1
+        )""")
+        if t == iters:
+            break
+        parts.append(f"""
+        s{t} AS (
+            SELECT cl, u.s.i AS i, CAST(sum(u.s.x) AS BIGINT) AS sx,
+                   count(*) AS n
+            FROM (SELECT cl, list_transform(q,
+                      (x, i) -> struct_pack(i := i, x := x)) AS l
+                  FROM a{t}), unnest(l) AS u(s)
+            GROUP BY cl, u.s.i
+        ),
+        c{t} AS (
+            SELECT c{t - 1}.cl, coalesce(n.c, c{t - 1}.c) AS c
+            FROM c{t - 1} LEFT JOIN (
+                SELECT cl, list(sx // n ORDER BY i) AS c
+                FROM s{t} GROUP BY cl) n USING (cl)
+        )""")
+    return f"""
+        WITH {",".join(parts)}
+        SELECT vec_id, cl AS cluster, CAST(dist AS BIGINT) AS dist_u,
+               count(*) OVER (PARTITION BY cl) AS n_in_cluster
+        FROM a{iters}
+    """
+
+
+def _rp_sign_spark(j: int) -> str:
+    """Rademacher sign for (input dim i [0-based SQL lambda], output
+    dim j) as a Spark SQL fragment over lambda variable ``i``."""
+    return (
+        f"CAST(2 * ((((CAST(i AS BIGINT) * {_RP_A} + {j * _RP_B % _RP_MOD})"
+        f" % {_RP_MOD}) div {_RP_SHIFT}) % 2) - 1 AS DOUBLE)"
+    )
+
+
+def _rp_sign_duck(j: int) -> str:
+    """Same sign in DuckDB (1-based lambda index -> ``i - 1``)."""
+    return (
+        f"CAST(2 * (((((i - 1) * {_RP_A} + {j * _RP_B % _RP_MOD})"
+        f" % {_RP_MOD}) // {_RP_SHIFT}) % 2) - 1 AS DOUBLE)"
+    )
+
+
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign (Achlioptas) projection of every
+    embedding to ``RP_DIMS`` coordinates: ``y_j = (sum_i x_i *
+    s(i, j)) / sqrt(RP_DIMS)``, emitted exploded to one row per
+    (vec_id, out_dim). The sign matrix never materializes -- it is an
+    integer hash of the coordinate pair computed identically inside
+    both engines -- and each fold is sequential left-to-right in
+    float64, so the emitted doubles are bit-exact cross-engine with
+    no rounding.
+
+    Scale shape: map-only (project + posexplode), scan pruned to three
+    columns, zero shuffles, fully whole-stage-codegen; the output is
+    dim/4 the input width -- the standard pre-step before an
+    all-pairs-ish similarity stage whose cost is linear in dim."""
+    emb = table(spark, sf_dir, "embeddings")
+    ys = [
+        F.expr(
+            f"aggregate(transform(CAST(embedding AS ARRAY<DOUBLE>), "
+            f"(x, i) -> x * {_rp_sign_spark(j)}), "
+            f"CAST(0 AS DOUBLE), (acc, t) -> acc + t) / {RP_DIV}"
+        )
+        for j in range(RP_DIMS)
+    ]
+    return (
+        emb.filter(F.col("embedding").isNotNull())
+        .select("vec_id", "label", F.posexplode(F.array(*ys))
+                .alias("out_dim", "y"))
+        .select("vec_id", "label", F.col("out_dim").cast("int").alias("out_dim"),
+                "y")
+    )
+
+
+def _rp_oracle_sql() -> str:
+    cols = ", ".join(
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(CAST(embedding AS DOUBLE[]), "
+        f"(x, i) -> x * {_rp_sign_duck(j)})), "
+        f"(acc, t) -> acc + t) / {RP_DIV} AS y{j}"
+        for j in range(RP_DIMS)
+    )
+    structs = ", ".join(
+        f"struct_pack(d := {j}, y := y{j})" for j in range(RP_DIMS)
+    )
+    return f"""
+        WITH p AS (
+            SELECT vec_id, label, {cols}
+            FROM embeddings WHERE embedding IS NOT NULL
+        )
+        SELECT vec_id, label, CAST(u.s.d AS INTEGER) AS out_dim, u.s.y AS y
+        FROM (SELECT vec_id, label, [{structs}] AS l FROM p), unnest(l) AS u(s)
+    """
+
+
+QUERIES = {
+    "embed_kmeans": embed_kmeans,
+    "embed_random_projection": embed_random_projection,
+}
+
+ORACLE = {
+    "embed_kmeans": _km_oracle_sql(),
+    "embed_random_projection": _rp_oracle_sql(),
+}

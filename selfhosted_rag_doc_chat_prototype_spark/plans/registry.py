@@ -33,6 +33,7 @@ _EXPECTED = (
     ("operators", "ingest"),
     ("operators", "rag"),
     ("operators", "multimodal"),
+    ("operators", "ml"),
     ("operators", "sessions"),
     ("streaming", "telemetry"),
 )

@@ -1,0 +1,104 @@
+"""k-means + random-projection invariants beyond the oracle gate:
+the oracle proves cross-engine bit-parity; these prove the MATH is
+right (JL distance preservation, Lloyd monotonicity, determinism)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from selfhosted_rag_doc_chat_prototype_spark.operators.ml import (
+    KM_ITERS,
+    KM_K,
+    RP_DIMS,
+    _tdiv,
+    embed_kmeans,
+    embed_random_projection,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_tdiv_matches_sql_truncation():
+    # Spark `div` / DuckDB `//` truncate toward zero; Python floors
+    for s, n in [(-7, 3), (7, -3), (-7, -3), (7, 3), (0, 5), (-1, 2)]:
+        expect = int(s / n) if n else None
+        assert _tdiv(s, n) == expect
+
+
+def test_kmeans_partitions_corpus(spark):
+    rows = embed_kmeans(spark, SF).collect()
+    n = len(rows)
+    assert n > 0
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == n  # every valid vector exactly once
+    clusters = {r.cluster for r in rows}
+    assert clusters <= set(range(KM_K))
+    # n_in_cluster is consistent with the actual partition
+    from collections import Counter
+
+    sizes = Counter(r.cluster for r in rows)
+    for r in rows:
+        assert r.n_in_cluster == sizes[r.cluster]
+        assert r.dist_u >= 0
+
+
+def test_kmeans_deterministic(spark):
+    a = sorted(map(tuple, embed_kmeans(spark, SF).collect()))
+    b = sorted(map(tuple, embed_kmeans(spark, SF).collect()))
+    assert a == b
+
+
+def test_kmeans_inertia_nonincreasing(spark):
+    """Lloyd's guarantee: total within-cluster distance never rises
+    across iterations (centroid truncation to integer micro-units
+    perturbs by <= 1 micro-unit per dim -- far below the improvement
+    scale at these magnitudes)."""
+    inertia = []
+    for iters in range(1, KM_ITERS + 1):
+        rows = embed_kmeans(spark, SF, iters=iters).collect()
+        inertia.append(sum(r.dist_u for r in rows))
+    assert all(b <= a for a, b in zip(inertia, inertia[1:]))
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL property on real corpus vectors: projected pairwise squared
+    distances concentrate around the originals (loose 3x band -- the
+    guarantee is probabilistic; determinism is what the gate proves)."""
+    import numpy as np
+
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+    from pyspark.sql import functions as F
+
+    emb = (
+        table(spark, SF, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .orderBy("vec_id").limit(24).collect()
+    )
+    orig = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb}
+    proj_rows = embed_random_projection(spark, SF).collect()
+    proj: dict[int, list[float]] = {}
+    for r in proj_rows:
+        proj.setdefault(r.vec_id, [0.0] * RP_DIMS)[r.out_dim] = r.y
+    ids = sorted(orig)[:24]
+    ratios = []
+    for a in range(0, len(ids) - 1, 2):
+        u, v = ids[a], ids[a + 1]
+        d0 = float(np.sum((orig[u] - orig[v]) ** 2))
+        pu, pv = np.array(proj[u]), np.array(proj[v])
+        d1 = float(np.sum((pu - pv) ** 2))
+        if d0 > 0:
+            ratios.append(d1 / d0)
+    assert ratios
+    med = sorted(ratios)[len(ratios) // 2]
+    assert 1 / 3 < med < 3
+
+
+def test_random_projection_row_shape(spark):
+    rows = embed_random_projection(spark, SF).collect()
+    per_vec: dict[int, set[int]] = {}
+    for r in rows:
+        per_vec.setdefault(r.vec_id, set()).add(r.out_dim)
+        assert math.isfinite(r.y)
+    assert all(dims == set(range(RP_DIMS)) for dims in per_vec.values())

@@ -278,7 +278,7 @@ EMB_NULL_SWEEP = [
     "label_centroids", "embedding_quantize_int8", "anns_ivf_topk",
     "anns_ivfpq_topk", "anns_ivf_filtered_topk", "anns_recall_report",
     "rag_retrieve_citations", "rag_mmr_rerank", "hybrid_fusion_topk",
-    "multimodal_phash_dedup",
+    "multimodal_phash_dedup", "embed_kmeans", "embed_random_projection",
 ]
 
 

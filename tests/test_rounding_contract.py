@@ -35,6 +35,11 @@ VECTOR_SCORE_QUERIES = [
     "rag_retrieve_citations",
     "rag_rerank_lexical",
     "dedup_embedding_cosine",
+    # rule-1 implementations: exact-integer k-means and the
+    # unrounded-but-bit-exact sequential-fold JL projection -- the
+    # scatter keeps the "no rounding needed" claim honest
+    "embed_kmeans",
+    "embed_random_projection",
 ]
 
 

@@ -367,6 +367,20 @@ AUDIT = [
         "Unicode NFC: one Arrow-batched scalar pandas UDF over the "
         "pruned (doc_id, text) scan -- map-only, zero shuffle.",
     ),
+    (
+        "embed_kmeans",
+        "Broadcast-centroids Lloyd: per-iteration map-side assignment "
+        "against K literal centroids + one (cluster, dim) partial-"
+        "aggregated sum (K x dim rows to the driver, bounded); the "
+        "corpus is never shuffled and the final pass is assignment "
+        "plus one cluster-keyed window count.",
+    ),
+    (
+        "embed_random_projection",
+        "JL sign projection: map-only project + posexplode over a "
+        "3-column pruned scan -- zero shuffles, whole-stage codegen; "
+        "the sign matrix is a hash expression, never materialized.",
+    ),
 ]
 
 
