@@ -129,8 +129,13 @@ def embed_kmeans(spark: SparkSession, sf_dir: str,
         )
         centroids = [list(r.q) for r in seeds]
         if not centroids:
-            return _assign(q, [[ ]]).limit(0).withColumn(
-                "n_in_cluster", F.lit(0).cast("long"))
+            # every embedding failed: empty result, stable schema
+            return q.select(
+                "vec_id",
+                F.lit(0).cast("int").alias("cluster"),
+                F.lit(0).cast("long").alias("dist_u"),
+                F.lit(0).cast("long").alias("n_in_cluster"),
+            ).limit(0)
         for it in range(iters):
             assigned = _assign(q, centroids)
             if it == iters - 1:
