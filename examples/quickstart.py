@@ -74,6 +74,12 @@ def main() -> None:
     print("== Domain mixture after resampling ==")
     domain_mixture_resample(spark, sf_dir).groupBy("lang").count().show()
 
+    print("== Exact-integer k-means over the embedding corpus ==")
+    from selfhosted_rag_doc_chat_prototype_spark.operators.ml import embed_kmeans
+
+    embed_kmeans(spark, sf_dir).groupBy("cluster") \
+        .agg({"dist_u": "sum", "*": "count"}).orderBy("cluster").show()
+
     print("== Semantic dedup (SemDeDup): kept share per cluster size ==")
     dedup_semantic_keep(spark, sf_dir).groupBy("kept").count().show()
 
