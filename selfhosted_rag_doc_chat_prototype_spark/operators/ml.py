@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import table
+from ..sources.tables import rebalance, table
 
 # k-means
 KM_K = 8          # clusters
@@ -61,7 +61,10 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines on the identical float32-widened input -- and lands
     in BIGINT exactly. NULL embeddings (failed embeds) are excluded on
     both sides, same contract as every vector path."""
-    emb = table(spark, sf_dir, "embeddings")
+    # HOF lambdas evaluate interpreted (outside whole-stage codegen):
+    # spread the single-row-group local scan across cores; no-op at
+    # real scale where the table has >= cores splits
+    emb = rebalance(table(spark, sf_dir, "embeddings"))
     q = F.expr(
         f"transform(CAST(embedding AS ARRAY<DOUBLE>), "
         f"x -> CAST(floor(x * {KM_SCALE}.0 + 0.5) AS BIGINT))"
@@ -246,7 +249,9 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns, zero shuffles, fully whole-stage-codegen; the output is
     dim/4 the input width -- the standard pre-step before an
     all-pairs-ish similarity stage whose cost is linear in dim."""
-    emb = table(spark, sf_dir, "embeddings")
+    # same single-split spread as _quantized: 16 interpreted folds per
+    # row must not serialize onto one core locally
+    emb = rebalance(table(spark, sf_dir, "embeddings"))
     ys = [
         F.expr(
             f"aggregate(transform(CAST(embedding AS ARRAY<DOUBLE>), "

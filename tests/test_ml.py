@@ -62,6 +62,42 @@ def test_kmeans_inertia_nonincreasing(spark):
     assert all(b <= a for a, b in zip(inertia, inertia[1:]))
 
 
+def test_kmeans_corpus_smaller_than_k(spark, tmp_path):
+    """Fewer valid vectors than K: seeding degrades to one cluster per
+    vector, bit-exact against the oracle's LIMIT K (which returns all
+    rows), and every vector sits on its own centroid (dist 0 after the
+    quantize->seed round trip)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .helpers import assert_matches_oracle
+
+    d = str(tmp_path)
+    rng = np.random.default_rng(11)
+    vecs = [list(map(float, v)) for v in rng.standard_normal((3, 8))]
+    pq.write_table(pa.table({
+        "vec_id": [0, 1, 2],
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": [0, 1, 2],
+    }), f"{d}/embeddings.parquet")
+    rows = embed_kmeans(spark, d).collect()
+    assert len(rows) == 3
+    assert {r.cluster for r in rows} == {0, 1, 2}
+    assert all(r.dist_u == 0 and r.n_in_cluster == 1 for r in rows)
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'"
+    )
+    assert_matches_oracle(
+        embed_kmeans(spark, d), con, e.oracle_sql()["embed_kmeans"],
+        "embed_kmeans[tiny]",
+    )
+
+
 def test_random_projection_preserves_distances(spark):
     """JL property on real corpus vectors: projected pairwise squared
     distances concentrate around the originals (loose 3x band -- the
