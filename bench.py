@@ -107,13 +107,15 @@ HEADLINE = [
     # round 5: exact-integer Lloyd k-means + bit-exact JL projection
     "embed_kmeans",
     "embed_random_projection",
+    "epoch_shuffle_shards",
 ]
 
 
 # embedding-only paths get full best-of-N; the heavier doc/hybrid paths
 # best-of-2 (they rebuild per-corpus matviews on the first run)
 SCALE_QUERIES = ["dedup_embedding_cosine", "anns_lsh_bucketed",
-                 "anns_grouped_topk", "dedup_semantic_keep"]
+                 "anns_grouped_topk", "dedup_semantic_keep",
+                 "embed_kmeans", "embed_random_projection"]
 DOC_SCALE_QUERIES = ["dedup_minhash_lsh", "decontaminate_fuzzy_minhash",
                      "hybrid_fusion_topk", "dedup_substring_spans"]
 

@@ -73,6 +73,10 @@ BENCH_MOD = 13
 PACK_CAP = 512
 PACK_SHARD = 100
 
+# epoch shuffle: per-epoch deterministic permutation into hex shards
+SHUFFLE_EPOCHS = 2
+SHUFFLE_SHARDS = 16  # first md5 hex nibble
+
 # boilerplate removal: sentence = SENT_W-word group; a sentence seen in
 # >= BOILER_MIN_DOCS distinct docs is boilerplate (CCNet para-hash rule)
 SENT_W = 10
@@ -440,6 +444,44 @@ def pack_greedy_firstfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry binding of :func:`pack_firstfit`. Oracle: a recursive
     CTE replays the same scan."""
     return pack_firstfit(_doc_tokens(spark, sf_dir))
+
+
+def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: every epoch permutes the
+    corpus by ``md5('epoch<e>:' || doc_id)`` and the permutation is
+    materialized as (shard, pos) -- the global training order is the
+    lexicographic (epoch, shard, pos) and a dataloader reads shard
+    files in pos order. Every epoch reshuffles (the key changes), every
+    rerun reproduces the exact order (the key is pure).
+
+    Scale shape: NO global sort or single-partition window anywhere --
+    the shard is the key's first hex nibble (a map-side expression) and
+    ``pos`` is a row_number over a (epoch, shard)-PARTITIONED window,
+    so the sort fans out across ``SHUFFLE_SHARDS x epochs`` partitions;
+    at 100 TB each shard is written as its own file set, already in
+    reading order. This is how T5/GPT-style pipelines shuffle corpora
+    that never fit a shuffle buffer."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.lit(e) for e in range(SHUFFLE_EPOCHS)])).alias("epoch"),
+    ).select(
+        "doc_id", "epoch",
+        F.md5(F.concat(
+            F.lit("epoch"), F.col("epoch").cast("string"), F.lit(":"),
+            # NULL doc_id keys as the empty id, same as the oracle's
+            # coalesce -- the row still lands deterministically
+            F.coalesce(F.col("doc_id").cast("string"), F.lit("")),
+        )).alias("shuffle_key"),
+    )
+    shard = F.conv(F.substring("shuffle_key", 1, 1), 16, 10).cast("int")
+    w = Window.partitionBy("epoch", "shard").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("epoch", "doc_id", "shuffle_key", "shard", "pos")
+    )
 
 
 def _with_boilerplate(docs: DataFrame) -> DataFrame:
@@ -1018,6 +1060,7 @@ QUERIES = {
     "pii_redaction": pii_redaction,
     "pack_concat_chunks": pack_concat_chunks,
     "pack_greedy_firstfit": pack_greedy_firstfit,
+    "epoch_shuffle_shards": epoch_shuffle_shards,
 }
 
 
@@ -1087,6 +1130,26 @@ from .textstats import _hex_threshold as _lm_hex_threshold  # noqa: E402
 _LM_THR = "'%s'" % _lm_hex_threshold(LM_SAMPLE_FRACTION)
 
 ORACLE = {
+    "epoch_shuffle_shards": f"""
+        WITH k AS (
+            SELECT d.doc_id, e.epoch,
+                   md5('epoch' || CAST(e.epoch AS VARCHAR) || ':'
+                       || coalesce(CAST(d.doc_id AS VARCHAR), ''))
+                       AS shuffle_key
+            FROM documents d,
+                 (SELECT unnest(range({SHUFFLE_EPOCHS})) AS epoch) e
+        ),
+        s AS (
+            SELECT *, CAST(CAST('0x' || substr(shuffle_key, 1, 1) AS INT)
+                       AS INTEGER) AS shard
+            FROM k
+        )
+        SELECT CAST(epoch AS INTEGER) AS epoch, doc_id, shuffle_key, shard,
+               CAST(row_number() OVER (
+                   PARTITION BY epoch, shard
+                   ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+        FROM s
+    """,
     "seq_len_histogram": f"""
         WITH t AS (SELECT CAST(len({_W0_SQL}) AS BIGINT) AS tok
                    FROM documents),

@@ -55,6 +55,7 @@ NULL_SWEEP = [
     "text_nfc_normalize",
     "corpus_sample_split",
     "a8_doc_distribution",
+    "epoch_shuffle_shards",
 ]
 
 

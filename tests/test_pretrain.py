@@ -192,3 +192,35 @@ def test_mixture_drops_unweighted_domains(spark):
     # weights sum to 1 over a corpus where the kept domains are 2/3 of
     # rows: expected output ~= full corpus size (rate = 1.5 each)
     assert abs(out.count() - 300) <= 30
+
+
+def test_epoch_shuffle_is_a_fresh_permutation_per_epoch(spark, sf_dir):
+    """Each epoch covers every doc exactly once with contiguous
+    per-shard positions, and consecutive epochs produce a genuinely
+    different order (the point of reshuffling)."""
+    from collections import defaultdict
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.pretrain import (
+        SHUFFLE_EPOCHS,
+        SHUFFLE_SHARDS,
+        epoch_shuffle_shards,
+    )
+
+    rows = epoch_shuffle_shards(spark, sf_dir).collect()
+    n_docs = len({r.doc_id for r in rows})
+    per_epoch = defaultdict(list)
+    for r in rows:
+        assert 0 <= r.shard < SHUFFLE_SHARDS
+        per_epoch[r.epoch].append(r)
+    assert set(per_epoch) == set(range(SHUFFLE_EPOCHS))
+    orders = {}
+    for ep, es in per_epoch.items():
+        assert len(es) == n_docs == len({r.doc_id for r in es})
+        by_shard = defaultdict(list)
+        for r in es:
+            by_shard[r.shard].append(r.pos)
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+        orders[ep] = [r.doc_id for r in sorted(
+            es, key=lambda r: (r.shard, r.pos))]
+    assert orders[0] != orders[1]  # reshuffled between epochs

@@ -376,6 +376,13 @@ AUDIT = [
         "plus one cluster-keyed window count.",
     ),
     (
+        "epoch_shuffle_shards",
+        "Per-epoch deterministic shuffle: map-side md5 key + hex-"
+        "nibble shard, row_number over an (epoch, shard)-PARTITIONED "
+        "window -- no global sort or single-partition window; shards "
+        "fan the ordering work across the cluster.",
+    ),
+    (
         "embed_random_projection",
         "JL sign projection: map-only project + posexplode over a "
         "3-column pruned scan -- zero shuffles, whole-stage codegen; "
