@@ -108,6 +108,7 @@ HEADLINE = [
     "embed_kmeans",
     "embed_random_projection",
     "epoch_shuffle_shards",
+    "cluster_cartography",
 ]
 
 

@@ -166,12 +166,14 @@ def embed_kmeans(spark: SparkSession, sf_dir: str,
     )
 
 
-def _km_oracle_sql(k: int = KM_K, iters: int = KM_ITERS,
-                   scale: int = KM_SCALE) -> str:
-    """Unrolled Lloyd iterations as chained CTEs -- same exact integer
-    arithmetic: DuckDB ``//`` truncates toward zero like Spark ``div``,
-    ``%`` carries the dividend's sign in both, and the 1-based lambda
-    index aligns with 1-based list indexing."""
+def _km_ctes(k: int = KM_K, iters: int = KM_ITERS,
+             scale: int = KM_SCALE) -> str:
+    """The unrolled Lloyd iteration CTE chain (shared by the k-means
+    oracle and the cartography oracle): same exact integer arithmetic
+    as the Spark side -- DuckDB ``//`` truncates toward zero like
+    Spark ``div``, ``%`` carries the dividend's sign in both, and the
+    1-based lambda index aligns with 1-based list indexing. The final
+    assignment CTE is ``a{iters}``."""
     parts = [f"""
         q AS (
             SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
@@ -210,8 +212,13 @@ def _km_oracle_sql(k: int = KM_K, iters: int = KM_ITERS,
                 SELECT cl, list(sx // n ORDER BY i) AS c
                 FROM s{t} GROUP BY cl) n USING (cl)
         )""")
+    return ",".join(parts)
+
+
+def _km_oracle_sql(k: int = KM_K, iters: int = KM_ITERS,
+                   scale: int = KM_SCALE) -> str:
     return f"""
-        WITH {",".join(parts)}
+        WITH {_km_ctes(k, iters, scale)}
         SELECT vec_id, cl AS cluster, CAST(dist AS BIGINT) AS dist_u,
                count(*) OVER (PARTITION BY cl) AS n_in_cluster
         FROM a{iters}
@@ -290,12 +297,86 @@ def _rp_oracle_sql() -> str:
     """
 
 
+CARTO_TOP_TERMS = 5
+
+
+def cluster_cartography(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset cartography: the k-means partition joined back to the
+    document corpus (``vec_id = doc_id``, the engine's store
+    convention) and each cluster labeled with its top document-
+    frequency terms -- the "what is this cluster ABOUT" report a
+    curation pass reads before up/down-weighting regions of the
+    embedding space (SemDeDup-style pruning, domain discovery).
+
+    Scale shape: the assignment side is the k-means output (never
+    re-shuffled -- the join key is the store's primary key), term
+    counting is a map-side ``array_distinct`` explode with partial
+    aggregation on (cluster, term), and the top-k is a window over K
+    partitions of vocabulary-sized (not corpus-sized) data; cluster
+    sizes ride along as a broadcast K-row join."""
+    assign = embed_kmeans(spark, sf_dir).select("vec_id", "cluster")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = assign.join(
+        docs, assign["vec_id"] == docs["doc_id"]
+    ).select("cluster", "doc_id", "text")
+    sizes = joined.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    from ..functions.text_quality import words
+
+    terms = joined.select(
+        "cluster",
+        F.explode(F.array_distinct(words(F.col("text")))).alias("term"),
+    )
+    dfc = terms.groupBy("cluster", "term").agg(
+        F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("cluster").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        dfc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= CARTO_TOP_TERMS)
+        .join(F.broadcast(sizes), "cluster")
+        .select("cluster", "n_docs", "rank", "term", "df")
+    )
+
+
+def _carto_oracle_sql() -> str:
+    from .textstats import _W_SQL
+
+    return f"""
+        WITH {_km_ctes()},
+        j AS (
+            SELECT a.cl AS cluster, d.doc_id, {_W_SQL} AS w
+            FROM a{KM_ITERS} a JOIN documents d ON d.doc_id = a.vec_id
+        ),
+        sizes AS (
+            SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs
+            FROM j GROUP BY cluster
+        ),
+        dfc AS (
+            SELECT cluster, u.term, CAST(count(*) AS BIGINT) AS df
+            FROM (SELECT cluster, list_distinct(w) AS dw FROM j),
+                 unnest(dw) AS u(term)
+            GROUP BY cluster, u.term
+        ),
+        ranked AS (
+            SELECT cluster, term, df,
+                   CAST(row_number() OVER (PARTITION BY cluster
+                       ORDER BY df DESC, term ASC) AS INTEGER) AS rank
+            FROM dfc
+        )
+        SELECT r.cluster, s.n_docs, r.rank, r.term, r.df
+        FROM ranked r JOIN sizes s USING (cluster)
+        WHERE r.rank <= {CARTO_TOP_TERMS}
+    """
+
+
 QUERIES = {
     "embed_kmeans": embed_kmeans,
     "embed_random_projection": embed_random_projection,
+    "cluster_cartography": cluster_cartography,
 }
 
 ORACLE = {
     "embed_kmeans": _km_oracle_sql(),
     "embed_random_projection": _rp_oracle_sql(),
+    "cluster_cartography": _carto_oracle_sql(),
 }

@@ -388,6 +388,13 @@ AUDIT = [
         "3-column pruned scan -- zero shuffles, whole-stage codegen; "
         "the sign matrix is a hash expression, never materialized.",
     ),
+    (
+        "cluster_cartography",
+        "K-means assignment equi-joined to documents on the store's "
+        "primary key, distinct-term explode with partial aggregation "
+        "on (cluster, term), top-k window over vocabulary-sized data, "
+        "broadcast K-row sizes join.",
+    ),
 ]
 
 
