@@ -109,6 +109,7 @@ HEADLINE = [
     "embed_random_projection",
     "epoch_shuffle_shards",
     "cluster_cartography",
+    "knn_pagerank",
 ]
 
 

@@ -713,6 +713,69 @@ def knn_graph(spark: SparkSession, sf_dir: str,
     )
 
 
+PR_SCALE = 1_000_000_000_000  # integer rank units (1e12 per node seed)
+PR_DAMP_NUM = 85              # damping 0.85 as an exact integer ratio
+PR_ITERS = 3                  # fixed power iterations
+
+
+def knn_pagerank(spark: SparkSession, sf_dir: str,
+                 iters: int = PR_ITERS) -> DataFrame:
+    """PageRank over the directed kNN graph, in EXACT INTEGER
+    arithmetic (docs/ROUNDING.md rule 1): every node seeds at
+    ``PR_SCALE`` units, each power iteration sends ``r // out_deg`` to
+    every out-neighbor and rebuilds ``r' = PR_SCALE*15//100 +
+    (85 * inflow) // 100`` -- all BIGINT truncating division, so the
+    fixed-iteration result is bit-identical to the unrolled-CTE DuckDB
+    oracle with no float anywhere. High-rank nodes are the corpus's
+    density hubs: the documents graph-based curation down-weights
+    first (a near-dup cluster's members all point at its center) and
+    diversity sampling keeps last. Dangling nodes (no out-edges --
+    their kNN buckets were singletons) absorb rank without re-emitting
+    it, the standard simplification; ranks are therefore relative
+    scores, not a normalized distribution. BIGINT headroom: total
+    in-flow is bounded by the system total ~N * PR_SCALE, so N beyond
+    ~9e6 should drop PR_SCALE a decade per 10x N (or move the oracle
+    to HUGEINT/DECIMAL(38)).
+
+    Scale shape: the edge list is the banded kNN build (never
+    all-pairs); each iteration is one equi-join on the edge key + one
+    partial-aggregated inflow sum, with an EAGER localCheckpoint per
+    round for the same lineage-truncation reason as connected
+    components. Driver sees no data, only the loop counter."""
+    edges = knn_graph(spark, sf_dir).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    ).localCheckpoint()
+    nodes = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id")
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    base = PR_SCALE * (100 - PR_DAMP_NUM) // 100
+    ranks = nodes.select("vec_id", F.lit(PR_SCALE).alias("r"))
+    for _ in range(iters):
+        inflow = (
+            edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("vec_id", "src"), "src")
+            .select("dst", F.expr("r div out_deg").alias("contrib"))
+            .groupBy(F.col("dst").alias("vec_id"))
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = nodes.join(inflow, "vec_id", "left").select(
+            "vec_id",
+            (F.lit(base)
+             + F.expr(f"({PR_DAMP_NUM} * coalesce(s, 0)) div 100")
+             ).cast("long").alias("r"),
+        ).localCheckpoint()
+    return (
+        ranks.join(deg.withColumnRenamed("src", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id", F.col("r").alias("pr_u"),
+            F.coalesce("out_deg", F.lit(0)).cast("int").alias("out_deg"),
+        )
+    )
+
+
 CC_MAX_ITERS = 8
 
 
@@ -837,6 +900,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_semantic_keep": dedup_semantic_keep,
     "knn_graph_lsh": knn_graph_lsh,
+    "knn_pagerank": knn_pagerank,
     "dedup_connected_components": dedup_connected_components,
 }
 
@@ -1071,3 +1135,42 @@ ORACLE = {
         thresh=EMB_COS_THRESHOLD,
     ),
 }
+
+
+def _pr_oracle_sql(iters: int = PR_ITERS) -> str:
+    """Unrolled power iterations over the kNN oracle embedded as a
+    derived table -- the same exact integer arithmetic as the Spark
+    loop (positive BIGINTs, truncating division on both engines)."""
+    base = PR_SCALE * (100 - PR_DAMP_NUM) // 100
+    parts = [f"""
+        edges AS (
+            SELECT vec_id AS src, neighbor_id AS dst
+            FROM ({ORACLE["knn_graph_lsh"]})
+        ),
+        nodes AS (
+            SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+        r0 AS (SELECT vec_id, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes)"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+        r{t} AS (
+            SELECT n.vec_id,
+                   CAST({base} + ({PR_DAMP_NUM} * coalesce(s.s, 0)) // 100
+                       AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS vec_id, sum(r.r // d.out_deg) AS s
+                FROM edges e
+                JOIN r{t - 1} r ON r.vec_id = e.src
+                JOIN deg d ON d.src = e.src
+                GROUP BY e.dst) s USING (vec_id)
+        )""")
+    return f"""
+        WITH {",".join(parts)}
+        SELECT r.vec_id, r.r AS pr_u,
+               CAST(coalesce(d.out_deg, 0) AS INTEGER) AS out_deg
+        FROM r{iters} r LEFT JOIN deg d ON d.src = r.vec_id
+    """
+
+
+ORACLE["knn_pagerank"] = _pr_oracle_sql()

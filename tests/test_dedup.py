@@ -258,3 +258,31 @@ def test_connected_components_raises_on_nonconvergence(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components_labels(edges, max_iters=2)
+
+
+def test_pagerank_rank_semantics(spark, sf_dir):
+    """Exact-integer PageRank invariants: every valid vector gets a
+    rank; a node with no in-edges holds exactly the base rank; inflow
+    never exceeds what neighbors emitted (truncating division only
+    loses units); determinism across reruns."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.dedup import (
+        PR_DAMP_NUM,
+        PR_SCALE,
+        knn_graph,
+        knn_pagerank,
+    )
+
+    rows = knn_pagerank(spark, sf_dir).collect()
+    base = PR_SCALE * (100 - PR_DAMP_NUM) // 100
+    assert rows
+    n_edges_src = {r.vec_id for r in knn_graph(spark, sf_dir)
+                   .select(F.col("neighbor_id").alias("vec_id")).collect()}
+    for r in rows:
+        assert r.pr_u >= base
+        if r.vec_id not in n_edges_src:  # no in-edges: base rank only
+            assert r.pr_u == base
+    # total rank never exceeds the seeded total (damping + truncation
+    # only remove units; dangling nodes absorb)
+    assert sum(r.pr_u for r in rows) <= PR_SCALE * len(rows)
+    again = knn_pagerank(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -389,6 +389,13 @@ AUDIT = [
         "the sign matrix is a hash expression, never materialized.",
     ),
     (
+        "knn_pagerank",
+        "Power iteration over the banded kNN edge list: per round one "
+        "edge-keyed equi-join + partial-aggregated inflow sum, eager "
+        "localCheckpoint truncating lineage; never all-pairs, driver "
+        "sees only the loop counter.",
+    ),
+    (
         "cluster_cartography",
         "K-means assignment equi-joined to documents on the store's "
         "primary key, distinct-term explode with partial aggregation "
