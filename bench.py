@@ -110,6 +110,7 @@ HEADLINE = [
     "epoch_shuffle_shards",
     "cluster_cartography",
     "knn_pagerank",
+    "sketch_countmin_heavyhitters",
 ]
 
 

@@ -498,6 +498,68 @@ def vocab_top_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_D = 4     # count-min hash rows
+CMS_W = 256   # buckets per row (sketch = D x W cells, fixed size)
+CMS_TOP = 20  # heavy hitters reported against the sketch
+
+
+def sketch_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, read back at the
+    exact heavy hitters: every term's estimate is ``min_j cell(j,
+    h_j(term))`` and the emission carries the exact count next to the
+    estimate with the sketch's signed error (``overcount >= 0`` is the
+    CMS guarantee -- cells only ever over-count). The term hashes are
+    ``md5(j || ':' || term)`` prefixes, identical in both engines, so
+    the whole sketch is deterministic and fully oracle-checkable.
+
+    Why a sketch at 100 TB: the exact vocab aggregate is vocab-sized
+    (fine for words, unbounded for URLs/n-grams/ids); the CMS is a
+    FIXED ``CMS_D x CMS_W`` integer grid that merges across shards and
+    days by cell-wise addition -- the streaming/multi-tenant face of
+    frequency tracking. Scale shape: one token-count aggregate with
+    map-side combine feeds both the cells (a <= D*W-row broadcast) and
+    the TakeOrderedAndProject top cut; the rank window runs on
+    ``CMS_TOP`` constant rows."""
+    from pyspark.sql import Window
+
+    docs = rebalance(table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(tq.words(F.col("text"))).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    hash_structs = F.array(*[
+        F.struct(
+            F.lit(j).alias("j"),
+            (F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}:"), F.col("term"))), 1, 8),
+                16, 10,
+            ).cast("long") % CMS_W).cast("int").alias("bucket"),
+        )
+        for j in range(CMS_D)
+    ])
+    hashed = counts.select(
+        "term", "exact_count", F.explode(hash_structs).alias("h")
+    ).select("term", "exact_count",
+             F.col("h.j").alias("j"), F.col("h.bucket").alias("bucket"))
+    cells = hashed.groupBy("j", "bucket").agg(
+        F.sum("exact_count").alias("cell"))
+    top = counts.orderBy(
+        F.desc("exact_count"), F.asc("term")).limit(CMS_TOP)
+    est = (
+        hashed.join(top.select("term"), "term")
+        .join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("term", "exact_count")
+        .agg(F.min("cell").alias("cms_estimate"))
+    )
+    w = Window.orderBy(F.desc("exact_count"), F.asc("term"))
+    return est.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "term", "exact_count", "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
+    )
+
+
 PAIR_TOP = 50
 
 
@@ -544,6 +606,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "vocab_top_coverage": vocab_top_coverage,
+    "sketch_countmin_heavyhitters": sketch_countmin_heavyhitters,
     "bpe_pair_counts": bpe_pair_counts,
     "corpus_sample_split": corpus_sample_split,
     "text_token_stats": text_token_stats,
@@ -567,6 +630,42 @@ _LANG_SQL = ", ".join(
 
 
 ORACLE = {
+    "sketch_countmin_heavyhitters": f"""
+        WITH tok AS (
+            SELECT unnest({_W_SQL}) AS term FROM documents
+        ),
+        counts AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS exact_count
+            FROM tok GROUP BY term
+        ),
+        h AS (
+            SELECT term, exact_count, jj.j,
+                   CAST(CAST('0x' || substr(md5(CAST(jj.j AS VARCHAR)
+                       || ':' || term), 1, 8) AS BIGINT) % {CMS_W}
+                       AS INTEGER) AS bucket
+            FROM counts, (SELECT unnest(range({CMS_D})) AS j) jj
+        ),
+        cells AS (
+            SELECT j, bucket, CAST(sum(exact_count) AS BIGINT) AS cell
+            FROM h GROUP BY j, bucket
+        ),
+        top AS (
+            SELECT term FROM counts
+            ORDER BY exact_count DESC, term LIMIT {CMS_TOP}
+        ),
+        est AS (
+            SELECT h.term, h.exact_count,
+                   CAST(min(c.cell) AS BIGINT) AS cms_estimate
+            FROM h JOIN top t ON t.term = h.term
+            JOIN cells c ON c.j = h.j AND c.bucket = h.bucket
+            GROUP BY h.term, h.exact_count
+        )
+        SELECT CAST(row_number() OVER (
+                   ORDER BY exact_count DESC, term) AS INTEGER) AS rank,
+               term, exact_count, cms_estimate,
+               cms_estimate - exact_count AS overcount
+        FROM est
+    """,
     "text_nfc_normalize": """
         SELECT doc_id,
                nfc_normalize(text) AS nfc_text,

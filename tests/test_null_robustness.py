@@ -56,6 +56,7 @@ NULL_SWEEP = [
     "corpus_sample_split",
     "a8_doc_distribution",
     "epoch_shuffle_shards",
+    "sketch_countmin_heavyhitters",
 ]
 
 

@@ -57,3 +57,22 @@ def test_winnowing_guarantee():
     }
     assert sets[1] & sets[2], "shared 8-word run produced no common fp"
     assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
+
+
+def test_countmin_never_undercounts_and_merges(spark, sf_dir):
+    """CMS guarantees: estimate >= exact for every reported term, and
+    the sketch merges across corpus halves by cell-wise addition
+    (the property that makes it the streaming/sharded face)."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.textstats import (
+        sketch_countmin_heavyhitters,
+    )
+
+    rows = sketch_countmin_heavyhitters(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.overcount >= 0
+        assert r.cms_estimate >= r.exact_count
+    # at least the very top term should estimate exactly or nearly so
+    # on this vocab (W=256 >> distinct words of the tiny corpus)
+    top = min(rows, key=lambda r: r.rank)
+    assert top.overcount <= top.exact_count  # not wildly off

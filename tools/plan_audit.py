@@ -389,6 +389,13 @@ AUDIT = [
         "the sign matrix is a hash expression, never materialized.",
     ),
     (
+        "sketch_countmin_heavyhitters",
+        "One token-count aggregate with map-side combine feeds both "
+        "the fixed D x W cell grid (broadcast, <= 1024 rows) and a "
+        "TakeOrderedAndProject top cut; rank window on CMS_TOP "
+        "constant rows only.",
+    ),
+    (
         "knn_pagerank",
         "Power iteration over the banded kNN edge list: per round one "
         "edge-keyed equi-join + partial-aggregated inflow sum, eager "
