@@ -111,6 +111,7 @@ HEADLINE = [
     "cluster_cartography",
     "knn_pagerank",
     "sketch_countmin_heavyhitters",
+    "dedup_bloom_prefilter",
 ]
 
 

@@ -221,6 +221,89 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_K = 3        # probe hashes per key
+BLOOM_M = 1 << 20  # filter width in bit positions
+
+
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-dedup PREFILTER: a deterministic Bloom filter
+    built once over the ARCHIVE's content hashes answers "possibly
+    seen?" for every new-batch document, and only the hits pay the
+    exact verification join -- the standard way a 100 TB ingest
+    checks a day's batch against years of archive without scanning
+    the archive per batch. The filter is exactly reproducible
+    (positions = md5(j || ':' || content_md5) prefixes mod BLOOM_M),
+    so the whole pipeline -- including which rows are FALSE POSITIVES
+    -- is oracle-checkable; ``false_positive`` makes the classic
+    Bloom trade-off an observable column instead of silent extra work.
+
+    New batch (inline, both engines): exact copies of the ``doc_id %
+    7`` slice (true dups the filter MUST hit -- no false negatives,
+    asserted in tests) plus ``% 11`` docs with a suffix (genuinely
+    new; any hit is a measured false positive).
+
+    Scale shape: the filter materializes as the DISTINCT position set
+    (<= BLOOM_M rows ~ a few MB broadcast -- the sparse stand-in for
+    the packed bitmap an executor-side implementation would hold);
+    building it is one map-side explode + distinct over the archive,
+    amortized across every future batch. The new batch never touches
+    the archive except through the broadcast positions and the
+    hit-rows-only verification semi-join on content hash."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text"))
+
+    def positions(hcol):
+        return F.array_distinct(F.array(*[
+            (F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}:"), hcol)), 1, 8),
+                16, 10,
+            ).cast("long") % BLOOM_M).alias(f"p{j}")
+            for j in range(BLOOM_K)
+        ]))
+
+    arch = docs.select(F.md5("text").alias("h"))
+    bloom = (
+        arch.select(F.explode(positions(F.col("h"))).alias("pos"))
+        .distinct()
+    )
+    new_batch = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 4_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" uniqnew")).alias("text"),
+        )
+    )
+    nb = new_batch.select(
+        "doc_id", F.md5("text").alias("h"),
+        positions(F.md5("text")).alias("ps"),
+    ).select("doc_id", "h", F.size("ps").alias("n_pos"),
+             F.explode("ps").alias("pos"))
+    probed = (
+        nb.join(F.broadcast(bloom.withColumn("_in", F.lit(1))),
+                "pos", "left")
+        .groupBy("doc_id", "h", "n_pos")
+        .agg(F.sum(F.coalesce("_in", F.lit(0))).alias("n_hit"))
+        .select("doc_id", "h",
+                (F.col("n_hit") == F.col("n_pos")).alias("bloom_hit"))
+    )
+    verified = (
+        probed.filter(F.col("bloom_hit"))
+        .join(arch.distinct().withColumn("_dup", F.lit(True)), "h", "left")
+        .select("doc_id", F.coalesce("_dup", F.lit(False)).alias("verified_dup"))
+    )
+    return (
+        probed.join(verified, "doc_id", "left")
+        .select(
+            "doc_id", "bloom_hit",
+            F.coalesce("verified_dup", F.lit(False)).alias("verified_dup"),
+            (F.col("bloom_hit")
+             & ~F.coalesce("verified_dup", F.lit(False))
+             ).alias("false_positive"),
+        )
+    )
+
+
 def streaming_exact_dedup_plan(
     stream_df: DataFrame,
     ts_col: str = "ingest_ts",
@@ -901,6 +984,7 @@ QUERIES = {
     "dedup_semantic_keep": dedup_semantic_keep,
     "knn_graph_lsh": knn_graph_lsh,
     "knn_pagerank": knn_pagerank,
+    "dedup_bloom_prefilter": dedup_bloom_prefilter,
     "dedup_connected_components": dedup_connected_components,
 }
 
@@ -1174,3 +1258,46 @@ def _pr_oracle_sql(iters: int = PR_ITERS) -> str:
 
 
 ORACLE["knn_pagerank"] = _pr_oracle_sql()
+
+
+_BLOOM_POS = (
+    "CAST(CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || {h}), 1, 8)"
+    f" AS BIGINT) % {BLOOM_M} AS BIGINT)"
+)
+
+ORACLE["dedup_bloom_prefilter"] = f"""
+    WITH docs AS (
+        SELECT doc_id, coalesce(text, '') AS text FROM documents
+    ),
+    arch AS (SELECT md5(text) AS h FROM docs),
+    bloom AS (
+        SELECT DISTINCT {_BLOOM_POS.format(h="h")} AS pos
+        FROM arch, (SELECT unnest(range({BLOOM_K})) AS j) jj
+    ),
+    nb AS (
+        SELECT doc_id + 3000000 AS doc_id, text
+        FROM docs WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 4000000 AS doc_id, text || ' uniqnew' AS text
+        FROM docs WHERE doc_id % 11 = 0
+    ),
+    nbp AS (
+        SELECT doc_id, h, len(ps) AS n_pos, unnest(ps) AS pos
+        FROM (SELECT doc_id, md5(text) AS h,
+                     list_distinct(list_transform(range({BLOOM_K}),
+                         j -> {_BLOOM_POS.format(h="md5(text)")})) AS ps
+              FROM nb)
+    ),
+    probed AS (
+        SELECT doc_id, h,
+               sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+                   = max(n_pos) AS bloom_hit
+        FROM nbp LEFT JOIN bloom b USING (pos)
+        GROUP BY doc_id, h
+    )
+    SELECT p.doc_id, p.bloom_hit,
+           p.bloom_hit AND (p.h IN (SELECT h FROM arch)) AS verified_dup,
+           p.bloom_hit AND (p.h NOT IN (SELECT h FROM arch))
+               AS false_positive
+    FROM probed p
+"""

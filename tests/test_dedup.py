@@ -286,3 +286,22 @@ def test_pagerank_rank_semantics(spark, sf_dir):
     assert sum(r.pr_u for r in rows) <= PR_SCALE * len(rows)
     again = knn_pagerank(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_bloom_prefilter_has_no_false_negatives(spark, sf_dir):
+    """The Bloom guarantee that makes the prefilter safe to trust:
+    every true duplicate (the %7 copy slice) MUST hit; misses are
+    guaranteed-new and skip verification entirely. False positives
+    are allowed but must be flagged, never reported as dups."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.dedup import (
+        dedup_bloom_prefilter,
+    )
+
+    rows = dedup_bloom_prefilter(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if 3_000_000 <= r.doc_id < 4_000_000:  # exact archive copy
+            assert r.bloom_hit and r.verified_dup and not r.false_positive
+        else:  # genuinely new (' uniqnew' suffix)
+            assert not r.verified_dup
+            assert r.false_positive == r.bloom_hit

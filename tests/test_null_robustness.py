@@ -57,6 +57,7 @@ NULL_SWEEP = [
     "a8_doc_distribution",
     "epoch_shuffle_shards",
     "sketch_countmin_heavyhitters",
+    "dedup_bloom_prefilter",
 ]
 
 

@@ -389,6 +389,13 @@ AUDIT = [
         "the sign matrix is a hash expression, never materialized.",
     ),
     (
+        "dedup_bloom_prefilter",
+        "Archive hashed once into a broadcast distinct-position set; "
+        "the new batch is probed map-side against the broadcast and "
+        "only bloom-hit rows pay the exact verification semi-join -- "
+        "the archive is never rescanned per batch.",
+    ),
+    (
         "sketch_countmin_heavyhitters",
         "One token-count aggregate with map-side combine feeds both "
         "the fixed D x W cell grid (broadcast, <= 1024 rows) and a "
