@@ -112,6 +112,7 @@ HEADLINE = [
     "knn_pagerank",
     "sketch_countmin_heavyhitters",
     "dedup_bloom_prefilter",
+    "anns_hard_negatives",
 ]
 
 

@@ -461,6 +461,56 @@ def anns_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HARDNEG_K = 5  # negatives mined per anchor
+
+
+def anns_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD NEGATIVE MINING for contrastive/embedding training: for
+    each anchor (query) vector, the most-similar corpus vectors whose
+    ``label`` DIFFERS from the anchor's -- the near-the-margin
+    negatives that make an InfoNCE/triplet batch informative (random
+    negatives are trivially separable; same-label neighbors would be
+    false negatives). The label predicate is PER-PAIR (each anchor
+    excludes its own class), which is exactly what the static payload
+    filter of ``anns_filtered_topk`` cannot express -- here the filter
+    applies between candidate generation and ranking, so ranks are
+    assigned over cross-label candidates only, never
+    retrieve-then-drop top slots.
+
+    Scale shape: identical to the serving LSH path -- persisted
+    signature index, broadcast query side, bucket equi-join with the
+    first-colliding-table local dedup -- plus one map-side label
+    comparison before the per-anchor top-k window. A NULL label (an
+    unlabeled vector) never mines as a negative and never anchors:
+    its class is unknown, so "different class" is unknowable -- the
+    SQL three-valued ``<>`` drops it identically in both engines."""
+    base = _vectors(spark, sf_dir)
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+    )
+    idx = lsh_build(spark, sf_dir)  # neighbor_id, label, cv, csig
+    cand = base.select(F.col("vec_id").alias("neighbor_id"),
+                       "label", F.col("v").alias("cv"))
+    joined = lsh_bucket_join(q, cand, cand_signed=idx).filter(
+        (F.col("label") != F.col("q_label"))
+        & (F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine(F.col("qv"), F.col("cv"))), F.asc("neighbor_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARDNEG_K)
+        .select(
+            "query_id", "q_label", "neighbor_id",
+            F.col("label").alias("neg_label"),
+            F.col("rank").cast("int").alias("rank"),
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+
+
 BQ_RERANK_FACTOR = 4  # exact-rerank the Hamming top k*factor
 
 
@@ -1290,6 +1340,7 @@ def sparse_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "anns_bruteforce_topk": anns_bruteforce_topk,
     "anns_lsh_bucketed": anns_lsh_bucketed,
+    "anns_hard_negatives": anns_hard_negatives,
     "anns_filtered_topk": anns_filtered_topk,
     "anns_label_maxsim_topk": anns_label_maxsim_topk,
     "anns_bq_hamming_topk": anns_bq_hamming_topk,
@@ -1415,6 +1466,40 @@ ORACLE = {
         sig_body=rh_sig_sql(hyperplanes(64, LSH_BITS, LSH_TABLES),
                             LSH_BITS, LSH_TABLES, "e", "vec_id"),
     ),
+    # hard-negative mining: the per-pair cross-label predicate sits
+    # between candidate generation and ranking (same sig CTE; ranks
+    # assigned over cross-label candidates only)
+    "anns_hard_negatives": f"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE embedding IS NOT NULL),
+        _planes AS (SELECT {planes_sql_literal(hyperplanes(64, LSH_BITS, LSH_TABLES))} AS h),
+        sig AS ({rh_sig_sql(hyperplanes(64, LSH_BITS, LSH_TABLES),
+                            LSH_BITS, LSH_TABLES, "e", "vec_id")}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS query_id, la.label AS q_label,
+                   b.vec_id AS neighbor_id, lb.label AS neg_label
+            FROM sig a
+            JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+            JOIN e la ON la.vec_id = a.vec_id
+            JOIN e lb ON lb.vec_id = b.vec_id
+            WHERE a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+              AND lb.label <> la.label
+        ),
+        scored AS (
+            SELECT c.query_id, c.q_label, c.neighbor_id, c.neg_label,
+                   list_cosine_similarity(qa.v, qb.v) AS cos_raw
+            FROM cand c
+            JOIN e qa ON qa.vec_id = c.query_id
+            JOIN e qb ON qb.vec_id = c.neighbor_id
+        )
+        SELECT query_id, q_label, neighbor_id, neg_label,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_raw DESC, neighbor_id ASC) AS INTEGER)
+                   AS rank,
+               round(cos_raw, 4) AS cos_sim
+        FROM scored
+        QUALIFY rank <= {HARDNEG_K}
+    """,
     # filtered search: same sig CTE, the candidate (neighbor) side
     # restricted to the payload filter BEFORE ranking -- filtered-first,
     # mirroring the pre-filter index probe

@@ -28,7 +28,14 @@ def _cleanup_throwaway_matviews():
     matview dir grows forever. Remove only matviews CREATED DURING
     THIS SESSION (mtime guard) whose tag is not a stable testdata
     corpus -- never artifacts of earlier sessions or of a concurrent
-    run on another corpus, which could be mid-scan."""
+    run on another corpus, which could be mid-scan.
+
+    CAVEAT: do not run two pytest sessions of this suite CONCURRENTLY
+    on one machine -- the mtime guard cannot tell which session
+    created a fresh throwaway matview, so whichever session finishes
+    first deletes matviews the other may still be reading (observed
+    as a one-off FileNotFound/oracle failure in the IVF/PQ sweeps
+    that passes in isolation). Serial sessions are fully safe."""
     import time
 
     session_start = time.time()

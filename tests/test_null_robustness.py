@@ -282,7 +282,7 @@ EMB_NULL_SWEEP = [
     "anns_ivfpq_topk", "anns_ivf_filtered_topk", "anns_recall_report",
     "rag_retrieve_citations", "rag_mmr_rerank", "hybrid_fusion_topk",
     "multimodal_phash_dedup", "embed_kmeans", "embed_random_projection",
-    "cluster_cartography", "knn_pagerank",
+    "cluster_cartography", "knn_pagerank", "anns_hard_negatives",
 ]
 
 

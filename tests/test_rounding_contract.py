@@ -40,6 +40,7 @@ VECTOR_SCORE_QUERIES = [
     # scatter keeps the "no rounding needed" claim honest
     "embed_kmeans",
     "embed_random_projection",
+    "anns_hard_negatives",
 ]
 
 

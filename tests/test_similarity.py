@@ -476,3 +476,21 @@ def test_quantize_zero_vector_is_representable(spark):
     rows = {r.vec_id: r for r in quantize_int8(df).collect()}
     assert rows[1].scale == 0.0 and rows[1].qv == [0, 0, 0]
     assert rows[2].qv[1] in (-127, 127) and abs(rows[2].qv[1]) == 127
+
+
+def test_hard_negatives_never_share_anchor_label(spark, sf_dir):
+    from selfhosted_rag_doc_chat_prototype_spark.operators.similarity import (
+        HARDNEG_K,
+        anns_hard_negatives,
+    )
+
+    rows = anns_hard_negatives(spark, sf_dir).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        assert r.neg_label != r.q_label
+        assert r.neighbor_id != r.query_id
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= HARDNEG_K

@@ -389,6 +389,13 @@ AUDIT = [
         "the sign matrix is a hash expression, never materialized.",
     ),
     (
+        "anns_hard_negatives",
+        "Serving LSH path (persisted index, broadcast queries, bucket "
+        "equi-join, first-colliding-table local dedup) plus one map-"
+        "side cross-label predicate before the per-anchor top-k "
+        "window -- never retrieve-then-drop.",
+    ),
+    (
         "dedup_bloom_prefilter",
         "Archive hashed once into a broadcast distinct-position set; "
         "the new batch is probed map-side against the broadcast and "
