@@ -83,29 +83,50 @@ def _tdiv(s: int, n: int) -> int:
 
 
 def _assign(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
-    """Map-side assignment against broadcast centroid literals: argmin
-    of exact integer squared distance, ties to the lowest cluster id
-    (struct (dist, cl) min -- lexicographic, both engines)."""
-    cands = F.array(*[
-        F.struct(
-            F.aggregate(
-                F.zip_with(
-                    F.col("q"),
-                    F.array(*[F.lit(int(ci)) for ci in c]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, z: acc + z,
-            ).alias("d"),
-            F.lit(cl).cast("int").alias("cl"),
+    """Map-side assignment against broadcast centroids: argmin of
+    exact integer squared distance, ties to the lowest cluster id.
+
+    Vectorized Arrow kernel (same precedent as the cosine-dedup
+    kernel): ``|q - c|^2 = |q|^2 - 2 q.c + |c|^2`` with every term an
+    exact int64 numpy op (integer matmul is naive exact arithmetic,
+    never BLAS float), so the distances are BIT-IDENTICAL to the
+    interpreted-HOF form and to the DuckDB oracle -- numpy's
+    first-occurrence ``argmin`` is exactly the lexicographic
+    (dist, cl) struct-min tie-break. Headroom: |q|^2 and |c|^2 are
+    <= dim * (2e6)^2 ~ 2.6e14 for unit-scale micro-unit vectors --
+    five decades inside int64. Replaces a K x dim interpreted lambda
+    chain per row (~4x on the local bench; the win grows with K)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.int64)
+    cc = (C * C).sum(axis=1)
+
+    def kernel(s):
+        if len(s) == 0:
+            return pd.DataFrame({
+                "cl": pd.Series([], dtype="int32"),
+                "d": pd.Series([], dtype="int64"),
+            })
+        Q = np.asarray(s.tolist(), dtype=np.int64)
+        qq = (Q * Q).sum(axis=1)
+        d = qq[:, None] - 2 * (Q @ C.T) + cc[None, :]
+        cl = d.argmin(axis=1)
+        return pd.DataFrame({
+            "cl": cl.astype("int32"),
+            "d": d[np.arange(len(cl)), cl],
+        })
+
+    # annotation-free: function-local type hints don't resolve under
+    # postponed annotations (see memory/ROUNDING notes)
+    best = F.pandas_udf(kernel, "cl int, d long")(F.col("q"))
+    return (
+        q.select("vec_id", "q", best.alias("_a"))
+        .select(
+            "vec_id", "q",
+            F.col("_a.cl").alias("cluster"),
+            F.col("_a.d").alias("dist_u"),
         )
-        for cl, c in enumerate(centroids)
-    ])
-    best = F.array_min(cands)
-    return q.select(
-        "vec_id", "q",
-        best.getField("cl").alias("cluster"),
-        best.getField("d").alias("dist_u"),
     )
 
 
@@ -313,8 +334,15 @@ def cluster_cartography(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting is a map-side ``array_distinct`` explode with partial
     aggregation on (cluster, term), and the top-k is a window over K
     partitions of vocabulary-sized (not corpus-sized) data; cluster
-    sizes ride along as a broadcast K-row join."""
-    assign = embed_kmeans(spark, sf_dir).select("vec_id", "cluster")
+    sizes ride along as a broadcast K-row join. The assignment is
+    EAGERLY checkpointed: two branches (sizes, terms) consume it, and
+    without truncation each branch re-runs the full Lloyd lineage
+    (measured 2x the whole query locally; on a cluster the equivalent
+    is persisting the assignment table before the report joins)."""
+    assign = (
+        embed_kmeans(spark, sf_dir).select("vec_id", "cluster")
+        .localCheckpoint()
+    )
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     joined = assign.join(
         docs, assign["vec_id"] == docs["doc_id"]
