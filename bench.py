@@ -113,6 +113,13 @@ HEADLINE = [
     "sketch_countmin_heavyhitters",
     "dedup_bloom_prefilter",
     "anns_hard_negatives",
+    # round 5 third wave: learned-gate selection, layout, and
+    # dimension-history operators
+    "quality_classifier_hashed",
+    "token_budget_sample",
+    "zorder_layout",
+    "scd2_user_segments",
+    "text_sentence_split",
 ]
 
 

@@ -1,0 +1,227 @@
+"""Model-scored data selection: a hashing-trick linear quality
+classifier and per-source token-budget sampling.
+
+Reference parity: the reference gates documents with hand-written
+predicates only (``doc-ingest-chat/processors/text_utils.py`` --
+F1-F9 in SURVEY.md section 2.4). A production pretraining pipeline
+adds a LEARNED gate (fastText-style linear classifier over hashed
+bag-of-words features: the CCNet / GPT-3 "quality classifier" stage)
+and a BUDGETED selection step (take documents per domain until a
+token budget is hit, not a document count -- tokens are what the
+training run actually consumes). Both are implemented here as pure
+codegen column pipelines with exact integer scores, so the DuckDB
+oracle matches bit-for-bit (docs/ROUNDING.md rule 1: never round --
+keep integers end to end).
+
+The classifier's weight table is DERIVED, not trained: weight(bucket)
+is an integer LCG mix of the bucket id. That keeps the operator fully
+deterministic and cross-engine checkable while exercising the exact
+shape of a real scorer (tokenize -> feature-hash -> gather weights ->
+sum -> threshold); swapping in trained weights is a broadcast join
+against a (bucket, weight) table with the same plan.
+
+Scale shape: both operators are one pass over a pruned column scan.
+The classifier explodes features but partially aggregates on doc_id
+map-side (every feature of a doc lives in the doc's own row, so the
+combine collapses to one row per doc before any shuffle). The budget
+sampler's only shuffle is the per-source window -- source cardinality
+is the partition key, heavy text columns are pruned before the
+exchange, and the running sum is a streaming frame, never a global
+sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text_quality as tq
+from ..sources.tables import rebalance, table
+from .pretrain import gram_array
+from .textstats import _W_SQL
+
+QC_BUCKETS = 4096          # feature-hash table size
+_QC_A = 2_654_435_761      # Knuth multiplicative mix (same family as ml.py)
+_QC_B = 1_013_904_223
+_QC_MOD = 4_294_967_296    # 2^32
+QC_WSPAN = 2001            # weights land in [-1000, 1000]
+
+TOKEN_BUDGET = 2000        # per-source token budget
+
+
+def _bucket(feat):
+    """Feature -> hash bucket: first 8 md5 hex chars as an integer,
+    mod the table size. md5 is whole-stage codegen in Spark and
+    native in DuckDB; the hex parse is ``conv`` / ``'0x' ||`` cast --
+    the engine-stable draw already used by the sampling family."""
+    return (
+        F.conv(F.substring(F.md5(feat), 1, 8), 16, 10).cast("long")
+        % QC_BUCKETS
+    )
+
+
+def _weight(bucket):
+    """Deterministic integer weight for a bucket: one LCG mix, mapped
+    to [-1000, 1000]. Exact BIGINT arithmetic in both engines."""
+    return (
+        (bucket * _QC_A + _QC_B) % _QC_MOD
+    ) % QC_WSPAN - (QC_WSPAN - 1) // 2
+
+
+def classify_quality(docs: DataFrame) -> DataFrame:
+    """Hashed-linear quality score per document: features are the
+    unigrams plus bigrams of the whitespace tokenization (the
+    fastText default), each hashed to one of ``QC_BUCKETS`` weights,
+    and the document score is the exact integer sum over feature
+    OCCURRENCES (not distinct features -- counts carry signal).
+    ``keep = score_u > 0`` is the gate a curation pass filters on.
+
+    NULL/empty text scores 0 with 0 features and is NOT kept (same
+    "NULL text is an empty document" contract as the Gopher filters).
+    """
+    feats = tq.let(
+        tq.words(F.col("text")),
+        lambda w: F.concat(w, gram_array("text", 2)),
+    )
+    exploded = (
+        docs.select(
+            "doc_id",
+            F.explode_outer(
+                F.coalesce(feats, F.array().cast("array<string>"))
+            ).alias("feat"),
+        )
+        .select("doc_id", "feat", _weight(_bucket(F.col("feat"))).alias("w"))
+    )
+    return (
+        exploded.groupBy("doc_id")
+        .agg(
+            F.count("feat").cast("int").alias("n_feats"),
+            F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("score_u"),
+        )
+        .select(
+            "doc_id", "n_feats", "score_u",
+            (F.col("score_u") > 0).alias("keep"),
+        )
+    )
+
+
+def quality_classifier_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding of :func:`classify_quality` over the documents
+    table (rebalanced: the per-row tokenize + gram build is the
+    CPU-heavy part and a single local row group would serialize it)."""
+    return classify_quality(
+        rebalance(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    )
+
+
+def _qc_oracle_sql() -> str:
+    bigrams = (
+        "list_transform(range(1, len(w)), "
+        "i -> w[i] || ' ' || w[i + 1])"
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {_W_SQL} AS w FROM documents
+        ),
+        f AS (
+            SELECT doc_id,
+                   coalesce(list_concat(w,
+                       CASE WHEN len(w) >= 2 THEN {bigrams}
+                            ELSE [] END), []) AS feats
+            FROM toks
+        ),
+        e AS (
+            SELECT doc_id, u.feat
+            FROM (SELECT doc_id,
+                         CASE WHEN len(feats) = 0
+                              THEN [CAST(NULL AS VARCHAR)]
+                              ELSE feats END AS feats
+                  FROM f),
+                 unnest(feats) AS u(feat)
+        ),
+        s AS (
+            SELECT doc_id, feat,
+                   ((CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT)
+                     % {QC_BUCKETS}) * {_QC_A} + {_QC_B})
+                   % {_QC_MOD} % {QC_WSPAN} - {(QC_WSPAN - 1) // 2} AS w
+            FROM e
+        )
+        SELECT doc_id,
+               CAST(count(feat) AS INTEGER) AS n_feats,
+               CAST(coalesce(sum(w), 0) AS BIGINT) AS score_u,
+               coalesce(sum(w), 0) > 0 AS keep
+        FROM s GROUP BY doc_id
+    """
+
+
+def budget_sample(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataFrame:
+    """Per-source TOKEN-budget selection: documents are ordered by a
+    deterministic md5 draw within their source and taken greedily
+    until the source's running token total reaches ``budget`` (the
+    first document to cross the line is still taken -- every source
+    reaches its budget rather than undershooting). Token cost is the
+    whitespace token count; NULL text costs 0 tokens (free to keep,
+    same empty-document contract as everywhere else).
+
+    The membership is stable under re-runs and under insertions into
+    OTHER sources (the draw is keyed on doc_id alone), which is what
+    makes the sample reproducible across incremental crawl batches.
+    """
+    h = F.md5(F.concat(F.lit("budget:"), F.col("doc_id").cast("string")))
+    n_tok = F.coalesce(
+        F.size(tq.words(F.col("text"))), F.lit(0)
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy(h.alias("h"), "doc_id")
+    cum = F.sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+        .select(
+            "doc_id", "source", "n_tokens",
+            cum.alias("cum_tokens"),
+            F.row_number().over(w).cast("int").alias("pick_rank"),
+        )
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < budget)
+    )
+
+
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return budget_sample(table(spark, sf_dir, "documents"))
+
+
+def _budget_oracle_sql() -> str:
+    return f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   CAST(coalesce(len({_W_SQL}), 0) AS BIGINT) AS n_tokens,
+                   md5('budget:' || CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, source, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_tokens,
+                   CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY h, doc_id
+                   ) AS INTEGER) AS pick_rank
+            FROM t
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens, pick_rank
+        FROM c
+        WHERE cum_tokens - n_tokens < {TOKEN_BUDGET}
+    """
+
+
+QUERIES = {
+    "quality_classifier_hashed": quality_classifier_hashed,
+    "token_budget_sample": token_budget_sample,
+}
+
+ORACLE = {
+    "quality_classifier_hashed": _qc_oracle_sql(),
+    "token_budget_sample": _budget_oracle_sql(),
+}

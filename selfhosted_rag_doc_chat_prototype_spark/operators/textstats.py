@@ -604,7 +604,81 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- sentence segmentation -------------------------------------------------
+
+# terminal punctuation followed by whitespace ends a sentence; the
+# whitespace class is the pinned explicit ASCII set (never \s -- Java
+# and RE2 disagree on \x0B) and the marker is \x01, which the corpus
+# contract excludes from document text (control chars below \x20 are
+# stripped at ingest; documented alongside the chunkers' same rule)
+_SENT_RE = r"([.!?])[ \t\n\x0B\f\r]+"
+_SENT_MARK = "\x01"
+
+
+def split_sentences(docs: DataFrame) -> DataFrame:
+    """Sentence segmentation: terminal punctuation (``. ! ?``)
+    followed by whitespace closes a sentence (the trailing whitespace
+    is consumed); the final fragment is kept even without terminal
+    punctuation. Emits (doc_id, sent_idx, sentence, n_chars,
+    n_words) -- the unit every sentence-level pipeline stage
+    (boilerplate dedup, per-sentence LM scoring, citation spans)
+    consumes.
+
+    Both engines mark split points with a global regex replace and
+    split on the marker, so the segmentation is a single vectorized
+    regex pass -- no per-row Python, no lookbehind (RE2 has none).
+    NULL and empty documents yield no rows (nothing to segment)."""
+    parts = F.filter(
+        F.split(
+            F.regexp_replace(F.col("text"), _SENT_RE, "$1" + _SENT_MARK),
+            _SENT_MARK,
+        ),
+        lambda x: x != F.lit(""),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(parts).alias("sent_idx", "sentence"))
+        .select(
+            "doc_id",
+            F.col("sent_idx").cast("int").alias("sent_idx"),
+            "sentence",
+            F.length("sentence").cast("int").alias("n_chars"),
+            F.size(tq.words(F.col("sentence"))).cast("int").alias("n_words"),
+        )
+    )
+
+
+def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return split_sentences(
+        rebalance(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    )
+
+
+def _sentence_oracle_sql() -> str:
+    ws = "[ \\t\\n\\x0B\\f\\r]"
+    return f"""
+        WITH marked AS (
+            SELECT doc_id,
+                   list_filter(string_split(
+                       regexp_replace(text, '([.!?]){ws}+',
+                                      '\\1' || chr(1), 'g'),
+                       chr(1)), x -> x <> '') AS parts
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id,
+               CAST(u.p.i - 1 AS INTEGER) AS sent_idx,
+               u.p.s AS sentence,
+               CAST(length(u.p.s) AS INTEGER) AS n_chars,
+               CAST(len(list_filter(string_split_regex(trim(u.p.s),
+                   '{ws}+'), x -> x <> '')) AS INTEGER) AS n_words
+        FROM (SELECT doc_id, list_transform(parts,
+                  (s, i) -> struct_pack(i := i, s := s)) AS ps
+              FROM marked),
+             unnest(ps) AS u(p)
+    """
+
+
 QUERIES = {
+    "text_sentence_split": text_sentence_split,
     "vocab_top_coverage": vocab_top_coverage,
     "sketch_countmin_heavyhitters": sketch_countmin_heavyhitters,
     "bpe_pair_counts": bpe_pair_counts,
@@ -666,6 +740,7 @@ ORACLE = {
                cms_estimate - exact_count AS overcount
         FROM est
     """,
+    "text_sentence_split": _sentence_oracle_sql(),
     "text_nfc_normalize": """
         SELECT doc_id,
                nfc_normalize(text) AS nfc_text,

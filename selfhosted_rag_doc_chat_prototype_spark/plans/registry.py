@@ -34,6 +34,8 @@ _EXPECTED = (
     ("operators", "rag"),
     ("operators", "multimodal"),
     ("operators", "ml"),
+    ("operators", "selection"),
+    ("operators", "warehouse"),
     ("operators", "sessions"),
     ("streaming", "telemetry"),
 )

@@ -58,6 +58,9 @@ NULL_SWEEP = [
     "epoch_shuffle_shards",
     "sketch_countmin_heavyhitters",
     "dedup_bloom_prefilter",
+    "quality_classifier_hashed",
+    "token_budget_sample",
+    "text_sentence_split",
 ]
 
 
@@ -179,6 +182,7 @@ EVENTS_NULL_SWEEP = [
     "asof_join_last_purchase", "sessionize_events", "sessionize_session_window", "chat_session_history",
     "chat_session_history_ttl", "stale_agents",
     "sketch_cardinality_quantiles",
+    "zorder_layout", "scd2_user_segments",
 ]
 
 

@@ -1,0 +1,189 @@
+"""Invariants for the selection / warehouse / sentence operators
+beyond the oracle gate: the gate proves cross-engine parity; these
+prove the MATH and the contracts (budget reached, envelope tile
+bounds, SCD2 interval algebra, lossless sentence reassembly)."""
+
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+
+from selfhosted_rag_doc_chat_prototype_spark.operators.selection import (
+    TOKEN_BUDGET,
+    quality_classifier_hashed,
+    token_budget_sample,
+)
+from selfhosted_rag_doc_chat_prototype_spark.operators.textstats import (
+    text_sentence_split,
+)
+from selfhosted_rag_doc_chat_prototype_spark.operators.warehouse import (
+    Z_BUCKET_SHIFT,
+    scd2_user_segments,
+    zorder_layout,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_classifier_feature_count_is_unigrams_plus_bigrams(spark):
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    scores = {
+        r.doc_id: r for r in quality_classifier_hashed(spark, SF).collect()
+    }
+    docs = table(spark, SF, "documents").select("doc_id", "text").collect()
+    assert len(scores) == len(docs)
+    for d in docs:
+        n_words = len(d.text.split()) if d.text else 0
+        expect = n_words + max(0, n_words - 1)
+        assert scores[d.doc_id].n_feats == expect, d.doc_id
+        assert scores[d.doc_id].keep == (scores[d.doc_id].score_u > 0)
+
+
+def test_classifier_is_content_keyed(spark):
+    # identical text => identical score, regardless of doc_id
+    a = sorted(
+        (r.n_feats, r.score_u)
+        for r in quality_classifier_hashed(spark, SF).collect()
+    )
+    b = sorted(
+        (r.n_feats, r.score_u)
+        for r in quality_classifier_hashed(spark, SF).collect()
+    )
+    assert a == b
+
+
+def test_budget_sample_reaches_budget_per_source(spark):
+    from pyspark.sql import functions as F
+
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    picks = token_budget_sample(spark, SF).collect()
+    by_source = defaultdict(list)
+    for r in picks:
+        by_source[r.source].append(r)
+    totals = {
+        r["source"]: r["t"]
+        for r in table(spark, SF, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.size(F.split(F.trim("text"), r"[ \t\n\x0B\f\r]+")),
+                    F.lit(0),
+                )
+            ).alias("t")
+        )
+        .collect()
+    }
+    for source, rows in by_source.items():
+        rows.sort(key=lambda r: r.pick_rank)
+        cum = 0
+        for r in rows:
+            assert cum < TOKEN_BUDGET  # budget not yet exhausted before it
+            cum += r.n_tokens
+            assert r.cum_tokens == cum
+        # the source either reached its budget or ran out of documents
+        assert cum >= TOKEN_BUDGET or cum <= totals[source]
+
+
+def test_budget_sample_stable_under_other_source_changes(spark, tmp_path):
+    import duckdb
+
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    sources = [
+        r.source
+        for r in table(spark, SF, "documents").select("source").distinct().collect()
+    ]
+    assert len(sources) >= 2
+    keep_src = sorted(sources)[0]
+    d = str(tmp_path)
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{SF}/documents.parquet' WHERE source = "
+        f"'{keep_src}') TO '{d}/documents.parquet' (FORMAT PARQUET)"
+    )
+    full = {
+        (r.doc_id, r.pick_rank)
+        for r in token_budget_sample(spark, SF).collect()
+        if r.source == keep_src
+    }
+    only = {
+        (r.doc_id, r.pick_rank)
+        for r in token_budget_sample(spark, d).collect()
+    }
+    assert full == only
+
+
+def test_zorder_buckets_tile_both_dimensions(spark):
+    rows = zorder_layout(spark, SF).collect()
+    assert rows
+    tile = 1 << (Z_BUCKET_SHIFT // 2)  # 64: each bucket is a 64x64 tile
+    for r in rows:
+        assert r.zkey_min >> Z_BUCKET_SHIFT == r.zbucket
+        assert r.zkey_max >> Z_BUCKET_SHIFT == r.zbucket
+        # the pruning property: one bucket bounds BOTH dimensions
+        assert r.u16_max - r.u16_min < tile
+        assert r.v16_max - r.v16_min < tile
+
+
+def test_zorder_key_is_morton_interleave():
+    def morton(a, b):
+        out = 0
+        for i in range(16):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    # mirror of the generated SQL on a few probes
+    from selfhosted_rag_doc_chat_prototype_spark.operators.warehouse import (
+        _z_duck,
+    )
+
+    import duckdb
+
+    for a, b in [(0, 0), (1, 0), (0, 1), (65535, 65535), (1234, 4321)]:
+        got = duckdb.sql(
+            f"SELECT {_z_duck()} FROM (SELECT {a}::BIGINT AS za, "
+            f"{b}::BIGINT AS zb)"
+        ).fetchone()[0]
+        assert got == morton(a, b), (a, b)
+
+
+def test_scd2_intervals_are_well_formed(spark):
+    rows = scd2_user_segments(spark, SF).collect()
+    assert rows
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    for user, segs in by_user.items():
+        segs.sort(key=lambda r: r.version)
+        assert [s.version for s in segs] == list(range(1, len(segs) + 1))
+        assert sum(1 for s in segs if s.is_current) == 1
+        assert segs[-1].is_current and segs[-1].valid_to is None
+        for prev, nxt in zip(segs, segs[1:]):
+            # contiguous: each interval closes exactly where the next opens
+            assert prev.valid_to == nxt.valid_from
+            # compacted: consecutive segments always differ (null-safe)
+            assert prev.segment != nxt.segment or (
+                prev.segment is None) != (nxt.segment is None)
+
+
+def test_sentence_split_reassembles_exactly(spark):
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    sents = defaultdict(list)
+    for r in text_sentence_split(spark, SF).collect():
+        sents[r.doc_id].append(r)
+        assert r.n_chars == len(r.sentence)
+        assert r.n_words == len(r.sentence.split())
+    pat = re.compile(r"([.!?])[ \t\n\x0B\f\r]+")
+    for d in table(spark, SF, "documents").select("doc_id", "text").collect():
+        if d.text is None or d.text == "":
+            assert d.doc_id not in sents
+            continue
+        got = sents[d.doc_id]
+        got.sort(key=lambda r: r.sent_idx)
+        assert [r.sent_idx for r in got] == list(range(len(got)))
+        # marker consumed exactly the inter-sentence whitespace
+        assert "".join(r.sentence for r in got) == pat.sub(r"\1", d.text)

@@ -423,6 +423,41 @@ AUDIT = [
         "on (cluster, term), top-k window over vocabulary-sized data, "
         "broadcast K-row sizes join.",
     ),
+    (
+        "quality_classifier_hashed",
+        "Hashed-linear scorer: feature explode collapses map-side "
+        "(every doc's features share its input row, so the partial "
+        "aggregate emits one row per doc before the shuffle); md5 "
+        "bucket + LCG weight are pure codegen, no Python, no weight "
+        "table materialized.",
+    ),
+    (
+        "token_budget_sample",
+        "Per-source running-sum window over a (doc_id, source, "
+        "n_tokens) projection -- text pruned before the exchange, "
+        "streaming frame, no global sort; the one shuffle is the "
+        "per-source partition.",
+    ),
+    (
+        "zorder_layout",
+        "Morton key is constant-folded integer bit arithmetic inside "
+        "whole-stage codegen; one partial-aggregated groupBy on the "
+        "4096-ary bucket key -- the write path this validates is "
+        "repartitionByRange(zkey) straight to parquet.",
+    ),
+    (
+        "scd2_user_segments",
+        "Two per-user window passes (lag to find change points, lead "
+        "to close intervals) over a 4-column pruned scan; both "
+        "windows share the (user_id x ts) sort order so the second "
+        "pass reuses the first's partitioning.",
+    ),
+    (
+        "text_sentence_split",
+        "Single vectorized regex pass (mark + split + filter) with a "
+        "posexplode -- map-only, no shuffle, scan pruned to (doc_id, "
+        "text).",
+    ),
 ]
 
 
