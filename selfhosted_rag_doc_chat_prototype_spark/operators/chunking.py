@@ -176,8 +176,12 @@ def token_budget_chunks_bpe(
                 idx = 0
                 for s in range(0, len(toks), step):
                     window = toks[s:s + budget]
+                    # only the trailing space from the last token's
+                    # </w> decode needs removing; a bare .strip()
+                    # would also eat Unicode-whitespace token edges
+                    # (data, per the WS_CHARS contract)
                     text = (
-                        "".join(window).replace("</w>", " ").strip()
+                        "".join(window).replace("</w>", " ").strip(" ")
                     )
                     rows.append(
                         tuple(rec[c] for c in id_cols)
@@ -218,6 +222,16 @@ def chunk_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HEADER_RE = re.compile(r"^(#{1,6})\s*(.*)$")
 _PAGE_RE = re.compile(r"\[INTERNAL_PAGE_(\d+)\]")
 
+# The engine's whitespace class, as an explicit strip set: the same
+# [ \t\n\x0B\f\r] pinned for tokenization (textstats._ASCII_WS) and
+# SQL trims. Python's bare str.strip() additionally strips Unicode
+# whitespace (NBSP, U+2028, ...) which no SQL twin treats as
+# whitespace -- the engine's stance is that Unicode whitespace is
+# DATA, not whitespace, so every strip on an oracled path uses this
+# set. (The mdsplit langchain-parity splitter keeps bare .strip()
+# deliberately: it mirrors langchain byte-for-byte.)
+WS_CHARS = " \t\n\x0b\x0c\r"
+
 
 def parse_front_matter(text: str) -> tuple[dict[str, str], str]:
     """YAML-ish front matter (``--- key: value ... ---``) folded into
@@ -246,7 +260,7 @@ def split_markdown_sections(text: str) -> list[tuple[str, int, str]]:
     buf: list[str] = []
 
     def flush() -> None:
-        content = "\n".join(buf).strip()
+        content = "\n".join(buf).strip(WS_CHARS)
         if content:
             sections.append((" / ".join(path) or "(root)", page, content))
 
@@ -258,11 +272,11 @@ def split_markdown_sections(text: str) -> list[tuple[str, int, str]]:
         if m:
             flush()
             buf = []
-            level, title = len(m.group(1)), m.group(2).strip()
+            level, title = len(m.group(1)), m.group(2).strip(WS_CHARS)
             pm = _PAGE_RE.search(title)
             if pm:
                 page = int(pm.group(1))
-                rest = _PAGE_RE.sub("", title).strip()
+                rest = _PAGE_RE.sub("", title).strip(WS_CHARS)
                 if rest:  # same-line anchor content stays as body
                     buf.append(rest)
                 continue
@@ -384,15 +398,14 @@ ORACLE["chunk_word_budget"] = _chunk_word_budget_sql()
 # token stream IS the pre-token stream (see chunk_token_budget_bpe)
 ORACLE["chunk_token_budget_bpe"] = _chunk_word_budget_sql()
 # flat-prose corpus shape: one (root) section, exact 120-char
-# zero-loss windows. The trim class covers the ASCII whitespace the
-# corpus can carry; python-side .strip()/splitlines() additionally
-# normalize \x0b/\x0c/NEL/U+2028 and Unicode spaces, so a corpus
-# containing those would need the same normalization mirrored here
-# (same caveat family as textstats._ASCII_WS)
+# zero-loss windows. Trim class == WS_CHARS, the same explicit set the
+# python side now strips (bare .strip() would additionally eat Unicode
+# whitespace; the engine treats that as data on both engines)
 ORACLE["chunk_markdown_docs"] = """
     WITH d AS (
         SELECT doc_id,
-               trim(text, ' ' || chr(9) || chr(10) || chr(13)) AS body
+               trim(text, ' ' || chr(9) || chr(10) || chr(11)
+                          || chr(12) || chr(13)) AS body
         FROM documents
     )
     SELECT doc_id,

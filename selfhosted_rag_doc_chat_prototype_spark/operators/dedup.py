@@ -225,7 +225,7 @@ BLOOM_K = 3        # probe hashes per key
 BLOOM_M = 1 << 20  # filter width in bit positions
 
 
-def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bloom_prefilter(archive: DataFrame, new_batch: DataFrame) -> DataFrame:
     """Incremental exact-dedup PREFILTER: a deterministic Bloom filter
     built once over the ARCHIVE's content hashes answers "possibly
     seen?" for every new-batch document, and only the hits pay the
@@ -237,10 +237,11 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- is oracle-checkable; ``false_positive`` makes the classic
     Bloom trade-off an observable column instead of silent extra work.
 
-    New batch (inline, both engines): exact copies of the ``doc_id %
-    7`` slice (true dups the filter MUST hit -- no false negatives,
-    asserted in tests) plus ``% 11`` docs with a suffix (genuinely
-    new; any hit is a measured false positive).
+    ``archive`` needs a ``text`` column (non-null); ``new_batch``
+    needs ``doc_id`` + ``text``. Point ``new_batch`` at any real
+    incremental batch -- the registry binding below constructs a
+    synthetic one so the gate has a deterministic fixture, but the
+    operator itself is batch-agnostic.
 
     Scale shape: the filter materializes as the DISTINCT position set
     (<= BLOOM_M rows ~ a few MB broadcast -- the sparse stand-in for
@@ -249,9 +250,6 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     amortized across every future batch. The new batch never touches
     the archive except through the broadcast positions and the
     hit-rows-only verification semi-join on content hash."""
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.coalesce("text", F.lit("")).alias("text"))
-
     def positions(hcol):
         return F.array_distinct(F.array(*[
             (F.conv(
@@ -261,18 +259,10 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(BLOOM_K)
         ]))
 
-    arch = docs.select(F.md5("text").alias("h"))
+    arch = archive.select(F.md5("text").alias("h"))
     bloom = (
         arch.select(F.explode(positions(F.col("h"))).alias("pos"))
         .distinct()
-    )
-    new_batch = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
-    ).unionByName(
-        docs.filter(F.col("doc_id") % 11 == 0).select(
-            (F.col("doc_id") + 4_000_000).alias("doc_id"),
-            F.concat("text", F.lit(" uniqnew")).alias("text"),
-        )
     )
     nb = new_batch.select(
         "doc_id", F.md5("text").alias("h"),
@@ -302,6 +292,25 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
              ).alias("false_positive"),
         )
     )
+
+
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding of :func:`bloom_prefilter` with the gate's
+    deterministic synthetic batch: exact copies of the ``doc_id % 7``
+    slice (true dups the filter MUST hit -- no false negatives,
+    asserted in tests) plus ``% 11`` docs with a suffix (genuinely
+    new; any hit is a measured false positive)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    new_batch = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 4_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" uniqnew")).alias("text"),
+        )
+    )
+    return bloom_prefilter(docs, new_batch)
 
 
 def streaming_exact_dedup_plan(

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text_quality as tq
 from ..functions.hashing import mmh3_chunk_id, mmh3_doc_id
-from ..operators.chunking import split_markdown
+from ..operators.chunking import WS_CHARS, split_markdown
 from ..operators.embedding import embed_text_py
 from ..sources.binary import scan_binary_files, with_file_type
 
@@ -66,10 +66,13 @@ def decode_text(raw: bytes) -> str:
 
 
 def html_to_text(html: str) -> str:
-    """Tag strip + blank-line collapse (document_processor.py:21-37)."""
+    """Tag strip + blank-line collapse (document_processor.py:21-37).
+    Final trim uses the engine's explicit ASCII class (chunking.
+    WS_CHARS), not bare .strip(): Unicode whitespace is data, and the
+    DuckDB twin trims the identical chr-set."""
     text = _TAG_RE.sub(" ", html)
     text = text.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
-    return _BLANK_RE.sub("\n\n", text).strip()
+    return _BLANK_RE.sub("\n\n", text).strip(WS_CHARS)
 
 
 # ---- stub external services (clearly marked; see module docstring) -------
@@ -346,8 +349,8 @@ def _ingest_e2e_oracle_sql() -> str:
       (``murmur3_32_sql``, byte-parity with ``mmh3_doc_id``);
     - extract: the ``html_to_text`` transform chain (tag strip to
       space, the 3 entity unescapes, blank-line collapse, strip) --
-      RE2's ``\\s`` excludes ``\\x0B`` where Python's includes it, the
-      same documented class caveat as ``textstats._ASCII_WS``;
+      both sides pin the explicit ``[ \\t\\n\\x0B\\f\\r]`` class
+      (``chunking.WS_CHARS``), so no ``\\s`` dialect is involved;
     - chunk: after page tagging the single-line body degenerates to
       one (root) section at page 1 whose zero-loss sub-split is exact
       600-char windows (the ``chunk_markdown_docs`` algebra);
@@ -360,7 +363,8 @@ def _ingest_e2e_oracle_sql() -> str:
     (documents enter as text/html)."""
     from ..functions.hashing import mmh3_chunk_id_sql, mmh3_doc_id_sql
 
-    ascii_ws = "' ' || chr(9) || chr(10) || chr(13) || chr(12)"
+    # == chunking.WS_CHARS: the engine's explicit whitespace class
+    ascii_ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
     return f"""
         WITH raw AS (
             SELECT doc_id AS src_id,

@@ -144,6 +144,10 @@ def embed_kmeans(spark: SparkSession, sf_dir: str,
     centroid recompute is one partial-aggregated (cluster, dim) sum.
     Empty clusters keep their previous centroid (both engines).
     """
+    if iters < 1:
+        raise ValueError(f"embed_kmeans requires iters >= 1, got {iters}")
+    if k < 1:
+        raise ValueError(f"embed_kmeans requires k >= 1, got {k}")
     q = _quantized(spark, sf_dir)
     q.persist()
     try:

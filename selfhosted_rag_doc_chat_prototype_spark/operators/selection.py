@@ -166,11 +166,21 @@ def budget_sample(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataFrame:
     The membership is stable under re-runs and under insertions into
     OTHER sources (the draw is keyed on doc_id alone), which is what
     makes the sample reproducible across incremental crawl batches.
+
+    Skew note: the window partitions by ``source``, so a pathological
+    single-source corpus serializes the running sum onto one task.
+    That is inherent to the per-source-budget semantics (the running
+    total is a sequential dependency within a source); for a corpus
+    known to be single-source, shard the source key upstream
+    (``source || '/' || pmod(hash(doc_id), N)``) and give each shard
+    ``budget / N``.
     """
     h = F.md5(F.concat(F.lit("budget:"), F.col("doc_id").cast("string")))
-    n_tok = F.coalesce(
-        F.size(tq.words(F.col("text"))), F.lit(0)
-    ).cast("long")
+    # tokenize the COALESCED text (pretrain.py convention): size(null)
+    # is NULL under ANSI but -1 under legacy sizeOfNull, and a -1 would
+    # silently corrupt the running budget; words('') is [] → 0 under
+    # both semantics, so the result never depends on ansi.enabled.
+    n_tok = F.size(tq.words(F.coalesce(F.col("text"), F.lit("")))).cast("long")
     w = Window.partitionBy("source").orderBy(h.alias("h"), "doc_id")
     cum = F.sum("n_tokens").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

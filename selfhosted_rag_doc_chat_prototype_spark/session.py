@@ -54,6 +54,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        # progress-bar carriage returns clobber interleaved stdout lines
+        # (the r5 gate artifact lost 2 result rows to this); harness
+        # output must be grep-auditable
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()
 

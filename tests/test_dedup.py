@@ -305,3 +305,24 @@ def test_bloom_prefilter_has_no_false_negatives(spark, sf_dir):
         else:  # genuinely new (' uniqnew' suffix)
             assert not r.verified_dup
             assert r.false_positive == r.bloom_hit
+
+
+def test_bloom_prefilter_accepts_arbitrary_batch(spark):
+    """The factored operator takes ANY (archive, new_batch) pair --
+    the synthetic fixture lives only in the registry binding."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.dedup import (
+        bloom_prefilter,
+    )
+
+    archive = spark.createDataFrame(
+        [("seen once",), ("seen twice",), ("seen twice",)], "text string"
+    )
+    batch = spark.createDataFrame(
+        [(1, "seen once"), (2, "never seen before xyz")],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in bloom_prefilter(archive, batch).collect()}
+    assert rows[1].bloom_hit and rows[1].verified_dup
+    assert not rows[1].false_positive
+    # no false negatives ever: a true dup must hit
+    assert not rows[2].verified_dup

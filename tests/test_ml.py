@@ -138,3 +138,14 @@ def test_random_projection_row_shape(spark):
         per_vec.setdefault(r.vec_id, set()).add(r.out_dim)
         assert math.isfinite(r.y)
     assert all(dims == set(range(RP_DIMS)) for dims in per_vec.values())
+
+
+def test_kmeans_rejects_degenerate_params(spark):
+    import pytest
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.ml import embed_kmeans
+
+    with pytest.raises(ValueError, match="iters"):
+        embed_kmeans(spark, "/root/testdata/sf0.001", iters=0)
+    with pytest.raises(ValueError, match="k >= 1"):
+        embed_kmeans(spark, "/root/testdata/sf0.001", k=0)

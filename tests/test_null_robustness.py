@@ -61,6 +61,7 @@ NULL_SWEEP = [
     "quality_classifier_hashed",
     "token_budget_sample",
     "text_sentence_split",
+    "ingest_pipeline_e2e",
 ]
 
 

@@ -187,3 +187,33 @@ def test_sentence_split_reassembles_exactly(spark):
         assert [r.sent_idx for r in got] == list(range(len(got)))
         # marker consumed exactly the inter-sentence whitespace
         assert "".join(r.sentence for r in got) == pat.sub(r"\1", d.text)
+
+
+def test_budget_sample_ansi_invariant(spark):
+    """NULL-text token cost must be 0 under BOTH ANSI and legacy
+    sizeOfNull semantics (legacy size(null) = -1 would silently
+    corrupt the running budget)."""
+    from pyspark.sql import functions as F
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.selection import (
+        budget_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "s0", "three words here"), (2, "s0", None), (3, "s0", "")],
+        "doc_id int, source string, text string",
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    try:
+        for ansi in ("true", "false"):
+            spark.conf.set("spark.sql.ansi.enabled", ansi)
+            rows = {r.doc_id: r for r in budget_sample(docs).collect()}
+            assert rows[2].n_tokens == 0 and rows[3].n_tokens == 0, ansi
+            assert rows[1].n_tokens == 3, ansi
+            # every doc fits the budget => all picked, cum is a prefix sum
+            assert sorted(rows) == [1, 2, 3], ansi
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+        else:
+            spark.conf.unset("spark.sql.ansi.enabled")
