@@ -805,9 +805,35 @@ def knn_graph(spark: SparkSession, sf_dir: str,
     )
 
 
-PR_SCALE = 1_000_000_000_000  # integer rank units (1e12 per node seed)
+PR_SCALE = 1_000_000_000_000  # max integer rank units (1e12 per node seed)
 PR_DAMP_NUM = 85              # damping 0.85 as an exact integer ratio
 PR_ITERS = 3                  # fixed power iterations
+
+
+def derive_pr_scale(n_nodes: int) -> int:
+    """Node-count-gated rank scale: the largest power of 10 such that
+    the worst-case BIGINT intermediate (``PR_DAMP_NUM * inflow`` with
+    inflow bounded by the conserved system total ``N * scale``) keeps
+    >= 10x headroom under 2^63. ``scale = 10^(16 - digits(N))``
+    guarantees ``N * scale < 10^16`` (so ``85 * inflow < 8.5e17``,
+    vs 2^63 ~ 9.2e18), capped at 1e12 (the precision used up to ~1e4
+    nodes -- unchanged behavior on the gate corpora) and floored at
+    100 (beyond 1e14 nodes integer PageRank needs DECIMAL(38), not a
+    smaller scale). Both engines derive the SAME scale from the same
+    count, so cross-engine bit-parity holds at any corpus size -- the
+    headroom ceiling is automatic, not operator-remembered."""
+    digits = len(str(max(n_nodes, 1)))
+    return 10 ** max(2, min(12, 16 - digits))
+
+
+def _pr_scale_sql() -> str:
+    """The identical derivation as one DuckDB scalar: builds 10^k as
+    the exact string '1' || k zeros (no float power involved)."""
+    return (
+        "SELECT CAST('1' || repeat('0', greatest(2, least(12, "
+        "16 - length(CAST(greatest(count(*), 1) AS VARCHAR))))) AS BIGINT)"
+        " AS scale FROM nodes"
+    )
 
 
 def knn_pagerank(spark: SparkSession, sf_dir: str,
@@ -824,10 +850,12 @@ def knn_pagerank(spark: SparkSession, sf_dir: str,
     diversity sampling keeps last. Dangling nodes (no out-edges --
     their kNN buckets were singletons) absorb rank without re-emitting
     it, the standard simplification; ranks are therefore relative
-    scores, not a normalized distribution. BIGINT headroom: total
-    in-flow is bounded by the system total ~N * PR_SCALE, so N beyond
-    ~9e6 should drop PR_SCALE a decade per 10x N (or move the oracle
-    to HUGEINT/DECIMAL(38)).
+    scores, not a normalized distribution. BIGINT headroom is
+    AUTOMATIC: the seed scale is :func:`derive_pr_scale` of the node
+    count (one cheap count() -- bounded driver state), which both
+    engines derive identically, so growing the corpus past the old
+    fixed-1e12 ceiling (~9e6 nodes) trades seed precision for
+    headroom instead of overflowing.
 
     Scale shape: the edge list is the banded kNN build (never
     all-pairs); each iteration is one equi-join on the edge key + one
@@ -843,8 +871,9 @@ def knn_pagerank(spark: SparkSession, sf_dir: str,
         .select("vec_id")
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    base = PR_SCALE * (100 - PR_DAMP_NUM) // 100
-    ranks = nodes.select("vec_id", F.lit(PR_SCALE).alias("r"))
+    scale = derive_pr_scale(nodes.count())
+    base = scale * (100 - PR_DAMP_NUM) // 100
+    ranks = nodes.select("vec_id", F.lit(scale).alias("r"))
     for _ in range(iters):
         inflow = (
             edges.join(deg, "src")
@@ -1233,8 +1262,11 @@ ORACLE = {
 def _pr_oracle_sql(iters: int = PR_ITERS) -> str:
     """Unrolled power iterations over the kNN oracle embedded as a
     derived table -- the same exact integer arithmetic as the Spark
-    loop (positive BIGINTs, truncating division on both engines)."""
-    base = PR_SCALE * (100 - PR_DAMP_NUM) // 100
+    loop (positive BIGINTs, truncating division on both engines).
+    The seed scale is the ``derive_pr_scale`` formula computed IN SQL
+    from the same node count, so the oracle tracks the Spark side's
+    automatic headroom at any corpus size."""
+    base = f"(SELECT scale FROM sc) * {100 - PR_DAMP_NUM} // 100"
     parts = [f"""
         edges AS (
             SELECT vec_id AS src, neighbor_id AS dst
@@ -1243,8 +1275,9 @@ def _pr_oracle_sql(iters: int = PR_ITERS) -> str:
         nodes AS (
             SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL
         ),
+        sc AS ({_pr_scale_sql()}),
         deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
-        r0 AS (SELECT vec_id, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes)"""]
+        r0 AS (SELECT vec_id, (SELECT scale FROM sc) AS r FROM nodes)"""]
     for t in range(1, iters + 1):
         parts.append(f"""
         r{t} AS (

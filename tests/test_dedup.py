@@ -326,3 +326,45 @@ def test_bloom_prefilter_accepts_arbitrary_batch(spark):
     assert not rows[1].false_positive
     # no false negatives ever: a true dup must hit
     assert not rows[2].verified_dup
+
+
+def test_pr_scale_autoscales_headroom():
+    """derive_pr_scale must keep 85*N*scale well under 2^63 at node
+    counts where the old fixed 1e12 seed would overflow, without
+    changing the precision used on gate-sized corpora."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.dedup import (
+        PR_DAMP_NUM,
+        derive_pr_scale,
+    )
+
+    # gate corpora: unchanged legacy precision
+    assert derive_pr_scale(1) == 10**12
+    assert derive_pr_scale(9_999) == 10**12
+    # a node count the OLD fixed scale could not survive
+    n = 20_000_000
+    assert PR_DAMP_NUM * n * 10**12 >= 2**63  # old: overflow
+    s = derive_pr_scale(n)
+    assert PR_DAMP_NUM * n * s < 2**63 // 10  # new: >=10x headroom
+    # headroom holds across the whole range, scale floored at 100
+    for d in range(20):
+        nn = 10**d
+        ss = derive_pr_scale(nn)
+        assert ss >= 100
+        if ss > 100:
+            assert PR_DAMP_NUM * nn * ss < 2**63 // 10
+
+
+def test_pr_scale_sql_matches_python():
+    import duckdb
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.dedup import (
+        _pr_scale_sql,
+        derive_pr_scale,
+    )
+
+    con = duckdb.connect()
+    for n in [1, 7, 500, 9_999, 10_000, 123_456, 20_000_000]:
+        con.execute("CREATE OR REPLACE VIEW nodes AS "
+                    f"SELECT * FROM range({n})")
+        (got,) = con.execute(_pr_scale_sql()).fetchone()
+        assert got == derive_pr_scale(n), n
