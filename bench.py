@@ -361,6 +361,17 @@ def main() -> None:
     # extend with any headline-tagged queries from later phases
     extra = os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "")
     names += [n for n in extra.split(",") if n and n in queries and n not in names]
+    # isolation mode (tools/bench_isolate.py drives one fresh JVM per
+    # query through this): restrict to the named cohort and skip the
+    # scale-evidence passes -- suite-load noise on a single JVM was
+    # observed to inflate serve-path timings 16-34% with no plan change
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    if only:
+        requested = [n for n in only.split(",") if n]
+        names = [n for n in requested if n in queries]
+    skip_scale = bool(only) or bool(
+        os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALE", "")
+    )
 
     # warm the JVM + parquet footer caches once (not timed)
     queries[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -370,14 +381,18 @@ def main() -> None:
     # estimate of the plan's cost. N and the per-run times are reported.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     t_all = time.time()
     for name in names:
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(n_runs):
             t0 = time.time()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
+        # max/min across runs: >1.5 flags a timing polluted by
+        # transient load, not a plan property
+        spread[name] = round(max(runs) / max(min(runs), 1e-9), 2)
     total = round(sum(timings.values()), 3)
     wall = round(time.time() - t_all, 3)
 
@@ -396,7 +411,8 @@ def main() -> None:
             1000.0 * timings["rag_retrieve_citations"] / N_QUERIES, 1
         )
 
-    derived.update(scale_evidence(spark, sf_dir, queries, timings, n_runs))
+    if not skip_scale:
+        derived.update(scale_evidence(spark, sf_dir, queries, timings, n_runs))
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -404,6 +420,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "run_spread_max_over_min": spread,
         "derived": derived,
         "runs_per_query": n_runs,
         "wall_seconds_all_runs": wall,
@@ -416,7 +433,8 @@ def main() -> None:
     # overflowed it), shrinking "derived" first and falling back to a
     # file pointer if the query map alone would still overflow.
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_local.json"), "w") as f:
+    detail = "BENCH_isolate.json" if only else "BENCH_local.json"
+    with open(os.path.join(here, detail), "w") as f:
         json.dump(result, f, indent=1)
         f.write("\n")
 
@@ -429,7 +447,12 @@ def main() -> None:
     ratios = {
         k: v for k, v in derived.items() if k.endswith("_scale_ratio_10x")
     }
-    line = dict(result, detail_file="BENCH_local.json")
+    line = dict(result, detail_file=detail)
+    # spread lives in the detail file; stdout keeps only its worst case
+    worst = max(spread.items(), key=lambda kv: kv[1]) if spread else None
+    line.pop("run_spread_max_over_min", None)
+    if worst:
+        line["worst_spread"] = {worst[0]: worst[1]}
     # shrink order: the derived anchors/ratios are the headline the
     # driver compares against BASELINE.md -- truncate the query map
     # before touching them
