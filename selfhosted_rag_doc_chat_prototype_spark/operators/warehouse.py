@@ -74,20 +74,8 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     together -- the same "nulls first" region a real table format
     gives them)."""
     ev = table(spark, sf_dir, "events")
-    b_raw = (
-        F.when(
-            F.col("value").isNull() | F.isnan("value")
-            | (F.col("value") < -1e15) | (F.col("value") > 1e15),
-            F.lit(0).cast("long"),
-        ).otherwise(F.floor("value").cast("long"))
-    )
-    keyed = (
-        ev.select(
-            F.pmod(F.coalesce(F.col("user_id"), F.lit(0)), F.lit(_Z_DIM_MOD))
-            .cast("long").alias("za"),
-            F.pmod(b_raw, F.lit(_Z_DIM_MOD)).cast("long").alias("zb"),
-        )
-        .withColumn("zkey", F.expr(_z_spark()).cast("long"))
+    keyed = zorder_cols(ev.select("user_id", "value")).select(
+        "za", "zb", "zkey"
     )
     return (
         keyed.groupBy(
@@ -128,6 +116,87 @@ def _zorder_oracle_sql() -> str:
     """
 
 
+def zorder_cols(ev: DataFrame) -> DataFrame:
+    """Attach the (za, zb, zkey) layout columns to events: dimension A
+    is the positive-mod-folded user_id, dimension B the floored value
+    (NULL/NaN/out-of-range fold to 0) -- identical folding to
+    :func:`zorder_layout`, kept in one place so the stats query and
+    the writer can never disagree about the key."""
+    b_raw = (
+        F.when(
+            F.col("value").isNull() | F.isnan("value")
+            | (F.col("value") < -1e15) | (F.col("value") > 1e15),
+            F.lit(0).cast("long"),
+        ).otherwise(F.floor("value").cast("long"))
+    )
+    return (
+        ev.withColumn(
+            "za",
+            F.pmod(F.coalesce(F.col("user_id"), F.lit(0)),
+                   F.lit(_Z_DIM_MOD)).cast("long"),
+        )
+        .withColumn("zb", F.pmod(b_raw, F.lit(_Z_DIM_MOD)).cast("long"))
+        .withColumn("zkey", F.expr(_z_spark()).cast("long"))
+    )
+
+
+def zorder_write(events: DataFrame, path: str, n_files: int = 16) -> None:
+    """The PRODUCTION write path the ``zorder_layout`` stats validate:
+    range-partition the rows by Morton key and sort within each file,
+    so every parquet file's footer carries a tight min/max envelope on
+    BOTH source dimensions -- which is what lets any footer-reading
+    scanner (Spark's parquet filter pushdown included) skip files for
+    a two-dimensional predicate. ``tests/test_selection_warehouse.py``
+    proves the skip end-to-end: a (user_id, value) box predicate
+    touches a small fraction of the z-ordered files vs ALL files of a
+    shuffled layout.
+
+    ``repartitionByRange`` is one range-shuffle (sampled bounds);
+    the per-partition sort is local. At 100 TB, ``n_files`` sizes to
+    the target file count (~1 GB files) and the same two lines run
+    unchanged."""
+    (
+        zorder_cols(events).drop("za", "zb")
+        .repartitionByRange(n_files, "zkey")
+        .sortWithinPartitions("zkey")
+        .write.mode("overwrite").parquet(path)
+    )
+
+
+def scd2_build(ev: DataFrame) -> DataFrame:
+    """SCD2 core: lag-compaction + interval derivation over rows of
+    ``(user_id, ts, event_id, segment)``. Consecutive duplicate
+    segments per user compact away; each surviving CHANGE row opens a
+    validity interval closed by the next change's ``ts`` (``valid_to``
+    NULL = current). Keeps the raw ``(ts, event_id)`` ordering columns
+    in the output so an incremental merge can re-compact (the
+    streaming sink below stores them)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id", "ts", "event_id", "segment",
+        F.lag("segment").over(w).alias("prev"),
+        F.row_number().over(w).alias("rn"),
+    )
+    starts = marked.filter(
+        (F.col("rn") == 1)
+        | ~F.col("prev").eqNullSafe(F.col("segment"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return starts.select(
+        "user_id", "ts", "event_id",
+        F.row_number().over(w2).cast("int").alias("version"),
+        "segment",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(F.lead("ts").over(w2), "yyyy-MM-dd HH:mm:ss")
+        .alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+SCD2_COLS = ["user_id", "version", "segment",
+             "valid_from", "valid_to", "is_current"]
+
+
 def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 slowly-changing dimension from the event stream: each
     user's event_type is treated as their current segment, and every
@@ -135,7 +204,8 @@ def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     valid_to)``; the open interval (``valid_to`` NULL) is the current
     row. Consecutive duplicates compact away -- this is the
     lag-to-detect / lead-to-close pattern every warehouse dimension
-    build uses, expressed as two per-user window passes.
+    build uses, expressed as two per-user window passes
+    (:func:`scd2_build`).
 
     Rows with NULL ts are excluded (an unordered fact cannot version
     a dimension); NULL event_type is a legitimate segment value and
@@ -145,27 +215,94 @@ def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         table(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
-        .select("user_id", "ts", "event_id", "event_type")
+        .select("user_id", "ts", "event_id",
+                F.col("event_type").alias("segment"))
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    marked = ev.select(
-        "user_id", "ts", "event_id", "event_type",
-        F.lag("event_type").over(w).alias("prev"),
-        F.row_number().over(w).alias("rn"),
-    )
-    starts = marked.filter(
-        (F.col("rn") == 1)
-        | ~F.col("prev").eqNullSafe(F.col("event_type"))
-    )
-    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return starts.select(
-        "user_id",
-        F.row_number().over(w2).cast("int").alias("version"),
-        F.col("event_type").alias("segment"),
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
-        F.date_format(F.lead("ts").over(w2), "yyyy-MM-dd HH:mm:ss")
-        .alias("valid_to"),
-        F.lead("ts").over(w2).isNull().alias("is_current"),
+    return scd2_build(ev).select(*SCD2_COLS)
+
+
+def scd2_streaming_sink(
+    stream_events: DataFrame, path: str, checkpoint_dir: str,
+):
+    """The SCD2 build's STREAMING face: the reference's telemetry
+    upsert path (``mqtt_agent_hub/mqtt/registry.py:30-36``) keeps only
+    each agent's CURRENT state; this sink consumes the same stream and
+    keeps the full dimension history, maintained incrementally per
+    micro-batch through ``foreachBatch`` (the ``continuous_rollup_sink``
+    pattern).
+
+    Merge semantics: a batch touches only its users -- unaffected
+    users' interval rows pass through untouched; affected users'
+    stored change rows (which carry their raw ``ts``/``event_id``)
+    are pooled with the batch rows, deduped on ``(user_id,
+    event_id)`` (replay convergence: redelivered events collapse),
+    and re-compacted by the same :func:`scd2_build`. Because
+    compaction only ever DROPS non-change rows, re-delivering any
+    subset of already-seen events is a no-op, so at-least-once
+    delivery converges.
+
+    Ordering contract (the one every incremental SCD2 merge makes):
+    a user's events may arrive in any order WITHIN a micro-batch
+    (full per-user recompute handles it), but an event older than an
+    already-recorded LATER change row of the same user would need the
+    dropped in-between rows back -- bound cross-batch disorder with
+    the source's watermark, or rebuild affected users from the fact
+    table.
+
+    Scale shape: per batch, one broadcast-able semi/anti join on
+    ``user_id`` against the dimension (dimension tables are small
+    relative to facts -- one row per segment CHANGE, not per event)
+    plus the windowed re-compaction over affected users only. The
+    parquet stand-in stages and rewrites the table like
+    ``sinks.upsert_table``; on a transactional format the same merge
+    is partition-scoped ``MERGE INTO``. Returns the started
+    StreamingQuery."""
+    from pyspark.errors import AnalysisException
+
+    from ..sinks import _delete_dir
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = (
+            batch_df.filter(F.col("ts").isNotNull())
+            .select("user_id", "ts", "event_id",
+                    F.col("event_type").alias("segment"))
+        )
+        keep = None
+        pool = batch
+        try:
+            existing = spark.read.parquet(path)
+        except AnalysisException as e:
+            if ("PATH_NOT_FOUND" not in str(e)
+                    and "Path does not exist" not in str(e)):
+                raise
+            existing = None
+        if existing is not None:
+            affected = batch.select("user_id").distinct()
+            keep = existing.join(F.broadcast(affected), "user_id",
+                                 "left_anti")
+            pool = (
+                existing.join(F.broadcast(affected), "user_id",
+                              "left_semi")
+                .select("user_id", "ts", "event_id", "segment")
+                .unionByName(batch)
+                .dropDuplicates(["user_id", "event_id"])
+            )
+        rebuilt = scd2_build(pool)
+        out = rebuilt if keep is None else keep.unionByName(rebuilt)
+        staging = path.rstrip("/") + "__scd2staging"
+        out.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).write.mode("overwrite").parquet(path)
+        _delete_dir(spark, staging)
+
+    return (
+        stream_events.writeStream
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
 
 
