@@ -386,12 +386,17 @@ def anns_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def anns_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-quality observable: per-(strategy, query) recall@``TOP_K``
-    of each approximate serve path (full-table LSH, half-table
-    multiprobe, IVF, and IVF-PQ) against the exact top-k -- the number an index
-    operator watches when tuning bits/tables/probes (the recall floor
-    the tests assert, surfaced as a queryable report instead of a test
-    side effect). Every leg is a registered retrieval plan; the
-    compare joins and per-query aggregates run on O(Q * k) rows."""
+    of EVERY approximate serve path -- full-table LSH, half-table
+    multiprobe, IVF, IVF-PQ, binary-quantized Hamming, and the
+    hard-negative miner -- against its exact counterpart; the number
+    an index operator watches when tuning bits/tables/probes (the
+    recall floor the tests assert, surfaced as a queryable report
+    instead of a test side effect). Every leg is a registered
+    retrieval plan; the compare joins and per-query aggregates run on
+    O(Q * k) rows. The hard-negative leg's gold standard is the
+    cross-label brute-force top-``HARDNEG_K`` (its task is different,
+    so its exact set is too); it unions in below with its own exact
+    side."""
     from .pq import anns_ivfpq_topk  # runtime import: pq imports us
 
     legs = [
@@ -399,6 +404,7 @@ def anns_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lsh_multiprobe", anns_lsh_multiprobe(spark, sf_dir)),
         ("ivf", anns_ivf_topk(spark, sf_dir)),
         ("ivfpq", anns_ivfpq_topk(spark, sf_dir)),
+        ("bq", anns_bq_hamming_topk(spark, sf_dir)),
     ]
     # ONE exact leg: tag it with every strategy via a map-side explode
     # and left-join the unioned approximate legs -- joining each leg
@@ -425,7 +431,7 @@ def anns_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("neighbor_id") == F.col("a_neighbor_id")),
         "left",
     ).drop(approx["strategy"])
-    return (
+    report = (
         hit.groupBy("strategy", "query_id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_exact"),
@@ -436,6 +442,50 @@ def anns_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall"),
         )
     )
+    # hard-negative leg: exact side = cross-label brute top-HARDNEG_K
+    # (broadcast query set, same brute shape as topk_cosine's exact
+    # pass -- never corpus x corpus)
+    base = _vectors(spark, sf_dir)
+    qh = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"), F.col("v").alias("qv"),
+    )
+    cand = base.select(F.col("vec_id").alias("neighbor_id"),
+                       "label", F.col("v").alias("cv"))
+    bj = F.broadcast(qh).crossJoin(rebalance(cand)).filter(
+        (F.col("label") != F.col("q_label"))
+        & (F.col("neighbor_id") != F.col("query_id"))
+    )
+    wh = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine(F.col("qv"), F.col("cv"))), F.asc("neighbor_id"))
+    exact_hn = (
+        bj.withColumn("rk", F.row_number().over(wh))
+        .filter(F.col("rk") <= HARDNEG_K)
+        .select("query_id", "neighbor_id")
+    )
+    approx_hn = anns_hard_negatives(spark, sf_dir).select(
+        F.col("query_id").alias("q2"),
+        F.col("neighbor_id").alias("a_neighbor_id"),
+    )
+    hn_report = (
+        exact_hn.join(
+            approx_hn,
+            (F.col("query_id") == F.col("q2"))
+            & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_exact"),
+            F.count("a_neighbor_id").cast("int").alias("n_hits"),
+        )
+        .select(
+            F.lit("hardneg").alias("strategy"), "query_id",
+            "n_exact", "n_hits",
+            F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall"),
+        )
+    )
+    return report.unionByName(hn_report)
 
 
 FILTER_LABELS = [0, 2, 4]  # the registered filtered query's payload filter
@@ -2068,6 +2118,47 @@ ORACLE["anns_recall_report"] = ORACLE["anns_recall_report"].rstrip() + f"""
     FROM brute b
     LEFT JOIN (SELECT query_id, neighbor_id
                FROM ({ivfpq_oracle_sql()})) l
+           ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+    GROUP BY b.query_id
+"""
+
+# round 6: the remaining two approximate serve paths join the report.
+# 'bq' compares against the shared exact `brute` CTE like every plain
+# top-k leg; 'hardneg' carries its own exact side (cross-label brute
+# top-HARDNEG_K -- a different task has a different gold standard),
+# built inline from a labeled embeddings derived table.
+ORACLE["anns_recall_report"] = ORACLE["anns_recall_report"].rstrip() + f"""
+    UNION ALL
+    SELECT 'bq', b.query_id,
+           CAST(count(*) AS INTEGER),
+           CAST(count(l.neighbor_id) AS INTEGER),
+           round(count(l.neighbor_id)::DOUBLE / count(*), 4)
+    FROM brute b
+    LEFT JOIN (SELECT query_id, neighbor_id
+               FROM ({ORACLE["anns_bq_hamming_topk"]})) l
+           ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+    GROUP BY b.query_id
+    UNION ALL
+    SELECT 'hardneg', b.query_id,
+           CAST(count(*) AS INTEGER),
+           CAST(count(l.neighbor_id) AS INTEGER),
+           round(count(l.neighbor_id)::DOUBLE / count(*), 4)
+    FROM (
+        SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(a.v, c.v) DESC,
+                            c.vec_id ASC) AS rk
+        FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE embedding IS NOT NULL) a
+        JOIN (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE embedding IS NOT NULL) c
+          ON a.vec_id < {N_QUERIES} AND c.vec_id <> a.vec_id
+         AND c.label <> a.label
+        QUALIFY rk <= {HARDNEG_K}
+    ) b
+    LEFT JOIN (SELECT query_id, neighbor_id
+               FROM ({ORACLE["anns_hard_negatives"]})) l
            ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
     GROUP BY b.query_id
 """

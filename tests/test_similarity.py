@@ -494,3 +494,30 @@ def test_hard_negatives_never_share_anchor_label(spark, sf_dir):
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= HARDNEG_K
+
+
+def test_recall_report_covers_all_six_serve_paths(spark, sf_dir):
+    """One strategy column covers every approximate serve path, each
+    with a per-strategy mean-recall floor (deterministic: seeded
+    planes / codebooks, fixed corpus). Floors sit below the measured
+    sf0.001 means (bq .56, hardneg .67, ivf .76, ivfpq .72, lsh .69,
+    multiprobe .81) with margin for corpus regeneration."""
+    from pyspark.sql import functions as F
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.similarity import (
+        anns_recall_report,
+    )
+
+    rep = anns_recall_report(spark, sf_dir)
+    means = {
+        r.strategy: r.m
+        for r in rep.groupBy("strategy").agg(F.avg("recall").alias("m"))
+        .collect()
+    }
+    floors = {
+        "lsh": 0.5, "lsh_multiprobe": 0.6, "ivf": 0.55, "ivfpq": 0.5,
+        "bq": 0.4, "hardneg": 0.45,
+    }
+    assert set(means) == set(floors)
+    for s, floor in floors.items():
+        assert means[s] >= floor, (s, means[s])
