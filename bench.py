@@ -120,6 +120,14 @@ HEADLINE = [
     "zorder_layout",
     "scd2_user_segments",
     "text_sentence_split",
+    # round 6: point-in-time SCD2 join, deterministic HLL, next-event
+    # pairs, RRF fusion, MRL two-stage serving, triplet mining
+    "scd2_point_in_time_join",
+    "sketch_hll_distinct_users",
+    "nextevent_training_pairs",
+    "hybrid_rrf_fusion",
+    "anns_matryoshka_topk",
+    "contrastive_triplets",
 ]
 
 

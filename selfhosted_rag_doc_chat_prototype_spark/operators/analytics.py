@@ -923,11 +923,145 @@ def cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_M = 64           # registers (p = 6 index bits)
+HLL_HASH_HEX = 12    # md5 hex chars used -> 48-bit hash
+HLL_WBITS = 48 - 6   # bits left for the rho pattern
+HLL_POW = 45         # harmonic sum scaled by 2^HLL_POW (>= WBITS+1)
+# alpha_64 = 0.7213 / (1 + 1.079/64) ~ 0.709357 as a rational
+HLL_ALPHA_NUM, HLL_ALPHA_DEN = 7093, 10000
+
+
+def _hll_lc_case(v: str, raw: str) -> str:
+    """Small-range (linear counting) correction as exact integers:
+    when empty registers exist and the raw estimate is under the
+    standard 5/2*m threshold, est = round(m * ln(m / V)). The ln is
+    evaluated ONCE here in Python over the 64 possible V values and
+    embedded as literals, so neither engine evaluates a float -- the
+    cross-engine contract stays integer-exact (docs/ROUNDING.md;
+    ln differs in the last ulp across libm implementations)."""
+    import math
+
+    arms = " ".join(
+        f"WHEN {v} = {k} THEN {round(HLL_M * math.log(HLL_M / k))}"
+        for k in range(1, HLL_M + 1)
+    )
+    return (
+        f"CASE WHEN {v} > 0 AND {raw} <= {5 * HLL_M // 2} "
+        f"THEN (CASE {arms} END) ELSE {raw} END"
+    )
+
+
+def _hll_rho_case(w: str) -> str:
+    """SQL CASE computing rho(w) = 1 + trailing zeros of the 42-bit
+    pattern ``w`` (w = 0 -> WBITS + 1), identical text for Spark SQL
+    and DuckDB: only %, = and integer literals -- no engine-specific
+    bit intrinsics, exact BIGINT arithmetic."""
+    arms = [f"WHEN {w} = 0 THEN {HLL_WBITS + 1}"]
+    arms += [
+        f"WHEN {w} % {1 << (r + 1)} = {1 << r} THEN {r + 1}"
+        for r in range(HLL_WBITS)
+    ]
+    return "CASE " + " ".join(arms) + " END"
+
+
+def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC HyperLogLog per event_type, bit-exact on both
+    engines (unlike ``approx_count_distinct``, whose estimate is
+    engine-internal and only envelope-checkable): register index =
+    md5-derived 6 bits, register value = max rho of the remaining 42
+    bits, estimate = the standard alpha * m^2 harmonic mean computed
+    in EXACT staged integer division (docs/ROUNDING.md rule 1 -- the
+    two-stage ``div`` keeps every intermediate under 2^63; truncation
+    is part of the cross-engine contract). Small/large-range
+    corrections are deliberately omitted: the sketch is the mergeable
+    100 TB shape (register maxima are cell-wise mergeable across
+    partitions/days exactly like the count-min grid), and the exact
+    distinct count sits beside the estimate as the quality
+    observable.
+
+    Scale shape: one partial-aggregated groupBy on (event_type,
+    register) -- 64 rows per key survive the shuffle regardless of
+    row count -- then a 64-ary re-aggregation; NULL user_ids carry no
+    identity and are excluded from sketch and exact count alike."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))),
+            1, HLL_HASH_HEX,
+        ), 16, 10,
+    ).cast("long")
+    hashed = (
+        ev.select("event_type", h.alias("h"))
+        .select(
+            "event_type",
+            (F.col("h") % HLL_M).alias("reg"),
+            F.expr(f"h div {HLL_M}").alias("w"),
+        )
+        .select("event_type", "reg",
+                F.expr(_hll_rho_case("w")).alias("rho"))
+    )
+    regs = hashed.groupBy("event_type", "reg").agg(F.max("rho").alias("m"))
+    # all HLL_M registers per key: empty registers contribute 2^POW.
+    # NULL event_type is a legitimate group -- every join below is
+    # null-safe so it survives to the output (same convention as
+    # sketch_cardinality_quantiles)
+    keys = regs.select("event_type").distinct()
+    grid = keys.join(
+        F.broadcast(spark.range(HLL_M).select(F.col("id").alias("reg"))),
+        how="cross",
+    )
+    full = (
+        grid.join(
+            regs.select(F.col("event_type").alias("_et"),
+                        F.col("reg").alias("_reg"), "m"),
+            grid["event_type"].eqNullSafe(F.col("_et"))
+            & (grid["reg"] == F.col("_reg")),
+            "left",
+        )
+        .select("event_type", F.coalesce("m", F.lit(0)).alias("m"))
+    )
+    s = F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_POW} - m)"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct"),
+    )
+    # staged exact integer estimate: T = m^2 * 2^POW div S (<= 2^57 /
+    # min S), then est = alpha_num * T div alpha_den -- both products
+    # stay under 2^63; the small-range branch swaps in the linear-
+    # counting literal table
+    raw = (f"({HLL_ALPHA_NUM} * (CAST("
+           f"{HLL_M * HLL_M * (1 << HLL_POW)} AS BIGINT) div s))"
+           f" div {HLL_ALPHA_DEN}")
+    est = (
+        full.groupBy("event_type").agg(
+            s.alias("s"),
+            F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("v"),
+        )
+        .select(
+            "event_type",
+            F.expr(_hll_lc_case("v", raw)).cast("long")
+            .alias("est_distinct"),
+        )
+    )
+    return (
+        est.join(
+            exact.select(F.col("event_type").alias("_et2"),
+                         "exact_distinct"),
+            est["event_type"].eqNullSafe(F.col("_et2")),
+        )
+        .select("event_type", "est_distinct", "exact_distinct")
+    )
+
+
 QUERIES = {
     "a1_events_per_day": a1_events_per_day,
     "a1_events_per_hour": a1_events_per_hour,
     "gatekeeper_failure_history": gatekeeper_failure_history,
     "sketch_cardinality_quantiles": sketch_cardinality_quantiles,
+    "sketch_hll_distinct_users": sketch_hll_distinct_users,
     "a2_value_stats_by_type": a2_value_stats_by_type,
     "a3_efficiency_by_type": a3_efficiency_by_type,
     "a4_error_rate_by_day": a4_error_rate_by_day,
@@ -967,6 +1101,61 @@ QUERIES = {
 }
 
 ORACLE = {
+    # bit-exact HLL twin: identical md5-derived registers, identical
+    # CASE-chain rho, identical staged integer division
+    "sketch_hll_distinct_users": f"""
+        WITH ev AS (
+            SELECT event_type, user_id FROM events
+            WHERE user_id IS NOT NULL
+        ),
+        split AS (
+            SELECT event_type,
+                   h % {HLL_M} AS reg, h // {HLL_M} AS w
+            FROM (
+                SELECT event_type,
+                       CAST('0x' || substr(
+                           md5('hll:' || CAST(user_id AS VARCHAR)),
+                           1, {HLL_HASH_HEX}) AS BIGINT) AS h
+                FROM ev)
+        ),
+        regs AS (
+            SELECT event_type, reg, max({_hll_rho_case('w')}) AS m
+            FROM split GROUP BY event_type, reg
+        ),
+        grid AS (
+            SELECT k.event_type, t.reg
+            FROM (SELECT DISTINCT event_type FROM regs) k
+            CROSS JOIN range({HLL_M}) t(reg)
+        ),
+        allregs AS (
+            SELECT g.event_type, coalesce(r.m, 0) AS m
+            FROM grid g LEFT JOIN regs r
+              ON r.event_type IS NOT DISTINCT FROM g.event_type
+             AND r.reg = g.reg
+        ),
+        agg AS (
+            SELECT event_type,
+                   sum(1::BIGINT << ({HLL_POW} - m)) AS s,
+                   sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v
+            FROM allregs GROUP BY event_type
+        ),
+        est AS (
+            SELECT event_type,
+                   {_hll_lc_case('v', '((' + str(HLL_ALPHA_NUM)
+                       + ' * (' + str(HLL_M * HLL_M * (1 << HLL_POW))
+                       + ' // s)) // ' + str(HLL_ALPHA_DEN) + ')')}
+                       AS est_distinct
+            FROM agg
+        )
+        SELECT e.event_type,
+               CAST(e.est_distinct AS BIGINT) AS est_distinct,
+               CAST(x.exact_distinct AS BIGINT) AS exact_distinct
+        FROM est e JOIN (
+            SELECT event_type,
+                   count(DISTINCT user_id) AS exact_distinct
+            FROM ev GROUP BY event_type) x
+          ON e.event_type IS NOT DISTINCT FROM x.event_type
+    """,
     # bracket-boolean adjudication of the sketch query: the exact
     # halves hash-compare, and the oracle's literal TRUEs hold iff the
     # Spark sketches landed inside their documented error bounds

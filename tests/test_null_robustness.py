@@ -183,7 +183,8 @@ EVENTS_NULL_SWEEP = [
     "asof_join_last_purchase", "sessionize_events", "sessionize_session_window", "chat_session_history",
     "chat_session_history_ttl", "stale_agents",
     "sketch_cardinality_quantiles",
-    "zorder_layout", "scd2_user_segments",
+    "zorder_layout", "scd2_user_segments", "scd2_point_in_time_join",
+    "sketch_hll_distinct_users", "nextevent_training_pairs",
 ]
 
 
@@ -288,6 +289,7 @@ EMB_NULL_SWEEP = [
     "rag_retrieve_citations", "rag_mmr_rerank", "hybrid_fusion_topk",
     "multimodal_phash_dedup", "embed_kmeans", "embed_random_projection",
     "cluster_cartography", "knn_pagerank", "anns_hard_negatives",
+    "anns_matryoshka_topk", "contrastive_triplets",
 ]
 
 

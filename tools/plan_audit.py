@@ -458,6 +458,49 @@ AUDIT = [
         "posexplode -- map-only, no shuffle, scan pruned to (doc_id, "
         "text).",
     ),
+    (
+        "scd2_point_in_time_join",
+        "Union-and-fill as-of join: dimension change rows and facts "
+        "interleave in ONE per-user window pass (last_value IGNORE "
+        "NULLS) -- no range join, no per-fact probe; the only "
+        "shuffle is the user_id partition the SCD2 build already "
+        "uses, then a broadcast join back to the segment lookup.",
+    ),
+    (
+        "sketch_hll_distinct_users",
+        "Deterministic HLL: md5 register/rho are codegen expressions; "
+        "one partial-aggregated groupBy collapses to 64 register rows "
+        "per key before the shuffle, the 64-ary re-agg and the exact "
+        "countDistinct ride the same key partitioning; registers are "
+        "cell-wise mergeable across partitions (the 100 TB shape).",
+    ),
+    (
+        "nextevent_training_pairs",
+        "One per-user window pass (lag chain + row_number share the "
+        "(user_id, ts, event_id) sort); scan pruned to 4 columns, "
+        "map-only after the single window shuffle.",
+    ),
+    (
+        "hybrid_rrf_fusion",
+        "Same two-leg prefetch as hybrid_fusion_topk (LSH bucket "
+        "equi-join dense leg, inverted-index sparse leg); fusion is "
+        "exact BIGINT reciprocal units over O(Q x prefetch) rows -- "
+        "no float enters the ranking.",
+    ),
+    (
+        "anns_matryoshka_topk",
+        "Stage 1 ranks the 16-dim PREFIX (broadcast query set over a "
+        "rebalanced corpus scan -- at scale the prefix is its own "
+        "stored column); stage 2's exact full-dim rerank touches only "
+        "O(Q x k x factor) shortlist rows.",
+    ),
+    (
+        "contrastive_triplets",
+        "ONE LSH bucket join feeds both legs: the candidate stream "
+        "splits by a map-side label comparison, each side takes "
+        "rank-1 in a window over candidate rows only, final join is "
+        "O(Q) x O(Q).",
+    ),
 ]
 
 
