@@ -128,6 +128,10 @@ HEADLINE = [
     "hybrid_rrf_fusion",
     "anns_matryoshka_topk",
     "contrastive_triplets",
+    "retrieval_metrics_report",
+    "anns_late_interaction_topk",
+    "corpus_snapshot_diff",
+    "table_profile_documents",
 ]
 
 

@@ -313,6 +313,61 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_prefilter(docs, new_batch)
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """DATA-VERSIONING diff of two corpus snapshots by (doc_id,
+    content md5): emits one row per doc whose membership or content
+    changed -- ``added`` / ``removed`` / ``changed`` -- with both
+    hashes (unchanged docs are omitted: at 100 TB the diff is the
+    small output, the snapshots are the big inputs). This is the
+    audit step between crawl refreshes: what entered, what left,
+    what silently mutated under a stable id. One full-outer equi-join
+    on doc_id; NULL text hashes as the empty document (the corpus
+    NULL contract)."""
+    def hashed(df, h):
+        return df.select(
+            "doc_id", F.md5(F.coalesce("text", F.lit(""))).alias(h)
+        )
+
+    return (
+        hashed(old, "old_hash")
+        .join(hashed(new, "new_hash"), ["doc_id"], "full_outer")
+        .withColumn(
+            "status",
+            F.when(F.col("old_hash").isNull(), F.lit("added"))
+            .when(F.col("new_hash").isNull(), F.lit("removed"))
+            .when(F.col("old_hash") != F.col("new_hash"),
+                  F.lit("changed"))
+            .otherwise(F.lit("unchanged")),
+        )
+        .filter(F.col("status") != "unchanged")
+        .select("doc_id", "status", "old_hash", "new_hash")
+    )
+
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding of :func:`snapshot_diff`: the new snapshot is
+    a deterministic mutation of the documents table -- ``% 13`` docs
+    dropped (removed), ``% 17`` docs get a suffix (changed), a
+    ``% 19`` slice re-enters under shifted ids (added)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 17 == 0,
+                   F.concat(F.coalesce("text", F.lit("")),
+                            F.lit(" v2edit")))
+            .otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 7_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return snapshot_diff(docs, new)
+
+
 def streaming_exact_dedup_plan(
     stream_df: DataFrame,
     ts_col: str = "ingest_ts",
@@ -1012,6 +1067,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "corpus_snapshot_diff": corpus_snapshot_diff,
     "dedup_exact": dedup_exact,
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1342,4 +1398,32 @@ ORACLE["dedup_bloom_prefilter"] = f"""
            p.bloom_hit AND (p.h NOT IN (SELECT h FROM arch))
                AS false_positive
     FROM probed p
+"""
+
+
+ORACLE["corpus_snapshot_diff"] = """
+    WITH old AS (
+        SELECT doc_id, md5(coalesce(text, '')) AS old_hash FROM documents
+    ),
+    new_snap AS (
+        SELECT doc_id,
+               md5(coalesce(CASE WHEN doc_id % 17 = 0
+                    THEN coalesce(text, '') || ' v2edit'
+                    ELSE text END, '')) AS new_hash
+        FROM documents WHERE doc_id % 13 <> 0
+        UNION ALL
+        SELECT doc_id + 7000000, md5(coalesce(text, ''))
+        FROM documents WHERE doc_id % 19 = 0
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.old_hash IS NULL THEN 'added'
+                WHEN n.new_hash IS NULL THEN 'removed'
+                WHEN o.old_hash <> n.new_hash THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           o.old_hash, n.new_hash
+    FROM old o FULL JOIN new_snap n ON o.doc_id = n.doc_id
+    WHERE (CASE WHEN o.old_hash IS NULL THEN 'added'
+                WHEN n.new_hash IS NULL THEN 'removed'
+                WHEN o.old_hash <> n.new_hash THEN 'changed'
+                ELSE 'unchanged' END) <> 'unchanged'
 """

@@ -44,8 +44,10 @@ Goldens: ``tests/fixtures/markdown_goldens.json`` (written by
 varied docs (front matter, page anchors, nested headers, code fences,
 oversize sections). EVIDENCE STATUS (be precise about what is proven):
 the fixture records ``generator: "replica"`` -- langchain is not
-importable in this container, so the cross-check hook in the generator
-has never executed against the real library, and the goldens pin THIS
+importable in this container (re-verified round 6: pip exists but the
+container has no network route to PyPI, and the build contract forbids
+installing packages), so the cross-check hook in the generator has
+never executed against the real library, and the goldens pin THIS
 implementation's output (regression protection, not external
 validation). External evidence is (a) the copied published langchain
 test vectors in ``tests/test_mdsplit.py`` for the header splitter and

@@ -871,6 +871,137 @@ def hybrid_fusion_topk(spark: SparkSession, sf_dir: str,
     )
 
 
+LATE_SUBVECS = 4   # treat the 64-dim embedding as 4 x 16 sub-vectors
+LATE_SUBDIM = 16
+
+
+def anns_late_interaction_topk(spark: SparkSession, sf_dir: str,
+                               k: int = TOP_K) -> DataFrame:
+    """ColBERT-style LATE INTERACTION over multi-vector
+    representations: the 64-dim embedding is treated as
+    ``LATE_SUBVECS`` sub-vectors (the per-token / per-patch vectors a
+    multi-vector encoder emits, materialized here by slicing), and
+    score(q, d) = sum over query sub-vectors of the MAX cosine
+    against any doc sub-vector -- the MaxSim operator that lets one
+    query facet match one doc facet instead of forcing a single
+    pooled vector to carry everything.
+
+    The sum is written left-associated and every leg is the same
+    slice+cosine expression on both engines, so the raw double
+    ranking is bit-stable cross-engine (no rounding before ranking
+    needed). Scale shape: the exact pass broadcasts the query set
+    over a rebalanced corpus scan (same as brute); production serving
+    prefilters with any single-vector strategy and late-interacts the
+    shortlist -- the operator composes with ``retrieve`` for that."""
+    base = _vectors(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
+    )
+    joined = (
+        F.broadcast(queries).crossJoin(rebalance(cand))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+
+    def sub(col, i):
+        return F.slice(F.col(col), LATE_SUBDIM * i + 1, LATE_SUBDIM)
+
+    maxsims = [
+        F.greatest(*[cosine(sub("qv", i), sub("cv", j))
+                     for j in range(LATE_SUBVECS)])
+        for i in range(LATE_SUBVECS)
+    ]
+    score = maxsims[0]
+    for m in maxsims[1:]:
+        score = score + m
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("li_raw"), F.asc("neighbor_id"))
+    return (
+        joined.select("query_id", "neighbor_id", score.alias("li_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("int").alias("rank"),
+                F.round("li_raw", 4).alias("li_score"))
+    )
+
+
+MRR_SCALE = 10 ** 12  # integer reciprocal-rank units
+NDCG_SCALE = 10 ** 6  # emitted NDCG in 1e-6 units
+
+
+def _dcg_weight_case(rank: str) -> str:
+    """DCG discount weights 1/log2(i+1) for i = 1..TOP_K as integer
+    literals (x MRR_SCALE), evaluated once here in Python -- neither
+    engine computes a log (docs/ROUNDING.md: transcendental functions
+    are not correctly-rounded across libms)."""
+    import math
+
+    arms = " ".join(
+        f"WHEN {rank} = {i} THEN {round(MRR_SCALE / math.log2(i + 1))}"
+        for i in range(1, TOP_K + 1)
+    )
+    return f"CASE {arms} ELSE 0 END"
+
+
+def retrieval_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query MRR and NDCG@``TOP_K`` of the LSH serve path against
+    the exact top-k as the relevance set -- the ranking-quality
+    counterpart of ``anns_recall_report`` (recall ignores ORDER; MRR/
+    NDCG are what a RAG stack actually tunes for, since the first
+    slots feed the context window). All metric arithmetic is exact
+    integers: reciprocal ranks and DCG discounts are precomputed
+    1e12-scaled literals, NDCG is one staged BIGINT division emitted
+    in 1e-6 units -- bit-equal on both engines, no float, no log.
+
+    Scale shape: both legs are registered retrieval plans; the
+    membership join and per-query aggregation run on O(Q * k) rows."""
+    exact = anns_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("rel")
+    )
+    approx = anns_lsh_bucketed(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    scored = approx.join(exact, ["query_id", "neighbor_id"], "left").select(
+        "query_id", "rank", F.coalesce("rel", F.lit(0)).alias("rel")
+    )
+    w_case = _dcg_weight_case("rank")
+    per_q = scored.groupBy("query_id").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_hit"),
+        F.sum(F.when(F.col("rel") == 1, F.expr(w_case)).otherwise(0))
+        .cast("long").alias("dcg_u"),
+        F.count(F.lit(1)).cast("int").alias("n_served"),
+    )
+    # ideal DCG: every exact neighbor placed at ranks 1..n_exact
+    ideal = (
+        exact.withColumn(
+            "irank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("neighbor_id")),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.expr(_dcg_weight_case("irank"))).cast("long")
+            .alias("idcg_u"),
+            F.count(F.lit(1)).cast("int").alias("n_exact"),
+        )
+    )
+    return per_q.join(ideal, ["query_id"]).select(
+        "query_id", "n_exact", "n_served",
+        F.coalesce("first_hit", F.lit(0)).cast("int").alias("first_hit"),
+        F.when(F.col("first_hit").isNotNull(),
+               F.expr(f"CAST({MRR_SCALE} AS BIGINT) div first_hit"))
+        .otherwise(F.lit(0)).cast("long").alias("mrr_u"),
+        "dcg_u",
+        # headroom: dcg_u <= MRR_SCALE * sum(1/log2(i+1), i<=10)
+        # ~ 4.55e12, so dcg_u * 1e6 ~ 4.55e18 < 2^63
+        F.expr(f"(dcg_u * {NDCG_SCALE}) div idcg_u").cast("long")
+        .alias("ndcg_u"),
+    )
+
+
 def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(anchor, positive, negative) TRIPLET generation for contrastive
     /triplet-loss training, mined in ONE pass over the persisted LSH
@@ -1570,6 +1701,8 @@ QUERIES = {
     "hybrid_rrf_fusion": hybrid_rrf_fusion,
     "anns_matryoshka_topk": anns_matryoshka_topk,
     "contrastive_triplets": contrastive_triplets,
+    "retrieval_metrics_report": retrieval_metrics_report,
+    "anns_late_interaction_topk": anns_late_interaction_topk,
     "lsh_bucket_histogram": lsh_bucket_histogram,
     "anns_lsh_multiprobe": anns_lsh_multiprobe,
     "anns_recall_report": anns_recall_report,
@@ -2296,6 +2429,99 @@ ORACLE["anns_recall_report"] = ORACLE["anns_recall_report"].rstrip() + f"""
                FROM ({ivfpq_oracle_sql()})) l
            ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
     GROUP BY b.query_id
+"""
+
+# round 6: late-interaction twin -- same slices, same left-assoc sum
+ORACLE["anns_late_interaction_topk"] = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {" + ".join(
+                   "greatest(" + ", ".join(
+                       f"list_cosine_similarity("
+                       f"a.v[{LATE_SUBDIM * i + 1}:{LATE_SUBDIM * (i + 1)}], "
+                       f"b.v[{LATE_SUBDIM * j + 1}:{LATE_SUBDIM * (j + 1)}])"
+                       for j in range(LATE_SUBVECS)) + ")"
+                   for i in range(LATE_SUBVECS))} AS li_raw
+        FROM e a JOIN e b
+          ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY li_raw DESC, neighbor_id ASC) AS INTEGER) AS rank,
+           round(li_raw, 4) AS li_score
+    FROM scored
+    QUALIFY rank <= {TOP_K}
+"""
+
+# round 6: MRR/NDCG twin -- identical integer weight literals, the
+# same brute/lsh CTE pair as the recall report
+ORACLE["retrieval_metrics_report"] = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    brute AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+                            b.vec_id ASC) AS rk
+        FROM e a JOIN e b
+          ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+        QUALIFY rk <= {TOP_K}
+    ),
+    _planes AS (SELECT {planes_sql_literal(hyperplanes(64, LSH_BITS, LSH_TABLES))} AS h),
+    sig AS ({rh_sig_sql(hyperplanes(64, LSH_BITS, LSH_TABLES),
+                        LSH_BITS, LSH_TABLES, "e", "vec_id")}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+        WHERE a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+    ),
+    lshk AS (
+        SELECT c.query_id, c.neighbor_id,
+               row_number() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY list_cosine_similarity(qa.v, qb.v) DESC,
+                            c.neighbor_id ASC) AS rank
+        FROM cand c
+        JOIN e qa ON qa.vec_id = c.query_id
+        JOIN e qb ON qb.vec_id = c.neighbor_id
+        QUALIFY rank <= {TOP_K}
+    ),
+    scored AS (
+        SELECT l.query_id, l.rank,
+               CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+        FROM lshk l
+        LEFT JOIN brute b ON b.query_id = l.query_id
+                         AND b.neighbor_id = l.neighbor_id
+    ),
+    perq AS (
+        SELECT query_id,
+               min(CASE WHEN rel = 1 THEN rank END) AS first_hit,
+               CAST(coalesce(sum(CASE WHEN rel = 1
+                    THEN {_dcg_weight_case('rank')} ELSE 0 END), 0)
+                    AS BIGINT) AS dcg_u,
+               CAST(count(*) AS INTEGER) AS n_served
+        FROM scored GROUP BY query_id
+    ),
+    ideal AS (
+        SELECT query_id,
+               CAST(sum({_dcg_weight_case('irank')}) AS BIGINT) AS idcg_u,
+               CAST(count(*) AS INTEGER) AS n_exact
+        FROM (SELECT query_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY neighbor_id) AS irank
+              FROM brute)
+        GROUP BY query_id
+    )
+    SELECT p.query_id, i.n_exact, p.n_served,
+           CAST(coalesce(p.first_hit, 0) AS INTEGER) AS first_hit,
+           CAST(CASE WHEN p.first_hit IS NOT NULL
+                THEN {MRR_SCALE} // p.first_hit ELSE 0 END
+                AS BIGINT) AS mrr_u,
+           p.dcg_u,
+           CAST((p.dcg_u * {NDCG_SCALE}) // i.idcg_u AS BIGINT) AS ndcg_u
+    FROM perq p JOIN ideal i ON p.query_id = i.query_id
 """
 
 # round 6: triplet mining twin -- one candidate CTE, split by label

@@ -442,13 +442,86 @@ def _pit_oracle_sql() -> str:
     """
 
 
+PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+PROFILE_SCALE = 10 ** 6
+
+
+def table_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA PROFILING of the documents table: one row per column with
+    null count/fraction, distinct count, average stringified length,
+    and min/max (as strings) -- the table-health report a warehouse
+    publishes next to every dataset (and the first thing a pipeline
+    owner checks when a 100 TB refresh looks wrong). Fractions and
+    averages are 1e6-scaled truncating integers so the row hashes
+    bit-equal across engines; zero-denominator groups emit 0.
+
+    Scale shape: ONE aggregation pass computes every metric for every
+    column (the per-column rows are unpivoted from a single agg row
+    with ``stack``), so the profile costs one scan + one 1-row
+    reduce regardless of column count; count(DISTINCT) per column
+    rides the same pass via Spark's expand."""
+    df = table(spark, sf_dir, "documents").select(*PROFILE_COLS)
+    n = F.count(F.lit(1))
+    aggs = [n.alias("_n")]
+    for c in PROFILE_COLS:
+        sc = F.col(c).cast("string")
+        nn = F.count(c)
+        aggs += [
+            (n - nn).cast("long").alias(f"{c}__nnull"),
+            F.countDistinct(c).cast("long").alias(f"{c}__ndist"),
+            F.when(nn > 0,
+                   F.expr(f"sum(length(CAST({c} AS STRING)))"
+                          f" * {PROFILE_SCALE} div count({c})"))
+            .otherwise(0).cast("long").alias(f"{c}__avglen"),
+            F.min(sc).alias(f"{c}__min"),
+            F.max(sc).alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nnull, {c}__ndist, {c}__avglen, {c}__min, {c}__max"
+        for c in PROFILE_COLS
+    )
+    return one.select(
+        F.col("_n").cast("long").alias("n_rows"),
+        F.expr(f"stack({len(PROFILE_COLS)}, {stack}) AS "
+               "(column, n_null, n_distinct, avg_len_u, min_s, max_s)"),
+    ).select(
+        "column", "n_rows", "n_null",
+        F.expr(f"n_null * {PROFILE_SCALE} div n_rows").cast("long")
+        .alias("null_frac_u"),
+        "n_distinct", "avg_len_u", "min_s", "max_s",
+    )
+
+
+def _profile_oracle_sql() -> str:
+    parts = []
+    for c in PROFILE_COLS:
+        parts.append(f"""
+        SELECT '{c}' AS "column",
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+               CAST((count(*) - count({c})) * {PROFILE_SCALE}
+                    // count(*) AS BIGINT) AS null_frac_u,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(CASE WHEN count({c}) > 0 THEN
+                    sum(length(CAST({c} AS VARCHAR)))
+                    * {PROFILE_SCALE} // count({c})
+                    ELSE 0 END AS BIGINT) AS avg_len_u,
+               min(CAST({c} AS VARCHAR)) AS min_s,
+               max(CAST({c} AS VARCHAR)) AS max_s
+        FROM documents""")
+    return " UNION ALL ".join(parts)
+
+
 QUERIES = {
+    "table_profile_documents": table_profile_documents,
     "zorder_layout": zorder_layout,
     "scd2_user_segments": scd2_user_segments,
     "scd2_point_in_time_join": scd2_point_in_time_join,
 }
 
 ORACLE = {
+    "table_profile_documents": _profile_oracle_sql(),
     "zorder_layout": _zorder_oracle_sql(),
     "scd2_user_segments": _scd2_oracle_sql(),
     "scd2_point_in_time_join": _pit_oracle_sql(),

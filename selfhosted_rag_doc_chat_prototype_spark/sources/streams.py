@@ -17,7 +17,9 @@ from whichever wire is available --
   schema (synthetic heartbeats; liveness/load testing).
 - ``kafka``  : ``format("kafka")`` + :func:`parse_telemetry_payload`.
   The connector jar (``spark-sql-kafka-0-10``) is not baked into this
-  container, so the face raises a clear error naming the package when
+  container (re-verified round 6: no kafka jar under pyspark/jars and
+  no network to fetch one), so the face raises a clear error naming
+  the package when
   the source is absent; when present it is a pure config swap. An MQTT
   broker reaches this face through the standard MQTT->Kafka bridge
   (the pattern replacing the retired Bahir MQTT source).

@@ -368,3 +368,20 @@ def test_pr_scale_sql_matches_python():
                     f"SELECT * FROM range({n})")
         (got,) = con.execute(_pr_scale_sql()).fetchone()
         assert got == derive_pr_scale(n), n
+
+
+def test_snapshot_diff_statuses(spark):
+    from selfhosted_rag_doc_chat_prototype_spark.operators.dedup import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}

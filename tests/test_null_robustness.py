@@ -62,6 +62,8 @@ NULL_SWEEP = [
     "token_budget_sample",
     "text_sentence_split",
     "ingest_pipeline_e2e",
+    "corpus_snapshot_diff",
+    "table_profile_documents",
 ]
 
 
@@ -290,6 +292,7 @@ EMB_NULL_SWEEP = [
     "multimodal_phash_dedup", "embed_kmeans", "embed_random_projection",
     "cluster_cartography", "knn_pagerank", "anns_hard_negatives",
     "anns_matryoshka_topk", "contrastive_triplets",
+    "retrieval_metrics_report", "anns_late_interaction_topk",
 ]
 
 

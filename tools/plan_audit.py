@@ -501,6 +501,33 @@ AUDIT = [
         "rank-1 in a window over candidate rows only, final join is "
         "O(Q) x O(Q).",
     ),
+    (
+        "retrieval_metrics_report",
+        "Both legs are registered retrieval plans; the relevance "
+        "membership join and per-query MRR/NDCG aggregation run on "
+        "O(Q x k) rows with precomputed integer discount literals -- "
+        "no log, no float.",
+    ),
+    (
+        "anns_late_interaction_topk",
+        "Exact MaxSim pass: broadcast query set over a rebalanced "
+        "corpus scan; the 4x4 sub-vector cosine grid is one codegen "
+        "expression per pair -- production composes it behind a "
+        "single-vector prefilter.",
+    ),
+    (
+        "corpus_snapshot_diff",
+        "One full-outer equi-join on doc_id between two hashed "
+        "column-pruned scans; the diff output is the small side -- "
+        "unchanged rows never leave the join.",
+    ),
+    (
+        "table_profile_documents",
+        "ONE scan + one 1-row aggregation computes every per-column "
+        "metric (count-distincts ride the expand), then a stack "
+        "unpivot -- profile cost is independent of column count's "
+        "output shape.",
+    ),
 ]
 
 
