@@ -894,22 +894,27 @@ def anns_late_interaction_topk(spark: SparkSession, sf_dir: str,
     prefilters with any single-vector strategy and late-interacts the
     shortlist -- the operator composes with ``retrieve`` for that."""
     base = _vectors(spark, sf_dir)
-    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    cand = base.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
-    )
+
+    def subcols(df, idcol_from, idcol_to, vcol, prefix):
+        # project each sub-vector ONCE as a real column: slices inside
+        # the 16 cosine HOF expressions would re-evaluate per lambda
+        # element (interpreted HOFs don't CSE free subtrees -- the
+        # multimodal_phash let-binding lesson, done at column level)
+        return df.select(
+            F.col(idcol_from).alias(idcol_to),
+            *[F.slice(F.col(vcol), LATE_SUBDIM * i + 1, LATE_SUBDIM)
+              .alias(f"{prefix}{i}") for i in range(LATE_SUBVECS)],
+        )
+
+    queries = subcols(base.filter(F.col("vec_id") < N_QUERIES),
+                      "vec_id", "query_id", "v", "q")
+    cand = subcols(base, "vec_id", "neighbor_id", "v", "c")
     joined = (
         F.broadcast(queries).crossJoin(rebalance(cand))
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
-
-    def sub(col, i):
-        return F.slice(F.col(col), LATE_SUBDIM * i + 1, LATE_SUBDIM)
-
     maxsims = [
-        F.greatest(*[cosine(sub("qv", i), sub("cv", j))
+        F.greatest(*[cosine(F.col(f"q{i}"), F.col(f"c{j}"))
                      for j in range(LATE_SUBVECS)])
         for i in range(LATE_SUBVECS)
     ]
