@@ -132,6 +132,9 @@ HEADLINE = [
     "anns_late_interaction_topk",
     "corpus_snapshot_diff",
     "table_profile_documents",
+    "span_corruption_pairs",
+    "knn_triangle_count",
+    "embedding_standardize",
 ]
 
 

@@ -891,6 +891,54 @@ def _pr_scale_sql() -> str:
     )
 
 
+def knn_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNTS over the undirected kNN graph -- the local
+    clustering signal graph-based curation reads next to PageRank
+    (a node whose neighbors also neighbor each other sits inside a
+    dense near-dup community; a high-rank node with NO triangles is a
+    hub between communities). Counted with the canonical distributed
+    orientation trick: canonicalize each edge to (a < b), build
+    wedges a<b<c by one equi-join, close them against the edge list
+    with a second -- every triangle is enumerated EXACTLY once, so
+    no divide-by-duplicates and the join fan-out is bounded by the
+    oriented degrees (the standard MapReduce triangle algorithm).
+    Nodes in no triangle emit 0, so the report covers the graph.
+
+    Scale shape: two equi-joins + one partial-aggregated explode
+    over triangle rows; the kNN edge build itself is the banded LSH
+    construction (never all-pairs)."""
+    e = knn_graph(spark, sf_dir).select("vec_id", "neighbor_id")
+    und = (
+        e.select(
+            F.least("vec_id", "neighbor_id").alias("a"),
+            F.greatest("vec_id", "neighbor_id").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    w1 = und.select(F.col("a"), F.col("b").alias("m"))
+    w2 = und.select(F.col("a").alias("m"), F.col("b").alias("c"))
+    wedges = w1.join(w2, "m").select("a", F.col("m").alias("b"), "c")
+    tri = wedges.join(
+        und.select(F.col("a").alias("ta"), F.col("b").alias("tc")),
+        (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+    ).select("a", "b", "c")
+    nodes = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .distinct()
+    )
+    member = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return nodes.join(member, "v", "left").select(
+        F.col("v").alias("vec_id"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_triangles"),
+    )
+
+
 def knn_pagerank(spark: SparkSession, sf_dir: str,
                  iters: int = PR_ITERS) -> DataFrame:
     """PageRank over the directed kNN graph, in EXACT INTEGER
@@ -1068,6 +1116,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "corpus_snapshot_diff": corpus_snapshot_diff,
+    "knn_triangle_count": knn_triangle_count,
     "dedup_exact": dedup_exact,
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1426,4 +1475,35 @@ ORACLE["corpus_snapshot_diff"] = """
                 WHEN n.new_hash IS NULL THEN 'removed'
                 WHEN o.old_hash <> n.new_hash THEN 'changed'
                 ELSE 'unchanged' END) <> 'unchanged'
+"""
+
+
+ORACLE["knn_triangle_count"] = f"""
+    WITH ed AS (
+        SELECT vec_id AS s, neighbor_id AS d
+        FROM ({ORACLE["knn_graph_lsh"]})
+    ),
+    und AS (
+        SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        FROM ed WHERE s <> d
+    ),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    nodes AS (
+        SELECT a AS v FROM und UNION SELECT b FROM und
+    ),
+    cnt AS (
+        SELECT v, count(*) AS n FROM (
+            SELECT a AS v FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+        GROUP BY v
+    )
+    SELECT n.v AS vec_id,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_triangles
+    FROM nodes n LEFT JOIN cnt c ON c.v = n.v
 """

@@ -401,13 +401,95 @@ def _carto_oracle_sql() -> str:
     """
 
 
+Z_SCALE = 1_000_000  # emitted z-scores in 1e-6 units
+
+
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DIMENSION STANDARDIZATION of the embedding corpus (the
+    whitening-lite preprocessing that stops one high-variance
+    dimension from dominating every distance): z = (x - mean) / std
+    per dimension, computed ENTIRELY in exact integer micro-units --
+    integer sums for the mean (truncating division), mean-shifted
+    integer squares for the variance (never the overflow-prone
+    n*sumsq - sum^2 form), and the only float op is one
+    correctly-rounded IEEE sqrt of an exact BIGINT, floored back to
+    integer -- so both engines emit identical 1e-6-unit z-scores with
+    no summation-order dependence (docs/ROUNDING.md rule 1: float
+    sums over a cluster's partitions are order-dependent; integer
+    sums are not).
+
+    Scale shape: two partial-aggregated passes keyed on the 64-ary
+    dimension (the second needs the first's means -- the classic
+    two-pass variance, chosen over one-pass float Welford precisely
+    for cross-partition determinism), then a broadcast join back;
+    output is the exploded (vec_id, dim, z_u) -- reassembly to an
+    array column is one collect_list keyed by vec_id if needed."""
+    q = _quantized(spark, sf_dir)
+    x = q.select("vec_id", F.posexplode("q").alias("dim", "xu"))
+    stats = x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("xu").alias("sxu")
+    ).select("dim", "n", F.expr("sxu div n").alias("mean_u"))
+    dev = x.join(F.broadcast(stats), "dim").select(
+        "vec_id", "dim", "n", (F.col("xu") - F.col("mean_u")).alias("d"),
+    )
+    var = dev.groupBy("dim").agg(
+        F.expr("sum(d * d) div min(n)").alias("var_u2")
+    ).select(
+        "dim",
+        F.floor(F.sqrt(F.col("var_u2").cast("double")))
+        .cast("long").alias("std_u"),
+    )
+    return dev.join(F.broadcast(var), "dim").select(
+        "vec_id", F.col("dim").cast("int").alias("dim"),
+        F.when(F.col("std_u") > 0,
+               F.expr(f"(d * {Z_SCALE}) div std_u"))
+        .otherwise(0).cast("long").alias("z_u"),
+    )
+
+
+def _standardize_oracle_sql() -> str:
+    return f"""
+        WITH q AS (
+            SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * {KM_SCALE}.0 + 0.5) AS BIGINT))
+                   AS q
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        x AS (
+            SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim, q[i] AS xu
+            FROM q, unnest(range(1, len(q) + 1)) t(i)
+        ),
+        stats AS (
+            SELECT dim, count(*) AS n, sum(xu) // count(*) AS mean_u
+            FROM x GROUP BY dim
+        ),
+        dev AS (
+            SELECT x.vec_id, x.dim, s.n, x.xu - s.mean_u AS d
+            FROM x JOIN stats s ON s.dim = x.dim
+        ),
+        var AS (
+            SELECT dim,
+                   CAST(floor(sqrt(CAST(sum(d * d) // min(n) AS DOUBLE)))
+                        AS BIGINT) AS std_u
+            FROM dev GROUP BY dim
+        )
+        SELECT dev.vec_id, dev.dim,
+               CAST(CASE WHEN v.std_u > 0
+                    THEN (dev.d * {Z_SCALE}) // v.std_u
+                    ELSE 0 END AS BIGINT) AS z_u
+        FROM dev JOIN var v ON v.dim = dev.dim
+    """
+
+
 QUERIES = {
+    "embedding_standardize": embedding_standardize,
     "embed_kmeans": embed_kmeans,
     "embed_random_projection": embed_random_projection,
     "cluster_cartography": cluster_cartography,
 }
 
 ORACLE = {
+    "embedding_standardize": _standardize_oracle_sql(),
     "embed_kmeans": _km_oracle_sql(),
     "embed_random_projection": _rp_oracle_sql(),
     "cluster_cartography": _carto_oracle_sql(),

@@ -1045,6 +1045,108 @@ def seq_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_BLOCK = 3   # words per maskable block (T5 mean span length)
+SPAN_MOD = 7     # mask every 7th block ~ 14% noise density
+
+
+def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-STYLE SPAN CORRUPTION examples: each document's word stream
+    is cut into ``SPAN_BLOCK``-word blocks, a doc-keyed deterministic
+    1-in-``SPAN_MOD`` of them are masked, and the operator emits the
+    (input, target) pair -- input has each masked span replaced by its
+    ``<extra_id_k>`` sentinel, target is the sentinel-prefixed masked
+    spans -- the denoising objective's data shape (Raffel et al.,
+    2020), generated reproducibly so re-runs and engine twins agree
+    byte-for-byte. Masked blocks form the arithmetic progression
+    ``block ≡ -seed (mod 7)``, which makes the sentinel index k a
+    CLOSED-FORM integer ((block - b0) div 7) instead of a stateful
+    scan -- the whole construction is one array expression, map-only,
+    no shuffle, no Python.
+
+    NULL/empty text emits an empty pair (0 words); the word class is
+    the pinned explicit whitespace set."""
+    from ..functions import text_quality as tq
+
+    docs = table(spark, sf_dir, "documents")
+    seed = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit("span:"),
+                           F.col("doc_id").cast("string"))), 1, 8),
+            16, 10).cast("long") % SPAN_MOD
+    )
+    base = docs.select(
+        "doc_id",
+        tq.words(F.coalesce(F.col("text"), F.lit(""))).alias("w"),
+        seed.alias("seed"),
+        ((SPAN_MOD - seed) % SPAN_MOD).alias("b0"),
+    )
+    blk = f"(i div {SPAN_BLOCK})"
+    masked = f"({blk} + seed) % {SPAN_MOD} = 0"
+    k = f"CAST(({blk} - b0) div {SPAN_MOD} AS STRING)"
+    input_expr = (
+        f"array_join(filter(transform(w, (x, i) -> CASE "
+        f"WHEN NOT ({masked}) THEN x "
+        f"WHEN i % {SPAN_BLOCK} = 0 THEN concat('<extra_id_', {k}, '>') "
+        f"ELSE '' END), t -> t <> ''), ' ')"
+    )
+    target_expr = (
+        f"array_join(filter(transform(w, (x, i) -> CASE "
+        f"WHEN NOT ({masked}) THEN '' "
+        f"WHEN i % {SPAN_BLOCK} = 0 THEN "
+        f"concat('<extra_id_', {k}, '> ', x) "
+        f"ELSE x END), t -> t <> ''), ' ')"
+    )
+    n_masked = (
+        f"size(filter(transform(w, (x, i) -> "
+        f"CASE WHEN {masked} THEN 1 ELSE 0 END), v -> v = 1))"
+    )
+    return base.select(
+        "doc_id",
+        F.size("w").cast("int").alias("n_words"),
+        F.expr(n_masked).cast("int").alias("n_masked"),
+        F.expr(input_expr).alias("input_text"),
+        F.expr(target_expr).alias("target_text"),
+    )
+
+
+def _span_corruption_oracle_sql() -> str:
+    from .textstats import _W_SQL
+
+    blk = "((i - 1) // 3)"
+    masked = f"({blk} + seed) % {SPAN_MOD} = 0"
+    k = f"CAST(({blk} - b0) // {SPAN_MOD} AS VARCHAR)"
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   coalesce({_W_SQL}, []) AS w,
+                   CAST('0x' || substr(
+                       md5('span:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % {SPAN_MOD} AS seed
+            FROM documents
+        ),
+        b AS (SELECT *, ({SPAN_MOD} - seed) % {SPAN_MOD} AS b0 FROM base)
+        SELECT doc_id,
+               CAST(len(w) AS INTEGER) AS n_words,
+               CAST(len(list_filter(range(1, len(w) + 1),
+                    i -> {masked})) AS INTEGER) AS n_masked,
+               coalesce(array_to_string(list_filter(
+                   list_transform(range(1, len(w) + 1), i -> CASE
+                       WHEN NOT ({masked}) THEN w[i]
+                       WHEN (i - 1) % {SPAN_BLOCK} = 0
+                           THEN '<extra_id_' || {k} || '>'
+                       ELSE '' END), t -> t <> ''), ' '), '')
+                   AS input_text,
+               coalesce(array_to_string(list_filter(
+                   list_transform(range(1, len(w) + 1), i -> CASE
+                       WHEN NOT ({masked}) THEN ''
+                       WHEN (i - 1) % {SPAN_BLOCK} = 0
+                           THEN '<extra_id_' || {k} || '> ' || w[i]
+                       ELSE w[i] END), t -> t <> ''), ' '), '')
+                   AS target_text
+        FROM b
+    """
+
+
 NEXTEVT_CTX = 3          # context length (events) per training pair
 NEXTEVT_NULL = "(null)"  # sentinel for a NULL event_type inside a pair
 
@@ -1122,6 +1224,7 @@ def _nextevent_oracle_sql() -> str:
 
 QUERIES = {
     "nextevent_training_pairs": nextevent_training_pairs,
+    "span_corruption_pairs": span_corruption_pairs,
     "seq_len_histogram": seq_len_histogram,
     "intradoc_line_dedup": intradoc_line_dedup,
     "curriculum_quality_phases": curriculum_quality_phases,
@@ -1207,6 +1310,7 @@ _LM_THR = "'%s'" % _lm_hex_threshold(LM_SAMPLE_FRACTION)
 
 ORACLE = {
     "nextevent_training_pairs": _nextevent_oracle_sql(),
+    "span_corruption_pairs": _span_corruption_oracle_sql(),
     "epoch_shuffle_shards": f"""
         WITH k AS (
             SELECT d.doc_id, e.epoch,

@@ -385,3 +385,19 @@ def test_snapshot_diff_statuses(spark):
     )
     got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
     assert got == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_triangle_count_on_known_graph(spark, monkeypatch):
+    """4-clique + pendant edge: the clique's 4 nodes sit in C(3,2)=3
+    triangles each; the pendant pair in none."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators import dedup as dd
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a != b]
+        + [(3, 9), (9, 3)],
+        "vec_id long, neighbor_id long",
+    )
+    monkeypatch.setattr(dd, "knn_graph", lambda *_a, **_k: edges)
+    got = {r.vec_id: r.n_triangles
+           for r in dd.knn_triangle_count(spark, "unused").collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 9: 0}

@@ -149,3 +149,25 @@ def test_kmeans_rejects_degenerate_params(spark):
         embed_kmeans(spark, "/root/testdata/sf0.001", iters=0)
     with pytest.raises(ValueError, match="k >= 1"):
         embed_kmeans(spark, "/root/testdata/sf0.001", k=0)
+
+
+def test_standardize_centers_each_dimension(spark, sf_dir):
+    """Per-dimension mean of the emitted z-scores is ~0 (integer
+    truncation keeps it within one unit per row) and the z spread is
+    order-1e6 (unit variance in 1e-6 units)."""
+    from collections import defaultdict
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.ml import (
+        embedding_standardize,
+    )
+
+    per_dim = defaultdict(list)
+    for r in embedding_standardize(spark, sf_dir).collect():
+        per_dim[r.dim].append(r.z_u)
+    assert len(per_dim) == 64
+    for dim, zs in per_dim.items():
+        n = len(zs)
+        mean = sum(zs) / n
+        assert abs(mean) < 0.05 * 10**6, (dim, mean)  # centered
+        var = sum(z * z for z in zs) / n
+        assert 0.5 * 10**12 < var < 2.0 * 10**12, (dim, var)

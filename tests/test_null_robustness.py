@@ -64,6 +64,7 @@ NULL_SWEEP = [
     "ingest_pipeline_e2e",
     "corpus_snapshot_diff",
     "table_profile_documents",
+    "span_corruption_pairs",
 ]
 
 
@@ -293,6 +294,7 @@ EMB_NULL_SWEEP = [
     "cluster_cartography", "knn_pagerank", "anns_hard_negatives",
     "anns_matryoshka_topk", "contrastive_triplets",
     "retrieval_metrics_report", "anns_late_interaction_topk",
+    "knn_triangle_count", "embedding_standardize",
 ]
 
 

@@ -224,3 +224,52 @@ def test_epoch_shuffle_is_a_fresh_permutation_per_epoch(spark, sf_dir):
         orders[ep] = [r.doc_id for r in sorted(
             es, key=lambda r: (r.shard, r.pos))]
     assert orders[0] != orders[1]  # reshuffled between epochs
+
+
+def test_span_corruption_reconstructs_and_masks_rate(spark, sf_dir):
+    """Input + target partition the word stream exactly: removing
+    sentinels and re-interleaving masked spans reproduces the original
+    words; the mask rate sits near 1/SPAN_MOD of blocks."""
+    import re
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.pretrain import (
+        SPAN_MOD,
+        span_corruption_pairs,
+    )
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    rows = {r.doc_id: r
+            for r in span_corruption_pairs(spark, sf_dir).collect()}
+    docs = {r.doc_id: (r.text or "")
+            for r in table(spark, sf_dir, "documents")
+            .select("doc_id", "text").collect()}
+    sent = re.compile(r"<extra_id_(\d+)>")
+    n_masked_total = n_words_total = 0
+    for doc_id, r in rows.items():
+        words = docs[doc_id].split()
+        assert r.n_words == len(words)
+        n_masked_total += r.n_masked
+        n_words_total += r.n_words
+        # reconstruct: walk input tokens; at sentinel k, splice the
+        # target's span k
+        spans: dict[int, list[str]] = {}
+        cur = None
+        for t in (r.target_text.split() if r.target_text else []):
+            m = sent.fullmatch(t)
+            if m:
+                cur = int(m.group(1))
+                spans[cur] = []
+            else:
+                spans[cur].append(t)
+        rebuilt = []
+        for t in (r.input_text.split() if r.input_text else []):
+            m = sent.fullmatch(t)
+            if m:
+                rebuilt.extend(spans.pop(int(m.group(1))))
+            else:
+                rebuilt.append(t)
+        assert not spans, doc_id  # every target span was consumed
+        assert rebuilt == words, doc_id
+    if n_words_total:
+        rate = n_masked_total / n_words_total
+        assert 0.5 / SPAN_MOD < rate < 2.0 / SPAN_MOD, rate

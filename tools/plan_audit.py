@@ -522,6 +522,26 @@ AUDIT = [
         "unchanged rows never leave the join.",
     ),
     (
+        "span_corruption_pairs",
+        "One array expression per document (closed-form sentinel "
+        "indices -- no stateful scan), map-only over a (doc_id, text) "
+        "pruned scan; zero shuffles.",
+    ),
+    (
+        "knn_triangle_count",
+        "Canonical a<b orientation, wedge equi-join + closing "
+        "equi-join (each triangle enumerated once), then one "
+        "partial-aggregated explode; edges come from the banded LSH "
+        "kNN build, never all-pairs.",
+    ),
+    (
+        "embedding_standardize",
+        "Two partial-aggregated passes on the 64-ary dim key (two-"
+        "pass variance chosen over float Welford for cross-partition "
+        "determinism) + broadcast joins back; all integer arithmetic "
+        "except one correctly-rounded sqrt.",
+    ),
+    (
         "table_profile_documents",
         "ONE scan + one 1-row aggregation computes every per-column "
         "metric (count-distincts ride the expand), then a stack "
