@@ -135,6 +135,10 @@ HEADLINE = [
     "span_corruption_pairs",
     "knn_triangle_count",
     "embedding_standardize",
+    "retention_cohorts",
+    "text_readability",
+    "dsir_importance_weights",
+    "knn_label_propagation",
 ]
 
 

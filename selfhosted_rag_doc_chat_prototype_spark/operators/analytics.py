@@ -1056,9 +1056,60 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly COHORT RETENTION: each user joins the cohort of their
+    first active ISO week; for every (cohort, week-offset) cell the
+    report emits how many of the cohort's users were active that many
+    weeks later and the retained fraction -- the engagement triangle
+    every product-analytics stack derives from an event stream
+    (reference analytics corpus family, summary_queries.sql). Rows
+    missing the user or the timestamp carry no cohort signal and are
+    excluded by contract (identically in the oracle).
+
+    The retained fraction is ONE division of two exact integer counts
+    (IEEE-correctly-rounded, bit-identical across engines -- no
+    rounded-value arithmetic, docs/ROUNDING.md rule 3).
+
+    Scale shape: the (user, week) pair set is deduplicated with
+    map-side combine BEFORE anything else, so every later stage works
+    on |users| x |active weeks| narrow rows, not raw events; the
+    cohort lookup is a shuffle equi-join on user_id reusing the
+    distinct's partitioning; cohort sizes are a tiny
+    (#weeks-in-history) aggregate joined broadcast."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    first = weeks.groupBy("user_id").agg(F.min("w").alias("cohort_w"))
+    sizes = first.groupBy("cohort_w").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        weeks.join(first, "user_id")
+        .groupBy(
+            "cohort_w",
+            F.expr("datediff(to_date(w), to_date(cohort_w)) div 7")
+            .cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .join(F.broadcast(sizes), "cohort_w")
+        .select(
+            F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.col("active_users").cast("long").alias("active_users"),
+            (F.col("active_users").cast("double")
+             / F.col("cohort_size").cast("double")).alias("retention"),
+        )
+    )
+
+
 QUERIES = {
     "a1_events_per_day": a1_events_per_day,
     "a1_events_per_hour": a1_events_per_hour,
+    "retention_cohorts": retention_cohorts,
     "gatekeeper_failure_history": gatekeeper_failure_history,
     "sketch_cardinality_quantiles": sketch_cardinality_quantiles,
     "sketch_hll_distinct_users": sketch_hll_distinct_users,
@@ -1101,6 +1152,35 @@ QUERIES = {
 }
 
 ORACLE = {
+    "retention_cohorts": """
+        WITH weeks AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        first AS (
+            SELECT user_id, min(w) AS cohort_w FROM weeks GROUP BY user_id
+        ),
+        sizes AS (
+            SELECT cohort_w, count(*) AS cohort_size FROM first GROUP BY 1
+        ),
+        act AS (
+            SELECT f.cohort_w,
+                   CAST(date_diff('day', CAST(f.cohort_w AS DATE),
+                                  CAST(x.w AS DATE)) // 7
+                        AS INTEGER) AS week_offset,
+                   count(DISTINCT x.user_id) AS active_users
+            FROM weeks x JOIN first f USING (user_id)
+            GROUP BY 1, 2
+        )
+        SELECT strftime(a.cohort_w, '%Y-%m-%d') AS cohort_week,
+               a.week_offset,
+               CAST(s.cohort_size AS BIGINT) AS cohort_size,
+               CAST(a.active_users AS BIGINT) AS active_users,
+               CAST(a.active_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+                   AS retention
+        FROM act a JOIN sizes s USING (cohort_w)
+    """,
     # bit-exact HLL twin: identical md5-derived registers, identical
     # CASE-chain rho, identical staged integer division
     "sketch_hll_distinct_users": f"""

@@ -1000,6 +1000,120 @@ def knn_pagerank(spark: SparkSession, sf_dir: str,
     )
 
 
+LP_ITERS = 3       # fixed synchronous propagation rounds
+LP_SEED_MOD = 4    # vec_id % 4 == 0 keep their true label as seeds
+
+
+def knn_label_propagation(spark: SparkSession, sf_dir: str,
+                          iters: int = LP_ITERS) -> DataFrame:
+    """Semi-supervised LABEL PROPAGATION over the kNN graph (Zhu &
+    Ghahramani 2002, majority-vote variant): a quarter of the corpus
+    keeps its true ``label`` as a clamped seed; every other vector
+    repeatedly adopts the PLURALITY label among its kNN list's current
+    labels (ties break to the smallest label; unlabeled neighbors
+    abstain) for a fixed number of synchronous rounds -- how a
+    curation stack spreads scarce human labels (quality grades, topic
+    tags) across an unlabeled embedding corpus. Nodes no labeled
+    region reaches stay NULL, honestly reporting "no signal" rather
+    than defaulting.
+
+    Exactness: labels and vote counts are integers end-to-end; the
+    plurality argmax is a (count DESC, label ASC) row_number -- fully
+    ordered, so the fixed-round result is bit-identical to the
+    unrolled-CTE oracle with no float anywhere (docs/ROUNDING.md
+    rule 1).
+
+    Scale shape: the edge list is the banded LSH kNN build (never
+    all-pairs) and is localCheckpointed ONCE, then each round is one
+    equi-join on the contributor key + one partially-aggregated
+    (node, label) count + one per-node top-1 window over <= K_GRAPH
+    rows; per-round localCheckpoint truncates lineage exactly like
+    connected components. Driver sees only the loop counter."""
+    edges = knn_graph(spark, sf_dir).select(
+        "vec_id", "neighbor_id"
+    ).localCheckpoint()
+    nodes = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.when(F.col("vec_id") % LP_SEED_MOD == 0, F.col("label"))
+            .alias("seed"),
+        )
+    )
+    labels = nodes.select("vec_id", F.col("seed").alias("lab"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(iters):
+        votes = (
+            edges.join(
+                labels.select(F.col("vec_id").alias("neighbor_id"), "lab"),
+                "neighbor_id",
+            )
+            .filter(F.col("lab").isNotNull())
+            .groupBy("vec_id", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        plurality = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("lab").alias("plab"))
+        )
+        labels = (
+            nodes.join(plurality, "vec_id", "left")
+            .select(
+                "vec_id", F.coalesce("seed", "plab").alias("lab")
+            )
+            .localCheckpoint()
+        )
+    return nodes.join(labels, "vec_id").select(
+        "vec_id",
+        F.when(F.col("seed").isNotNull(), 1).otherwise(0)
+        .cast("int").alias("is_seed"),
+        F.col("lab").cast("int").alias("label"),
+    )
+
+
+def _lp_oracle_sql(iters: int = LP_ITERS) -> str:
+    """Unrolled synchronous rounds over the kNN oracle embedded as a
+    derived table -- the same clamped-seed / plurality / smallest-
+    label-tie-break integer logic as the Spark loop."""
+    parts = [f"""
+        edges AS (
+            SELECT vec_id, neighbor_id
+            FROM ({ORACLE["knn_graph_lsh"]})
+        ),
+        nodes AS (
+            SELECT vec_id,
+                   CASE WHEN vec_id % {LP_SEED_MOD} = 0 THEN label END
+                       AS seed
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        l0 AS (SELECT vec_id, seed AS lab FROM nodes)"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+        l{t} AS (
+            SELECT n.vec_id, coalesce(n.seed, p.plab) AS lab
+            FROM nodes n LEFT JOIN (
+                SELECT vec_id, lab AS plab FROM (
+                    SELECT e.vec_id, l.lab, count(*) AS c
+                    FROM edges e
+                    JOIN l{t - 1} l ON l.vec_id = e.neighbor_id
+                    WHERE l.lab IS NOT NULL
+                    GROUP BY e.vec_id, l.lab
+                ) v
+                QUALIFY row_number() OVER (
+                    PARTITION BY vec_id ORDER BY c DESC, lab ASC) = 1
+            ) p USING (vec_id)
+        )""")
+    return f"""
+        WITH {",".join(parts)}
+        SELECT n.vec_id,
+               CASE WHEN n.seed IS NOT NULL THEN 1 ELSE 0 END AS is_seed,
+               CAST(l.lab AS INTEGER) AS label
+        FROM nodes n JOIN l{iters} l USING (vec_id)
+    """
+
+
 CC_MAX_ITERS = 8
 
 
@@ -1127,6 +1241,7 @@ QUERIES = {
     "dedup_semantic_keep": dedup_semantic_keep,
     "knn_graph_lsh": knn_graph_lsh,
     "knn_pagerank": knn_pagerank,
+    "knn_label_propagation": knn_label_propagation,
     "dedup_bloom_prefilter": dedup_bloom_prefilter,
     "dedup_connected_components": dedup_connected_components,
 }
@@ -1405,6 +1520,7 @@ def _pr_oracle_sql(iters: int = PR_ITERS) -> str:
 
 
 ORACLE["knn_pagerank"] = _pr_oracle_sql()
+ORACLE["knn_label_propagation"] = _lp_oracle_sql()
 
 
 _BLOOM_POS = (

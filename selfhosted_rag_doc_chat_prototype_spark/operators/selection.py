@@ -226,12 +226,174 @@ def _budget_oracle_sql() -> str:
     """
 
 
+DSIR_B = 1024              # hashed unigram buckets for the bag models
+DSIR_TARGET_LANG = "en"    # the "target domain" slice of the corpus
+DSIR_LN_SCALE = 1_000_000  # log-weights carried in exact 1e-6 units
+
+
+def _lnu(x):
+    """ln(x) rounded ONCE at 6 decimals, then lifted to exact BIGINT
+    1e-6 units -- ln() is not correctly-rounded across libm/JVM, so
+    each log is rounded exactly once and every later combination is
+    integer arithmetic (docs/ROUNDING.md rule 2, the BM25
+    convention)."""
+    return F.rint(F.round(F.log(x), 6) * DSIR_LN_SCALE).cast("long")
+
+
+def _lnu_sql(x: str) -> str:
+    return (
+        f"CAST(round(round(ln({x}), 6) * {DSIR_LN_SCALE}) AS BIGINT)"
+    )
+
+
+def dsir_weights(docs: DataFrame, target_lang: str = DSIR_TARGET_LANG,
+                 buckets: int = DSIR_B) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by the log-likelihood ratio of a hashed-unigram bag model of the
+    TARGET slice (here the ``target_lang`` documents) against the
+    model of the RAW corpus -- the standard way to tilt a web-scale
+    crawl toward a target domain without training anything. Weight =
+    sum over the doc's tokens of ``ln p_target(bucket) -
+    ln p_raw(bucket)`` with add-one smoothing over the fixed bucket
+    table.
+
+    Exactness: each ln() is rounded once into BIGINT 1e-6 units
+    (:func:`_lnu`); the per-bucket log-ratio and the per-document sum
+    are then pure integer arithmetic, so the result is bit-identical
+    across engines and independent of summation order -- the property
+    a cluster-wide shuffle cannot be trusted to preserve for floats.
+
+    Scale shape: the only large objects are the token explode and one
+    doc_id re-aggregation (map-side combined -- a doc's tokens
+    co-reside in its input row). Both bag models collapse to
+    ``buckets`` rows (fixed, tiny) and join back BROADCAST; the
+    corpus-level totals ride along as a broadcast scalar row. Nothing
+    driver-side, nothing all-pairs."""
+    terms = docs.select(
+        "doc_id", "lang",
+        F.explode(tq.words(F.coalesce(F.col("text"), F.lit(""))))
+        .alias("term"),
+    ).select(
+        "doc_id", "lang",
+        (F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
+         .cast("long") % buckets).cast("int").alias("b"),
+    )
+    spark = docs.sparkSession
+    grid = spark.range(buckets).select(F.col("id").cast("int").alias("b"))
+    ct = terms.filter(F.col("lang") == target_lang).groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    cr = terms.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    # when(...) not a bare boolean cast: a NULL lang must count as
+    # "not target" (0), matching the oracle's CASE, not propagate NULL
+    is_t = F.when(F.col("lang") == target_lang, 1).otherwise(0)
+    totals = terms.agg(
+        F.sum(is_t.cast("long")).alias("nt"),
+        F.count(F.lit(1)).alias("nr"),
+    )
+    lr = (
+        grid.join(F.broadcast(ct), "b", "left")
+        .join(F.broadcast(cr), "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (_lnu(F.coalesce(F.col("ct"), F.lit(0)) + 1)
+             - _lnu(F.coalesce(F.col("cr"), F.lit(0)) + 1)
+             + _lnu(F.coalesce(F.col("nr"), F.lit(0)) + buckets)
+             - _lnu(F.coalesce(F.col("nt"), F.lit(0)) + buckets)
+             ).alias("lr_u"),
+        )
+    )
+    scored = (
+        terms.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms"),
+            F.sum("lr_u").alias("weight_u"),
+        )
+    )
+    return (
+        docs.select("doc_id", "lang", "source")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id", "source",
+            F.when(F.col("lang") == target_lang, 1).otherwise(0)
+            .cast("int").alias("is_target"),
+            F.coalesce("n_terms", F.lit(0)).cast("int").alias("n_terms"),
+            F.coalesce("weight_u", F.lit(0)).cast("long").alias("weight_u"),
+            (F.coalesce("weight_u", F.lit(0)).cast("double")
+             / DSIR_LN_SCALE).alias("log_weight"),
+        )
+    )
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_weights(rebalance(table(spark, sf_dir, "documents")))
+
+
+def _dsir_oracle_sql() -> str:
+    b = DSIR_B
+    return f"""
+        WITH terms AS (
+            SELECT doc_id, lang,
+                   CAST(CAST('0x' || substr(md5(u.term), 1, 8) AS BIGINT)
+                        % {b} AS INTEGER) AS b
+            FROM (
+                SELECT doc_id, lang,
+                       list_filter(string_split_regex(
+                           trim(coalesce(text, '')),
+                           '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ws
+                FROM documents
+            ), unnest(ws) AS u(term)
+        ),
+        ct AS (
+            SELECT b, count(*) AS ct FROM terms
+            WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
+        ),
+        cr AS (SELECT b, count(*) AS cr FROM terms GROUP BY b),
+        totals AS (
+            SELECT sum(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                            THEN 1 ELSE 0 END) AS nt,
+                   count(*) AS nr
+            FROM terms
+        ),
+        lr AS (
+            SELECT CAST(g.b AS INTEGER) AS b,
+                   {_lnu_sql("coalesce(ct.ct, 0) + 1")}
+                   - {_lnu_sql("coalesce(cr.cr, 0) + 1")}
+                   + {_lnu_sql(f"coalesce(t.nr, 0) + {b}")}
+                   - {_lnu_sql(f"coalesce(t.nt, 0) + {b}")} AS lr_u
+            FROM range({b}) AS g(b)
+            LEFT JOIN ct ON ct.b = g.b
+            LEFT JOIN cr ON cr.b = g.b
+            CROSS JOIN totals t
+        ),
+        scored AS (
+            SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms,
+                   CAST(sum(lr.lr_u) AS BIGINT) AS weight_u
+            FROM terms JOIN lr USING (b)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.source,
+               CASE WHEN d.lang = '{DSIR_TARGET_LANG}'
+                    THEN 1 ELSE 0 END AS is_target,
+               coalesce(s.n_terms, 0) AS n_terms,
+               coalesce(s.weight_u, 0) AS weight_u,
+               CAST(coalesce(s.weight_u, 0) AS DOUBLE) / {DSIR_LN_SCALE}
+                   AS log_weight
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
+
+
 QUERIES = {
     "quality_classifier_hashed": quality_classifier_hashed,
     "token_budget_sample": token_budget_sample,
+    "dsir_importance_weights": dsir_importance_weights,
 }
 
 ORACLE = {
     "quality_classifier_hashed": _qc_oracle_sql(),
     "token_budget_sample": _budget_oracle_sql(),
+    "dsir_importance_weights": _dsir_oracle_sql(),
 }

@@ -677,8 +677,141 @@ def _sentence_oracle_sql() -> str:
     """
 
 
+# ---- readability ----------------------------------------------------------
+
+# vowel-group syllable heuristic: syllables(word) = number of
+# [aeiouy]+ runs in the letters-only lowercased word, minus one for a
+# terminal silent 'e' (only when another vowel group exists, and not
+# for '-le' endings, where the e IS the syllable: ta-ble), floored
+# at 1 -- the classic dictionary-free approximation every readability
+# library ships as its fallback. Deterministic, regex-only, identical
+# in Java regex and DuckDB RE2 (the class has no engine-divergent
+# metacharacters).
+
+
+def _syllables(w):
+    clean = tq.let(
+        F.regexp_replace(F.lower(w), "[^a-z]", ""),
+        lambda c: F.struct(
+            F.size(F.regexp_extract_all(c, F.lit("[aeiouy]+"), F.lit(0)))
+            .alias("g"),
+            (c.endswith("e") & ~c.endswith("le")).alias("e"),
+        ),
+    )
+    return F.greatest(
+        F.lit(1),
+        clean["g"] - ((clean["g"] > 1) & clean["e"]).cast("int"),
+    )
+
+
+def readability_report(docs: DataFrame) -> DataFrame:
+    """Per-document READABILITY scoring: Flesch reading ease and
+    Flesch-Kincaid grade from exact integer sentence / word / syllable
+    counts (Flesch 1948; Kincaid et al. 1975) -- the quality-filter
+    signal a pretraining curation stack reads next to the Gopher
+    heuristics (a corpus slice whose grade collapses to 2 is listings
+    and boilerplate; one above 20 is OCR noise). Sentences follow
+    :func:`split_sentences`'s exact segmentation; words the pinned
+    whitespace class; syllables the vowel-group heuristic above.
+
+    Both scores are pure arithmetic over the three integer counts --
+    every float op is a correctly-rounded IEEE division / multiply /
+    subtract on identical operands in identical order, so the doubles
+    are bit-identical across engines with NO rounding step
+    (docs/ROUNDING.md rule 3); degenerate docs (no words or no
+    sentences) emit NULL scores rather than a division crash.
+
+    Scale shape: map-only -- one vectorized regex pass for sentences,
+    one split for words, one lambda-local regex per word for
+    syllables; no shuffle at all (the per-doc row is produced where
+    the doc is read)."""
+    text = F.coalesce(F.col("text"), F.lit(""))
+    sents = F.filter(
+        F.split(
+            F.regexp_replace(text, _SENT_RE, "$1" + _SENT_MARK), _SENT_MARK
+        ),
+        lambda x: x != F.lit(""),
+    )
+    counted = docs.select(
+        "doc_id",
+        F.size(sents).cast("int").alias("n_sents"),
+        tq.let(
+            tq.words(text),
+            lambda ws: F.struct(
+                F.size(ws).alias("w"),
+                F.aggregate(
+                    F.transform(ws, _syllables),
+                    F.lit(0),
+                    lambda acc, s: acc + s,
+                ).alias("sy"),
+            ),
+        ).alias("c"),
+    ).select(
+        "doc_id", "n_sents",
+        F.col("c.w").cast("int").alias("n_words"),
+        F.col("c.sy").cast("int").alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.expr("nullif(n_sents, 0)")
+    spw = F.col("n_syllables").cast("double") / F.expr("nullif(n_words, 0)")
+    return counted.select(
+        "doc_id", "n_sents", "n_words", "n_syllables",
+        (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw)
+        .alias("flesch"),
+        (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59))
+        .alias("fk_grade"),
+    )
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return readability_report(
+        rebalance(table(spark, sf_dir, "documents"))
+        .select("doc_id", "text")
+    )
+
+
+def _readability_oracle_sql() -> str:
+    ws = "[ \\t\\n\\x0B\\f\\r]"
+    syl = (
+        "greatest(1, len(regexp_extract_all(c, '[aeiouy]+')) - "
+        "CASE WHEN len(regexp_extract_all(c, '[aeiouy]+')) > 1 "
+        "AND c LIKE '%e' AND c NOT LIKE '%le' THEN 1 ELSE 0 END)"
+    )
+    return f"""
+        WITH counted AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(
+                       regexp_replace(coalesce(text, ''),
+                                      '([.!?]){ws}+', '\\1' || chr(1), 'g'),
+                       chr(1)), x -> x <> '')) AS INTEGER) AS n_sents,
+                   CAST(len(list_filter(string_split_regex(
+                       trim(coalesce(text, '')), '{ws}+'),
+                       x -> x <> '')) AS INTEGER) AS n_words,
+                   CAST(coalesce(list_sum(list_transform(
+                       list_transform(
+                           list_filter(string_split_regex(
+                               trim(coalesce(text, '')), '{ws}+'),
+                               x -> x <> ''),
+                           x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
+                       c -> {syl})), 0) AS INTEGER) AS n_syllables
+            FROM documents
+        )
+        SELECT doc_id, n_sents, n_words, n_syllables,
+               206.835
+                   - 1.015 * (CAST(n_words AS DOUBLE)
+                              / nullif(n_sents, 0))
+                   - 84.6 * (CAST(n_syllables AS DOUBLE)
+                             / nullif(n_words, 0)) AS flesch,
+               0.39 * (CAST(n_words AS DOUBLE) / nullif(n_sents, 0))
+                   + 11.8 * (CAST(n_syllables AS DOUBLE)
+                             / nullif(n_words, 0))
+                   - 15.59 AS fk_grade
+        FROM counted
+    """
+
+
 QUERIES = {
     "text_sentence_split": text_sentence_split,
+    "text_readability": text_readability,
     "vocab_top_coverage": vocab_top_coverage,
     "sketch_countmin_heavyhitters": sketch_countmin_heavyhitters,
     "bpe_pair_counts": bpe_pair_counts,
@@ -741,6 +874,7 @@ ORACLE = {
         FROM est
     """,
     "text_sentence_split": _sentence_oracle_sql(),
+    "text_readability": _readability_oracle_sql(),
     "text_nfc_normalize": """
         SELECT doc_id,
                nfc_normalize(text) AS nfc_text,

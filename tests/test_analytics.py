@@ -83,3 +83,31 @@ def test_hll_sketch_estimate_and_mergeability(spark, sf_dir):
     again = {(r.event_type, r.est_distinct)
              for r in sketch_hll_distinct_users(spark, sf_dir).collect()}
     assert again == whole
+
+
+def test_retention_cohort_identities(spark, sf_dir):
+    """Offset-0 retention is exactly 1.0 for every cohort (each
+    cohort member is by construction active in their first week),
+    no cell retains more users than the cohort holds, and cohort
+    sizes sum to the distinct-user count."""
+    from pyspark.sql import functions as F
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.analytics import (
+        retention_cohorts,
+    )
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    rows = retention_cohorts(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.week_offset
+        assert 0 < r.active_users <= r.cohort_size
+        if r.week_offset == 0:
+            assert r.retention == 1.0
+    sizes = {r.cohort_week: r.cohort_size for r in rows}
+    n_users = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id").distinct().count()
+    )
+    assert sum(sizes.values()) == n_users

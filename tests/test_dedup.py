@@ -401,3 +401,34 @@ def test_triangle_count_on_known_graph(spark, monkeypatch):
     got = {r.vec_id: r.n_triangles
            for r in dd.knn_triangle_count(spark, "unused").collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3, 9: 0}
+
+
+def test_label_propagation_clamps_seeds_and_spreads(spark, sf_dir):
+    """Seeds keep their true label verbatim; at least one non-seed
+    acquires a label through the graph; nothing invents labels outside
+    the seed label set (NULL = honestly unreached)."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.dedup import (
+        LP_SEED_MOD,
+        knn_label_propagation,
+    )
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    truth = {
+        r.vec_id: r.label
+        for r in table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label").collect()
+    }
+    rows = knn_label_propagation(spark, sf_dir).collect()
+    assert rows
+    seed_labels = {
+        truth[r.vec_id] for r in rows if r.is_seed and truth[r.vec_id] is not None
+    }
+    spread = 0
+    for r in rows:
+        assert r.is_seed == (1 if r.vec_id % LP_SEED_MOD == 0 else 0)
+        if r.is_seed:
+            assert r.label == truth[r.vec_id]
+        elif r.label is not None:
+            assert r.label in seed_labels
+            spread += 1
+    assert spread > 0

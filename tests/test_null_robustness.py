@@ -65,6 +65,8 @@ NULL_SWEEP = [
     "corpus_snapshot_diff",
     "table_profile_documents",
     "span_corruption_pairs",
+    "text_readability",
+    "dsir_importance_weights",
 ]
 
 
@@ -188,6 +190,7 @@ EVENTS_NULL_SWEEP = [
     "sketch_cardinality_quantiles",
     "zorder_layout", "scd2_user_segments", "scd2_point_in_time_join",
     "sketch_hll_distinct_users", "nextevent_training_pairs",
+    "retention_cohorts",
 ]
 
 
@@ -295,6 +298,7 @@ EMB_NULL_SWEEP = [
     "anns_matryoshka_topk", "contrastive_triplets",
     "retrieval_metrics_report", "anns_late_interaction_topk",
     "knn_triangle_count", "embedding_standardize",
+    "knn_label_propagation",
 ]
 
 

@@ -312,3 +312,23 @@ def test_table_profile_metrics_exact(spark):
     assert (t.min_s, t.max_s) == ("ab", "wxyz")
     assert rows["doc_id"].n_null == 0
     assert rows["lang"].n_distinct == 2
+
+
+def test_dsir_tilts_toward_target_language(spark):
+    """DSIR's defining property: documents drawn from the target
+    slice score a higher MEAN log-importance weight than the rest
+    (their unigrams are exactly what the target bag model upweights),
+    and weights are content-keyed integers (zero terms => zero
+    weight)."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.selection import (
+        dsir_importance_weights,
+    )
+
+    rows = dsir_importance_weights(spark, SF).collect()
+    tgt = [r.weight_u for r in rows if r.is_target == 1 and r.n_terms]
+    rest = [r.weight_u for r in rows if r.is_target == 0 and r.n_terms]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+    for r in rows:
+        if r.n_terms == 0:
+            assert r.weight_u == 0 and r.log_weight == 0.0

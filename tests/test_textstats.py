@@ -76,3 +76,29 @@ def test_countmin_never_undercounts_and_merges(spark, sf_dir):
     # on this vocab (W=256 >> distinct words of the tiny corpus)
     top = min(rows, key=lambda r: r.rank)
     assert top.overcount <= top.exact_count  # not wildly off
+
+
+def test_readability_syllable_truth_table(spark):
+    """The vowel-group heuristic on hand-counted words, plus the score
+    formulas on a doc whose three counts are known exactly."""
+    from pyspark.sql import Row
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.textstats import (
+        readability_report,
+    )
+
+    # "the cat jumped. Nice table!" -> 2 sentences, 5 words,
+    # syllables: the=1, cat=1, jumped=2, nice=1 (silent e), table=2
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="the cat jumped. Nice table!"),
+        Row(doc_id=2, text=None),
+        Row(doc_id=3, text="   "),
+    ])
+    out = {r.doc_id: r for r in readability_report(docs).collect()}
+    r = out[1]
+    assert (r.n_sents, r.n_words, r.n_syllables) == (2, 5, 7)
+    wps, spw = 5 / 2, 7 / 5
+    assert r.flesch == 206.835 - 1.015 * wps - 84.6 * spw
+    assert r.fk_grade == 0.39 * wps + 11.8 * spw - 15.59
+    assert out[2].n_words == 0 and out[2].flesch is None
+    assert out[3].n_sents == 1 and out[3].fk_grade is None

@@ -542,6 +542,34 @@ AUDIT = [
         "except one correctly-rounded sqrt.",
     ),
     (
+        "retention_cohorts",
+        "The (user, week) pair set is deduplicated map-side before "
+        "anything else; cohort lookup reuses the user_id shuffle; "
+        "cohort sizes are a tiny per-week aggregate joined "
+        "broadcast; one exact integer division per cell.",
+    ),
+    (
+        "text_readability",
+        "Map-only: one vectorized regex pass for sentences, one "
+        "split for words, one lambda-local regex per word for "
+        "syllables; zero shuffles -- the per-doc row is produced "
+        "where the doc is read.",
+    ),
+    (
+        "dsir_importance_weights",
+        "Token explode with map-side combined doc_id re-aggregation; "
+        "both bag models collapse to a fixed 1024-bucket table "
+        "joined back broadcast with the scalar totals; all log "
+        "weights carried as exact BIGINT 1e-6 units.",
+    ),
+    (
+        "knn_label_propagation",
+        "Banded LSH kNN edge build localCheckpointed once; each "
+        "round one equi-join on the contributor key + partial-"
+        "aggregated (node,label) counts + a top-1 window over "
+        "<= K_GRAPH rows; per-round checkpoint truncates lineage.",
+    ),
+    (
         "table_profile_documents",
         "ONE scan + one 1-row aggregation computes every per-column "
         "metric (count-distincts ride the expand), then a stack "
