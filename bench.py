@@ -139,6 +139,10 @@ HEADLINE = [
     "text_readability",
     "dsir_importance_weights",
     "knn_label_propagation",
+    "pmi_collocations",
+    "stratified_holdout_split",
+    "weighted_sample_es",
+    "compaction_plan",
 ]
 
 

@@ -105,6 +105,24 @@ def words(c: Column) -> Column:
     return F.filter(F.split(F.trim(c), r"[ \t\n\x0B\f\r]+"), lambda x: x != F.lit(""))
 
 
+LN_UNIT_SCALE = 1_000_000  # exact BIGINT 1e-6 units for once-rounded ln
+
+
+def lnu(x) -> Column:
+    """ln(x) rounded ONCE at 6 decimals, lifted to exact BIGINT 1e-6
+    units -- ln() is not correctly-rounded across libm/JVM, so every
+    log in a cross-engine-checked score is rounded exactly once and
+    all later combination is integer arithmetic (docs/ROUNDING.md
+    rule 2, the BM25 convention). Shared by the DSIR / PMI /
+    weighted-sampling family."""
+    return F.rint(F.round(F.log(x), 6) * LN_UNIT_SCALE).cast("long")
+
+
+def lnu_sql(x: str) -> str:
+    """The DuckDB twin of :func:`lnu` (identical rounding ladder)."""
+    return f"CAST(round(round(ln({x}), 6) * {LN_UNIT_SCALE}) AS BIGINT)"
+
+
 def let(expr: Column, body) -> Column:
     """Let-binding for column expressions: evaluate ``expr`` ONCE per
     row and bind it as a lambda variable inside ``body``.

@@ -1222,8 +1222,129 @@ def _nextevent_oracle_sql() -> str:
     """
 
 
+PMI_MIN_COUNT = 3  # bigram support floor (noise gate, standard practice)
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLOCATION MINING: pointwise mutual information of every
+    adjacent word bigram with corpus support >= ``PMI_MIN_COUNT``
+    (Church & Hanks 1990) -- the signal tokenizer construction and
+    phrase-aware indexing read to decide which word pairs behave as
+    single units ("new york" scores high; "of the" scores ~0).
+    ``PMI(a,b) = ln(p(a,b) / (p(a) p(b)))`` with bigram probability
+    over the pair count and unigram probabilities over the token
+    count.
+
+    Exactness: every ln() is rounded once into BIGINT 1e-6 units
+    (``tq.lnu``); the PMI combination is then pure integer
+    addition/subtraction -- bit-identical across engines regardless
+    of join or summation order.
+
+    Scale shape: the bigram build is one let-bound array expression
+    per document (map-only, no self-join); bigram and unigram counts
+    partially aggregate map-side; the support floor is applied BEFORE
+    the two unigram joins, so only surviving collocations shuffle;
+    corpus totals ride along as one broadcast scalar row."""
+    docs = rebalance(table(spark, sf_dir, "documents"))
+    pairs = tq.let(
+        tq.words(F.coalesce(F.col("text"), F.lit(""))),
+        lambda wv: F.when(
+            F.size(wv) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(wv) - 1),
+                lambda i: F.struct(
+                    F.element_at(wv, i).alias("w1"),
+                    F.element_at(wv, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>")),
+    )
+    ex = docs.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    uni = (
+        docs.select(
+            F.explode(tq.words(F.coalesce(F.col("text"), F.lit(""))))
+            .alias("w")
+        )
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = (
+        ex.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= PMI_MIN_COUNT)
+    )
+    totals = ex.agg(F.count(F.lit(1)).alias("np")).crossJoin(
+        uni.agg(F.sum("c").alias("nt"))
+    )
+    return (
+        big.join(uni.select(F.col("w").alias("w1"),
+                            F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"),
+                         F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.col("c1").cast("long").alias("c1"),
+            F.col("c2").cast("long").alias("c2"),
+            (tq.lnu(F.col("c12")) - tq.lnu(F.col("np"))
+             - tq.lnu(F.col("c1")) - tq.lnu(F.col("c2"))
+             + tq.lnu(F.col("nt")) + tq.lnu(F.col("nt")))
+            .alias("pmi_u"),
+        )
+        .withColumn(
+            "pmi", F.col("pmi_u").cast("double") / tq.LN_UNIT_SCALE
+        )
+    )
+
+
+def _pmi_oracle_sql() -> str:
+    ws = "[ \\t\\n\\x0B\\f\\r]"
+    return f"""
+        WITH w AS (
+            SELECT list_filter(string_split_regex(
+                trim(coalesce(text, '')), '{ws}+'), x -> x <> '') AS w
+            FROM documents
+        ),
+        pairs AS (
+            SELECT u.p.a AS w1, u.p.b AS w2
+            FROM (
+                SELECT list_transform(range(1, len(w)),
+                    i -> struct_pack(a := w[i], b := w[i + 1])) AS ps
+                FROM w WHERE len(w) >= 2
+            ), unnest(ps) AS u(p)
+        ),
+        uni AS (
+            SELECT u.w AS w, count(*) AS c
+            FROM w, unnest(w.w) AS u(w) GROUP BY u.w
+        ),
+        big AS (
+            SELECT w1, w2, count(*) AS c12 FROM pairs
+            GROUP BY w1, w2 HAVING count(*) >= {PMI_MIN_COUNT}
+        ),
+        totals AS (
+            SELECT (SELECT count(*) FROM pairs) AS np,
+                   (SELECT sum(c) FROM uni) AS nt
+        )
+        SELECT b.w1, b.w2,
+               CAST(b.c12 AS BIGINT) AS c12,
+               CAST(u1.c AS BIGINT) AS c1,
+               CAST(u2.c AS BIGINT) AS c2,
+               {tq.lnu_sql("b.c12")} - {tq.lnu_sql("t.np")}
+                   - {tq.lnu_sql("u1.c")} - {tq.lnu_sql("u2.c")}
+                   + {tq.lnu_sql("t.nt")} + {tq.lnu_sql("t.nt")} AS pmi_u,
+               CAST({tq.lnu_sql("b.c12")} - {tq.lnu_sql("t.np")}
+                   - {tq.lnu_sql("u1.c")} - {tq.lnu_sql("u2.c")}
+                   + {tq.lnu_sql("t.nt")} + {tq.lnu_sql("t.nt")} AS DOUBLE)
+                   / {tq.LN_UNIT_SCALE} AS pmi
+        FROM big b
+        JOIN uni u1 ON u1.w = b.w1
+        JOIN uni u2 ON u2.w = b.w2
+        CROSS JOIN totals t
+    """
+
+
 QUERIES = {
     "nextevent_training_pairs": nextevent_training_pairs,
+    "pmi_collocations": pmi_collocations,
     "span_corruption_pairs": span_corruption_pairs,
     "seq_len_histogram": seq_len_histogram,
     "intradoc_line_dedup": intradoc_line_dedup,
@@ -1309,6 +1430,7 @@ from .textstats import _hex_threshold as _lm_hex_threshold  # noqa: E402
 _LM_THR = "'%s'" % _lm_hex_threshold(LM_SAMPLE_FRACTION)
 
 ORACLE = {
+    "pmi_collocations": _pmi_oracle_sql(),
     "nextevent_training_pairs": _nextevent_oracle_sql(),
     "span_corruption_pairs": _span_corruption_oracle_sql(),
     "epoch_shuffle_shards": f"""

@@ -228,22 +228,10 @@ def _budget_oracle_sql() -> str:
 
 DSIR_B = 1024              # hashed unigram buckets for the bag models
 DSIR_TARGET_LANG = "en"    # the "target domain" slice of the corpus
-DSIR_LN_SCALE = 1_000_000  # log-weights carried in exact 1e-6 units
+DSIR_LN_SCALE = tq.LN_UNIT_SCALE  # log-weights in exact 1e-6 units
 
-
-def _lnu(x):
-    """ln(x) rounded ONCE at 6 decimals, then lifted to exact BIGINT
-    1e-6 units -- ln() is not correctly-rounded across libm/JVM, so
-    each log is rounded exactly once and every later combination is
-    integer arithmetic (docs/ROUNDING.md rule 2, the BM25
-    convention)."""
-    return F.rint(F.round(F.log(x), 6) * DSIR_LN_SCALE).cast("long")
-
-
-def _lnu_sql(x: str) -> str:
-    return (
-        f"CAST(round(round(ln({x}), 6) * {DSIR_LN_SCALE}) AS BIGINT)"
-    )
+_lnu = tq.lnu          # once-rounded ln in BIGINT 1e-6 units
+_lnu_sql = tq.lnu_sql  # (shared contract helper, functions/text_quality)
 
 
 def dsir_weights(docs: DataFrame, target_lang: str = DSIR_TARGET_LANG,
@@ -386,14 +374,193 @@ def _dsir_oracle_sql() -> str:
     """
 
 
+STRAT_NUM, STRAT_DEN = 1, 10   # exact 10% holdout, allocated exactly
+
+
+def stratified_split(docs: DataFrame, num: int = STRAT_NUM,
+                     den: int = STRAT_DEN) -> DataFrame:
+    """STRATIFIED holdout split with EXACT largest-remainder
+    allocation: the global holdout is exactly ``floor(N * num/den)``
+    documents, apportioned across sources by the Hamilton method
+    (each source gets ``floor(n_s * num/den)``, the leftover seats go
+    to the largest remainders, ties to the lexicographically smaller
+    source) -- the contract hash-threshold splitting cannot give
+    (per-source counts there are only correct in expectation, and a
+    small stratum can lose its entire holdout by chance). Which
+    documents fill a source's quota is the engine-stable md5 draw, so
+    the split is deterministic and content-independent.
+
+    All quota arithmetic is integer; nothing is float anywhere.
+
+    Scale shape: per-source counts are a tiny aggregate; the seat
+    assignment is one window over SOURCE-cardinality rows (thousands
+    at most -- bounded, documented); the only corpus-scale work is
+    the per-source rank window, partitioned on source exactly like
+    :func:`budget_sample` (same skew note applies)."""
+    sizes = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = sizes.agg(
+        F.expr(f"sum(n) * {num} div {den}").alias("total_seats"),
+        F.sum(F.expr(f"n * {num} div {den}")).alias("base_seats"),
+    )
+    wrem = Window.orderBy(
+        F.desc(F.expr(f"(n * {num}) % {den}")), F.asc("source")
+    )
+    quotas = (
+        sizes.crossJoin(F.broadcast(tot))
+        .withColumn("rr", F.row_number().over(wrem))
+        .select(
+            "source",
+            (F.expr(f"n * {num} div {den}")
+             + (F.col("rr") <= F.col("total_seats") - F.col("base_seats"))
+             .cast("long")).alias("quota"),
+        )
+    )
+    wpick = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("pick", F.row_number().over(wpick))
+        .join(F.broadcast(quotas), "source")
+        .select(
+            "doc_id", "source",
+            F.when(F.col("pick") <= F.col("quota"), F.lit("val"))
+            .otherwise(F.lit("train")).alias("split"),
+        )
+    )
+
+
+def stratified_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_split(rebalance(table(spark, sf_dir, "documents")))
+
+
+def _strat_oracle_sql() -> str:
+    n, d = STRAT_NUM, STRAT_DEN
+    return f"""
+        WITH sizes AS (
+            SELECT source, count(*) AS n FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(sum(n) * {n} // {d} AS BIGINT) AS total_seats,
+                   CAST(sum(n * {n} // {d}) AS BIGINT) AS base_seats
+            FROM sizes
+        ),
+        quotas AS (
+            SELECT source,
+                   n * {n} // {d}
+                   + CASE WHEN row_number() OVER (
+                         ORDER BY (n * {n}) % {d} DESC, source ASC)
+                       <= t.total_seats - t.base_seats
+                     THEN 1 ELSE 0 END AS quota
+            FROM sizes CROSS JOIN tot t
+        ),
+        picked AS (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS pick
+            FROM documents
+        )
+        SELECT p.doc_id, p.source,
+               CASE WHEN p.pick <= q.quota THEN 'val' ELSE 'train' END
+                   AS split
+        FROM picked p JOIN quotas q USING (source)
+    """
+
+
+ES_K = 64                  # weighted sample size
+_ES_U_DEN = 4_294_967_296  # 2^32: the md5-derived uniform's denominator
+ES_KEY_SCALE = 1_000_000   # key precision under the integer division
+
+
+def weighted_sample(docs: DataFrame, k: int = ES_K) -> DataFrame:
+    """WEIGHTED sampling without replacement (Efraimidis & Spirakis
+    2006): each document draws a deterministic uniform u from the
+    engine-stable md5 hash and competes with key ``ln(u) / w`` (the
+    log form of u^(1/w)); the global top-``k`` keys ARE a weighted
+    sample without replacement -- how a curation stack takes "2k docs
+    biased toward length/quality" in ONE distributed pass with no
+    sequential reservoir. Weight here is the document's character
+    count (floored at 1), the same proxy the budget sampler uses.
+
+    Exactness: ln(u) is carried in once-rounded BIGINT 1e-6 units
+    (``tq.lnu``) and the division by the weight is BIGINT truncating
+    division -- the whole key is integer, so the top-k frontier is
+    bit-identical across engines (docs/ROUNDING.md rule 1).
+
+    Scale shape: key computation is map-only; the global top-k is a
+    sort-LIMIT (Spark's distributed TakeOrderedAndProject -- per-
+    partition heaps, never a single-partition global window); the
+    rank label is a window over the k surviving rows only."""
+    keyed = docs.select(
+        "doc_id", "source",
+        F.greatest(F.col("n_chars").cast("long"), F.lit(1)).alias("w"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("es:"), F.col("doc_id").cast("string"))),
+                1, 8),
+            16, 10,
+        ).cast("long").alias("h"),
+    ).select(
+        "doc_id", "source", "w",
+        F.expr(
+            f"(({tq_lnu_expr('h + 1')} - {tq_lnu_expr(str(_ES_U_DEN))})"
+            f" * {ES_KEY_SCALE}) div w"
+        ).alias("key_u"),
+    )
+    top = keyed.orderBy(F.desc("key_u"), F.asc("doc_id")).limit(k)
+    wr = Window.orderBy(F.desc("key_u"), F.asc("doc_id"))
+    return top.withColumn(
+        "rank", F.row_number().over(wr).cast("int")
+    )
+
+
+def tq_lnu_expr(x: str) -> str:
+    """SQL-expression face of ``tq.lnu`` for use inside ``F.expr``
+    (identical rounding ladder: round(ln, 6) then exact 1e-6 lift)."""
+    return f"CAST(rint(round(ln({x}), 6) * {tq.LN_UNIT_SCALE}) AS BIGINT)"
+
+
+def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_sample(rebalance(table(spark, sf_dir, "documents")))
+
+
+def _es_oracle_sql() -> str:
+    key = (
+        f"(({tq.lnu_sql('h + 1')} - {tq.lnu_sql(str(_ES_U_DEN))})"
+        f" * {ES_KEY_SCALE}) // w"
+    )
+    return f"""
+        WITH keyed AS (
+            SELECT doc_id, source,
+                   greatest(CAST(n_chars AS BIGINT), 1) AS w,
+                   CAST(CAST('0x' || substr(md5('es:' ||
+                       CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       AS BIGINT) AS h
+            FROM documents
+        )
+        SELECT doc_id, source, w, CAST({key} AS BIGINT) AS key_u,
+               CAST(row_number() OVER (
+                   ORDER BY {key} DESC, doc_id ASC) AS INTEGER) AS rank
+        FROM keyed
+        QUALIFY rank <= {ES_K}
+    """
+
+
 QUERIES = {
     "quality_classifier_hashed": quality_classifier_hashed,
     "token_budget_sample": token_budget_sample,
     "dsir_importance_weights": dsir_importance_weights,
+    "stratified_holdout_split": stratified_holdout_split,
+    "weighted_sample_es": weighted_sample_es,
 }
 
 ORACLE = {
     "quality_classifier_hashed": _qc_oracle_sql(),
     "token_budget_sample": _budget_oracle_sql(),
     "dsir_importance_weights": _dsir_oracle_sql(),
+    "stratified_holdout_split": _strat_oracle_sql(),
+    "weighted_sample_es": _es_oracle_sql(),
 }

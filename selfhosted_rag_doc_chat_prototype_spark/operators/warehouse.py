@@ -513,11 +513,91 @@ def _profile_oracle_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+COMPACT_TARGET_BYTES = 8_192  # per-file payload target (tiny at test
+# scale so the plan is non-trivial; production passes 128 MiB)
+COMPACT_ROW_OVERHEAD = 16     # per-row fixed-column footprint estimate
+
+
+def compaction_plan(spark: SparkSession, sf_dir: str,
+                    target: int = COMPACT_TARGET_BYTES) -> DataFrame:
+    """SMALL-FILES compaction planner: for every partition key
+    (source) of the documents table, estimate the payload bytes and
+    emit how many output files a compaction pass should write and the
+    rows-per-file budget -- the planning step behind every
+    ``repartitionByRange(...).sortWithinPartitions(...)`` rewrite. At
+    100 TB the small-files problem IS the warehouse problem: a
+    partition fragmented into thousands of KB-files destroys scan
+    throughput (per-file open cost, no row-group parallelism), and a
+    partition forced into one huge file destroys write parallelism --
+    the planner's ``n_files`` is exactly the ``repartition`` argument
+    that fixes both.
+
+    All sizing is integer ceiling division; the only float is each
+    partition's share of total bytes (ONE correctly-rounded division
+    of two exact integers).
+
+    Scale shape: one partially-aggregated groupBy over a
+    column-pruned scan (octet_length of the payload column -- the
+    text itself never shuffles); totals ride along broadcast; output
+    is partition-key cardinality rows."""
+    docs = table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(F.octet_length(F.coalesce(F.col("text"), F.lit(""))))
+         + F.count(F.lit(1)) * COMPACT_ROW_OVERHEAD).alias("est_bytes"),
+    )
+    tot = per.agg(F.sum("est_bytes").alias("tot_bytes"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("est_bytes").cast("long").alias("est_bytes"),
+            F.expr(f"(est_bytes + {target} - 1) div {target}")
+            .cast("int").alias("n_files"),
+            F.expr(
+                f"(n_rows + ((est_bytes + {target} - 1) div {target}) - 1)"
+                f" div ((est_bytes + {target} - 1) div {target})"
+            ).cast("long").alias("rows_per_file"),
+            (F.col("est_bytes") * 2 < F.lit(target)).cast("int")
+            .alias("merge_candidate"),
+            (F.col("est_bytes").cast("double")
+             / F.col("tot_bytes").cast("double")).alias("bytes_share"),
+        )
+    )
+
+
+def _compaction_oracle_sql() -> str:
+    t = COMPACT_TARGET_BYTES
+    files = f"(est_bytes + {t} - 1) // {t}"
+    return f"""
+        WITH per AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(strlen(coalesce(text, '')))
+                        + count(*) * {COMPACT_ROW_OVERHEAD} AS BIGINT)
+                       AS est_bytes
+            FROM documents GROUP BY source
+        ),
+        tot AS (SELECT sum(est_bytes) AS tot_bytes FROM per)
+        SELECT source, n_rows, est_bytes,
+               CAST({files} AS INTEGER) AS n_files,
+               CAST((n_rows + {files} - 1) // ({files}) AS BIGINT)
+                   AS rows_per_file,
+               CASE WHEN est_bytes * 2 < {t} THEN 1 ELSE 0 END
+                   AS merge_candidate,
+               CAST(est_bytes AS DOUBLE) / CAST(t.tot_bytes AS DOUBLE)
+                   AS bytes_share
+        FROM per CROSS JOIN tot t
+    """
+
+
 QUERIES = {
     "table_profile_documents": table_profile_documents,
     "zorder_layout": zorder_layout,
     "scd2_user_segments": scd2_user_segments,
     "scd2_point_in_time_join": scd2_point_in_time_join,
+    "compaction_plan": compaction_plan,
 }
 
 ORACLE = {
@@ -525,4 +605,5 @@ ORACLE = {
     "zorder_layout": _zorder_oracle_sql(),
     "scd2_user_segments": _scd2_oracle_sql(),
     "scd2_point_in_time_join": _pit_oracle_sql(),
+    "compaction_plan": _compaction_oracle_sql(),
 }

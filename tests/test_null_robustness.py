@@ -67,6 +67,10 @@ NULL_SWEEP = [
     "span_corruption_pairs",
     "text_readability",
     "dsir_importance_weights",
+    "pmi_collocations",
+    "stratified_holdout_split",
+    "weighted_sample_es",
+    "compaction_plan",
 ]
 
 

@@ -273,3 +273,39 @@ def test_span_corruption_reconstructs_and_masks_rate(spark, sf_dir):
     if n_words_total:
         rate = n_masked_total / n_words_total
         assert 0.5 / SPAN_MOD < rate < 2.0 / SPAN_MOD, rate
+
+
+def test_pmi_separates_collocations_from_chance_pairs(spark):
+    """PMI's defining property on a constructed corpus: a bigram that
+    ALWAYS co-occurs ("new york") scores far above a pair of
+    independently frequent words, and every reported pair meets the
+    support floor."""
+    from pyspark.sql import Row
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.pretrain import (
+        PMI_MIN_COUNT,
+        pmi_collocations,
+    )
+
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        texts = (["new york " * 1] * 8          # always adjacent
+                 + ["the cat", "dog the", "the bird", "fish the"] * 3)
+        pq.write_table(pa.table({
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }), f"{d}/documents.parquet")
+        rows = {(r.w1, r.w2): r for r in pmi_collocations(spark, d).collect()}
+    assert all(r.c12 >= PMI_MIN_COUNT for r in rows.values())
+    ny = rows[("new", "york")]
+    assert ny.c12 == 8
+    chance = [r for (a, b), r in rows.items() if "the" in (a, b)]
+    assert chance
+    assert all(ny.pmi_u > r.pmi_u for r in chance)

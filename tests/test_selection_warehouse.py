@@ -332,3 +332,76 @@ def test_dsir_tilts_toward_target_language(spark):
     for r in rows:
         if r.n_terms == 0:
             assert r.weight_u == 0 and r.log_weight == 0.0
+
+
+def test_stratified_split_exact_allocation(spark):
+    """Hamilton allocation: the holdout is EXACTLY floor(N/10) docs
+    globally, every source's quota differs from n_s/10 by < 1 seat,
+    and the assignment is deterministic."""
+    from collections import Counter
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.selection import (
+        STRAT_DEN,
+        STRAT_NUM,
+        stratified_holdout_split,
+    )
+
+    rows = stratified_holdout_split(spark, SF).collect()
+    n = len(rows)
+    val = [r for r in rows if r.split == "val"]
+    assert len(val) == n * STRAT_NUM // STRAT_DEN
+    per_n = Counter(r.source for r in rows)
+    per_v = Counter(r.source for r in val)
+    for s, ns in per_n.items():
+        exact = ns * STRAT_NUM / STRAT_DEN
+        assert abs(per_v.get(s, 0) - exact) < 1.0, s
+    again = {
+        r.doc_id: r.split
+        for r in stratified_holdout_split(spark, SF).collect()
+    }
+    assert all(again[r.doc_id] == r.split for r in rows)
+
+
+def test_weighted_sample_tilts_toward_heavy_docs(spark):
+    """ES sampling: exactly K rows, ranks are 1..K in key order, and
+    the sampled docs' mean weight exceeds the corpus mean (the
+    defining bias of weighted sampling)."""
+    from pyspark.sql import functions as F
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.selection import (
+        ES_K,
+        weighted_sample_es,
+    )
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    rows = sorted(weighted_sample_es(spark, SF).collect(),
+                  key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, ES_K + 1))
+    keys = [r.key_u for r in rows]
+    assert keys == sorted(keys, reverse=True)
+    corpus_mean = (
+        table(spark, SF, "documents")
+        .agg(F.avg(F.greatest(F.col("n_chars"), F.lit(1))))
+        .collect()[0][0]
+    )
+    sample_mean = sum(r.w for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+
+
+def test_compaction_plan_sizing_identities(spark):
+    """Ceiling-division identities: files cover the bytes, rows-per-
+    file covers the rows, shares sum to 1."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.warehouse import (
+        COMPACT_TARGET_BYTES,
+        compaction_plan,
+    )
+
+    rows = compaction_plan(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_files >= 1
+        assert r.n_files * COMPACT_TARGET_BYTES >= r.est_bytes
+        assert (r.n_files - 1) * COMPACT_TARGET_BYTES < r.est_bytes
+        assert r.rows_per_file * r.n_files >= r.n_rows
+        assert r.merge_candidate == (1 if r.est_bytes * 2 < COMPACT_TARGET_BYTES else 0)
+    assert abs(sum(r.bytes_share for r in rows) - 1.0) < 1e-9

@@ -570,6 +570,34 @@ AUDIT = [
         "<= K_GRAPH rows; per-round checkpoint truncates lineage.",
     ),
     (
+        "pmi_collocations",
+        "Bigram build is one let-bound array expression per doc "
+        "(map-only); bigram/unigram counts partially aggregate "
+        "map-side; the support floor prunes before the two unigram "
+        "joins; totals ride broadcast; PMI in BIGINT 1e-6 units.",
+    ),
+    (
+        "stratified_holdout_split",
+        "Per-source counts are tiny; the Hamilton seat window runs "
+        "over source-cardinality rows (bounded, documented); the "
+        "corpus-scale pass is one per-source rank window over a "
+        "pruned (doc_id, source) projection.",
+    ),
+    (
+        "weighted_sample_es",
+        "Map-only integer key, then a sort-LIMIT global top-k "
+        "(distributed TakeOrderedAndProject, per-partition heaps -- "
+        "never a single-partition full window); the rank label is a "
+        "window over the k surviving rows only.",
+    ),
+    (
+        "compaction_plan",
+        "One partially-aggregated groupBy over a column-pruned scan "
+        "(strlen of the payload only -- text never shuffles); totals "
+        "broadcast; output is partition-key cardinality rows; all "
+        "sizing is integer ceiling division.",
+    ),
+    (
         "table_profile_documents",
         "ONE scan + one 1-row aggregation computes every per-column "
         "metric (count-distincts ride the expand), then a stack "
