@@ -143,6 +143,9 @@ HEADLINE = [
     "stratified_holdout_split",
     "weighted_sample_es",
     "compaction_plan",
+    "zipf_fit_report",
+    "k_anonymity_report",
+    "markov_transition_stationary",
 ]
 
 

@@ -1106,10 +1106,187 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_ANON = 5  # minimum distinct users a published cell may rest on
+
+
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY publication gate over the (event_type, day)
+    aggregation: any cell supported by fewer than ``K_ANON`` distinct
+    users is SUPPRESSED -- the row is published with NULLed measures
+    and a flag, never with the small count that would re-identify its
+    users (Sweeney 2002; the governance twin of the PII redaction
+    family: PII scrubs values, k-anonymity gates aggregates). Rows
+    lacking a user or timestamp can't support any cell and are
+    excluded by contract.
+
+    Scale shape: one partially-aggregated groupBy (count + distinct
+    user count on the same key); the suppression predicate is a
+    map-side projection over cell-cardinality rows."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    cells = ev.groupBy(
+        "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+        .alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    ok = F.col("n_users") >= K_ANON
+    return cells.select(
+        "event_type", "day",
+        F.when(ok, F.col("n_events")).cast("long").alias("n_events"),
+        F.when(ok, F.col("n_users")).cast("long").alias("n_users"),
+        (~ok).cast("int").alias("suppressed"),
+    )
+
+
+MKV_ITERS = 3                  # unrolled power iterations
+MKV_PI_SCALE = 1_000_000       # stationary mass carried in 1e-6 units
+MKV_Q_SCALE = 1_000_000_000    # transition probs in 1e-9 units
+
+
+def markov_transition_stationary(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """MARKOV CHAIN of the event stream: per-user consecutive
+    (src -> dst) event-type transitions, Laplace-smoothed transition
+    probabilities, and the chain's stationary distribution by
+    ``MKV_ITERS`` unrolled power iterations from uniform -- the
+    behavioral fingerprint (where does a user's session gravitate?)
+    that complements the literal next-event training pairs. Emits one
+    row per (src, dst) cell carrying the transition count, the
+    smoothed probability, and the src state's stationary mass.
+
+    Exactness: probabilities are integer 1e-9 units via ONE
+    truncating division; each power-iteration term is
+    ``(pi_src * q) div Q_SCALE`` -- all BIGINT (pi <= 1e6, q <= 1e9:
+    products <= 1e15, far under 2^63), so the fixed-iteration result
+    is bit-identical to the unrolled-CTE oracle with no float
+    anywhere (docs/ROUNDING.md rule 1).
+
+    Scale shape: the transition build is one per-user lag window over
+    a pruned (user, ts, type) projection -- the sessionization
+    shuffle shape; everything after collapses to the |states|^2 cell
+    table (event-type cardinality is small by nature), broadcast
+    through the iterations; the corpus is never rescanned."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    states = (
+        trans.select(F.col("src").alias("s"))
+        .unionByName(trans.select(F.col("dst").alias("s")))
+        .distinct()
+    )
+    n_states = states.count()  # event-type cardinality: tiny, bounded
+    grid = (
+        states.select(F.col("s").alias("src"))
+        .crossJoin(F.broadcast(states.select(F.col("s").alias("dst"))))
+    )
+    row_tot = trans.groupBy("src").agg(F.sum("c").alias("rt"))
+    q = (
+        grid.join(trans, ["src", "dst"], "left")
+        .join(row_tot, "src", "left")
+        .select(
+            "src", "dst",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+            F.expr(
+                f"(coalesce(c, 0) + 1) * cast({MKV_Q_SCALE} as bigint)"
+                f" div (coalesce(rt, 0) + {n_states})"
+            ).alias("q_u"),
+        )
+    )
+    pi = states.select(
+        F.col("s").alias("src"),
+        F.lit(MKV_PI_SCALE // n_states).cast("long").alias("pi"),
+    )
+    for _ in range(MKV_ITERS):
+        pi = (
+            q.join(pi, "src")
+            .select(
+                F.col("dst").alias("s"),
+                F.expr(f"(pi * q_u) div {MKV_Q_SCALE}").alias("t"),
+            )
+            .groupBy(F.col("s").alias("src"))
+            .agg(F.sum("t").alias("pi"))
+        )
+    return (
+        q.join(pi.withColumnRenamed("pi", "stationary_u"), "src")
+        .select("src", "dst", "c", "q_u", "stationary_u")
+    )
+
+
+def _markov_oracle_sql(iters: int = MKV_ITERS) -> str:
+    parts = [f"""
+        ev AS (
+            SELECT user_id, ts, event_id, event_type FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND event_type IS NOT NULL
+        ),
+        trans AS (
+            SELECT src, dst, count(*) AS c FROM (
+                SELECT lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS src,
+                       event_type AS dst
+                FROM ev
+            ) WHERE src IS NOT NULL GROUP BY src, dst
+        ),
+        states AS (
+            SELECT src AS s FROM trans
+            UNION SELECT dst FROM trans
+        ),
+        ns AS (SELECT count(*) AS n FROM states),
+        row_tot AS (SELECT src, sum(c) AS rt FROM trans GROUP BY src),
+        q AS (
+            SELECT g.src, g.dst,
+                   CAST(coalesce(t.c, 0) AS BIGINT) AS c,
+                   CAST((coalesce(t.c, 0) + 1) * {MKV_Q_SCALE}
+                        // (coalesce(r.rt, 0) + (SELECT n FROM ns))
+                        AS BIGINT) AS q_u
+            FROM (SELECT a.s AS src, b.s AS dst
+                  FROM states a CROSS JOIN states b) g
+            LEFT JOIN trans t ON t.src = g.src AND t.dst = g.dst
+            LEFT JOIN row_tot r ON r.src = g.src
+        ),
+        pi0 AS (
+            SELECT s AS src,
+                   CAST({MKV_PI_SCALE} // (SELECT n FROM ns) AS BIGINT)
+                       AS pi
+            FROM states
+        )"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+        pi{t} AS (
+            SELECT q.dst AS src,
+                   CAST(sum((p.pi * q.q_u) // {MKV_Q_SCALE}) AS BIGINT)
+                       AS pi
+            FROM q JOIN pi{t - 1} p ON p.src = q.src
+            GROUP BY q.dst
+        )""")
+    return f"""
+        WITH {",".join(parts)}
+        SELECT q.src, q.dst, q.c, q.q_u, p.pi AS stationary_u
+        FROM q JOIN pi{iters} p ON p.src = q.src
+    """
+
+
 QUERIES = {
     "a1_events_per_day": a1_events_per_day,
     "a1_events_per_hour": a1_events_per_hour,
     "retention_cohorts": retention_cohorts,
+    "k_anonymity_report": k_anonymity_report,
+    "markov_transition_stationary": markov_transition_stationary,
     "gatekeeper_failure_history": gatekeeper_failure_history,
     "sketch_cardinality_quantiles": sketch_cardinality_quantiles,
     "sketch_hll_distinct_users": sketch_hll_distinct_users,
@@ -1152,6 +1329,26 @@ QUERIES = {
 }
 
 ORACLE = {
+    "k_anonymity_report": f"""
+        WITH cells AS (
+            SELECT event_type,
+                   strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT event_type, day,
+               CAST(CASE WHEN n_users >= {K_ANON} THEN n_events END
+                    AS BIGINT) AS n_events,
+               CAST(CASE WHEN n_users >= {K_ANON} THEN n_users END
+                    AS BIGINT) AS n_users,
+               CASE WHEN n_users >= {K_ANON} THEN 0 ELSE 1 END
+                   AS suppressed
+        FROM cells
+    """,
+    "markov_transition_stationary": _markov_oracle_sql(),
     "retention_cohorts": """
         WITH weeks AS (
             SELECT DISTINCT user_id, date_trunc('week', ts) AS w

@@ -809,9 +809,116 @@ def _readability_oracle_sql() -> str:
     """
 
 
+ZIPF_V = 500  # top ranks fitted (the Zipf regime; tail is Mandelbrot)
+
+
+def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF-LAW FIT of the corpus unigram distribution: closed-form
+    least squares of ln(frequency) on ln(rank) over the top
+    ``ZIPF_V`` terms, reported as one (slope, intercept, r2) row. A
+    healthy natural-language corpus fits slope ~ -1 with high r2;
+    machine-generated or template-heavy corpora bend the curve -- the
+    single-number corpus-health probe next to the token statistics
+    family.
+
+    Exactness: each ln is once-rounded into BIGINT 1e-6 units
+    (``tq.lnu``); all five regression sums (Sx, Sy, Sxx, Sxy, Syy)
+    are EXACT integer aggregates (bounded: |x|,|y| <= ~3e7 even at
+    1e12-count corpora, so V * x*y <= ~5e17 < 2^63); only the final
+    slope/intercept/r2 combine the exact sums in double -- identical
+    operand order on both engines, so the doubles are bit-identical
+    (docs/ROUNDING.md rules 1-3).
+
+    Scale shape: term counts partially aggregate map-side; the
+    top-V cut is a distributed sort-LIMIT (never a global window);
+    the regression is one aggregate over V rows."""
+    docs = rebalance(table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(
+            F.explode(tq.words(F.coalesce(F.col("text"), F.lit(""))))
+            .alias("term")
+        )
+        .groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    top = counts.orderBy(F.desc("c"), F.asc("term")).limit(ZIPF_V)
+    wr = Window.orderBy(F.desc("c"), F.asc("term"))
+    xy = top.withColumn("rank", F.row_number().over(wr)).select(
+        tq.lnu(F.col("rank")).alias("x"),
+        tq.lnu(F.col("c")).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n").cast("double") * F.col("sxy").cast("double")
+           - F.col("sx").cast("double") * F.col("sy").cast("double"))
+    den = (F.col("n").cast("double") * F.col("sxx").cast("double")
+           - F.col("sx").cast("double") * F.col("sx").cast("double"))
+    deny = (F.col("n").cast("double") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double"))
+    return s.select(
+        F.col("n").cast("int").alias("n_terms"),
+        (num / den).alias("slope"),
+        ((F.col("sy").cast("double") - (num / den) * F.col("sx")
+          .cast("double"))
+         / F.col("n").cast("double") / tq.LN_UNIT_SCALE).alias("intercept"),
+        (num * num / (den * deny)).alias("r2"),
+    )
+
+
+def _zipf_oracle_sql() -> str:
+    ws = "[ \\t\\n\\x0B\\f\\r]"
+    num = ("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))")
+    den = ("(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))")
+    deny = ("(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))")
+    return f"""
+        WITH counts AS (
+            SELECT u.term, count(*) AS c
+            FROM (
+                SELECT list_filter(string_split_regex(
+                    trim(coalesce(text, '')), '{ws}+'), x -> x <> '') AS ws
+                FROM documents
+            ), unnest(ws) AS u(term)
+            GROUP BY u.term
+        ),
+        top AS (
+            SELECT c, row_number() OVER (ORDER BY c DESC, term ASC)
+                       AS rank
+            FROM counts
+            ORDER BY c DESC, term ASC LIMIT {ZIPF_V}
+        ),
+        xy AS (
+            SELECT {tq.lnu_sql("rank")} AS x, {tq.lnu_sql("c")} AS y
+            FROM top
+        ),
+        s AS (
+            SELECT count(*) AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(x * y) AS sxy,
+                   sum(y * y) AS syy
+            FROM xy
+        )
+        SELECT CAST(n AS INTEGER) AS n_terms,
+               {num} / {den} AS slope,
+               (CAST(sy AS DOUBLE) - ({num} / {den}) * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) / {tq.LN_UNIT_SCALE} AS intercept,
+               {num} * {num} / ({den} * {deny}) AS r2
+        FROM s
+    """
+
+
 QUERIES = {
     "text_sentence_split": text_sentence_split,
     "text_readability": text_readability,
+    "zipf_fit_report": zipf_fit_report,
     "vocab_top_coverage": vocab_top_coverage,
     "sketch_countmin_heavyhitters": sketch_countmin_heavyhitters,
     "bpe_pair_counts": bpe_pair_counts,
@@ -875,6 +982,7 @@ ORACLE = {
     """,
     "text_sentence_split": _sentence_oracle_sql(),
     "text_readability": _readability_oracle_sql(),
+    "zipf_fit_report": _zipf_oracle_sql(),
     "text_nfc_normalize": """
         SELECT doc_id,
                nfc_normalize(text) AS nfc_text,

@@ -111,3 +111,54 @@ def test_retention_cohort_identities(spark, sf_dir):
         .select("user_id").distinct().count()
     )
     assert sum(sizes.values()) == n_users
+
+
+def test_k_anonymity_never_publishes_small_cells(spark, sf_dir):
+    from selfhosted_rag_doc_chat_prototype_spark.operators.analytics import (
+        K_ANON,
+        k_anonymity_report,
+    )
+
+    rows = k_anonymity_report(spark, sf_dir).collect()
+    assert rows
+    saw_suppressed = False
+    for r in rows:
+        if r.suppressed:
+            saw_suppressed = True
+            assert r.n_events is None and r.n_users is None
+        else:
+            assert r.n_users >= K_ANON
+            assert r.n_events >= r.n_users
+    # the sf0.001 corpus is small enough that some cells must suppress
+    assert saw_suppressed or len(rows) > 100
+
+
+def test_markov_stationary_is_a_distribution_over_states(spark, sf_dir):
+    """Row-stochasticity (up to truncation) and mass conservation:
+    each src's smoothed probs sum to ~Q_SCALE, stationary mass stays
+    ~PI_SCALE, and every state appears as both src and dst."""
+    from collections import defaultdict
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.analytics import (
+        MKV_PI_SCALE,
+        MKV_Q_SCALE,
+        markov_transition_stationary,
+    )
+
+    rows = markov_transition_stationary(spark, sf_dir).collect()
+    assert rows
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.src].append(r)
+    states = {r.dst for r in rows}
+    assert set(by_src) == states
+    pi = {}
+    for src, cells in by_src.items():
+        q_sum = sum(c.q_u for c in cells)
+        # truncating division loses < 1 unit per cell
+        assert MKV_Q_SCALE - len(cells) <= q_sum <= MKV_Q_SCALE
+        pi[src] = cells[0].stationary_u
+        assert all(c.stationary_u == pi[src] for c in cells)
+    total = sum(pi.values())
+    n2 = len(rows)
+    assert MKV_PI_SCALE - 10 * n2 <= total <= MKV_PI_SCALE

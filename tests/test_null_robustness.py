@@ -71,6 +71,7 @@ NULL_SWEEP = [
     "stratified_holdout_split",
     "weighted_sample_es",
     "compaction_plan",
+    "zipf_fit_report",
 ]
 
 
@@ -194,7 +195,8 @@ EVENTS_NULL_SWEEP = [
     "sketch_cardinality_quantiles",
     "zorder_layout", "scd2_user_segments", "scd2_point_in_time_join",
     "sketch_hll_distinct_users", "nextevent_training_pairs",
-    "retention_cohorts",
+    "retention_cohorts", "k_anonymity_report",
+    "markov_transition_stationary",
 ]
 
 

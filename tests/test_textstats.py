@@ -102,3 +102,30 @@ def test_readability_syllable_truth_table(spark):
     assert r.fk_grade == 0.39 * wps + 11.8 * spw - 15.59
     assert out[2].n_words == 0 and out[2].flesch is None
     assert out[3].n_sents == 1 and out[3].fk_grade is None
+
+
+def test_zipf_fit_on_synthetic_power_law(spark):
+    """A corpus built to follow freq(rank) ~ rank^-1 exactly must fit
+    slope ~ -1 with r2 ~ 1."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.textstats import (
+        zipf_fit_report,
+    )
+
+    words = []
+    for rank in range(1, 101):
+        words += [f"w{rank:03d}"] * (1200 // rank)
+    text = " ".join(words)
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "doc_id": [1], "text": [text], "lang": ["en"],
+            "source": ["s"], "n_chars": [len(text)],
+        }), f"{d}/documents.parquet")
+        r = zipf_fit_report(spark, d).collect()[0]
+    assert r.n_terms == 100
+    assert -1.1 < r.slope < -0.9
+    assert r.r2 > 0.99

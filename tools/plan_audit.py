@@ -598,6 +598,26 @@ AUDIT = [
         "sizing is integer ceiling division.",
     ),
     (
+        "zipf_fit_report",
+        "Term counts partially aggregate map-side; the top-V cut is "
+        "a distributed sort-LIMIT; the regression is one aggregate "
+        "over V rows with exact BIGINT sums, doubles only in the "
+        "final three expressions.",
+    ),
+    (
+        "k_anonymity_report",
+        "One partially-aggregated groupBy (count + distinct-user "
+        "count on the same key); suppression is a map-side "
+        "projection over cell-cardinality rows.",
+    ),
+    (
+        "markov_transition_stationary",
+        "One per-user lag window over a pruned projection builds the "
+        "transitions; everything after collapses to the |states|^2 "
+        "cell table (event-type cardinality), broadcast through the "
+        "integer power iterations; the corpus is never rescanned.",
+    ),
+    (
         "table_profile_documents",
         "ONE scan + one 1-row aggregation computes every per-column "
         "metric (count-distincts ride the expand), then a stack "
