@@ -146,6 +146,9 @@ HEADLINE = [
     "zipf_fit_report",
     "k_anonymity_report",
     "markov_transition_stationary",
+    "dedup_edit_distance",
+    "ab_test_conversion",
+    "pca_top_component",
 ]
 
 

@@ -1141,6 +1141,73 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AB_Z_CRIT = 1.96      # two-sided 95% critical value
+AB_CONV_VALUE = 150.0  # conversion = a purchase at or above this value
+
+
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PROPORTION Z-TEST over an A/B assignment of the event
+    stream's users: variant = user_id parity (the registry's
+    deterministic stand-in for an assignment table -- production
+    passes a real one and the plan is identical), conversion = the
+    user produced at least one HIGH-VALUE purchase
+    (``value >= AB_CONV_VALUE``; bare any-purchase is degenerate on
+    this stream -- every user has one -- and a p=1 pool has zero
+    variance). A zero-variance or empty-arm corpus emits a NULL
+    z-score and ``significant = 0`` rather than a division crash.
+    Emits one row carrying both arms' exact counts, the conversion
+    rates, the pooled z-statistic, and the 95% verdict -- the
+    decision query every product experiment ends with.
+
+    Exactness: all counts are exact integers; rates and the
+    z-statistic are a fixed dag of correctly-rounded double ops
+    (divisions, one sqrt) over those integers, evaluated in identical
+    operand order on both engines -- bit-identical without any
+    rounding step (docs/ROUNDING.md rule 3, the
+    embedding_standardize precedent for sqrt).
+
+    Scale shape: one distinct aggregation per user (map-side
+    combined) then a two-row conditional aggregate; the z arithmetic
+    runs on a single row."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            ((F.col("event_type") == "purchase")
+             & (F.col("value") >= AB_CONV_VALUE)).cast("int")
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2 == 0).cast("int").alias("variant_a"),
+        "converted",
+    )
+    agg = users.agg(
+        F.sum("variant_a").cast("long").alias("n_a"),
+        F.sum(F.col("variant_a") * F.col("converted")).cast("long")
+        .alias("conv_a"),
+        F.sum(1 - F.col("variant_a")).cast("long").alias("n_b"),
+        F.sum((1 - F.col("variant_a")) * F.col("converted")).cast("long")
+        .alias("conv_b"),
+    )
+    # every divisor nullif-guarded: ANSI Spark throws on double/0
+    # while DuckDB yields NULL -- the explicit guard pins NULL on both
+    _pa = "cast(conv_a as double) / nullif(cast(n_a as double), 0.0)"
+    _pb = "cast(conv_b as double) / nullif(cast(n_b as double), 0.0)"
+    _pp = ("(cast(conv_a as double) + cast(conv_b as double))"
+           " / nullif(cast(n_a as double) + cast(n_b as double), 0.0)")
+    p_a, p_b = F.expr(_pa), F.expr(_pb)
+    z = F.expr(
+        f"(({_pa}) - ({_pb})) / nullif(sqrt(({_pp}) * (1.0 - ({_pp}))"
+        f" * (1.0 / nullif(cast(n_a as double), 0.0)"
+        f" + 1.0 / nullif(cast(n_b as double), 0.0))), 0.0)"
+    )
+    return agg.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        p_a.alias("rate_a"), p_b.alias("rate_b"),
+        z.alias("z_score"),
+        F.when(F.abs(z) > AB_Z_CRIT, 1).otherwise(0)
+        .cast("int").alias("significant"),
+    )
+
+
 MKV_ITERS = 3                  # unrolled power iterations
 MKV_PI_SCALE = 1_000_000       # stationary mass carried in 1e-6 units
 MKV_Q_SCALE = 1_000_000_000    # transition probs in 1e-9 units
@@ -1287,6 +1354,7 @@ QUERIES = {
     "retention_cohorts": retention_cohorts,
     "k_anonymity_report": k_anonymity_report,
     "markov_transition_stationary": markov_transition_stationary,
+    "ab_test_conversion": ab_test_conversion,
     "gatekeeper_failure_history": gatekeeper_failure_history,
     "sketch_cardinality_quantiles": sketch_cardinality_quantiles,
     "sketch_hll_distinct_users": sketch_hll_distinct_users,
@@ -1328,6 +1396,11 @@ QUERIES = {
     "props_key_histogram": props_key_histogram,
 }
 
+_AB_PA = "CAST(conv_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0)"
+_AB_PB = "CAST(conv_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0)"
+_AB_PP = ("(CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))"
+          " / nullif(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE), 0.0)")
+
 ORACLE = {
     "k_anonymity_report": f"""
         WITH cells AS (
@@ -1349,6 +1422,41 @@ ORACLE = {
         FROM cells
     """,
     "markov_transition_stationary": _markov_oracle_sql(),
+    "ab_test_conversion": f"""
+        WITH users AS (
+            SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END
+                       AS variant_a,
+                   max(CASE WHEN event_type = 'purchase'
+                            AND value >= {AB_CONV_VALUE}
+                            THEN 1 ELSE 0 END) AS converted
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY user_id
+        ),
+        agg AS (
+            SELECT CAST(sum(variant_a) AS BIGINT) AS n_a,
+                   CAST(sum(variant_a * converted) AS BIGINT) AS conv_a,
+                   CAST(sum(1 - variant_a) AS BIGINT) AS n_b,
+                   CAST(sum((1 - variant_a) * converted) AS BIGINT)
+                       AS conv_b
+            FROM users
+        ),
+        zc AS (
+            SELECT *,
+                   (({_AB_PA}) - ({_AB_PB}))
+                   / nullif(sqrt(({_AB_PP}) * (1.0 - ({_AB_PP}))
+                       * (1.0 / nullif(CAST(n_a AS DOUBLE), 0.0)
+                          + 1.0 / nullif(CAST(n_b AS DOUBLE), 0.0))),
+                       0.0) AS z
+            FROM agg
+        )
+        SELECT n_a, conv_a, n_b, conv_b,
+               {_AB_PA} AS rate_a,
+               {_AB_PB} AS rate_b,
+               z AS z_score,
+               CASE WHEN abs(z) > {AB_Z_CRIT} THEN 1 ELSE 0 END
+                   AS significant
+        FROM zc
+    """,
     "retention_cohorts": """
         WITH weeks AS (
             SELECT DISTINCT user_id, date_trunc('week', ts) AS w

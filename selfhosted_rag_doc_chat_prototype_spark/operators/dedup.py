@@ -416,6 +416,88 @@ def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ED_MAX_LEN = 400   # verify prefix length (Levenshtein is O(len^2))
+ED_PCT = 30        # dup when edits <= 30% of the longer prefix
+
+
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDIT-DISTANCE verification of the LSH candidates -- the
+    character-level verify leg next to n-gram Jaccard (Jaccard is
+    blind to within-shingle character noise; Levenshtein is exactly
+    that signal, the measure OCR-noise dedup needs). Distance runs on
+    a bounded ``ED_MAX_LEN``-char prefix (quadratic cost must be
+    capped; true near-dups diverge inside the prefix or are already
+    caught by the Jaccard leg) after folding non-ASCII characters to
+    '?': Spark's levenshtein counts CODEPOINTS while DuckDB's counts
+    BYTES, so the oracle contract pins the common ASCII projection --
+    a documented approximation that under-counts edits between
+    distinct non-ASCII characters.
+
+    The dup verdict is an exact integer comparison
+    (``100 * dist <= ED_PCT * longer_len``); the emitted similarity is
+    ONE correctly-rounded division of two exact integers.
+
+    Scale shape: candidates come from the banded minhash build (never
+    all-pairs); the distance is computed once per candidate pair on
+    prefix-truncated text (two equi-joins to fetch the prefixes);
+    everything is JVM codegen -- no Python in the loop."""
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = _candidate_pairs(corpus)
+    prefix = F.substring(
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), r"[^\x00-\x7F]", "?"
+        ),
+        1, ED_MAX_LEN,
+    )
+    t = corpus.select("doc_id", prefix.alias("t"))
+    j = (
+        pairs.join(t.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("t", "t_a"), "doc_a")
+        .join(t.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("t", "t_b"), "doc_b")
+    )
+    dist = F.levenshtein("t_a", "t_b")
+    longer = F.greatest(F.length("t_a"), F.length("t_b"), F.lit(1))
+    return j.select(
+        "doc_a", "doc_b",
+        dist.cast("int").alias("edit_dist"),
+        longer.cast("int").alias("longer_len"),
+        (F.lit(1.0) - dist.cast("double") / longer.cast("double"))
+        .alias("similarity"),
+        (dist * 100 <= longer * ED_PCT).cast("int").alias("is_dup"),
+    )
+
+
+ORACLE_EDIT_DISTANCE = f"""
+    {{bands}},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                    AND a.doc_id < b.doc_id
+    ),
+    pref AS (
+        SELECT doc_id,
+               substr(regexp_replace(coalesce(text, ''),
+                      '[^\\x00-\\x7F]', '?', 'g'), 1, {ED_MAX_LEN}) AS t
+        FROM corpus
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(pa.t, pb.t) AS INTEGER) AS edit_dist,
+           CAST(greatest(length(pa.t), length(pb.t), 1) AS INTEGER)
+               AS longer_len,
+           1.0 - CAST(levenshtein(pa.t, pb.t) AS DOUBLE)
+               / CAST(greatest(length(pa.t), length(pb.t), 1) AS DOUBLE)
+               AS similarity,
+           CASE WHEN levenshtein(pa.t, pb.t) * 100
+                     <= greatest(length(pa.t), length(pb.t), 1) * {ED_PCT}
+                THEN 1 ELSE 0 END AS is_dup
+    FROM cand c
+    JOIN pref pa ON pa.doc_id = c.doc_a
+    JOIN pref pb ON pb.doc_id = c.doc_b
+"""
+
+
 # ---- incremental dedup against a persisted signature index ----------------
 # At 100 TB the archive's minhash signatures are an INDEX you maintain,
 # not something you recompute per ingest batch: signature the new batch
@@ -1235,6 +1317,7 @@ QUERIES = {
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_jaccard_verify": dedup_jaccard_verify,
+    "dedup_edit_distance": dedup_edit_distance,
     "decontaminate_fuzzy_minhash": decontaminate_fuzzy_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1521,6 +1604,9 @@ def _pr_oracle_sql(iters: int = PR_ITERS) -> str:
 
 ORACLE["knn_pagerank"] = _pr_oracle_sql()
 ORACLE["knn_label_propagation"] = _lp_oracle_sql()
+ORACLE["dedup_edit_distance"] = ORACLE_EDIT_DISTANCE.format(
+    bands=_BANDS_SQL.rstrip().rstrip(",")
+)
 
 
 _BLOOM_POS = (

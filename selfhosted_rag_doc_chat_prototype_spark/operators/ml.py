@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import text_quality as tq
 from ..sources.tables import rebalance, table
 
 # k-means
@@ -481,14 +482,157 @@ def _standardize_oracle_sql() -> str:
     """
 
 
+PCA_DIM = 64            # embedding dimensionality (embeddings table)
+PCA_ITERS = 4           # fixed power iterations on the Gram sketch
+PCA_V_SCALE = 1_000_000  # iterate/emit the direction in 1e-6 units
+
+
+def pca_top_component(spark: SparkSession, sf_dir: str,
+                      iters: int = PCA_ITERS) -> DataFrame:
+    """TOP PRINCIPAL DIRECTION of the embedding corpus by power
+    iteration on the (uncentered) Gram matrix -- the dominant
+    direction whitening/ABTT-style embedding post-processing removes
+    first (Mu & Viswanath 2018: the common direction dominates cosine
+    geometry) and the one-vector summary a corpus drift monitor
+    tracks. Emits one row per dimension: the component in max-
+    normalized 1e-6 integer units, sign-fixed so the largest-|coord|
+    entry is positive.
+
+    Exactness: the Gram matrix is an EXACT integer aggregate of
+    quantized micro-unit products; normalization and every iteration
+    are BIGINT multiply / truncating-divide ladders (max-
+    renormalized each round, so products stay ~1e12 -- far under
+    2^63); the result is bit-identical to the unrolled-CTE oracle
+    with no float anywhere except the final cosmetic /1e6
+    (docs/ROUNDING.md rule 1).
+
+    Scale shape: the ONLY corpus-scale pass is the outer-product
+    explode (dim^2 per row) which partially aggregates map-side into
+    the fixed dim x dim cell table; the iterations then run on 4096
+    rows (tiny -- broadcast-joined against the 64-row vector) and the
+    corpus is never rescanned. The sketch-then-iterate shape is
+    exactly distributed PCA's (Spark MLlib computes the same Gram
+    first)."""
+    q = _quantized(spark, sf_dir)
+    outer = tq.let(
+        F.col("q"),
+        lambda qv: F.flatten(F.transform(
+            F.sequence(F.lit(1), F.size(qv)),
+            lambda i: F.transform(
+                F.sequence(F.lit(1), F.size(qv)),
+                lambda j: F.struct(
+                    i.alias("i"), j.alias("j"),
+                    (F.element_at(qv, i) * F.element_at(qv, j))
+                    .alias("v"),
+                ),
+            ),
+        )),
+    )
+    cells = (
+        q.select(F.explode(outer).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum("c.v").alias("g"))
+    )
+    gmax = cells.agg(F.max(F.abs(F.col("g"))).alias("m"))
+    gn = (
+        cells.crossJoin(F.broadcast(gmax))
+        .select(
+            "i", "j",
+            F.expr(f"g div greatest(m div {PCA_V_SCALE}, 1)").alias("gn"),
+        )
+        .localCheckpoint()
+    )
+    v = gn.select(F.col("j")).distinct().select(
+        "j", F.lit(PCA_V_SCALE).cast("long").alias("v")
+    )
+    for _ in range(iters):
+        w = (
+            gn.join(v, "j")
+            .groupBy(F.col("i"))
+            .agg(F.sum(F.col("gn") * F.col("v")).alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                F.col("i").alias("j"),
+                F.expr(f"w div greatest(m div {PCA_V_SCALE}, 1)")
+                .cast("long").alias("v"),
+            )
+            .localCheckpoint()
+        )
+    sign = (
+        v.orderBy(F.abs(F.col("v")).desc(), F.asc("j")).limit(1)
+        .select(F.when(F.col("v") < 0, -1).otherwise(1).alias("s"))
+    )
+    return (
+        v.crossJoin(F.broadcast(sign))
+        .select(
+            (F.col("j") - 1).cast("int").alias("dim"),
+            (F.col("v") * F.col("s")).cast("long").alias("component_u"),
+            ((F.col("v") * F.col("s")).cast("double") / PCA_V_SCALE)
+            .alias("component"),
+        )
+    )
+
+
+def _pca_oracle_sql(iters: int = PCA_ITERS) -> str:
+    d, vs = PCA_DIM, PCA_V_SCALE
+    parts = [f"""
+        q AS (
+            SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                x -> CAST(floor(x * {KM_SCALE}.0 + 0.5) AS BIGINT)) AS q
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        cells AS (
+            SELECT ri.i, rj.j, CAST(sum(q.q[ri.i] * q.q[rj.j]) AS BIGINT)
+                       AS g
+            FROM q, range(1, {d + 1}) ri(i), range(1, {d + 1}) rj(j)
+            GROUP BY ri.i, rj.j
+        ),
+        gmax AS (SELECT max(abs(g)) AS m FROM cells),
+        gn AS (
+            SELECT i, j, CAST(g // greatest(m // {vs}, 1) AS BIGINT) AS gn
+            FROM cells, gmax
+        ),
+        v0 AS (
+            SELECT DISTINCT j, CAST({vs} AS BIGINT) AS v FROM gn
+        )"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+        w{t} AS (
+            SELECT gn.i, CAST(sum(gn.gn * p.v) AS BIGINT) AS w
+            FROM gn JOIN v{t - 1} p ON p.j = gn.j GROUP BY gn.i
+        ),
+        m{t} AS (SELECT max(abs(w)) AS m FROM w{t}),
+        v{t} AS (
+            SELECT i AS j,
+                   CAST(w // greatest(m // {vs}, 1) AS BIGINT) AS v
+            FROM w{t}, m{t}
+        )""")
+    return f"""
+        WITH {",".join(parts)},
+        sgn AS (
+            SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS s
+            FROM v{iters} ORDER BY abs(v) DESC, j ASC LIMIT 1
+        )
+        SELECT CAST(v.j - 1 AS INTEGER) AS dim,
+               CAST(v.v * s.s AS BIGINT) AS component_u,
+               CAST(v.v * s.s AS DOUBLE) / {vs} AS component
+        FROM v{iters} v CROSS JOIN sgn s
+    """
+
+
 QUERIES = {
     "embedding_standardize": embedding_standardize,
     "embed_kmeans": embed_kmeans,
     "embed_random_projection": embed_random_projection,
     "cluster_cartography": cluster_cartography,
+    "pca_top_component": pca_top_component,
 }
 
 ORACLE = {
+    "pca_top_component": _pca_oracle_sql(),
     "embedding_standardize": _standardize_oracle_sql(),
     "embed_kmeans": _km_oracle_sql(),
     "embed_random_projection": _rp_oracle_sql(),

@@ -162,3 +162,20 @@ def test_markov_stationary_is_a_distribution_over_states(spark, sf_dir):
     total = sum(pi.values())
     n2 = len(rows)
     assert MKV_PI_SCALE - 10 * n2 <= total <= MKV_PI_SCALE
+
+
+def test_ab_test_counts_and_verdict_are_consistent(spark, sf_dir):
+    from selfhosted_rag_doc_chat_prototype_spark.operators.analytics import (
+        AB_Z_CRIT,
+        ab_test_conversion,
+    )
+
+    r = ab_test_conversion(spark, sf_dir).collect()[0]
+    assert r.n_a > 0 and r.n_b > 0
+    assert 0 <= r.conv_a <= r.n_a and 0 <= r.conv_b <= r.n_b
+    assert r.rate_a == r.conv_a / r.n_a
+    assert r.rate_b == r.conv_b / r.n_b
+    if r.z_score is not None:
+        assert r.significant == (1 if abs(r.z_score) > AB_Z_CRIT else 0)
+    else:
+        assert r.significant == 0

@@ -432,3 +432,25 @@ def test_label_propagation_clamps_seeds_and_spreads(spark, sf_dir):
             assert r.label in seed_labels
             spread += 1
     assert spread > 0
+
+
+def test_edit_distance_flags_near_copies(spark, sf_dir):
+    """The planted near-copies (first two words dropped) must verify
+    as dups; similarity is 1 - dist/longer exactly; is_dup honors the
+    30% threshold."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.dedup import (
+        ED_PCT,
+        dedup_edit_distance,
+    )
+
+    rows = dedup_edit_distance(spark, sf_dir).collect()
+    assert rows
+    planted = [r for r in rows if r.doc_b - r.doc_a == 1000000]
+    assert planted
+    for r in planted:
+        assert r.is_dup == 1
+    for r in rows:
+        assert 0 <= r.edit_dist
+        assert abs(r.similarity - (1 - r.edit_dist / r.longer_len)) < 1e-12
+        assert r.is_dup == (1 if r.edit_dist * 100 <= r.longer_len * ED_PCT
+                            else 0)

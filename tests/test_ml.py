@@ -171,3 +171,36 @@ def test_standardize_centers_each_dimension(spark, sf_dir):
         assert abs(mean) < 0.05 * 10**6, (dim, mean)  # centered
         var = sum(z * z for z in zs) / n
         assert 0.5 * 10**12 < var < 2.0 * 10**12, (dim, var)
+
+
+def test_pca_recovers_planted_dominant_direction(spark, tmp_path):
+    """A corpus of vectors clustered along a planted axis direction
+    must yield a top component nearly parallel to it."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.ml import (
+        pca_top_component,
+    )
+
+    rng = np.random.default_rng(7)
+    axis = np.zeros(64)
+    axis[5] = 0.8
+    axis[40] = 0.6
+    vecs = []
+    for _ in range(60):
+        v = axis * rng.uniform(0.5, 1.0) + rng.normal(0, 0.03, 64)
+        vecs.append(list(map(float, v / np.linalg.norm(v))))
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "vec_id": list(range(60)),
+        "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+        "label": [0] * 60,
+    }), f"{d}/embeddings.parquet")
+    comp = np.zeros(64)
+    for r in pca_top_component(spark, d).collect():
+        comp[r.dim] = r.component
+    cos = abs(np.dot(comp, axis)) / (np.linalg.norm(comp)
+                                     * np.linalg.norm(axis))
+    assert cos > 0.99

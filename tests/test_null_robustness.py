@@ -72,6 +72,7 @@ NULL_SWEEP = [
     "weighted_sample_es",
     "compaction_plan",
     "zipf_fit_report",
+    "dedup_edit_distance",
 ]
 
 
@@ -196,7 +197,7 @@ EVENTS_NULL_SWEEP = [
     "zorder_layout", "scd2_user_segments", "scd2_point_in_time_join",
     "sketch_hll_distinct_users", "nextevent_training_pairs",
     "retention_cohorts", "k_anonymity_report",
-    "markov_transition_stationary",
+    "markov_transition_stationary", "ab_test_conversion",
 ]
 
 
@@ -304,7 +305,7 @@ EMB_NULL_SWEEP = [
     "anns_matryoshka_topk", "contrastive_triplets",
     "retrieval_metrics_report", "anns_late_interaction_topk",
     "knn_triangle_count", "embedding_standardize",
-    "knn_label_propagation",
+    "knn_label_propagation", "pca_top_component",
 ]
 
 

@@ -618,6 +618,25 @@ AUDIT = [
         "integer power iterations; the corpus is never rescanned.",
     ),
     (
+        "dedup_edit_distance",
+        "Candidates from the banded minhash build (never all-pairs); "
+        "two equi-joins fetch prefix-truncated text; one codegen "
+        "levenshtein per candidate pair -- no Python in the loop.",
+    ),
+    (
+        "ab_test_conversion",
+        "One map-side-combined distinct aggregation per user, then a "
+        "conditional aggregate to one row; the z arithmetic runs on "
+        "that single row.",
+    ),
+    (
+        "pca_top_component",
+        "One corpus pass builds the dim^2 Gram sketch (outer-product "
+        "explode, partially aggregated map-side); the power "
+        "iterations run on 4096 rows broadcast-joined to the 64-row "
+        "vector; the corpus is never rescanned.",
+    ),
+    (
         "table_profile_documents",
         "ONE scan + one 1-row aggregation computes every per-column "
         "metric (count-distincts ride the expand), then a stack "
