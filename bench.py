@@ -149,6 +149,9 @@ HEADLINE = [
     "dedup_edit_distance",
     "ab_test_conversion",
     "pca_top_component",
+    "lang_confusion_report",
+    "session_trigram_mining",
+    "hll_set_operations",
 ]
 
 

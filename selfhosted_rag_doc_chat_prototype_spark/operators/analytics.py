@@ -1056,6 +1056,186 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_SET_A, HLL_SET_B = "click", "purchase"
+
+
+def hll_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH ALGEBRA on the deterministic HLL: estimate the distinct
+    user cardinality of two event cohorts, their UNION (register-wise
+    max -- the merge that makes HLL the 100 TB sketch: union of
+    sketches == sketch of union, no rescan), and their INTERSECTION
+    by inclusion-exclusion (est_a + est_b - est_union -- the standard
+    HLL intersection, unbiased but higher-variance; it may even go
+    negative on tiny overlaps, which the report preserves honestly).
+    Each row carries the exact counterpart as the quality observable,
+    same contract as the CMS and per-type HLL reports.
+
+    All estimates are the exact staged-integer HLL ladder
+    (docs/ROUNDING.md rule 1); no float anywhere.
+
+    Scale shape: ONE hash pass over the two cohorts' rows; register
+    maxima partially aggregate to <= 2 x 64 rows; the union sketch is
+    a 64-row re-aggregation; exact counts ride the same scan. The
+    final report is four rows assembled from two single-row frames."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull()
+                & F.col("event_type").isin(HLL_SET_A, HLL_SET_B))
+        .select(
+            F.when(F.col("event_type") == HLL_SET_A, "a").otherwise("b")
+            .alias("side"),
+            "user_id",
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))),
+            1, HLL_HASH_HEX,
+        ), 16, 10,
+    ).cast("long")
+    hashed = ev.select("side", h.alias("h")).select(
+        "side",
+        (F.col("h") % HLL_M).alias("reg"),
+        F.expr(f"h div {HLL_M}").alias("w"),
+    ).select("side", "reg", F.expr(_hll_rho_case("w")).alias("rho"))
+    regs = hashed.groupBy("side", "reg").agg(F.max("rho").alias("m"))
+    union_regs = regs.groupBy("reg").agg(F.max("m").alias("m")).select(
+        F.lit("u").alias("side"), "reg", "m"
+    )
+    all_regs = regs.unionByName(union_regs)
+
+    def _sv(side: str):
+        # present registers have rho >= 1; each of the (64 - present)
+        # empty registers contributes 2^POW to s and 1 to v
+        sm = F.sum(F.when(
+            F.col("side") == side,
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_POW} - m)"),
+        ))
+        np_ = F.sum(F.when(F.col("side") == side, 1).otherwise(0))
+        return [
+            (sm + (HLL_M - np_)
+             * F.lit(1 << HLL_POW).cast("long")).alias(f"s_{side}"),
+            (F.lit(HLL_M) - np_).cast("long").alias(f"v_{side}"),
+        ]
+
+    sv = all_regs.agg(*(_sv("a") + _sv("b") + _sv("u")))
+
+    def _est(side: str) -> str:
+        raw = (f"({HLL_ALPHA_NUM} * (CAST("
+               f"{HLL_M * HLL_M * (1 << HLL_POW)} AS BIGINT)"
+               f" div s_{side})) div {HLL_ALPHA_DEN}")
+        return _hll_lc_case(f"v_{side}", raw)
+
+    ests = sv.select(*[
+        F.expr(_est(sd)).cast("long").alias(f"est_{sd}")
+        for sd in ("a", "b", "u")
+    ])
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("side") == "a", 1).otherwise(0)).alias("ia"),
+        F.max(F.when(F.col("side") == "b", 1).otherwise(0)).alias("ib"),
+    )
+    exact = per_user.agg(
+        F.sum("ia").cast("long").alias("x_a"),
+        F.sum("ib").cast("long").alias("x_b"),
+        F.count(F.lit(1)).cast("long").alias("x_u"),
+        F.sum(F.col("ia") * F.col("ib")).cast("long").alias("x_i"),
+    )
+    return (
+        ests.crossJoin(F.broadcast(exact))
+        .selectExpr(
+            f"stack(4, "
+            f"'{HLL_SET_A}', est_a, x_a, "
+            f"'{HLL_SET_B}', est_b, x_b, "
+            f"'union', est_u, x_u, "
+            f"'intersection', est_a + est_b - est_u, x_i) "
+            f"AS (set_name, est_distinct, exact_distinct)"
+        )
+    )
+
+
+def _hll_sets_oracle_sql() -> str:
+    raws = {
+        sd: (f"({HLL_ALPHA_NUM} * (CAST("
+             f"{HLL_M * HLL_M * (1 << HLL_POW)} AS BIGINT)"
+             f" // s_{sd})) // {HLL_ALPHA_DEN}")
+        for sd in ("a", "b", "u")
+    }
+    ests = ", ".join(
+        f"CAST({_hll_lc_case(f'v_{sd}', raws[sd])} AS BIGINT) AS est_{sd}"
+        for sd in ("a", "b", "u")
+    )
+    sv = ", ".join(
+        f"CAST(sum(CASE WHEN side = '{sd}' THEN "
+        f"(CAST(1 AS BIGINT) << ({HLL_POW} - m)) END)"
+        f" + ({HLL_M} - count(CASE WHEN side = '{sd}' THEN 1 END))"
+        f" * (CAST(1 AS BIGINT) << {HLL_POW}) AS BIGINT) AS s_{sd}, "
+        f"CAST({HLL_M} - count(CASE WHEN side = '{sd}' THEN 1 END)"
+        f" AS BIGINT) AS v_{sd}"
+        for sd in ("a", "b", "u")
+    )
+    return f"""
+        WITH ev AS (
+            SELECT CASE WHEN event_type = '{HLL_SET_A}' THEN 'a'
+                        ELSE 'b' END AS side,
+                   user_id
+            FROM events
+            WHERE user_id IS NOT NULL
+              AND event_type IN ('{HLL_SET_A}', '{HLL_SET_B}')
+        ),
+        hashed AS (
+            SELECT side,
+                   h % {HLL_M} AS reg, h // {HLL_M} AS w
+            FROM (
+                SELECT side,
+                       CAST(CAST('0x' || substr(md5('hll:' ||
+                           CAST(user_id AS VARCHAR)), 1, {HLL_HASH_HEX})
+                           AS BIGINT) AS BIGINT) AS h
+                FROM ev
+            )
+        ),
+        rhos AS (
+            SELECT side, reg, {_hll_rho_case("w")} AS rho FROM hashed
+        ),
+        regs AS (
+            SELECT side, reg, max(rho) AS m FROM rhos GROUP BY side, reg
+        ),
+        all_regs AS (
+            SELECT * FROM regs
+            UNION ALL
+            SELECT 'u' AS side, reg, max(m) AS m FROM regs GROUP BY reg
+        ),
+        sv AS (SELECT {sv} FROM all_regs),
+        ests AS (SELECT {ests} FROM sv),
+        per_user AS (
+            SELECT user_id,
+                   max(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ia,
+                   max(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS ib
+            FROM ev GROUP BY user_id
+        ),
+        exact AS (
+            SELECT CAST(sum(ia) AS BIGINT) AS x_a,
+                   CAST(sum(ib) AS BIGINT) AS x_b,
+                   CAST(count(*) AS BIGINT) AS x_u,
+                   CAST(sum(ia * ib) AS BIGINT) AS x_i
+            FROM per_user
+        )
+        SELECT u.set_name,
+               CASE u.set_name
+                   WHEN '{HLL_SET_A}' THEN e.est_a
+                   WHEN '{HLL_SET_B}' THEN e.est_b
+                   WHEN 'union' THEN e.est_u
+                   ELSE e.est_a + e.est_b - e.est_u END AS est_distinct,
+               CASE u.set_name
+                   WHEN '{HLL_SET_A}' THEN x.x_a
+                   WHEN '{HLL_SET_B}' THEN x.x_b
+                   WHEN 'union' THEN x.x_u
+                   ELSE x.x_i END AS exact_distinct
+        FROM (VALUES ('{HLL_SET_A}'), ('{HLL_SET_B}'),
+                     ('union'), ('intersection')) u(set_name)
+        CROSS JOIN ests e CROSS JOIN exact x
+    """
+
+
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly COHORT RETENTION: each user joins the cohort of their
     first active ISO week; for every (cohort, week-offset) cell the
@@ -1138,6 +1318,58 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.col("n_events")).cast("long").alias("n_events"),
         F.when(ok, F.col("n_users")).cast("long").alias("n_users"),
         (~ok).cast("int").alias("suppressed"),
+    )
+
+
+SEQ_TOP = 20  # trigram patterns reported
+
+
+def session_trigram_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FREQUENT BEHAVIOR SEQUENCES: the ``SEQ_TOP`` most common
+    3-step event-type sequences across all users (consecutive by
+    (ts, event_id) within a user) with support counts and the share
+    of all trigrams -- the PrefixSpan-lite report a product team
+    reads to find dominant flows (view->click->purchase vs
+    view->view->view doomscrolling), completing the sequence family
+    next to the pair-level Markov chain. Ties rank deterministically
+    (count DESC, then the three steps ASC).
+
+    The only float is the support share: ONE division of two exact
+    integers. Scale shape: one per-user lag window over a pruned
+    projection (the sessionization shuffle shape), a partially-
+    aggregated trigram count (|event types|^3-bounded output), and a
+    sort-LIMIT top-k -- never a global window over unbounded rows;
+    the rank label is a window over the k surviving rows."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            F.lag("event_type", 2).over(w).alias("t1"),
+            F.lag("event_type", 1).over(w).alias("t2"),
+            F.col("event_type").alias("t3"),
+        )
+        .filter(F.col("t1").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = tri.agg(F.sum("n").alias("tot"))
+    top = (
+        tri.orderBy(F.desc("n"), F.asc("t1"), F.asc("t2"), F.asc("t3"))
+        .limit(SEQ_TOP)
+    )
+    wr = Window.orderBy(F.desc("n"), F.asc("t1"), F.asc("t2"), F.asc("t3"))
+    return (
+        top.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank", "t1", "t2", "t3",
+            F.col("n").cast("long").alias("n"),
+            (F.col("n").cast("double") / F.col("tot").cast("double"))
+            .alias("support_share"),
+        )
     )
 
 
@@ -1355,6 +1587,8 @@ QUERIES = {
     "k_anonymity_report": k_anonymity_report,
     "markov_transition_stationary": markov_transition_stationary,
     "ab_test_conversion": ab_test_conversion,
+    "session_trigram_mining": session_trigram_mining,
+    "hll_set_operations": hll_set_operations,
     "gatekeeper_failure_history": gatekeeper_failure_history,
     "sketch_cardinality_quantiles": sketch_cardinality_quantiles,
     "sketch_hll_distinct_users": sketch_hll_distinct_users,
@@ -1422,6 +1656,39 @@ ORACLE = {
         FROM cells
     """,
     "markov_transition_stationary": _markov_oracle_sql(),
+    "hll_set_operations": _hll_sets_oracle_sql(),
+    "session_trigram_mining": f"""
+        WITH ev AS (
+            SELECT user_id, ts, event_id, event_type FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND event_type IS NOT NULL
+        ),
+        tri AS (
+            SELECT t1, t2, t3, count(*) AS n FROM (
+                SELECT lag(event_type, 2) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS t1,
+                       lag(event_type, 1) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS t2,
+                       event_type AS t3
+                FROM ev
+            ) WHERE t1 IS NOT NULL
+            GROUP BY t1, t2, t3
+        ),
+        tot AS (SELECT sum(n) AS tot FROM tri),
+        top AS (
+            SELECT *, CAST(row_number() OVER (
+                ORDER BY n DESC, t1 ASC, t2 ASC, t3 ASC) AS INTEGER)
+                AS rank
+            FROM tri
+            ORDER BY n DESC, t1 ASC, t2 ASC, t3 ASC LIMIT {SEQ_TOP}
+        )
+        SELECT rank, t1, t2, t3, CAST(n AS BIGINT) AS n,
+               CAST(n AS DOUBLE) / CAST(t.tot AS DOUBLE)
+                   AS support_share
+        FROM top CROSS JOIN tot t
+    """,
     "ab_test_conversion": f"""
         WITH users AS (
             SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END

@@ -809,6 +809,73 @@ def _readability_oracle_sql() -> str:
     """
 
 
+def lang_confusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFUSION MATRIX of the stopword language identifier against
+    the corpus's labeled ``lang`` column -- the evaluation report
+    every classifier-gated pipeline stage owes its operator (the
+    retrieval family has retrieval_metrics_report; this is the
+    classification twin). One row per observed (true, predicted)
+    cell with the cell count, both marginals, the cell's share of its
+    true-language row, and the diagonal flag -- precision/recall per
+    language read directly off the marginals.
+
+    The only float is the row share: ONE correctly-rounded division
+    of two exact integers. Scale shape: the per-doc prediction is the
+    registered map-only lang-id pass; the confusion aggregation is a
+    tiny (|langs|^2-bounded) groupBy with two broadcast marginal
+    joins."""
+    pred = text_lang_id(spark, sf_dir).select("lang", "pred_lang")
+    cells = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = cells.groupBy("lang").agg(F.sum("n").alias("true_total"))
+    col_tot = cells.groupBy("pred_lang").agg(F.sum("n").alias("pred_total"))
+    return (
+        cells.join(F.broadcast(row_tot), "lang")
+        .join(F.broadcast(col_tot), "pred_lang")
+        .select(
+            F.col("lang").alias("true_lang"), "pred_lang",
+            F.col("n").cast("long").alias("n"),
+            F.col("true_total").cast("long").alias("true_total"),
+            F.col("pred_total").cast("long").alias("pred_total"),
+            (F.col("n").cast("double")
+             / F.col("true_total").cast("double")).alias("row_share"),
+            (F.col("lang") == F.col("pred_lang")).cast("int")
+            .alias("is_correct"),
+        )
+    )
+
+
+def _confusion_oracle_sql() -> str:
+    return """
+        WITH pred AS (
+            SELECT lang, pred_lang FROM ({lang_id})
+        ),
+        cells AS (
+            SELECT lang, pred_lang, count(*) AS n
+            FROM pred GROUP BY lang, pred_lang
+        ),
+        row_tot AS (
+            SELECT lang, sum(n) AS true_total FROM cells GROUP BY lang
+        ),
+        col_tot AS (
+            SELECT pred_lang, sum(n) AS pred_total
+            FROM cells GROUP BY pred_lang
+        )
+        SELECT c.lang AS true_lang, c.pred_lang,
+               CAST(c.n AS BIGINT) AS n,
+               CAST(r.true_total AS BIGINT) AS true_total,
+               CAST(p.pred_total AS BIGINT) AS pred_total,
+               CAST(c.n AS DOUBLE) / CAST(r.true_total AS DOUBLE)
+                   AS row_share,
+               CASE WHEN c.lang = c.pred_lang THEN 1 ELSE 0 END
+                   AS is_correct
+        FROM cells c
+        JOIN row_tot r ON r.lang = c.lang
+        JOIN col_tot p ON p.pred_lang = c.pred_lang
+    """
+
+
 ZIPF_V = 500  # top ranks fitted (the Zipf regime; tail is Mandelbrot)
 
 
@@ -919,6 +986,7 @@ QUERIES = {
     "text_sentence_split": text_sentence_split,
     "text_readability": text_readability,
     "zipf_fit_report": zipf_fit_report,
+    "lang_confusion_report": lang_confusion_report,
     "vocab_top_coverage": vocab_top_coverage,
     "sketch_countmin_heavyhitters": sketch_countmin_heavyhitters,
     "bpe_pair_counts": bpe_pair_counts,
@@ -1307,3 +1375,7 @@ ORACLE = {
         FROM h
     """,
 }
+
+ORACLE["lang_confusion_report"] = _confusion_oracle_sql().format(
+    lang_id=ORACLE["text_lang_id"]
+)

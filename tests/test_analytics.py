@@ -179,3 +179,40 @@ def test_ab_test_counts_and_verdict_are_consistent(spark, sf_dir):
         assert r.significant == (1 if abs(r.z_score) > AB_Z_CRIT else 0)
     else:
         assert r.significant == 0
+
+
+def test_trigram_report_ranks_and_shares(spark, sf_dir):
+    from selfhosted_rag_doc_chat_prototype_spark.operators.analytics import (
+        SEQ_TOP,
+        session_trigram_mining,
+    )
+
+    rows = sorted(session_trigram_mining(spark, sf_dir).collect(),
+                  key=lambda r: r.rank)
+    assert 1 <= len(rows) <= SEQ_TOP
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert all(0 < r.support_share <= 1 for r in rows)
+
+
+def test_hll_set_algebra_identities(spark, sf_dir):
+    """Union estimate dominates both arm estimates (register-wise max
+    can only grow the sketch), the exact counts satisfy inclusion-
+    exclusion exactly, and every estimate lands within the standard
+    ~1.04/sqrt(64) HLL error envelope (x4 slack) of its exact."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.analytics import (
+        hll_set_operations,
+    )
+
+    rows = {r.set_name: r for r in hll_set_operations(spark, sf_dir).collect()}
+    assert set(rows) == {"click", "purchase", "union", "intersection"}
+    assert rows["union"].est_distinct >= rows["click"].est_distinct
+    assert rows["union"].est_distinct >= rows["purchase"].est_distinct
+    assert (rows["intersection"].exact_distinct
+            == rows["click"].exact_distinct
+            + rows["purchase"].exact_distinct
+            - rows["union"].exact_distinct)
+    for name in ("click", "purchase", "union"):
+        r = rows[name]
+        assert abs(r.est_distinct - r.exact_distinct) \
+            <= max(10, 0.52 * r.exact_distinct)

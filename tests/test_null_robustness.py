@@ -73,6 +73,7 @@ NULL_SWEEP = [
     "compaction_plan",
     "zipf_fit_report",
     "dedup_edit_distance",
+    "lang_confusion_report",
 ]
 
 
@@ -198,6 +199,7 @@ EVENTS_NULL_SWEEP = [
     "sketch_hll_distinct_users", "nextevent_training_pairs",
     "retention_cohorts", "k_anonymity_report",
     "markov_transition_stationary", "ab_test_conversion",
+    "session_trigram_mining", "hll_set_operations",
 ]
 
 

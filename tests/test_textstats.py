@@ -129,3 +129,24 @@ def test_zipf_fit_on_synthetic_power_law(spark):
     assert r.n_terms == 100
     assert -1.1 < r.slope < -0.9
     assert r.r2 > 0.99
+
+
+def test_lang_confusion_marginals_consistent(spark, sf_dir):
+    from collections import defaultdict
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.textstats import (
+        lang_confusion_report,
+    )
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    rows = lang_confusion_report(spark, sf_dir).collect()
+    assert rows
+    by_true = defaultdict(int)
+    for r in rows:
+        by_true[r.true_lang] += r.n
+        assert r.is_correct == (1 if r.true_lang == r.pred_lang else 0)
+        assert abs(r.row_share - r.n / r.true_total) < 1e-12
+    for r in rows:
+        assert by_true[r.true_lang] == r.true_total
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(by_true.values()) == n_docs

@@ -637,6 +637,26 @@ AUDIT = [
         "vector; the corpus is never rescanned.",
     ),
     (
+        "lang_confusion_report",
+        "The per-doc prediction is the registered map-only lang-id "
+        "pass; the confusion aggregation is a langs^2-bounded "
+        "groupBy with two broadcast marginal joins.",
+    ),
+    (
+        "session_trigram_mining",
+        "One per-user lag window over a pruned projection; the "
+        "trigram count partially aggregates to a types^3-bounded "
+        "table; top-k is a distributed sort-LIMIT with the rank "
+        "window over the k survivors only.",
+    ),
+    (
+        "hll_set_operations",
+        "One hash pass over the two cohorts; register maxima "
+        "partially aggregate to <= 2x64 rows; union is a 64-row "
+        "re-aggregation (register-wise max = the mergeable sketch "
+        "property); the report assembles from two single-row frames.",
+    ),
+    (
         "table_profile_documents",
         "ONE scan + one 1-row aggregation computes every per-column "
         "metric (count-distincts ride the expand), then a stack "
