@@ -152,6 +152,7 @@ HEADLINE = [
     "lang_confusion_report",
     "session_trigram_mining",
     "hll_set_operations",
+    "bpe_learn_merges",
 ]
 
 

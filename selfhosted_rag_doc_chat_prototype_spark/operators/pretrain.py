@@ -1222,6 +1222,141 @@ def _nextevent_oracle_sql() -> str:
     """
 
 
+BPE_MERGES = 5  # learned merge rounds (unrolled in the oracle)
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str,
+                     merges: int = BPE_MERGES) -> DataFrame:
+    """BPE TOKENIZER TRAINING (Sennrich et al. 2016): learn the first
+    ``merges`` byte-pair merges of the corpus -- each round counts
+    adjacent symbol pairs over the word-frequency table (weighted by
+    word count), picks the most frequent pair (ties to the
+    lexicographically smallest), and greedily merges it left-to-right
+    in every word. Emits the merge table (round, sym_a, sym_b,
+    pair_count, merged) -- the artifact a tokenizer ships; the
+    pinned-BPE chunker family consumes exactly such a table.
+
+    The greedy non-overlapping merge is ONE array fold per word
+    (push symbol; if the last element equals sym_a and the incoming
+    equals sym_b, replace with the merged token -- a merged token is
+    strictly longer than sym_a, so it can never re-trigger within its
+    own round): no per-row Python, identical fold in Spark
+    ``aggregate`` and DuckDB ``list_reduce``. Everything is exact
+    integer counting with a fully ordered argmax.
+
+    Scale shape: THE tokenizer-training shape -- one corpus pass
+    collapses to the (word, count) vocabulary (groupBy with map-side
+    combine; vocabulary is orders smaller than the corpus and this is
+    exactly how HF tokenizers train); every round after is
+    vocabulary-sized (pair explode -> partial-agg count -> sort-LIMIT
+    argmax broadcast back into the map-only merge fold), with a
+    localCheckpoint per round to truncate lineage. The corpus is
+    never rescanned. A corpus whose words all collapse to single
+    symbols truncates the merge table early (both engines)."""
+    docs = rebalance(table(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select(
+            F.explode(tq.words(F.coalesce(F.col("text"), F.lit(""))))
+            .alias("w")
+        )
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    words = vocab.select(
+        "c", F.expr("regexp_extract_all(w, '.', 0)").alias("syms")
+    ).localCheckpoint()
+    pair_structs = (
+        "transform(sequence(1, size(syms) - 1), "
+        "i -> struct(element_at(syms, i) AS a, "
+        "element_at(syms, i + 1) AS b))"
+    )
+    fold = (
+        "aggregate(slice(syms, 2, size(syms) - 1), "
+        "array(element_at(syms, 1)), "
+        "(acc, s) -> IF(element_at(acc, -1) = a AND s = b, "
+        "concat(slice(acc, 1, size(acc) - 1), array(concat(a, b))), "
+        "concat(acc, array(s))))"
+    )
+    merge_rows = []
+    for t in range(1, merges + 1):
+        pairs = (
+            words.filter(F.size("syms") >= 2)
+            .select("c", F.explode(F.expr(pair_structs)).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("c").alias("n"))
+        )
+        winner = (
+            pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1)
+            .localCheckpoint()
+        )
+        merge_rows.append(winner.select(
+            F.lit(t).cast("int").alias("round"),
+            F.col("a").alias("sym_a"), F.col("b").alias("sym_b"),
+            F.col("n").cast("long").alias("pair_count"),
+            F.concat("a", "b").alias("merged"),
+        ))
+        words = (
+            words.crossJoin(F.broadcast(winner.select("a", "b")))
+            .select("c", F.expr(fold).alias("syms"))
+            .localCheckpoint()
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _bpe_merge_oracle_sql(merges: int = BPE_MERGES) -> str:
+    ws = "[ \\t\\n\\x0B\\f\\r]"
+    fold = (
+        "list_reduce(list_transform(syms, s -> [s]), "
+        "(acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b "
+        "THEN list_append(list_slice(acc, 1, len(acc) - 1), m.a || m.b) "
+        "ELSE list_concat(acc, x) END)"
+    )
+    parts = [f"""
+        vocab AS (
+            SELECT u.w AS w, count(*) AS c
+            FROM (
+                SELECT list_filter(string_split_regex(
+                    trim(coalesce(text, '')), '{ws}+'), x -> x <> '') AS t
+                FROM documents
+            ), unnest(t) AS u(w)
+            GROUP BY u.w
+        ),
+        w0 AS (SELECT c, regexp_extract_all(w, '.') AS syms FROM vocab)"""]
+    for t in range(1, merges + 1):
+        parts.append(f"""
+        p{t} AS (
+            SELECT p.a AS a, p.b AS b, sum(c) AS n
+            FROM (
+                SELECT c, unnest(list_transform(range(1, len(syms)),
+                    i -> struct_pack(a := syms[i], b := syms[i + 1])))
+                    AS p
+                FROM w{t - 1}
+            )
+            GROUP BY 1, 2
+        ),
+        m{t} AS (
+            SELECT a, b, n FROM p{t}
+            ORDER BY n DESC, a ASC, b ASC LIMIT 1
+        ),
+        w{t} AS (
+            SELECT c, {fold} AS syms
+            FROM w{t - 1} CROSS JOIN m{t} m
+        )""")
+    sel = " UNION ALL ".join(
+        f"SELECT {t} AS round, a AS sym_a, b AS sym_b, "
+        f"CAST(n AS BIGINT) AS pair_count, a || b AS merged FROM m{t}"
+        for t in range(1, merges + 1)
+    )
+    return f"""
+        WITH {",".join(parts)}
+        SELECT CAST(round AS INTEGER) AS round, sym_a, sym_b,
+               pair_count, merged
+        FROM ({sel})
+    """
+
+
 PMI_MIN_COUNT = 3  # bigram support floor (noise gate, standard practice)
 
 
@@ -1345,6 +1480,7 @@ def _pmi_oracle_sql() -> str:
 QUERIES = {
     "nextevent_training_pairs": nextevent_training_pairs,
     "pmi_collocations": pmi_collocations,
+    "bpe_learn_merges": bpe_learn_merges,
     "span_corruption_pairs": span_corruption_pairs,
     "seq_len_histogram": seq_len_histogram,
     "intradoc_line_dedup": intradoc_line_dedup,
@@ -1431,6 +1567,7 @@ _LM_THR = "'%s'" % _lm_hex_threshold(LM_SAMPLE_FRACTION)
 
 ORACLE = {
     "pmi_collocations": _pmi_oracle_sql(),
+    "bpe_learn_merges": _bpe_merge_oracle_sql(),
     "nextevent_training_pairs": _nextevent_oracle_sql(),
     "span_corruption_pairs": _span_corruption_oracle_sql(),
     "epoch_shuffle_shards": f"""

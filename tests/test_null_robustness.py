@@ -74,6 +74,7 @@ NULL_SWEEP = [
     "zipf_fit_report",
     "dedup_edit_distance",
     "lang_confusion_report",
+    "bpe_learn_merges",
 ]
 
 

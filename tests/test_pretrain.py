@@ -309,3 +309,54 @@ def test_pmi_separates_collocations_from_chance_pairs(spark):
     chance = [r for (a, b), r in rows.items() if "the" in (a, b)]
     assert chance
     assert all(ny.pmi_u > r.pmi_u for r in chance)
+
+
+def test_bpe_merges_match_reference_implementation(spark):
+    """Train on a tiny corpus and check the learned merge table
+    against an independent pure-Python BPE (Sennrich et al. 2016
+    reference algorithm: count weighted adjacent pairs, argmax with
+    lexicographic tie-break, greedy left-to-right merge)."""
+    import tempfile
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.pretrain import (
+        BPE_MERGES,
+        bpe_learn_merges,
+    )
+
+    texts = ["the cat sat on the mat", "the hat that the cat wore",
+             "that mat sat flat"] * 4
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "doc_id": list(range(len(texts))), "text": texts,
+            "lang": ["en"] * len(texts), "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }), f"{d}/documents.parquet")
+        got = sorted(bpe_learn_merges(spark, d).collect(),
+                     key=lambda r: r.round)
+
+    vocab = Counter(w for t in texts for w in t.split())
+    words = {w: list(w) for w in vocab}
+    expect = []
+    for _ in range(BPE_MERGES):
+        pc = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += vocab[w]
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((a, b, n, a + b))
+        for w, syms in words.items():
+            out = [syms[0]]
+            for s in syms[1:]:
+                if out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            words[w] = out
+    assert [(r.sym_a, r.sym_b, r.pair_count, r.merged) for r in got] \
+        == expect

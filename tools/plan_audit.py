@@ -657,6 +657,14 @@ AUDIT = [
         "property); the report assembles from two single-row frames.",
     ),
     (
+        "bpe_learn_merges",
+        "One corpus pass collapses to the (word, count) vocabulary; "
+        "each round is vocabulary-sized (pair explode -> partial-agg "
+        "count -> sort-LIMIT argmax broadcast into the map-only "
+        "merge fold) with a per-round localCheckpoint; the corpus "
+        "is never rescanned.",
+    ),
+    (
         "table_profile_documents",
         "ONE scan + one 1-row aggregation computes every per-column "
         "metric (count-distincts ride the expand), then a stack "
