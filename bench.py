@@ -153,6 +153,8 @@ HEADLINE = [
     "session_trigram_mining",
     "hll_set_operations",
     "bpe_learn_merges",
+    "seasonal_decompose_daily",
+    "embedding_isotropy_report",
 ]
 
 

@@ -964,6 +964,112 @@ def _hll_rho_case(w: str) -> str:
     return "CASE " + " ".join(arms) + " END"
 
 
+def _hll_registers(ev: DataFrame) -> DataFrame:
+    """(event_type, reg, m) register maxima of ``ev(event_type,
+    user_id)`` -- the shared sketch builder (batch report, set
+    algebra, and the streaming sink all consume it)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))),
+            1, HLL_HASH_HEX,
+        ), 16, 10,
+    ).cast("long")
+    hashed = (
+        ev.select("event_type", h.alias("h"))
+        .select(
+            "event_type",
+            (F.col("h") % HLL_M).alias("reg"),
+            F.expr(f"h div {HLL_M}").alias("w"),
+        )
+        .select("event_type", "reg",
+                F.expr(_hll_rho_case("w")).alias("rho"))
+    )
+    return hashed.groupBy("event_type", "reg").agg(
+        F.max("rho").alias("m")
+    )
+
+
+def hll_registers_estimate(regs: DataFrame) -> DataFrame:
+    """(event_type, est_distinct) from a persisted register table --
+    the read-back face of the streaming sink, running the identical
+    staged-integer estimate ladder as the batch report (empty
+    registers contribute via the 64-minus-present identity; present
+    registers always carry rho >= 1)."""
+    sm = F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_POW} - m)"))
+    np_ = F.count(F.lit(1))
+    raw = (f"({HLL_ALPHA_NUM} * (CAST("
+           f"{HLL_M * HLL_M * (1 << HLL_POW)} AS BIGINT) div s))"
+           f" div {HLL_ALPHA_DEN}")
+    return (
+        regs.groupBy("event_type")
+        .agg(
+            (sm + (HLL_M - np_)
+             * F.lit(1 << HLL_POW).cast("long")).alias("s"),
+            (F.lit(HLL_M) - np_).cast("long").alias("v"),
+        )
+        .select(
+            "event_type",
+            F.expr(_hll_lc_case("v", raw)).cast("long")
+            .alias("est_distinct"),
+        )
+    )
+
+
+def hll_streaming_sink(stream_events: DataFrame, path: str,
+                       checkpoint_dir: str):
+    """The HLL sketch's STREAMING face: maintain the per-event-type
+    distinct-user registers continuously through ``foreachBatch``.
+    Each micro-batch sketches ONLY its own rows and merges into the
+    persisted register table by register-wise max -- the exact
+    mergeability that makes HLL the 100 TB streaming sketch: max is
+    idempotent, commutative and associative, so out-of-order
+    delivery, replays, and partial redelivery all converge to the
+    sketch of the union (stream == batch EXACTLY, not approximately:
+    the register table is identical, asserted by the stream-equals-
+    batch test). Read estimates back with
+    :func:`hll_registers_estimate`.
+
+    Scale shape: per batch, one hash pass over the batch's rows
+    collapsing to <= |types| x 64 register rows; the persisted table
+    is the same fixed size, so the merge rewrite is O(types), not
+    O(history) -- the sink never rereads the event history."""
+    from pyspark.errors import AnalysisException
+
+    from ..sinks import _delete_dir
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        b = _hll_registers(
+            batch_df.filter(F.col("user_id").isNotNull())
+            .select("event_type", "user_id")
+        )
+        try:
+            existing = spark.read.parquet(path)
+        except AnalysisException as e:
+            if ("PATH_NOT_FOUND" not in str(e)
+                    and "Path does not exist" not in str(e)):
+                raise
+            existing = None
+        pool = b if existing is None else existing.unionByName(b)
+        merged = pool.groupBy("event_type", "reg").agg(
+            F.max("m").alias("m")
+        )
+        staging = path.rstrip("/") + "__hllstaging"
+        merged.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).write.mode("overwrite").parquet(path)
+        _delete_dir(spark, staging)
+
+    return (
+        stream_events.writeStream
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DETERMINISTIC HyperLogLog per event_type, bit-exact on both
     engines (unlike ``approx_count_distinct``, whose estimate is
@@ -988,23 +1094,7 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").isNotNull())
         .select("event_type", "user_id")
     )
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))),
-            1, HLL_HASH_HEX,
-        ), 16, 10,
-    ).cast("long")
-    hashed = (
-        ev.select("event_type", h.alias("h"))
-        .select(
-            "event_type",
-            (F.col("h") % HLL_M).alias("reg"),
-            F.expr(f"h div {HLL_M}").alias("w"),
-        )
-        .select("event_type", "reg",
-                F.expr(_hll_rho_case("w")).alias("rho"))
-    )
-    regs = hashed.groupBy("event_type", "reg").agg(F.max("rho").alias("m"))
+    regs = _hll_registers(ev)
     # all HLL_M registers per key: empty registers contribute 2^POW.
     # NULL event_type is a legitimate group -- every join below is
     # null-safe so it survives to the output (same convention as
@@ -1321,6 +1411,64 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-LITE seasonal decomposition of the daily event count:
+    trend = centered 7-day moving average (NULL at the edges where
+    the window is incomplete -- partial windows would fake a trend),
+    seasonal = each weekday's mean detrended value, remainder = the
+    rest -- the classic additive decomposition an anomaly monitor
+    runs before alerting (daily_anomaly_zscore flags outliers; this
+    explains the weekly shape they sit on).
+
+    Exactness: the decomposition is carried in 7x integer units as
+    long as possible -- ``det7 = 7*n - sum7`` is an exact BIGINT, the
+    weekday aggregation sums those exactly, and each emitted float is
+    ONE correctly-rounded division of exact integers (trend = sum7/7,
+    seasonal = sum(det7)/(7*cnt)); the remainder combines them in a
+    fixed operand order -- bit-identical across engines with no float
+    accumulation anywhere (docs/ROUNDING.md rules 1/3).
+
+    Scale shape: one partial-aggregated groupBy to day grain
+    (365-rows-per-year output regardless of event volume), then two
+    windows over that tiny frame."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    t = daily.select(
+        "d", "n",
+        F.when(F.count(F.lit(1)).over(w7) == 7, F.sum("n").over(w7))
+        .alias("sum7"),
+        # Spark dayofweek: 1=Sunday; DuckDB dayofweek: 0=Sunday --
+        # pin the ISO convention via (dow index normalized to Monday=0)
+        F.expr("(dayofweek(d) + 5) % 7").cast("int").alias("dow"),
+    )
+    season = (
+        t.filter(F.col("sum7").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.sum(F.expr("7 * n - sum7")).alias("det7_sum"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return (
+        t.join(F.broadcast(season), "dow", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dow",
+            F.col("n").cast("long").alias("n"),
+            (F.col("sum7").cast("double") / 7).alias("trend"),
+            (F.col("det7_sum").cast("double")
+             / (7 * F.col("cnt")).cast("double")).alias("seasonal"),
+            (F.col("n").cast("double")
+             - F.col("sum7").cast("double") / 7
+             - F.col("det7_sum").cast("double")
+             / (7 * F.col("cnt")).cast("double")).alias("remainder"),
+        )
+    )
+
+
 SEQ_TOP = 20  # trigram patterns reported
 
 
@@ -1589,6 +1737,7 @@ QUERIES = {
     "ab_test_conversion": ab_test_conversion,
     "session_trigram_mining": session_trigram_mining,
     "hll_set_operations": hll_set_operations,
+    "seasonal_decompose_daily": seasonal_decompose_daily,
     "gatekeeper_failure_history": gatekeeper_failure_history,
     "sketch_cardinality_quantiles": sketch_cardinality_quantiles,
     "sketch_hll_distinct_users": sketch_hll_distinct_users,
@@ -1657,6 +1806,34 @@ ORACLE = {
     """,
     "markov_transition_stationary": _markov_oracle_sql(),
     "hll_set_operations": _hll_sets_oracle_sql(),
+    "seasonal_decompose_daily": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events
+            WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        t AS (
+            SELECT d, n,
+                   CASE WHEN count(*) OVER w = 7
+                        THEN sum(n) OVER w END AS sum7,
+                   CAST((dayofweek(d) + 6) % 7 AS INTEGER) AS dow
+            FROM daily
+            WINDOW w AS (ORDER BY d
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        season AS (
+            SELECT dow, sum(7 * n - sum7) AS det7_sum, count(*) AS cnt
+            FROM t WHERE sum7 IS NOT NULL GROUP BY dow
+        )
+        SELECT strftime(t.d, '%Y-%m-%d') AS day, t.dow,
+               CAST(n AS BIGINT) AS n,
+               CAST(sum7 AS DOUBLE) / 7 AS trend,
+               CAST(det7_sum AS DOUBLE) / CAST(7 * cnt AS DOUBLE)
+                   AS seasonal,
+               CAST(n AS DOUBLE) - CAST(sum7 AS DOUBLE) / 7
+                   - CAST(det7_sum AS DOUBLE) / CAST(7 * cnt AS DOUBLE)
+                   AS remainder
+        FROM t LEFT JOIN season USING (dow)
+    """,
     "session_trigram_mining": f"""
         WITH ev AS (
             SELECT user_id, ts, event_id, event_type FROM events

@@ -487,32 +487,11 @@ PCA_ITERS = 4           # fixed power iterations on the Gram sketch
 PCA_V_SCALE = 1_000_000  # iterate/emit the direction in 1e-6 units
 
 
-def pca_top_component(spark: SparkSession, sf_dir: str,
-                      iters: int = PCA_ITERS) -> DataFrame:
-    """TOP PRINCIPAL DIRECTION of the embedding corpus by power
-    iteration on the (uncentered) Gram matrix -- the dominant
-    direction whitening/ABTT-style embedding post-processing removes
-    first (Mu & Viswanath 2018: the common direction dominates cosine
-    geometry) and the one-vector summary a corpus drift monitor
-    tracks. Emits one row per dimension: the component in max-
-    normalized 1e-6 integer units, sign-fixed so the largest-|coord|
-    entry is positive.
-
-    Exactness: the Gram matrix is an EXACT integer aggregate of
-    quantized micro-unit products; normalization and every iteration
-    are BIGINT multiply / truncating-divide ladders (max-
-    renormalized each round, so products stay ~1e12 -- far under
-    2^63); the result is bit-identical to the unrolled-CTE oracle
-    with no float anywhere except the final cosmetic /1e6
-    (docs/ROUNDING.md rule 1).
-
-    Scale shape: the ONLY corpus-scale pass is the outer-product
-    explode (dim^2 per row) which partially aggregates map-side into
-    the fixed dim x dim cell table; the iterations then run on 4096
-    rows (tiny -- broadcast-joined against the 64-row vector) and the
-    corpus is never rescanned. The sketch-then-iterate shape is
-    exactly distributed PCA's (Spark MLlib computes the same Gram
-    first)."""
+def _pca_power(spark: SparkSession, sf_dir: str, iters: int):
+    """Shared Gram-sketch power iteration: returns (gn, v) -- the
+    max-normalized integer Gram cells and the iterated direction --
+    consumed by :func:`pca_top_component` and
+    :func:`embedding_isotropy_report`."""
     q = _quantized(spark, sf_dir)
     outer = tq.let(
         F.col("q"),
@@ -561,6 +540,36 @@ def pca_top_component(spark: SparkSession, sf_dir: str,
             )
             .localCheckpoint()
         )
+    return gn, v
+
+
+def pca_top_component(spark: SparkSession, sf_dir: str,
+                      iters: int = PCA_ITERS) -> DataFrame:
+    """TOP PRINCIPAL DIRECTION of the embedding corpus by power
+    iteration on the (uncentered) Gram matrix -- the dominant
+    direction whitening/ABTT-style embedding post-processing removes
+    first (Mu & Viswanath 2018: the common direction dominates cosine
+    geometry) and the one-vector summary a corpus drift monitor
+    tracks. Emits one row per dimension: the component in max-
+    normalized 1e-6 integer units, sign-fixed so the largest-|coord|
+    entry is positive.
+
+    Exactness: the Gram matrix is an EXACT integer aggregate of
+    quantized micro-unit products; normalization and every iteration
+    are BIGINT multiply / truncating-divide ladders (max-
+    renormalized each round, so products stay ~1e12 -- far under
+    2^63); the result is bit-identical to the unrolled-CTE oracle
+    with no float anywhere except the final cosmetic /1e6
+    (docs/ROUNDING.md rule 1).
+
+    Scale shape: the ONLY corpus-scale pass is the outer-product
+    explode (dim^2 per row) which partially aggregates map-side into
+    the fixed dim x dim cell table; the iterations then run on 4096
+    rows (tiny -- broadcast-joined against the 64-row vector) and the
+    corpus is never rescanned. The sketch-then-iterate shape is
+    exactly distributed PCA's (Spark MLlib computes the same Gram
+    first)."""
+    gn, v = _pca_power(spark, sf_dir, iters)
     sign = (
         v.orderBy(F.abs(F.col("v")).desc(), F.asc("j")).limit(1)
         .select(F.when(F.col("v") < 0, -1).otherwise(1).alias("s"))
@@ -576,7 +585,7 @@ def pca_top_component(spark: SparkSession, sf_dir: str,
     )
 
 
-def _pca_oracle_sql(iters: int = PCA_ITERS) -> str:
+def _pca_cte_parts(iters: int) -> list:
     d, vs = PCA_DIM, PCA_V_SCALE
     parts = [f"""
         q AS (
@@ -610,6 +619,12 @@ def _pca_oracle_sql(iters: int = PCA_ITERS) -> str:
                    CAST(w // greatest(m // {vs}, 1) AS BIGINT) AS v
             FROM w{t}, m{t}
         )""")
+    return parts
+
+
+def _pca_oracle_sql(iters: int = PCA_ITERS) -> str:
+    vs = PCA_V_SCALE
+    parts = _pca_cte_parts(iters)
     return f"""
         WITH {",".join(parts)},
         sgn AS (
@@ -623,16 +638,101 @@ def _pca_oracle_sql(iters: int = PCA_ITERS) -> str:
     """
 
 
+ISO_VR_DIV = 1_000  # direction down-scale for the exact quadratic form
+
+
+def embedding_isotropy_report(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """ISOTROPY of the embedding corpus: the share of total variance
+    the top principal direction explains -- the Rayleigh quotient of
+    the power-iterated direction over the Gram trace (Mu & Viswanath
+    2018's diagnostic: cosine similarity degenerates when one common
+    direction dominates; a healthy corpus sits near 1/dim, a
+    collapsed one near 1). One row: dimension count, exact integer
+    trace, the Rayleigh estimate of the top eigenvalue, and the
+    isotropy ratio.
+
+    Exactness: trace, the quadratic form ``v'Gv`` and ``v'v`` are
+    EXACT BIGINT sums over the normalized Gram cells with the
+    direction down-scaled by ``ISO_VR_DIV`` (terms stay ~1e13 --
+    bounded, documented); the two emitted floats are fixed-order
+    combinations of those exact integers.
+
+    Scale shape: identical to pca_top_component -- one corpus pass
+    into the dim^2 sketch, iterations on 4096 rows; the report
+    aggregates the sketch, never the corpus."""
+    gn, v = _pca_power(spark, sf_dir, PCA_ITERS)
+    vr = v.select("j", F.expr(f"v div {ISO_VR_DIV}").alias("vr"))
+    qf = (
+        gn.join(F.broadcast(vr.withColumnRenamed("j", "i")
+                            .withColumnRenamed("vr", "vi")), "i")
+        .join(F.broadcast(vr.withColumnRenamed("vr", "vj")), "j")
+        .agg(
+            F.sum(F.col("gn") * F.col("vi") * F.col("vj")).alias("num"),
+        )
+    )
+    den = vr.agg(
+        F.sum(F.col("vr") * F.col("vr")).alias("den"),
+        F.count(F.lit(1)).cast("int").alias("n_dims"),
+    )
+    trace = gn.filter(F.col("i") == F.col("j")).agg(
+        F.sum("gn").alias("trace_gn")
+    )
+    return (
+        qf.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(trace))
+        .select(
+            "n_dims",
+            F.col("trace_gn").cast("long").alias("trace_gn"),
+            (F.col("num").cast("double") / F.col("den").cast("double"))
+            .alias("rayleigh"),
+            (F.col("num").cast("double") / F.col("den").cast("double")
+             / F.col("trace_gn").cast("double")).alias("isotropy"),
+        )
+    )
+
+
+def _isotropy_oracle_sql(iters: int = PCA_ITERS) -> str:
+    parts = _pca_cte_parts(iters)
+    return f"""
+        WITH {",".join(parts)},
+        vr AS (SELECT j, CAST(v // {ISO_VR_DIV} AS BIGINT) AS vr
+               FROM v{iters}),
+        qf AS (
+            SELECT CAST(sum(gn.gn * vi.vr * vj.vr) AS BIGINT) AS num
+            FROM gn
+            JOIN vr vi ON vi.j = gn.i
+            JOIN vr vj ON vj.j = gn.j
+        ),
+        den AS (
+            SELECT CAST(sum(vr * vr) AS BIGINT) AS den,
+                   CAST(count(*) AS INTEGER) AS n_dims
+            FROM vr
+        ),
+        tr AS (
+            SELECT CAST(sum(gn) AS BIGINT) AS trace_gn
+            FROM gn WHERE i = j
+        )
+        SELECT d.n_dims, t.trace_gn,
+               CAST(q.num AS DOUBLE) / CAST(d.den AS DOUBLE) AS rayleigh,
+               CAST(q.num AS DOUBLE) / CAST(d.den AS DOUBLE)
+                   / CAST(t.trace_gn AS DOUBLE) AS isotropy
+        FROM qf q CROSS JOIN den d CROSS JOIN tr t
+    """
+
+
 QUERIES = {
     "embedding_standardize": embedding_standardize,
     "embed_kmeans": embed_kmeans,
     "embed_random_projection": embed_random_projection,
     "cluster_cartography": cluster_cartography,
     "pca_top_component": pca_top_component,
+    "embedding_isotropy_report": embedding_isotropy_report,
 }
 
 ORACLE = {
     "pca_top_component": _pca_oracle_sql(),
+    "embedding_isotropy_report": _isotropy_oracle_sql(),
     "embedding_standardize": _standardize_oracle_sql(),
     "embed_kmeans": _km_oracle_sql(),
     "embed_random_projection": _rp_oracle_sql(),

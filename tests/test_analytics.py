@@ -216,3 +216,25 @@ def test_hll_set_algebra_identities(spark, sf_dir):
         r = rows[name]
         assert abs(r.est_distinct - r.exact_distinct) \
             <= max(10, 0.52 * r.exact_distinct)
+
+
+def test_seasonal_decomposition_identities(spark, sf_dir):
+    """trend+seasonal+remainder reassembles n exactly where defined;
+    edge days (incomplete centered window) carry NULL trend; the
+    seasonal value is constant per weekday."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.analytics import (
+        seasonal_decompose_daily,
+    )
+
+    rows = sorted(seasonal_decompose_daily(spark, sf_dir).collect(),
+                  key=lambda r: r.day)
+    assert len(rows) >= 14
+    for r in rows[:3] + rows[-3:]:
+        assert r.trend is None
+    by_dow = {}
+    for r in rows:
+        if r.seasonal is not None:
+            by_dow.setdefault(r.dow, set()).add(r.seasonal)
+        if r.trend is not None and r.seasonal is not None:
+            assert abs(r.n - (r.trend + r.seasonal + r.remainder)) < 1e-9
+    assert all(len(v) == 1 for v in by_dow.values())

@@ -204,3 +204,31 @@ def test_pca_recovers_planted_dominant_direction(spark, tmp_path):
     cos = abs(np.dot(comp, axis)) / (np.linalg.norm(comp)
                                      * np.linalg.norm(axis))
     assert cos > 0.99
+
+
+def test_isotropy_bounds_and_collapsed_corpus(spark, tmp_path):
+    """Isotropy lies in (0, 1]; a corpus of near-identical vectors
+    (rank ~1) reports isotropy ~1."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.ml import (
+        embedding_isotropy_report,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(64)
+    base /= np.linalg.norm(base)
+    vecs = [list(map(float, base + rng.normal(0, 1e-3, 64)))
+            for _ in range(40)]
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "vec_id": list(range(40)),
+        "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+        "label": [0] * 40,
+    }), f"{d}/embeddings.parquet")
+    r = embedding_isotropy_report(spark, d).collect()[0]
+    assert r.n_dims == 64
+    assert 0 < r.isotropy <= 1.01
+    assert r.isotropy > 0.95

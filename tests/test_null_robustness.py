@@ -201,6 +201,7 @@ EVENTS_NULL_SWEEP = [
     "retention_cohorts", "k_anonymity_report",
     "markov_transition_stationary", "ab_test_conversion",
     "session_trigram_mining", "hll_set_operations",
+    "seasonal_decompose_daily",
 ]
 
 
@@ -309,6 +310,7 @@ EMB_NULL_SWEEP = [
     "retrieval_metrics_report", "anns_late_interaction_topk",
     "knn_triangle_count", "embedding_standardize",
     "knn_label_propagation", "pca_top_component",
+    "embedding_isotropy_report",
 ]
 
 

@@ -648,3 +648,56 @@ def test_scd2_stream_equals_batch_and_replay_converges(spark, sf_dir, tmp_path):
     got2 = {tuple(r) for r in
             spark.read.parquet(target).select(*SCD2_COLS).collect()}
     assert got2 == expected
+
+
+def test_hll_stream_equals_batch_and_replay_converges(spark, sf_dir, tmp_path):
+    """The streamed register table is IDENTICAL to the batch sketch
+    (register-wise max merge == sketch of the union), the read-back
+    estimates match the batch report exactly, and a full replay
+    against the already-built table is a no-op."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.analytics import (
+        hll_registers_estimate,
+        hll_streaming_sink,
+        sketch_hll_distinct_users,
+    )
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).filter(F.col("ts").isNotNull())
+    cut = ev.selectExpr(
+        "timestamp_micros(CAST(percentile(unix_micros(ts), 0.5) AS LONG))"
+        " AS c"
+    ).collect()[0].c
+    d = str(tmp_path / "hll_stream")
+    ev.filter(F.col("ts") <= F.lit(cut)).coalesce(1).write.mode(
+        "append").parquet(d)
+    ev.filter(F.col("ts") > F.lit(cut)).coalesce(1).write.mode(
+        "append").parquet(d)
+
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    target = str(tmp_path / "hll_regs")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(d)
+        )
+        q = hll_streaming_sink(stream, target, str(tmp_path / ckpt))
+        q.awaitTermination(240)
+
+    run("ckpt1")
+    batch_est = {
+        r.event_type: r.est_distinct
+        for r in sketch_hll_distinct_users(spark, sf_dir).collect()
+    }
+    streamed = {
+        r.event_type: r.est_distinct
+        for r in hll_registers_estimate(
+            spark.read.parquet(target)).collect()
+    }
+    assert streamed == batch_est
+    regs1 = sorted(map(tuple, spark.read.parquet(target).collect()))
+    run("ckpt2")  # fresh checkpoint: full replay over the same files
+    regs2 = sorted(map(tuple, spark.read.parquet(target).collect()))
+    assert regs1 == regs2

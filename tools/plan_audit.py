@@ -665,6 +665,20 @@ AUDIT = [
         "is never rescanned.",
     ),
     (
+        "seasonal_decompose_daily",
+        "One partial-aggregated groupBy to day grain (365-rows-per-"
+        "year output regardless of volume), then two windows over "
+        "that tiny frame; all accumulation in exact 7x integer "
+        "units.",
+    ),
+    (
+        "embedding_isotropy_report",
+        "Same one-pass dim^2 Gram sketch as pca_top_component; the "
+        "Rayleigh/trace report aggregates 4096 sketch rows with "
+        "exact BIGINT quadratic forms -- the corpus is never "
+        "rescanned.",
+    ),
+    (
         "table_profile_documents",
         "ONE scan + one 1-row aggregation computes every per-column "
         "metric (count-distincts ride the expand), then a stack "
