@@ -155,6 +155,9 @@ HEADLINE = [
     "bpe_learn_merges",
     "seasonal_decompose_daily",
     "embedding_isotropy_report",
+    "interarrival_histogram",
+    "text_char_entropy",
+    "kwic_concordance",
 ]
 
 

@@ -1411,6 +1411,66 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IA_MAX_POW = 22  # top power-of-two bucket (~48 days in seconds)
+
+
+def _ia_bucket_case(gap: str) -> str:
+    """Power-of-two bucket floor of a nonnegative BIGINT gap as one
+    CASE chain -- identical text on both engines, no float log2."""
+    arms = " ".join(
+        f"WHEN {gap} >= {1 << k} THEN {1 << k}"
+        for k in range(IA_MAX_POW, 0, -1)
+    )
+    return f"CASE {arms} ELSE 0 END"
+
+
+def interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-ARRIVAL TIME distribution: the histogram of seconds
+    between a user's consecutive events, bucketed by power-of-two
+    floors -- the burstiness fingerprint capacity planning and bot
+    detection read (humans cluster at minutes-scale buckets; scripted
+    traffic piles into the sub-second ones). Emits one row per
+    occupied bucket: [lo, hi) bounds in seconds, the count, and the
+    share of all gaps.
+
+    Exactness: gaps are exact integer seconds (microsecond epochs,
+    truncating division), the bucket floor is a pure integer CASE
+    chain, and the share is ONE division of exact counts.
+
+    Scale shape: one per-user lag window over a pruned projection,
+    then a partial-aggregated groupBy onto <= 24 bucket rows; the
+    share join is against a broadcast scalar."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            (F.unix_micros(F.col("ts"))
+             - F.unix_micros(F.lag("ts").over(w)))
+            .cast("long").alias("us"),
+        )
+        .filter(F.col("us").isNotNull())
+        .select(F.expr("us div 1000000").alias("gap"))
+    )
+    hist = gaps.groupBy(
+        F.expr(_ia_bucket_case("gap")).cast("long").alias("bucket_lo")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = hist.agg(F.sum("n").alias("tot"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket_lo",
+            F.when(F.col("bucket_lo") == 0, 1)
+            .otherwise(F.col("bucket_lo") * 2)
+            .cast("long").alias("bucket_hi"),
+            F.col("n").cast("long").alias("n"),
+            (F.col("n").cast("double") / F.col("tot").cast("double"))
+            .alias("share"),
+        )
+    )
+
+
 def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STL-LITE seasonal decomposition of the daily event count:
     trend = centered 7-day moving average (NULL at the edges where
@@ -1738,6 +1798,7 @@ QUERIES = {
     "session_trigram_mining": session_trigram_mining,
     "hll_set_operations": hll_set_operations,
     "seasonal_decompose_daily": seasonal_decompose_daily,
+    "interarrival_histogram": interarrival_histogram,
     "gatekeeper_failure_history": gatekeeper_failure_history,
     "sketch_cardinality_quantiles": sketch_cardinality_quantiles,
     "sketch_hll_distinct_users": sketch_hll_distinct_users,
@@ -1806,6 +1867,30 @@ ORACLE = {
     """,
     "markov_transition_stationary": _markov_oracle_sql(),
     "hll_set_operations": _hll_sets_oracle_sql(),
+    "interarrival_histogram": f"""
+        WITH gaps AS (
+            SELECT (epoch_us(ts) - epoch_us(prev)) // 1000000 AS gap
+            FROM (
+                SELECT ts, lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ) WHERE prev IS NOT NULL
+        ),
+        hist AS (
+            SELECT CAST({_ia_bucket_case("gap")} AS BIGINT)
+                       AS bucket_lo,
+                   count(*) AS n
+            FROM gaps GROUP BY 1
+        ),
+        tot AS (SELECT sum(n) AS tot FROM hist)
+        SELECT bucket_lo,
+               CAST(CASE WHEN bucket_lo = 0 THEN 1
+                         ELSE bucket_lo * 2 END AS BIGINT) AS bucket_hi,
+               CAST(n AS BIGINT) AS n,
+               CAST(n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
+        FROM hist CROSS JOIN tot t
+    """,
     "seasonal_decompose_daily": """
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events

@@ -809,6 +809,182 @@ def _readability_oracle_sql() -> str:
     """
 
 
+ENT_SCALE = tq.LN_UNIT_SCALE  # entropy carried in 1e-6 nat units
+
+
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-BIGRAM ENTROPY per document -- the information-
+    density quality signal (compression-style): keyboard mash and
+    repeated boilerplate score low, natural prose high; the
+    dictionary-free cousin of the gibberish predicate that emits a
+    GRADED score instead of a flag. ``H = -sum p ln p`` over the
+    document's character bigrams, computed as the exact identity
+    ``sum c*(ln n - ln c) / n``.
+
+    Exactness: each ln is once-rounded into BIGINT 1e-6 units
+    (``tq.lnu``); the weighted sum ``sum c*(lnu(n)-lnu(c))`` is an
+    EXACT BIGINT aggregate, and the emitted entropy is ONE division
+    by ``n * scale`` -- bit-identical across engines, independent of
+    aggregation order. Documents with fewer than two characters have
+    no bigrams and report NULL entropy over n=0.
+
+    Scale shape: the bigram explode is map-side; the (doc_id, bigram)
+    count partially aggregates (bigrams repeat within a document, so
+    the combiner collapses to distinct-bigrams-per-doc before the
+    shuffle); one final doc_id aggregation."""
+    docs = rebalance(table(spark, sf_dir, "documents"))
+    bigrams = tq.let(
+        F.expr("regexp_extract_all(coalesce(text, ''), '(?s).', 0)"),
+        lambda cs: F.when(
+            F.size(cs) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(cs) - 1),
+                lambda i: F.concat(F.element_at(cs, i),
+                                   F.element_at(cs, i + 1)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    counts = (
+        docs.select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).cast("int").alias("n_distinct"),
+    )
+    h = (
+        counts.join(per_doc.select("doc_id", "n"), "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c")
+                  * (tq.lnu(F.col("n")) - tq.lnu(F.col("c"))))
+            .alias("h_u"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(h, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("n_distinct", F.lit(0)).cast("int")
+            .alias("n_distinct"),
+            (F.col("h_u").cast("double")
+             / (F.col("n") * ENT_SCALE).cast("double"))
+            .alias("entropy"),
+        )
+    )
+
+
+def _entropy_oracle_sql() -> str:
+    return f"""
+        WITH chars AS (
+            SELECT doc_id,
+                   regexp_extract_all(coalesce(text, ''), '(?s).') AS cs
+            FROM documents
+        ),
+        counts AS (
+            SELECT doc_id, b, count(*) AS c FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(cs)),
+                           i -> cs[i] || cs[i + 1])) AS b
+                FROM chars WHERE len(cs) >= 2
+            )
+            GROUP BY doc_id, b
+        ),
+        per_doc AS (
+            SELECT doc_id, sum(c) AS n,
+                   CAST(count(*) AS INTEGER) AS n_distinct
+            FROM counts GROUP BY doc_id
+        ),
+        h AS (
+            SELECT counts.doc_id,
+                   sum(c * ({tq.lnu_sql("p.n")} - {tq.lnu_sql("c")}))
+                       AS h_u
+            FROM counts JOIN per_doc p USING (doc_id)
+            GROUP BY counts.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n, 0) AS BIGINT) AS n_bigrams,
+               coalesce(p.n_distinct, 0) AS n_distinct,
+               CAST(h.h_u AS DOUBLE)
+                   / CAST(p.n * {ENT_SCALE} AS DOUBLE) AS entropy
+        FROM documents d
+        LEFT JOIN per_doc p USING (doc_id)
+        LEFT JOIN h ON h.doc_id = d.doc_id
+    """
+
+
+KWIC_TERM = "join"  # concordance keyword (a corpus top term)
+KWIC_CTX = 3        # words of context each side
+
+
+def kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYWORD-IN-CONTEXT concordance: every occurrence of
+    ``KWIC_TERM`` with ``KWIC_CTX`` words of context on each side --
+    the classic corpus-linguistics view (and the snippet builder
+    retrieval UIs render around a hit). Emits (doc_id, pos,
+    left_ctx, term, right_ctx), 0-based word position.
+
+    Map-only: one split per document, one generator explode, and two
+    let-bound array slices per hit -- no shuffle at all; at 100 TB
+    the output is proportional to HITS, not corpus size, and the
+    term filter sits directly on the exploded word."""
+    docs = rebalance(table(spark, sf_dir, "documents"))
+    withw = docs.select(
+        "doc_id",
+        tq.words(F.coalesce(F.col("text"), F.lit(""))).alias("ws"),
+    ).select("doc_id", "ws", F.posexplode("ws").alias("pos", "w"))
+    i = F.col("pos") + 1  # 1-based index into ws
+    start = F.greatest(F.lit(1), i - KWIC_CTX)
+    return (
+        withw.filter(F.col("w") == KWIC_TERM)
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.array_join(F.slice("ws", start, i - start), " ")
+            .alias("left_ctx"),
+            F.col("w").alias("term"),
+            F.array_join(
+                F.slice("ws", i + 1, F.lit(KWIC_CTX)), " "
+            ).alias("right_ctx"),
+        )
+    )
+
+
+def _kwic_oracle_sql() -> str:
+    ws = "[ \\t\\n\\x0B\\f\\r]"
+    return f"""
+        WITH t AS (
+            SELECT doc_id, list_filter(string_split_regex(
+                trim(coalesce(text, '')), '{ws}+'), x -> x <> '') AS ws
+            FROM documents
+        ),
+        hits AS (
+            SELECT doc_id, ws, u.p.i AS i
+            FROM (
+                SELECT doc_id, ws,
+                       list_transform(range(1, len(ws) + 1),
+                           i -> struct_pack(i := i, w := ws[i])) AS ps
+                FROM t
+            ), unnest(ps) AS u(p)
+            WHERE u.p.w = '{KWIC_TERM}'
+        )
+        SELECT doc_id,
+               CAST(i - 1 AS INTEGER) AS pos,
+               coalesce(array_to_string(
+                   list_slice(ws, greatest(1, i - {KWIC_CTX}), i - 1),
+                   ' '), '') AS left_ctx,
+               '{KWIC_TERM}' AS term,
+               coalesce(array_to_string(
+                   list_slice(ws, i + 1, i + {KWIC_CTX}), ' '), '')
+                   AS right_ctx
+        FROM hits
+    """
+
+
 def lang_confusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONFUSION MATRIX of the stopword language identifier against
     the corpus's labeled ``lang`` column -- the evaluation report
@@ -987,6 +1163,8 @@ QUERIES = {
     "text_readability": text_readability,
     "zipf_fit_report": zipf_fit_report,
     "lang_confusion_report": lang_confusion_report,
+    "text_char_entropy": text_char_entropy,
+    "kwic_concordance": kwic_concordance,
     "vocab_top_coverage": vocab_top_coverage,
     "sketch_countmin_heavyhitters": sketch_countmin_heavyhitters,
     "bpe_pair_counts": bpe_pair_counts,
@@ -1051,6 +1229,8 @@ ORACLE = {
     "text_sentence_split": _sentence_oracle_sql(),
     "text_readability": _readability_oracle_sql(),
     "zipf_fit_report": _zipf_oracle_sql(),
+    "text_char_entropy": _entropy_oracle_sql(),
+    "kwic_concordance": _kwic_oracle_sql(),
     "text_nfc_normalize": """
         SELECT doc_id,
                nfc_normalize(text) AS nfc_text,

@@ -238,3 +238,29 @@ def test_seasonal_decomposition_identities(spark, sf_dir):
         if r.trend is not None and r.seasonal is not None:
             assert abs(r.n - (r.trend + r.seasonal + r.remainder)) < 1e-9
     assert all(len(v) == 1 for v in by_dow.values())
+
+
+def test_interarrival_buckets_partition_the_gaps(spark, sf_dir):
+    from selfhosted_rag_doc_chat_prototype_spark.operators.analytics import (
+        interarrival_histogram,
+    )
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+    from pyspark.sql import functions as F
+
+    rows = interarrival_histogram(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.bucket_lo < r.bucket_hi
+        assert r.bucket_lo == 0 or r.bucket_hi == 2 * r.bucket_lo
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    n_events = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .count()
+    )
+    n_users = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id").distinct().count()
+    )
+    assert sum(r.n for r in rows) == n_events - n_users

@@ -150,3 +150,50 @@ def test_lang_confusion_marginals_consistent(spark, sf_dir):
         assert by_true[r.true_lang] == r.true_total
     n_docs = table(spark, sf_dir, "documents").count()
     assert sum(by_true.values()) == n_docs
+
+
+def test_char_entropy_orders_mash_below_prose(spark):
+    """Repetitive text scores lower bigram entropy than varied prose;
+    degenerate docs report NULL entropy over zero bigrams."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.textstats import (
+        text_char_entropy,
+    )
+
+    texts = ["aaaaaaaaaaaaaaaaaaaa",
+             "the quick brown fox jumps over the lazy dog", "x", None]
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "doc_id": list(range(len(texts))), "text": texts,
+            "lang": ["en"] * len(texts), "source": ["s"] * len(texts),
+            "n_chars": [len(t) if t else 0 for t in texts],
+        }), f"{d}/documents.parquet")
+        rows = {r.doc_id: r for r in text_char_entropy(spark, d).collect()}
+    assert rows[0].entropy == 0.0          # one distinct bigram
+    assert rows[1].entropy > 3.0           # varied prose
+    assert rows[0].entropy < rows[1].entropy
+    assert rows[2].n_bigrams == 0 and rows[2].entropy is None
+    assert rows[3].n_bigrams == 0 and rows[3].entropy is None
+
+
+def test_kwic_reconstructs_context_windows(spark, sf_dir):
+    from selfhosted_rag_doc_chat_prototype_spark.operators.textstats import (
+        KWIC_CTX,
+        KWIC_TERM,
+        kwic_concordance,
+    )
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    docs = {r.doc_id: (r.text or "").split()
+            for r in table(spark, sf_dir, "documents").collect()}
+    rows = kwic_concordance(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        ws = docs[r.doc_id]
+        assert ws[r.pos] == KWIC_TERM
+        assert r.left_ctx == " ".join(ws[max(0, r.pos - KWIC_CTX):r.pos])
+        assert r.right_ctx == " ".join(ws[r.pos + 1:r.pos + 1 + KWIC_CTX])

@@ -685,6 +685,26 @@ AUDIT = [
         "unpivot -- profile cost is independent of column count's "
         "output shape.",
     ),
+    (
+        "interarrival_histogram",
+        "One per-user lag window over a (user_id, ts, event_id) "
+        "projection, then a partial-aggregated groupBy onto <= 24 "
+        "power-of-two bucket rows; the share denominator joins back "
+        "as a broadcast scalar.",
+    ),
+    (
+        "text_char_entropy",
+        "Bigram explode partially aggregates to distinct-bigrams-"
+        "per-doc before the shuffle (the combiner collapses repeats); "
+        "the entropy sum is an exact BIGINT aggregate per doc_id -- "
+        "no float accumulation order anywhere.",
+    ),
+    (
+        "kwic_concordance",
+        "Map-only concordance: split + posexplode + a pushed term "
+        "equality on the exploded word; output is proportional to "
+        "hits, not corpus size, and there is no shuffle at all.",
+    ),
 ]
 
 
