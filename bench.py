@@ -158,6 +158,9 @@ HEADLINE = [
     "interarrival_histogram",
     "text_char_entropy",
     "kwic_concordance",
+    "ohlc_daily_by_type",
+    "twap_by_user",
+    "event_debounce",
 ]
 
 

@@ -1471,6 +1471,162 @@ def interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VALUE_SCALE = 1_000_000  # event values carried in exact 1e-6 units
+
+
+def _value_u(col) -> "F.Column":
+    """Quantize a nonnegative double to BIGINT micro-units.
+    ``floor(x * 1e6 + 0.5)`` is pure float64 mul/add/floor -- bit-
+    deterministic and engine-identical (docs/ROUNDING.md)."""
+    return F.floor(col * F.lit(float(VALUE_SCALE)) + F.lit(0.5)).cast("long")
+
+
+def ohlc_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC CANDLESTICK downsample: per (event_type, day), the open
+    (first value by event time), high, low, close (last value), event
+    count, and total value -- the irregular-timeseries -> bar-chart
+    rollup every telemetry dashboard draws (TimescaleDB's
+    ``candlestick_agg`` shape).
+
+    Exactness: open/close ride a lexicographic struct min/max over the
+    total order (ts, event_id) -- no row_number shuffle pass; high/low
+    are plain min/max (order-independent); the volume sum accumulates
+    exact BIGINT micro-units and divides ONCE on emit.
+
+    Scale shape: one partial-aggregated groupBy -- every aggregate
+    (struct-min, min, max, sum, count) decomposes map-side, so the
+    single shuffle carries <= |types| x |days| combiner rows no matter
+    the corpus size."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    first = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    return (
+        ev.groupBy(F.col("event_type"), _day("ts").alias("day"))
+        .agg(
+            F.min(first).alias("fst"),
+            F.max(first).alias("lst"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_value_u(F.col("value"))).alias("vol_u"),
+        )
+        .select(
+            "event_type", "day",
+            F.col("fst").getField("value").alias("open"),
+            "high", "low",
+            F.col("lst").getField("value").alias("close"),
+            F.col("n_events").cast("long").alias("n_events"),
+            (F.col("vol_u").cast("double") / float(VALUE_SCALE))
+            .alias("total_value"),
+        )
+    )
+
+
+def twap_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED AVERAGE value per user, last-observation-carried-
+    forward: each event's value holds until the user's next event, so
+    the mean is weighted by holding time, not by event count -- the
+    correct "average sensor reading" / "average position" statistic
+    for irregular telemetry (a burst of identical readings no longer
+    dominates the mean). Weights are whole seconds; a user's last
+    event carries no weight (nothing follows it to bound the hold).
+
+    Exactness: value in BIGINT micro-units, weight = exact integer
+    second gap from the lead event, ``sum(value_u * gap_s)`` an exact
+    BIGINT aggregate, ONE division on emit. Headroom: the sum is
+    bounded by max(value_u) x total span seconds (values <= ~1e3 over
+    a 10-year span: ~3e17, inside BIGINT) because gaps telescope to
+    the span. Users whose events all share one second emit NULL twap
+    over zero weight.
+
+    Scale shape: one per-user lead window over a 4-column projection,
+    then a partial-aggregated per-user groupBy; no join, no second
+    shuffle (the window and the groupBy share the user_id hash
+    partitioning)."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    rows = ev.select(
+        "user_id", "event_id",
+        F.expr("unix_micros(ts) div 1000000").alias("s"),
+        _value_u(F.col("value")).alias("value_u"),
+    ).withColumn("gap_s", F.lead("s").over(w) - F.col("s"))
+    return (
+        rows.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.max("s") - F.min("s")).cast("long").alias("span_s"),
+            F.sum(F.col("value_u") * F.col("gap_s")).alias("num_u"),
+            F.sum("gap_s").alias("den_s"),
+        )
+        .select(
+            "user_id", "n_events", "span_s",
+            (F.col("num_u").cast("double")
+             / (F.nullif(F.col("den_s"), F.lit(0)) * VALUE_SCALE)
+             .cast("double")).alias("twap"),
+        )
+    )
+
+
+DEBOUNCE_SECONDS = 1800  # repeat deliveries within 30 min collapse
+
+
+def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TELEMETRY DEBOUNCE: collapse bursts of repeat deliveries of the
+    same signal -- within (user_id, event_type), consecutive events
+    closer than DEBOUNCE_SECONDS merge into one burst and only the
+    FIRST event survives, annotated with how many deliveries it
+    suppressed and the burst's span. Unlike sessionization (which
+    emits per-session STATS), this emits the deduplicated EVENT rows
+    -- the "drop redundant sensor re-reports" pass an MQTT ingest runs
+    before counting anything.
+
+    Boundary contract: a gap of EXACTLY the threshold stays in the
+    burst (merge on gap <= D, split on strict >) -- the same rule
+    Spark's session_window applies (verified empirically round 5), so
+    the batch debounce and a session_window streaming twin agree on
+    edge-aligned events.
+
+    Scale shape: one lag window + one running-sum window (same
+    partitioning, one shuffle) numbers the bursts; the burst groupBy
+    reuses that partitioning; struct-min picks the kept event without
+    a row_number pass."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "is_start",
+        F.when(gap.isNull()
+               | (gap > DEBOUNCE_SECONDS * 1_000_000), 1).otherwise(0),
+    ).withColumn(
+        "burst",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    kept = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        flagged.groupBy("user_id", "event_type", "burst")
+        .agg(
+            F.min(kept).alias("fst"),
+            F.count(F.lit(1)).alias("n"),
+            (F.expr("unix_micros(max(ts))") - F.expr("unix_micros(min(ts))"))
+            .alias("span_us"),
+        )
+        .select(
+            "user_id", "event_type",
+            F.col("fst").getField("event_id").alias("event_id"),
+            F.date_format(F.col("fst").getField("ts"),
+                          "yyyy-MM-dd HH:mm:ss").alias("kept_ts"),
+            (F.col("n") - 1).cast("long").alias("n_suppressed"),
+            F.expr("span_us div 1000000").cast("long").alias("burst_span_s"),
+        )
+    )
+
+
 def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STL-LITE seasonal decomposition of the daily event count:
     trend = centered 7-day moving average (NULL at the edges where
@@ -1799,6 +1955,9 @@ QUERIES = {
     "hll_set_operations": hll_set_operations,
     "seasonal_decompose_daily": seasonal_decompose_daily,
     "interarrival_histogram": interarrival_histogram,
+    "ohlc_daily_by_type": ohlc_daily_by_type,
+    "twap_by_user": twap_by_user,
+    "event_debounce": event_debounce,
     "gatekeeper_failure_history": gatekeeper_failure_history,
     "sketch_cardinality_quantiles": sketch_cardinality_quantiles,
     "sketch_hll_distinct_users": sketch_hll_distinct_users,
@@ -1867,6 +2026,85 @@ ORACLE = {
     """,
     "markov_transition_stationary": _markov_oracle_sql(),
     "hll_set_operations": _hll_sets_oracle_sql(),
+    "ohlc_daily_by_type": f"""
+        WITH ev AS (
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value,
+                   row_number() OVER (
+                       PARTITION BY event_type, strftime(ts, '%Y-%m-%d')
+                       ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (
+                       PARTITION BY event_type, strftime(ts, '%Y-%m-%d')
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        )
+        SELECT event_type, day,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(value * {VALUE_SCALE}.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE)
+                   / {VALUE_SCALE} AS total_value
+        FROM ev GROUP BY 1, 2
+    """,
+    "twap_by_user": f"""
+        WITH rows_ AS (
+            SELECT user_id, event_id,
+                   epoch_us(ts) // 1000000 AS s,
+                   CAST(floor(value * {VALUE_SCALE}.0 + 0.5) AS BIGINT)
+                       AS value_u
+            FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL
+              AND user_id IS NOT NULL
+        ),
+        g AS (
+            SELECT user_id, s, value_u,
+                   lead(s) OVER (
+                       PARTITION BY user_id ORDER BY s, event_id) - s
+                       AS gap_s
+            FROM rows_
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(s) - min(s) AS BIGINT) AS span_s,
+               CAST(sum(value_u * gap_s) AS DOUBLE)
+                   / CAST(nullif(sum(gap_s), 0) * {VALUE_SCALE}
+                          AS DOUBLE) AS twap
+        FROM g GROUP BY 1
+    """,
+    "event_debounce": f"""
+        WITH flagged AS (
+            SELECT user_id, event_type, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > {DEBOUNCE_SECONDS} * 1000000
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events WHERE ts IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id)
+        ),
+        bursts AS (
+            SELECT *, sum(is_start) OVER (
+                PARTITION BY user_id, event_type ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS burst
+            FROM flagged
+        ),
+        agg AS (
+            SELECT user_id, event_type, burst,
+                   min(struct_pack(ts := ts, event_id := event_id)) AS fst,
+                   count(*) AS n,
+                   epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+            FROM bursts GROUP BY 1, 2, 3
+        )
+        SELECT user_id, event_type,
+               fst.event_id AS event_id,
+               strftime(fst.ts, '%Y-%m-%d %H:%M:%S') AS kept_ts,
+               CAST(n - 1 AS BIGINT) AS n_suppressed,
+               CAST(span_us // 1000000 AS BIGINT) AS burst_span_s
+        FROM agg
+    """,
     "interarrival_histogram": f"""
         WITH gaps AS (
             SELECT (epoch_us(ts) - epoch_us(prev)) // 1000000 AS gap

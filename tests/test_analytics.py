@@ -264,3 +264,76 @@ def test_interarrival_buckets_partition_the_gaps(spark, sf_dir):
         .select("user_id").distinct().count()
     )
     assert sum(r.n for r in rows) == n_events - n_users
+
+
+def test_ohlc_bars_bound_their_values(spark, sf_dir):
+    from selfhosted_rag_doc_chat_prototype_spark.operators.analytics import (
+        ohlc_daily_by_type,
+    )
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+    from pyspark.sql import functions as F
+
+    rows = ohlc_daily_by_type(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        assert r.n_events >= 1
+        # volume is a sum of values quantized at 1e-6: within n*5e-7
+        assert r.total_value <= r.high * r.n_events + 1e-6 * r.n_events
+    total = sum(r.n_events for r in rows)
+    expect = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .count()
+    )
+    assert total == expect
+
+
+def test_twap_lies_between_user_min_and_max(spark, sf_dir):
+    from selfhosted_rag_doc_chat_prototype_spark.operators.analytics import (
+        twap_by_user,
+    )
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+    from pyspark.sql import functions as F
+
+    twap = {r.user_id: r for r in twap_by_user(spark, sf_dir).collect()}
+    bounds = {
+        r.user_id: r
+        for r in table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull()
+                & F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    assert set(twap) == set(bounds)
+    for uid, r in twap.items():
+        if r.twap is not None:
+            assert bounds[uid].lo - 1e-6 <= r.twap <= bounds[uid].hi + 1e-6
+        else:
+            assert r.span_s == 0 or r.n_events == 1
+
+
+def test_debounce_conserves_events_and_orders_bursts(spark, sf_dir):
+    from collections import defaultdict
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.analytics import (
+        event_debounce,
+    )
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+    from pyspark.sql import functions as F
+
+    rows = event_debounce(spark, sf_dir).collect()
+    n_with_ts = (
+        table(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).count()
+    )
+    assert len(rows) + sum(r.n_suppressed for r in rows) == n_with_ts
+    by_key = defaultdict(list)
+    for r in rows:
+        assert r.n_suppressed >= 0
+        assert r.burst_span_s >= 0
+        assert (r.n_suppressed == 0) == (r.burst_span_s == 0) or r.n_suppressed > 0
+        by_key[(r.user_id, r.event_type)].append(r.kept_ts)
+    for k, ts_list in by_key.items():
+        assert ts_list == sorted(ts_list)

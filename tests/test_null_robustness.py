@@ -201,7 +201,8 @@ EVENTS_NULL_SWEEP = [
     "retention_cohorts", "k_anonymity_report",
     "markov_transition_stationary", "ab_test_conversion",
     "session_trigram_mining", "hll_set_operations",
-    "seasonal_decompose_daily",
+    "seasonal_decompose_daily", "interarrival_histogram",
+    "ohlc_daily_by_type", "twap_by_user", "event_debounce",
 ]
 
 
@@ -258,6 +259,19 @@ def null_events(spark, tmp_path_factory, sf_dir):
         # - rows exactly 6 days (the rolling RANGE bound) apart
         (215, 9, "view", 2.0, ts0 + dt.timedelta(days=4, seconds=518400),
          None),
+        # - debounce boundary: same (user, type) exactly
+        #   DEBOUNCE_SECONDS apart (stays in the burst, merge rule is
+        #   gap <= D), then strictly one second beyond (new burst);
+        #   220/221 also land in the SAME second for the TWAP
+        #   zero-weight edge when seconds-truncated
+        (220, 11, "view", 1.0, ts0 + dt.timedelta(days=5), None),
+        (221, 11, "view", 2.0,
+         ts0 + dt.timedelta(days=5, microseconds=500000), None),
+        (222, 11, "view", 3.0,
+         ts0 + dt.timedelta(days=5, seconds=1800, microseconds=500000),
+         None),
+        (223, 11, "view", 4.0,
+         ts0 + dt.timedelta(days=5, seconds=3601), None),
     ]
     pq.write_table(pa.table({
         "event_id": [r[0] for r in rows],

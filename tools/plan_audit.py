@@ -700,6 +700,25 @@ AUDIT = [
         "no float accumulation order anywhere.",
     ),
     (
+        "ohlc_daily_by_type",
+        "Single partial-aggregated groupBy: struct-min/max pick "
+        "open/close without a row_number pass, so the one shuffle "
+        "carries <= |types| x |days| combiner rows.",
+    ),
+    (
+        "twap_by_user",
+        "Per-user lead window and the per-user groupBy share the "
+        "user_id hash partitioning -- one shuffle total over a "
+        "4-column projection; the weighted sum is an exact BIGINT "
+        "aggregate.",
+    ),
+    (
+        "event_debounce",
+        "Lag + running-sum windows share one (user, type) "
+        "partitioning with the burst groupBy; the kept event rides a "
+        "struct-min, no second pass over the corpus.",
+    ),
+    (
         "kwic_concordance",
         "Map-only concordance: split + posexplode + a pushed term "
         "equality on the exploded word; output is proportional to "
