@@ -161,6 +161,7 @@ HEADLINE = [
     "ohlc_daily_by_type",
     "twap_by_user",
     "event_debounce",
+    "text_code_detect",
 ]
 
 

@@ -985,6 +985,101 @@ def _kwic_oracle_sql() -> str:
     """
 
 
+CODE_SYMBOLS = r"[{}\[\]();=<>#]"
+CODE_KEYWORDS = (
+    r"\b(def|class|import|return|function|const|var|void|int|public|"
+    r"if|else|for|while|struct|let)\b"
+)
+
+
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODE-VS-PROSE routing classifier: per document, the structural
+    signals a pretraining pipeline uses to send text down the code
+    branch (different dedup thresholds, different tokenizer budget,
+    different quality filters) -- indented-line fraction, code-symbol
+    density, and reserved-keyword hits -- plus the combined vote.
+    StarCoder-style heuristics over the raw text, no parsing.
+
+    Exactness: every decision threshold is a PURE INTEGER comparison
+    (``5*indent_lines >= n_lines`` instead of ``frac >= 0.2``), so the
+    flag can never waver on float representation; the emitted
+    fractions are single divisions of exact counts, for reporting
+    only. Lines split on '\\n' exactly (the repo-wide contract --
+    splitlines() would also break on \\x0B/U+2028).
+
+    Scale shape: map-only codegen expressions over a 2-column
+    projection; zero shuffles, zero UDFs."""
+    docs = rebalance(table(spark, sf_dir, "documents"))
+    t = F.coalesce(F.col("text"), F.lit(""))
+    lines = F.split(t, "\n", -1)
+    indent = F.size(F.filter(
+        lines, lambda seg: seg.rlike(r"^(\t|    )")))
+    sym = F.length(t) - F.length(F.regexp_replace(t, CODE_SYMBOLS, ""))
+    # Column-literal pattern: F.expr would route the regex through the
+    # Spark SQL string parser, which eats the \b as a backspace escape
+    kw = F.size(F.regexp_extract_all(t, F.lit(CODE_KEYWORDS), F.lit(0)))
+    n_lines = F.size(lines)
+    n_chars = F.length(t)
+    v_ind = (indent * 5 >= n_lines) & (n_lines >= 3)
+    v_sym = (sym * 20 >= n_chars) & (n_chars > 0)
+    v_kw = kw >= 3
+    votes = (v_ind.cast("int") + v_sym.cast("int") + v_kw.cast("int"))
+    return docs.select(
+        "doc_id",
+        n_lines.cast("int").alias("n_lines"),
+        indent.cast("int").alias("indent_lines"),
+        sym.cast("long").alias("symbol_chars"),
+        kw.cast("int").alias("kw_hits"),
+        (indent.cast("double") / n_lines.cast("double"))
+        .alias("indent_frac"),
+        (sym.cast("double")
+         / F.nullif(n_chars, F.lit(0)).cast("double")).alias("symbol_frac"),
+        votes.cast("int").alias("votes"),
+        (votes >= 2).cast("int").alias("is_code"),
+    )
+
+
+def _code_detect_oracle_sql() -> str:
+    return f"""
+        WITH t AS (
+            SELECT doc_id, coalesce(text, '') AS txt,
+                   string_split(coalesce(text, ''), chr(10)) AS lines
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(lines) AS n_lines,
+                   len(list_filter(lines,
+                       l -> regexp_matches(l, '^(\\t|    )'))) AS indent,
+                   length(txt) - length(regexp_replace(
+                       txt, '{CODE_SYMBOLS}', '', 'g')) AS sym,
+                   len(regexp_extract_all(txt, '{CODE_KEYWORDS}'))
+                       AS kw,
+                   length(txt) AS n_chars
+            FROM t
+        ),
+        v AS (
+            SELECT *,
+                   CAST(indent * 5 >= n_lines AND n_lines >= 3 AS INTEGER)
+                   + CAST(sym * 20 >= n_chars AND n_chars > 0 AS INTEGER)
+                   + CAST(kw >= 3 AS INTEGER) AS votes
+            FROM m
+        )
+        SELECT doc_id,
+               CAST(n_lines AS INTEGER) AS n_lines,
+               CAST(indent AS INTEGER) AS indent_lines,
+               CAST(sym AS BIGINT) AS symbol_chars,
+               CAST(kw AS INTEGER) AS kw_hits,
+               CAST(indent AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                   AS indent_frac,
+               CAST(sym AS DOUBLE) / CAST(nullif(n_chars, 0) AS DOUBLE)
+                   AS symbol_frac,
+               CAST(votes AS INTEGER) AS votes,
+               CAST(votes >= 2 AS INTEGER) AS is_code
+        FROM v
+    """
+
+
 def lang_confusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONFUSION MATRIX of the stopword language identifier against
     the corpus's labeled ``lang`` column -- the evaluation report
@@ -1165,6 +1260,7 @@ QUERIES = {
     "lang_confusion_report": lang_confusion_report,
     "text_char_entropy": text_char_entropy,
     "kwic_concordance": kwic_concordance,
+    "text_code_detect": text_code_detect,
     "vocab_top_coverage": vocab_top_coverage,
     "sketch_countmin_heavyhitters": sketch_countmin_heavyhitters,
     "bpe_pair_counts": bpe_pair_counts,
@@ -1231,6 +1327,7 @@ ORACLE = {
     "zipf_fit_report": _zipf_oracle_sql(),
     "text_char_entropy": _entropy_oracle_sql(),
     "kwic_concordance": _kwic_oracle_sql(),
+    "text_code_detect": _code_detect_oracle_sql(),
     "text_nfc_normalize": """
         SELECT doc_id,
                nfc_normalize(text) AS nfc_text,

@@ -75,6 +75,9 @@ NULL_SWEEP = [
     "dedup_edit_distance",
     "lang_confusion_report",
     "bpe_learn_merges",
+    "text_char_entropy",
+    "kwic_concordance",
+    "text_code_detect",
 ]
 
 

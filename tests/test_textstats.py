@@ -197,3 +197,40 @@ def test_kwic_reconstructs_context_windows(spark, sf_dir):
         assert ws[r.pos] == KWIC_TERM
         assert r.left_ctx == " ".join(ws[max(0, r.pos - KWIC_CTX):r.pos])
         assert r.right_ctx == " ".join(ws[r.pos + 1:r.pos + 1 + KWIC_CTX])
+
+
+def test_code_detect_routes_code_and_prose(spark):
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.textstats import (
+        text_code_detect,
+    )
+
+    code = (
+        "def topk(xs, k):\n"
+        "    out = sorted(xs)[:k];\n"
+        "    if not out:\n"
+        "        return []\n"
+        "    for x in out:\n"
+        "        print(x)\n"
+        "    return out\n"
+    )
+    prose = ("The quarterly report shows steady growth across the "
+             "northern region, and the committee expects the trend "
+             "to continue through the year.")
+    texts = [code, prose, None, ""]
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "doc_id": list(range(len(texts))), "text": texts,
+            "lang": ["en"] * len(texts), "source": ["s"] * len(texts),
+            "n_chars": [len(t) if t else 0 for t in texts],
+        }), f"{d}/documents.parquet")
+        rows = {r.doc_id: r for r in text_code_detect(spark, d).collect()}
+    assert rows[0].is_code == 1
+    assert rows[0].indent_lines >= 5 and rows[0].kw_hits >= 3
+    assert rows[1].is_code == 0
+    assert rows[2].is_code == 0 and rows[2].symbol_frac is None
+    assert rows[3].is_code == 0 and rows[3].n_lines == 1

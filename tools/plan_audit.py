@@ -724,6 +724,12 @@ AUDIT = [
         "equality on the exploded word; output is proportional to "
         "hits, not corpus size, and there is no shuffle at all.",
     ),
+    (
+        "text_code_detect",
+        "Map-only codegen classifier over a 2-column projection; all "
+        "three votes are integer comparisons inside one projection, "
+        "zero shuffles and zero UDFs.",
+    ),
 ]
 
 
