@@ -164,6 +164,91 @@ HEADLINE = [
     "text_code_detect",
 ]
 
+# BENCH COVERAGE RULE (enforced below, documented in docs/BENCHING.md):
+# every registered query is either in HEADLINE (benched per-round) or
+# named here with the exclusion category that justifies skipping it.
+# A query absent from BOTH lists fails the bench immediately -- a new
+# heavy operator cannot silently skip the bench the way queries could
+# once skip the correctness artifact. Categories:
+#   tpch-rep    cheap TPC-H variant; the benched 12-query TPC-H cohort
+#               already covers every physical shape (agg/join/semi/
+#               anti/exists/window) these reuse
+#   agg-1shuf   single partial-aggregated shuffle over events, same
+#               plan family as benched a1/a7/a10/rollup/pivot
+#   window-rep  one window/sessionize pass over events, represented by
+#               the benched window_running_total/rolling_7day cohort
+#   map-only    pure codegen projection (no shuffle), represented by
+#               the benched text_quality_flags/text_sentence_split
+#   cheap-var   strictly cheaper variant of a benched family member
+#               (e.g. exact dedup vs the benched MinHash/semantic path)
+#   stub-bound  dominated by a deterministic stub boundary (multimodal
+#               decode), structure benched via multimodal_image_stats
+BENCH_EXCLUDED = {
+    **{n: "tpch-rep" for n in [
+        "q7_volume_shipping", "q8_market_share", "q11_important_stock",
+        "q12_returnflag_priority", "q14_promo_revenue",
+        "q15_top_supplier", "q16_part_supplier_counts",
+        "q19_disjunctive_predicates", "q20_excess_volume_suppliers",
+        "q22_idle_customer_balance",
+    ]},
+    **{n: "agg-1shuf" for n in [
+        "a1_events_per_hour", "a2_value_stats_by_type",
+        "a3_efficiency_by_type", "a4_error_rate_by_day",
+        "a5_top20_events", "a6_summary", "a8_doc_distribution",
+        "a9_backlog", "a11_json_props", "cube_events",
+        "grouping_sets_events", "unpivot_daily_counts",
+        "props_key_histogram", "corpus_quality_by_source",
+        "lsh_bucket_histogram", "label_centroids",
+        "embedding_health_report", "gatekeeper_failure_history",
+        "stale_agents", "stream_windowed_counts",
+        "set_click_and_purchase_users",
+        "set_error_not_purchase_user_days",
+    ]},
+    **{n: "window-rep" for n in [
+        "window_first_event_per_user", "window_forward_fill",
+        "window_last_n_per_user", "window_value_quartiles",
+        "rolling_distinct_users_7d", "sessionize_events",
+        "sessionize_session_window", "chat_session_history_ttl",
+        "join_customers_with_purchases",
+    ]},
+    **{n: "map-only" for n in [
+        "text_fingerprint", "text_lang_id", "text_slugify",
+        "text_token_stats", "content_addressed_ids",
+    ]},
+    **{n: "cheap-var" for n in [
+        "dedup_exact", "dedup_simhash", "dedup_jaccard_verify",
+        "chunk_markdown_docs", "corpus_sample_split",
+        "domain_cap_sample",
+    ]},
+    **{n: "stub-bound" for n in [
+        "multimodal_audio_frames", "multimodal_video_keyframes",
+    ]},
+}
+
+
+def assert_bench_coverage(queries: dict) -> None:
+    """The coverage rule as a hard assertion: benched + excluded must
+    exactly tile the registry, with no overlap and no stragglers."""
+    reg = set(queries)
+    hl = set(HEADLINE)
+    exc = set(BENCH_EXCLUDED)
+    problems = []
+    if hl - reg:
+        problems.append(f"HEADLINE names not in registry: {sorted(hl - reg)}")
+    if exc - reg:
+        problems.append(f"excluded names not in registry: {sorted(exc - reg)}")
+    if hl & exc:
+        problems.append(f"both benched and excluded: {sorted(hl & exc)}")
+    missing = reg - hl - exc
+    if missing:
+        problems.append(
+            "registered but neither benched nor excluded (add to "
+            f"HEADLINE or BENCH_EXCLUDED with a category): {sorted(missing)}"
+        )
+    if problems:
+        raise SystemExit("bench coverage rule violated:\n  "
+                         + "\n  ".join(problems))
+
 
 # embedding-only paths get full best-of-N; the heavier doc/hybrid paths
 # best-of-2 (they rebuild per-corpus matviews on the first run)
@@ -399,6 +484,7 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
+    assert_bench_coverage(queries)
     names = [n for n in HEADLINE if n in queries]
     # extend with any headline-tagged queries from later phases
     extra = os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "")
@@ -411,6 +497,16 @@ def main() -> None:
     if only:
         requested = [n for n in only.split(",") if n]
         names = [n for n in requested if n in queries]
+        unmatched = [n for n in requested if n not in queries]
+        if not names:
+            raise SystemExit(
+                "SPARK_GRAFT_BENCH_ONLY matched no registered query: "
+                f"requested={requested}; registry has {len(queries)} "
+                f"queries, e.g. {sorted(queries)[:5]}"
+            )
+        if unmatched:
+            print(f"# WARNING: unmatched bench-only names: {unmatched}",
+                  file=sys.stderr)
     skip_scale = bool(only) or bool(
         os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALE", "")
     )

@@ -1035,7 +1035,7 @@ def hll_streaming_sink(stream_events: DataFrame, path: str,
     O(history) -- the sink never rereads the event history."""
     from pyspark.errors import AnalysisException
 
-    from ..sinks import _delete_dir
+    from ..sinks import _replace_dir
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1058,8 +1058,9 @@ def hll_streaming_sink(stream_events: DataFrame, path: str,
         )
         staging = path.rstrip("/") + "__hllstaging"
         merged.write.mode("overwrite").parquet(staging)
-        spark.read.parquet(staging).write.mode("overwrite").parquet(path)
-        _delete_dir(spark, staging)
+        # delete+rename flip: a partial register table is never
+        # readable at `path` (crash window documented in _replace_dir)
+        _replace_dir(spark, staging, path)
 
     return (
         stream_events.writeStream
@@ -1078,8 +1079,12 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits, estimate = the standard alpha * m^2 harmonic mean computed
     in EXACT staged integer division (docs/ROUNDING.md rule 1 -- the
     two-stage ``div`` keeps every intermediate under 2^63; truncation
-    is part of the cross-engine contract). Small/large-range
-    corrections are deliberately omitted: the sketch is the mergeable
+    is part of the cross-engine contract). The SMALL-range
+    (linear-counting) correction IS applied -- as an exact integer
+    literal table via ``_hll_lc_case``, so both engines pick the same
+    branch and the same value; only the large-range (2^32 hash-space
+    saturation) correction is omitted, irrelevant at the 42-bit rho
+    width used here. The sketch is the mergeable
     100 TB shape (register maxima are cell-wise mergeable across
     partitions/days exactly like the count-min grid), and the exact
     distinct count sits beside the estimate as the quality

@@ -259,7 +259,7 @@ def scd2_streaming_sink(
     StreamingQuery."""
     from pyspark.errors import AnalysisException
 
-    from ..sinks import _delete_dir
+    from ..sinks import _replace_dir
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -294,8 +294,9 @@ def scd2_streaming_sink(
         out = rebuilt if keep is None else keep.unionByName(rebuilt)
         staging = path.rstrip("/") + "__scd2staging"
         out.write.mode("overwrite").parquet(staging)
-        spark.read.parquet(staging).write.mode("overwrite").parquet(path)
-        _delete_dir(spark, staging)
+        # delete+rename flip: a partial history table is never
+        # readable at `path` (crash window documented in _replace_dir)
+        _replace_dir(spark, staging, path)
 
     return (
         stream_events.writeStream

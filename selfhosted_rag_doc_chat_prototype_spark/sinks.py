@@ -92,6 +92,31 @@ def _delete_dir(spark: SparkSession, path: str) -> None:
     fs.delete(hpath, True)
 
 
+def _replace_dir(spark: SparkSession, staging: str, path: str) -> None:
+    """Flip a fully-written staging directory onto the target path via
+    delete + rename -- two METADATA operations instead of a second full
+    data rewrite.
+
+    CRASH WINDOW (documented, parquet-directory stand-in): the two ops
+    are not jointly atomic, so a crash between the delete and the
+    rename leaves the target missing while the complete staging
+    directory survives next to it; a crash before the delete leaves the
+    pre-merge target untouched. In NEITHER case is a partial table ever
+    readable at ``path`` (the failure mode of the rewrite this
+    replaces, where a replayed micro-batch could merge against
+    half-written state). On a transactional table format (Delta/
+    Iceberg) the same flip is the manifest-pointer swap and the window
+    disappears; recovery here is mechanical -- rename the surviving
+    staging directory into place."""
+    jvm = spark._jvm
+    src = jvm.org.apache.hadoop.fs.Path(staging)
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(dst, True)
+    if not fs.rename(src, dst):
+        raise IOError(f"rename {staging} -> {path} failed")
+
+
 def write_bucketed_table(
     df: DataFrame, table_name: str, id_col: str = "id",
     n_buckets: int = DEFAULT_BUCKETS, sort_col: str | None = None,

@@ -45,12 +45,24 @@ def normalize(rows, colnames):
 def main() -> int:
     argv = list(sys.argv[1:])
     out_path = None
-    if argv and argv[0] == "--out":
+    append = False
+    while argv and argv[0] in ("--out", "--out-append"):
+        append = argv[0] == "--out-append"
         out_path = argv[1]
         argv = argv[2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
-    out_f = open(out_path, "a") if out_path else None
+    # `--out` TRUNCATES (repeated runs must not accumulate stale lines
+    # that weaken the covers-registry guarantee); `--out-append` is for
+    # multi-scale artifacts (tools/close_round.py) and spot-checks --
+    # every run is prefixed with a header naming scale and filter so
+    # the coverage assertion can check per-run sections
+    out_f = open(out_path, "a" if append else "w") if out_path else None
+    if out_f:
+        out_f.write(
+            f"# run: sf_dir={sf_dir} "
+            f"filter={sorted(only) if only else 'FULL'}\n"
+        )
 
     def emit(line: str) -> None:
         print(line)
