@@ -963,14 +963,22 @@ def derive_pr_scale(n_nodes: int) -> int:
     return 10 ** max(2, min(12, 16 - digits))
 
 
-def _pr_scale_sql() -> str:
-    """The identical derivation as one DuckDB scalar: builds 10^k as
-    the exact string '1' || k zeros (no float power involved)."""
+def _pr_scale_expr(count_expr: str) -> str:
+    """The scale derivation as one DuckDB scalar over an arbitrary
+    node-count expression: builds 10^k as the exact string '1' || k
+    zeros (no float power involved). Factored out so the lockstep
+    property test (tests/test_dedup.py) sweeps THIS string -- the one
+    the PageRank oracle embeds -- against the Python twin."""
     return (
-        "SELECT CAST('1' || repeat('0', greatest(2, least(12, "
-        "16 - length(CAST(greatest(count(*), 1) AS VARCHAR))))) AS BIGINT)"
-        " AS scale FROM nodes"
+        "CAST('1' || repeat('0', greatest(2, least(12, "
+        f"16 - length(CAST(greatest({count_expr}, 1) AS VARCHAR)))))"
+        " AS BIGINT)"
     )
+
+
+def _pr_scale_sql() -> str:
+    """The identical derivation as the oracle's `sc` CTE scalar."""
+    return f"SELECT {_pr_scale_expr('count(*)')} AS scale FROM nodes"
 
 
 def knn_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4,6 +4,8 @@ must actually be caught)."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from selfhosted_rag_doc_chat_prototype_spark.operators import dedup
@@ -368,6 +370,38 @@ def test_pr_scale_sql_matches_python():
                     f"SELECT * FROM range({n})")
         (got,) = con.execute(_pr_scale_sql()).fetchone()
         assert got == derive_pr_scale(n), n
+
+
+@given(st.integers(min_value=1, max_value=10**18))
+@settings(max_examples=300, deadline=None)
+def test_pr_scale_twins_lockstep_property(n):
+    """Round-6 verdict task #7: the scale formula lives twice (Python
+    ``derive_pr_scale``, SQL ``_pr_scale_expr`` -- the exact string the
+    PageRank oracle embeds). Sweep node counts through BOTH and pin
+    them equal, including every decade boundary where the digit count
+    (and therefore the derived scale) steps."""
+    import duckdb
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.dedup import (
+        _pr_scale_expr,
+        derive_pr_scale,
+    )
+
+    con = _pr_scale_con()
+    for nn in {n, max(1, n - 1), min(10**18, n + 1)}:
+        (got,) = con.execute(f"SELECT {_pr_scale_expr(str(nn))}").fetchone()
+        assert got == derive_pr_scale(nn), nn
+
+
+def _pr_scale_con():
+    import duckdb
+
+    global _PR_CON
+    try:
+        return _PR_CON
+    except NameError:
+        _PR_CON = duckdb.connect()
+        return _PR_CON
 
 
 def test_snapshot_diff_statuses(spark):
