@@ -162,6 +162,9 @@ HEADLINE = [
     "twap_by_user",
     "event_debounce",
     "text_code_detect",
+    # round 7: LSH-shortlisted MaxSim serving (the production
+    # late-interaction path the recall report now grades)
+    "anns_late_interaction_served",
 ]
 
 # BENCH COVERAGE RULE (enforced below, documented in docs/BENCHING.md):

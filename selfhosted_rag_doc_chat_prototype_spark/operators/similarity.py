@@ -387,8 +387,9 @@ def anns_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def anns_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-quality observable: per-(strategy, query) recall@``TOP_K``
     of EVERY approximate serve path -- full-table LSH, half-table
-    multiprobe, IVF, IVF-PQ, binary-quantized Hamming, and the
-    hard-negative miner -- against its exact counterpart; the number
+    multiprobe, IVF, IVF-PQ, binary-quantized Hamming, the
+    hard-negative miner, Matryoshka two-stage, and the LSH-shortlisted
+    late-interaction serve path -- against its exact counterpart; the number
     an index operator watches when tuning bits/tables/probes (the
     recall floor the tests assert, surfaced as a queryable report
     instead of a test side effect). Every leg is a registered
@@ -405,6 +406,11 @@ def anns_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf", anns_ivf_topk(spark, sf_dir)),
         ("ivfpq", anns_ivfpq_topk(spark, sf_dir)),
         ("bq", anns_bq_hamming_topk(spark, sf_dir)),
+        # MRL two-stage serving: its gold standard IS the full-dim
+        # exact top-k, so it joins the shared brute leg -- the
+        # prefix-shortlist recall this row reports is the MRL_DIMS
+        # tuning observable the operator exists for
+        ("matryoshka", anns_matryoshka_topk(spark, sf_dir)),
     ]
     # ONE exact leg: tag it with every strategy via a map-side explode
     # and left-join the unioned approximate legs -- joining each leg
@@ -485,7 +491,35 @@ def anns_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall"),
         )
     )
-    return report.unionByName(hn_report)
+    # late-interaction leg: like hard-negatives, the ranking function
+    # differs from pooled cosine, so it carries its own exact side --
+    # the corpus-wide MaxSim -- against the LSH-shortlisted serve path
+    li_exact = anns_late_interaction_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    li_served = anns_late_interaction_served(spark, sf_dir).select(
+        F.col("query_id").alias("q2"),
+        F.col("neighbor_id").alias("a_neighbor_id"),
+    )
+    li_report = (
+        li_exact.join(
+            li_served,
+            (F.col("query_id") == F.col("q2"))
+            & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_exact"),
+            F.count("a_neighbor_id").cast("int").alias("n_hits"),
+        )
+        .select(
+            F.lit("late_interaction").alias("strategy"), "query_id",
+            "n_exact", "n_hits",
+            F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall"),
+        )
+    )
+    return report.unionByName(hn_report).unionByName(li_report)
 
 
 FILTER_LABELS = [0, 2, 4]  # the registered filtered query's payload filter
@@ -894,25 +928,42 @@ def anns_late_interaction_topk(spark: SparkSession, sf_dir: str,
     prefilters with any single-vector strategy and late-interacts the
     shortlist -- the operator composes with ``retrieve`` for that."""
     base = _vectors(spark, sf_dir)
-
-    def subcols(df, idcol_from, idcol_to, vcol, prefix):
-        # project each sub-vector ONCE as a real column: slices inside
-        # the 16 cosine HOF expressions would re-evaluate per lambda
-        # element (interpreted HOFs don't CSE free subtrees -- the
-        # multimodal_phash let-binding lesson, done at column level)
-        return df.select(
-            F.col(idcol_from).alias(idcol_to),
-            *[F.slice(F.col(vcol), LATE_SUBDIM * i + 1, LATE_SUBDIM)
-              .alias(f"{prefix}{i}") for i in range(LATE_SUBVECS)],
-        )
-
-    queries = subcols(base.filter(F.col("vec_id") < N_QUERIES),
-                      "vec_id", "query_id", "v", "q")
-    cand = subcols(base, "vec_id", "neighbor_id", "v", "c")
+    queries = _li_subcols(base.filter(F.col("vec_id") < N_QUERIES),
+                          "vec_id", "query_id", "q")
+    cand = _li_subcols(base, "vec_id", "neighbor_id", "c")
     joined = (
         F.broadcast(queries).crossJoin(rebalance(cand))
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("li_raw"), F.asc("neighbor_id"))
+    return (
+        joined.select("query_id", "neighbor_id",
+                      _li_maxsim_score().alias("li_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("int").alias("rank"),
+                F.round("li_raw", 4).alias("li_score"))
+    )
+
+
+def _li_subcols(df: DataFrame, idcol_from: str, idcol_to: str,
+                prefix: str) -> DataFrame:
+    # project each sub-vector ONCE as a real column: slices inside
+    # the 16 cosine HOF expressions would re-evaluate per lambda
+    # element (interpreted HOFs don't CSE free subtrees -- the
+    # multimodal_phash let-binding lesson, done at column level)
+    return df.select(
+        F.col(idcol_from).alias(idcol_to),
+        *[F.slice(F.col("v"), LATE_SUBDIM * i + 1, LATE_SUBDIM)
+          .alias(f"{prefix}{i}") for i in range(LATE_SUBVECS)],
+    )
+
+
+def _li_maxsim_score() -> Column:
+    """MaxSim over projected q{i}/c{j} sub-vector columns, summed
+    LEFT-ASSOCIATED so the raw double is bit-stable cross-engine."""
     maxsims = [
         F.greatest(*[cosine(F.col(f"q{i}"), F.col(f"c{j}"))
                      for j in range(LATE_SUBVECS)])
@@ -921,10 +972,49 @@ def anns_late_interaction_topk(spark: SparkSession, sf_dir: str,
     score = maxsims[0]
     for m in maxsims[1:]:
         score = score + m
+    return score
+
+
+LI_SHORTLIST_FACTOR = 4  # single-vector shortlist size = k * factor
+
+
+def anns_late_interaction_served(spark: SparkSession, sf_dir: str,
+                                 k: int = TOP_K) -> DataFrame:
+    """The PRODUCTION serving face of late interaction: a
+    single-vector (pooled-cosine) shortlist from the persisted LSH
+    signature index, then the MaxSim re-rank over the shortlist ONLY
+    -- how ColBERT-style systems actually serve (corpus-wide MaxSim is
+    O(N * Q * subvecs^2) and exists here as
+    :func:`anns_late_interaction_topk`, the exact gold standard this
+    path's recall is measured against in ``anns_recall_report``).
+
+    Scale shape: the shortlist is the registered LSH retrieval plan
+    (persisted signature index, bucket equi-join, per-query top
+    ``k * LI_SHORTLIST_FACTOR``); the MaxSim stage touches
+    O(Q * k * factor) rows -- the 16 sub-vector cosines run on the
+    shortlist, never the corpus. The broadcast sides are the
+    shortlist and the Q-row query slices; only the neighbor-vector
+    fetch joins against the corpus scan."""
+    base = _vectors(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    shortlist = topk_cosine(
+        base, queries, k=k * LI_SHORTLIST_FACTOR, strategy="lsh",
+        cand_signed=lsh_build(spark, sf_dir),
+    ).select("query_id", "neighbor_id")
+    qs = _li_subcols(base.filter(F.col("vec_id") < N_QUERIES),
+                     "vec_id", "query_id", "q")
+    cs = _li_subcols(base, "vec_id", "neighbor_id", "c")
+    joined = (
+        F.broadcast(shortlist).join(cs, "neighbor_id")
+        .join(F.broadcast(qs), "query_id")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("li_raw"), F.asc("neighbor_id"))
     return (
-        joined.select("query_id", "neighbor_id", score.alias("li_raw"))
+        joined.select("query_id", "neighbor_id",
+                      _li_maxsim_score().alias("li_raw"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id",
@@ -1708,6 +1798,7 @@ QUERIES = {
     "contrastive_triplets": contrastive_triplets,
     "retrieval_metrics_report": retrieval_metrics_report,
     "anns_late_interaction_topk": anns_late_interaction_topk,
+    "anns_late_interaction_served": anns_late_interaction_served,
     "lsh_bucket_histogram": lsh_bucket_histogram,
     "anns_lsh_multiprobe": anns_lsh_multiprobe,
     "anns_recall_report": anns_recall_report,
@@ -2437,20 +2528,66 @@ ORACLE["anns_recall_report"] = ORACLE["anns_recall_report"].rstrip() + f"""
 """
 
 # round 6: late-interaction twin -- same slices, same left-assoc sum
+def _li_maxsim_sql(av: str, bv: str) -> str:
+    """The MaxSim scoring expression as DuckDB SQL over two DOUBLE[]
+    columns -- the same slices and the same left-associated sum as
+    :func:`_li_maxsim_score`, so the raw double is bit-equal."""
+    return " + ".join(
+        "greatest(" + ", ".join(
+            f"list_cosine_similarity("
+            f"{av}[{LATE_SUBDIM * i + 1}:{LATE_SUBDIM * (i + 1)}], "
+            f"{bv}[{LATE_SUBDIM * j + 1}:{LATE_SUBDIM * (j + 1)}])"
+            for j in range(LATE_SUBVECS)) + ")"
+        for i in range(LATE_SUBVECS))
+
+
 ORACLE["anns_late_interaction_topk"] = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings WHERE embedding IS NOT NULL),
     scored AS (
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-               {" + ".join(
-                   "greatest(" + ", ".join(
-                       f"list_cosine_similarity("
-                       f"a.v[{LATE_SUBDIM * i + 1}:{LATE_SUBDIM * (i + 1)}], "
-                       f"b.v[{LATE_SUBDIM * j + 1}:{LATE_SUBDIM * (j + 1)}])"
-                       for j in range(LATE_SUBVECS)) + ")"
-                   for i in range(LATE_SUBVECS))} AS li_raw
+               {_li_maxsim_sql("a.v", "b.v")} AS li_raw
         FROM e a JOIN e b
           ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY li_raw DESC, neighbor_id ASC) AS INTEGER) AS rank,
+           round(li_raw, 4) AS li_score
+    FROM scored
+    QUALIFY rank <= {TOP_K}
+"""
+
+# round 7: the LSH-shortlisted serve path -- shortlist CTEs identical
+# to the lsh oracle at k * LI_SHORTLIST_FACTOR, MaxSim over the
+# shortlist rows only
+ORACLE["anns_late_interaction_served"] = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    _planes AS (SELECT {planes_sql_literal(hyperplanes(64, LSH_BITS, LSH_TABLES))} AS h),
+    sig AS ({rh_sig_sql(hyperplanes(64, LSH_BITS, LSH_TABLES),
+                        LSH_BITS, LSH_TABLES, "e", "vec_id")}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+        WHERE a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+    ),
+    short AS (
+        SELECT c.query_id, c.neighbor_id,
+               row_number() OVER (PARTITION BY c.query_id
+                   ORDER BY list_cosine_similarity(qa.v, qb.v) DESC,
+                            c.neighbor_id ASC) AS rk
+        FROM cand c
+        JOIN e qa ON qa.vec_id = c.query_id
+        JOIN e qb ON qb.vec_id = c.neighbor_id
+        QUALIFY rk <= {TOP_K * LI_SHORTLIST_FACTOR}
+    ),
+    scored AS (
+        SELECT s.query_id, s.neighbor_id,
+               {_li_maxsim_sql("qa.v", "qb.v")} AS li_raw
+        FROM short s
+        JOIN e qa ON qa.vec_id = s.query_id
+        JOIN e qb ON qb.vec_id = s.neighbor_id
     )
     SELECT query_id, neighbor_id,
            CAST(row_number() OVER (PARTITION BY query_id
@@ -2701,6 +2838,33 @@ ORACLE["anns_recall_report"] = ORACLE["anns_recall_report"].rstrip() + f"""
     ) b
     LEFT JOIN (SELECT query_id, neighbor_id
                FROM ({ORACLE["anns_hard_negatives"]})) l
+           ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+    GROUP BY b.query_id
+"""
+
+# round 7: MRL two-stage leg (gold standard = shared brute top-k) and
+# the LSH-shortlisted MaxSim serve leg (own exact side = corpus-wide
+# MaxSim, like hardneg's cross-label gold standard)
+ORACLE["anns_recall_report"] = ORACLE["anns_recall_report"].rstrip() + f"""
+    UNION ALL
+    SELECT 'matryoshka', b.query_id,
+           CAST(count(*) AS INTEGER),
+           CAST(count(l.neighbor_id) AS INTEGER),
+           round(count(l.neighbor_id)::DOUBLE / count(*), 4)
+    FROM brute b
+    LEFT JOIN (SELECT query_id, neighbor_id
+               FROM ({ORACLE["anns_matryoshka_topk"]})) l
+           ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+    GROUP BY b.query_id
+    UNION ALL
+    SELECT 'late_interaction', b.query_id,
+           CAST(count(*) AS INTEGER),
+           CAST(count(l.neighbor_id) AS INTEGER),
+           round(count(l.neighbor_id)::DOUBLE / count(*), 4)
+    FROM (SELECT query_id, neighbor_id
+          FROM ({ORACLE["anns_late_interaction_topk"]})) b
+    LEFT JOIN (SELECT query_id, neighbor_id
+               FROM ({ORACLE["anns_late_interaction_served"]})) l
            ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
     GROUP BY b.query_id
 """

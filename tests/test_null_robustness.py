@@ -325,6 +325,7 @@ EMB_NULL_SWEEP = [
     "cluster_cartography", "knn_pagerank", "anns_hard_negatives",
     "anns_matryoshka_topk", "contrastive_triplets",
     "retrieval_metrics_report", "anns_late_interaction_topk",
+    "anns_late_interaction_served",
     "knn_triangle_count", "embedding_standardize",
     "knn_label_propagation", "pca_top_component",
     "embedding_isotropy_report",

@@ -883,6 +883,14 @@ AUDIT += (
         "anns_filtered_topk", "anns_label_maxsim_topk",
         "anns_lsh_multiprobe",
     ]]
+    + [(
+        "anns_late_interaction_served",
+        "LSH shortlist (persisted signature index, bucket equi-join, "
+        "top k*factor) feeds the MaxSim re-rank: the 16 sub-vector "
+        "cosines evaluate on O(Q*k*factor) shortlist rows only, with "
+        "the shortlist and query slices broadcast -- corpus-wide "
+        "MaxSim never appears in this plan.",
+    )]
 )
 
 
