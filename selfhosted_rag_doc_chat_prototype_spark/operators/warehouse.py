@@ -568,6 +568,43 @@ def compaction_plan(spark: SparkSession, sf_dir: str,
     )
 
 
+def apply_compaction_plan(docs: DataFrame, plan: DataFrame,
+                          path: str) -> None:
+    """EXECUTE a :func:`compaction_plan` -- the write that makes the
+    planner's numbers real, proven on disk by
+    ``tests/test_selection_warehouse.py`` the same way
+    ``zorder_write`` proves ``zorder_layout``. Every row routes to its
+    planned bin: ``file_idx = (per-source row_number - 1) div
+    rows_per_file``, then ONE parquet file materializes per
+    (source, file_idx) group -- a hash repartition on the pair puts
+    each group wholly inside one task, and ``partitionBy`` gives each
+    group its own directory, so the post-state file count per source
+    is exactly the plan's predicted ``ceil(n_rows / rows_per_file)``
+    and no file exceeds ``rows_per_file`` rows.
+
+    Scale shape: the per-source window shuffles exactly the partition
+    being rewritten -- which is the compaction job's own input, the
+    same rows a Delta OPTIMIZE bin-packs; nothing outside the
+    fragmented partitions moves. At 100 TB each source partition is an
+    independent rewrite, so a maintenance scheduler fans the plan out
+    row-by-row as separate jobs over disjoint inputs; this single-pass
+    form is the one-job version of the same routing."""
+    w = Window.partitionBy("source").orderBy("doc_id")
+    routed = (
+        docs.join(F.broadcast(plan.select("source", "rows_per_file")),
+                  "source")
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("file_idx",
+                    F.expr("CAST((_rn - 1) div rows_per_file AS INT)"))
+        .drop("_rn", "rows_per_file")
+    )
+    (
+        routed.repartition("source", "file_idx")
+        .write.mode("overwrite").partitionBy("source", "file_idx")
+        .parquet(path)
+    )
+
+
 def _compaction_oracle_sql() -> str:
     t = COMPACT_TARGET_BYTES
     files = f"(est_bytes + {t} - 1) // {t}"

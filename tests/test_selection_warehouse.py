@@ -405,3 +405,70 @@ def test_compaction_plan_sizing_identities(spark):
         assert r.rows_per_file * r.n_files >= r.n_rows
         assert r.merge_candidate == (1 if r.est_bytes * 2 < COMPACT_TARGET_BYTES else 0)
     assert abs(sum(r.bytes_share for r in rows) - 1.0) < 1e-9
+
+
+def test_compaction_plan_executes_on_disk(spark, tmp_path):
+    """Round-6 verdict task #4: the zorder_write methodology applied
+    to the other warehouse-maintenance operator. Fragment the
+    documents table on disk (many files per source), run the planner
+    against the FRAGMENTED copy, execute it via
+    apply_compaction_plan, and assert the post-state matches the
+    plan's predicted bins exactly: files-per-source ==
+    ceil(n_rows / rows_per_file), no file over rows_per_file rows,
+    per-source fragmentation strictly reduced, content identical."""
+    import glob as g
+
+    import pyarrow.parquet as papq
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.warehouse import (
+        apply_compaction_plan,
+        compaction_plan,
+    )
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    # fragmented input: partitionBy(source) with a 16-way row shuffle
+    # puts up to 16 small files in every source directory
+    frag_sf = str(tmp_path / "frag_sf")
+    docs = table(spark, SF, "documents")
+    (docs.repartition(16, "doc_id").write
+     .partitionBy("source").parquet(f"{frag_sf}/documents.parquet"))
+    frag_counts = {
+        s.split("source=")[-1]: len(g.glob(f"{s}/*.parquet"))
+        for s in g.glob(f"{frag_sf}/documents.parquet/source=*")
+    }
+    assert frag_counts and max(frag_counts.values()) >= 8, frag_counts
+
+    target = 2048  # bytes: forces multi-file plans per source at SF
+    plan = compaction_plan(spark, frag_sf, target=target)
+    plan_rows = {r.source: r for r in plan.collect()}
+    assert plan_rows
+    assert any(r.n_files > 1 for r in plan_rows.values())
+
+    out = str(tmp_path / "compacted")
+    frag_docs = spark.read.parquet(f"{frag_sf}/documents.parquet")
+    apply_compaction_plan(frag_docs, plan, out)
+
+    for source, r in plan_rows.items():
+        expected_files = -(-r.n_rows // r.rows_per_file)  # ceil
+        files = sorted(
+            g.glob(f"{out}/source={source}/file_idx=*/*.parquet"))
+        assert len(files) == expected_files, (source, r)
+        # plan/actual bin parity: every bin within its row budget,
+        # bins disjoint and exhaustive
+        n_total = 0
+        for fp in files:
+            n = papq.ParquetFile(fp).metadata.num_rows
+            assert 0 < n <= r.rows_per_file, (source, fp, n)
+            n_total += n
+        assert n_total == r.n_rows, source
+        # compaction strictly reduced fragmentation for planned
+        # sources whose file budget is below the fragment count
+        if r.n_files < frag_counts[source]:
+            assert len(files) < frag_counts[source], source
+
+    # content round-trips (partition columns come back as strings/ints;
+    # compare on the data columns)
+    back = spark.read.parquet(out).select(*frag_docs.columns)
+    assert back.count() == frag_docs.count()
+    assert back.exceptAll(frag_docs).count() == 0
+    assert frag_docs.exceptAll(back).count() == 0
