@@ -1501,7 +1501,10 @@ def ohlc_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one partial-aggregated groupBy -- every aggregate
     (struct-min, min, max, sum, count) decomposes map-side, so the
     single shuffle carries <= |types| x |days| combiner rows no matter
-    the corpus size."""
+    the corpus size. The same decomposability powers the STREAMING
+    face :func:`ohlc_rollup_sink` (update-mode windowed agg merged by
+    idempotent upsert; stream-equals-batch + replay convergence
+    asserted)."""
     ev = table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull() & F.col("value").isNotNull()
     )
@@ -1591,9 +1594,9 @@ def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Boundary contract: a gap of EXACTLY the threshold stays in the
     burst (merge on gap <= D, split on strict >) -- the same rule
-    Spark's session_window applies (verified empirically round 5), so
-    the batch debounce and a session_window streaming twin agree on
-    edge-aligned events.
+    Spark's session_window applies, ASSERTED by the streaming twin
+    :func:`debounce_plan` (stream == batch == this operator, including
+    an exactly-at-threshold pair; tests/test_streaming.py).
 
     Scale shape: one lag window + one running-sum window (same
     partitioning, one shuffle) numbers the bursts; the burst groupBy
@@ -1629,6 +1632,113 @@ def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") - 1).cast("long").alias("n_suppressed"),
             F.expr("span_us div 1000000").cast("long").alias("burst_span_s"),
         )
+    )
+
+
+def debounce_plan(events: DataFrame, gap_seconds: int = DEBOUNCE_SECONDS,
+                  watermark: str = "2 hours") -> DataFrame:
+    """:func:`event_debounce`'s STREAMING twin, and the executable
+    proof of its boundary-contract claim: ``session_window`` keyed by
+    (user_id, event_type) with the debounce gap. Spark's session merge
+    rule (an event extends the session while ``ts <= prev_end``) is
+    exactly the batch operator's ``gap <= D`` merge, so an
+    edge-aligned pair lands in ONE burst on both paths --
+    ``tests/test_streaming.py`` asserts stream == batch == the lag/
+    running-sum operator on a corpus with an exactly-at-threshold row.
+    Keep-first is the same lexicographic struct-min; the suppressed
+    count is ``n - 1``.
+
+    Scale shape (streaming): state is per (user_id, event_type)
+    session, evicted once the watermark passes the session end -- the
+    native bounded-state debounce an MQTT ingest runs ahead of
+    counting. On batch the same plan is one session_window agg."""
+    src = (events.withWatermark("ts", watermark)
+           if events.isStreaming else events)
+    kept = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        src.filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.session_window("ts", f"{gap_seconds} seconds"),
+            "user_id", "event_type",
+        )
+        .agg(
+            F.min(kept).alias("fst"),
+            F.count(F.lit(1)).alias("n"),
+            (F.expr("unix_micros(max(ts))") - F.expr("unix_micros(min(ts))"))
+            .alias("span_us"),
+        )
+        .select(
+            "user_id", "event_type",
+            F.col("fst").getField("event_id").alias("event_id"),
+            F.date_format(F.col("fst").getField("ts"),
+                          "yyyy-MM-dd HH:mm:ss").alias("kept_ts"),
+            (F.col("n") - 1).cast("long").alias("n_suppressed"),
+            F.expr("span_us div 1000000").cast("long").alias("burst_span_s"),
+        )
+    )
+
+
+def ohlc_rollup_sink(stream_events: DataFrame, path: str,
+                     checkpoint_dir: str, watermark: str = "2 hours"):
+    """:func:`ohlc_daily_by_type`'s STREAMING face, built on the
+    ``continuous_rollup_sink`` template: daily OHLC bars maintained
+    incrementally as events arrive. The day-window aggregation runs in
+    update mode (each micro-batch re-emits only the bars it changed,
+    computed from streaming state -- every aggregate here (struct
+    min/max for open/close, min/max, count, BIGINT micro-unit sum)
+    decomposes incrementally), and ``foreachBatch`` merges changed
+    bars into the persisted table through the idempotent
+    content-addressed upsert keyed on (event_type, day). Replays and
+    late events within the watermark CONVERGE: the emitted bar is the
+    state's current value, and the upsert overwrites by key.
+
+    Returns the started StreamingQuery; read bars back with
+    ``spark.read.parquet(path)`` (same columns as the batch query,
+    plus the ``id`` merge key)."""
+    from ..sinks import upsert_table
+
+    src = (
+        stream_events.withWatermark("ts", watermark)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+    )
+    first = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    bars = (
+        src.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.min(first).alias("fst"),
+            F.max(first).alias("lst"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_value_u(F.col("value"))).alias("vol_u"),
+        )
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            F.col("fst").getField("value").alias("open"),
+            "high", "low",
+            F.col("lst").getField("value").alias("close"),
+            F.col("n_events").cast("long").alias("n_events"),
+            (F.col("vol_u").cast("double") / float(VALUE_SCALE))
+            .alias("total_value"),
+        )
+    )
+    keyed = bars.select(
+        F.concat_ws("|", "event_type", "day").alias("id"), "*"
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_table(batch_df.sparkSession, batch_df, path, id_col="id")
+
+    return (
+        keyed.writeStream
+        .outputMode("update")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
 
 
