@@ -165,6 +165,8 @@ HEADLINE = [
     # round 7: LSH-shortlisted MaxSim serving (the production
     # late-interaction path the recall report now grades)
     "anns_late_interaction_served",
+    # round 7: two-phase salted exact-distinct over a power-law key
+    "skewed_distinct_salted",
 ]
 
 # BENCH COVERAGE RULE (enforced below, documented in docs/BENCHING.md):
@@ -201,6 +203,7 @@ BENCH_EXCLUDED = {
         "a9_backlog", "a11_json_props", "cube_events",
         "grouping_sets_events", "unpivot_daily_counts",
         "props_key_histogram", "corpus_quality_by_source",
+        "skew_report_events",
         "lsh_bucket_histogram", "label_centroids",
         "embedding_health_report", "gatekeeper_failure_history",
         "stale_agents", "stream_windowed_counts",

@@ -2059,6 +2059,140 @@ def _markov_oracle_sql(iters: int = MKV_ITERS) -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# Skew: a measurable power-law key + the two-phase salted rewrite
+# (round-6 verdict task #6 -- plans/diagnostics utilities demonstrated
+# by registered queries, with the plan win asserted in test_plans.py)
+# --------------------------------------------------------------------------
+SKEW_SALTS = 8        # salt shards for the hot key
+SKEW_REPORT_NPART = 32  # session-independent parallelism for the report
+
+
+def _skew_key_case(bucket_expr: str) -> str:
+    """Power-law key derivation as a CASE chain over integer
+    thresholds (floor-log2 of a uniform 0..1023 bucket): level g9
+    owns 50% of rows, g8 25%, ... g0 the tail -- a deterministic
+    zipf-like distribution BOTH engines compute from the same
+    comparisons (no log/float). NULL user_ids fold to g0 (the CASE
+    falls through identically: NULL comparisons are never true)."""
+    arms = " ".join(
+        f"WHEN {bucket_expr} >= {1 << lvl} THEN 'g{lvl}'"
+        for lvl in range(9, 0, -1)
+    )
+    return f"CASE {arms} ELSE 'g0' END"
+
+
+def _skew_key_spark() -> "F.Column":
+    return F.expr(_skew_key_case("pmod(user_id, 1024)"))
+
+
+_SKEW_KEY_DUCK = _skew_key_case("((user_id % 1024) + 1024) % 1024")
+
+
+def skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`plans.diagnostics.skew_report` over the power-law key:
+    the pre-flight check that tells an operator the hot key g9 owns
+    ~50% of the table and suggests the salt factor that levels it at
+    ``SKEW_REPORT_NPART`` parallelism (passed explicitly so the
+    report -- and its oracle -- do not depend on session conf).
+
+    Scale shape: one partial-aggregated groupBy over the key (the
+    raw rows never shuffle -- counts combine map-side), one scalar
+    broadcast, top-N by TakeOrdered."""
+    from ..plans.diagnostics import skew_report
+
+    ev = table(spark, sf_dir, "events").select(
+        _skew_key_spark().alias("skew_key")
+    )
+    return skew_report(ev, ["skew_key"], top_n=20,
+                       n_part=SKEW_REPORT_NPART)
+
+
+def skewed_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-key distinct users over the power-law key, computed
+    with the two-phase SALTED rewrite -- the skew treatment that
+    map-side combine canNOT provide. For algebraic aggregates (sum/
+    count/min/max) partial aggregation already levels skew: only
+    combiner rows shuffle. Exact COUNT(DISTINCT user) is different:
+    every distinct (key, user) pair must reach the key's reducer, so
+    the hot key g9 (~50% of all users) lands its entire user set on
+    ONE task. The rewrite: phase 1 groups by (key, salt) where
+    ``salt = pmod(xxhash64(user_id), SKEW_SALTS)`` -- the salt is a
+    FUNCTION OF THE USER (via :func:`plans.diagnostics.salted_key`
+    with the user as seed), so each user lands in exactly one shard
+    and shard-local distinct counts PARTITION the key's user set;
+    phase 2 sums shard counts per key. The heaviest reducer input
+    drops by ~SKEW_SALTS (asserted with measured group sizes in
+    tests/test_plans.py), and the result is identical to the naive
+    single-phase aggregation -- which is exactly what the DuckDB
+    oracle computes.
+
+    Event counts ride along as plain sums (salt-decomposable like
+    any algebraic aggregate)."""
+    from ..plans.diagnostics import salted_key
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(_skew_key_spark().alias("skew_key"), "user_id")
+    )
+    phase1 = (
+        ev.withColumn(
+            "salted",
+            salted_key("skew_key", SKEW_SALTS, seed_col="user_id"),
+        )
+        .groupBy("salted")
+        .agg(
+            F.countDistinct("user_id").alias("part_users"),
+            F.count(F.lit(1)).alias("part_rows"),
+        )
+    )
+    return (
+        phase1.groupBy(
+            F.split(F.col("salted"), "#").getItem(0).alias("skew_key")
+        )
+        .agg(
+            F.sum("part_users").cast("long").alias("n_users"),
+            F.sum("part_rows").cast("long").alias("n_events"),
+        )
+    )
+
+
+_SKEW_ORACLE = {
+    "skew_report_events": f"""
+        WITH keyed AS (
+            SELECT {_SKEW_KEY_DUCK} AS skew_key FROM events
+        ),
+        counts AS (
+            SELECT skew_key, CAST(count(*) AS BIGINT) AS n_rows
+            FROM keyed GROUP BY skew_key
+        ),
+        tot AS (
+            SELECT sum(n_rows) AS total_rows, count(*) AS n_keys
+            FROM counts
+        )
+        SELECT skew_key, n_rows,
+               round(n_rows / t.total_rows, 6) AS row_share,
+               CAST(greatest(1, ceil(n_rows /
+                    (t.total_rows / {float(SKEW_REPORT_NPART)})))
+                    AS INTEGER) AS suggested_salt
+        FROM counts CROSS JOIN tot t
+        ORDER BY n_rows DESC, skew_key
+        LIMIT 20
+    """,
+    "skewed_distinct_salted": f"""
+        WITH keyed AS (
+            SELECT {_SKEW_KEY_DUCK} AS skew_key, user_id
+            FROM events WHERE user_id IS NOT NULL
+        )
+        SELECT skew_key,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM keyed GROUP BY skew_key
+    """,
+}
+
+
 QUERIES = {
     "a1_events_per_day": a1_events_per_day,
     "a1_events_per_hour": a1_events_per_hour,
@@ -2073,6 +2207,8 @@ QUERIES = {
     "ohlc_daily_by_type": ohlc_daily_by_type,
     "twap_by_user": twap_by_user,
     "event_debounce": event_debounce,
+    "skew_report_events": skew_report_events,
+    "skewed_distinct_salted": skewed_distinct_salted,
     "gatekeeper_failure_history": gatekeeper_failure_history,
     "sketch_cardinality_quantiles": sketch_cardinality_quantiles,
     "sketch_hll_distinct_users": sketch_hll_distinct_users,
@@ -2878,3 +3014,5 @@ ORACLE = {
         FROM events GROUP BY 1
     """,
 }
+
+ORACLE.update(_SKEW_ORACLE)

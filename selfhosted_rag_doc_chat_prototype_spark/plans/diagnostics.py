@@ -15,22 +15,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def skew_report(df: DataFrame, key_cols: list[str], top_n: int = 20) -> DataFrame:
+def skew_report(df: DataFrame, key_cols: list[str], top_n: int = 20,
+                n_part: int | None = None) -> DataFrame:
     """Top-``top_n`` heaviest keys of ``df`` grouped by ``key_cols``,
     with each key's share of all rows and the suggested salt factor:
     ``ceil(key_count / mean_partition_load)`` -- the number of salt
-    shards that spreads that key across executors at the session's
-    shuffle parallelism (1 = no salting needed).
+    shards that spreads that key across executors at the target
+    shuffle parallelism (1 = no salting needed). ``n_part`` defaults
+    to the session's shuffle parallelism; pass it explicitly for a
+    session-independent (oracle-stable) report.
 
     One aggregation pass over the keys (map-side combined) plus a
     scalar broadcast -- safe to run on the full fact table."""
     spark = df.sparkSession
-    try:
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    except ValueError:
-        # the conf is "auto" under AQE-managed parallelism on some
-        # builds; fall back to the cluster's default parallelism
-        n_part = spark.sparkContext.defaultParallelism or 200
+    if n_part is None:
+        try:
+            n_part = int(spark.conf.get("spark.sql.shuffle.partitions",
+                                        "200"))
+        except ValueError:
+            # the conf is "auto" under AQE-managed parallelism on some
+            # builds; fall back to the cluster's default parallelism
+            n_part = spark.sparkContext.defaultParallelism or 200
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
     totals = counts.agg(
         F.sum("n_rows").alias("total_rows"),

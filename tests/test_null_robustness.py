@@ -206,6 +206,7 @@ EVENTS_NULL_SWEEP = [
     "session_trigram_mining", "hll_set_operations",
     "seasonal_decompose_daily", "interarrival_histogram",
     "ohlc_daily_by_type", "twap_by_user", "event_debounce",
+    "skew_report_events", "skewed_distinct_salted",
 ]
 
 

@@ -147,3 +147,61 @@ def test_topk_plans_take_ordered(plans):
         assert "TakeOrderedAndProject" in plans[name], name
         # a global Sort node outside the top-k operator is the regression
         assert "Sort [" not in plans[name].split("TakeOrderedAndProject")[0]
+
+
+def test_salted_distinct_plan_and_measured_skew_win(spark):
+    """Round-6 verdict task #6: the two-phase salted rewrite must (a)
+    show up in the physical plan -- the FIRST exchange partitions on
+    the SALTED key, so no exchange ever hash-partitions raw user rows
+    on the bare skew key -- and (b) beat the naive plan's heaviest
+    reducer input by the predicted ~SKEW_SALTS factor, measured as
+    actual group sizes on sf0.01 (hot key g6 owns ~43% of users
+    there)."""
+    from pyspark.sql import functions as F
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.analytics import (
+        SKEW_SALTS,
+        _skew_key_spark,
+        skewed_distinct_salted,
+    )
+    from selfhosted_rag_doc_chat_prototype_spark.plans.diagnostics import (
+        salted_key,
+    )
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    sf = "/root/testdata/sf0.01"
+    plan = skewed_distinct_salted(spark, sf)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the salted composite key is what the first (phase-1) exchange
+    # hash-partitions on; the bare skew_key only appears in the
+    # phase-2 exchange over shard-count rows
+    assert "salted" in plan and "hashpartitioning" in plan
+
+    ev = (
+        table(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(_skew_key_spark().alias("skew_key"), "user_id")
+    )
+    # naive reducer input per key = the key's distinct (key, user)
+    # pairs all meeting on one task
+    naive = ev.groupBy("skew_key").agg(
+        F.countDistinct("user_id").alias("n")).collect()
+    naive_max = max(r.n for r in naive)
+    # salted phase-1 reducer input per (key, salt) group
+    salted = (
+        ev.withColumn("salted",
+                      salted_key("skew_key", SKEW_SALTS,
+                                 seed_col="user_id"))
+        .groupBy("salted").agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    )
+    salted_max = max(r.n for r in salted)
+    # predicted factor SKEW_SALTS, asserted at half to absorb hash
+    # imbalance on a 64-user hot key
+    assert salted_max * (SKEW_SALTS // 2) <= naive_max, (
+        naive_max, salted_max)
+    # and the rewrite must not change the answer
+    two_phase = {(r.skew_key, r.n_users)
+                 for r in skewed_distinct_salted(spark, sf).collect()}
+    single = {(r.skew_key, r.n) for r in naive}
+    assert two_phase == single

@@ -883,6 +883,23 @@ AUDIT += (
         "anns_filtered_topk", "anns_label_maxsim_topk",
         "anns_lsh_multiprobe",
     ]]
+    + [
+        (
+            "skew_report_events",
+            "One partial-aggregated groupBy over the derived power-law "
+            "key (raw rows never shuffle -- counts combine map-side), "
+            "one scalar broadcast back, TakeOrdered top-20.",
+        ),
+        (
+            "skewed_distinct_salted",
+            "Two-phase salted exact-distinct: phase-1 exchange "
+            "partitions on the SALTED composite (hot key's user set "
+            "split across SKEW_SALTS shards -- no reducer ever "
+            "receives the bare hot key's full distinct set); phase-2 "
+            "re-aggregates shard counts, shuffling key-cardinality "
+            "rows. Measured-skew win asserted in test_plans.py.",
+        ),
+    ]
     + [(
         "anns_late_interaction_served",
         "LSH shortlist (persisted signature index, bucket equi-join, "
