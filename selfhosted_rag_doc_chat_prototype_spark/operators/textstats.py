@@ -928,29 +928,42 @@ def kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval UIs render around a hit). Emits (doc_id, pos,
     left_ctx, term, right_ctx), 0-based word position.
 
-    Map-only: one split per document, one generator explode, and two
-    let-bound array slices per hit -- no shuffle at all; at 100 TB
-    the output is proportional to HITS, not corpus size, and the
-    term filter sits directly on the exploded word."""
+    Map-only, POSITIONS-ARRAY-FIRST (round-6 advice): the hit indices
+    are computed INSIDE the row -- a let-bound filter of the
+    1..len(ws) index sequence -- and only those indices explode, so
+    the per-word carry of the full ``ws`` array is structurally
+    impossible (the earlier posexplode form was O(hits x len) only
+    because codegen pushed the term filter under the Generate; a plan
+    change could have silently made it O(len^2)). Output stays
+    proportional to HITS at any corpus size; no shuffle at all."""
     docs = rebalance(table(spark, sf_dir, "documents"))
     withw = docs.select(
         "doc_id",
         tq.words(F.coalesce(F.col("text"), F.lit(""))).alias("ws"),
-    ).select("doc_id", "ws", F.posexplode("ws").alias("pos", "w"))
-    i = F.col("pos") + 1  # 1-based index into ws
+    )
+    # let-bind ws inside the index filter: even if Catalyst collapses
+    # the projections and inlines the split expression, the binding
+    # keeps it one-evaluation-per-row, never per-element
+    hit_idx = tq.let(
+        F.col("ws"),
+        lambda w: F.filter(
+            F.when(F.size(w) > 0, F.sequence(F.lit(1), F.size(w)))
+            .otherwise(F.array().cast("array<int>")),
+            lambda i: F.element_at(w, i) == F.lit(KWIC_TERM),
+        ),
+    )
+    hits = withw.select("doc_id", "ws", F.explode(hit_idx).alias("i"))
+    i = F.col("i")
     start = F.greatest(F.lit(1), i - KWIC_CTX)
-    return (
-        withw.filter(F.col("w") == KWIC_TERM)
-        .select(
-            "doc_id",
-            F.col("pos").cast("int").alias("pos"),
-            F.array_join(F.slice("ws", start, i - start), " ")
-            .alias("left_ctx"),
-            F.col("w").alias("term"),
-            F.array_join(
-                F.slice("ws", i + 1, F.lit(KWIC_CTX)), " "
-            ).alias("right_ctx"),
-        )
+    return hits.select(
+        "doc_id",
+        (i - 1).cast("int").alias("pos"),
+        F.array_join(F.slice("ws", start, i - start), " ")
+        .alias("left_ctx"),
+        F.lit(KWIC_TERM).alias("term"),
+        F.array_join(
+            F.slice("ws", i + 1, F.lit(KWIC_CTX)), " "
+        ).alias("right_ctx"),
     )
 
 
