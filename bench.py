@@ -167,6 +167,11 @@ HEADLINE = [
     "anns_late_interaction_served",
     # round 7: two-phase salted exact-distinct over a power-law key
     "skewed_distinct_salted",
+    # round 7: tokenizer lifecycle completion + batching planner +
+    # last-touch attribution
+    "bpe_encode_corpus",
+    "seqlen_bucketing",
+    "funnel_attribution",
 ]
 
 # BENCH COVERAGE RULE (enforced below, documented in docs/BENCHING.md):
@@ -203,7 +208,7 @@ BENCH_EXCLUDED = {
         "a9_backlog", "a11_json_props", "cube_events",
         "grouping_sets_events", "unpivot_daily_counts",
         "props_key_histogram", "corpus_quality_by_source",
-        "skew_report_events",
+        "skew_report_events", "ewma_control_chart",
         "lsh_bucket_histogram", "label_centroids",
         "embedding_health_report", "gatekeeper_failure_history",
         "stale_agents", "stream_windowed_counts",
@@ -213,6 +218,7 @@ BENCH_EXCLUDED = {
     **{n: "window-rep" for n in [
         "window_first_event_per_user", "window_forward_fill",
         "window_last_n_per_user", "window_value_quartiles",
+        "seq_pattern_match",
         "rolling_distinct_users_7d", "sessionize_events",
         "sessionize_session_window", "chat_session_history_ttl",
         "join_customers_with_purchases",

@@ -2059,6 +2059,177 @@ def _markov_oracle_sql(iters: int = MKV_ITERS) -> str:
     """
 
 
+EWMA_K = 8             # lags folded into the control statistic
+EWMA_W_SCALE = 10 ** 9  # integer weight units
+# alpha = 0.3 EWMA weights alpha*(1-alpha)^i, precomputed ONCE here as
+# exact integer literals -- neither engine evaluates a float power
+# (docs/ROUNDING.md: transcendentals/powers are not correctly-rounded
+# cross-engine; a literal table is)
+EWMA_WEIGHTS = [round(0.3 * (0.7 ** i) * EWMA_W_SCALE)
+                for i in range(EWMA_K)]
+
+
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA CONTROL CHART over the per-(event_type, day) count series
+    -- the classic SPC monitor (an EWMA reacts to small sustained
+    shifts that a plain z-score misses; this sits beside
+    ``daily_anomaly_zscore`` and ``seasonal_decompose_daily`` in the
+    anomaly stack). For each day, the exponentially weighted moving
+    average of the ``EWMA_K`` most recent PRIOR observed days (the
+    current day is excluded -- SPC compares x_t against EWMA_{t-1},
+    otherwise the spike under test drags its own baseline up; lag
+    chain with precomputed integer weight literals, renormalized over
+    the lags that exist so the series start is unbiased), and the
+    deviation ratio of today's count against it; ``flag_high`` /
+    ``flag_low`` mark 2x / 0.5x breaks. A series' first day has no
+    baseline: ewma/dev emit NULL and both flags false.
+
+    Exactness: weights are integer literals; the weighted sum and the
+    renormalizing denominator are exact BIGINTs; ``ewma_u`` and
+    ``dev_u`` are each ONE staged integer division emitted in 1e-6
+    units -- bit-equal across engines, no float, no power().
+
+    Scale shape: one partial-aggregated shuffle collapses events to
+    day grain; the lag window then runs over |types| x |days| rows
+    only. Missing days are absent rows, so the chart is over the
+    observed series (documented; densifying to calendar days is a
+    sequence-explode away and changes no machinery)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        F.col("event_type"), _day("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    num = None
+    den = None
+    for i, wt in enumerate(EWMA_WEIGHTS):
+        lagged = F.lag("cnt", i + 1).over(w)
+        term = F.when(lagged.isNotNull(), lagged * F.lit(wt)) \
+            .otherwise(F.lit(0)).cast("long")
+        present = F.when(lagged.isNotNull(), F.lit(wt)) \
+            .otherwise(F.lit(0)).cast("long")
+        num = term if num is None else num + term
+        den = present if den is None else den + present
+    scored = daily.select(
+        "event_type", "day", F.col("cnt").cast("long").alias("cnt"),
+        num.alias("num"), den.alias("den"),
+    )
+    ewma_u = F.expr(
+        "CASE WHEN den = 0 THEN NULL ELSE (num * 1000000) div den END")
+    dev_u = F.expr(
+        "CASE WHEN den = 0 OR num = 0 THEN NULL "
+        "ELSE (cnt * 1000000 * den) div num END")
+    return scored.select(
+        "event_type", "day", "cnt",
+        ewma_u.cast("long").alias("ewma_u"),
+        dev_u.cast("long").alias("dev_u"),
+        F.coalesce(dev_u > 2_000_000, F.lit(False)).alias("flag_high"),
+        F.coalesce(dev_u < 500_000, F.lit(False)).alias("flag_low"),
+    )
+
+
+def _ewma_oracle_sql() -> str:
+    num = " + ".join(
+        f"CASE WHEN lag(cnt, {i + 1}) OVER w IS NOT NULL THEN "
+        f"lag(cnt, {i + 1}) OVER w * {wt} ELSE 0 END"
+        for i, wt in enumerate(EWMA_WEIGHTS)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(cnt, {i + 1}) OVER w IS NOT NULL THEN {wt} "
+        f"ELSE 0 END"
+        for i, wt in enumerate(EWMA_WEIGHTS)
+    )
+    return f"""
+        WITH daily AS (
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT event_type, day, cnt,
+                   CAST({num} AS BIGINT) AS num,
+                   CAST({den} AS BIGINT) AS den
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        )
+        SELECT event_type, day, cnt,
+               CAST(CASE WHEN den = 0 THEN NULL
+                    ELSE (num * 1000000) // den END AS BIGINT) AS ewma_u,
+               CAST(CASE WHEN den = 0 OR num = 0 THEN NULL
+                    ELSE (cnt * 1000000 * den) // num END AS BIGINT)
+                   AS dev_u,
+               coalesce(CASE WHEN den = 0 OR num = 0 THEN NULL
+                    ELSE (cnt * 1000000 * den) // num END > 2000000,
+                    FALSE) AS flag_high,
+               coalesce(CASE WHEN den = 0 OR num = 0 THEN NULL
+                    ELSE (cnt * 1000000 * den) // num END < 500000,
+                    FALSE) AS flag_low
+        FROM scored
+    """
+
+
+SEQ_PATTERN = ("view", "click", "purchase")  # strict-succession motif
+
+
+def seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: find every STRICT-SUCCESSION occurrence
+    of the ``view -> click -> purchase`` motif in each user's event
+    stream (no intervening events of any type) -- the row-pattern
+    query SQL:2016 added and most engines still lack, expressed as a
+    lead chain over the per-user total order (ts, event_id). Emits
+    the anchor row and the match span; overlapping matches are all
+    reported (each anchor row is its own match), exactly like
+    ``MATCH_RECOGNIZE ... AFTER MATCH SKIP TO NEXT ROW``.
+
+    Scale shape: ONE window shuffle on user_id, then map-only lead
+    comparisons; output is proportional to matches."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    led = ev.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("event_id", 2).over(w).alias("end_id"),
+        F.lead("ts", 2).over(w).alias("end_ts"),
+    )
+    a, b, c = SEQ_PATTERN
+    return (
+        led.filter(
+            (F.col("event_type") == a) & (F.col("t1") == b)
+            & (F.col("t2") == c)
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("start_event_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
+            F.col("end_id").cast("long").alias("end_event_id"),
+            (F.unix_micros("end_ts") - F.unix_micros("ts"))
+            .cast("long").alias("span_us"),
+        )
+    )
+
+
+def _seq_pattern_oracle_sql() -> str:
+    a, b, c = SEQ_PATTERN
+    return f"""
+        WITH led AS (
+            SELECT user_id, event_id, ts, event_type,
+                   lead(event_type, 1) OVER w AS t1,
+                   lead(event_type, 2) OVER w AS t2,
+                   lead(event_id, 2) OVER w AS end_id,
+                   lead(ts, 2) OVER w AS end_ts
+            FROM events WHERE ts IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, event_id AS start_event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS start_ts,
+               CAST(end_id AS BIGINT) AS end_event_id,
+               CAST(epoch_us(end_ts) - epoch_us(ts) AS BIGINT) AS span_us
+        FROM led
+        WHERE event_type = '{a}' AND t1 = '{b}' AND t2 = '{c}'
+    """
+
+
 # --------------------------------------------------------------------------
 # Skew: a measurable power-law key + the two-phase salted rewrite
 # (round-6 verdict task #6 -- plans/diagnostics utilities demonstrated
@@ -2209,6 +2380,8 @@ QUERIES = {
     "event_debounce": event_debounce,
     "skew_report_events": skew_report_events,
     "skewed_distinct_salted": skewed_distinct_salted,
+    "ewma_control_chart": ewma_control_chart,
+    "seq_pattern_match": seq_pattern_match,
     "gatekeeper_failure_history": gatekeeper_failure_history,
     "sketch_cardinality_quantiles": sketch_cardinality_quantiles,
     "sketch_hll_distinct_users": sketch_hll_distinct_users,
@@ -3016,3 +3189,5 @@ ORACLE = {
 }
 
 ORACLE.update(_SKEW_ORACLE)
+ORACLE["ewma_control_chart"] = _ewma_oracle_sql()
+ORACLE["seq_pattern_match"] = _seq_pattern_oracle_sql()

@@ -1357,6 +1357,251 @@ def _bpe_merge_oracle_sql(merges: int = BPE_MERGES) -> str:
     """
 
 
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str,
+                      merges: int = BPE_MERGES) -> DataFrame:
+    """BPE ENCODE -- the other half of the tokenizer lifecycle
+    (:func:`bpe_learn_merges` trains the merge table; this applies it
+    to the corpus): every document's token count under the learned
+    vocabulary, its base symbol count, and the exact compression the
+    merges bought (``n_saved = n_base_syms - n_tokens``). The
+    per-token budget downstream (packing, token-budget chunking,
+    curriculum) is priced in exactly these units.
+
+    Exactness: the same weighted-argmax learning rounds and the same
+    greedy left-to-right fold as the learn operator (identical Spark
+    ``aggregate`` / DuckDB ``list_reduce``); all outputs are exact
+    integers. A corpus that exhausts its merges early stops folding
+    on BOTH engines (Spark breaks on the empty winner; the oracle's
+    LEFT JOIN folds only when a winner exists).
+
+    Scale shape: encoding is VOCABULARY-sized, not corpus-sized --
+    the merge folds run once per distinct word (the word-cache
+    strategy fast tokenizers use), with localCheckpoint truncating
+    lineage per round; the corpus is touched twice, once to build the
+    vocabulary and once as explode -> broadcastable word->tokens
+    equi-join -> per-doc partial-agg sum. Documents with no words
+    emit zeros (LEFT join back to the documents table)."""
+    docs = rebalance(table(spark, sf_dir, "documents"))
+    wordcol = tq.words(F.coalesce(F.col("text"), F.lit("")))
+    vocab = (
+        docs.select(F.explode(wordcol).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    enc = vocab.select(
+        "w", "c", F.expr("regexp_extract_all(w, '.', 0)").alias("syms")
+    ).localCheckpoint()
+    pair_structs = (
+        "transform(sequence(1, size(syms) - 1), "
+        "i -> struct(element_at(syms, i) AS a, "
+        "element_at(syms, i + 1) AS b))"
+    )
+    fold = (
+        "aggregate(slice(syms, 2, size(syms) - 1), "
+        "array(element_at(syms, 1)), "
+        "(acc, s) -> IF(element_at(acc, -1) = a AND s = b, "
+        "concat(slice(acc, 1, size(acc) - 1), array(concat(a, b))), "
+        "concat(acc, array(s))))"
+    )
+    for _ in range(merges):
+        pairs = (
+            enc.filter(F.size("syms") >= 2)
+            .select("c", F.explode(F.expr(pair_structs)).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("c").alias("n"))
+        )
+        winner = (
+            pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1)
+            .localCheckpoint()
+        )
+        if winner.isEmpty():
+            break  # merges exhausted: further folds are identities
+        enc = (
+            enc.crossJoin(F.broadcast(winner.select("a", "b")))
+            .select("w", "c", F.expr(fold).alias("syms"))
+            .localCheckpoint()
+        )
+    wtok = enc.select(
+        "w",
+        F.expr("size(regexp_extract_all(w, '.', 0))").alias("nb"),
+        F.size("syms").alias("nt"),
+    )
+    per = (
+        docs.select("doc_id", F.explode(wordcol).alias("w"))
+        .join(F.broadcast(wtok), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nw"),
+            F.sum("nb").alias("base"),
+            F.sum("nt").alias("toks"),
+        )
+    )
+    return (
+        docs.select("doc_id").join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("nw", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("base", F.lit(0)).cast("long").alias("n_base_syms"),
+            F.coalesce("toks", F.lit(0)).cast("long").alias("n_tokens"),
+            (F.coalesce("base", F.lit(0)) - F.coalesce("toks", F.lit(0)))
+            .cast("long").alias("n_saved"),
+        )
+    )
+
+
+def _bpe_encode_oracle_sql(merges: int = BPE_MERGES) -> str:
+    ws = "[ \\t\\n\\x0B\\f\\r]"
+    # fold only when the round produced a winner (LEFT JOIN keeps the
+    # vocabulary alive when merges exhaust -- the Spark side breaks)
+    fold = (
+        "CASE WHEN m.a IS NULL THEN syms ELSE "
+        "list_reduce(list_transform(syms, s -> [s]), "
+        "(acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b "
+        "THEN list_append(list_slice(acc, 1, len(acc) - 1), m.a || m.b) "
+        "ELSE list_concat(acc, x) END) END"
+    )
+    parts = [f"""
+        vocab AS (
+            SELECT u.w AS w, count(*) AS c
+            FROM (
+                SELECT list_filter(string_split_regex(
+                    trim(coalesce(text, '')), '{ws}+'), x -> x <> '') AS t
+                FROM documents
+            ), unnest(t) AS u(w)
+            GROUP BY u.w
+        ),
+        e0 AS (SELECT w, c, regexp_extract_all(w, '.') AS syms
+               FROM vocab)"""]
+    for t in range(1, merges + 1):
+        parts.append(f"""
+        p{t} AS (
+            SELECT p.a AS a, p.b AS b, sum(c) AS n
+            FROM (
+                SELECT c, unnest(list_transform(range(1, len(syms)),
+                    i -> struct_pack(a := syms[i], b := syms[i + 1])))
+                    AS p
+                FROM e{t - 1}
+            )
+            GROUP BY 1, 2
+        ),
+        m{t} AS (
+            SELECT a, b FROM p{t}
+            ORDER BY n DESC, a ASC, b ASC LIMIT 1
+        ),
+        e{t} AS (
+            SELECT w, c, {fold} AS syms
+            FROM e{t - 1} LEFT JOIN m{t} m ON TRUE
+        )""")
+    return f"""
+        WITH {",".join(parts)},
+        wtok AS (
+            SELECT w, len(regexp_extract_all(w, '.')) AS nb,
+                   len(syms) AS nt
+            FROM e{merges}
+        ),
+        docw AS (
+            SELECT doc_id, u.w AS w
+            FROM (
+                SELECT doc_id, list_filter(string_split_regex(
+                    trim(coalesce(text, '')), '{ws}+'), x -> x <> '') AS t
+                FROM documents
+            ), unnest(t) AS u(w)
+        ),
+        per AS (
+            SELECT doc_id, count(*) AS nw, sum(nb) AS base,
+                   sum(nt) AS toks
+            FROM docw JOIN wtok USING (w)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(nw, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(base, 0) AS BIGINT) AS n_base_syms,
+               CAST(coalesce(toks, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(base, 0) - coalesce(toks, 0) AS BIGINT)
+                   AS n_saved
+        FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+    """
+
+
+SEQLEN_MAX_POW = 20  # bucket caps 1, 2, 4, ... 2^20 tokens
+
+
+def _pow2_cap_case(n_expr: str) -> str:
+    """Smallest power-of-two >= n as a CASE chain over integer
+    thresholds (identical text on both engines -- no log2): lengths
+    beyond 2^SEQLEN_MAX_POW clamp to the top bucket."""
+    arms = " ".join(
+        f"WHEN {n_expr} <= {1 << p} THEN {1 << p}"
+        for p in range(SEQLEN_MAX_POW + 1)
+    )
+    return f"CASE {arms} ELSE {1 << SEQLEN_MAX_POW} END"
+
+
+def seqlen_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-LENGTH BUCKETING report -- the batching-efficiency
+    planner for training: documents grouped into power-of-two token-
+    length buckets, with the exact padding waste of per-bucket padding
+    (every doc padded to the LONGEST OBSERVED document in its bucket
+    -- what a bucketed dataloader actually pads to; the power-of-two
+    cap is only the bucket boundary) against the naive global padding
+    (every doc padded to the corpus max). The two waste columns are
+    THE numbers that justify length-bucketed batch sampling in a
+    training data loader; bucketed waste <= global waste per bucket BY
+    CONSTRUCTION (bucket max <= corpus max), asserted in tests.
+    Zero-token documents land in the cap-1 bucket.
+
+    Exactness: token counts are the whitespace convention
+    (``tq.n_tokens``); the bucket cap is an integer CASE chain (no
+    log2); both waste sums are exact BIGINTs.
+
+    Scale shape: map-only token count + partial-aggregated groupBy on
+    <= 21 bucket keys; the corpus max rides along as one broadcast
+    scalar row."""
+    docs = rebalance(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        tq.n_tokens(F.coalesce(F.col("text"), F.lit(""))).alias("n")
+    )
+    bucketed = toks.select(
+        "n", F.expr(_pow2_cap_case("greatest(n, 1)")).alias("bucket_cap")
+    )
+    gmax = bucketed.agg(F.max("n").alias("gmax"))
+    return (
+        bucketed.crossJoin(F.broadcast(gmax))
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens_total"),
+            (F.max("n") * F.count(F.lit(1)) - F.sum("n")).cast("long")
+            .alias("pad_waste_bucketed"),
+            F.sum(F.col("gmax") - F.col("n")).cast("long")
+            .alias("pad_waste_global"),
+        )
+    )
+
+
+def _seqlen_oracle_sql() -> str:
+    ws = "[ \\t\\n\\x0B\\f\\r]"
+    return f"""
+        WITH toks AS (
+            SELECT len(list_filter(string_split_regex(
+                trim(coalesce(text, '')), '{ws}+'), x -> x <> '')) AS n
+            FROM documents
+        ),
+        b AS (
+            SELECT n, {_pow2_cap_case("greatest(n, 1)")} AS bucket_cap
+            FROM toks
+        ),
+        g AS (SELECT max(n) AS gmax FROM b)
+        SELECT bucket_cap,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS n_tokens_total,
+               CAST(max(n) * count(*) - sum(n) AS BIGINT)
+                   AS pad_waste_bucketed,
+               CAST(sum(g.gmax - n) AS BIGINT) AS pad_waste_global
+        FROM b CROSS JOIN g
+        GROUP BY bucket_cap
+    """
+
+
 PMI_MIN_COUNT = 3  # bigram support floor (noise gate, standard practice)
 
 
@@ -1481,6 +1726,8 @@ QUERIES = {
     "nextevent_training_pairs": nextevent_training_pairs,
     "pmi_collocations": pmi_collocations,
     "bpe_learn_merges": bpe_learn_merges,
+    "bpe_encode_corpus": bpe_encode_corpus,
+    "seqlen_bucketing": seqlen_bucketing,
     "span_corruption_pairs": span_corruption_pairs,
     "seq_len_histogram": seq_len_histogram,
     "intradoc_line_dedup": intradoc_line_dedup,
@@ -1568,6 +1815,8 @@ _LM_THR = "'%s'" % _lm_hex_threshold(LM_SAMPLE_FRACTION)
 ORACLE = {
     "pmi_collocations": _pmi_oracle_sql(),
     "bpe_learn_merges": _bpe_merge_oracle_sql(),
+    "bpe_encode_corpus": _bpe_encode_oracle_sql(),
+    "seqlen_bucketing": _seqlen_oracle_sql(),
     "nextevent_training_pairs": _nextevent_oracle_sql(),
     "span_corruption_pairs": _span_corruption_oracle_sql(),
     "epoch_shuffle_shards": f"""

@@ -209,6 +209,68 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTR_WINDOW_S = 7 * 24 * 3600  # last-touch attribution lookback
+
+
+def funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH ATTRIBUTION: every purchase credits the most recent
+    preceding marketing touch (view or click) by the same user within
+    ``ATTR_WINDOW_S``; purchases whose nearest touch is older than the
+    window (or who have none) report under the ``unattributed``
+    channel -- the standard marketing-funnel rollup a product
+    warehouse serves, built on the same as-of machinery as
+    :func:`asof_join_last_purchase`.
+
+    Determinism: equal-instant touches collapse by ``max_by(type,
+    event_id)`` (one row per (user, ts), both engines); revenue
+    accumulates in exact BIGINT micro-units and divides ONCE on emit.
+    NULL-user purchases are excluded on both sides (an identity-less
+    row cannot be attributed; NULL keys would also group in Spark
+    windows but never equi-match in an ASOF join -- the one NULL
+    convention the two forms disagree on).
+
+    Scale shape: the as-of pick is the union + per-user window form
+    (ONE shuffle, no unbounded range join -- see :func:`asof_join`);
+    the channel rollup is a partial-agg groupBy emitting
+    channel-cardinality rows."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    touches = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("event_type", "event_id").alias("touch_type"))
+        .withColumn("touch_ts", F.col("ts"))
+    )
+    j = asof_join(purchases, touches, on="user_id", ts_col="ts",
+                  value_cols=["touch_type", "touch_ts"])
+    in_window = (
+        F.col("asof_touch_ts").isNotNull()
+        & (F.unix_micros("ts") - F.unix_micros("asof_touch_ts")
+           <= ATTR_WINDOW_S * 1_000_000)
+    )
+    channel = F.when(in_window, F.col("asof_touch_type")).otherwise(
+        F.lit("unattributed")
+    )
+    rev_u = F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5)) \
+        .cast("long")
+    return (
+        j.select(channel.alias("channel"), rev_u.alias("rev_u"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("rev_u").cast("long").alias("revenue_u"),
+        )
+        .select(
+            "channel", "n_purchases", "revenue_u",
+            (F.col("revenue_u").cast("double") / 1e6).alias("revenue"),
+        )
+    )
+
+
 def set_click_and_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     clickers = ev.filter(F.col("event_type") == "click").select("user_id")
@@ -222,10 +284,43 @@ QUERIES = {
     "stale_agents": stale_agents,
     "interval_join_click_purchase": interval_join_click_purchase,
     "asof_join_last_purchase": asof_join_last_purchase,
+    "funnel_attribution": funnel_attribution,
     "set_click_and_purchase_users": set_click_and_purchase_users,
 }
 
 ORACLE = {
+    "funnel_attribution": f"""
+        WITH p AS (
+            SELECT user_id, ts, event_id, value FROM events
+            WHERE event_type = 'purchase'
+              AND ts IS NOT NULL AND user_id IS NOT NULL
+        ),
+        t AS (
+            SELECT user_id, ts, max_by(event_type, event_id) AS touch_type
+            FROM events
+            WHERE event_type IN ('view', 'click')
+              AND ts IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT p.value, t.touch_type, t.ts AS touch_ts, p.ts AS pts
+            FROM p ASOF LEFT JOIN t
+              ON p.user_id = t.user_id AND p.ts >= t.ts
+        ),
+        ch AS (
+            SELECT CASE WHEN touch_ts IS NOT NULL
+                         AND epoch_us(pts) - epoch_us(touch_ts)
+                             <= {ATTR_WINDOW_S * 1_000_000}
+                        THEN touch_type ELSE 'unattributed' END AS channel,
+                   CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS rev_u
+            FROM j
+        )
+        SELECT channel,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(sum(rev_u) AS BIGINT) AS revenue_u,
+               CAST(sum(rev_u) AS DOUBLE) / 1e6 AS revenue
+        FROM ch GROUP BY channel
+    """,
     "asof_join_last_purchase": """
         WITH clicks AS (
             SELECT user_id, event_id AS click_id, ts FROM events

@@ -337,3 +337,69 @@ def test_debounce_conserves_events_and_orders_bursts(spark, sf_dir):
         by_key[(r.user_id, r.event_type)].append(r.kept_ts)
     for k, ts_list in by_key.items():
         assert ts_list == sorted(ts_list)
+
+
+def test_ewma_reacts_to_level_shift(spark, tmp_path):
+    """A constant-10 series that jumps to 30 must flag the jump day
+    (dev > 2x EWMA of the trailing window) and nothing before it."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.analytics import (
+        ewma_control_chart,
+    )
+
+    rows = {"event_id": [], "user_id": [], "event_type": [], "ts": [],
+            "value": [], "props": []}
+    eid = 0
+    for d in range(12):
+        n = 10 if d < 11 else 30
+        for k in range(n):
+            rows["event_id"].append(eid); eid += 1
+            rows["user_id"].append(k)
+            rows["event_type"].append("click")
+            rows["ts"].append(
+                dt.datetime(2024, 3, 1 + d, 12, 0, 0))
+            rows["value"].append(1.0)
+            rows["props"].append("{}")
+    d0 = str(tmp_path)
+    pq.write_table(pa.table(rows), f"{d0}/events.parquet")
+    got = {r.day: r for r in ewma_control_chart(spark, d0).collect()}
+    assert not got["2024-03-11"].flag_high  # steady state
+    assert got["2024-03-12"].flag_high      # the 3x jump
+    assert not any(r.flag_low for r in got.values())
+    # steady-state EWMA equals the constant level exactly
+    assert got["2024-03-11"].ewma_u == 10_000_000
+
+
+def test_seq_pattern_requires_strict_succession(spark, tmp_path):
+    """view->click->purchase matches only with NO intervening event:
+    an error between click and purchase kills the match."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.analytics import (
+        seq_pattern_match,
+    )
+
+    def ev(eid, uid, typ, minute):
+        return (eid, uid, typ,
+                dt.datetime(2024, 3, 1, 10, minute), 1.0, "{}")
+
+    data = [
+        ev(1, 1, "view", 0), ev(2, 1, "click", 1), ev(3, 1, "purchase", 2),
+        ev(4, 2, "view", 0), ev(5, 2, "click", 1), ev(6, 2, "error", 2),
+        ev(7, 2, "purchase", 3),
+    ]
+    cols = ["event_id", "user_id", "event_type", "ts", "value", "props"]
+    pq.write_table(pa.table(
+        {c: [r[i] for r in data] for i, c in enumerate(cols)}),
+        f"{tmp_path}/events.parquet")
+    got = seq_pattern_match(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert got[0].user_id == 1 and got[0].start_event_id == 1
+    assert got[0].end_event_id == 3 and got[0].span_us == 120_000_000

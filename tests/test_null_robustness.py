@@ -78,6 +78,8 @@ NULL_SWEEP = [
     "text_char_entropy",
     "kwic_concordance",
     "text_code_detect",
+    "bpe_encode_corpus",
+    "seqlen_bucketing",
 ]
 
 
@@ -207,6 +209,7 @@ EVENTS_NULL_SWEEP = [
     "seasonal_decompose_daily", "interarrival_histogram",
     "ohlc_daily_by_type", "twap_by_user", "event_debounce",
     "skew_report_events", "skewed_distinct_salted",
+    "ewma_control_chart", "seq_pattern_match", "funnel_attribution",
 ]
 
 

@@ -360,3 +360,70 @@ def test_bpe_merges_match_reference_implementation(spark):
             words[w] = out
     assert [(r.sym_a, r.sym_b, r.pair_count, r.merged) for r in got] \
         == expect
+
+
+def test_bpe_encode_invariants(spark, sf_dir):
+    """Encoding under learned merges: token count never exceeds the
+    base symbol count, never drops below the word count (one token
+    per word minimum), savings are consistent, and every document
+    appears (zeros for empty)."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.pretrain import (
+        bpe_encode_corpus,
+    )
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    rows = bpe_encode_corpus(spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert any(r.n_saved > 0 for r in rows), "merges bought nothing"
+    for r in rows:
+        assert r.n_tokens <= r.n_base_syms
+        assert r.n_tokens >= r.n_words
+        assert r.n_saved == r.n_base_syms - r.n_tokens
+
+
+def test_bpe_encode_applies_learned_merges(spark, tmp_path):
+    """On a corpus dominated by one repeated word, the learned merges
+    collapse that word maximally: with >= len-1 merge rounds the hot
+    word becomes ONE token."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.pretrain import (
+        bpe_encode_corpus,
+    )
+
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": [0, 1, 2],
+        "text": ["abab abab abab", "abab xy", "q"],
+        "lang": ["en"] * 3, "source": ["s0"] * 3,
+        "n_chars": [14, 7, 1],
+    }), f"{d}/documents.parquet")
+    got = {r.doc_id: r for r in
+           bpe_encode_corpus(spark, d, merges=3).collect()}
+    # 'abab' (4 syms) dominates: merges a+b, ab+ab -> one token
+    assert got[0].n_tokens == 3 and got[0].n_base_syms == 12
+    # 'xy' gets at most the leftover merge; 'q' is always 1
+    assert got[2].n_tokens == 1 and got[2].n_saved == 0
+
+
+def test_seqlen_bucketing_waste_ordering(spark, sf_dir):
+    """Per-bucket padding always wastes no more than global padding,
+    caps are powers of two covering their docs, and doc counts tile
+    the corpus."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.pretrain import (
+        seqlen_bucketing,
+    )
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    rows = seqlen_bucketing(spark, sf_dir).collect()
+    assert rows
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.bucket_cap & (r.bucket_cap - 1) == 0  # power of two
+        assert 0 <= r.pad_waste_bucketed <= r.pad_waste_global
+    # the whole point: bucketing must beat global padding overall
+    assert (sum(r.pad_waste_bucketed for r in rows)
+            < sum(r.pad_waste_global for r in rows))

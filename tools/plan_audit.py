@@ -900,6 +900,38 @@ AUDIT += (
             "rows. Measured-skew win asserted in test_plans.py.",
         ),
     ]
+    + [
+        (
+            "bpe_encode_corpus",
+            "Tokenizer application is VOCABULARY-sized: the merge "
+            "folds run once per distinct word (localCheckpoint per "
+            "round); the corpus pass is one explode + broadcastable "
+            "word->tokens equi-join + per-doc partial-agg sum.",
+        ),
+        (
+            "seqlen_bucketing",
+            "Map-only token count, partial-aggregated groupBy on "
+            "<= 21 power-of-two bucket keys, corpus max broadcast "
+            "back as one scalar row.",
+        ),
+        (
+            "funnel_attribution",
+            "As-of pick is the union + per-user window form (ONE "
+            "shuffle, no unbounded range join); channel rollup is a "
+            "partial-agg groupBy emitting channel-cardinality rows.",
+        ),
+        (
+            "ewma_control_chart",
+            "One partial-aggregated shuffle collapses events to day "
+            "grain; the integer-weight lag chain runs over "
+            "|types| x |days| rows only.",
+        ),
+        (
+            "seq_pattern_match",
+            "ONE window shuffle on user_id, then map-only lead "
+            "comparisons; output proportional to pattern matches.",
+        ),
+    ]
     + [(
         "anns_late_interaction_served",
         "LSH shortlist (persisted signature index, bucket equi-join, "
