@@ -172,6 +172,9 @@ HEADLINE = [
     "bpe_encode_corpus",
     "seqlen_bucketing",
     "funnel_attribution",
+    # round 7: multi-table data-contract suite (shared scans +
+    # broadcast anti-joins over the largest tables)
+    "data_quality_expectations",
 ]
 
 # BENCH COVERAGE RULE (enforced below, documented in docs/BENCHING.md):
@@ -208,7 +211,7 @@ BENCH_EXCLUDED = {
         "a9_backlog", "a11_json_props", "cube_events",
         "grouping_sets_events", "unpivot_daily_counts",
         "props_key_histogram", "corpus_quality_by_source",
-        "skew_report_events", "ewma_control_chart",
+        "skew_report_events", "ewma_control_chart", "rfm_segments",
         "lsh_bucket_histogram", "label_centroids",
         "embedding_health_report", "gatekeeper_failure_history",
         "stale_agents", "stream_windowed_counts",
@@ -218,7 +221,7 @@ BENCH_EXCLUDED = {
     **{n: "window-rep" for n in [
         "window_first_event_per_user", "window_forward_fill",
         "window_last_n_per_user", "window_value_quartiles",
-        "seq_pattern_match",
+        "seq_pattern_match", "time_to_event_labels",
         "rolling_distinct_users_7d", "sessionize_events",
         "sessionize_session_window", "chat_session_history_ttl",
         "join_customers_with_purchases",

@@ -2230,6 +2230,160 @@ def _seq_pattern_oracle_sql() -> str:
     """
 
 
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION -- the classic customer-analytics rollup: per
+    user, Recency (days since last event, anchored at the corpus max
+    so the report is replay-stable), Frequency (event count), Monetary
+    (exact micro-unit value sum), each scored into quintiles by
+    ``ntile(5)`` over a TOTAL order (metric, then user_id -- equal
+    metrics tie-break deterministically, and SQL's ntile fill rule
+    (earlier tiles take the remainder) is identical in both engines),
+    plus the standard segment labels marketing reads off the grid.
+
+    Scale shape: one partial-aggregated groupBy collapses events to
+    user grain; the three ntile windows then run over user-cardinality
+    rows (at real scale: users ~ millions, a single global window per
+    metric -- acceptable because the frame is user-grain, or swap to
+    percent_rank bucketing over a range-partitioned sort; the grain
+    reduction is the point)."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    anchor = ev.agg(F.max(_day("ts")).alias("anchor_day"))
+    per = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(_day("ts")).alias("last_day"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.coalesce(F.sum(_value_u(F.col("value"))), F.lit(0))
+            .cast("long").alias("monetary_u"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("anchor_day"), F.to_date("last_day"))
+            .cast("int").alias("recency_days"),
+            "frequency", "monetary_u",
+        )
+    )
+    # score 5 = best: most recent, most frequent, highest spend
+    r_w = Window.orderBy(F.desc("recency_days"), F.asc("user_id"))
+    f_w = Window.orderBy(F.asc("frequency"), F.asc("user_id"))
+    m_w = Window.orderBy(F.asc("monetary_u"), F.asc("user_id"))
+    scored = per.select(
+        "user_id", "recency_days", "frequency", "monetary_u",
+        F.ntile(5).over(r_w).cast("int").alias("r_score"),
+        F.ntile(5).over(f_w).cast("int").alias("f_score"),
+        F.ntile(5).over(m_w).cast("int").alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4)
+               & (F.col("m_score") >= 4), "champion")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4),
+              "at_risk_loyal")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2),
+              "new_or_reactivated")
+        .otherwise("core")
+    )
+    return scored.select("*", seg.alias("segment"))
+
+
+def _rfm_oracle_sql() -> str:
+    return """
+        WITH ev AS (
+            SELECT user_id, ts, value FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ),
+        anchor AS (
+            SELECT max(strftime(ts, '%Y-%m-%d')) AS anchor_day FROM ev
+        ),
+        per AS (
+            SELECT user_id,
+                   CAST(date_diff('day',
+                        CAST(max(strftime(ts, '%Y-%m-%d')) AS DATE),
+                        CAST((SELECT anchor_day FROM anchor) AS DATE))
+                        AS INTEGER) AS recency_days,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   CAST(coalesce(sum(CAST(floor(value * 1000000.0 + 0.5)
+                        AS BIGINT)), 0) AS BIGINT) AS monetary_u
+            FROM ev GROUP BY user_id
+        ),
+        scored AS (
+            SELECT user_id, recency_days, frequency, monetary_u,
+                   CAST(ntile(5) OVER (ORDER BY recency_days DESC,
+                        user_id ASC) AS INTEGER) AS r_score,
+                   CAST(ntile(5) OVER (ORDER BY frequency ASC,
+                        user_id ASC) AS INTEGER) AS f_score,
+                   CAST(ntile(5) OVER (ORDER BY monetary_u ASC,
+                        user_id ASC) AS INTEGER) AS m_score
+            FROM per
+        )
+        SELECT *,
+               CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                    THEN 'champion'
+                    WHEN r_score <= 2 AND f_score >= 4
+                    THEN 'at_risk_loyal'
+                    WHEN r_score >= 4 AND f_score <= 2
+                    THEN 'new_or_reactivated'
+                    ELSE 'core' END AS segment
+        FROM scored
+    """
+
+
+def time_to_event_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-EVENT label generation (survival analysis / propensity
+    training): for every event, the microseconds until that user's
+    NEXT purchase strictly after it -- the label a churn/conversion
+    model trains on -- with ``censored = true`` when no purchase
+    follows (the user's observation window ended first). Generated in
+    ONE window pass: a forward-looking ``min`` over the conditional
+    purchase timestamp (ROWS 1 FOLLOWING .. UNBOUNDED), never a self
+    join.
+
+    Scale shape: one shuffle on user_id, one ordered pass per user;
+    output is one row per event. NULL-ts and NULL-user rows carry no
+    timeline and are excluded (both engines)."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    return ev.select(
+        "user_id", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        (F.unix_micros(nxt) - F.unix_micros("ts")).cast("long")
+        .alias("tte_us"),
+        nxt.isNull().alias("censored"),
+    )
+
+
+def _tte_oracle_sql() -> str:
+    return """
+        WITH ev AS (
+            SELECT user_id, event_id, ts, event_type FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ),
+        lab AS (
+            SELECT user_id, event_id, ts,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 1 FOLLOWING
+                             AND UNBOUNDED FOLLOWING) AS nxt
+            FROM ev
+        )
+        SELECT user_id, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+               CAST(epoch_us(nxt) - epoch_us(ts) AS BIGINT) AS tte_us,
+               nxt IS NULL AS censored
+        FROM lab
+    """
+
+
 # --------------------------------------------------------------------------
 # Skew: a measurable power-law key + the two-phase salted rewrite
 # (round-6 verdict task #6 -- plans/diagnostics utilities demonstrated
@@ -2382,6 +2536,8 @@ QUERIES = {
     "skewed_distinct_salted": skewed_distinct_salted,
     "ewma_control_chart": ewma_control_chart,
     "seq_pattern_match": seq_pattern_match,
+    "rfm_segments": rfm_segments,
+    "time_to_event_labels": time_to_event_labels,
     "gatekeeper_failure_history": gatekeeper_failure_history,
     "sketch_cardinality_quantiles": sketch_cardinality_quantiles,
     "sketch_hll_distinct_users": sketch_hll_distinct_users,
@@ -3191,3 +3347,5 @@ ORACLE = {
 ORACLE.update(_SKEW_ORACLE)
 ORACLE["ewma_control_chart"] = _ewma_oracle_sql()
 ORACLE["seq_pattern_match"] = _seq_pattern_oracle_sql()
+ORACLE["rfm_segments"] = _rfm_oracle_sql()
+ORACLE["time_to_event_labels"] = _tte_oracle_sql()

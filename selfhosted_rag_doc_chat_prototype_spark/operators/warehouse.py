@@ -630,12 +630,156 @@ def _compaction_oracle_sql() -> str:
     """
 
 
+def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-CONTRACT VALIDATION -- the expectations suite a warehouse
+    runs before publishing a table (the Great Expectations / dbt-test
+    pattern as ONE queryable report): range rules, positivity rules,
+    referential integrity, and key uniqueness over the TPC-H tables,
+    each emitting (rule, table_name, n_checked, n_violations, passed).
+
+    Scale shape: every range/positivity rule is one column-pruned scan
+    with a map-side conditional count (rules over the same table share
+    the scan); the two referential rules are anti-join counts whose
+    dimension side broadcasts under AQE; uniqueness is a partial-agg
+    groupBy on the key. Nothing scans a table twice for a second rule
+    on the same table."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_discount"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+
+    def report(rule, tname, checked, violations):
+        return F.struct(
+            F.lit(rule).alias("rule"), F.lit(tname).alias("table_name"),
+            checked.cast("long").alias("n_checked"),
+            violations.cast("long").alias("n_violations"),
+            (violations == 0).alias("passed"),
+        )
+
+    li_rules = li.agg(
+        F.array(
+            report(
+                "quantity_in_1_50", "lineitem", F.count(F.lit(1)),
+                F.count(F.when(
+                    F.col("l_quantity").isNull()
+                    | (F.col("l_quantity") < 1)
+                    | (F.col("l_quantity") > 50), 1)),
+            ),
+            report(
+                "discount_in_0_0.1", "lineitem", F.count(F.lit(1)),
+                F.count(F.when(
+                    F.col("l_discount").isNull()
+                    | (F.col("l_discount") < 0)
+                    | (F.col("l_discount") > 0.1), 1)),
+            ),
+        ).alias("rs")
+    ).select(F.explode("rs").alias("r"))
+    ord_rules = orders.agg(
+        F.array(
+            report(
+                "totalprice_positive", "orders", F.count(F.lit(1)),
+                F.count(F.when(
+                    F.col("o_totalprice").isNull()
+                    | (F.col("o_totalprice") <= 0), 1)),
+            ),
+        ).alias("rs")
+    ).select(F.explode("rs").alias("r"))
+    ref_li = (
+        li.select("l_orderkey")
+        .join(orders.select("o_orderkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("v"))
+        .crossJoin(F.broadcast(li.agg(F.count(F.lit(1)).alias("n"))))
+        .select(report("lineitem_orderkey_in_orders", "lineitem",
+                       F.col("n"), F.col("v")).alias("r"))
+    )
+    ref_ord = (
+        orders.select("o_custkey")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("v"))
+        .crossJoin(F.broadcast(orders.agg(F.count(F.lit(1)).alias("n"))))
+        .select(report("orders_custkey_in_customer", "orders",
+                       F.col("n"), F.col("v")).alias("r"))
+    )
+    uniq = (
+        cust.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.count(F.when(F.col("c") > 1, 1)).alias("v"))
+        .select(report("custkey_unique", "customer",
+                       F.col("n"), F.col("v")).alias("r"))
+    )
+    out = li_rules.unionByName(ord_rules).unionByName(ref_li) \
+        .unionByName(ref_ord).unionByName(uniq)
+    return out.select("r.rule", "r.table_name", "r.n_checked",
+                      "r.n_violations", "r.passed")
+
+
+def _dq_oracle_sql() -> str:
+    return """
+        SELECT 'quantity_in_1_50' AS rule, 'lineitem' AS table_name,
+               CAST(count(*) AS BIGINT) AS n_checked,
+               CAST(count(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                    OR l_quantity > 50 THEN 1 END) AS BIGINT)
+                   AS n_violations,
+               count(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                    OR l_quantity > 50 THEN 1 END) = 0 AS passed
+        FROM lineitem
+        UNION ALL
+        SELECT 'discount_in_0_0.1', 'lineitem',
+               CAST(count(*) AS BIGINT),
+               CAST(count(CASE WHEN l_discount IS NULL OR l_discount < 0
+                    OR l_discount > 0.1 THEN 1 END) AS BIGINT),
+               count(CASE WHEN l_discount IS NULL OR l_discount < 0
+                    OR l_discount > 0.1 THEN 1 END) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'totalprice_positive', 'orders',
+               CAST(count(*) AS BIGINT),
+               CAST(count(CASE WHEN o_totalprice IS NULL
+                    OR o_totalprice <= 0 THEN 1 END) AS BIGINT),
+               count(CASE WHEN o_totalprice IS NULL
+                    OR o_totalprice <= 0 THEN 1 END) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem_orderkey_in_orders', 'lineitem',
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_orderkey = l.l_orderkey)) = 0
+        UNION ALL
+        SELECT 'orders_custkey_in_customer', 'orders',
+               (SELECT CAST(count(*) AS BIGINT) FROM orders),
+               CAST((SELECT count(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey)) = 0
+        UNION ALL
+        SELECT 'custkey_unique', 'customer',
+               (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT)
+                FROM customer),
+               CAST((SELECT count(*) FROM (SELECT c_custkey
+                     FROM customer GROUP BY c_custkey
+                     HAVING count(*) > 1)) AS BIGINT),
+               (SELECT count(*) FROM (SELECT c_custkey FROM customer
+                GROUP BY c_custkey HAVING count(*) > 1)) = 0
+    """
+
+
 QUERIES = {
     "table_profile_documents": table_profile_documents,
     "zorder_layout": zorder_layout,
     "scd2_user_segments": scd2_user_segments,
     "scd2_point_in_time_join": scd2_point_in_time_join,
     "compaction_plan": compaction_plan,
+    "data_quality_expectations": data_quality_expectations,
 }
 
 ORACLE = {
@@ -644,4 +788,5 @@ ORACLE = {
     "scd2_user_segments": _scd2_oracle_sql(),
     "scd2_point_in_time_join": _pit_oracle_sql(),
     "compaction_plan": _compaction_oracle_sql(),
+    "data_quality_expectations": _dq_oracle_sql(),
 }

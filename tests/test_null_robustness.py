@@ -210,6 +210,7 @@ EVENTS_NULL_SWEEP = [
     "ohlc_daily_by_type", "twap_by_user", "event_debounce",
     "skew_report_events", "skewed_distinct_salted",
     "ewma_control_chart", "seq_pattern_match", "funnel_attribution",
+    "rfm_segments", "time_to_event_labels",
 ]
 
 

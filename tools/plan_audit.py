@@ -940,6 +940,31 @@ AUDIT += (
         "the shortlist and query slices broadcast -- corpus-wide "
         "MaxSim never appears in this plan.",
     )]
+    + [
+        (
+            "rfm_segments",
+            "One partial-aggregated groupBy collapses events to user "
+            "grain BEFORE any window; the three ntile passes then run "
+            "over user-cardinality rows (the anchor scalar broadcasts "
+            "back). At real scale the user-grain global sort is the "
+            "documented trade; percent_rank over a range-partitioned "
+            "sort is the drop-in swap.",
+        ),
+        (
+            "time_to_event_labels",
+            "ONE shuffle on user_id, one ordered forward-min window "
+            "pass per user -- the next-purchase label resolves inside "
+            "the frame, never via a self join.",
+        ),
+        (
+            "data_quality_expectations",
+            "Rules over the same table share ONE column-pruned scan "
+            "with map-side conditional counts; the two referential "
+            "rules are anti-join counts (dimension side broadcast "
+            "under AQE); uniqueness is a partial-agg groupBy on the "
+            "key. No table is scanned twice for a second rule.",
+        ),
+    ]
 )
 
 
