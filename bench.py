@@ -212,6 +212,7 @@ BENCH_EXCLUDED = {
         "grouping_sets_events", "unpivot_daily_counts",
         "props_key_histogram", "corpus_quality_by_source",
         "skew_report_events", "ewma_control_chart", "rfm_segments",
+        "acf_daily_counts", "cusum_control_chart", "mad_robust_anomaly",
         "lsh_bucket_histogram", "label_centroids",
         "embedding_health_report", "gatekeeper_failure_history",
         "stale_agents", "stream_windowed_counts",
@@ -222,6 +223,7 @@ BENCH_EXCLUDED = {
         "window_first_event_per_user", "window_forward_fill",
         "window_last_n_per_user", "window_value_quartiles",
         "seq_pattern_match", "time_to_event_labels",
+        "latency_percentiles_exact",
         "rolling_distinct_users_7d", "sessionize_events",
         "sessionize_session_window", "chat_session_history_ttl",
         "join_customers_with_purchases",

@@ -1,0 +1,453 @@
+"""Exact statistical monitoring over the event stream.
+
+Extends the reference's analytics corpus (``docs/analytics.md`` A1-A10:
+time-bucketed throughput + latency distributions) with the statistical
+process-control and exact-quantile reports an operations team layers on
+the same tables: autocorrelation of the daily series, tabular CUSUM
+change detection, exact rank-based latency percentiles, and
+median-absolute-deviation robust anomaly flags.
+
+Cross-engine exactness strategy (docs/ROUNDING.md): every statistic is
+computed in EXACT INTEGER UNITS -- deviations from the mean are scaled
+by the day count so ``N*x_t - S`` is a BIGINT, CUSUM uses the
+``running_sum - min(0, running_min(running_sum))`` closed form (all
+integer adds/mins, no recursive float state), percentile ranks are
+``ceil(p*n/100)`` via integer division, and the MAD flag compares
+``|x-med| * 10000 > 44478 * mad`` (3 * 1.4826 scale in fixed-point)
+instead of multiplying by a float constant. Ratios of identical
+integers (ACF, robust z) are emitted as unrounded doubles -- bitwise
+identical across engines.
+
+Scale notes (100 TB): every query's corpus-sized step is ONE
+partial-aggregated groupBy collapsing events to day or event-type
+grain; the windows/self-joins that follow run over CALENDAR- or
+TYPE-cardinality rows, so the single-partition windows are bounded by
+days-of-history, not data volume (the same argument as
+``daily_anomaly_zscore`` / ``ewma_control_chart`` in analytics.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import table
+
+# ACF lags reported; 14 days spans two weekly cycles of the synthetic
+# stream and stays far under the densified-calendar cardinality.
+ACF_MAX_LAG = 14
+# CUSUM baseline length (days) and the k/h parameters in exact integer
+# units: k = mu0/20 (a 5% drift allowance), alarm at C > 7*M/2 (i.e.
+# h = 3.5 sigma-ish in units of the baseline mean).
+CUSUM_BASELINE_DAYS = 7
+PCTS = (50, 90, 99)
+# 3 * 1.4826 (the normal-consistency MAD scale) in 1e-4 fixed point.
+MAD_FLAG_NUM = 44478
+MAD_FLAG_DEN = 10000
+
+
+def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densified (day, n_events) series: zero-filled calendar between
+    min and max day, NULL-ts rows carry no day and drop out (the same
+    densification contract as daily_anomaly_zscore)."""
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = counts.filter(F.col("d").isNotNull()).agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    days = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    return days.join(counts, "d", "left").select(
+        "d", F.coalesce("n", F.lit(0)).cast("long").alias("n_events")
+    )
+
+
+_DAILY_SQL = """
+        counts AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        bounds AS (
+            SELECT min(d) AS lo, max(d) AS hi FROM counts
+            WHERE d IS NOT NULL
+        ),
+        days AS (
+            SELECT unnest(generate_series(lo, hi,
+                          INTERVAL 1 DAY))::DATE AS d
+            FROM bounds
+        ),
+        daily AS (
+            SELECT days.d AS d,
+                   CAST(coalesce(counts.n, 0) AS BIGINT) AS n_events
+            FROM days LEFT JOIN counts ON days.d = counts.d
+        )
+"""
+
+
+def acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION of the daily event-count series at lags
+    1..ACF_MAX_LAG -- the seasonality detector behind 'is traffic
+    weekly-periodic' (a spike at lag 7 is the weekly cycle
+    ``seasonal_decompose_daily`` then extracts).
+
+    Exact integer form: with N days and S = sum(x), the centered
+    deviation N*x_t - S is a BIGINT, and the N^2 denominators of the
+    classic estimator cancel in the ratio, so
+    ``acf = sum(dev_t * dev_{t-lag}) / sum(dev_t^2)`` is a ratio of
+    two exactly-computed BIGINTs (headroom: |dev| <= N*max(x), so the
+    products stay under 2^63 up to ~3e9 daily events over a 10-year
+    calendar; beyond that swap the two sums to DECIMAL(38,0)).
+
+    Scale shape: one corpus shuffle to day grain; the lag self-join
+    and both sums run over calendar x ACF_MAX_LAG rows."""
+    daily = _daily_counts(spark, sf_dir)
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("n_events").alias("s")
+    )
+    rn_w = Window.orderBy("d")
+    dev = (
+        daily.crossJoin(F.broadcast(stats))
+        .select(
+            F.row_number().over(rn_w).alias("rn"),
+            (F.col("nd") * F.col("n_events") - F.col("s")).alias("dev"),
+        )
+    )
+    den = dev.agg(F.sum(F.col("dev") * F.col("dev")).alias("acf_den"))
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = dev.alias("a")
+    b = dev.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("a.rn") == F.col("b.rn") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("a.dev") * F.col("b.dev")).alias("acf_num"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(den))
+        .select(
+            "lag", "n_pairs", "acf_num", "acf_den",
+            (F.col("acf_num").cast("double")
+             / F.col("acf_den").cast("double")).alias("acf"),
+        )
+    )
+
+
+def _acf_oracle_sql() -> str:
+    return f"""
+        WITH {_DAILY_SQL},
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS nd,
+                   CAST(sum(n_events) AS BIGINT) AS s
+            FROM daily
+        ),
+        dev AS (
+            SELECT row_number() OVER (ORDER BY d) AS rn,
+                   nd * n_events - s AS dev
+            FROM daily, stats
+        ),
+        den AS (
+            SELECT CAST(sum(dev * dev) AS BIGINT) AS acf_den FROM dev
+        ),
+        lags AS (
+            SELECT unnest(generate_series(1, {ACF_MAX_LAG}))::INTEGER
+                   AS lag
+        )
+        SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(a.dev * b.dev) AS BIGINT) AS acf_num,
+               (SELECT acf_den FROM den) AS acf_den,
+               CAST(sum(a.dev * b.dev) AS DOUBLE)
+                   / CAST((SELECT acf_den FROM den) AS DOUBLE) AS acf
+        FROM dev a JOIN lags ON true
+        JOIN dev b ON a.rn = b.rn + lag
+        GROUP BY lag
+    """
+
+
+def cusum_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABULAR CUSUM change detection on daily event counts: the chart
+    that catches a SUSTAINED small shift the per-day z-score misses.
+    Baseline mu0 = mean of the first CUSUM_BASELINE_DAYS days; both
+    one-sided sums use allowance k = mu0/20 and alarm at C > 3.5*mu0.
+
+    EXACT INTEGER FORM: everything is scaled by the baseline length B,
+    so mu0 never becomes a fraction -- with M = sum of the first B
+    days, the high-side increment is ``s_t = B*x_t - M - K_u``
+    (K_u = M div 20, truncating division in both engines) and the
+    recursive ``C_t = max(0, C_{t-1} + s_t)`` is replaced by its
+    closed form ``C_t = S_t - min(0, running_min(S_t))`` over the
+    running sum S -- two integer window passes, no recursive state, no
+    float drift. Alarm threshold H_u = 7*M div 2 (= 3.5*mu0 in the
+    same B-scaled units).
+
+    Scale shape: one corpus shuffle to day grain; the two window
+    passes run over the calendar."""
+    daily = _daily_counts(spark, sf_dir)
+    rn_w = Window.orderBy("d")
+    seq = daily.select(
+        "d", "n_events", F.row_number().over(rn_w).alias("rn")
+    )
+    base = seq.filter(F.col("rn") <= CUSUM_BASELINE_DAYS).agg(
+        F.sum("n_events").alias("m")
+    )
+    b = F.lit(CUSUM_BASELINE_DAYS).cast("long")
+    ku = F.expr("m div 20")
+    hu = F.expr("(7 * m) div 2")
+    scored = (
+        seq.filter(F.col("rn") > CUSUM_BASELINE_DAYS)
+        .crossJoin(F.broadcast(base))
+        .select(
+            "d", "n_events", "rn",
+            (b * F.col("n_events") - F.col("m") - ku).alias("s_hi"),
+            (F.col("m") - ku - b * F.col("n_events")).alias("s_lo"),
+            hu.alias("h_u"),
+        )
+    )
+    run_w = (
+        Window.orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    summed = scored.select(
+        "d", "n_events", "h_u", "rn",
+        F.sum("s_hi").over(run_w).alias("ss_hi"),
+        F.sum("s_lo").over(run_w).alias("ss_lo"),
+    )
+    cusum = summed.select(
+        "d", "n_events", "h_u",
+        (F.col("ss_hi")
+         - F.least(F.lit(0).cast("long"), F.min("ss_hi").over(run_w))
+         ).alias("cusum_hi_u"),
+        (F.col("ss_lo")
+         - F.least(F.lit(0).cast("long"), F.min("ss_lo").over(run_w))
+         ).alias("cusum_lo_u"),
+    )
+    return cusum.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_events", "cusum_hi_u", "cusum_lo_u",
+        (F.col("cusum_hi_u") > F.col("h_u")).alias("alarm_hi"),
+        (F.col("cusum_lo_u") > F.col("h_u")).alias("alarm_lo"),
+    )
+
+
+def _cusum_oracle_sql() -> str:
+    return f"""
+        WITH {_DAILY_SQL},
+        seq AS (
+            SELECT d, n_events,
+                   row_number() OVER (ORDER BY d) AS rn
+            FROM daily
+        ),
+        base AS (
+            SELECT CAST(sum(n_events) AS BIGINT) AS m FROM seq
+            WHERE rn <= {CUSUM_BASELINE_DAYS}
+        ),
+        scored AS (
+            SELECT d, n_events, rn,
+                   {CUSUM_BASELINE_DAYS} * n_events - m - (m // 20)
+                       AS s_hi,
+                   m - (m // 20) - {CUSUM_BASELINE_DAYS} * n_events
+                       AS s_lo,
+                   (7 * m) // 2 AS h_u
+            FROM seq, base WHERE rn > {CUSUM_BASELINE_DAYS}
+        ),
+        summed AS (
+            SELECT d, n_events, h_u,
+                   sum(s_hi) OVER w AS ss_hi,
+                   sum(s_lo) OVER w AS ss_lo
+            FROM scored
+            WINDOW w AS (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ),
+        cusum AS (
+            SELECT d, n_events, h_u,
+                   ss_hi - least(CAST(0 AS BIGINT), min(ss_hi) OVER w)
+                       AS cusum_hi_u,
+                   ss_lo - least(CAST(0 AS BIGINT), min(ss_lo) OVER w)
+                       AS cusum_lo_u
+            FROM summed
+            WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        )
+        SELECT strftime(d, '%Y-%m-%d') AS day, n_events,
+               cusum_hi_u, cusum_lo_u,
+               cusum_hi_u > h_u AS alarm_hi,
+               cusum_lo_u > h_u AS alarm_lo
+        FROM cusum
+    """
+
+
+def latency_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-type value percentiles (p50/p90/p99) by the
+    percentile_disc rank rule: the reported value is the k-th smallest
+    with ``k = ceil(p*n/100)`` -- integer division, no interpolation,
+    no float rank, so both engines pick the identical element (the
+    reference's latency-distribution report, docs/analytics.md A2,
+    upgraded from approx sketches to the exact contract). NULL values
+    are excluded (percentile of nothing is no row); a NULL event_type
+    is its own group.
+
+    Scale shape: ONE shuffle partitions by event_type; the rank window
+    orders within each type partition and the three target ranks
+    resolve row-local via an array filter -- no second pass, no
+    explode-then-filter row multiplication."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vu = F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value_u").asc(), F.col("event_id").asc()
+    )
+    cnt_w = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type", "event_id", vu.alias("value_u")
+    ).select(
+        "event_type", "value_u",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cnt_w).alias("n"),
+    )
+    targets = F.array(*[
+        F.struct(
+            F.lit(p).cast("int").alias("p"),
+            F.expr(f"({p} * n + 99) div 100").alias("k"),
+        )
+        for p in PCTS
+    ])
+    hits = ranked.select(
+        "event_type", "value_u", "n",
+        F.filter(targets, lambda t: t["k"] == F.col("rn")).alias("ts"),
+    ).filter(F.size("ts") > 0)
+    return (
+        hits.select(
+            "event_type", "n", "value_u",
+            F.explode("ts").alias("t"),
+        )
+        .select(
+            "event_type", F.col("t.p").alias("p"), "n", "value_u",
+            (F.col("value_u").cast("double") / 1e6).alias("value"),
+        )
+    )
+
+
+def _pct_oracle_sql() -> str:
+    legs = "\n        UNION ALL\n".join(
+        f"""        SELECT event_type, CAST({p} AS INTEGER) AS p, n,
+               value_u,
+               CAST(value_u AS DOUBLE) / 1e6 AS value
+        FROM ranked WHERE rn = ({p} * n + 99) // 100"""
+        for p in PCTS
+    )
+    return f"""
+        WITH ranked AS (
+            SELECT event_type,
+                   CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+                       AS value_u,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(floor(value * 1000000.0 + 0.5)
+                                     AS BIGINT) ASC, event_id ASC
+                   ) AS rn,
+                   CAST(count(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n
+            FROM events WHERE value IS NOT NULL
+        )
+{legs}
+    """
+
+
+def mad_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN-ABSOLUTE-DEVIATION anomaly flags on the daily series --
+    the robust twin of ``daily_anomaly_zscore``: a handful of outage
+    days cannot drag the baseline the way they drag a mean/stddev.
+    med = lower median (rank ceil(n/2)); mad = lower median of
+    |x - med|; a day flags when ``|x - med| * 10000 > 44478 * mad``
+    (i.e. |x-med| > 3 * 1.4826 * mad in exact fixed-point -- when the
+    series is half-constant and mad = 0, ANY deviation flags, which is
+    the correct degenerate contract).
+
+    Scale shape: one corpus shuffle to day grain; the two exact-median
+    rank passes and the flag projection run over the calendar."""
+    daily = _daily_counts(spark, sf_dir)
+    med_w = Window.orderBy(F.col("n_events").asc(), F.col("d").asc())
+    n_w = Window.partitionBy()
+    med = (
+        daily.select(
+            "n_events",
+            F.row_number().over(med_w).alias("rn"),
+            F.count(F.lit(1)).over(n_w).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("n_events").alias("med"))
+    )
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "d", "n_events", "med",
+        F.abs(F.col("n_events") - F.col("med")).alias("abs_dev"),
+    )
+    mad_w = Window.orderBy(F.col("abs_dev").asc(), F.col("d").asc())
+    mad = (
+        dev.select(
+            "abs_dev",
+            F.row_number().over(mad_w).alias("rn"),
+            F.count(F.lit(1)).over(n_w).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("abs_dev").alias("mad"))
+    )
+    return dev.crossJoin(F.broadcast(mad)).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_events", "med", "abs_dev", "mad",
+        (F.col("abs_dev") * MAD_FLAG_DEN
+         > F.lit(MAD_FLAG_NUM) * F.col("mad")).alias("is_anomaly"),
+    )
+
+
+def _mad_oracle_sql() -> str:
+    return f"""
+        WITH {_DAILY_SQL},
+        med AS (
+            SELECT n_events AS med FROM (
+                SELECT n_events,
+                       row_number() OVER (ORDER BY n_events ASC, d ASC)
+                           AS rn,
+                       count(*) OVER () AS n
+                FROM daily
+            ) WHERE rn = (n + 1) // 2
+        ),
+        dev AS (
+            SELECT d, n_events, med,
+                   abs(n_events - med) AS abs_dev
+            FROM daily, med
+        ),
+        mad AS (
+            SELECT abs_dev AS mad FROM (
+                SELECT abs_dev,
+                       row_number() OVER (ORDER BY abs_dev ASC, d ASC)
+                           AS rn,
+                       count(*) OVER () AS n
+                FROM dev
+            ) WHERE rn = (n + 1) // 2
+        )
+        SELECT strftime(d, '%Y-%m-%d') AS day, n_events, med, abs_dev,
+               mad,
+               abs_dev * {MAD_FLAG_DEN} > {MAD_FLAG_NUM} * mad
+                   AS is_anomaly
+        FROM dev, mad
+    """
+
+
+QUERIES = {
+    "acf_daily_counts": acf_daily_counts,
+    "cusum_control_chart": cusum_control_chart,
+    "latency_percentiles_exact": latency_percentiles_exact,
+    "mad_robust_anomaly": mad_robust_anomaly,
+}
+
+ORACLE = {
+    "acf_daily_counts": _acf_oracle_sql(),
+    "cusum_control_chart": _cusum_oracle_sql(),
+    "latency_percentiles_exact": _pct_oracle_sql(),
+    "mad_robust_anomaly": _mad_oracle_sql(),
+}

@@ -36,6 +36,7 @@ _EXPECTED = (
     ("operators", "ml"),
     ("operators", "selection"),
     ("operators", "warehouse"),
+    ("operators", "statistics"),
     ("operators", "sessions"),
     ("streaming", "telemetry"),
 )

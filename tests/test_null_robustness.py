@@ -211,6 +211,8 @@ EVENTS_NULL_SWEEP = [
     "skew_report_events", "skewed_distinct_salted",
     "ewma_control_chart", "seq_pattern_match", "funnel_attribution",
     "rfm_segments", "time_to_event_labels",
+    "acf_daily_counts", "cusum_control_chart",
+    "latency_percentiles_exact", "mad_robust_anomaly",
 ]
 
 

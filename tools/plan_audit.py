@@ -964,6 +964,34 @@ AUDIT += (
             "under AQE); uniqueness is a partial-agg groupBy on the "
             "key. No table is scanned twice for a second rule.",
         ),
+        (
+            "acf_daily_counts",
+            "One corpus shuffle to day grain; the centered-deviation "
+            "self-join and both integer sums run over calendar x "
+            "ACF_MAX_LAG rows (lags broadcast), bounded by "
+            "days-of-history, not data volume.",
+        ),
+        (
+            "cusum_control_chart",
+            "One corpus shuffle to day grain; the recursive CUSUM is "
+            "the closed-form running_sum - min(0, running_min) pair "
+            "of integer window passes over the calendar -- no "
+            "per-event state, no iterative plan.",
+        ),
+        (
+            "latency_percentiles_exact",
+            "ONE shuffle partitions by event_type; the rank window "
+            "orders within each type and the three ceil(p*n/100) "
+            "targets resolve row-local via an array filter -- no "
+            "explode-based row multiplication, no second pass.",
+        ),
+        (
+            "mad_robust_anomaly",
+            "One corpus shuffle to day grain; both exact-median rank "
+            "passes and the fixed-point flag projection run over "
+            "calendar-cardinality rows with the two medians broadcast "
+            "back as scalars.",
+        ),
     ]
 )
 
