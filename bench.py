@@ -175,6 +175,8 @@ HEADLINE = [
     # round 7: multi-table data-contract suite (shared scans +
     # broadcast anti-joins over the largest tables)
     "data_quality_expectations",
+    # round 7: bounded synchronous k-core peel over the kNN graph
+    "knn_kcore",
 ]
 
 # BENCH COVERAGE RULE (enforced below, documented in docs/BENCHING.md):

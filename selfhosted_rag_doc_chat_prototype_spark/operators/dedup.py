@@ -1204,6 +1204,111 @@ def _lp_oracle_sql(iters: int = LP_ITERS) -> str:
     """
 
 
+KCORE_K = 3       # the core threshold the report peels to
+KCORE_ROUNDS = 4  # synchronous peel rounds (converges in O(log n)
+                  # rounds on the star-like kNN graphs this runs over)
+
+
+def knn_kcore(spark: SparkSession, sf_dir: str,
+              k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """K-CORE peel over the undirected kNN graph -- the density
+    screen graph-based curation reads next to triangles/PageRank: a
+    node inside the k-core sits in a region where EVERYONE has >= k
+    surviving neighbors (a dense near-dup community or a genuine
+    topical cluster), while peeled nodes are fringe. Synchronous
+    bounded peel: each round simultaneously deletes every node whose
+    current degree < k, for a fixed ``rounds`` (the contract is the
+    R-round peel -- deterministic and cross-engine exact; production
+    raises ``rounds`` the way CC raises CC_MAX_ITERS).
+
+    The undirected graph is the canonicalized union of the directed
+    kNN edges (an edge exists when EITHER endpoint listed the other),
+    so degrees count distinct neighbors, never direction duplicates.
+
+    Scale shape: the edge list is the banded LSH kNN build (never
+    all-pairs), canonicalized then mirrored map-side and
+    localCheckpointed ONCE; each peel round is one partial-aggregated
+    degree count + two semi-join-shaped equi-joins against the
+    survivor set, with per-round localCheckpoint truncating lineage.
+    Integer degrees end-to-end -- no float anywhere."""
+    directed = knn_graph(spark, sf_dir).select("vec_id", "neighbor_id")
+    und = directed.select(
+        F.least("vec_id", "neighbor_id").alias("a"),
+        F.greatest("vec_id", "neighbor_id").alias("b"),
+    ).distinct()
+    edges = und.select(
+        F.explode(F.array(
+            F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+            F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+        )).alias("e")
+    ).select("e.src", "e.dst").localCheckpoint()
+    deg0 = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg0"))
+    cur = edges
+    for _ in range(rounds):
+        alive = (
+            cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k).select("src")
+        )
+        cur = (
+            cur.join(alive, "src")
+            .join(alive.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    degf = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg_final"))
+    return (
+        deg0.join(degf, "src", "left")
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("deg0").cast("int").alias("deg0"),
+            F.coalesce("deg_final", F.lit(0)).cast("int")
+            .alias("deg_final"),
+            (F.coalesce("deg_final", F.lit(0)) >= k).alias("in_kcore"),
+        )
+    )
+
+
+def _kcore_oracle_sql(k: int = KCORE_K,
+                      rounds: int = KCORE_ROUNDS) -> str:
+    """Unrolled synchronous peel over the kNN oracle embedded as a
+    derived table -- same canonicalize/mirror/degree/filter integer
+    logic as the Spark loop."""
+    parts = [f"""
+        und AS (
+            SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+                   greatest(vec_id, neighbor_id) AS b
+            FROM ({ORACLE["knn_graph_lsh"]})
+        ),
+        e0 AS (
+            SELECT a AS src, b AS dst FROM und
+            UNION ALL SELECT b, a FROM und
+        ),
+        deg0 AS (SELECT src, count(*) AS deg0 FROM e0 GROUP BY src)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+        a{t} AS (
+            SELECT src FROM e{t - 1} GROUP BY src
+            HAVING count(*) >= {k}
+        ),
+        e{t} AS (
+            SELECT e.src, e.dst FROM e{t - 1} e
+            JOIN a{t} s ON e.src = s.src
+            JOIN a{t} d ON e.dst = d.src
+        )""")
+    return f"""
+        WITH {",".join(parts)},
+        degf AS (
+            SELECT src, count(*) AS deg_final
+            FROM e{rounds} GROUP BY src
+        )
+        SELECT d.src AS vec_id,
+               CAST(d.deg0 AS INTEGER) AS deg0,
+               CAST(coalesce(f.deg_final, 0) AS INTEGER) AS deg_final,
+               coalesce(f.deg_final, 0) >= {k} AS in_kcore
+        FROM deg0 d LEFT JOIN degf f ON d.src = f.src
+    """
+
+
 CC_MAX_ITERS = 8
 
 
@@ -1333,6 +1438,7 @@ QUERIES = {
     "knn_graph_lsh": knn_graph_lsh,
     "knn_pagerank": knn_pagerank,
     "knn_label_propagation": knn_label_propagation,
+    "knn_kcore": knn_kcore,
     "dedup_bloom_prefilter": dedup_bloom_prefilter,
     "dedup_connected_components": dedup_connected_components,
 }
@@ -1612,6 +1718,7 @@ def _pr_oracle_sql(iters: int = PR_ITERS) -> str:
 
 ORACLE["knn_pagerank"] = _pr_oracle_sql()
 ORACLE["knn_label_propagation"] = _lp_oracle_sql()
+ORACLE["knn_kcore"] = _kcore_oracle_sql()
 ORACLE["dedup_edit_distance"] = ORACLE_EDIT_DISTANCE.format(
     bands=_BANDS_SQL.rstrip().rstrip(",")
 )

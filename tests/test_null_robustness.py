@@ -335,7 +335,7 @@ EMB_NULL_SWEEP = [
     "anns_late_interaction_served",
     "knn_triangle_count", "embedding_standardize",
     "knn_label_propagation", "pca_top_component",
-    "embedding_isotropy_report",
+    "embedding_isotropy_report", "knn_kcore",
 ]
 
 

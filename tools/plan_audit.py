@@ -986,6 +986,15 @@ AUDIT += (
             "explode-based row multiplication, no second pass.",
         ),
         (
+            "knn_kcore",
+            "Edge list is the banded LSH kNN build (never all-pairs), "
+            "canonicalized + mirrored map-side, localCheckpointed "
+            "once; each peel round is one partial-aggregated degree "
+            "count plus two survivor equi-joins, with per-round "
+            "localCheckpoint truncating lineage -- join fan-out is "
+            "bounded by K_GRAPH degrees.",
+        ),
+        (
             "mad_robust_anomaly",
             "One corpus shuffle to day grain; both exact-median rank "
             "passes and the fixed-point flag projection run over "
