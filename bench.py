@@ -177,6 +177,8 @@ HEADLINE = [
     "data_quality_expectations",
     # round 7: bounded synchronous k-core peel over the kNN graph
     "knn_kcore",
+    # round 7: positional-postings phrase AND
+    "phrase_match_positional",
 ]
 
 # BENCH COVERAGE RULE (enforced below, documented in docs/BENCHING.md):

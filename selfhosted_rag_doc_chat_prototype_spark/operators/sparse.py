@@ -287,9 +287,105 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHRASE = ("value", "value", "row")  # pinned demo phrase, present at
+                                    # every gate scale (incl. the
+                                    # repeated-term edge: two legs read
+                                    # the SAME posting set)
+
+
+def phrase_match_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT PHRASE SEARCH over positional postings -- the classic
+    inverted-index phrase AND (Manning/IR ch. 2): the phrase
+    ``t0 t1 .. tk`` matches at position p iff term ``ti`` occurs at
+    ``p + i`` for every i, resolved by equi-joining the per-term
+    posting sets on ``(doc_id, pos - i)``. Emits per matching doc the
+    match count and first match position (0-based words).
+
+    Scale shape: the ONLY rows that ever shuffle are postings of the
+    phrase's own terms -- the term filter sits under the posexplode
+    output, so the corpus-sized subtree is a map-only scan+explode and
+    the k-leg join chain runs over posting-sized inputs keyed on the
+    same ``(doc_id, p0)`` composite (consecutive joins reuse the
+    partitioning; with a persisted positional index the legs become
+    index lookups and the scan disappears). Duplicate-free by
+    construction: positions are unique per (doc, term), so every leg
+    is unique on the join key."""
+    docs = table(spark, sf_dir, "documents")
+    ws = words_col(F.coalesce(F.col("text"), F.lit("")))
+    posts = (
+        docs.select("doc_id", F.posexplode(ws).alias("pos", "term"))
+        .filter(F.col("term").isin(*sorted(set(PHRASE))))
+    )
+    cur = posts.filter(F.col("term") == PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("p0")
+    )
+    for i, t in enumerate(PHRASE[1:], start=1):
+        leg = posts.filter(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - i).alias("p0")
+        )
+        cur = cur.join(leg, ["doc_id", "p0"])
+    return (
+        cur.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.min("p0").cast("int").alias("first_pos"),
+        )
+        .select(
+            "doc_id", F.lit(" ".join(PHRASE)).alias("phrase"),
+            "n_matches", "first_pos",
+        )
+    )
+
+
+def _phrase_oracle_sql() -> str:
+    ws = "[ \\t\\n\\x0B\\f\\r]"
+    terms = ", ".join(f"'{t}'" for t in sorted(set(PHRASE)))
+    legs = [
+        f"(SELECT doc_id, pos AS p0 FROM posts WHERE term = '{PHRASE[0]}') l0"
+    ]
+    conds = []
+    for i, t in enumerate(PHRASE[1:], start=1):
+        legs.append(
+            f"(SELECT doc_id, pos - {i} AS p0 FROM posts "
+            f"WHERE term = '{t}') l{i}"
+        )
+        conds.append(
+            f"l0.doc_id = l{i}.doc_id AND l0.p0 = l{i}.p0"
+        )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, list_filter(string_split_regex(
+                trim(coalesce(text, '')), '{ws}+'), x -> x <> '') AS ws
+            FROM documents
+        ),
+        posts AS (
+            SELECT doc_id, u.p.w AS term,
+                   CAST(u.p.i - 1 AS INTEGER) AS pos
+            FROM (
+                SELECT doc_id,
+                       list_transform(range(1, len(ws) + 1),
+                           i -> struct_pack(i := i, w := ws[i])) AS ps
+                FROM t
+            ), unnest(ps) AS u(p)
+            WHERE u.p.w IN ({terms})
+        ),
+        m AS (
+            SELECT l0.doc_id AS doc_id, l0.p0 AS p0
+            FROM {" JOIN ".join(legs[:1]) + "".join(
+                f" JOIN {leg} ON {cond}"
+                for leg, cond in zip(legs[1:], conds))}
+        )
+        SELECT doc_id, '{" ".join(PHRASE)}' AS phrase,
+               CAST(count(*) AS BIGINT) AS n_matches,
+               CAST(min(p0) AS INTEGER) AS first_pos
+        FROM m GROUP BY doc_id
+    """
+
+
 QUERIES = {
     "sparse_vectors_build": build_sparse_vectors,
     "tfidf_top_terms": tfidf_top_terms,
+    "phrase_match_positional": phrase_match_positional,
 }
 
 _TF_SQL = """
@@ -334,6 +430,7 @@ POSTINGS_SQL = f"""
 """
 
 ORACLE = {
+    "phrase_match_positional": _phrase_oracle_sql(),
     "sparse_vectors_build": f"""
         WITH {POSTINGS_SQL}
         SELECT doc_id,

@@ -51,6 +51,7 @@ NULL_SWEEP = [
     "sparse_vectors_build",
     "sparse_bm25_topk",
     "tfidf_top_terms",
+    "phrase_match_positional",
     "rag_rerank_crossencoder",
     "text_nfc_normalize",
     "corpus_sample_split",

@@ -986,6 +986,15 @@ AUDIT += (
             "explode-based row multiplication, no second pass.",
         ),
         (
+            "phrase_match_positional",
+            "Only postings of the phrase's own terms shuffle (the "
+            "term filter sits under the posexplode; the corpus "
+            "subtree is map-only scan+explode); the k-leg join chain "
+            "keys every leg on the same (doc_id, p0) composite so "
+            "consecutive joins reuse the exchange, and each leg is "
+            "unique on the key -- no fan-out.",
+        ),
+        (
             "knn_kcore",
             "Edge list is the banded LSH kNN build (never all-pairs), "
             "canonicalized + mirrored map-side, localCheckpointed "
