@@ -179,6 +179,8 @@ HEADLINE = [
     "knn_kcore",
     # round 7: positional-postings phrase AND
     "phrase_match_positional",
+    # round 7: natural-vs-Morton zone-map skipping comparison
+    "zonemap_skipping_report",
 ]
 
 # BENCH COVERAGE RULE (enforced below, documented in docs/BENCHING.md):

@@ -773,6 +773,169 @@ def _dq_oracle_sql() -> str:
     """
 
 
+ZM_BLOCK_IDS = 512  # natural-layout block width in event ids
+# (name, user bounds, value bounds); NULL bound = unconstrained.
+ZM_PREDS = (
+    ("user_eq_7", 7, 7, None, None),
+    ("user_band_0_3", 0, 3, None, None),
+    ("value_band_100_120", None, None, 100.0, 120.0),
+    ("user0_3_and_value100_120", 0, 3, 100.0, 120.0),
+)
+
+
+def zonemap_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZONE-MAP DATA-SKIPPING comparison -- the report that justifies
+    the z-order layout with numbers: for the SAME corpus laid out (a)
+    in natural insertion order (blocks of ZM_BLOCK_IDS consecutive
+    event ids -- what an append-only writer produces) and (b) in
+    Morton buckets (``zorder_layout``'s zbucket), compute each block's
+    min/max envelope on (user_id, value) and, for a fixed family of
+    point/band/conjunctive predicates, how many blocks a footer-
+    reading scanner skips and how many rows it still scans. The
+    natural layout scatters both dimensions across every block, so it
+    skips almost nothing; the Morton layout bounds both at once.
+
+    Skip rule (sound, null-aware): a block is skippable for a
+    user-constrained predicate when its non-null user envelope is
+    disjoint from the band OR it contains no non-null user at all
+    (NULL never matches an equality/band predicate); same for value;
+    a conjunction skips when EITHER side prunes. Fractions are ratios
+    of exactly-computed integers.
+
+    Scale shape: both block assignments are map-only expressions (no
+    global sort -- natural blocks key on the id, Morton blocks on the
+    bucketized interleave), the per-block envelopes are ONE shared
+    partial-aggregated groupBy per layout over one pruned scan, and
+    the predicate evaluation runs over block-count x 4 rows with the
+    predicate table broadcast."""
+    ev = zorder_cols(
+        table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ).select(
+        "event_id", "user_id", "value",
+        F.shiftright("zkey", Z_BUCKET_SHIFT).cast("long").alias("zbucket"),
+    )
+
+    def _blocks(layout: str, key) -> DataFrame:
+        return (
+            ev.groupBy(key.alias("blk"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("user_id").alias("u_min"),
+                F.max("user_id").alias("u_max"),
+                F.min("value").alias("v_min"),
+                F.max("value").alias("v_max"),
+            )
+            .select(F.lit(layout).alias("layout"), "*")
+        )
+
+    blocks = _blocks(
+        "natural",
+        F.expr(f"coalesce(event_id, 0) div {ZM_BLOCK_IDS}"),
+    ).unionByName(_blocks("zorder", F.col("zbucket")))
+
+    preds = F.explode(F.array(*[
+        F.struct(
+            F.lit(n).alias("predicate"),
+            F.lit(ul).cast("long").alias("u_lo"),
+            F.lit(uh).cast("long").alias("u_hi"),
+            F.lit(vl).cast("double").alias("v_lo"),
+            F.lit(vh).cast("double").alias("v_hi"),
+        )
+        for n, ul, uh, vl, vh in ZM_PREDS
+    ])).alias("p")
+    crossed = blocks.select("*", preds).select("*", "p.*").drop("p")
+    skip_u = F.col("u_lo").isNotNull() & (
+        F.col("u_min").isNull() | (F.col("u_min") > F.col("u_hi"))
+        | (F.col("u_max") < F.col("u_lo"))
+    )
+    skip_v = F.col("v_lo").isNotNull() & (
+        F.col("v_min").isNull() | (F.col("v_min") > F.col("v_hi"))
+        | (F.col("v_max") < F.col("v_lo"))
+    )
+    skip = (skip_u | skip_v).alias("skip")
+    return (
+        crossed.select("*", skip)
+        .groupBy("layout", "predicate")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum(F.col("skip").cast("long")).alias("n_skipped"),
+            F.sum(F.when(~F.col("skip"), F.col("n_rows")).otherwise(0))
+            .cast("long").alias("rows_scanned"),
+            F.sum("n_rows").cast("long").alias("rows_total"),
+        )
+        .select(
+            "layout", "predicate", "n_blocks", "n_skipped",
+            (F.col("n_skipped").cast("double")
+             / F.col("n_blocks").cast("double")).alias("skip_frac"),
+            "rows_scanned", "rows_total",
+        )
+    )
+
+
+def _zonemap_oracle_sql() -> str:
+    pred_rows = ",\n                ".join(
+        "({}, {}, {}, {}, {})".format(
+            f"'{n}'",
+            "CAST(NULL AS BIGINT)" if ul is None else str(ul),
+            "CAST(NULL AS BIGINT)" if uh is None else str(uh),
+            "CAST(NULL AS DOUBLE)" if vl is None else repr(vl),
+            "CAST(NULL AS DOUBLE)" if vh is None else repr(vh),
+        )
+        for n, ul, uh, vl, vh in ZM_PREDS
+    )
+    return f"""
+        WITH dims AS (
+            SELECT event_id, user_id, value,
+                   ((coalesce(user_id, 0) % {_Z_DIM_MOD})
+                    + {_Z_DIM_MOD}) % {_Z_DIM_MOD} AS za,
+                   (((CASE WHEN value IS NULL OR isnan(value)
+                           OR value < -1e15 OR value > 1e15 THEN 0
+                      ELSE CAST(floor(value) AS BIGINT) END)
+                     % {_Z_DIM_MOD}) + {_Z_DIM_MOD}) % {_Z_DIM_MOD} AS zb
+            FROM events
+        ),
+        keyed AS (
+            SELECT event_id, user_id, value,
+                   CAST({_z_duck()} AS BIGINT) >> {Z_BUCKET_SHIFT}
+                       AS zbucket
+            FROM dims
+        ),
+        blocks AS (
+            SELECT 'natural' AS layout,
+                   coalesce(event_id, 0) // {ZM_BLOCK_IDS} AS blk,
+                   count(*) AS n_rows,
+                   min(user_id) AS u_min, max(user_id) AS u_max,
+                   min(value) AS v_min, max(value) AS v_max
+            FROM keyed GROUP BY 2
+            UNION ALL
+            SELECT 'zorder', zbucket, count(*),
+                   min(user_id), max(user_id), min(value), max(value)
+            FROM keyed GROUP BY 2
+        ),
+        preds(predicate, u_lo, u_hi, v_lo, v_hi) AS (
+            VALUES {pred_rows}
+        ),
+        flagged AS (
+            SELECT layout, predicate, n_rows,
+                   ((u_lo IS NOT NULL AND (u_min IS NULL
+                      OR u_min > u_hi OR u_max < u_lo))
+                    OR (v_lo IS NOT NULL AND (v_min IS NULL
+                      OR v_min > v_hi OR v_max < v_lo))) AS skip
+            FROM blocks, preds
+        )
+        SELECT layout, predicate,
+               CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(sum(CASE WHEN skip THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_skipped,
+               CAST(sum(CASE WHEN skip THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS skip_frac,
+               CAST(sum(CASE WHEN NOT skip THEN n_rows ELSE 0 END)
+                    AS BIGINT) AS rows_scanned,
+               CAST(sum(n_rows) AS BIGINT) AS rows_total
+        FROM flagged GROUP BY layout, predicate
+    """
+
+
 QUERIES = {
     "table_profile_documents": table_profile_documents,
     "zorder_layout": zorder_layout,
@@ -780,6 +943,7 @@ QUERIES = {
     "scd2_point_in_time_join": scd2_point_in_time_join,
     "compaction_plan": compaction_plan,
     "data_quality_expectations": data_quality_expectations,
+    "zonemap_skipping_report": zonemap_skipping_report,
 }
 
 ORACLE = {
@@ -789,4 +953,5 @@ ORACLE = {
     "scd2_point_in_time_join": _pit_oracle_sql(),
     "compaction_plan": _compaction_oracle_sql(),
     "data_quality_expectations": _dq_oracle_sql(),
+    "zonemap_skipping_report": _zonemap_oracle_sql(),
 }

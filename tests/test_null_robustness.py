@@ -214,6 +214,7 @@ EVENTS_NULL_SWEEP = [
     "rfm_segments", "time_to_event_labels",
     "acf_daily_counts", "cusum_control_chart",
     "latency_percentiles_exact", "mad_robust_anomaly",
+    "zonemap_skipping_report",
 ]
 
 

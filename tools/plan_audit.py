@@ -986,6 +986,15 @@ AUDIT += (
             "explode-based row multiplication, no second pass.",
         ),
         (
+            "zonemap_skipping_report",
+            "Both block assignments are map-only expressions (no "
+            "global sort: natural blocks key on the id, Morton blocks "
+            "on the bucketized interleave); per-block envelopes are "
+            "one partial-aggregated groupBy per layout over a shared "
+            "pruned scan; predicate evaluation runs over block-count "
+            "x 4 rows with the predicate table broadcast.",
+        ),
+        (
             "phrase_match_positional",
             "Only postings of the phrase's own terms shuffle (the "
             "term filter sits under the posexplode; the corpus "
