@@ -240,6 +240,7 @@ BENCH_EXCLUDED = {
     ]},
     **{n: "cheap-var" for n in [
         "dedup_exact", "dedup_simhash", "dedup_jaccard_verify",
+        "dedup_lsh_firstseen",
         "chunk_markdown_docs", "corpus_sample_split",
         "domain_cap_sample",
     ]},

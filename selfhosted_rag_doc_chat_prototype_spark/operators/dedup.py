@@ -416,6 +416,150 @@ def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_firstseen_flags(corpus: DataFrame) -> DataFrame:
+    """FIRST-SEEN-WINS duplicate flags from the banded signatures: a
+    doc is a duplicate iff it shares ANY (band, sig) bucket with a
+    LOWER doc_id -- the keep-the-earliest selection rule an ingest
+    pipeline applies as documents arrive (the pair/cluster faces keep
+    the full evidence; this face keeps the verdict). Docs with no
+    shingles (<3 words) can never collide and report false.
+
+    Scale shape: one shuffle over the band rows, the per-bucket min
+    resolves inside bucket-sized window frames, and the per-doc OR is
+    a partial-aggregated groupBy; the corpus join for shingle-less
+    docs is on doc_id."""
+    bands = _band_signatures(corpus)
+    w = Window.partitionBy("band", "sig")
+    flagged = bands.select(
+        "doc_id",
+        (F.col("doc_id") > F.min("doc_id").over(w)).alias("f"),
+    )
+    per_doc = flagged.groupBy("doc_id").agg(F.max("f").alias("is_dup"))
+    return (
+        corpus.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
+def dedup_lsh_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered fixture of :func:`lsh_firstseen_flags` over the
+    near-dup corpus -- and the BATCH TWIN of
+    :func:`minhash_dedup_streaming_sink` (the stream-equals-batch test
+    in tests/test_streaming.py pins the two to identical verdicts)."""
+    return lsh_firstseen_flags(_near_corpus(spark, sf_dir))
+
+
+def minhash_dedup_streaming_sink(
+    stream_docs: DataFrame, path: str, checkpoint_dir: str,
+):
+    """INCREMENTAL MinHash-LSH dedup -- the streaming face of
+    :func:`dedup_lsh_firstseen`: documents arrive as a stream and
+    every micro-batch is deduplicated against the PERSISTED signature
+    index without ever recomputing earlier docs' signatures (the
+    whole point of an incremental dedup index at 100 TB: new data
+    pays for itself, not for the corpus). Maintains two parquet
+    tables under ``path``: ``bands/`` (doc_id, band, sig -- the
+    index) and ``verdicts/`` (doc_id, is_dup).
+
+    Merge semantics per batch: the batch's band rows join ONLY the
+    stored rows of buckets the batch touches (bucket-pruned semi
+    join); within that pool a doc flags as duplicate iff its id
+    exceeds the bucket min. Because bucket mins only ever DECREASE
+    and the flag rule is monotone (once a doc outranks a min it
+    always will), is_dup only flips false->true -- so out-of-order
+    arrival and at-least-once replay both converge to the batch
+    verdicts (late-arriving LOWER ids retro-flag previously-clean
+    docs in the same buckets, which the touched-bucket recompute
+    covers). Replayed band rows collapse via distinct.
+
+    Scale shape: per batch, signature work is batch-sized; the index
+    join is bucket-pruned (broadcast-able touched set); the parquet
+    stand-in stages + flips the two tables via ``_replace_dir``; on a
+    transactional format the same merge is two MERGE INTOs."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    from ..sinks import _replace_dir
+
+    def _read_or_none(spark, p):
+        try:
+            return spark.read.parquet(p)
+        except AnalysisException as e:
+            if ("PATH_NOT_FOUND" not in str(e)
+                    and "Path does not exist" not in str(e)):
+                raise
+            return None
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.filter(F.col("doc_id").isNotNull()).select(
+            "doc_id", "text"
+        )
+        bands_path = os.path.join(path, "bands")
+        verd_path = os.path.join(path, "verdicts")
+        b = _band_signatures(batch).localCheckpoint()
+        existing_bands = _read_or_none(spark, bands_path)
+        existing_verd = _read_or_none(spark, verd_path)
+        if existing_bands is None:
+            pool = b
+        else:
+            touched = b.select("band", "sig").distinct()
+            pool = (
+                existing_bands
+                .join(F.broadcast(touched), ["band", "sig"], "left_semi")
+                .unionByName(b)
+            )
+        mins = pool.groupBy("band", "sig").agg(F.min("doc_id").alias("m"))
+        dups = (
+            pool.join(mins, ["band", "sig"])
+            .filter(F.col("doc_id") > F.col("m"))
+            .select("doc_id").distinct()
+            .select("doc_id", F.lit(True).alias("is_dup"))
+        )
+        new_verd = (
+            batch.select("doc_id").distinct()
+            .select("doc_id", F.lit(False).alias("is_dup"))
+            .unionByName(dups)
+        )
+        if existing_verd is not None:
+            new_verd = existing_verd.unionByName(new_verd)
+        merged_verd = new_verd.groupBy("doc_id").agg(
+            F.max("is_dup").alias("is_dup")
+        )
+        merged_bands = (
+            b if existing_bands is None
+            else existing_bands.unionByName(b)
+        ).distinct()
+        # BOTH staging writes complete before EITHER flip: the verdict
+        # plan reads the pre-merge bands table, so flipping bands
+        # first would pull the files out from under it
+        flips = []
+        for df, target, tag in (
+            (merged_bands, bands_path, "bands"),
+            (merged_verd, verd_path, "verd"),
+        ):
+            staging = target.rstrip("/") + f"__{tag}staging"
+            df.write.mode("overwrite").parquet(staging)
+            flips.append((staging, target))
+        for staging, target in flips:
+            _replace_dir(spark, staging, target)
+
+    return (
+        stream_docs.writeStream
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 ED_MAX_LEN = 400   # verify prefix length (Levenshtein is O(len^2))
 ED_PCT = 30        # dup when edits <= 30% of the longer prefix
 
@@ -1439,6 +1583,7 @@ QUERIES = {
     "knn_pagerank": knn_pagerank,
     "knn_label_propagation": knn_label_propagation,
     "knn_kcore": knn_kcore,
+    "dedup_lsh_firstseen": dedup_lsh_firstseen,
     "dedup_bloom_prefilter": dedup_bloom_prefilter,
     "dedup_connected_components": dedup_connected_components,
 }
@@ -1719,6 +1864,22 @@ def _pr_oracle_sql(iters: int = PR_ITERS) -> str:
 ORACLE["knn_pagerank"] = _pr_oracle_sql()
 ORACLE["knn_label_propagation"] = _lp_oracle_sql()
 ORACLE["knn_kcore"] = _kcore_oracle_sql()
+ORACLE["dedup_lsh_firstseen"] = f"""
+    {_BANDS_SQL},
+    mins AS (
+        SELECT band, sig, min(doc_id) AS m
+        FROM bands GROUP BY band, sig
+    ),
+    flags AS (
+        SELECT b.doc_id,
+               max(CASE WHEN b.doc_id > m.m THEN 1 ELSE 0 END) AS f
+        FROM bands b
+        JOIN mins m ON b.band = m.band AND b.sig = m.sig
+        GROUP BY b.doc_id
+    )
+    SELECT c.doc_id, coalesce(f.f = 1, false) AS is_dup
+    FROM corpus c LEFT JOIN flags f ON c.doc_id = f.doc_id
+"""
 ORACLE["dedup_edit_distance"] = ORACLE_EDIT_DISTANCE.format(
     bands=_BANDS_SQL.rstrip().rstrip(",")
 )

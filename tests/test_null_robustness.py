@@ -52,6 +52,7 @@ NULL_SWEEP = [
     "sparse_bm25_topk",
     "tfidf_top_terms",
     "phrase_match_positional",
+    "dedup_lsh_firstseen",
     "rag_rerank_crossencoder",
     "text_nfc_normalize",
     "corpus_sample_split",

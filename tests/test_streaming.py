@@ -832,3 +832,57 @@ def test_ohlc_stream_equals_batch_and_replay_converges(spark, sf_dir,
     got2 = {tuple(r) for r in
             spark.read.parquet(target).select(*cols).collect()}
     assert got2 == want
+
+
+def test_minhash_dedup_stream_equals_batch_out_of_order_and_replay(
+        spark, sf_dir, tmp_path):
+    """The incrementally maintained dedup verdicts equal the batch
+    first-seen flags (1) when files arrive in doc_id order, (2) when a
+    later file carries LOWER doc_ids than an earlier one (the
+    retro-flag path: previously-clean docs in touched buckets must
+    flip to duplicate), and (3) after a full at-least-once replay
+    (fresh checkpoint against the already-built index)."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.dedup import (
+        _near_corpus,
+        dedup_lsh_firstseen,
+        minhash_dedup_streaming_sink,
+    )
+
+    corpus = _near_corpus(spark, sf_dir)
+    cut = corpus.selectExpr(
+        "CAST(percentile(doc_id, 0.5) AS LONG) AS c").collect()[0].c
+
+    expected = {tuple(r) for r in
+                dedup_lsh_firstseen(spark, sf_dir).collect()}
+
+    def run_case(tag, first, second):
+        d = str(tmp_path / f"docs_{tag}")
+        first.coalesce(1).write.mode("append").parquet(d)
+        second.coalesce(1).write.mode("append").parquet(d)
+        target = str(tmp_path / f"dedup_{tag}")
+
+        def run(ckpt):
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1).parquet(d)
+            )
+            q = minhash_dedup_streaming_sink(
+                stream, target, str(tmp_path / f"{tag}_{ckpt}"))
+            q.awaitTermination(240)
+
+        run("ckpt1")
+        got = {tuple(r) for r in
+               spark.read.parquet(target + "/verdicts").collect()}
+        assert got == expected, f"case {tag}: stream != batch"
+        run("ckpt2")
+        got2 = {tuple(r) for r in
+                spark.read.parquet(target + "/verdicts").collect()}
+        assert got2 == expected, f"case {tag}: replay diverged"
+
+    lo = corpus.filter(F.col("doc_id") <= cut).select("doc_id", "text")
+    hi = corpus.filter(F.col("doc_id") > cut).select("doc_id", "text")
+    run_case("inorder", lo, hi)
+    # out-of-order: the HIGH half arrives first; every near-dup copy
+    # (doc_id + 1000000) precedes its original, so the originals'
+    # arrival must retro-flag the copies
+    run_case("reversed", hi, lo)

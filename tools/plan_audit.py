@@ -986,6 +986,15 @@ AUDIT += (
             "explode-based row multiplication, no second pass.",
         ),
         (
+            "dedup_lsh_firstseen",
+            "One shuffle over the band rows; per-bucket min resolves "
+            "inside bucket-sized window frames, the per-doc OR is a "
+            "partial-aggregated groupBy, and the shingle-less-doc "
+            "join keys on doc_id. The streaming twin pays only "
+            "batch-sized signature work plus a bucket-pruned index "
+            "join per micro-batch.",
+        ),
+        (
             "zonemap_skipping_report",
             "Both block assignments are map-only expressions (no "
             "global sort: natural blocks key on the id, Morton blocks "
