@@ -181,6 +181,10 @@ HEADLINE = [
     "phrase_match_positional",
     # round 7: natural-vs-Morton zone-map skipping comparison
     "zonemap_skipping_report",
+    # round 7: basket-analysis co-occurrence + exact lift
+    "item_cooccurrence_lift",
+    # round 7: per-dim snapshot drift in exact micro-units
+    "embedding_drift_report",
 ]
 
 # BENCH COVERAGE RULE (enforced below, documented in docs/BENCHING.md):

@@ -2362,6 +2362,91 @@ def time_to_event_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def item_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITEM-ITEM CO-OCCURRENCE with exact LIFT -- the basket-analysis
+    rollup behind 'users who did A also did B': for every unordered
+    pair of event types, how many users did both, and the lift
+    ``P(A,B) / (P(A) * P(B))`` in exact micro-units via truncating
+    integer division (``n_pair * n_users * 1e6 div (n_a * n_b)`` --
+    DuckDB ``//`` == Spark ``div``; headroom: n_pair * n_users * 1e6
+    stays under 2^63 up to ~3e6 users at full pair support, beyond
+    which the factors cancel first or move to DECIMAL).
+
+    Scale shape: the corpus collapses to DISTINCT (user, type) FIRST
+    -- the only corpus-sized shuffle -- so the per-user self-join
+    fans out over at most |types| rows per user (bounded vocabulary,
+    never events^2); pair and marginal counts are partial-aggregated
+    groupBys and the marginals broadcast back."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    ut = ev.select("user_id", "event_type").distinct()
+    totals = ut.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    marg = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_t")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    )
+    out = (
+        pairs
+        .join(F.broadcast(marg.select(
+            F.col("event_type").alias("type_a"),
+            F.col("n_t").alias("n_a"))), "type_a")
+        .join(F.broadcast(marg.select(
+            F.col("event_type").alias("type_b"),
+            F.col("n_t").alias("n_b"))), "type_b")
+        .crossJoin(F.broadcast(totals))
+    )
+    lift_u = F.expr("(n_pair * n_users * 1000000) div (n_a * n_b)")
+    return out.select(
+        "type_a", "type_b", "n_a", "n_b", "n_pair", "n_users",
+        lift_u.alias("lift_u"),
+        (lift_u.cast("double") / 1e6).alias("lift"),
+    )
+
+
+def _cooc_oracle_sql() -> str:
+    return """
+        WITH ut AS (
+            SELECT DISTINCT user_id, event_type FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        ),
+        totals AS (
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM ut
+        ),
+        marg AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+            FROM ut GROUP BY event_type
+        ),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_pair
+            FROM ut a JOIN ut b ON a.user_id = b.user_id
+                 AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type
+        )
+        SELECT type_a, type_b,
+               ma.n_t AS n_a, mb.n_t AS n_b, n_pair, n_users,
+               (n_pair * n_users * 1000000) // (ma.n_t * mb.n_t)
+                   AS lift_u,
+               CAST((n_pair * n_users * 1000000) // (ma.n_t * mb.n_t)
+                    AS DOUBLE) / 1e6 AS lift
+        FROM pairs
+        JOIN marg ma ON ma.event_type = type_a
+        JOIN marg mb ON mb.event_type = type_b
+        CROSS JOIN totals
+    """
+
+
 def _tte_oracle_sql() -> str:
     return """
         WITH ev AS (
@@ -2538,6 +2623,7 @@ QUERIES = {
     "seq_pattern_match": seq_pattern_match,
     "rfm_segments": rfm_segments,
     "time_to_event_labels": time_to_event_labels,
+    "item_cooccurrence_lift": item_cooccurrence_lift,
     "gatekeeper_failure_history": gatekeeper_failure_history,
     "sketch_cardinality_quantiles": sketch_cardinality_quantiles,
     "sketch_hll_distinct_users": sketch_hll_distinct_users,
@@ -3349,3 +3435,4 @@ ORACLE["ewma_control_chart"] = _ewma_oracle_sql()
 ORACLE["seq_pattern_match"] = _seq_pattern_oracle_sql()
 ORACLE["rfm_segments"] = _rfm_oracle_sql()
 ORACLE["time_to_event_labels"] = _tte_oracle_sql()
+ORACLE["item_cooccurrence_lift"] = _cooc_oracle_sql()

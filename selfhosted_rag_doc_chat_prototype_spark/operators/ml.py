@@ -721,7 +721,86 @@ def _isotropy_oracle_sql(iters: int = PCA_ITERS) -> str:
     """
 
 
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING DRIFT between two corpus snapshots -- the MLOps check
+    run before swapping a re-embedded corpus (or a new encoder
+    checkpoint) into serving: per dimension, the exact micro-unit mean
+    of snapshot A vs snapshot B and the absolute mean shift. Snapshots
+    here are the deterministic even/odd vec_id halves (standing in for
+    build N vs build N+1); production passes two real builds.
+
+    Exactness: coordinates quantize to integer micro-units
+    (:func:`_quantized`'s bit-deterministic floor contract); per-dim
+    means are TRUNCATING integer division of exact BIGINT sums
+    (DuckDB ``//`` == Spark ``div``), so every reported unit is an
+    integer both engines derive identically.
+
+    Scale shape: one map-only quantize+posexplode over the corpus,
+    ONE partial-aggregated shuffle keyed on (snapshot, dim) -- 2 x 64
+    groups -- and a dim-keyed self-merge of the two snapshot rows; no
+    corpus self-join, no window."""
+    q = _quantized(spark, sf_dir)
+    per = (
+        q.select(
+            (F.col("vec_id") % 2 == 0).alias("is_a"),
+            F.posexplode("q").alias("dim", "v"),
+        )
+        .groupBy("is_a", "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .select(
+            "is_a", "dim", "n",
+            F.expr("s div n").alias("mean_u"),
+        )
+    )
+    a = per.filter(F.col("is_a")).select(
+        "dim", F.col("n").alias("n_a"), F.col("mean_u").alias("mean_a_u")
+    )
+    b = per.filter(~F.col("is_a")).select(
+        "dim", F.col("n").alias("n_b"), F.col("mean_u").alias("mean_b_u")
+    )
+    return a.join(b, "dim").select(
+        F.col("dim").cast("int").alias("dim"),
+        "n_a", "n_b", "mean_a_u", "mean_b_u",
+        F.abs(F.col("mean_a_u") - F.col("mean_b_u")).alias("abs_shift_u"),
+    )
+
+
+def _drift_oracle_sql() -> str:
+    return f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * {KM_SCALE}.0 + 0.5)
+                                 AS BIGINT)) AS q
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        ex AS (
+            SELECT vec_id % 2 = 0 AS is_a,
+                   CAST(u.p.i - 1 AS INTEGER) AS dim,
+                   u.p.v AS v
+            FROM (
+                SELECT vec_id,
+                       list_transform(range(1, len(q) + 1),
+                           i -> struct_pack(i := i, v := q[i])) AS ps
+                FROM q
+            ), unnest(ps) AS u(p)
+        ),
+        per AS (
+            SELECT is_a, dim, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT)
+                       AS mean_u
+            FROM ex GROUP BY is_a, dim
+        )
+        SELECT a.dim AS dim, a.n AS n_a, b.n AS n_b,
+               a.mean_u AS mean_a_u, b.mean_u AS mean_b_u,
+               abs(a.mean_u - b.mean_u) AS abs_shift_u
+        FROM (SELECT * FROM per WHERE is_a) a
+        JOIN (SELECT * FROM per WHERE NOT is_a) b ON a.dim = b.dim
+    """
+
+
 QUERIES = {
+    "embedding_drift_report": embedding_drift_report,
     "embedding_standardize": embedding_standardize,
     "embed_kmeans": embed_kmeans,
     "embed_random_projection": embed_random_projection,
@@ -731,6 +810,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "embedding_drift_report": _drift_oracle_sql(),
     "pca_top_component": _pca_oracle_sql(),
     "embedding_isotropy_report": _isotropy_oracle_sql(),
     "embedding_standardize": _standardize_oracle_sql(),

@@ -215,7 +215,7 @@ EVENTS_NULL_SWEEP = [
     "rfm_segments", "time_to_event_labels",
     "acf_daily_counts", "cusum_control_chart",
     "latency_percentiles_exact", "mad_robust_anomaly",
-    "zonemap_skipping_report",
+    "zonemap_skipping_report", "item_cooccurrence_lift",
 ]
 
 
@@ -339,6 +339,7 @@ EMB_NULL_SWEEP = [
     "knn_triangle_count", "embedding_standardize",
     "knn_label_propagation", "pca_top_component",
     "embedding_isotropy_report", "knn_kcore",
+    "embedding_drift_report",
 ]
 
 

@@ -986,6 +986,21 @@ AUDIT += (
             "explode-based row multiplication, no second pass.",
         ),
         (
+            "embedding_drift_report",
+            "One map-only quantize+posexplode over the corpus, ONE "
+            "partial-aggregated shuffle keyed on (snapshot, dim) -- "
+            "2 x dims groups -- and a dim-keyed merge of the two "
+            "snapshot rows; no corpus self-join, no window.",
+        ),
+        (
+            "item_cooccurrence_lift",
+            "Corpus collapses to DISTINCT (user, type) first (the "
+            "only corpus-sized shuffle); the per-user self-join fans "
+            "out over at most |types| rows per user (bounded "
+            "vocabulary, never events^2); marginals and totals "
+            "broadcast back onto pair-cardinality rows.",
+        ),
+        (
             "dedup_lsh_firstseen",
             "One shuffle over the band rows; per-bucket min resolves "
             "inside bucket-sized window frames, the per-doc OR is a "
