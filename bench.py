@@ -177,6 +177,8 @@ HEADLINE = [
     "data_quality_expectations",
     # round 7: bounded synchronous k-core peel over the kNN graph
     "knn_kcore",
+    # round 7: landmark BFS hop distances over the kNN graph
+    "knn_bfs_landmarks",
     # round 7: positional-postings phrase AND
     "phrase_match_positional",
     # round 7: natural-vs-Morton zone-map skipping comparison

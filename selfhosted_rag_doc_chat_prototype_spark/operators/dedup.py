@@ -416,6 +416,91 @@ def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BFS_LM_MOD = 100  # landmark selection: vec_id % 100 == 0
+BFS_ROUNDS = 4    # synchronous frontier expansions (<= 4-hop radius)
+
+
+def knn_bfs_landmarks(spark: SparkSession, sf_dir: str,
+                      rounds: int = BFS_ROUNDS) -> DataFrame:
+    """LANDMARK BFS over the undirected kNN graph: exact hop distance
+    from every node to every landmark it can reach within ``rounds``
+    hops (landmarks = vec_id % BFS_LM_MOD == 0) -- the embedding a
+    graph stack uses for distance sketches / proximity features
+    (Bourgain-style landmark coordinates), and the third member of
+    the iterative-graph family next to PageRank and label
+    propagation. The contract is the R-round frontier expansion:
+    pairs beyond R hops honestly do not appear.
+
+    Exactness: distances are integers; the per-(node, landmark) merge
+    is ``min`` -- associative, order-free, bit-identical to the
+    unrolled-CTE oracle.
+
+    Scale shape: the edge list is the banded LSH kNN build
+    (localCheckpointed once, shared helper with the k-core peel);
+    each round is ONE equi-join of the frontier against the edges
+    plus a partial-aggregated (node, landmark) min, localCheckpointed
+    to truncate lineage; work per round is bounded by frontier size x
+    K_GRAPH degree."""
+    edges = _undirected_knn_edges(spark, sf_dir)
+    seeds = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull()
+                & (F.col("vec_id") % BFS_LM_MOD == 0))
+        .select(
+            F.col("vec_id").alias("node"),
+            F.col("vec_id").alias("lm"),
+            F.lit(0).cast("int").alias("dist"),
+        )
+    )
+    dist = seeds.localCheckpoint()
+    for _ in range(rounds):
+        nxt = (
+            edges.join(dist.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"), "lm",
+                (F.col("dist") + 1).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node", "lm")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist.select(
+        F.col("node").alias("vec_id"),
+        F.col("lm").alias("landmark_id"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
+def _bfs_oracle_sql(rounds: int = BFS_ROUNDS) -> str:
+    parts = [
+        _UND_EDGES_CTE.format(knn=ORACLE["knn_graph_lsh"]) + f""",
+        d0 AS (
+            SELECT vec_id AS node, vec_id AS lm, 0 AS dist
+            FROM embeddings
+            WHERE embedding IS NOT NULL
+              AND vec_id % {BFS_LM_MOD} = 0
+        )"""]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+        d{t} AS (
+            SELECT node, lm, min(dist) AS dist FROM (
+                SELECT node, lm, dist FROM d{t - 1}
+                UNION ALL
+                SELECT e.dst AS node, d.lm, d.dist + 1 AS dist
+                FROM e0 e JOIN d{t - 1} d ON e.src = d.node
+            ) GROUP BY node, lm
+        )""")
+    return f"""
+        WITH {",".join(parts)}
+        SELECT node AS vec_id, lm AS landmark_id,
+               CAST(dist AS INTEGER) AS dist
+        FROM d{rounds}
+    """
+
+
 def lsh_firstseen_flags(corpus: DataFrame) -> DataFrame:
     """FIRST-SEEN-WINS duplicate flags from the banded signatures: a
     doc is a duplicate iff it shares ANY (band, sig) bucket with a
@@ -1353,6 +1438,36 @@ KCORE_ROUNDS = 4  # synchronous peel rounds (converges in O(log n)
                   # rounds on the star-like kNN graphs this runs over)
 
 
+def _undirected_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized-then-mirrored undirected edge list of the kNN
+    graph (an edge exists when EITHER endpoint listed the other);
+    localCheckpointed once -- the shared input of the k-core peel and
+    the landmark BFS."""
+    directed = knn_graph(spark, sf_dir).select("vec_id", "neighbor_id")
+    und = directed.select(
+        F.least("vec_id", "neighbor_id").alias("a"),
+        F.greatest("vec_id", "neighbor_id").alias("b"),
+    ).distinct()
+    return und.select(
+        F.explode(F.array(
+            F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+            F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+        )).alias("e")
+    ).select("e.src", "e.dst").localCheckpoint()
+
+
+_UND_EDGES_CTE = """
+        und AS (
+            SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+                   greatest(vec_id, neighbor_id) AS b
+            FROM ({knn})
+        ),
+        e0 AS (
+            SELECT a AS src, b AS dst FROM und
+            UNION ALL SELECT b, a FROM und
+        )"""
+
+
 def knn_kcore(spark: SparkSession, sf_dir: str,
               k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> DataFrame:
     """K-CORE peel over the undirected kNN graph -- the density
@@ -1375,17 +1490,7 @@ def knn_kcore(spark: SparkSession, sf_dir: str,
     degree count + two semi-join-shaped equi-joins against the
     survivor set, with per-round localCheckpoint truncating lineage.
     Integer degrees end-to-end -- no float anywhere."""
-    directed = knn_graph(spark, sf_dir).select("vec_id", "neighbor_id")
-    und = directed.select(
-        F.least("vec_id", "neighbor_id").alias("a"),
-        F.greatest("vec_id", "neighbor_id").alias("b"),
-    ).distinct()
-    edges = und.select(
-        F.explode(F.array(
-            F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
-            F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
-        )).alias("e")
-    ).select("e.src", "e.dst").localCheckpoint()
+    edges = _undirected_knn_edges(spark, sf_dir)
     deg0 = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg0"))
     cur = edges
     for _ in range(rounds):
@@ -1417,16 +1522,8 @@ def _kcore_oracle_sql(k: int = KCORE_K,
     """Unrolled synchronous peel over the kNN oracle embedded as a
     derived table -- same canonicalize/mirror/degree/filter integer
     logic as the Spark loop."""
-    parts = [f"""
-        und AS (
-            SELECT DISTINCT least(vec_id, neighbor_id) AS a,
-                   greatest(vec_id, neighbor_id) AS b
-            FROM ({ORACLE["knn_graph_lsh"]})
-        ),
-        e0 AS (
-            SELECT a AS src, b AS dst FROM und
-            UNION ALL SELECT b, a FROM und
-        ),
+    parts = [
+        _UND_EDGES_CTE.format(knn=ORACLE["knn_graph_lsh"]) + """,
         deg0 AS (SELECT src, count(*) AS deg0 FROM e0 GROUP BY src)"""]
     for t in range(1, rounds + 1):
         parts.append(f"""
@@ -1583,6 +1680,7 @@ QUERIES = {
     "knn_pagerank": knn_pagerank,
     "knn_label_propagation": knn_label_propagation,
     "knn_kcore": knn_kcore,
+    "knn_bfs_landmarks": knn_bfs_landmarks,
     "dedup_lsh_firstseen": dedup_lsh_firstseen,
     "dedup_bloom_prefilter": dedup_bloom_prefilter,
     "dedup_connected_components": dedup_connected_components,
@@ -1864,6 +1962,7 @@ def _pr_oracle_sql(iters: int = PR_ITERS) -> str:
 ORACLE["knn_pagerank"] = _pr_oracle_sql()
 ORACLE["knn_label_propagation"] = _lp_oracle_sql()
 ORACLE["knn_kcore"] = _kcore_oracle_sql()
+ORACLE["knn_bfs_landmarks"] = _bfs_oracle_sql()
 ORACLE["dedup_lsh_firstseen"] = f"""
     {_BANDS_SQL},
     mins AS (

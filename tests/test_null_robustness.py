@@ -339,7 +339,7 @@ EMB_NULL_SWEEP = [
     "knn_triangle_count", "embedding_standardize",
     "knn_label_propagation", "pca_top_component",
     "embedding_isotropy_report", "knn_kcore",
-    "embedding_drift_report",
+    "embedding_drift_report", "knn_bfs_landmarks",
 ]
 
 

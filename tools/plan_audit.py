@@ -986,6 +986,15 @@ AUDIT += (
             "explode-based row multiplication, no second pass.",
         ),
         (
+            "knn_bfs_landmarks",
+            "Edge list is the banded LSH kNN build, localCheckpointed "
+            "once (shared with the k-core peel); each BFS round is "
+            "one frontier-vs-edges equi-join plus a partial-agg "
+            "(node, landmark) min with per-round localCheckpoint -- "
+            "work bounded by frontier size x K_GRAPH degree, merge is "
+            "an associative integer min.",
+        ),
+        (
             "embedding_drift_report",
             "One map-only quantize+posexplode over the corpus, ONE "
             "partial-aggregated shuffle keyed on (snapshot, dim) -- "
