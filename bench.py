@@ -187,6 +187,8 @@ HEADLINE = [
     "item_cooccurrence_lift",
     # round 7: per-dim snapshot drift in exact micro-units
     "embedding_drift_report",
+    # round 7: the reproducible dataset datasheet (multi-table scan)
+    "dataset_card_report",
 ]
 
 # BENCH COVERAGE RULE (enforced below, documented in docs/BENCHING.md):
@@ -235,7 +237,7 @@ BENCH_EXCLUDED = {
         "window_first_event_per_user", "window_forward_fill",
         "window_last_n_per_user", "window_value_quartiles",
         "seq_pattern_match", "time_to_event_labels",
-        "latency_percentiles_exact",
+        "latency_percentiles_exact", "arrival_lateness_report",
         "rolling_distinct_users_7d", "sessionize_events",
         "sessionize_session_window", "chat_session_history_ttl",
         "join_customers_with_purchases",

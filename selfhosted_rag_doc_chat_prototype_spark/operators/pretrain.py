@@ -1722,7 +1722,121 @@ def _pmi_oracle_sql() -> str:
     """
 
 
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET CARD -- the one-relation datasheet a curated corpus
+    ships with (Gebru et al., 'Datasheets for Datasets'): corpus size
+    in docs/tokens/chars, null and exact-duplicate counts, source and
+    language breadth, plus the companion event/embedding table sizes.
+    Every metric is an exact integer (the pinned whitespace-class
+    tokenizer for tokens; md5-of-coalesced-text groups for exact
+    dups), so the card is reproducible byte-for-byte across engines.
+
+    Scale shape: one column-pruned scan per source table feeding
+    partial-aggregated scalars (the dup metric's md5 groupBy is the
+    only shuffle over documents); the per-table one-row frames union
+    into the card -- no joins, no windows."""
+    docs = table(spark, sf_dir, "documents")
+    wlen = F.size(tq.words(F.coalesce(F.col("text"), F.lit(""))))
+    doc_stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("text").isNull().cast("long")).alias("n_null_text"),
+        F.sum(wlen.cast("long")).alias("n_tokens"),
+        F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))
+              .cast("long")).alias("n_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    dup_stats = (
+        docs.groupBy(F.md5(F.coalesce(F.col("text"), F.lit("")))
+                     .alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("long")
+             .alias("n_exact_dup_docs"))
+    )
+    ev = table(spark, sf_dir, "events")
+    ev_stats = ev.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_event_users"),
+        F.countDistinct("event_type").alias("n_event_types"),
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    emb_stats = emb.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.col("embedding").isNull().cast("long"))
+        .alias("n_null_vectors"),
+    )
+
+    def unpivot(df: DataFrame, names: list[str]) -> DataFrame:
+        rows = F.array(*[
+            F.struct(F.lit(n).alias("metric"),
+                     F.col(n).cast("long").alias("value"))
+            for n in names
+        ])
+        return df.select(F.explode(rows).alias("r")).select(
+            "r.metric", "r.value"
+        )
+
+    return (
+        unpivot(doc_stats, ["n_docs", "n_null_text", "n_tokens",
+                            "n_chars", "n_sources", "n_langs"])
+        .unionByName(unpivot(dup_stats, ["n_exact_dup_docs"]))
+        .unionByName(unpivot(ev_stats, ["n_events", "n_event_users",
+                                        "n_event_types"]))
+        .unionByName(unpivot(emb_stats, ["n_vectors", "n_null_vectors"]))
+    )
+
+
+def _dataset_card_oracle_sql() -> str:
+    return f"""
+        WITH doc_stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null_text,
+                   CAST(sum(len({_W0_SQL})) AS BIGINT) AS n_tokens,
+                   CAST(sum(length(coalesce(text, ''))) AS BIGINT)
+                       AS n_chars,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents
+        ),
+        dup_stats AS (
+            SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+                       AS n_exact_dup_docs
+            FROM (SELECT count(*) AS c FROM documents
+                  GROUP BY md5(coalesce(text, '')))
+        ),
+        ev_stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT)
+                       AS n_event_users,
+                   CAST(count(DISTINCT event_type) AS BIGINT)
+                       AS n_event_types
+            FROM events
+        ),
+        emb_stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+                   CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_null_vectors
+            FROM embeddings
+        )
+        SELECT 'n_docs' AS metric, n_docs AS value FROM doc_stats
+        UNION ALL SELECT 'n_null_text', n_null_text FROM doc_stats
+        UNION ALL SELECT 'n_tokens', n_tokens FROM doc_stats
+        UNION ALL SELECT 'n_chars', n_chars FROM doc_stats
+        UNION ALL SELECT 'n_sources', n_sources FROM doc_stats
+        UNION ALL SELECT 'n_langs', n_langs FROM doc_stats
+        UNION ALL SELECT 'n_exact_dup_docs', n_exact_dup_docs
+                  FROM dup_stats
+        UNION ALL SELECT 'n_events', n_events FROM ev_stats
+        UNION ALL SELECT 'n_event_users', n_event_users FROM ev_stats
+        UNION ALL SELECT 'n_event_types', n_event_types FROM ev_stats
+        UNION ALL SELECT 'n_vectors', n_vectors FROM emb_stats
+        UNION ALL SELECT 'n_null_vectors', n_null_vectors FROM emb_stats
+    """
+
+
 QUERIES = {
+    "dataset_card_report": dataset_card_report,
     "nextevent_training_pairs": nextevent_training_pairs,
     "pmi_collocations": pmi_collocations,
     "bpe_learn_merges": bpe_learn_merges,
@@ -1813,6 +1927,7 @@ from .textstats import _hex_threshold as _lm_hex_threshold  # noqa: E402
 _LM_THR = "'%s'" % _lm_hex_threshold(LM_SAMPLE_FRACTION)
 
 ORACLE = {
+    "dataset_card_report": _dataset_card_oracle_sql(),
     "pmi_collocations": _pmi_oracle_sql(),
     "bpe_learn_merges": _bpe_merge_oracle_sql(),
     "bpe_encode_corpus": _bpe_encode_oracle_sql(),

@@ -438,7 +438,108 @@ def _mad_oracle_sql() -> str:
     """
 
 
+# watermark candidates judged by the lateness report (microseconds)
+LATENESS_WATERMARKS = (
+    ("1m", 60_000_000),
+    ("1h", 3_600_000_000),
+    ("6h", 21_600_000_000),
+    ("24h", 86_400_000_000),
+)
+
+
+def arrival_lateness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME DISORDER accounting -- the report that picks a
+    streaming watermark with data instead of folklore: per user stream
+    (arrival order = event_id, the ingest sequence), each event's
+    lateness is how far its event time sits behind the stream's
+    running event-time max; for each candidate watermark the report
+    counts the events a `withWatermark` of that delay would drop.
+    NULL-ts/user rows carry no event time or stream and are excluded
+    (both engines).
+
+    Exactness: lateness is an integer microsecond difference; the
+    candidate verdicts are conditional integer counts; late_frac is a
+    ratio of identical integers.
+
+    Scale shape: ONE shuffle on user_id, one ordered running-max pass
+    per user, then a single map-side conditional aggregation emitting
+    one row per candidate via an array unpivot -- the corpus is
+    scanned once, never once-per-candidate."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = ev.select(
+        (F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts"))
+        .alias("lateness_us")
+    )
+    agg = late.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        *[
+            F.sum((F.col("lateness_us") > us).cast("long"))
+            .alias(f"late_{name}")
+            for name, us in LATENESS_WATERMARKS
+        ],
+    )
+    rows = F.array(*[
+        F.struct(
+            F.lit(name).alias("watermark"),
+            F.lit(us).cast("long").alias("watermark_us"),
+            F.col(f"late_{name}").alias("n_late"),
+        )
+        for name, us in LATENESS_WATERMARKS
+    ])
+    return (
+        agg.select("n_events", F.explode(rows).alias("r"))
+        .select(
+            F.col("r.watermark").alias("watermark"),
+            F.col("r.watermark_us").alias("watermark_us"),
+            "n_events",
+            F.col("r.n_late").alias("n_late"),
+            (F.col("r.n_late").cast("double")
+             / F.col("n_events").cast("double")).alias("late_frac"),
+        )
+    )
+
+
+def _lateness_oracle_sql() -> str:
+    legs = "\n        UNION ALL\n".join(
+        f"""        SELECT '{name}' AS watermark,
+               CAST({us} AS BIGINT) AS watermark_us, n_events,
+               late_{name} AS n_late,
+               CAST(late_{name} AS DOUBLE) / CAST(n_events AS DOUBLE)
+                   AS late_frac
+        FROM agg"""
+        for name, us in LATENESS_WATERMARKS
+    )
+    conds = ",\n                   ".join(
+        f"""CAST(sum(CASE WHEN lateness_us > {us}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS late_{name}"""
+        for name, us in LATENESS_WATERMARKS
+    )
+    return f"""
+        WITH late AS (
+            SELECT max(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - epoch_us(ts) AS lateness_us
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_events,
+                   {conds}
+            FROM late
+        )
+{legs}
+    """
+
+
 QUERIES = {
+    "arrival_lateness_report": arrival_lateness_report,
     "acf_daily_counts": acf_daily_counts,
     "cusum_control_chart": cusum_control_chart,
     "latency_percentiles_exact": latency_percentiles_exact,
@@ -446,6 +547,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "arrival_lateness_report": _lateness_oracle_sql(),
     "acf_daily_counts": _acf_oracle_sql(),
     "cusum_control_chart": _cusum_oracle_sql(),
     "latency_percentiles_exact": _pct_oracle_sql(),

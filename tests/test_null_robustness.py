@@ -216,6 +216,7 @@ EVENTS_NULL_SWEEP = [
     "acf_daily_counts", "cusum_control_chart",
     "latency_percentiles_exact", "mad_robust_anomaly",
     "zonemap_skipping_report", "item_cooccurrence_lift",
+    "arrival_lateness_report", "dataset_card_report",
 ]
 
 
@@ -294,7 +295,8 @@ def null_events(spark, tmp_path_factory, sf_dir):
         "ts": pa.array([r[4] for r in rows], pa.timestamp("us")),
         "props": [r[5] for r in rows],
     }), f"{d}/events.parquet")
-    for t in ["orders", "lineitem", "customer"]:
+    for t in ["orders", "lineitem", "customer", "documents",
+              "embeddings"]:
         shutil.copy(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
     return d
 
@@ -304,7 +306,8 @@ def null_events_con(null_events):
     import duckdb
 
     con = duckdb.connect()
-    for t in ["events", "orders", "lineitem", "customer"]:
+    for t in ["events", "orders", "lineitem", "customer", "documents",
+              "embeddings"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"'{null_events}/{t}.parquet'"

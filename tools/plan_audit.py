@@ -986,6 +986,20 @@ AUDIT += (
             "explode-based row multiplication, no second pass.",
         ),
         (
+            "arrival_lateness_report",
+            "ONE shuffle on user_id, one ordered running-max window "
+            "pass per user, then a single map-side conditional "
+            "aggregation unpivoted to one row per watermark candidate "
+            "-- the corpus is scanned once, never once-per-candidate.",
+        ),
+        (
+            "dataset_card_report",
+            "One column-pruned scan per source table feeding "
+            "partial-aggregated scalars; the dup metric's md5 groupBy "
+            "is the only shuffle over documents; the one-row frames "
+            "union into the card -- no joins, no windows.",
+        ),
+        (
             "knn_bfs_landmarks",
             "Edge list is the banded LSH kNN build, localCheckpointed "
             "once (shared with the k-core peel); each BFS round is "
