@@ -189,6 +189,10 @@ HEADLINE = [
     "embedding_drift_report",
     # round 7: the reproducible dataset datasheet (multi-table scan)
     "dataset_card_report",
+    # round 7: kNN density outlier screen (reads the graph build once)
+    "knn_density_outliers",
+    # round 7: per-source near-dup rate off the first-seen verdicts
+    "dup_rate_by_source",
 ]
 
 # BENCH COVERAGE RULE (enforced below, documented in docs/BENCHING.md):
@@ -227,6 +231,7 @@ BENCH_EXCLUDED = {
         "props_key_histogram", "corpus_quality_by_source",
         "skew_report_events", "ewma_control_chart", "rfm_segments",
         "acf_daily_counts", "cusum_control_chart", "mad_robust_anomaly",
+        "anomaly_top_movers",
         "lsh_bucket_histogram", "label_centroids",
         "embedding_health_report", "gatekeeper_failure_history",
         "stale_agents", "stream_windowed_counts",

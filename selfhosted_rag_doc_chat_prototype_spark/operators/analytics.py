@@ -2413,6 +2413,66 @@ def item_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def anomaly_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP MOVERS -- the day-over-day ops report: the 20 largest
+    per-type daily count swings, ranked by absolute change with the
+    exact micro-unit percent change alongside (``(n - prev) * 1e6 div
+    prev``, truncating division -- prev is always > 0 because only
+    observed (type, day) rows enter the lag). Deterministic total
+    order: (abs change DESC, day ASC, type ASC).
+
+    Scale shape: one partial-aggregated shuffle collapses events to
+    (type, day) grain; the lag window runs per type over calendar-
+    cardinality rows; the global top-20 resolves as
+    TakeOrderedAndProject -- 20 rows per partition to the driver,
+    never a full sort."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = ev.groupBy(
+        F.col("event_type"), _day("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type", "day", "n",
+        F.lag("n").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    delta = (F.col("n") - F.col("prev"))
+    return (
+        lagged.select(
+            "event_type", "day", "n", "prev",
+            delta.alias("delta"),
+            F.expr("((n - prev) * 1000000) div prev").alias("pct_u"),
+        )
+        .orderBy(F.abs(F.col("delta")).desc(), F.col("day").asc(),
+                 F.col("event_type").asc())
+        .limit(20)
+    )
+
+
+def _movers_oracle_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+        ),
+        lagged AS (
+            SELECT event_type, day, n,
+                   lag(n) OVER (PARTITION BY event_type ORDER BY day)
+                       AS prev
+            FROM daily
+        )
+        SELECT event_type, day, n, prev, n - prev AS delta,
+               ((n - prev) * 1000000) // prev AS pct_u
+        FROM lagged WHERE prev IS NOT NULL
+        ORDER BY abs(n - prev) DESC, day ASC, event_type ASC
+        LIMIT 20
+    """
+
+
 def _cooc_oracle_sql() -> str:
     return """
         WITH ut AS (
@@ -2624,6 +2684,7 @@ QUERIES = {
     "rfm_segments": rfm_segments,
     "time_to_event_labels": time_to_event_labels,
     "item_cooccurrence_lift": item_cooccurrence_lift,
+    "anomaly_top_movers": anomaly_top_movers,
     "gatekeeper_failure_history": gatekeeper_failure_history,
     "sketch_cardinality_quantiles": sketch_cardinality_quantiles,
     "sketch_hll_distinct_users": sketch_hll_distinct_users,
@@ -3436,3 +3497,4 @@ ORACLE["seq_pattern_match"] = _seq_pattern_oracle_sql()
 ORACLE["rfm_segments"] = _rfm_oracle_sql()
 ORACLE["time_to_event_labels"] = _tte_oracle_sql()
 ORACLE["item_cooccurrence_lift"] = _cooc_oracle_sql()
+ORACLE["anomaly_top_movers"] = _movers_oracle_sql()

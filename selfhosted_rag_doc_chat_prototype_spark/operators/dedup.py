@@ -501,6 +501,97 @@ def _bfs_oracle_sql(rounds: int = BFS_ROUNDS) -> str:
     """
 
 
+def knn_density_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DENSITY OUTLIERS from the kNN graph -- the curation screen the
+    graph build exists for (its own docstring promises 'density
+    scoring'): a vector whose kNN list is UNIFORMLY FAR is isolated
+    (mislabeled, corrupted, or genuinely novel -- the rows a curation
+    pass routes to review). Per vector: neighbor count and mean
+    neighbor similarity in exact integer micro-units (each edge's
+    cosine quantizes ``floor(sim * 1e6 + 0.5)`` -- the per-edge values
+    are already bit-identical across engines, so their SUM is exact;
+    the mean is truncating division). Outlier = bottom decile by
+    (density ASC, vec_id ASC) exact rank, ``ceil(n/10)`` cut.
+
+    Scale shape: reads the banded LSH kNN build once; per-vector sums
+    are a partial-aggregated groupBy over <= K_GRAPH rows per vector;
+    the decile rank runs over vector-cardinality rows."""
+    g = knn_graph(spark, sf_dir)
+    per = g.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("int").alias("k_n"),
+        F.sum(F.floor(F.col("cos_sim") * 1000000.0 + 0.5).cast("long"))
+        .alias("sim_sum_u"),
+    ).select(
+        "vec_id", "k_n", "sim_sum_u",
+        F.expr("sim_sum_u div k_n").alias("density_u"),
+    )
+    w = Window.orderBy(F.col("density_u").asc(), F.col("vec_id").asc())
+    n_w = Window.partitionBy()
+    return per.select(
+        "*",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(n_w).alias("_n"),
+    ).select(
+        "vec_id", "k_n", "density_u",
+        (F.col("_rn") <= F.expr("(_n + 9) div 10")).alias("is_outlier"),
+    )
+
+
+def _density_oracle_sql() -> str:
+    return f"""
+        WITH per AS (
+            SELECT vec_id, CAST(count(*) AS INTEGER) AS k_n,
+                   CAST(sum(CAST(floor(cos_sim * 1000000.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sim_sum_u
+            FROM ({ORACLE["knn_graph_lsh"]})
+            GROUP BY vec_id
+        ),
+        ranked AS (
+            SELECT vec_id, k_n, sim_sum_u // k_n AS density_u,
+                   row_number() OVER (
+                       ORDER BY sim_sum_u // k_n ASC, vec_id ASC
+                   ) AS rn,
+                   count(*) OVER () AS n
+            FROM per
+        )
+        SELECT vec_id, k_n, density_u,
+               rn <= (n + 9) // 10 AS is_outlier
+        FROM ranked
+    """
+
+
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP RATE BY SOURCE -- the per-provenance quality dial a
+    curation pipeline reads off the dedup verdicts (a source that is
+    80% near-duplicate gets downweighted or dropped): the first-seen
+    LSH flags joined back to the ORIGINAL documents' source column
+    (the synthetic near-copies carry no provenance and only exist to
+    create collisions), rolled up to (source, n_docs, n_dups,
+    dup_rate). dup_rate is a ratio of exactly-counted integers.
+
+    Scale shape: the verdict build is :func:`lsh_firstseen_flags`'s
+    one band shuffle; the provenance join keys on doc_id against the
+    pruned (doc_id, source) projection, and the rollup is a
+    partial-aggregated groupBy on source-cardinality keys."""
+    flags = lsh_firstseen_flags(_near_corpus(spark, sf_dir)).filter(
+        F.col("doc_id") < 1000000
+    )
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        flags.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
+        )
+        .select(
+            "source", "n_docs", "n_dups",
+            (F.col("n_dups").cast("double")
+             / F.col("n_docs").cast("double")).alias("dup_rate"),
+        )
+    )
+
+
 def lsh_firstseen_flags(corpus: DataFrame) -> DataFrame:
     """FIRST-SEEN-WINS duplicate flags from the banded signatures: a
     doc is a duplicate iff it shares ANY (band, sig) bucket with a
@@ -1681,7 +1772,9 @@ QUERIES = {
     "knn_label_propagation": knn_label_propagation,
     "knn_kcore": knn_kcore,
     "knn_bfs_landmarks": knn_bfs_landmarks,
+    "knn_density_outliers": knn_density_outliers,
     "dedup_lsh_firstseen": dedup_lsh_firstseen,
+    "dup_rate_by_source": dup_rate_by_source,
     "dedup_bloom_prefilter": dedup_bloom_prefilter,
     "dedup_connected_components": dedup_connected_components,
 }
@@ -1963,6 +2056,34 @@ ORACLE["knn_pagerank"] = _pr_oracle_sql()
 ORACLE["knn_label_propagation"] = _lp_oracle_sql()
 ORACLE["knn_kcore"] = _kcore_oracle_sql()
 ORACLE["knn_bfs_landmarks"] = _bfs_oracle_sql()
+ORACLE["knn_density_outliers"] = _density_oracle_sql()
+ORACLE["dup_rate_by_source"] = f"""
+    {_BANDS_SQL},
+    mins AS (
+        SELECT band, sig, min(doc_id) AS m
+        FROM bands GROUP BY band, sig
+    ),
+    flags AS (
+        SELECT b.doc_id,
+               max(CASE WHEN b.doc_id > m.m THEN 1 ELSE 0 END) AS f
+        FROM bands b
+        JOIN mins m ON b.band = m.band AND m.sig = b.sig
+        GROUP BY b.doc_id
+    ),
+    verd AS (
+        SELECT c.doc_id, coalesce(f.f = 1, false) AS is_dup
+        FROM corpus c LEFT JOIN flags f ON c.doc_id = f.doc_id
+        WHERE c.doc_id < 1000000
+    )
+    SELECT d.source AS source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN v.is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dups,
+           CAST(sum(CASE WHEN v.is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS dup_rate
+    FROM verd v JOIN documents d ON v.doc_id = d.doc_id
+    GROUP BY d.source
+"""
 ORACLE["dedup_lsh_firstseen"] = f"""
     {_BANDS_SQL},
     mins AS (

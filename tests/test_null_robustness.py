@@ -53,6 +53,7 @@ NULL_SWEEP = [
     "tfidf_top_terms",
     "phrase_match_positional",
     "dedup_lsh_firstseen",
+    "dup_rate_by_source",
     "rag_rerank_crossencoder",
     "text_nfc_normalize",
     "corpus_sample_split",
@@ -217,6 +218,7 @@ EVENTS_NULL_SWEEP = [
     "latency_percentiles_exact", "mad_robust_anomaly",
     "zonemap_skipping_report", "item_cooccurrence_lift",
     "arrival_lateness_report", "dataset_card_report",
+    "anomaly_top_movers",
 ]
 
 
@@ -343,6 +345,7 @@ EMB_NULL_SWEEP = [
     "knn_label_propagation", "pca_top_component",
     "embedding_isotropy_report", "knn_kcore",
     "embedding_drift_report", "knn_bfs_landmarks",
+    "knn_density_outliers",
 ]
 
 

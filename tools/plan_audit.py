@@ -986,6 +986,28 @@ AUDIT += (
             "explode-based row multiplication, no second pass.",
         ),
         (
+            "anomaly_top_movers",
+            "One partial-aggregated shuffle to (type, day) grain; the "
+            "lag window runs per type over calendar-cardinality rows; "
+            "the global top-20 resolves as TakeOrderedAndProject -- "
+            "never a full sort.",
+        ),
+        (
+            "knn_density_outliers",
+            "Reads the banded LSH kNN build once; per-vector sums are "
+            "a partial-aggregated groupBy over <= K_GRAPH rows per "
+            "vector; the decile rank runs over vector-cardinality "
+            "rows (quantized integer sums -- no float accumulation "
+            "order sensitivity).",
+        ),
+        (
+            "dup_rate_by_source",
+            "Verdict build is the one band shuffle of "
+            "lsh_firstseen_flags; the provenance join keys on doc_id "
+            "against a pruned 2-column projection; the rollup is a "
+            "partial-aggregated groupBy on source-cardinality keys.",
+        ),
+        (
             "arrival_lateness_report",
             "ONE shuffle on user_id, one ordered running-max window "
             "pass per user, then a single map-side conditional "
