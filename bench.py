@@ -193,6 +193,8 @@ HEADLINE = [
     "knn_density_outliers",
     # round 7: per-source near-dup rate off the first-seen verdicts
     "dup_rate_by_source",
+    # round 7: bigram continuation table (in-row pair build + topk)
+    "ngram_nextword_topk",
 ]
 
 # BENCH COVERAGE RULE (enforced below, documented in docs/BENCHING.md):
@@ -245,7 +247,7 @@ BENCH_EXCLUDED = {
         "latency_percentiles_exact", "arrival_lateness_report",
         "rolling_distinct_users_7d", "sessionize_events",
         "sessionize_session_window", "chat_session_history_ttl",
-        "join_customers_with_purchases",
+        "join_customers_with_purchases", "bounce_rate_daily",
     ]},
     **{n: "map-only" for n in [
         "text_fingerprint", "text_lang_id", "text_slugify",

@@ -1005,6 +1005,110 @@ CODE_KEYWORDS = (
 )
 
 
+NW_TOP_LEFT = 10   # continuation tables for the 10 most frequent words
+NW_TOP_NEXT = 3    # top-3 continuations per left word
+
+
+def ngram_nextword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIGRAM CONTINUATION TABLE -- the next-word completion relation
+    a corpus-statistics LM serves: for each of the NW_TOP_LEFT most
+    frequent corpus words (count DESC, word ASC -- total order), the
+    NW_TOP_NEXT most likely next words with exact counts and the
+    conditional probability in truncating micro-units
+    (``pair_n * 1e6 div left_n``). Integer counts end-to-end; ranks
+    are fully-ordered row_numbers.
+
+    Scale shape: bigrams build IN-ROW (a let-bound index transform
+    over the word array -- map-only, no positional self-join), then
+    ONE (left, right) partial-aggregated shuffle; left totals derive
+    from the same pair relation by partial re-aggregation; the top
+    lefts resolve as TakeOrdered and broadcast back; the per-left
+    top-k window runs over candidate-sized frames."""
+    docs = rebalance(table(spark, sf_dir, "documents"))
+    ws = tq.words(F.coalesce(F.col("text"), F.lit("")))
+    pairs_col = tq.let(
+        ws,
+        lambda w: F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.struct(
+                    F.element_at(w, i).alias("left"),
+                    F.element_at(w, i + 1).alias("right"),
+                ),
+            ),
+        ).otherwise(F.array().cast(
+            "array<struct<left:string,right:string>>")),
+    )
+    pairs = (
+        docs.select(F.explode(pairs_col).alias("p"))
+        .select("p.left", "p.right")
+        .groupBy("left", "right")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_n"))
+    )
+    lefts = pairs.groupBy("left").agg(
+        F.sum("pair_n").alias("left_n")
+    )
+    top_lefts = lefts.orderBy(
+        F.desc("left_n"), F.asc("left")
+    ).limit(NW_TOP_LEFT)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("left").orderBy(
+        F.desc("pair_n"), F.asc("right")
+    )
+    return (
+        pairs.join(F.broadcast(top_lefts), "left")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= NW_TOP_NEXT)
+        .select(
+            "left", "right", "pair_n", "left_n",
+            F.col("rank").cast("int").alias("rank"),
+            F.expr("(pair_n * 1000000) div left_n").alias("prob_u"),
+        )
+    )
+
+
+def _nextword_oracle_sql() -> str:
+    return f"""
+        WITH w AS (
+            SELECT list_filter(string_split_regex(
+                trim(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+'),
+                x -> x <> '') AS ws
+            FROM documents
+        ),
+        pairs AS (
+            SELECT u.p.l AS "left", u.p.r AS "right",
+                   CAST(count(*) AS BIGINT) AS pair_n
+            FROM (
+                SELECT list_transform(range(1, len(ws)),
+                    i -> struct_pack(l := ws[i], r := ws[i + 1])) AS ps
+                FROM w WHERE len(ws) >= 2
+            ), unnest(ps) AS u(p)
+            GROUP BY u.p.l, u.p.r
+        ),
+        lefts AS (
+            SELECT "left", CAST(sum(pair_n) AS BIGINT) AS left_n
+            FROM pairs GROUP BY "left"
+        ),
+        top_lefts AS (
+            SELECT * FROM lefts
+            ORDER BY left_n DESC, "left" ASC LIMIT {NW_TOP_LEFT}
+        ),
+        ranked AS (
+            SELECT p."left", p."right", p.pair_n, t.left_n,
+                   CAST(row_number() OVER (
+                       PARTITION BY p."left"
+                       ORDER BY p.pair_n DESC, p."right" ASC
+                   ) AS INTEGER) AS rank
+            FROM pairs p JOIN top_lefts t ON p."left" = t."left"
+        )
+        SELECT "left", "right", pair_n, left_n, rank,
+               (pair_n * 1000000) // left_n AS prob_u
+        FROM ranked WHERE rank <= {NW_TOP_NEXT}
+    """
+
+
 def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CODE-VS-PROSE routing classifier: per document, the structural
     signals a pretraining pipeline uses to send text down the code
@@ -1273,6 +1377,7 @@ QUERIES = {
     "lang_confusion_report": lang_confusion_report,
     "text_char_entropy": text_char_entropy,
     "kwic_concordance": kwic_concordance,
+    "ngram_nextword_topk": ngram_nextword_topk,
     "text_code_detect": text_code_detect,
     "vocab_top_coverage": vocab_top_coverage,
     "sketch_countmin_heavyhitters": sketch_countmin_heavyhitters,
@@ -1340,6 +1445,7 @@ ORACLE = {
     "zipf_fit_report": _zipf_oracle_sql(),
     "text_char_entropy": _entropy_oracle_sql(),
     "kwic_concordance": _kwic_oracle_sql(),
+    "ngram_nextword_topk": _nextword_oracle_sql(),
     "text_code_detect": _code_detect_oracle_sql(),
     "text_nfc_normalize": """
         SELECT doc_id,

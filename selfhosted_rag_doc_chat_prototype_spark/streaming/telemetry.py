@@ -467,10 +467,40 @@ def file_sentinel_stateful(chunks: DataFrame, ttl_ms: int = CHUNK_TTL_MS) -> Dat
     )
 
 
+def bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNCE RATE per day -- the engagement metric layered on the
+    gap sessionization: of the sessions that START on each day, the
+    fraction containing exactly one event. Reuses
+    :func:`sessionize_batch`'s session relation verbatim (same gap
+    contract, same NULL-ts exclusion); the rate is a ratio of
+    exactly-counted integers.
+
+    Scale shape: the sessionize window is the only corpus-sized pass;
+    the rollup is a partial-aggregated groupBy over session-grain
+    rows keyed by <= calendar-cardinality days."""
+    sess = sessionize_batch(spark, sf_dir)
+    return (
+        sess.groupBy(
+            F.substring("session_start", 1, 10).alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("long"))
+            .alias("n_bounces"),
+        )
+        .select(
+            "day", "n_sessions", "n_bounces",
+            (F.col("n_bounces").cast("double")
+             / F.col("n_sessions").cast("double")).alias("bounce_rate"),
+        )
+    )
+
+
 QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
     "sessionize_events": sessionize_batch,
     "sessionize_session_window": sessionize_session_window,
+    "bounce_rate_daily": bounce_rate_daily,
 }
 
 ORACLE = {
@@ -537,3 +567,14 @@ ORACLE = {
         FROM sess GROUP BY user_id, session_seq
     """,
 }
+
+ORACLE["bounce_rate_daily"] = f"""
+    WITH sessions AS ({ORACLE["sessionize_events"]})
+    SELECT substr(session_start, 1, 10) AS day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bounces,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS bounce_rate
+    FROM sessions GROUP BY substr(session_start, 1, 10)
+"""

@@ -54,6 +54,7 @@ NULL_SWEEP = [
     "phrase_match_positional",
     "dedup_lsh_firstseen",
     "dup_rate_by_source",
+    "ngram_nextword_topk",
     "rag_rerank_crossencoder",
     "text_nfc_normalize",
     "corpus_sample_split",
@@ -218,7 +219,7 @@ EVENTS_NULL_SWEEP = [
     "latency_percentiles_exact", "mad_robust_anomaly",
     "zonemap_skipping_report", "item_cooccurrence_lift",
     "arrival_lateness_report", "dataset_card_report",
-    "anomaly_top_movers",
+    "anomaly_top_movers", "bounce_rate_daily",
 ]
 
 

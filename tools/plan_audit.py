@@ -986,6 +986,20 @@ AUDIT += (
             "explode-based row multiplication, no second pass.",
         ),
         (
+            "bounce_rate_daily",
+            "The sessionize window is the only corpus-sized pass; the "
+            "bounce rollup is a partial-aggregated groupBy over "
+            "session-grain rows keyed by calendar-cardinality days.",
+        ),
+        (
+            "ngram_nextword_topk",
+            "Bigrams build IN-ROW (let-bound index transform, "
+            "map-only -- no positional self-join); ONE (left, right) "
+            "partial-aggregated shuffle; top lefts resolve as "
+            "TakeOrdered and broadcast back; the per-left top-k "
+            "window runs over candidate-sized frames.",
+        ),
+        (
             "anomaly_top_movers",
             "One partial-aggregated shuffle to (type, day) grain; the "
             "lag window runs per type over calendar-cardinality rows; "
