@@ -538,8 +538,118 @@ def _lateness_oracle_sql() -> str:
     """
 
 
+def gini_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of per-user event volume -- the inequality
+    dial behind 'is our traffic a few whales or a broad base' (and,
+    on a training corpus, 'is one crawler dominating the data'). Uses
+    the exact rank formula over the ASCENDING-sorted user counts:
+    ``G = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x))`` --
+    numerator and denominator are exactly-computed BIGINTs (headroom:
+    rank * count summed over users needs n * n_events * max_count
+    under 2^63 -- fine to ~1e6 users at 1e6 events each; beyond,
+    DECIMAL(38,0)), emitted alongside the double ratio.
+
+    Scale shape: the corpus collapses to user grain in one
+    partial-aggregated shuffle; the rank pass runs over
+    user-cardinality rows (the same user-grain global-window trade as
+    rfm_segments, with the range-partitioned sort as the documented
+    swap at extreme user counts)."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = Window.orderBy(F.col("x").asc(), F.col("user_id").asc())
+    ranked = per.select(
+        "x", F.row_number().over(w).cast("long").alias("i")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").alias("n_events"),
+        (F.lit(2) * F.sum(F.col("i") * F.col("x"))
+         - (F.count(F.lit(1)) + 1) * F.sum("x")).alias("gini_num"),
+        (F.count(F.lit(1)) * F.sum("x")).alias("gini_den"),
+    ).select(
+        "n_users", "n_events", "gini_num", "gini_den",
+        (F.col("gini_num").cast("double")
+         / F.col("gini_den").cast("double")).alias("gini"),
+    )
+
+
+def _gini_oracle_sql() -> str:
+    return """
+        WITH per AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS x
+            FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        ),
+        ranked AS (
+            SELECT x, CAST(row_number() OVER (
+                ORDER BY x ASC, user_id ASC) AS BIGINT) AS i
+            FROM per
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(x) AS BIGINT) AS n_events,
+               CAST(2 * sum(i * x) - (count(*) + 1) * sum(x)
+                    AS BIGINT) AS gini_num,
+               CAST(count(*) * sum(x) AS BIGINT) AS gini_den,
+               CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
+                   / CAST(count(*) * sum(x) AS DOUBLE) AS gini
+        FROM ranked
+    """
+
+
+def hhi_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL-HIRSCHMAN concentration of the corpus over sources
+    -- the 'one crawler owns the dataset' alarm a mixture curator
+    watches (HHI > 0.25 is the classic concentrated-market line):
+    ``HHI = sum(share_s^2)`` computed as the exact integer
+    ``sum(n_s^2) * 1e6 div total^2`` in micro-units (headroom:
+    sum(n_s^2) <= total^2 needs total under ~3e6 docs for the 1e6
+    scaling under 2^63; beyond, divide counts by a common power of 10
+    first or move to DECIMAL). Also emits the share of the single
+    largest source.
+
+    Scale shape: one partial-aggregated groupBy to source grain;
+    everything after runs on source-cardinality rows."""
+    docs = table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("n").alias("n_docs"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+        F.max("n").alias("max_n"),
+    ).select(
+        "n_sources", "n_docs",
+        F.expr("(sum_sq * 1000000) div (n_docs * n_docs)")
+        .alias("hhi_u"),
+        F.expr("(max_n * 1000000) div n_docs").alias("top_share_u"),
+    )
+
+
+def _hhi_oracle_sql() -> str:
+    return """
+        WITH per AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY source
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_sources,
+               CAST(sum(n) AS BIGINT) AS n_docs,
+               (CAST(sum(n * n) AS BIGINT) * 1000000)
+                   // (CAST(sum(n) AS BIGINT) * CAST(sum(n) AS BIGINT))
+                   AS hhi_u,
+               (CAST(max(n) AS BIGINT) * 1000000)
+                   // CAST(sum(n) AS BIGINT) AS top_share_u
+        FROM per
+    """
+
+
 QUERIES = {
     "arrival_lateness_report": arrival_lateness_report,
+    "gini_user_activity": gini_user_activity,
+    "hhi_source_concentration": hhi_source_concentration,
     "acf_daily_counts": acf_daily_counts,
     "cusum_control_chart": cusum_control_chart,
     "latency_percentiles_exact": latency_percentiles_exact,
@@ -548,6 +658,8 @@ QUERIES = {
 
 ORACLE = {
     "arrival_lateness_report": _lateness_oracle_sql(),
+    "gini_user_activity": _gini_oracle_sql(),
+    "hhi_source_concentration": _hhi_oracle_sql(),
     "acf_daily_counts": _acf_oracle_sql(),
     "cusum_control_chart": _cusum_oracle_sql(),
     "latency_percentiles_exact": _pct_oracle_sql(),

@@ -55,6 +55,7 @@ NULL_SWEEP = [
     "dedup_lsh_firstseen",
     "dup_rate_by_source",
     "ngram_nextword_topk",
+    "hhi_source_concentration",
     "rag_rerank_crossencoder",
     "text_nfc_normalize",
     "corpus_sample_split",
@@ -220,6 +221,7 @@ EVENTS_NULL_SWEEP = [
     "zonemap_skipping_report", "item_cooccurrence_lift",
     "arrival_lateness_report", "dataset_card_report",
     "anomaly_top_movers", "bounce_rate_daily",
+    "gini_user_activity",
 ]
 
 

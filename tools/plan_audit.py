@@ -986,6 +986,20 @@ AUDIT += (
             "explode-based row multiplication, no second pass.",
         ),
         (
+            "gini_user_activity",
+            "Corpus collapses to user grain in one partial-aggregated "
+            "shuffle; the rank pass runs over user-cardinality rows "
+            "(same user-grain window trade as rfm_segments) and the "
+            "closed-form numerator/denominator are single exact-"
+            "integer aggregates.",
+        ),
+        (
+            "hhi_source_concentration",
+            "One partial-aggregated groupBy to source grain; "
+            "everything after runs on source-cardinality rows as "
+            "exact integer aggregates.",
+        ),
+        (
             "bounce_rate_daily",
             "The sessionize window is the only corpus-sized pass; the "
             "bounce rollup is a partial-aggregated groupBy over "
