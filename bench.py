@@ -195,6 +195,8 @@ HEADLINE = [
     "dup_rate_by_source",
     # round 7: bigram continuation table (in-row pair build + topk)
     "ngram_nextword_topk",
+    # round 7: exact threshold (range) retrieval face
+    "anns_range_search",
 ]
 
 # BENCH COVERAGE RULE (enforced below, documented in docs/BENCHING.md):
@@ -256,7 +258,7 @@ BENCH_EXCLUDED = {
     ]},
     **{n: "cheap-var" for n in [
         "dedup_exact", "dedup_simhash", "dedup_jaccard_verify",
-        "dedup_lsh_firstseen",
+        "dedup_lsh_firstseen", "dup_cluster_size_histogram",
         "chunk_markdown_docs", "corpus_sample_split",
         "domain_cap_sample",
     ]},

@@ -1755,6 +1755,34 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP CLUSTER SIZE DISTRIBUTION -- the shape report a dedup
+    operator reads before picking a keep policy (a corpus of pairs
+    dedups very differently from one 500-doc mega-cluster, and a
+    sudden mega-cluster usually means boilerplate, not content): per
+    cluster size, how many connected components have it and how many
+    docs they hold. Only docs with at least one LSH candidate pair
+    cluster (singletons are the complement of the dedup face and
+    carry no shape information).
+
+    Scale shape: the component build is the pointer-jumped
+    :func:`connected_components_labels` (O(log diameter) rounds);
+    both rollups after it are partial-aggregated groupBys over
+    cluster- then size-cardinality keys."""
+    cc = dedup_connected_components(spark, sf_dir)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size", "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )
+
+
 QUERIES = {
     "corpus_snapshot_diff": corpus_snapshot_diff,
     "knn_triangle_count": knn_triangle_count,
@@ -1775,6 +1803,7 @@ QUERIES = {
     "knn_density_outliers": knn_density_outliers,
     "dedup_lsh_firstseen": dedup_lsh_firstseen,
     "dup_rate_by_source": dup_rate_by_source,
+    "dup_cluster_size_histogram": dup_cluster_size_histogram,
     "dedup_bloom_prefilter": dedup_bloom_prefilter,
     "dedup_connected_components": dedup_connected_components,
 }
@@ -2056,6 +2085,16 @@ ORACLE["knn_pagerank"] = _pr_oracle_sql()
 ORACLE["knn_label_propagation"] = _lp_oracle_sql()
 ORACLE["knn_kcore"] = _kcore_oracle_sql()
 ORACLE["knn_bfs_landmarks"] = _bfs_oracle_sql()
+ORACLE["dup_cluster_size_histogram"] = f"""
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM ({ORACLE["dedup_connected_components"]})
+        GROUP BY cluster_id
+    ) GROUP BY cluster_size
+"""
 ORACLE["knn_density_outliers"] = _density_oracle_sql()
 ORACLE["dup_rate_by_source"] = f"""
     {_BANDS_SQL},

@@ -371,6 +371,45 @@ def anns_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine(base, queries, k=TOP_K, strategy="brute")
 
 
+RANGE_TAU = 0.35  # similarity threshold of the range-search face
+
+
+def anns_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (threshold) retrieval -- the serve shape top-k cannot
+    express: EVERY neighbor with cosine >= RANGE_TAU, however many or
+    few there are (radius dedup probes, 'all docs this similar to the
+    query' compliance pulls). Exact brute face: queries broadcast
+    against the corpus; the cosine rounds to 4 decimals BEFORE the
+    threshold compare, so a pair sitting exactly on tau decides
+    identically in both engines. Result size is data-dependent by
+    design -- no rank column, no limit.
+
+    Scale shape: identical to the benched brute top-k leg (broadcast
+    queries x rebalanced candidates, vectorized cosine kernel) except
+    the per-query window is replaced by a codegen filter -- strictly
+    cheaper; the LSH-shortlisted variant drops in exactly as it does
+    for top-k (bucket join then the same threshold filter), with
+    recall graded by the same machinery as anns_recall_report."""
+    base = _vectors(spark, sf_dir)
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
+    )
+    joined = (
+        F.broadcast(q).crossJoin(rebalance(cand))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    return (
+        joined.select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= RANGE_TAU)
+    )
+
+
 def anns_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH retrieval served from the persisted signature index
     (:func:`lsh_build`): the first call per (session, corpus) builds
@@ -1788,6 +1827,7 @@ def sparse_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "anns_bruteforce_topk": anns_bruteforce_topk,
+    "anns_range_search": anns_range_search,
     "anns_lsh_bucketed": anns_lsh_bucketed,
     "anns_hard_negatives": anns_hard_negatives,
     "anns_filtered_topk": anns_filtered_topk,
@@ -1858,6 +1898,15 @@ _BM25_SQL = f"""
 
 ORACLE = {
     "sparse_bm25_topk": _BM25_SQL,
+    "anns_range_search": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE embedding IS NOT NULL)
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round({_COS_SQL}, 4) AS cos_sim
+        FROM e a JOIN e b
+            ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+        WHERE round({_COS_SQL}, 4) >= {RANGE_TAU}
+    """,
     "anns_bruteforce_topk": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL)
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -56,6 +56,7 @@ NULL_SWEEP = [
     "dup_rate_by_source",
     "ngram_nextword_topk",
     "hhi_source_concentration",
+    "dup_cluster_size_histogram",
     "rag_rerank_crossencoder",
     "text_nfc_normalize",
     "corpus_sample_split",
@@ -348,7 +349,7 @@ EMB_NULL_SWEEP = [
     "knn_label_propagation", "pca_top_component",
     "embedding_isotropy_report", "knn_kcore",
     "embedding_drift_report", "knn_bfs_landmarks",
-    "knn_density_outliers",
+    "knn_density_outliers", "anns_range_search",
 ]
 
 

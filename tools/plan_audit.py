@@ -986,6 +986,21 @@ AUDIT += (
             "explode-based row multiplication, no second pass.",
         ),
         (
+            "anns_range_search",
+            "Identical plan to the benched brute top-k leg (broadcast "
+            "queries x rebalanced candidates, vectorized cosine "
+            "kernel) with the per-query window replaced by a codegen "
+            "threshold filter -- strictly cheaper; the LSH-shortlist "
+            "variant drops in exactly as for top-k.",
+        ),
+        (
+            "dup_cluster_size_histogram",
+            "Component build is the pointer-jumped connected-"
+            "components loop (O(log diameter) rounds over LSH "
+            "candidate edges); both rollups are partial-aggregated "
+            "groupBys over cluster- then size-cardinality keys.",
+        ),
+        (
             "gini_user_activity",
             "Corpus collapses to user grain in one partial-aggregated "
             "shuffle; the rank pass runs over user-cardinality rows "
