@@ -159,3 +159,43 @@ def test_compact_table_keeps_max_version_deterministically(spark, tmp_path):
         got = {r.id: (r.version, r.payload)
                for r in sinks.read_table(spark, path).collect()}
         assert got == {"a": (3, "new"), "b": (1, "only")}
+
+
+def test_versioned_table_snapshot_isolation_and_time_travel(spark, tmp_path):
+    """versioned_write commits immutable snapshots via atomic marker
+    creation: latest read sees the newest COMMITTED version, time
+    travel reads any prior one, an orphan data directory without a
+    marker (a crashed write) is invisible, and re-committing a taken
+    version number raises instead of clobbering history."""
+    from selfhosted_rag_doc_chat_prototype_spark.sinks import (
+        versioned_read,
+        versioned_versions,
+        versioned_write,
+    )
+
+    base = str(tmp_path / "vt")
+    df1 = _chunks(spark, 10, salt="a")
+    df2 = _chunks(spark, 15, salt="b")
+    assert versioned_write(df1, base) == 1
+    assert versioned_write(df2, base) == 2
+    assert versioned_versions(spark, base) == [1, 2]
+    assert versioned_read(spark, base).count() == 15
+    assert versioned_read(spark, base, 1).count() == 10
+    # snapshot immutability: v1 content is byte-stable after v2
+    got1 = {tuple(r) for r in versioned_read(spark, base, 1).collect()}
+    assert got1 == {tuple(r) for r in df1.collect()}
+
+    # crashed write: data dir exists, marker does not -> invisible
+    _chunks(spark, 99, salt="c").write.parquet(f"{base}/v=3")
+    assert versioned_versions(spark, base) == [1, 2]
+    assert versioned_read(spark, base).count() == 15
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        versioned_read(spark, base, 3)
+
+    # the next commit legally RECLAIMS the orphaned number (the
+    # crashed write was never visible, so overwriting it is safe)
+    assert versioned_write(_chunks(spark, 5, salt="d"), base) == 3
+    assert versioned_versions(spark, base) == [1, 2, 3]
+    assert versioned_read(spark, base).count() == 5
+    assert versioned_read(spark, base, 3).count() == 5
