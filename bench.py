@@ -197,6 +197,8 @@ HEADLINE = [
     "ngram_nextword_topk",
     # round 7: exact threshold (range) retrieval face
     "anns_range_search",
+    # round 7: right-to-be-forgotten cascade dry run over the big tables
+    "erasure_impact_report",
 ]
 
 # BENCH COVERAGE RULE (enforced below, documented in docs/BENCHING.md):

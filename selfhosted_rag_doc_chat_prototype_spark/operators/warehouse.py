@@ -936,6 +936,131 @@ def _zonemap_oracle_sql() -> str:
     """
 
 
+ERASE_MOD = 97  # pinned erasure cohort: c_custkey % 97 == 0
+
+
+def erasure_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-BE-FORGOTTEN impact report -- the dry-run a warehouse
+    runs before executing a deletion request: for the pinned customer
+    cohort (c_custkey % ERASE_MOD == 0), how many rows each table
+    loses under the referential CASCADE (customer directly; orders by
+    custkey; lineitem through the deleted orders' keys). Fractions
+    are ratios of exactly-counted integers. The executing twin is
+    :func:`erase_customers`, proven on disk in
+    tests/test_selection_warehouse.py.
+
+    Scale shape: the cohort and the deleted-order keyset are
+    dimension-sized and broadcast; each table contributes one
+    column-pruned scan with a map-side conditional count (lineitem's
+    membership probe is a broadcast semi-join, never a shuffle of the
+    fact table)."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    doomed = F.col("c_custkey") % ERASE_MOD == 0
+    c_stats = cust.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(doomed.cast("long")).alias("n_delete"),
+    ).select(F.lit("customer").alias("table_name"), "n_rows", "n_delete")
+    o_doomed = F.col("o_custkey") % ERASE_MOD == 0
+    o_stats = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(o_doomed.cast("long")).alias("n_delete"),
+    ).select(F.lit("orders").alias("table_name"), "n_rows", "n_delete")
+    doomed_orders = orders.filter(o_doomed).select("o_orderkey")
+    l_flag = (
+        li.join(F.broadcast(doomed_orders),
+                li["l_orderkey"] == doomed_orders["o_orderkey"],
+                "left")
+        .select(F.col("o_orderkey").isNotNull().alias("d"))
+    )
+    l_stats = l_flag.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("d").cast("long")).alias("n_delete"),
+    ).select(F.lit("lineitem").alias("table_name"), "n_rows", "n_delete")
+    return (
+        c_stats.unionByName(o_stats).unionByName(l_stats)
+        .select(
+            "table_name", "n_rows", "n_delete",
+            (F.col("n_delete").cast("double")
+             / F.col("n_rows").cast("double")).alias("delete_frac"),
+        )
+    )
+
+
+def _erasure_oracle_sql() -> str:
+    return f"""
+        WITH doomed_orders AS (
+            SELECT o_orderkey FROM orders
+            WHERE o_custkey % {ERASE_MOD} = 0
+        ),
+        legs AS (
+            SELECT 'customer' AS table_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN c_custkey % {ERASE_MOD} = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_delete
+            FROM customer
+            UNION ALL
+            SELECT 'orders', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN o_custkey % {ERASE_MOD} = 0
+                        THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'lineitem', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN EXISTS (
+                        SELECT 1 FROM doomed_orders d
+                        WHERE d.o_orderkey = l.l_orderkey)
+                        THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem l
+        )
+        SELECT table_name, n_rows, n_delete,
+               CAST(n_delete AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                   AS delete_frac
+        FROM legs
+    """
+
+
+def erase_customers(spark: SparkSession, sf_dir: str, dst_dir: str,
+                    erase_mod: int = ERASE_MOD) -> DataFrame:
+    """EXECUTE the cascade erasure :func:`erasure_impact_report`
+    plans: write erased copies of customer/orders/lineitem under
+    ``dst_dir`` (broadcast anti-joins against the doomed keysets --
+    the fact table never shuffles) and return the audit relation
+    (rows before/after/deleted per table). The on-disk proof test
+    asserts audit == impact report == post-state."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    doomed_c = cust.filter(
+        F.col("c_custkey") % erase_mod == 0).select("c_custkey")
+    doomed_o = orders.join(
+        F.broadcast(doomed_c),
+        orders["o_custkey"] == doomed_c["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    keep = {
+        "customer": cust.join(F.broadcast(doomed_c), ["c_custkey"],
+                              "left_anti"),
+        "orders": orders.join(F.broadcast(doomed_o), ["o_orderkey"],
+                              "left_anti"),
+        "lineitem": li.join(
+            F.broadcast(doomed_o),
+            li["l_orderkey"] == doomed_o["o_orderkey"], "left_anti"),
+    }
+    audits = []
+    for name, kept in keep.items():
+        kept.write.mode("overwrite").parquet(f"{dst_dir}/{name}.parquet")
+        before = (cust if name == "customer"
+                  else orders if name == "orders" else li).count()
+        after = spark.read.parquet(f"{dst_dir}/{name}.parquet").count()
+        audits.append((name, before, after, before - after))
+    return spark.createDataFrame(
+        audits, "table_name string, n_before long, n_after long, "
+                "n_deleted long"
+    )
+
+
 QUERIES = {
     "table_profile_documents": table_profile_documents,
     "zorder_layout": zorder_layout,
@@ -944,6 +1069,7 @@ QUERIES = {
     "compaction_plan": compaction_plan,
     "data_quality_expectations": data_quality_expectations,
     "zonemap_skipping_report": zonemap_skipping_report,
+    "erasure_impact_report": erasure_impact_report,
 }
 
 ORACLE = {
@@ -954,4 +1080,5 @@ ORACLE = {
     "compaction_plan": _compaction_oracle_sql(),
     "data_quality_expectations": _dq_oracle_sql(),
     "zonemap_skipping_report": _zonemap_oracle_sql(),
+    "erasure_impact_report": _erasure_oracle_sql(),
 }

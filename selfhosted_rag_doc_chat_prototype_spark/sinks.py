@@ -107,7 +107,9 @@ def _replace_dir(spark: SparkSession, staging: str, path: str) -> None:
     half-written state). On a transactional table format (Delta/
     Iceberg) the same flip is the manifest-pointer swap and the window
     disappears; recovery here is mechanical -- rename the surviving
-    staging directory into place."""
+    staging directory into place. For a WINDOWLESS variant use the
+    :func:`versioned_write` marker-commit primitive below (immutable
+    snapshot dirs, atomic marker create, time travel included)."""
     jvm = spark._jvm
     src = jvm.org.apache.hadoop.fs.Path(staging)
     dst = jvm.org.apache.hadoop.fs.Path(path)

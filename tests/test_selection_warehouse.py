@@ -472,3 +472,38 @@ def test_compaction_plan_executes_on_disk(spark, tmp_path):
     assert back.count() == frag_docs.count()
     assert back.exceptAll(frag_docs).count() == 0
     assert frag_docs.exceptAll(back).count() == 0
+
+
+def test_erase_customers_executes_the_impact_report(spark, sf_dir, tmp_path):
+    """The cascade eraser's on-disk post-state matches the dry-run
+    impact report exactly: per table, rows deleted == report's
+    n_delete, and NO doomed key survives in any erased copy."""
+    from pyspark.sql import functions as F
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.warehouse import (
+        ERASE_MOD,
+        erase_customers,
+        erasure_impact_report,
+    )
+
+    report = {r.table_name: r for r in
+              erasure_impact_report(spark, sf_dir).collect()}
+    dst = str(tmp_path / "erased")
+    audit = {r.table_name: r for r in
+             erase_customers(spark, sf_dir, dst).collect()}
+    for t in ("customer", "orders", "lineitem"):
+        assert audit[t].n_before == report[t].n_rows
+        assert audit[t].n_deleted == report[t].n_delete
+        assert audit[t].n_after == report[t].n_rows - report[t].n_delete
+    # no doomed key survives the cascade
+    c = spark.read.parquet(f"{dst}/customer.parquet")
+    assert c.filter(F.col("c_custkey") % ERASE_MOD == 0).count() == 0
+    o = spark.read.parquet(f"{dst}/orders.parquet")
+    assert o.filter(F.col("o_custkey") % ERASE_MOD == 0).count() == 0
+    li = spark.read.parquet(f"{dst}/lineitem.parquet")
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+    all_doomed = table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % ERASE_MOD == 0).select("o_orderkey")
+    assert li.join(
+        all_doomed, li["l_orderkey"] == all_doomed["o_orderkey"], "left_semi"
+    ).count() == 0

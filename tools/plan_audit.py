@@ -986,6 +986,15 @@ AUDIT += (
             "explode-based row multiplication, no second pass.",
         ),
         (
+            "erasure_impact_report",
+            "Cohort and deleted-order keysets are dimension-sized and "
+            "broadcast; each table contributes ONE column-pruned scan "
+            "with a map-side conditional count -- lineitem's "
+            "membership probe is a broadcast join, the fact table "
+            "never shuffles. The executing twin's deletes are "
+            "broadcast anti-joins, proven on disk.",
+        ),
+        (
             "anns_range_search",
             "Identical plan to the benched brute top-k leg (broadcast "
             "queries x rebalanced candidates, vectorized cosine "
