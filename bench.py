@@ -199,6 +199,8 @@ HEADLINE = [
     "anns_range_search",
     # round 7: right-to-be-forgotten cascade dry run over the big tables
     "erasure_impact_report",
+    # round 7: market-basket pairs over the big fact table
+    "part_cooccurrence_topk",
 ]
 
 # BENCH COVERAGE RULE (enforced below, documented in docs/BENCHING.md):
@@ -250,6 +252,7 @@ BENCH_EXCLUDED = {
         "window_last_n_per_user", "window_value_quartiles",
         "seq_pattern_match", "time_to_event_labels",
         "latency_percentiles_exact", "arrival_lateness_report",
+        "winsorized_value_stats",
         "rolling_distinct_users_7d", "sessionize_events",
         "sessionize_session_window", "chat_session_history_ttl",
         "join_customers_with_purchases", "bounce_rate_daily",

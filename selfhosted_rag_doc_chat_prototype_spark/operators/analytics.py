@@ -2450,6 +2450,91 @@ def anomaly_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PART_COOC_TOPK = 20
+
+
+def part_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET pairs over the BIG fact table: the top-20 part
+    pairs by number of orders containing both, with exact micro-unit
+    lift against the part marginals -- 'customers who bought A also
+    bought B' run where it actually hurts at scale (lineitem, not a
+    type vocabulary). Deterministic total order (n_pair DESC, part_a
+    ASC, part_b ASC).
+
+    Scale shape: lineitem collapses to DISTINCT (order, part) first
+    (ONE fact-table shuffle keyed on the order); the within-order
+    self-join fans out quadratically ONLY in basket size (TPC-H
+    baskets are <= 7 lines; real baskets are bounded the same way --
+    cap or sample pathological baskets), pair counts partial-
+    aggregate, the top-20 resolves as TakeOrderedAndProject, and the
+    marginals broadcast onto 20 rows."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n_orders = li.select("l_orderkey").distinct().count()
+    marg = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_t")
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .orderBy(F.desc("n_pair"), F.asc("part_a"), F.asc("part_b"))
+        .limit(PART_COOC_TOPK)
+    )
+    out = (
+        pairs
+        .join(F.broadcast(marg.select(
+            F.col("l_partkey").alias("part_a"),
+            F.col("n_t").alias("n_a"))), "part_a")
+        .join(F.broadcast(marg.select(
+            F.col("l_partkey").alias("part_b"),
+            F.col("n_t").alias("n_b"))), "part_b")
+    )
+    return out.select(
+        "part_a", "part_b", "n_pair", "n_a", "n_b",
+        F.lit(n_orders).cast("long").alias("n_orders"),
+        F.expr(f"(n_pair * {n_orders} * 1000000) div (n_a * n_b)")
+        .alias("lift_u"),
+    )
+
+
+def _part_cooc_oracle_sql() -> str:
+    return f"""
+        WITH lp AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        marg AS (
+            SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_t
+            FROM lp GROUP BY l_partkey
+        ),
+        totals AS (
+            SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                AS n_orders FROM lp
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   CAST(count(*) AS BIGINT) AS n_pair
+            FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            ORDER BY n_pair DESC, part_a ASC, part_b ASC
+            LIMIT {PART_COOC_TOPK}
+        )
+        SELECT part_a, part_b, n_pair,
+               ma.n_t AS n_a, mb.n_t AS n_b, n_orders,
+               (n_pair * n_orders * 1000000) // (ma.n_t * mb.n_t)
+                   AS lift_u
+        FROM pairs
+        JOIN marg ma ON ma.l_partkey = part_a
+        JOIN marg mb ON mb.l_partkey = part_b
+        CROSS JOIN totals
+    """
+
+
 def _movers_oracle_sql() -> str:
     return """
         WITH daily AS (
@@ -2685,6 +2770,7 @@ QUERIES = {
     "time_to_event_labels": time_to_event_labels,
     "item_cooccurrence_lift": item_cooccurrence_lift,
     "anomaly_top_movers": anomaly_top_movers,
+    "part_cooccurrence_topk": part_cooccurrence_topk,
     "gatekeeper_failure_history": gatekeeper_failure_history,
     "sketch_cardinality_quantiles": sketch_cardinality_quantiles,
     "sketch_hll_distinct_users": sketch_hll_distinct_users,
@@ -3498,3 +3584,4 @@ ORACLE["rfm_segments"] = _rfm_oracle_sql()
 ORACLE["time_to_event_labels"] = _tte_oracle_sql()
 ORACLE["item_cooccurrence_lift"] = _cooc_oracle_sql()
 ORACLE["anomaly_top_movers"] = _movers_oracle_sql()
+ORACLE["part_cooccurrence_topk"] = _part_cooc_oracle_sql()

@@ -646,10 +646,117 @@ def _hhi_oracle_sql() -> str:
     """
 
 
+WINSOR_LO = 1    # winsorize at p01
+WINSOR_HI = 99   # ... and p99
+
+
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED per-type value statistics -- the robust mean an ops
+    dashboard shows when a handful of extreme values would otherwise
+    own the average: per event_type, the exact p01/p99 bounds (the
+    same ceil(p*n/100) rank rule as latency_percentiles_exact), the
+    plain truncated-division mean, and the winsorized mean after
+    clamping every value into [p01, p99]. All in integer micro-units;
+    means are truncating division.
+
+    Scale shape: ONE shuffle partitions by event_type; the rank
+    window and the clamp+sum run inside the same partitioning (the
+    bounds broadcast back onto the typed rows), so the corpus
+    shuffles once."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vu = F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value_u").asc(), F.col("event_id").asc()
+    )
+    cnt_w = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type", "event_id", vu.alias("value_u")
+    ).select(
+        "event_type", "value_u",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cnt_w).alias("n"),
+    )
+    lo_k = F.expr(f"({WINSOR_LO} * n + 99) div 100")
+    hi_k = F.expr(f"({WINSOR_HI} * n + 99) div 100")
+    bounds = (
+        ranked.filter((F.col("rn") == lo_k) | (F.col("rn") == hi_k))
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("rn") == lo_k, F.col("value_u")))
+            .alias("p01_u"),
+            F.max(F.when(F.col("rn") == hi_k, F.col("value_u")))
+            .alias("p99_u"),
+        )
+    )
+    # null-safe key: a NULL event_type is a real group on both sides
+    # (the plain equi-join would silently drop it). bounds derives
+    # FROM ranked, so rename its key before the join -- referencing
+    # bounds["event_type"] in a self-lineage join is ambiguous
+    bounds = bounds.withColumnRenamed("event_type", "_bet")
+    clamped = ranked.join(
+        F.broadcast(bounds),
+        F.col("event_type").eqNullSafe(F.col("_bet")),
+    ).drop("_bet").select(
+        "event_type", "value_u", "p01_u", "p99_u",
+        F.greatest(F.col("p01_u"),
+                   F.least(F.col("p99_u"), F.col("value_u")))
+        .alias("wv"),
+    )
+    return (
+        clamped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.first("p01_u").alias("p01_u"),
+            F.first("p99_u").alias("p99_u"),
+            F.expr("sum(value_u) div count(1)").alias("mean_u"),
+            F.expr("sum(wv) div count(1)").alias("wmean_u"),
+        )
+    )
+
+
+def _winsor_oracle_sql() -> str:
+    return f"""
+        WITH ranked AS (
+            SELECT event_type,
+                   CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+                       AS value_u,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(floor(value * 1000000.0 + 0.5)
+                                     AS BIGINT) ASC, event_id ASC
+                   ) AS rn,
+                   CAST(count(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n
+            FROM events WHERE value IS NOT NULL
+        ),
+        bounds AS (
+            SELECT event_type,
+                   min(CASE WHEN rn = ({WINSOR_LO} * n + 99) // 100
+                       THEN value_u END) AS p01_u,
+                   max(CASE WHEN rn = ({WINSOR_HI} * n + 99) // 100
+                       THEN value_u END) AS p99_u
+            FROM ranked
+            WHERE rn = ({WINSOR_LO} * n + 99) // 100
+               OR rn = ({WINSOR_HI} * n + 99) // 100
+            GROUP BY event_type
+        )
+        SELECT r.event_type AS event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               b.p01_u AS p01_u, b.p99_u AS p99_u,
+               CAST(sum(r.value_u) AS BIGINT) // count(*) AS mean_u,
+               CAST(sum(greatest(b.p01_u, least(b.p99_u, r.value_u)))
+                    AS BIGINT) // count(*) AS wmean_u
+        FROM ranked r JOIN bounds b
+            ON r.event_type IS NOT DISTINCT FROM b.event_type
+        GROUP BY r.event_type, b.p01_u, b.p99_u
+    """
+
+
 QUERIES = {
     "arrival_lateness_report": arrival_lateness_report,
     "gini_user_activity": gini_user_activity,
     "hhi_source_concentration": hhi_source_concentration,
+    "winsorized_value_stats": winsorized_value_stats,
     "acf_daily_counts": acf_daily_counts,
     "cusum_control_chart": cusum_control_chart,
     "latency_percentiles_exact": latency_percentiles_exact,
@@ -660,6 +767,7 @@ ORACLE = {
     "arrival_lateness_report": _lateness_oracle_sql(),
     "gini_user_activity": _gini_oracle_sql(),
     "hhi_source_concentration": _hhi_oracle_sql(),
+    "winsorized_value_stats": _winsor_oracle_sql(),
     "acf_daily_counts": _acf_oracle_sql(),
     "cusum_control_chart": _cusum_oracle_sql(),
     "latency_percentiles_exact": _pct_oracle_sql(),

@@ -222,7 +222,7 @@ EVENTS_NULL_SWEEP = [
     "zonemap_skipping_report", "item_cooccurrence_lift",
     "arrival_lateness_report", "dataset_card_report",
     "anomaly_top_movers", "bounce_rate_daily",
-    "gini_user_activity",
+    "gini_user_activity", "winsorized_value_stats",
 ]
 
 

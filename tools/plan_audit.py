@@ -986,6 +986,22 @@ AUDIT += (
             "explode-based row multiplication, no second pass.",
         ),
         (
+            "winsorized_value_stats",
+            "ONE shuffle partitions by event_type; the rank window "
+            "and the clamp+sum run inside the same partitioning with "
+            "the per-type bounds broadcast back -- the corpus "
+            "shuffles once.",
+        ),
+        (
+            "part_cooccurrence_topk",
+            "Lineitem collapses to DISTINCT (order, part) first (one "
+            "fact-table shuffle keyed on the order); the within-order "
+            "self-join fans out only in basket size (<= 7 TPC-H "
+            "lines); pair counts partial-aggregate, top-20 resolves "
+            "as TakeOrderedAndProject, marginals broadcast onto 20 "
+            "rows.",
+        ),
+        (
             "erasure_impact_report",
             "Cohort and deleted-order keysets are dimension-sized and "
             "broadcast; each table contributes ONE column-pruned scan "
