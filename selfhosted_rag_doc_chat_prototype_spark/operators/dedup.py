@@ -516,7 +516,7 @@ def knn_density_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: reads the banded LSH kNN build once; per-vector sums
     are a partial-aggregated groupBy over <= K_GRAPH rows per vector;
     the decile rank runs over vector-cardinality rows."""
-    g = knn_graph(spark, sf_dir)
+    g = knn_graph_cached(spark, sf_dir)
     per = g.groupBy("vec_id").agg(
         F.count(F.lit(1)).cast("int").alias("k_n"),
         F.sum(F.floor(F.col("cos_sim") * 1000000.0 + 0.5).cast("long"))
@@ -1190,12 +1190,47 @@ def knn_bits_for(n: int, target_bucket: int = KNN_TARGET_BUCKET) -> int:
     return max(1, math.ceil(math.log2(max(2.0, n / target_bucket))))
 
 
+_KNNG_STORE: dict = {}
+
+
+def knn_graph_cached(spark: SparkSession, sf_dir: str,
+                     bits: int = KNN_BITS,
+                     tables: int = KNN_TABLES) -> DataFrame:
+    """Persisted kNN-GRAPH matview: the banded LSH graph build runs
+    ONCE per (corpus, signature params) and lands as a parquet index
+    (the lsh_build pattern); every graph analytic -- PageRank, label
+    propagation, triangles, k-core, landmark BFS, density outliers --
+    READS the stored edge list instead of re-deriving the whole
+    shingle/signature/bucket/cosine chain. At 100 TB the graph build
+    is a batch indexing job and the analytics are index consumers;
+    recomputing the build per analytic is exactly the cost this
+    removes. Content is deterministic in (corpus dir, seeds), so a
+    complete on-disk build from any session is byte-equivalent; drop
+    the directory to force a rebuild after changing a corpus in
+    place (same contract as every matview)."""
+    import hashlib
+    import os
+
+    key = (spark, sf_dir, bits, tables)
+    if key not in _KNNG_STORE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = os.path.join(
+            _sim.matview_root(), f"knng_{bits}x{tables}_{tag}"
+        )
+        if not _sim._matview_complete(path):
+            knn_graph(spark, sf_dir, bits, tables).write.mode(
+                "overwrite").parquet(path)
+        _KNNG_STORE[key] = spark.read.parquet(path)
+    return _KNNG_STORE[key]
+
+
 def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered fixture of :func:`knn_graph` at the pinned
-    ``KNN_BITS`` the static DuckDB oracle mirrors. Production callers
-    size the signature with :func:`knn_bits_for` (the bench's 10x
-    scale run does exactly that)."""
-    return knn_graph(spark, sf_dir)
+    ``KNN_BITS`` the static DuckDB oracle mirrors, served from the
+    persisted graph matview (:func:`knn_graph_cached`). Production
+    callers size the signature with :func:`knn_bits_for` (the bench's
+    10x scale run does exactly that)."""
+    return knn_graph_cached(spark, sf_dir)
 
 
 def knn_graph(spark: SparkSession, sf_dir: str,
@@ -1317,7 +1352,7 @@ def knn_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two equi-joins + one partial-aggregated explode
     over triangle rows; the kNN edge build itself is the banded LSH
     construction (never all-pairs)."""
-    e = knn_graph(spark, sf_dir).select("vec_id", "neighbor_id")
+    e = knn_graph_cached(spark, sf_dir).select("vec_id", "neighbor_id")
     und = (
         e.select(
             F.least("vec_id", "neighbor_id").alias("a"),
@@ -1375,7 +1410,7 @@ def knn_pagerank(spark: SparkSession, sf_dir: str,
     partial-aggregated inflow sum, with an EAGER localCheckpoint per
     round for the same lineage-truncation reason as connected
     components. Driver sees no data, only the loop counter."""
-    edges = knn_graph(spark, sf_dir).select(
+    edges = knn_graph_cached(spark, sf_dir).select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     ).localCheckpoint()
     nodes = (
@@ -1439,7 +1474,7 @@ def knn_label_propagation(spark: SparkSession, sf_dir: str,
     (node, label) count + one per-node top-1 window over <= K_GRAPH
     rows; per-round localCheckpoint truncates lineage exactly like
     connected components. Driver sees only the loop counter."""
-    edges = knn_graph(spark, sf_dir).select(
+    edges = knn_graph_cached(spark, sf_dir).select(
         "vec_id", "neighbor_id"
     ).localCheckpoint()
     nodes = (
@@ -1534,7 +1569,7 @@ def _undirected_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph (an edge exists when EITHER endpoint listed the other);
     localCheckpointed once -- the shared input of the k-core peel and
     the landmark BFS."""
-    directed = knn_graph(spark, sf_dir).select("vec_id", "neighbor_id")
+    directed = knn_graph_cached(spark, sf_dir).select("vec_id", "neighbor_id")
     und = directed.select(
         F.least("vec_id", "neighbor_id").alias("a"),
         F.greatest("vec_id", "neighbor_id").alias("b"),

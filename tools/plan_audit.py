@@ -279,7 +279,10 @@ AUDIT = [
         "knn_graph_lsh",
         "Bucket SELF-join shape: per-bucket pair expansion, each "
         "unordered pair scored once then mirrored, per-source top-k "
-        "window -- no broadcast of the (large) query side anywhere.",
+        "window -- no broadcast of the (large) query side anywhere. "
+        "Round 7: the build persists as a graph matview "
+        "(knn_graph_cached); this query and all six graph analytics "
+        "serve from the stored edge list after the one batch build.",
     ),
     (
         "curriculum_quality_phases",
