@@ -201,6 +201,8 @@ HEADLINE = [
     "erasure_impact_report",
     # round 7: market-basket pairs over the big fact table
     "part_cooccurrence_topk",
+    # round 7: hopping-window TVF (4x map-side expansion + one shuffle)
+    "hopping_window_counts",
 ]
 
 # BENCH COVERAGE RULE (enforced below, documented in docs/BENCHING.md):
@@ -252,7 +254,7 @@ BENCH_EXCLUDED = {
         "window_last_n_per_user", "window_value_quartiles",
         "seq_pattern_match", "time_to_event_labels",
         "latency_percentiles_exact", "arrival_lateness_report",
-        "winsorized_value_stats",
+        "winsorized_value_stats", "conversion_lag_histogram",
         "rolling_distinct_users_7d", "sessionize_events",
         "sessionize_session_window", "chat_session_history_ttl",
         "join_customers_with_purchases", "bounce_rate_daily",

@@ -2450,6 +2450,78 @@ def anomaly_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def conversion_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIEW-TO-PURCHASE LAG distribution in power-of-two second
+    buckets -- the latency histogram a growth team reads next to the
+    funnel (is conversion impulsive or slow-burn): for every view,
+    the time to that user's NEXT purchase (the time_to_event label,
+    restricted to views), bucketed at the largest power of two <=
+    lag seconds (lag 0 -> bucket 0); views with no later purchase
+    report under bucket -1 (censored). Buckets are exact integer
+    arithmetic -- a shared 31-case power-of-two CASE chain generated
+    identically for both engines.
+
+    Scale shape: ONE shuffle on user_id for the forward-min window;
+    the bucket projection is map-only codegen and the histogram is a
+    partial-aggregated groupBy over <= 33 keys."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    # integer division on BOTH engines (a double cast would round in
+    # DuckDB but truncate in Spark); lags are non-negative
+    views = ev.select(
+        "event_type",
+        ((F.unix_micros(nxt) - F.unix_micros("ts")).cast("long"))
+        .alias("lag_us"),
+    ).filter(F.col("event_type") == "view").select(
+        "event_type", F.expr("lag_us div 1000000").alias("lag_s")
+    )
+    cases = "CASE WHEN lag_s IS NULL THEN -1 WHEN lag_s <= 0 THEN 0 "
+    cases += " ".join(
+        f"WHEN lag_s < {1 << (k + 1)} THEN {1 << k}"
+        for k in range(31)
+    )
+    cases += " ELSE -2 END"
+    return (
+        views.select(F.expr(cases).cast("long").alias("bucket_s"))
+        .groupBy("bucket_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_views"))
+    )
+
+
+def _conv_lag_oracle_sql() -> str:
+    cases = "CASE WHEN lag_s IS NULL THEN -1 WHEN lag_s <= 0 THEN 0 "
+    cases += " ".join(
+        f"WHEN lag_s < {1 << (k + 1)} THEN {1 << k}"
+        for k in range(31)
+    )
+    cases += " ELSE -2 END"
+    return f"""
+        WITH lab AS (
+            SELECT event_type,
+                   (epoch_us(min(CASE WHEN event_type = 'purchase'
+                             THEN ts END) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 1 FOLLOWING
+                           AND UNBOUNDED FOLLOWING))
+                         - epoch_us(ts)) // 1000000 AS lag_s
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        )
+        SELECT CAST({cases} AS BIGINT) AS bucket_s,
+               CAST(count(*) AS BIGINT) AS n_views
+        FROM lab WHERE event_type = 'view'
+        GROUP BY 1
+    """
+
+
 PART_COOC_TOPK = 20
 
 
@@ -2771,6 +2843,7 @@ QUERIES = {
     "item_cooccurrence_lift": item_cooccurrence_lift,
     "anomaly_top_movers": anomaly_top_movers,
     "part_cooccurrence_topk": part_cooccurrence_topk,
+    "conversion_lag_histogram": conversion_lag_histogram,
     "gatekeeper_failure_history": gatekeeper_failure_history,
     "sketch_cardinality_quantiles": sketch_cardinality_quantiles,
     "sketch_hll_distinct_users": sketch_hll_distinct_users,
@@ -3585,3 +3658,4 @@ ORACLE["time_to_event_labels"] = _tte_oracle_sql()
 ORACLE["item_cooccurrence_lift"] = _cooc_oracle_sql()
 ORACLE["anomaly_top_movers"] = _movers_oracle_sql()
 ORACLE["part_cooccurrence_topk"] = _part_cooc_oracle_sql()
+ORACLE["conversion_lag_histogram"] = _conv_lag_oracle_sql()

@@ -54,6 +54,65 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_counts_plan(table(spark, sf_dir, "events"))
 
 
+HOP_WINDOW_S = 3600   # hopping-window length (1 h)
+HOP_SLIDE_S = 900     # slide (15 min): each event lands in 4 windows
+
+
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING (hopping) window counts -- the window TVF shape the
+    tumbling face can't express: 1-hour windows advancing every 15
+    minutes, so each event contributes to HOP_WINDOW_S / HOP_SLIDE_S
+    = 4 overlapping windows (Spark's ``window(ts, '1 hour',
+    '15 minutes')``; on a stream the same plan runs under a watermark
+    exactly like :func:`windowed_counts_plan`). A NULL ts carries no
+    event time and is excluded on both sides.
+
+    Scale shape: the 4x window expansion is map-side (the TVF
+    replicates rows before the exchange); ONE partial-aggregated
+    shuffle on (window, type) -- window cardinality is calendar x 4,
+    not data-sized."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return (
+        ev.groupBy(
+            F.window("ts", f"{HOP_WINDOW_S} seconds",
+                     f"{HOP_SLIDE_S} seconds").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+def _hopping_oracle_sql() -> str:
+    hops = HOP_WINDOW_S // HOP_SLIDE_S
+    return f"""
+        WITH ev AS (
+            SELECT ts, event_type, value,
+                   (epoch_us(ts) // ({HOP_SLIDE_S} * 1000000))
+                       * {HOP_SLIDE_S} AS slide_slot_s
+            FROM events WHERE ts IS NOT NULL
+        ),
+        hopped AS (
+            SELECT to_timestamp(slide_slot_s - k.k * {HOP_SLIDE_S})
+                       AS w_start,
+                   event_type, value
+            FROM ev, (SELECT unnest(range(0, {hops})) AS k) k
+        )
+        SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total_value
+        FROM hopped GROUP BY w_start, event_type
+    """
+
+
 def continuous_rollup_sink(
     stream_events: DataFrame, path: str, checkpoint_dir: str,
     window: str = "1 hour", watermark: str = "2 hours",
@@ -501,6 +560,7 @@ QUERIES = {
     "sessionize_events": sessionize_batch,
     "sessionize_session_window": sessionize_session_window,
     "bounce_rate_daily": bounce_rate_daily,
+    "hopping_window_counts": hopping_window_counts,
 }
 
 ORACLE = {
@@ -567,6 +627,8 @@ ORACLE = {
         FROM sess GROUP BY user_id, session_seq
     """,
 }
+
+ORACLE["hopping_window_counts"] = _hopping_oracle_sql()
 
 ORACLE["bounce_rate_daily"] = f"""
     WITH sessions AS ({ORACLE["sessionize_events"]})

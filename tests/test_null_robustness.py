@@ -223,6 +223,7 @@ EVENTS_NULL_SWEEP = [
     "arrival_lateness_report", "dataset_card_report",
     "anomaly_top_movers", "bounce_rate_daily",
     "gini_user_activity", "winsorized_value_stats",
+    "hopping_window_counts", "conversion_lag_histogram",
 ]
 
 

@@ -989,6 +989,20 @@ AUDIT += (
             "explode-based row multiplication, no second pass.",
         ),
         (
+            "hopping_window_counts",
+            "The 4x window expansion is map-side (the TVF replicates "
+            "rows before the exchange); ONE partial-aggregated "
+            "shuffle on (window, type) -- window cardinality is "
+            "calendar x 4, not data-sized.",
+        ),
+        (
+            "conversion_lag_histogram",
+            "ONE shuffle on user_id for the forward-min window; the "
+            "power-of-two bucket projection is map-only codegen and "
+            "the histogram is a partial-aggregated groupBy over <= "
+            "33 keys.",
+        ),
+        (
             "winsorized_value_stats",
             "ONE shuffle partitions by event_type; the rank window "
             "and the clamp+sum run inside the same partitioning with "
