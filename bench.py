@@ -203,6 +203,8 @@ HEADLINE = [
     "part_cooccurrence_topk",
     # round 7: hopping-window TVF (4x map-side expansion + one shuffle)
     "hopping_window_counts",
+    # round 7: first-occurrence shingle novelty over the corpus
+    "doc_novelty_score",
 ]
 
 # BENCH COVERAGE RULE (enforced below, documented in docs/BENCHING.md):

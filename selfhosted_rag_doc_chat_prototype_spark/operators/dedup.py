@@ -1790,6 +1790,76 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHINGLE NOVELTY per document -- the diversity dial next to the
+    dup rate: what fraction of a doc's 3-word shingles appear for the
+    FIRST time in the corpus at this doc (first occurrence = smallest
+    doc_id; a re-crawl or boilerplate-heavy doc scores near 0, fresh
+    content near 1). Exact integers: per-doc distinct-shingle and
+    first-occurrence counts, novelty in truncating micro-units; docs
+    with no shingles (<3 words) report 0/0 with NULL novelty (no
+    signal, honestly).
+
+    Scale shape: ONE explode + (shingle -> min doc) partial-aggregated
+    groupBy over the corpus shingles; the ownership join keys on the
+    shingle (co-partitioned with the groupBy), and the per-doc rollup
+    partial-aggregates on doc_id."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.select(
+        "doc_id", F.explode(_shingles_col()).alias("s")
+    )
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("long"))
+            .alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.expr("CASE WHEN n_shingles > 0 THEN "
+                   "(n_novel * 1000000) div n_shingles END")
+            .alias("novelty_u"),
+        )
+    )
+
+
+def _novelty_oracle_sql() -> str:
+    return f"""
+        WITH sh0 AS ({_shingles_sql("documents")}),
+        sh AS (
+            SELECT doc_id, u.s AS s
+            FROM sh0, unnest(shingles) AS u(s)
+        ),
+        firsts AS (
+            SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s
+        ),
+        per AS (
+            SELECT sh.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(sum(CASE WHEN sh.doc_id = f.first_doc
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+            FROM sh JOIN firsts f ON sh.s = f.s
+            GROUP BY sh.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+               CASE WHEN coalesce(p.n_shingles, 0) > 0 THEN
+                   (coalesce(p.n_novel, 0) * 1000000)
+                       // coalesce(p.n_shingles, 0) END AS novelty_u
+        FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    """
+
+
 def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-DUP CLUSTER SIZE DISTRIBUTION -- the shape report a dedup
     operator reads before picking a keep policy (a corpus of pairs
@@ -1839,6 +1909,7 @@ QUERIES = {
     "dedup_lsh_firstseen": dedup_lsh_firstseen,
     "dup_rate_by_source": dup_rate_by_source,
     "dup_cluster_size_histogram": dup_cluster_size_histogram,
+    "doc_novelty_score": doc_novelty_score,
     "dedup_bloom_prefilter": dedup_bloom_prefilter,
     "dedup_connected_components": dedup_connected_components,
 }
@@ -2131,6 +2202,7 @@ ORACLE["dup_cluster_size_histogram"] = f"""
     ) GROUP BY cluster_size
 """
 ORACLE["knn_density_outliers"] = _density_oracle_sql()
+ORACLE["doc_novelty_score"] = _novelty_oracle_sql()
 ORACLE["dup_rate_by_source"] = f"""
     {_BANDS_SQL},
     mins AS (

@@ -57,6 +57,7 @@ NULL_SWEEP = [
     "ngram_nextword_topk",
     "hhi_source_concentration",
     "dup_cluster_size_histogram",
+    "doc_novelty_score",
     "rag_rerank_crossencoder",
     "text_nfc_normalize",
     "corpus_sample_split",

@@ -989,6 +989,13 @@ AUDIT += (
             "explode-based row multiplication, no second pass.",
         ),
         (
+            "doc_novelty_score",
+            "ONE explode + (shingle -> min doc) partial-aggregated "
+            "groupBy over the corpus shingles; the ownership join "
+            "keys on the shingle (co-partitioned with the groupBy); "
+            "the per-doc rollup partial-aggregates on doc_id.",
+        ),
+        (
             "hopping_window_counts",
             "The 4x window expansion is map-side (the TVF replicates "
             "rows before the exchange); ONE partial-aggregated "
