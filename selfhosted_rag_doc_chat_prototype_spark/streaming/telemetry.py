@@ -36,12 +36,17 @@ GAP_SECONDS = 3600  # session gap threshold (60 s heartbeat, scaled to
 
 
 def windowed_counts_plan(events: DataFrame, window: str = "1 hour",
-                         watermark: str = "2 hours") -> DataFrame:
-    """Tumbling window per event_type; watermark only binds when the
-    source is streaming (harmless on batch)."""
+                         watermark: str = "2 hours",
+                         slide: str | None = None) -> DataFrame:
+    """Tumbling -- or, with ``slide``, HOPPING -- window per
+    event_type; watermark only binds when the source is streaming
+    (harmless on batch). With a slide every event expands map-side
+    into window/slide overlapping windows before the one exchange."""
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    win = (F.window("ts", window, slide) if slide
+           else F.window("ts", window))
     return (
-        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        src.groupBy(win.alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -116,6 +121,7 @@ def _hopping_oracle_sql() -> str:
 def continuous_rollup_sink(
     stream_events: DataFrame, path: str, checkpoint_dir: str,
     window: str = "1 hour", watermark: str = "2 hours",
+    slide: str | None = None,
 ):
     """The hypertable CONTINUOUS AGGREGATE pattern: the hourly rollup
     is maintained incrementally as events stream in, not recomputed.
@@ -131,7 +137,8 @@ def continuous_rollup_sink(
     ``sinks.read_table(spark, path)``."""
     from ..sinks import upsert_table
 
-    agg = windowed_counts_plan(stream_events, window, watermark)
+    agg = windowed_counts_plan(stream_events, window, watermark,
+                               slide=slide)
     keyed = agg.select(
         F.concat_ws("|", "window_start", "event_type").alias("id"), "*"
     )

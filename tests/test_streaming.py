@@ -886,3 +886,40 @@ def test_minhash_dedup_stream_equals_batch_out_of_order_and_replay(
     # (doc_id + 1000000) precedes its original, so the originals'
     # arrival must retro-flag the copies
     run_case("reversed", hi, lo)
+
+
+def test_hopping_rollup_stream_equals_batch(spark, sf_dir,
+                                            events_stream_dir, tmp_path):
+    """The continuous rollup with a 15-minute slide converges to the
+    batch hopping aggregation over the same events, including across
+    an idempotent restart (checkpoint skips processed files)."""
+    from selfhosted_rag_doc_chat_prototype_spark import sinks
+    from selfhosted_rag_doc_chat_prototype_spark.streaming.telemetry import (
+        continuous_rollup_sink,
+        windowed_counts_plan,
+    )
+
+    target = str(tmp_path / "hoprollup")
+    ckpt = str(tmp_path / "hopckpt")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(events_stream_dir)
+        )
+        q = continuous_rollup_sink(stream, target, ckpt,
+                                   slide="15 minutes")
+        q.awaitTermination(240)
+
+    run_stream()
+    run_stream()  # restart: must be a no-op
+
+    got = {tuple(r) for r in sinks.read_table(spark, target).select(
+        "window_start", "event_type", "n", "total_value").collect()}
+    expected = {tuple(r) for r in windowed_counts_plan(
+        spark.read.schema(schema).parquet(events_stream_dir),
+        slide="15 minutes").collect()}
+    assert got == expected
