@@ -205,6 +205,8 @@ HEADLINE = [
     "hopping_window_counts",
     # round 7: first-occurrence shingle novelty over the corpus
     "doc_novelty_score",
+    # round 7: fact-fact supplier fulfillment-lag scorecard
+    "ship_lag_by_supplier",
 ]
 
 # BENCH COVERAGE RULE (enforced below, documented in docs/BENCHING.md):
@@ -260,6 +262,7 @@ BENCH_EXCLUDED = {
         "rolling_distinct_users_7d", "sessionize_events",
         "sessionize_session_window", "chat_session_history_ttl",
         "join_customers_with_purchases", "bounce_rate_daily",
+        "session_duration_percentiles",
     ]},
     **{n: "map-only" for n in [
         "text_fingerprint", "text_lang_id", "text_slugify",

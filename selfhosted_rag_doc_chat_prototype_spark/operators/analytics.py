@@ -2450,6 +2450,72 @@ def anomaly_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ship_lag_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUPPLIER FULFILLMENT LAG -- the procurement scorecard: per
+    supplier, order-date-to-ship-date lag statistics over its line
+    items (count, min/max days, truncating-division mean, and the
+    fraction shipping more than a year out). The fact-fact
+    lineitem x orders equi-join is the classic shuffle-join shape;
+    lags are exact integer day differences.
+
+    Scale shape: both fact tables hash-partition on the order key
+    (AQE handles skewed orders); the rollup is a partial-aggregated
+    groupBy on supplier-cardinality keys. Lines whose order or dates
+    are missing carry no lag and are excluded on both sides."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    ).filter(F.col("l_shipdate").isNotNull()
+             & F.col("l_suppkey").isNotNull())
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    ).filter(F.col("o_orderdate").isNotNull())
+    lag = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select("l_suppkey", lag.cast("long").alias("lag_d"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.min("lag_d").alias("min_lag_d"),
+            F.max("lag_d").alias("max_lag_d"),
+            F.expr("sum(lag_d) div count(1)").alias("mean_lag_d"),
+            F.sum((F.col("lag_d") > 365).cast("long")).alias("n_over_1y"),
+        )
+        .select(
+            "l_suppkey", "n_lines", "min_lag_d", "max_lag_d",
+            "mean_lag_d", "n_over_1y",
+            (F.col("n_over_1y").cast("double")
+             / F.col("n_lines").cast("double")).alias("over_1y_frac"),
+        )
+    )
+
+
+def _ship_lag_oracle_sql() -> str:
+    return """
+        WITH j AS (
+            SELECT l.l_suppkey,
+                   CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_d
+            FROM lineitem l JOIN orders o
+                ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate IS NOT NULL
+              AND l.l_suppkey IS NOT NULL
+              AND o.o_orderdate IS NOT NULL
+        )
+        SELECT l_suppkey,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               min(lag_d) AS min_lag_d,
+               max(lag_d) AS max_lag_d,
+               CAST(sum(lag_d) AS BIGINT) // count(*) AS mean_lag_d,
+               CAST(sum(CASE WHEN lag_d > 365 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_over_1y,
+               CAST(sum(CASE WHEN lag_d > 365 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS over_1y_frac
+        FROM j GROUP BY l_suppkey
+    """
+
+
 def conversion_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VIEW-TO-PURCHASE LAG distribution in power-of-two second
     buckets -- the latency histogram a growth team reads next to the
@@ -2844,6 +2910,7 @@ QUERIES = {
     "anomaly_top_movers": anomaly_top_movers,
     "part_cooccurrence_topk": part_cooccurrence_topk,
     "conversion_lag_histogram": conversion_lag_histogram,
+    "ship_lag_by_supplier": ship_lag_by_supplier,
     "gatekeeper_failure_history": gatekeeper_failure_history,
     "sketch_cardinality_quantiles": sketch_cardinality_quantiles,
     "sketch_hll_distinct_users": sketch_hll_distinct_users,
@@ -3659,3 +3726,4 @@ ORACLE["item_cooccurrence_lift"] = _cooc_oracle_sql()
 ORACLE["anomaly_top_movers"] = _movers_oracle_sql()
 ORACLE["part_cooccurrence_topk"] = _part_cooc_oracle_sql()
 ORACLE["conversion_lag_histogram"] = _conv_lag_oracle_sql()
+ORACLE["ship_lag_by_supplier"] = _ship_lag_oracle_sql()

@@ -562,12 +562,81 @@ def bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESS_PCTS = (50, 90, 99)
+
+
+def session_duration_percentiles(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """EXACT session-duration percentiles -- the engagement
+    distribution next to the bounce rate: p50/p90/p99 of gap-session
+    durations by the percentile_disc rank rule (k = ceil(p*n/100),
+    integer division; ties and the element choice identical in both
+    engines). Built on the shared sessionize relation.
+
+    Scale shape: the sessionize window is the corpus-sized pass; the
+    rank window then runs over SESSION-cardinality rows (grain
+    reduction first -- the same documented trade as rfm_segments)."""
+    sess = sessionize_batch(spark, sf_dir).select(
+        "user_id", "session_seq", "duration_seconds"
+    )
+    w = Window.orderBy(
+        F.col("duration_seconds").asc(), F.col("user_id").asc(),
+        F.col("session_seq").asc(),
+    )
+    n_w = Window.partitionBy()
+    ranked = sess.select(
+        "duration_seconds",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(n_w).alias("n"),
+    )
+    targets = F.array(*[
+        F.struct(
+            F.lit(p).cast("int").alias("p"),
+            F.expr(f"({p} * n + 99) div 100").alias("k"),
+        )
+        for p in SESS_PCTS
+    ])
+    hits = ranked.select(
+        "duration_seconds", "n",
+        F.filter(targets, lambda t: t["k"] == F.col("rn")).alias("ts"),
+    ).filter(F.size("ts") > 0)
+    return (
+        hits.select("n", "duration_seconds", F.explode("ts").alias("t"))
+        .select(
+            F.col("t.p").alias("p"), F.col("n").alias("n_sessions"),
+            F.col("duration_seconds").alias("duration_s"),
+        )
+    )
+
+
+def _sess_pct_oracle_sql() -> str:
+    legs = "\n        UNION ALL\n".join(
+        f"""        SELECT CAST({p} AS INTEGER) AS p, n AS n_sessions,
+               duration_seconds AS duration_s
+        FROM ranked WHERE rn = ({p} * n + 99) // 100"""
+        for p in SESS_PCTS
+    )
+    return f"""
+        WITH sessions AS ({{sess}}),
+        ranked AS (
+            SELECT duration_seconds,
+                   row_number() OVER (
+                       ORDER BY duration_seconds ASC, user_id ASC,
+                                session_seq ASC) AS rn,
+                   CAST(count(*) OVER () AS BIGINT) AS n
+            FROM sessions
+        )
+{legs}
+    """
+
+
 QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
     "sessionize_events": sessionize_batch,
     "sessionize_session_window": sessionize_session_window,
     "bounce_rate_daily": bounce_rate_daily,
     "hopping_window_counts": hopping_window_counts,
+    "session_duration_percentiles": session_duration_percentiles,
 }
 
 ORACLE = {
@@ -636,6 +705,9 @@ ORACLE = {
 }
 
 ORACLE["hopping_window_counts"] = _hopping_oracle_sql()
+ORACLE["session_duration_percentiles"] = _sess_pct_oracle_sql().format(
+    sess=ORACLE["sessionize_events"]
+)
 
 ORACLE["bounce_rate_daily"] = f"""
     WITH sessions AS ({ORACLE["sessionize_events"]})

@@ -225,6 +225,7 @@ EVENTS_NULL_SWEEP = [
     "anomaly_top_movers", "bounce_rate_daily",
     "gini_user_activity", "winsorized_value_stats",
     "hopping_window_counts", "conversion_lag_histogram",
+    "ship_lag_by_supplier", "session_duration_percentiles",
 ]
 
 

@@ -989,6 +989,20 @@ AUDIT += (
             "explode-based row multiplication, no second pass.",
         ),
         (
+            "ship_lag_by_supplier",
+            "Fact-fact lineitem x orders equi-join hash-partitioned "
+            "on the order key (AQE skew split applies); the rollup is "
+            "a partial-aggregated groupBy on supplier-cardinality "
+            "keys -- integer day lags end-to-end.",
+        ),
+        (
+            "session_duration_percentiles",
+            "The sessionize window is the corpus-sized pass; the rank "
+            "window then runs over SESSION-cardinality rows (grain "
+            "reduction first) with the three rank targets resolved "
+            "row-local via an array filter.",
+        ),
+        (
             "doc_novelty_score",
             "ONE explode + (shingle -> min doc) partial-aggregated "
             "groupBy over the corpus shingles; the ownership join "
