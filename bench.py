@@ -246,7 +246,7 @@ BENCH_EXCLUDED = {
         "skew_report_events", "ewma_control_chart", "rfm_segments",
         "acf_daily_counts", "cusum_control_chart", "mad_robust_anomaly",
         "anomaly_top_movers", "gini_user_activity",
-        "hhi_source_concentration",
+        "hhi_source_concentration", "revenue_pareto_report",
         "lsh_bucket_histogram", "label_centroids",
         "embedding_health_report", "gatekeeper_failure_history",
         "stale_agents", "stream_windowed_counts",

@@ -2450,6 +2450,97 @@ def anomaly_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PARETO_FRACS = (1, 5, 10, 20, 50)
+
+
+def revenue_pareto_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVENUE PARETO CURVE -- 'what share of revenue do the top k%
+    of customers produce' (the 80/20 check finance asks first): rank
+    customers by exact micro-unit spend (o_totalprice summed), take
+    the running revenue at the ceil(k*n/100)-th customer for each
+    pinned fraction, and report its share of total revenue. All sums
+    and ranks are exact integers; shares are ratios of identical
+    BIGINTs.
+
+    Scale shape: orders collapse to customer grain in ONE
+    partial-aggregated shuffle; the rank + running-sum windows run
+    over customer-cardinality rows (the documented user-grain trade);
+    the total broadcasts back as a scalar."""
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    spend_u = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    per = orders.select(
+        "o_custkey", spend_u.alias("cents")
+    ).groupBy("o_custkey").agg(F.sum("cents").alias("rev_u"))
+    w = Window.orderBy(F.col("rev_u").desc(), F.col("o_custkey").asc())
+    run_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n_w = Window.partitionBy()
+    ranked = per.select(
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(n_w).alias("n"),
+        F.sum("rev_u").over(run_w).alias("run_rev_u"),
+        F.sum("rev_u").over(n_w).alias("total_rev_u"),
+    )
+    targets = F.array(*[
+        F.struct(
+            F.lit(k).cast("int").alias("top_pct"),
+            F.expr(f"({k} * n + 99) div 100").alias("k"),
+        )
+        for k in PARETO_FRACS
+    ])
+    hits = ranked.select(
+        "rn", "n", "run_rev_u", "total_rev_u",
+        F.filter(targets, lambda t: t["k"] == F.col("rn")).alias("ts"),
+    ).filter(F.size("ts") > 0)
+    return (
+        hits.select("n", "run_rev_u", "total_rev_u",
+                    F.explode("ts").alias("t"))
+        .select(
+            F.col("t.top_pct").alias("top_pct"),
+            F.col("t.k").cast("long").alias("n_customers"),
+            F.col("n").cast("long").alias("n_total"),
+            "run_rev_u", "total_rev_u",
+            (F.col("run_rev_u").cast("double")
+             / F.col("total_rev_u").cast("double")).alias("rev_share"),
+        )
+    )
+
+
+def _pareto_oracle_sql() -> str:
+    legs = "\n        UNION ALL\n".join(
+        f"""        SELECT CAST({k} AS INTEGER) AS top_pct,
+               CAST(({k} * n + 99) // 100 AS BIGINT) AS n_customers,
+               CAST(n AS BIGINT) AS n_total, run_rev_u, total_rev_u,
+               CAST(run_rev_u AS DOUBLE) / CAST(total_rev_u AS DOUBLE)
+                   AS rev_share
+        FROM ranked WHERE rn = ({k} * n + 99) // 100"""
+        for k in PARETO_FRACS
+    )
+    return f"""
+        WITH per AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS rev_u
+            FROM orders
+            WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+            GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT row_number() OVER (
+                       ORDER BY rev_u DESC, o_custkey ASC) AS rn,
+                   count(*) OVER () AS n,
+                   CAST(sum(rev_u) OVER (
+                       ORDER BY rev_u DESC, o_custkey ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS run_rev_u,
+                   CAST(sum(rev_u) OVER () AS BIGINT) AS total_rev_u
+            FROM per
+        )
+{legs}
+    """
+
+
 def ship_lag_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SUPPLIER FULFILLMENT LAG -- the procurement scorecard: per
     supplier, order-date-to-ship-date lag statistics over its line
@@ -2911,6 +3002,7 @@ QUERIES = {
     "part_cooccurrence_topk": part_cooccurrence_topk,
     "conversion_lag_histogram": conversion_lag_histogram,
     "ship_lag_by_supplier": ship_lag_by_supplier,
+    "revenue_pareto_report": revenue_pareto_report,
     "gatekeeper_failure_history": gatekeeper_failure_history,
     "sketch_cardinality_quantiles": sketch_cardinality_quantiles,
     "sketch_hll_distinct_users": sketch_hll_distinct_users,
@@ -3727,3 +3819,4 @@ ORACLE["anomaly_top_movers"] = _movers_oracle_sql()
 ORACLE["part_cooccurrence_topk"] = _part_cooc_oracle_sql()
 ORACLE["conversion_lag_histogram"] = _conv_lag_oracle_sql()
 ORACLE["ship_lag_by_supplier"] = _ship_lag_oracle_sql()
+ORACLE["revenue_pareto_report"] = _pareto_oracle_sql()

@@ -226,6 +226,7 @@ EVENTS_NULL_SWEEP = [
     "gini_user_activity", "winsorized_value_stats",
     "hopping_window_counts", "conversion_lag_histogram",
     "ship_lag_by_supplier", "session_duration_percentiles",
+    "revenue_pareto_report",
 ]
 
 

@@ -989,6 +989,14 @@ AUDIT += (
             "explode-based row multiplication, no second pass.",
         ),
         (
+            "revenue_pareto_report",
+            "Orders collapse to customer grain in ONE partial-"
+            "aggregated shuffle; rank + running-sum windows run over "
+            "customer-cardinality rows with the five rank targets "
+            "resolved row-local via an array filter; the total "
+            "broadcasts back as a scalar.",
+        ),
+        (
             "ship_lag_by_supplier",
             "Fact-fact lineitem x orders equi-join hash-partitioned "
             "on the order key (AQE skew split applies); the rollup is "
