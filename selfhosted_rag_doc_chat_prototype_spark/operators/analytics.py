@@ -1035,12 +1035,17 @@ def hll_streaming_sink(stream_events: DataFrame, path: str,
     O(history) -- the sink never rereads the event history."""
     from pyspark.errors import AnalysisException
 
-    from ..sinks import _replace_dir
+    from ..sinks import _replace_dir, recover_replace_dir
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # heal a delete->rename crash from a prior run BEFORE reading
+        # state: otherwise checkpoint replay sees "no table", treats
+        # history as empty, and commits a one-batch register table
+        recover_replace_dir(
+            spark, path.rstrip("/") + "__hllstaging", path)
         b = _hll_registers(
             batch_df.filter(F.col("user_id").isNotNull())
             .select("event_type", "user_id")
@@ -2087,7 +2092,13 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: weights are integer literals; the weighted sum and the
     renormalizing denominator are exact BIGINTs; ``ewma_u`` and
     ``dev_u`` are each ONE staged integer division emitted in 1e-6
-    units -- bit-equal across engines, no float, no power().
+    units -- bit-equal across engines, no float, no power(). The
+    ``dev_u`` product ``cnt * 1e6 * den`` is staged through
+    DECIMAL(38,0) (HUGEINT on the DuckDB side): ``den`` sums the
+    EWMA weights (~9.4e8), so a BIGINT product would wrap silently
+    (non-ANSI Spark) once a (type, day) count passed ~9.8e3 events;
+    the decimal staging is exact to cnt ~ 1e22 and ``div`` still
+    emits BIGINT on both engines.
 
     Scale shape: one partial-aggregated shuffle collapses events to
     day grain; the lag window then runs over |types| x |days| rows
@@ -2117,7 +2128,7 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN den = 0 THEN NULL ELSE (num * 1000000) div den END")
     dev_u = F.expr(
         "CASE WHEN den = 0 OR num = 0 THEN NULL "
-        "ELSE (cnt * 1000000 * den) div num END")
+        "ELSE (CAST(cnt AS DECIMAL(38,0)) * 1000000 * den) div num END")
     return scored.select(
         "event_type", "day", "cnt",
         ewma_u.cast("long").alias("ewma_u"),
@@ -2156,13 +2167,13 @@ def _ewma_oracle_sql() -> str:
                CAST(CASE WHEN den = 0 THEN NULL
                     ELSE (num * 1000000) // den END AS BIGINT) AS ewma_u,
                CAST(CASE WHEN den = 0 OR num = 0 THEN NULL
-                    ELSE (cnt * 1000000 * den) // num END AS BIGINT)
+                    ELSE (CAST(cnt AS HUGEINT) * 1000000 * den) // num END AS BIGINT)
                    AS dev_u,
                coalesce(CASE WHEN den = 0 OR num = 0 THEN NULL
-                    ELSE (cnt * 1000000 * den) // num END > 2000000,
+                    ELSE (CAST(cnt AS HUGEINT) * 1000000 * den) // num END > 2000000,
                     FALSE) AS flag_high,
                coalesce(CASE WHEN den = 0 OR num = 0 THEN NULL
-                    ELSE (cnt * 1000000 * den) // num END < 500000,
+                    ELSE (CAST(cnt AS HUGEINT) * 1000000 * den) // num END < 500000,
                     FALSE) AS flag_low
         FROM scored
     """
@@ -2700,7 +2711,13 @@ def part_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     ).distinct()
-    n_orders = li.select("l_orderkey").distinct().count()
+    # one-row aggregate kept LAZY and broadcast-cross-joined onto the
+    # 20 result rows (the item_cooccurrence_lift pattern): an eager
+    # .count() here would trigger a full lineitem scan at plan-
+    # construction time and freeze the total into the plan
+    totals = li.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
     marg = li.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_t")
     )
@@ -2722,11 +2739,11 @@ def part_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(marg.select(
             F.col("l_partkey").alias("part_b"),
             F.col("n_t").alias("n_b"))), "part_b")
+        .crossJoin(F.broadcast(totals))
     )
     return out.select(
-        "part_a", "part_b", "n_pair", "n_a", "n_b",
-        F.lit(n_orders).cast("long").alias("n_orders"),
-        F.expr(f"(n_pair * {n_orders} * 1000000) div (n_a * n_b)")
+        "part_a", "part_b", "n_pair", "n_a", "n_b", "n_orders",
+        F.expr("(n_pair * n_orders * 1000000) div (n_a * n_b)")
         .alias("lift_u"),
     )
 

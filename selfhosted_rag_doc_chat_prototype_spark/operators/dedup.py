@@ -660,7 +660,7 @@ def minhash_dedup_streaming_sink(
 
     from pyspark.errors import AnalysisException
 
-    from ..sinks import _replace_dir
+    from ..sinks import _replace_dir, recover_replace_dir
 
     def _read_or_none(spark, p):
         try:
@@ -680,6 +680,14 @@ def minhash_dedup_streaming_sink(
         )
         bands_path = os.path.join(path, "bands")
         verd_path = os.path.join(path, "verdicts")
+        # heal a delete->rename crash from a prior run BEFORE reading
+        # either table: a missing bands/verdicts table with a complete
+        # staging survivor means the process died mid-flip -- finish
+        # the rename so replay merges against history, not emptiness
+        recover_replace_dir(
+            spark, bands_path.rstrip("/") + "__bandsstaging", bands_path)
+        recover_replace_dir(
+            spark, verd_path.rstrip("/") + "__verdstaging", verd_path)
         b = _band_signatures(batch).localCheckpoint()
         existing_bands = _read_or_none(spark, bands_path)
         existing_verd = _read_or_none(spark, verd_path)

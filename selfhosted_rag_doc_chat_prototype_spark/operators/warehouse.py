@@ -259,12 +259,16 @@ def scd2_streaming_sink(
     StreamingQuery."""
     from pyspark.errors import AnalysisException
 
-    from ..sinks import _replace_dir
+    from ..sinks import _replace_dir, recover_replace_dir
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # heal a delete->rename crash from a prior run BEFORE reading
+        # state (else replay rebuilds history from this batch alone)
+        recover_replace_dir(
+            spark, path.rstrip("/") + "__scd2staging", path)
         batch = (
             batch_df.filter(F.col("ts").isNotNull())
             .select("user_id", "ts", "event_id",

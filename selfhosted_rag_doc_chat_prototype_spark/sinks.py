@@ -106,10 +106,15 @@ def _replace_dir(spark: SparkSession, staging: str, path: str) -> None:
     replaces, where a replayed micro-batch could merge against
     half-written state). On a transactional table format (Delta/
     Iceberg) the same flip is the manifest-pointer swap and the window
-    disappears; recovery here is mechanical -- rename the surviving
-    staging directory into place. For a WINDOWLESS variant use the
-    :func:`versioned_write` marker-commit primitive below (immutable
-    snapshot dirs, atomic marker create, time travel included)."""
+    disappears; recovery is AUTOMATIC -- every foreachBatch merge
+    sink opens its state through :func:`recover_replace_dir`, which
+    detects the missing-target/complete-staging signature on the next
+    (replayed) micro-batch and renames the survivor into place BEFORE
+    reading state, so replay merges against the full history instead
+    of silently rebuilding from one batch. For a WINDOWLESS variant
+    use the :func:`versioned_write` marker-commit primitive below
+    (immutable snapshot dirs, atomic marker create, time travel
+    included)."""
     jvm = spark._jvm
     src = jvm.org.apache.hadoop.fs.Path(staging)
     dst = jvm.org.apache.hadoop.fs.Path(path)
@@ -117,6 +122,31 @@ def _replace_dir(spark: SparkSession, staging: str, path: str) -> None:
     fs.delete(dst, True)
     if not fs.rename(src, dst):
         raise IOError(f"rename {staging} -> {path} failed")
+
+
+def recover_replace_dir(spark: SparkSession, staging: str, path: str) -> bool:
+    """Heal the :func:`_replace_dir` crash window before reading merge
+    state: if the target is MISSING but a COMPLETE staging directory
+    survives (job-committed, i.e. its ``_SUCCESS`` marker exists), the
+    process died between the delete and the rename -- finish the
+    rename now and return True. A missing target with no (or an
+    incomplete, not-yet-committed) staging dir is a genuine first
+    write and returns False; an existing target is never touched, so
+    a crash BEFORE the delete (pre-merge state intact, staging
+    orphaned) resolves by the replayed batch simply overwriting the
+    orphan. Idempotent and safe to call on every micro-batch."""
+    jvm = spark._jvm
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(dst):
+        return False
+    src = jvm.org.apache.hadoop.fs.Path(staging)
+    marker = jvm.org.apache.hadoop.fs.Path(staging.rstrip("/") + "/_SUCCESS")
+    if not (fs.exists(src) and fs.exists(marker)):
+        return False
+    if not fs.rename(src, dst):
+        raise IOError(f"crash recovery rename {staging} -> {path} failed")
+    return True
 
 
 def write_bucketed_table(
@@ -279,24 +309,78 @@ def versioned_versions(spark: SparkSession, base: str) -> list[int]:
     return sorted(out)
 
 
+def _versioned_reserved(spark: SparkSession, base: str) -> list[int]:
+    """All version numbers any writer has ever RESERVED (lock files)
+    or committed (markers) -- the set a new writer must not reuse.
+    Crashed writers leave orphan locks; those numbers stay burned
+    (never readable, never reassigned), which is what keeps the
+    protocol safe without distributed consensus."""
+    fs, jvm = _fs(spark, base)
+    d = jvm.org.apache.hadoop.fs.Path(f"{base}/_versions")
+    if not fs.exists(d):
+        return []
+    out = set()
+    for st in fs.listStatus(d):
+        name = st.getPath().getName()
+        if name.isdigit():
+            out.add(int(name))
+        elif name.endswith(".lock") and name[:-5].isdigit():
+            out.add(int(name[:-5]))
+    return sorted(out)
+
+
 def versioned_write(df: DataFrame, base: str) -> int:
     """Commit ``df`` as a NEW immutable snapshot of the table at
-    ``base`` and return its version number.
+    ``base`` and return its version number. Safe under CONCURRENT
+    writers, not just crashes.
 
-    Protocol (crash-safe without any rename-over): data lands in the
-    fresh ``base/v=<n>/`` directory first; the commit is the CREATE of
-    the empty marker ``base/_versions/<n>`` -- a single atomic
-    metadata operation. A crash before the marker leaves an orphan
-    data directory that no reader ever selects (readers only trust
-    markers); there is no window in which a partial or mixed table is
-    readable, and old snapshots stay intact for time travel. This is
-    the manifest-pointer swap ADVICE asked the streaming sinks'
-    delete+rename to evolve toward, as a reusable primitive."""
+    Protocol (three steps, each hazard closed by the one after it):
+
+    1. **Stage writer-private**: data lands in
+       ``base/_staging/<uuid>/`` -- no other writer can ever observe
+       or commit a half-written directory, because nothing under
+       ``_staging`` is addressable by a version number.
+    2. **Reserve a slot**: atomically create
+       ``base/_versions/<n>.lock`` (``createNewFile``) for the first
+       free ``n`` above every committed marker AND every existing
+       lock. Two racing writers asking for the same ``n`` serialize
+       on the create -- the loser retries at ``n+1``. This is the fix
+       for the marker race: the OLD protocol let both writers write
+       ``v=<n>`` directly and the winner's marker could commit the
+       loser's still-writing data.
+    3. **Publish, then commit**: rename the staging dir to
+       ``base/v=<n>`` (private -> public, the data is already
+       complete) and only then create the marker
+       ``base/_versions/<n>``.
+
+    Readers trust markers alone (``versioned_versions`` filters locks
+    out), so a crash at any point leaves either an invisible staging
+    orphan or a burned lock number -- never a readable partial or
+    mixed snapshot -- and old snapshots stay intact for time travel.
+    This is the manifest-pointer swap ADVICE asked the streaming
+    sinks' delete+rename to evolve toward, as a reusable primitive."""
+    import uuid
+
     spark = df.sparkSession
-    versions = versioned_versions(spark, base)
-    new = (versions[-1] + 1) if versions else 1
-    df.write.mode("overwrite").parquet(f"{base}/v={new}")
+    staging = f"{base}/_staging/{uuid.uuid4().hex}"
+    df.write.mode("overwrite").parquet(staging)
     fs, jvm = _fs(spark, base)
+    reserved = _versioned_reserved(spark, base)
+    new = (reserved[-1] + 1) if reserved else 1
+    while not fs.createNewFile(
+        jvm.org.apache.hadoop.fs.Path(f"{base}/_versions/{new}.lock")
+    ):
+        new += 1  # another writer took the slot between list and create
+    src = jvm.org.apache.hadoop.fs.Path(staging)
+    dst = jvm.org.apache.hadoop.fs.Path(f"{base}/v={new}")
+    # a pre-existing dst here is necessarily an UNMARKED orphan (a
+    # marker would have made `new` committed and thus unreservable;
+    # the lock we hold excludes live writers): no reader ever saw it,
+    # so reclaiming the number by clearing it is safe
+    if fs.exists(dst):
+        fs.delete(dst, True)
+    if not fs.rename(src, dst):
+        raise IOError(f"publish rename {staging} -> {base}/v={new} failed")
     marker = jvm.org.apache.hadoop.fs.Path(f"{base}/_versions/{new}")
     if not fs.createNewFile(marker):
         raise IOError(f"version {new} already committed at {base}")

@@ -199,3 +199,66 @@ def test_versioned_table_snapshot_isolation_and_time_travel(spark, tmp_path):
     assert versioned_versions(spark, base) == [1, 2, 3]
     assert versioned_read(spark, base).count() == 5
     assert versioned_read(spark, base, 3).count() == 5
+
+
+def test_recover_replace_dir_heals_crash_window(spark, tmp_path):
+    """The _replace_dir delete->rename crash window (ADVICE r7): a
+    process dying between the delete and the rename leaves the target
+    missing and a complete staging dir orphaned. recover_replace_dir
+    must finish the rename (missing target + job-committed staging),
+    refuse half-written staging (no _SUCCESS), and never touch an
+    existing target."""
+    path = str(tmp_path / "state")
+    staging = path + "__staging"
+    df = _chunks(spark, 20)
+
+    # incomplete staging (no _SUCCESS) + missing target -> first write
+    df.write.parquet(staging)
+    os.remove(os.path.join(staging, "_SUCCESS"))
+    assert sinks.recover_replace_dir(spark, staging, path) is False
+    assert not os.path.exists(path)
+
+    # complete staging + missing target -> heal: rename into place
+    sinks._delete_dir(spark, staging)
+    df.write.parquet(staging)
+    assert os.path.exists(os.path.join(staging, "_SUCCESS"))
+    assert sinks.recover_replace_dir(spark, staging, path) is True
+    assert not os.path.exists(staging)
+    assert spark.read.parquet(path).count() == 20
+
+    # existing target -> untouched even with a fresh staging orphan
+    _chunks(spark, 5, salt="x").write.parquet(staging)
+    assert sinks.recover_replace_dir(spark, staging, path) is False
+    assert spark.read.parquet(path).count() == 20
+
+
+def test_versioned_write_skips_reserved_slots_and_hides_staging(
+        spark, tmp_path):
+    """Concurrent-writer safety (ADVICE r7): a slot another writer has
+    locked is never reused -- the next commit takes the next free
+    number (the burned number stays unreadable forever) -- and
+    in-flight writer-private staging under _staging/ is invisible to
+    readers."""
+    import pytest
+
+    from selfhosted_rag_doc_chat_prototype_spark.sinks import (
+        versioned_read,
+        versioned_versions,
+        versioned_write,
+    )
+
+    base = str(tmp_path / "vt")
+    assert versioned_write(_chunks(spark, 10, salt="a"), base) == 1
+
+    # a rival writer holds the lock for slot 2 (crashed or mid-write)
+    open(os.path.join(base, "_versions", "2.lock"), "w").close()
+    assert versioned_write(_chunks(spark, 7, salt="b"), base) == 3
+
+    # an in-flight private staging dir is not a version
+    _chunks(spark, 99, salt="c").write.parquet(
+        os.path.join(base, "_staging", "deadbeef"))
+
+    assert versioned_versions(spark, base) == [1, 3]
+    assert versioned_read(spark, base).count() == 7
+    with pytest.raises(FileNotFoundError):
+        versioned_read(spark, base, 2)

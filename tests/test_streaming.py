@@ -923,3 +923,66 @@ def test_hopping_rollup_stream_equals_batch(spark, sf_dir,
         spark.read.schema(schema).parquet(events_stream_dir),
         slide="15 minutes").collect()}
     assert got == expected
+
+
+def test_hll_sink_replay_after_mid_flip_crash(spark, sf_dir, tmp_path):
+    """ADVICE r7 scenario end-to-end: the process dies between
+    _replace_dir's delete and rename (simulated by moving the target
+    to its staging name), and the checkpoint then delivers only the
+    NEXT batch -- the dangerous case, because without healing the
+    merge sees "no table", treats history as empty, and commits a
+    one-batch register table. With recover_replace_dir in the merge
+    path the rebuilt table must equal the crash-free run."""
+    import os
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.analytics import (
+        hll_streaming_sink,
+    )
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).filter(F.col("ts").isNotNull())
+    cut = ev.selectExpr(
+        "timestamp_micros(CAST(percentile(unix_micros(ts), 0.5) AS LONG))"
+        " AS c"
+    ).collect()[0].c
+    first = ev.filter(F.col("ts") <= F.lit(cut))
+    second = ev.filter(F.col("ts") > F.lit(cut))
+    d = str(tmp_path / "ev_files")
+    first.coalesce(1).write.mode("append").parquet(d)
+
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    target = str(tmp_path / "hll_regs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(d)
+        )
+        q = hll_streaming_sink(stream, target, ckpt)
+        q.awaitTermination(240)
+
+    run()  # batch 1 committed to the checkpoint
+
+    # crash window: a flip's staging was fully written, the target was
+    # deleted, the rename never happened; the NEXT run's checkpoint
+    # will deliver only the new file, never re-merging history
+    shutil.move(target, target + "__hllstaging")
+    assert not os.path.exists(target)
+    second.coalesce(1).write.mode("append").parquet(d)
+
+    run()  # same checkpoint: only the second file is delivered
+    got = sorted(map(tuple, spark.read.parquet(target).collect()))
+
+    # crash-free reference over the full corpus
+    ref_target = str(tmp_path / "hll_regs_ref")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    q = hll_streaming_sink(stream, ref_target, str(tmp_path / "ckpt_ref"))
+    q.awaitTermination(240)
+    want = sorted(map(tuple, spark.read.parquet(ref_target).collect()))
+    assert got == want
