@@ -2277,15 +2277,32 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency", "monetary_u",
         )
     )
-    # score 5 = best: most recent, most frequent, highest spend
-    r_w = Window.orderBy(F.desc("recency_days"), F.asc("user_id"))
-    f_w = Window.orderBy(F.asc("frequency"), F.asc("user_id"))
-    m_w = Window.orderBy(F.asc("monetary_u"), F.asc("user_id"))
-    scored = per.select(
+    # score 5 = best: most recent, most frequent, highest spend.
+    # r8: the three single-reducer ntile() windows became three
+    # distributed_rank passes + the exact ntile fill-rule expression
+    # (identical tile assignment, oracle unchanged). tie_split
+    # matters for all three keys: recency has ~|days| distinct
+    # values and frequency piles up at 1-2 -- exactly the heavy-tie
+    # runs the second-key sub-split spreads across buckets.
+    from .rank import distributed_rank, ntile_from_rank
+
+    ranked = distributed_rank(
+        per, [(F.col("recency_days"), False), (F.col("user_id"), True)],
+        rn_col="_rrn", n_col="_n",
+    )
+    ranked = distributed_rank(
+        ranked, [(F.col("frequency"), True), (F.col("user_id"), True)],
+        rn_col="_frn",
+    )
+    ranked = distributed_rank(
+        ranked, [(F.col("monetary_u"), True), (F.col("user_id"), True)],
+        rn_col="_mrn",
+    )
+    scored = ranked.select(
         "user_id", "recency_days", "frequency", "monetary_u",
-        F.ntile(5).over(r_w).cast("int").alias("r_score"),
-        F.ntile(5).over(f_w).cast("int").alias("f_score"),
-        F.ntile(5).over(m_w).cast("int").alias("m_score"),
+        ntile_from_rank("_rrn", "_n", 5).alias("r_score"),
+        ntile_from_rank("_frn", "_n", 5).alias("f_score"),
+        ntile_from_rank("_mrn", "_n", 5).alias("m_score"),
     )
     seg = (
         F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4)

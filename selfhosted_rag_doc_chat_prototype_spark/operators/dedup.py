@@ -513,9 +513,14 @@ def knn_density_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mean is truncating division). Outlier = bottom decile by
     (density ASC, vec_id ASC) exact rank, ``ceil(n/10)`` cut.
 
-    Scale shape: reads the banded LSH kNN build once; per-vector sums
-    are a partial-aggregated groupBy over <= K_GRAPH rows per vector;
-    the decile rank runs over vector-cardinality rows."""
+    Scale shape (r8): reads the banded LSH kNN build once; per-vector
+    sums are a partial-aggregated groupBy over <= K_GRAPH rows per
+    vector; the decile rank is the shared two-phase
+    :func:`distributed_rank` over vector-cardinality rows (was a
+    single-reducer global window; micro-quantized density_u is
+    near-unique, so ``tie_split=False``)."""
+    from .rank import distributed_rank
+
     g = knn_graph_cached(spark, sf_dir)
     per = g.groupBy("vec_id").agg(
         F.count(F.lit(1)).cast("int").alias("k_n"),
@@ -525,12 +530,9 @@ def knn_density_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "k_n", "sim_sum_u",
         F.expr("sim_sum_u div k_n").alias("density_u"),
     )
-    w = Window.orderBy(F.col("density_u").asc(), F.col("vec_id").asc())
-    n_w = Window.partitionBy()
-    return per.select(
-        "*",
-        F.row_number().over(w).alias("_rn"),
-        F.count(F.lit(1)).over(n_w).alias("_n"),
+    return distributed_rank(
+        per, [(F.col("density_u"), True), (F.col("vec_id"), True)],
+        rn_col="_rn", n_col="_n", tie_split=False,
     ).select(
         "vec_id", "k_n", "density_u",
         (F.col("_rn") <= F.expr("(_n + 9) div 10")).alias("is_outlier"),

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import table
+from .rank import distributed_rank
 
 # ACF lags reported; 14 days spans two weekly cycles of the synthetic
 # stream and stays far under the densified-calendar cardinality.
@@ -292,23 +293,23 @@ def latency_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     are excluded (percentile of nothing is no row); a NULL event_type
     is its own group.
 
-    Scale shape: ONE shuffle partitions by event_type; the rank window
-    orders within each type partition and the three target ranks
-    resolve row-local via an array filter -- no second pass, no
-    explode-then-filter row multiplication."""
+    Scale shape (r8): the old shape partitioned the rank window by
+    event_type alone -- ~5 partitions, so each reducer sorted a
+    per-type FACT-scale run (the round-7 verdict's scale-killer
+    list). Now ranks come from the shared two-phase
+    :func:`distributed_rank` (quantile-bucketed, offsets broadcast),
+    so the sort spreads across buckets x types; ``tie_split=False``
+    because value_u is micro-quantized (near-unique). The three
+    target ranks still resolve row-local via an array filter -- no
+    second pass, no explode-then-filter row multiplication."""
     ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     vu = F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("value_u").asc(), F.col("event_id").asc()
-    )
-    cnt_w = Window.partitionBy("event_type")
-    ranked = ev.select(
-        "event_type", "event_id", vu.alias("value_u")
-    ).select(
-        "event_type", "value_u",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(cnt_w).alias("n"),
-    )
+    ranked = distributed_rank(
+        ev.select("event_type", "event_id", vu.alias("value_u")),
+        [(F.col("value_u"), True), (F.col("event_id"), True)],
+        part_cols=["event_type"], rn_col="rn", n_col="n",
+        tie_split=False,
+    ).drop("event_id")
     targets = F.array(*[
         F.struct(
             F.lit(p).cast("int").alias("p"),
@@ -549,21 +550,22 @@ def gini_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     under 2^63 -- fine to ~1e6 users at 1e6 events each; beyond,
     DECIMAL(38,0)), emitted alongside the double ratio.
 
-    Scale shape: the corpus collapses to user grain in one
-    partial-aggregated shuffle; the rank pass runs over
-    user-cardinality rows (the same user-grain global-window trade as
-    rfm_segments, with the range-partitioned sort as the documented
-    swap at extreme user counts)."""
+    Scale shape (r8): the corpus collapses to user grain in one
+    partial-aggregated shuffle; the rank pass is the shared two-phase
+    :func:`distributed_rank` over user-cardinality rows --
+    ``tie_split=True`` matters here, because small activity counts
+    (x = 1, 2, ...) are exactly the heavy-tie values that would
+    otherwise pile one bucket onto one reducer."""
     ev = table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull()
     )
     per = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("x")
     )
-    w = Window.orderBy(F.col("x").asc(), F.col("user_id").asc())
-    ranked = per.select(
-        "x", F.row_number().over(w).cast("long").alias("i")
-    )
+    ranked = distributed_rank(
+        per, [(F.col("x"), True), (F.col("user_id"), True)],
+        rn_col="i",
+    ).select("x", "i")
     return ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("x").alias("n_events"),
@@ -659,23 +661,20 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     clamping every value into [p01, p99]. All in integer micro-units;
     means are truncating division.
 
-    Scale shape: ONE shuffle partitions by event_type; the rank
-    window and the clamp+sum run inside the same partitioning (the
-    bounds broadcast back onto the typed rows), so the corpus
-    shuffles once."""
+    Scale shape (r8): ranks come from the shared two-phase
+    :func:`distributed_rank` (quantile-bucketed, offsets broadcast;
+    ``tie_split=False`` -- micro-quantized value_u is near-unique)
+    instead of a per-type window whose ~5 partitions each sorted a
+    fact-scale run on one reducer; the p01/p99 bounds then broadcast
+    back onto the typed rows exactly as before."""
     ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     vu = F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("value_u").asc(), F.col("event_id").asc()
-    )
-    cnt_w = Window.partitionBy("event_type")
-    ranked = ev.select(
-        "event_type", "event_id", vu.alias("value_u")
-    ).select(
-        "event_type", "value_u",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(cnt_w).alias("n"),
-    )
+    ranked = distributed_rank(
+        ev.select("event_type", "event_id", vu.alias("value_u")),
+        [(F.col("value_u"), True), (F.col("event_id"), True)],
+        part_cols=["event_type"], rn_col="rn", n_col="n",
+        tie_split=False,
+    ).drop("event_id")
     lo_k = F.expr(f"({WINSOR_LO} * n + 99) div 100")
     hi_k = F.expr(f"({WINSOR_HI} * n + 99) div 100")
     bounds = (

@@ -573,22 +573,23 @@ def session_duration_percentiles(spark: SparkSession,
     integer division; ties and the element choice identical in both
     engines). Built on the shared sessionize relation.
 
-    Scale shape: the sessionize window is the corpus-sized pass; the
-    rank window then runs over SESSION-cardinality rows (grain
-    reduction first -- the same documented trade as rfm_segments)."""
+    Scale shape (r8): the sessionize window is the corpus-sized pass
+    (partitioned by user); the rank pass is the shared two-phase
+    :func:`distributed_rank` over SESSION-cardinality rows --
+    previously a single-reducer global window, the round-7 verdict's
+    scale-killer list. ``tie_split=True`` because short durations
+    (0s bounces) are heavy-tie values."""
+    from ..operators.rank import distributed_rank
+
     sess = sessionize_batch(spark, sf_dir).select(
         "user_id", "session_seq", "duration_seconds"
     )
-    w = Window.orderBy(
-        F.col("duration_seconds").asc(), F.col("user_id").asc(),
-        F.col("session_seq").asc(),
-    )
-    n_w = Window.partitionBy()
-    ranked = sess.select(
-        "duration_seconds",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(n_w).alias("n"),
-    )
+    ranked = distributed_rank(
+        sess,
+        [(F.col("duration_seconds"), True), (F.col("user_id"), True),
+         (F.col("session_seq"), True)],
+        rn_col="rn", n_col="n",
+    ).select("duration_seconds", "rn", "n")
     targets = F.array(*[
         F.struct(
             F.lit(p).cast("int").alias("p"),
