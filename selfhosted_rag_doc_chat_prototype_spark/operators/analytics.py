@@ -2490,10 +2490,14 @@ def revenue_pareto_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ranks are exact integers; shares are ratios of identical
     BIGINTs.
 
-    Scale shape: orders collapse to customer grain in ONE
-    partial-aggregated shuffle; the rank + running-sum windows run
-    over customer-cardinality rows (the documented user-grain trade);
-    the total broadcasts back as a scalar."""
+    Scale shape (r8): orders collapse to customer grain in ONE
+    partial-aggregated shuffle; the rank AND the running revenue both
+    come from the shared two-phase :func:`distributed_rank` (its
+    ``cumsum`` face -- per-bucket revenue subtotals broadcast as
+    offsets) instead of four single-reducer global windows; the
+    corpus total broadcasts back as a one-row aggregate."""
+    from .rank import distributed_rank
+
     orders = table(spark, sf_dir, "orders").filter(
         F.col("o_custkey").isNotNull() & F.col("o_totalprice").isNotNull()
     )
@@ -2501,14 +2505,12 @@ def revenue_pareto_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = orders.select(
         "o_custkey", spend_u.alias("cents")
     ).groupBy("o_custkey").agg(F.sum("cents").alias("rev_u"))
-    w = Window.orderBy(F.col("rev_u").desc(), F.col("o_custkey").asc())
-    run_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    n_w = Window.partitionBy()
-    ranked = per.select(
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(n_w).alias("n"),
-        F.sum("rev_u").over(run_w).alias("run_rev_u"),
-        F.sum("rev_u").over(n_w).alias("total_rev_u"),
+    total = per.agg(F.sum("rev_u").cast("long").alias("total_rev_u"))
+    ranked = distributed_rank(
+        per, [(F.col("rev_u"), False), (F.col("o_custkey"), True)],
+        rn_col="rn", n_col="n", cumsum={"run_rev_u": "rev_u"},
+    ).crossJoin(F.broadcast(total)).select(
+        "rn", "n", "run_rev_u", "total_rev_u"
     )
     targets = F.array(*[
         F.struct(

@@ -181,10 +181,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parts whose NATION_0-supplied value exceeds 0.1% of that
-    nation's total. The correlated scalar total is a global sum window
-    over the per-part aggregate (cardinality = parts of one nation,
-    never the fact table), so the nation-pruned lineitem sliver is
-    scanned once."""
+    nation's total. The correlated scalar total is a ONE-ROW aggregate
+    of the per-part relation broadcast back via crossJoin (r8: was a
+    global sum window -- a single-reducer pass over part-cardinality
+    rows; the broadcast scalar removes the last unpartitioned
+    WindowExec from the TPC-H family). The per-part aggregate is
+    computed twice in the plan (once for the scalar, once for the
+    rows) -- two passes over the nation-pruned lineitem sliver, each
+    fully partial-aggregated, vs. a one-machine sort barrier."""
     li = table(spark, sf_dir, "lineitem")
     supp = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
@@ -199,9 +203,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value_raw"))
     )
-    total = F.sum("value_raw").over(Window.partitionBy())
+    total = per_part.agg(F.sum("value_raw").alias("total_value"))
     return (
-        per_part.withColumn("total_value", total)
+        per_part.crossJoin(F.broadcast(total))
         .filter(F.col("value_raw") > F.col("total_value") * 0.001)
         .select("l_partkey", F.round("value_raw", 2).alias("part_value"))
     )
@@ -259,12 +263,12 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
 # decorrelated to a 1-row broadcast join).
 # --------------------------------------------------------------------------
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Suppliers whose 1997-Q1 revenue equals the maximum. The revenue
-    'view' aggregates once (one suppkey shuffle, one lineitem scan);
-    the scalar max is a global window over the per-supplier rows --
-    single-partition, but its input cardinality is the supplier count,
-    not the fact table. Equality compares the ROUNDED value so both
-    engines see identical 2-decimal quantities."""
+    """Suppliers whose 1997-Q1 revenue equals the maximum. The scalar
+    max is a ONE-ROW aggregate of the revenue view broadcast back via
+    crossJoin (r8: was a global max window -- single-reducer over
+    supplier-cardinality rows; the broadcast scalar costs a second
+    partial-aggregated pass instead). Equality compares the ROUNDED
+    value so both engines see identical 2-decimal quantities."""
     li = table(spark, sf_dir, "lineitem")
     supp = table(spark, sf_dir, "supplier")
     revenue = (
@@ -275,9 +279,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
     )
-    max_rev = F.max("total_revenue").over(Window.partitionBy())
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
-        revenue.withColumn("max_revenue", max_rev)
+        revenue.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")

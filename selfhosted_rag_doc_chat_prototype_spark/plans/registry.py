@@ -76,3 +76,72 @@ def all_oracles() -> dict[str, str]:
     for mod in _modules():
         out.update(getattr(mod, "ORACLE", {}))
     return out
+
+
+# --------------------------------------------------------------------------
+# Plan-audit rule (round 8): no UNPARTITIONED WindowExec over unbounded
+# rows anywhere in a registered plan -- a window with an empty PARTITION
+# BY is a single-reducer sort, the scale-killer family the shared
+# operators.rank.distributed_rank helper exists to replace. Queries
+# listed here are the AUDITED EXCEPTIONS: their global windows run over
+# provably BOUNDED row counts (a constant, a LIMIT-k survivor set, or a
+# calendar/bucket/domain vocabulary), where one reducer is the correct
+# plan and a distributed rank would only add shuffles. Every entry
+# carries its bound; tests/test_plans.py::test_no_unpartitioned_fact_
+# windows enforces membership, and a new query with a global window
+# fails the suite until it is either rewired onto distributed_rank or
+# justified here.
+# --------------------------------------------------------------------------
+BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
+    "a7_weekly_lag": "lag over week grain (observed ISO weeks)",
+    "acf_daily_counts": "lag/rank over day grain (observed days)",
+    "cusum_control_chart": "running sums over day grain (observed days)",
+    "daily_anomaly_zscore": "rolling mean over day grain (observed days)",
+    "mad_robust_anomaly": "median ranks over day grain (observed days)",
+    "seasonal_decompose_daily": "rolling window over day grain",
+    "seq_len_histogram":
+        "cumulative share over length buckets (<= max_len/bucket rows)",
+    "domain_mixture_resample":
+        "scalar total over domain grain (weight-table vocabulary)",
+    "session_trigram_mining":
+        "rank label over the SEQ_TOP survivors of a sort-LIMIT",
+    "sketch_countmin_heavyhitters":
+        "rank label over the CMS_TOP=20 survivors of a sort-LIMIT",
+    "vocab_top_coverage":
+        "rank/coverage over the VOCAB_TOP survivors of a sort-LIMIT",
+    "zipf_fit_report":
+        "rank over the ZIPF_V survivors of a sort-LIMIT",
+    "weighted_sample_es":
+        "rank label over the ES_K=64 survivors of a sort-LIMIT",
+    "stratified_holdout_split":
+        "largest-remainder quota rank over source grain (|sources| rows)",
+}
+
+
+def unpartitioned_window_specs(plan: str) -> list[str]:
+    """Window specs in a physical-plan string whose PARTITION BY is
+    empty: the first top-level windowspecdefinition argument is either
+    the frame itself or an ORDER BY entry (``... ASC/DESC NULLS ...``)
+    rather than a partition column. Used by the plan audit and the
+    test-suite rule."""
+    import re
+
+    out = []
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        i, depth, first = m.end(), 1, []
+        while depth and i < len(plan):
+            ch = plan[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if depth == 1 and ch == ",":
+                break
+            first.append(ch)
+            i += 1
+        head = "".join(first).strip()
+        if head.startswith("specifiedwindowframe") or re.search(
+            r" (ASC|DESC) NULLS", head
+        ):
+            out.append(head)
+    return out

@@ -205,3 +205,34 @@ def test_salted_distinct_plan_and_measured_skew_win(spark):
                  for r in skewed_distinct_salted(spark, sf).collect()}
     single = {(r.skew_key, r.n) for r in naive}
     assert two_phase == single
+
+
+def test_no_unpartitioned_fact_windows(plans):
+    """Round-8 global audit rule (sibling of the no-CartesianProduct
+    rule): an UNPARTITIONED WindowExec is a single-reducer sort -- the
+    scale-killer the shared operators.rank.distributed_rank helper
+    replaces. Every registered plan must either contain none, or be a
+    justified BOUNDED_GLOBAL_WINDOWS entry (global window over a
+    provably bounded row count: constants, LIMIT-k survivors,
+    calendar/bucket/domain vocabularies). Stale allowlist entries fail
+    too, so the exception list cannot rot."""
+    from selfhosted_rag_doc_chat_prototype_spark.plans.registry import (
+        BOUNDED_GLOBAL_WINDOWS,
+        unpartitioned_window_specs,
+    )
+
+    offenders = {
+        n: unpartitioned_window_specs(p)
+        for n, p in plans.items()
+        if unpartitioned_window_specs(p)
+    }
+    unjustified = sorted(set(offenders) - set(BOUNDED_GLOBAL_WINDOWS))
+    assert unjustified == [], {
+        n: offenders[n][:2] for n in unjustified
+    }
+    stale = sorted(
+        set(BOUNDED_GLOBAL_WINDOWS)
+        - set(offenders)
+        - (set(BOUNDED_GLOBAL_WINDOWS) - set(plans))  # EAGER-excluded
+    )
+    assert stale == [], f"allowlist entries with no global window: {stale}"

@@ -1269,9 +1269,23 @@ def main() -> None:
         f"`{sf_dir}`; broadcasts counted within exchanges.",
         "",
     ]
+    # GLOBAL-WINDOW GUARD (round 8): no unpartitioned WindowExec over
+    # unbounded rows in any registered plan -- the single-reducer-sort
+    # family operators/rank.py exists to replace. Bounded-grain
+    # exceptions live (with justifications) in
+    # plans.registry.BOUNDED_GLOBAL_WINDOWS.
+    from selfhosted_rag_doc_chat_prototype_spark.plans.registry import (
+        BOUNDED_GLOBAL_WINDOWS,
+        unpartitioned_window_specs,
+    )
+
+    violations = {}
     for name, claim in AUDIT:
         df = queries[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
+        bad = unpartitioned_window_specs(plan)
+        if bad and name not in BOUNDED_GLOBAL_WINDOWS:
+            violations[name] = bad[0][:60]
         s = summarize(plan)
         out.append(f"## {name}")
         out.append("")
@@ -1292,6 +1306,12 @@ def main() -> None:
         for sc in s["schemas"]:
             out.append(f"- `{sc}`")
         out.append("")
+    if violations:
+        raise SystemExit(
+            "unpartitioned WindowExec in registered plans (rewire onto "
+            "operators/rank.distributed_rank or justify in "
+            f"plans.registry.BOUNDED_GLOBAL_WINDOWS): {violations}"
+        )
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")
