@@ -423,6 +423,37 @@ def anns_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                        cand_signed=lsh_build(spark, sf_dir))
 
 
+# persisted GOLD STANDARDS for the recall report (r8): each exact leg
+# (brute top-K, cross-label brute top-HARDNEG_K, corpus-wide MaxSim) is
+# an O(N*Q) pass that the report previously replanned from parquet on
+# every run -- 30 exchanges / 28 scans in the executed plan. Exact
+# results are DETERMINISTIC in the corpus directory, so they are
+# matviews exactly like the LSH/IVF signature indexes: built once per
+# (session, corpus), persisted under matview_root(), and every report
+# run joins the stored (query_id, neighbor_id) pairs instead of
+# recomputing the brute pass per strategy. At 100 TB the gold pass is
+# the single most expensive leg -- grading eight serve paths must not
+# multiply it.
+_GOLD_STORE: dict = {}
+
+
+def _gold_build(spark: SparkSession, sf_dir: str, name: str,
+                builder) -> DataFrame:
+    import hashlib
+    import os
+
+    key = (spark, sf_dir, name)
+    if key not in _GOLD_STORE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = os.path.join(matview_root(), f"gold_{name}_{tag}")
+        if not _matview_complete(path):
+            builder().select("query_id", "neighbor_id").write.mode(
+                "overwrite"
+            ).parquet(path)
+        _GOLD_STORE[key] = spark.read.parquet(path)
+    return _GOLD_STORE[key]
+
+
 def anns_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-quality observable: per-(strategy, query) recall@``TOP_K``
     of EVERY approximate serve path -- full-table LSH, half-table
@@ -432,15 +463,38 @@ def anns_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     an index operator watches when tuning bits/tables/probes (the
     recall floor the tests assert, surfaced as a queryable report
     instead of a test side effect). Every leg is a registered
-    retrieval plan; the compare joins and per-query aggregates run on
-    O(Q * k) rows. The hard-negative leg's gold standard is the
-    cross-label brute-force top-``HARDNEG_K`` (its task is different,
-    so its exact set is too); it unions in below with its own exact
-    side."""
+    retrieval plan (the lsh leg is served as the rank <= TOP_K prefix
+    of the shared late-interaction shortlist -- provably identical
+    rows, one bucket probe instead of two); the compare joins and
+    per-query aggregates run on O(Q * k) rows. The hard-negative
+    leg's gold standard is the cross-label brute-force
+    top-``HARDNEG_K`` (its task is different, so its exact set is
+    too); it unions in below with its own exact side.
+
+    r8 scale fix: all three EXACT legs (brute top-K, cross-label
+    brute, corpus-wide MaxSim) are persisted gold matviews
+    (:func:`_gold_build`, the ``lsh_build`` pattern) -- the O(N * Q)
+    brute passes run once per corpus at index-build time; every
+    report run joins stored (query_id, neighbor_id) pairs."""
     from .pq import anns_ivfpq_topk  # runtime import: pq imports us
 
+    # ONE LSH probe serves two legs (r8): the lsh leg's top-TOP_K is a
+    # rank-prefix of the late-interaction shortlist (same index, same
+    # (cosine DESC, id ASC) ranking, k * LI_SHORTLIST_FACTOR), so the
+    # report probes once at the larger k, takes rank <= TOP_K as the
+    # lsh leg, and hands the full shortlist to the MaxSim re-rank --
+    # identical rows to the standalone registered plans, one fewer
+    # bucket join + window in the executed report
+    base_sl = _vectors(spark, sf_dir)
+    q_sl = base_sl.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    sl = topk_cosine(
+        base_sl, q_sl, k=TOP_K * LI_SHORTLIST_FACTOR, strategy="lsh",
+        cand_signed=lsh_build(spark, sf_dir),
+    )
     legs = [
-        ("lsh", anns_lsh_bucketed(spark, sf_dir)),
+        ("lsh", sl.filter(F.col("rank") <= TOP_K)),
         ("lsh_multiprobe", anns_lsh_multiprobe(spark, sf_dir)),
         ("ivf", anns_ivf_topk(spark, sf_dir)),
         ("ivfpq", anns_ivfpq_topk(spark, sf_dir)),
@@ -451,12 +505,15 @@ def anns_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tuning observable the operator exists for
         ("matryoshka", anns_matryoshka_topk(spark, sf_dir)),
     ]
-    # ONE exact leg: tag it with every strategy via a map-side explode
-    # and left-join the unioned approximate legs -- joining each leg
-    # against `exact` separately would embed the O(N*Q) brute pass
-    # once per strategy in the physical plan
-    exact = anns_bruteforce_topk(spark, sf_dir).select(
-        "query_id", "neighbor_id"
+    # ONE exact leg, read from the persisted gold matview (r8): tag it
+    # with every strategy via a map-side explode and left-join the
+    # unioned approximate legs -- joining each leg against `exact`
+    # separately would embed the O(N*Q) brute pass once per strategy
+    # in the physical plan, and replanning it per run multiplies the
+    # most expensive scan in the report
+    exact = _gold_build(
+        spark, sf_dir, f"topk{TOP_K}",
+        lambda: anns_bruteforce_topk(spark, sf_dir),
     ).withColumn(
         "strategy",
         F.explode(F.array(*[F.lit(name) for name, _ in legs])),
@@ -489,25 +546,29 @@ def anns_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # hard-negative leg: exact side = cross-label brute top-HARDNEG_K
     # (broadcast query set, same brute shape as topk_cosine's exact
-    # pass -- never corpus x corpus)
-    base = _vectors(spark, sf_dir)
-    qh = base.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("q_label"), F.col("v").alias("qv"),
-    )
-    cand = base.select(F.col("vec_id").alias("neighbor_id"),
-                       "label", F.col("v").alias("cv"))
-    bj = F.broadcast(qh).crossJoin(rebalance(cand)).filter(
-        (F.col("label") != F.col("q_label"))
-        & (F.col("neighbor_id") != F.col("query_id"))
-    )
-    wh = Window.partitionBy("query_id").orderBy(
-        F.desc(cosine(F.col("qv"), F.col("cv"))), F.asc("neighbor_id"))
-    exact_hn = (
-        bj.withColumn("rk", F.row_number().over(wh))
-        .filter(F.col("rk") <= HARDNEG_K)
-        .select("query_id", "neighbor_id")
-    )
+    # pass -- never corpus x corpus), persisted as a gold matview
+    def _hn_gold() -> DataFrame:
+        base = _vectors(spark, sf_dir)
+        qh = base.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"), F.col("v").alias("qv"),
+        )
+        cand = base.select(F.col("vec_id").alias("neighbor_id"),
+                           "label", F.col("v").alias("cv"))
+        bj = F.broadcast(qh).crossJoin(rebalance(cand)).filter(
+            (F.col("label") != F.col("q_label"))
+            & (F.col("neighbor_id") != F.col("query_id"))
+        )
+        wh = Window.partitionBy("query_id").orderBy(
+            F.desc(cosine(F.col("qv"), F.col("cv"))),
+            F.asc("neighbor_id"))
+        return (
+            bj.withColumn("rk", F.row_number().over(wh))
+            .filter(F.col("rk") <= HARDNEG_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    exact_hn = _gold_build(spark, sf_dir, f"hardneg{HARDNEG_K}", _hn_gold)
     approx_hn = anns_hard_negatives(spark, sf_dir).select(
         F.col("query_id").alias("q2"),
         F.col("neighbor_id").alias("a_neighbor_id"),
@@ -533,10 +594,13 @@ def anns_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # late-interaction leg: like hard-negatives, the ranking function
     # differs from pooled cosine, so it carries its own exact side --
     # the corpus-wide MaxSim -- against the LSH-shortlisted serve path
-    li_exact = anns_late_interaction_topk(spark, sf_dir).select(
-        "query_id", "neighbor_id"
+    li_exact = _gold_build(
+        spark, sf_dir, "maxsim",
+        lambda: anns_late_interaction_topk(spark, sf_dir),
     )
-    li_served = anns_late_interaction_served(spark, sf_dir).select(
+    li_served = anns_late_interaction_served(
+        spark, sf_dir, shortlist=sl.select("query_id", "neighbor_id"),
+    ).select(
         F.col("query_id").alias("q2"),
         F.col("neighbor_id").alias("a_neighbor_id"),
     )
@@ -1018,7 +1082,9 @@ LI_SHORTLIST_FACTOR = 4  # single-vector shortlist size = k * factor
 
 
 def anns_late_interaction_served(spark: SparkSession, sf_dir: str,
-                                 k: int = TOP_K) -> DataFrame:
+                                 k: int = TOP_K,
+                                 shortlist: DataFrame | None = None,
+                                 ) -> DataFrame:
     """The PRODUCTION serving face of late interaction: a
     single-vector (pooled-cosine) shortlist from the persisted LSH
     signature index, then the MaxSim re-rank over the shortlist ONLY
@@ -1035,13 +1101,14 @@ def anns_late_interaction_served(spark: SparkSession, sf_dir: str,
     shortlist and the Q-row query slices; only the neighbor-vector
     fetch joins against the corpus scan."""
     base = _vectors(spark, sf_dir)
-    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    shortlist = topk_cosine(
-        base, queries, k=k * LI_SHORTLIST_FACTOR, strategy="lsh",
-        cand_signed=lsh_build(spark, sf_dir),
-    ).select("query_id", "neighbor_id")
+    if shortlist is None:
+        queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        shortlist = topk_cosine(
+            base, queries, k=k * LI_SHORTLIST_FACTOR, strategy="lsh",
+            cand_signed=lsh_build(spark, sf_dir),
+        ).select("query_id", "neighbor_id")
     qs = _li_subcols(base.filter(F.col("vec_id") < N_QUERIES),
                      "vec_id", "query_id", "q")
     cs = _li_subcols(base, "vec_id", "neighbor_id", "c")
