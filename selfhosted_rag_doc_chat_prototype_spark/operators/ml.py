@@ -278,27 +278,66 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     float64, so the emitted doubles are bit-exact cross-engine with
     no rounding.
 
-    Scale shape: map-only (project + posexplode), scan pruned to three
-    columns, zero shuffles, fully whole-stage-codegen; the output is
-    dim/4 the input width -- the standard pre-step before an
-    all-pairs-ish similarity stage whose cost is linear in dim."""
-    # same single-split spread as _quantized: 16 interpreted folds per
-    # row must not serialize onto one core locally
+    Scale shape: map-only (one Arrow-batched matrix pass + local
+    explode), scan pruned to three columns, zero shuffles; the output
+    is dim/4 the input width -- the standard pre-step before an
+    all-pairs-ish similarity stage whose cost is linear in dim.
+
+    r8: the 16 interpreted ``aggregate(transform(...))`` folds (HOFs
+    never enter whole-stage codegen -- each of the 16 x dim lambda
+    steps was an interpreted expression eval per row, the cost the 10x
+    scale probe surfaced at ratio 7) are replaced by ONE ``mapInPandas``
+    batch kernel that accumulates ``acc += X[:, i] * S[i]`` dimension
+    by dimension: the same left-to-right float64 additions from the
+    same 0.0 seed as the SQL fold and the DuckDB list_reduce, merely
+    vectorized ACROSS rows -- per-element IEEE op order is unchanged,
+    so the emitted doubles stay bit-exact cross-engine with no
+    rounding."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = ("vec_id bigint, label int, out_dim int, y double")
+
+    def project(batches):
+        sign_cache: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d = X.shape[1]
+            if d not in sign_cache:
+                i = np.arange(d, dtype=np.int64)[:, None]
+                j = np.arange(RP_DIMS, dtype=np.int64)[None, :]
+                mixed = (i * _RP_A + (j * _RP_B) % _RP_MOD) % _RP_MOD
+                sign_cache[d] = (
+                    2 * ((mixed // _RP_SHIFT) % 2) - 1
+                ).astype(np.float64)
+            S = sign_cache[d]
+            acc = np.zeros((X.shape[0], RP_DIMS), dtype=np.float64)
+            for ii in range(d):  # left-to-right, bit-exact vs the fold
+                acc += X[:, ii:ii + 1] * S[ii]
+            Y = acc / RP_DIV
+            n = X.shape[0]
+            # Series.repeat + nullable Int dtypes: NULL ids/labels
+            # (the null-sweep fixtures) survive the Arrow round-trip
+            # as NULLs, never NaN-to-int garbage
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].repeat(RP_DIMS)
+                .reset_index(drop=True).astype("Int64"),
+                "label": pdf["label"].repeat(RP_DIMS)
+                .reset_index(drop=True).astype("Int32"),
+                "out_dim": np.tile(
+                    np.arange(RP_DIMS, dtype=np.int32), n),
+                "y": Y.ravel(),
+            })
+
+    # same single-split spread as _quantized: the Arrow batches of an
+    # under-split test-scale scan must not serialize onto one core
     emb = rebalance(table(spark, sf_dir, "embeddings"))
-    ys = [
-        F.expr(
-            f"aggregate(transform(CAST(embedding AS ARRAY<DOUBLE>), "
-            f"(x, i) -> x * {_rp_sign_spark(j)}), "
-            f"CAST(0 AS DOUBLE), (acc, t) -> acc + t) / {RP_DIV}"
-        )
-        for j in range(RP_DIMS)
-    ]
     return (
         emb.filter(F.col("embedding").isNotNull())
-        .select("vec_id", "label", F.posexplode(F.array(*ys))
-                .alias("out_dim", "y"))
-        .select("vec_id", "label", F.col("out_dim").cast("int").alias("out_dim"),
-                "y")
+        .select("vec_id", "embedding", "label")
+        .mapInPandas(project, schema=out_schema)
     )
 
 
