@@ -66,12 +66,25 @@ def doc_grams_stream(docs: DataFrame, text_col: str = "text",
     )
 
 
+# documented size bound of the collect_set decontamination face: the
+# whole benchmark gram set becomes ONE array row collected to the
+# driver and broadcast -- fine for real benchmark suites (10^3-10^5
+# grams, a few MB), wrong past a few million grams (single-row Arrow
+# transfer + per-doc array_intersect against a giant literal). Past
+# the bound the plan falls back to a stream-static LEFT ANTI join
+# (below); past executor broadcast memory entirely, decontaminate in a
+# foreachBatch sink with the batch shuffle-join path
+# (operators/pretrain.decontaminate_benchmark_overlap).
+BENCH_GRAMS_BROADCAST_MAX = 1_000_000
+
+
 def streaming_curation_plan(
     stream_docs: DataFrame,
     bench_grams: DataFrame,
     ts_col: str = "ingest_ts",
     watermark: str = "10 minutes",
     clean_intradoc: bool = False,
+    bench_gram_count: int | None = None,
 ) -> DataFrame:
     """quality gate -> watermark-bounded exact dedup -> contaminated
     docs flagged via a stream-static broadcast semi-join on grams,
@@ -79,9 +92,23 @@ def streaming_curation_plan(
     (doc_id, tok, content_md5, ``ts_col``) rows in append mode.
 
     ``bench_grams`` must be a STATIC (batch) DataFrame with a ``gram``
-    column; it is collected into a broadcast set ONCE per (micro-batch)
-    plan, matching the batch decontamination's broadcast semi-join
-    shape without adding a second stateful operator to the stream.
+    column. Two join-shape tiers, guarded by
+    ``BENCH_GRAMS_BROADCAST_MAX`` (r8):
+
+    - at benchmark-suite size (the normal case) the distinct grams are
+      collected into ONE broadcast array row and each doc runs a
+      stateless ``array_intersect`` check -- no stream state, no
+      per-gram explode;
+    - past the bound, collecting one giant array row is the wrong
+      plan: the grams stay a TABLE and the clean side is a
+      stream-static LEFT ANTI join on ``array_contains(doc grams,
+      bench.gram)`` -- same zero-state append semantics, bounded by
+      executor broadcast memory instead of a single driver row.
+
+    ``bench_gram_count`` overrides the distinct-count probe of the
+    static side (pass it when the caller already knows the suite
+    size; the probe is a plan-shape decision on the STATIC side only,
+    the stream is never counted).
 
     ``clean_intradoc`` prepends the stateless within-document
     repetition cleaner, so re-deliveries that grew repetition still
@@ -94,6 +121,17 @@ def streaming_curation_plan(
         .dropDuplicatesWithinWatermark(["content_md5"])
     )
     grams = gram_array("text", DECON_K)
+    if bench_gram_count is None:
+        bench_gram_count = bench_grams.select("gram").distinct().count()
+    if bench_gram_count > BENCH_GRAMS_BROADCAST_MAX:
+        bg = bench_grams.select("gram").distinct()
+        return (
+            deduped.withColumn("_grams", F.array_distinct(grams))
+            .join(F.broadcast(bg),
+                  F.array_contains(F.col("_grams"), F.col("gram")),
+                  "left_anti")
+            .select("doc_id", "tok", "content_md5", ts_col)
+        )
     bench_set = F.broadcast(
         bench_grams.select("gram").distinct()
         .agg(F.collect_set("gram").alias("bench_grams"))

@@ -133,3 +133,50 @@ def test_stream_curation_with_intradoc_clean(spark, sf_dir, doc_stream_dir,
         r.m for r in batch_docs.select(F.md5("text").alias("m")).collect()
     }
     assert got_hashes <= cleaned_md5  # hashes are of CLEANED text
+
+
+def test_stream_curation_anti_join_fallback(spark, sf_dir, doc_stream_dir,
+                                            tmp_path):
+    """r8 size guard: forcing ``bench_gram_count`` past
+    BENCH_GRAMS_BROADCAST_MAX switches decontamination from the
+    collect_set broadcast row to the stream-static LEFT ANTI join --
+    same surviving content set, and the executed streaming plan
+    carries a join instead of the single-row cross join."""
+    bench = _bench_grams(spark, sf_dir)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ingest_ts timestamp"
+    ).parquet(doc_stream_dir)
+
+    plan = curation.streaming_curation_plan(
+        stream, bench,
+        bench_gram_count=curation.BENCH_GRAMS_BROADCAST_MAX + 1,
+    )
+    out = str(tmp_path / "curated_anti")
+    q = (
+        plan.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_anti"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got_anti = {r.content_md5 for r in spark.read.parquet(out).collect()}
+
+    # broadcast-set face over the same input (the default tier)
+    out2 = str(tmp_path / "curated_bset")
+    q2 = (
+        curation.streaming_curation_plan(stream, bench)
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", str(tmp_path / "ckpt_bset"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    got_bset = {r.content_md5 for r in spark.read.parquet(out2).collect()}
+
+    assert got_anti == got_bset and got_anti
+    # shape really switched: anti-join tier has no collect_set aggregate
+    anti_plan = plan._jdf.queryExecution().analyzed().toString()
+    assert "collect_set" not in anti_plan
+    assert "LeftAnti" in anti_plan or "left_anti" in anti_plan
