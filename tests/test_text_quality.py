@@ -325,3 +325,48 @@ def test_let_binding_preserves_semantics(spark):
         df.select(bound.alias("b"), plain.alias("p"))
         .filter(F.col("b") != F.col("p")).count() == 0
     )
+
+
+def test_fix_mojibake_ftfy_corpus_tail(spark):
+    """r8 goldens for the ftfy long tail the reference corpus hits
+    (VERDICT r7 "What's missing" 4): curly-quote tails through
+    sloppy-windows-1252 (cp1252 with the five undefined bytes passing
+    through as C1 controls -- the decode real pipelines perform, so
+    U+201D arrives as 'â€\\x9d'), uppercase accents, cp1252-only
+    Latin extras (oe-ligature, carons, Y-diaeresis), Nordic letters,
+    guillemets/per-mille, and second-generation forms of each. Clean
+    accented text must pass through untouched."""
+    cases = [
+        # curly quotes incl. the sloppy-cp1252 right-double-quote tail
+        ("The Mona Lisa doesnâ€™t have eyebrows.",
+         "The Mona Lisa doesn’t have eyebrows."),
+        ("â€œMixedâ€\x9d quotes "
+         "â€” em dashâ€¦",
+         "“Mixed” quotes — em dash…"),
+        # gen-2 double-encoded pair, right side through the sloppy tail
+        ("Ã¢â‚¬Å“double"
+         "Ã¢â‚¬Â\x9d",
+         "“double”"),
+        # lowercase + uppercase accents
+        ("naÃ¯ve rÃ©sumÃ© "
+         "faÃ§ade", "naïve résumé façade"),
+        ("SEÃ‘OR Ã‰TÃ‰ Ã€ "
+         "PÃ‚QUES", "SEÑOR ÉTÉ À PÂQUES"),
+        # cp1252-only Latin extras + Nordic
+        ("Å“uvre Å’uvre", "œuvre Œuvre"),
+        ("Å koda Å¾elezo Å¡koda",
+         "Škoda železo škoda"),
+        ("smÃ¶rgÃ¥sbord Ã¦ Ã¸",
+         "smörgåsbord æ ø"),
+        # guillemets, per-mille, single angle quotes
+        ("Â«guillemetsÂ» â€° "
+         "â€¹xâ€º",
+         "«guillemets» ‰ ‹x›"),
+        # already-clean text is untouched (idempotence on the target)
+        ("clean café naïve œuvre",
+         "clean café naïve œuvre"),
+    ]
+    df = spark.createDataFrame(cases, "moji string, want string")
+    for r in df.select(tq.fix_mojibake(F.col("moji")).alias("got"),
+                       "want", "moji").collect():
+        assert r.got == r.want, repr(r.moji)
