@@ -209,6 +209,32 @@ HEADLINE = [
     "ship_lag_by_supplier",
 ]
 
+# PINNED CORE (r8, VERDICT item 7): a frozen 30-query subset that NEVER
+# rotates, so suite walls are comparable round over round even as the
+# full HEADLINE grows/swaps. Spans every family: TPC-H star joins,
+# event aggs/windows, text quality, chunkers, dedup (exact-shape,
+# MinHash, semantic, substring), ANN (brute/LSH/recall/hybrid/BM25),
+# RAG, ingest e2e, curation filters, tokenizer, multimodal, clustering.
+# Append-only evolution happens in HEADLINE; this list is immutable --
+# changing it breaks the round-over-round `headline_core_wall_seconds`
+# comparison, so don't.
+HEADLINE_CORE = [
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q9_profit_by_nation_year", "q18_large_volume_customers",
+    "a1_events_per_day", "window_running_total", "rollup_events",
+    "pivot_events_daily", "text_quality_flags", "chunk_sliding_window",
+    "dedup_minhash_lsh", "dedup_embedding_cosine",
+    "dedup_substring_spans", "anns_bruteforce_topk",
+    "anns_lsh_bucketed", "anns_recall_report", "hybrid_fusion_topk",
+    "sparse_bm25_topk", "embed_documents", "rag_retrieve_citations",
+    "ingest_pipeline_e2e", "gopher_quality_filters",
+    "lm_perplexity_score", "decontaminate_benchmark_overlap",
+    "bpe_pair_counts", "chunk_token_budget_bpe",
+    "multimodal_image_stats", "embed_kmeans", "tfidf_top_terms",
+    "text_nfc_normalize",
+]
+assert len(HEADLINE_CORE) == 30 and set(HEADLINE_CORE) <= set(HEADLINE)
+
 # BENCH COVERAGE RULE (enforced below, documented in docs/BENCHING.md):
 # every registered query is either in HEADLINE (benched per-round) or
 # named here with the exclusion category that justifies skipping it.
@@ -587,6 +613,11 @@ def main() -> None:
         spread[name] = round(max(runs) / max(min(runs), 1e-9), 2)
     total = round(sum(timings.values()), 3)
     wall = round(time.time() - t_all, 3)
+    # comparable-across-rounds wall: the frozen 30-query core only
+    # (full-suite `value` keeps moving as HEADLINE grows)
+    core = round(
+        sum(timings[n] for n in HEADLINE_CORE if n in timings), 3
+    )
 
     # derived throughput vs BASELINE.md anchors (reference: 10-15
     # docs/min ingest; ~400 ms/query retrieval p50)
@@ -611,6 +642,7 @@ def main() -> None:
         "metric": "headline_suite_wall_seconds",
         "value": total,
         "unit": "sec",
+        "headline_core_wall_seconds": core,
         "queries": timings,
         "run_spread_max_over_min": spread,
         "derived": derived,
