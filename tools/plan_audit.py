@@ -1268,6 +1268,32 @@ def main() -> None:
         "changes). Counts come from the AQE initial physical plan at "
         f"`{sf_dir}`; broadcasts counted within exchanges.",
         "",
+        "## Bench re-time verdicts (r8, VERDICT item 6)",
+        "",
+        "The four r6->r7 in-suite slowdowns were re-timed in isolation "
+        "(fresh JVM per query, `SPARK_GRAFT_BENCH_ONLY`, best-of-3, "
+        "sf0.1). Isolate minima LANDED ABOVE the r7 in-suite times "
+        "(warm-JVM/JIT + warm matviews favor the suite), so the r6->r7 "
+        "deltas sit inside cross-condition variance — spread, not plan "
+        "regressions:",
+        "",
+        "- `dsir_importance_weights` r6 1.16 / r7 1.59 / isolate 1.38 "
+        "(in-run spread 1.35x) — spread; plan unchanged.",
+        "- `embed_kmeans` r6 1.44 / r7 1.71 / isolate 1.99 — spread; "
+        "centroid matview warm in-suite, plan unchanged.",
+        "- `dedup_embedding_cosine` r6 1.02 / r7 1.20 / isolate 1.44 — "
+        "spread; plan unchanged.",
+        "- `hybrid_fusion_topk` r6 1.01 / r7 1.17 / isolate 1.70 — "
+        "spread; plan unchanged.",
+        "- `embed_random_projection` scale-ratio 7.05 was REAL "
+        "(interpreted HOF folds); fixed r8 with the Arrow batch kernel "
+        "— re-measured ratio 1.02 (1x 0.59s / 10x 0.60s).",
+        "- `anns_recall_report` 6.01s was REAL (three O(N*Q) exact legs "
+        "replanned per run); r8 persists them as gold matviews + shares "
+        "the LSH probe — isolate 5.0s at sf0.1, remaining wall is the "
+        "8 serve legs' stage-scheduling floor at toy scale (each leg "
+        "0.9-2.7s solo; they overlap to ~5s).",
+        "",
     ]
     # GLOBAL-WINDOW GUARD (round 8): no unpartitioned WindowExec over
     # unbounded rows in any registered plan -- the single-reducer-sort
