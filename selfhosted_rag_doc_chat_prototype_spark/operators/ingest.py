@@ -135,14 +135,19 @@ def assemble_markdown(tagged: DataFrame) -> DataFrame:
         F.min("page").alias("first_page"),
     )
 
-def extract_documents(files: DataFrame) -> DataFrame:
+def extract_documents(files: DataFrame, ocr=None, transcribe=None) -> DataFrame:
     """Per-format extraction fan-out: one (path, file_type, page, text,
     doc_id) row per page/segment. Text/HTML are decoded inline; PDF and
-    media route through the pluggable OCR/transcription stubs. The
+    media route through the pluggable OCR/transcription backends --
+    ``(raw_bytes, path) -> list[(page_or_segment, text)]`` callables
+    defaulting to the deterministic stubs; the real Docling/WhisperX
+    loaders in :mod:`ingest_plugins` drop in with no plan change. The
     document id is the reference-parity mmh3 of the ORIGINAL file bytes
     (``get_document_id(file_bytes)``, text_processor.py:175-178) --
     computed here, where the bytes still exist, and carried through the
     rest of the DAG."""
+    ocr = ocr or stub_ocr
+    transcribe = transcribe or stub_transcribe
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -156,12 +161,12 @@ def extract_documents(files: DataFrame) -> DataFrame:
                     rows.append((path, ftype, 1, html_to_text(decode_text(raw)), doc_id))
                 elif ftype == "pdf":
                     rows.extend(
-                        (path, ftype, pg, tx, doc_id) for pg, tx in stub_ocr(raw, path)
+                        (path, ftype, pg, tx, doc_id) for pg, tx in ocr(raw, path)
                     )
                 elif ftype in ("audio", "video"):
                     rows.extend(
                         (path, ftype, seg, tx, doc_id)
-                        for seg, tx in stub_transcribe(raw, path)
+                        for seg, tx in transcribe(raw, path)
                     )
                 # unknown types are dropped (reference: no handler -> failed)
             yield pd.DataFrame(
