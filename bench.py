@@ -205,6 +205,8 @@ HEADLINE = [
     "hopping_window_counts",
     # round 7: first-occurrence shingle novelty over the corpus
     "doc_novelty_score",
+    # round 8: Gonzalez greedy k-center coreset selection + assignment
+    "coreset_kcenter_select",
     # round 7: fact-fact supplier fulfillment-lag scorecard
     "ship_lag_by_supplier",
 ]

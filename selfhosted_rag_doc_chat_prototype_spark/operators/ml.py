@@ -838,7 +838,145 @@ def _drift_oracle_sql() -> str:
     """
 
 
+KC_K = 8  # coreset size (selected representatives)
+
+
+def coreset_kcenter_select(spark: SparkSession, sf_dir: str,
+                           k: int = KC_K) -> DataFrame:
+    """Greedy k-CENTER coreset selection (Gonzalez 1985; the
+    max-min-diversity selection used by DeepCore/coreset data-pruning
+    pipelines): seed with the lowest vec_id, then ``k - 1`` times pick
+    the vector FARTHEST from every center chosen so far -- the set
+    that 2-approximates the optimal covering radius, i.e. the most
+    diverse k representatives of the embedding corpus. Emits the full
+    ASSIGNMENT (every vector mapped to its nearest selected center
+    with exact integer squared distance) -- the per-doc representative
+    map a diversity-sampling / dedup-budget stage consumes; the
+    selection itself is recoverable as the ``dist_u = 0`` self-rows.
+
+    All arithmetic is exact: coordinates quantize once to integer
+    micro-units (the shared k-means quantizer) and every distance is
+    an int64 sum of squares, so selection argmaxes, assignment
+    argmins, and tie-breaks (max dist then lowest vec_id; nearest
+    center keeps the LOWEST selection rank on equal distance) are
+    bit-identical to the unrolled-CTE DuckDB oracle.
+
+    Scale shape: the canonical bounded-driver-state iteration (the
+    k-means precedent) -- the corpus persists once, each of the k - 1
+    selection steps is ONE map-only assignment pass against broadcast
+    centers (k x dim integers of driver state, k bounded small) plus a
+    TakeOrdered(1); the final assignment is map-only. k passes total,
+    the known Gonzalez cost; the corpus is never shuffled."""
+    if k < 1:
+        raise ValueError(f"coreset_kcenter_select requires k >= 1, got {k}")
+    q = _quantized(spark, sf_dir)
+    q.persist()
+    try:
+        seed = q.orderBy("vec_id").limit(1).collect()
+        if not seed:
+            return q.select(
+                "vec_id",
+                F.lit(0).cast("int").alias("center_rank"),
+                F.lit(0).cast("long").alias("center_vec_id"),
+                F.lit(0).cast("long").alias("dist_u"),
+            ).limit(0)
+        center_ids = [seed[0].vec_id]
+        centers = [list(seed[0].q)]
+        for _ in range(1, k):
+            far = (
+                _assign(q, centers)
+                .filter(~F.col("vec_id").isin(center_ids))
+                .orderBy(F.desc("dist_u"), F.asc("vec_id"))
+                .limit(1)
+                .collect()
+            )
+            if not far:  # corpus smaller than k
+                break
+            center_ids.append(far[0].vec_id)
+            centers.append(list(far[0].q))
+        assigned = _assign(q, centers)
+    finally:
+        q.unpersist()
+    id_arr = F.array(*[F.lit(int(i)) for i in center_ids])
+    return assigned.select(
+        "vec_id",
+        F.col("cluster").alias("center_rank"),
+        F.element_at(id_arr, F.col("cluster") + 1).cast("long")
+        .alias("center_vec_id"),
+        "dist_u",
+    )
+
+
+def _kcenter_oracle_sql(k: int = KC_K, scale: int = KM_SCALE) -> str:
+    """Unrolled Gonzalez CTE chain (the k-means oracle pattern):
+    c1 = lowest vec_id; d_t = running (min dist, nearest rank) over
+    centers 1..t with strict-less updates (ties keep the earlier,
+    lower-rank center -- numpy argmin first-occurrence); c_{t+1} =
+    the d_t argmax by (dist DESC, vec_id ASC) excluding prior
+    centers. A center CTE that comes up empty (corpus < k) yields
+    NULL distances and leaves d_t unchanged, matching the Spark
+    early-break."""
+
+    def dist(vcol: str, ccol: str) -> str:
+        # lambdas may reference correlated columns but not subqueries
+        # (DuckDB restriction), so each center arrives as a LEFT JOIN
+        # ON TRUE column: an empty center CTE (corpus < k) yields NULL
+        # distances that leave the running state unchanged
+        return (
+            f"list_aggregate(list_transform(range(1, len({vcol}) + 1), "
+            f"i -> ({vcol}[i] - {ccol}[i]) * ({vcol}[i] - {ccol}[i])), "
+            f"'sum')"
+        )
+
+    parts = [f"""
+        q AS (
+            SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * {scale}.0 + 0.5) AS BIGINT)) AS q
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        c1 AS MATERIALIZED (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT 1),
+        d1 AS MATERIALIZED (
+            SELECT q.vec_id, q.q,
+                   {dist('q.q', 'c.q')} AS md, 1 AS nearest
+            FROM q LEFT JOIN c1 c ON TRUE
+        )"""]
+    for t in range(2, k + 1):
+        prior = " UNION ALL ".join(
+            f"SELECT vec_id FROM c{j}" for j in range(1, t)
+        )
+        parts.append(f"""
+        c{t} AS MATERIALIZED (
+            SELECT vec_id, q FROM d{t - 1}
+            WHERE vec_id NOT IN ({prior})
+            ORDER BY md DESC, vec_id LIMIT 1
+        ),
+        d{t} AS MATERIALIZED (
+            SELECT vec_id, q,
+                   CASE WHEN nd < md THEN nd ELSE md END AS md,
+                   CASE WHEN nd < md THEN {t} ELSE nearest END AS nearest
+            FROM (
+                SELECT d.vec_id, d.q, d.md, d.nearest,
+                       {dist('d.q', 'c.q')} AS nd
+                FROM d{t - 1} d LEFT JOIN c{t} c ON TRUE
+            )
+        )""")
+    ranks = " UNION ALL ".join(
+        f"SELECT {j - 1} AS r, vec_id AS cid FROM c{j}"
+        for j in range(1, k + 1)
+    )
+    return f"""
+        WITH {','.join(parts)},
+        centers AS ({ranks})
+        SELECT d{k}.vec_id,
+               CAST(nearest - 1 AS INTEGER) AS center_rank,
+               CAST(centers.cid AS BIGINT) AS center_vec_id,
+               CAST(md AS BIGINT) AS dist_u
+        FROM d{k} JOIN centers ON centers.r = nearest - 1
+    """
+
+
 QUERIES = {
+    "coreset_kcenter_select": coreset_kcenter_select,
     "embedding_drift_report": embedding_drift_report,
     "embedding_standardize": embedding_standardize,
     "embed_kmeans": embed_kmeans,
@@ -849,6 +987,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "coreset_kcenter_select": _kcenter_oracle_sql(),
     "embedding_drift_report": _drift_oracle_sql(),
     "pca_top_component": _pca_oracle_sql(),
     "embedding_isotropy_report": _isotropy_oracle_sql(),

@@ -371,6 +371,14 @@ AUDIT = [
         "pruned (doc_id, text) scan -- map-only, zero shuffle.",
     ),
     (
+        "coreset_kcenter_select",
+        "Gonzalez greedy k-center: k bounded selection passes, each a "
+        "map-only Arrow assignment against broadcast centers (k x dim "
+        "integers of driver state) + TakeOrdered(1); the final "
+        "assignment is map-only off the persisted quantized corpus -- "
+        "never shuffled, no global window.",
+    ),
+    (
         "embed_kmeans",
         "Broadcast-centroids Lloyd: per-iteration map-side assignment "
         "against K literal centroids + one (cluster, dim) partial-"
