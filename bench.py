@@ -207,6 +207,10 @@ HEADLINE = [
     "doc_novelty_score",
     # round 8: Gonzalez greedy k-center coreset selection + assignment
     "coreset_kcenter_select",
+    # round 8: group-aware temporal split + leakage audit
+    "temporal_leakage_split",
+    # round 8: water-filling per-source token budget allocation
+    "token_budget_waterfill",
     # round 7: fact-fact supplier fulfillment-lag scorecard
     "ship_lag_by_supplier",
 ]

@@ -549,7 +549,239 @@ def _es_oracle_sql() -> str:
     """
 
 
+TL_PCT = 80  # train share of events at the temporal cutoff
+
+
+def temporal_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE temporal train/valid split with a leakage audit --
+    the split an evaluation-honest pipeline needs: a naive event-level
+    time cut puts a user's early events in train and late events in
+    valid, so the model sees the *entity's* history at eval time
+    (temporal leakage). The cutoff day is the first calendar day at
+    which the running event count reaches ``TL_PCT``% of the corpus
+    (exact integer compare, day grain); each user then gets ONE label:
+
+    - ``train``  -- every event on or before the cutoff day;
+    - ``valid``  -- every event after it;
+    - ``span``   -- events on both sides. ``n_valid_side`` on these
+      rows counts exactly the events a naive split would leak into
+      valid while the same user contributes training history.
+
+    NULL user_id / ts rows cannot be grouped or placed and are
+    excluded identically on both engines.
+
+    Scale shape: one day-grain partial-aggregated shuffle for the
+    cutoff (running sum over OBSERVED DAYS -- a bounded calendar
+    vocabulary, the justified-global-window family), broadcast of the
+    one-row cutoff, then ONE user-grain partial-aggregated shuffle
+    for the per-user side counts. No fact-scale window, no second
+    scan."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select("user_id", _sel_day("ts").alias("day"))
+    daily = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    wd = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    totals = daily.agg(F.sum("n").alias("total"))
+    cutoff = (
+        daily.withColumn("run", F.sum("n").over(wd))
+        .crossJoin(F.broadcast(totals))
+        .filter(F.col("run") * 100 >= F.col("total") * TL_PCT)
+        .agg(F.min("day").alias("cutoff_day"))
+    )
+    sides = (
+        ev.crossJoin(F.broadcast(cutoff))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("day") <= F.col("cutoff_day"), 1)
+                  .otherwise(0)).alias("n_train_side"),
+            F.sum(F.when(F.col("day") > F.col("cutoff_day"), 1)
+                  .otherwise(0)).alias("n_valid_side"),
+        )
+    )
+    return sides.select(
+        "user_id", "n_train_side", "n_valid_side",
+        F.when(F.col("n_valid_side") == 0, F.lit("train"))
+        .when(F.col("n_train_side") == 0, F.lit("valid"))
+        .otherwise(F.lit("span")).alias("group_split"),
+    )
+
+
+def _sel_day(col):
+    return F.date_format(col, "yyyy-MM-dd")
+
+
+def _tl_oracle_sql() -> str:
+    return f"""
+        WITH ev AS (
+            SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        daily AS (SELECT day, count(*) AS n FROM ev GROUP BY day),
+        cut AS (
+            SELECT min(day) AS cutoff_day FROM (
+                SELECT day,
+                       sum(n) OVER (ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS run,
+                       sum(n) OVER () AS total
+                FROM daily)
+            WHERE run * 100 >= total * {TL_PCT}
+        ),
+        sides AS (
+            SELECT user_id,
+                   CAST(sum(CASE WHEN day <= c.cutoff_day THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_train_side,
+                   CAST(sum(CASE WHEN day > c.cutoff_day THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_valid_side
+            FROM ev CROSS JOIN cut c GROUP BY user_id
+        )
+        SELECT user_id, n_train_side, n_valid_side,
+               CASE WHEN n_valid_side = 0 THEN 'train'
+                    WHEN n_train_side = 0 THEN 'valid'
+                    ELSE 'span' END AS group_split
+        FROM sides
+    """
+
+
+WF_PCT = 60  # the water-filling token budget as a share of the corpus
+
+
+def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATER-FILLING per-source token allocation: given each source's
+    token count and a global budget (``WF_PCT``% of corpus tokens),
+    find the level ``t`` such that granting every source
+    ``min(n_tokens, t)`` exactly spends the budget -- the max-min fair
+    mixture a pretraining run uses to stop head domains from eating
+    the budget while fully keeping tail domains (the closed-form dual
+    of per-source caps). Exact integer construction: sources sorted by
+    size ascending; the level sits after the largest prefix that fits
+    entirely (``cum_k + (m - k) * n_{k+1} > B``); capped sources get
+    ``t = (B - cum_k) div (m - k)`` and the division remainder goes to
+    the first ``r`` capped sources in (size, source) order
+    (largest-remainder determinism, the stratified-split precedent).
+    Allocations sum to EXACTLY the budget whenever the budget is below
+    the corpus total.
+
+    Scale shape: one source-grain partial-aggregated shuffle, then all
+    windows run over SOURCE-cardinality rows (the bounded domain
+    vocabulary, justified-global-window family); token counting is the
+    shared map-side word counter."""
+    docs = table(spark, sf_dir, "documents")
+    sizes = docs.groupBy("source").agg(
+        F.sum(tq.n_tokens(F.col("text")).cast("long")).alias("n_tokens")
+    )
+    ws = Window.orderBy(F.asc("n_tokens"), F.asc_nulls_first("source"))
+    run = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totals = sizes.agg(
+        F.sum("n_tokens").alias("total"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    ranked = (
+        sizes.crossJoin(F.broadcast(totals))
+        .select(
+            "source", "n_tokens",
+            F.expr(f"total * {WF_PCT} div 100").cast("long")
+            .alias("budget"),
+            F.row_number().over(ws).alias("rk"),
+            F.sum("n_tokens").over(run).alias("cum"),
+            "m",
+        )
+    )
+    # the level index k = number of sources that fit whole: largest rk
+    # whose own cumulative fits alongside levelling every later source
+    # at its own size
+    fits = ranked.withColumn(
+        "fits_whole",
+        (F.col("cum") + (F.col("m") - F.col("rk"))
+         * F.col("n_tokens")) <= F.col("budget"),
+    )
+    krow = fits.filter("fits_whole").agg(
+        F.max("rk").alias("k"), F.max("cum").alias("cum_k"))
+    alloc = (
+        fits.crossJoin(F.broadcast(krow))
+        .select(
+            "source", "n_tokens", "budget",
+            F.coalesce("k", F.lit(0)).alias("k"),
+            F.coalesce("cum_k", F.lit(0)).alias("cum_k"),
+            "rk", "m",
+        )
+        .withColumn(
+            "level",
+            F.expr("CASE WHEN m > k THEN (budget - cum_k) div (m - k) "
+                   "ELSE NULL END").cast("long"),
+        )
+        .withColumn(
+            "rem",
+            F.expr("CASE WHEN m > k THEN (budget - cum_k) % (m - k) "
+                   "ELSE 0 END").cast("long"),
+        )
+        .select(
+            "source", "n_tokens",
+            F.when(F.col("rk") <= F.col("k"), F.col("n_tokens"))
+            .otherwise(
+                F.least(
+                    "n_tokens",
+                    F.col("level")
+                    + F.when(F.col("rk") - F.col("k") <= F.col("rem"), 1)
+                    .otherwise(0),
+                )
+            ).cast("long").alias("allocation"),
+        )
+    )
+    return alloc.select(
+        "source", "n_tokens", "allocation",
+        (F.col("allocation") < F.col("n_tokens")).alias("capped"),
+    )
+
+
+def _wf_oracle_sql() -> str:
+    return f"""
+        WITH sizes AS (
+            SELECT source, CAST(sum(len({_W_SQL})) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(sum(n_tokens) * {WF_PCT} // 100 AS BIGINT)
+                       AS budget,
+                   count(*) AS m
+            FROM sizes
+        ),
+        ranked AS (
+            SELECT source, n_tokens, t.budget, t.m,
+                   row_number() OVER (ORDER BY n_tokens,
+                       source NULLS FIRST) AS rk,
+                   sum(n_tokens) OVER (ORDER BY n_tokens,
+                       source NULLS FIRST ROWS UNBOUNDED PRECEDING) AS cum
+            FROM sizes CROSS JOIN tot t
+        ),
+        kr AS (
+            SELECT coalesce(max(rk), 0) AS k,
+                   coalesce(max(cum), 0) AS cum_k
+            FROM ranked
+            WHERE cum + (m - rk) * n_tokens <= budget
+        )
+        SELECT source, n_tokens,
+               CAST(CASE WHEN rk <= kr.k THEN n_tokens
+                    ELSE least(n_tokens,
+                        (budget - kr.cum_k) // (m - kr.k)
+                        + CASE WHEN rk - kr.k <=
+                              (budget - kr.cum_k) % (m - kr.k)
+                          THEN 1 ELSE 0 END)
+               END AS BIGINT) AS allocation,
+               CASE WHEN rk <= kr.k THEN FALSE
+                    ELSE least(n_tokens,
+                        (budget - kr.cum_k) // (m - kr.k)
+                        + CASE WHEN rk - kr.k <=
+                              (budget - kr.cum_k) % (m - kr.k)
+                          THEN 1 ELSE 0 END) < n_tokens
+               END AS capped
+        FROM ranked CROSS JOIN kr
+    """
+
+
 QUERIES = {
+    "temporal_leakage_split": temporal_leakage_split,
+    "token_budget_waterfill": token_budget_waterfill,
     "quality_classifier_hashed": quality_classifier_hashed,
     "token_budget_sample": token_budget_sample,
     "dsir_importance_weights": dsir_importance_weights,
@@ -558,6 +790,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "temporal_leakage_split": _tl_oracle_sql(),
+    "token_budget_waterfill": _wf_oracle_sql(),
     "quality_classifier_hashed": _qc_oracle_sql(),
     "token_budget_sample": _budget_oracle_sql(),
     "dsir_importance_weights": _dsir_oracle_sql(),

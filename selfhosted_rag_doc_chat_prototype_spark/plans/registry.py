@@ -115,6 +115,10 @@ BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
         "rank label over the ES_K=64 survivors of a sort-LIMIT",
     "stratified_holdout_split":
         "largest-remainder quota rank over source grain (|sources| rows)",
+    "temporal_leakage_split":
+        "cutoff running-sum over day grain (observed days)",
+    "token_budget_waterfill":
+        "water-filling rank/cumsum over source grain (domain vocabulary)",
 }
 
 

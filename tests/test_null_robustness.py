@@ -76,6 +76,7 @@ NULL_SWEEP = [
     "dsir_importance_weights",
     "pmi_collocations",
     "stratified_holdout_split",
+    "token_budget_waterfill",
     "weighted_sample_es",
     "compaction_plan",
     "zipf_fit_report",
@@ -213,6 +214,7 @@ EVENTS_NULL_SWEEP = [
     "retention_cohorts", "k_anonymity_report",
     "markov_transition_stationary", "ab_test_conversion",
     "session_trigram_mining", "hll_set_operations",
+    "temporal_leakage_split",
     "seasonal_decompose_daily", "interarrival_histogram",
     "ohlc_daily_by_type", "twap_by_user", "event_debounce",
     "skew_report_events", "skewed_distinct_salted",

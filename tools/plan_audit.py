@@ -379,6 +379,21 @@ AUDIT = [
         "never shuffled, no global window.",
     ),
     (
+        "temporal_leakage_split",
+        "Leakage-audited temporal split: one day-grain partial-"
+        "aggregated shuffle for the cutoff (bounded calendar window), "
+        "one-row cutoff broadcast back, one user-grain partial-"
+        "aggregated shuffle for the side counts -- no fact-scale "
+        "window, single scan per grain.",
+    ),
+    (
+        "token_budget_waterfill",
+        "Water-filling allocation: one source-grain partial-aggregated "
+        "shuffle; every window runs over source-cardinality rows (the "
+        "bounded domain vocabulary); level + remainder are exact "
+        "integer closed form, no iteration.",
+    ),
+    (
         "embed_kmeans",
         "Broadcast-centroids Lloyd: per-iteration map-side assignment "
         "against K literal centroids + one (cluster, dim) partial-"
