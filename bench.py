@@ -211,6 +211,8 @@ HEADLINE = [
     "temporal_leakage_split",
     # round 8: water-filling per-source token budget allocation
     "token_budget_waterfill",
+    # round 8: exact pair-counting purity/ARI of clusters vs labels
+    "cluster_label_agreement",
     # round 7: fact-fact supplier fulfillment-lag scorecard
     "ship_lag_by_supplier",
 ]

@@ -975,7 +975,146 @@ def _kcenter_oracle_sql(k: int = KC_K, scale: int = KM_SCALE) -> str:
     """
 
 
+AGREE_SCALE = 1_000_000  # purity/ARI emitted in 1e-6 units
+
+
+def cluster_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTERING-vs-LABELS agreement scorecard: purity and the
+    ADJUSTED RAND INDEX between the k-means partition and the stored
+    ``label`` column -- the external-validity number an embedding
+    pipeline watches when deciding whether unsupervised structure
+    tracks the supervised signal (and the chance-corrected one: ARI is
+    0 in expectation for random partitions, unlike purity which
+    inflates with cluster count). NULL-label vectors cluster normally
+    but are excluded from the contingency on both engines.
+
+    All arithmetic is exact pair-counting combinatorics: with
+    contingency counts ``a_ij``, row/col sums ``r_i``/``c_j`` and
+    ``C(x,2) = x*(x-1) div 2``,
+
+        ARI = 2*(I*N2 - R*C) / ((R+C)*N2 - 2*R*C),
+
+    where I, R, C, N2 are the pair-count sums -- a pure integer
+    rational, emitted once-divided in 1e-6 units. The products run in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): headroom ~1.5e8 labeled
+    vectors before 38 digits overflow (the documented swap past that
+    is sampling the contingency, which leaves a_ij exact at any n).
+    A zero denominator (both partitions trivial) emits ARI = 1, the
+    convention for exact agreement; an empty labeled set emits zeros.
+
+    Scale shape: the assignment is the k-means operator's output
+    (localCheckpoint: three small aggregates consume it); everything
+    after the one (cluster, label) contingency shuffle runs on
+    K x L rows."""
+    assign = (
+        embed_kmeans(spark, sf_dir).select("vec_id", "cluster")
+        .localCheckpoint()
+    )
+    lab = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    ).select("vec_id", "label")
+    cont = (
+        assign.join(lab, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("a"))
+    )
+    cells = cont.agg(
+        F.sum("a").cast("long").alias("n"),
+        F.sum(F.expr("a * (a - 1) div 2")).cast("long").alias("i2"),
+    )
+    rows_ = (
+        cont.groupBy("cluster")
+        .agg(F.sum("a").alias("r"), F.max("a").alias("mx"))
+        .agg(
+            F.sum(F.expr("r * (r - 1) div 2")).cast("long").alias("rr"),
+            F.sum("mx").cast("long").alias("pur"),
+            F.count(F.lit(1)).cast("int").alias("n_clusters"),
+        )
+    )
+    cols_ = (
+        cont.groupBy("label").agg(F.sum("a").alias("c"))
+        .agg(
+            F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("cc"),
+            F.count(F.lit(1)).cast("int").alias("n_labels"),
+        )
+    )
+    d = "CAST({} AS DECIMAL(38,0))"
+    n2 = "(CAST(n AS DECIMAL(38,0)) * (n - 1) div 2)"
+    num = f"2 * ({d.format('i2')} * {n2} - {d.format('rr')} * cc)"
+    den = f"({d.format('rr')} + cc) * {n2} - 2 * {d.format('rr')} * cc"
+    return (
+        cells.crossJoin(F.broadcast(rows_)).crossJoin(F.broadcast(cols_))
+        .select(
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("n_clusters", F.lit(0)).alias("n_clusters"),
+            F.coalesce("n_labels", F.lit(0)).alias("n_labels"),
+            F.expr(
+                f"CASE WHEN n IS NULL OR n = 0 THEN 0 "
+                f"ELSE pur * {AGREE_SCALE} div n END"
+            ).cast("long").alias("purity_u"),
+            F.expr(
+                f"CASE WHEN n IS NULL OR n < 2 THEN 0 "
+                f"WHEN {den} = 0 THEN {AGREE_SCALE} "
+                f"ELSE ({num}) * {AGREE_SCALE} div ({den}) END"
+            ).cast("long").alias("ari_u"),
+        )
+    )
+
+
+def _agree_oracle_sql() -> str:
+    n2 = "(CAST(n AS HUGEINT) * (n - 1) // 2)"
+    num = f"2 * (CAST(i2 AS HUGEINT) * {n2} - CAST(rr AS HUGEINT) * cc)"
+    den = (f"(CAST(rr AS HUGEINT) + cc) * {n2} "
+           f"- 2 * CAST(rr AS HUGEINT) * cc")
+    return f"""
+        WITH {_km_ctes()},
+        lab AS (
+            SELECT vec_id, label FROM embeddings
+            WHERE embedding IS NOT NULL AND label IS NOT NULL
+        ),
+        j AS (
+            SELECT a.cl AS cluster, l.label
+            FROM a{KM_ITERS} a JOIN lab l USING (vec_id)
+        ),
+        cont AS (
+            SELECT cluster, label, CAST(count(*) AS BIGINT) AS a
+            FROM j GROUP BY cluster, label
+        ),
+        cells AS (
+            SELECT CAST(sum(a) AS BIGINT) AS n,
+                   CAST(sum(a * (a - 1) // 2) AS BIGINT) AS i2
+            FROM cont
+        ),
+        r AS (
+            SELECT CAST(sum(rr0) AS BIGINT) AS rr,
+                   CAST(sum(mx) AS BIGINT) AS pur,
+                   CAST(count(*) AS INTEGER) AS n_clusters
+            FROM (SELECT sum(a) * (sum(a) - 1) // 2 AS rr0,
+                         max(a) AS mx
+                  FROM cont GROUP BY cluster)
+        ),
+        c AS (
+            SELECT CAST(sum(cc0) AS BIGINT) AS cc,
+                   CAST(count(*) AS INTEGER) AS n_labels
+            FROM (SELECT sum(a) * (sum(a) - 1) // 2 AS cc0
+                  FROM cont GROUP BY label)
+        )
+        SELECT coalesce(n, 0) AS n,
+               coalesce(n_clusters, 0) AS n_clusters,
+               coalesce(n_labels, 0) AS n_labels,
+               CAST(CASE WHEN n IS NULL OR n = 0 THEN 0
+                    ELSE pur * {AGREE_SCALE} // n END AS BIGINT)
+                   AS purity_u,
+               CAST(CASE WHEN n IS NULL OR n < 2 THEN 0
+                    WHEN {den} = 0 THEN {AGREE_SCALE}
+                    ELSE ({num}) * {AGREE_SCALE} // ({den}) END AS BIGINT)
+                   AS ari_u
+        FROM cells CROSS JOIN r CROSS JOIN c
+    """
+
+
 QUERIES = {
+    "cluster_label_agreement": cluster_label_agreement,
     "coreset_kcenter_select": coreset_kcenter_select,
     "embedding_drift_report": embedding_drift_report,
     "embedding_standardize": embedding_standardize,
@@ -987,6 +1126,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cluster_label_agreement": _agree_oracle_sql(),
     "coreset_kcenter_select": _kcenter_oracle_sql(),
     "embedding_drift_report": _drift_oracle_sql(),
     "pca_top_component": _pca_oracle_sql(),

@@ -356,7 +356,7 @@ EMB_NULL_SWEEP = [
     "embedding_isotropy_report", "knn_kcore",
     "embedding_drift_report", "knn_bfs_landmarks",
     "knn_density_outliers", "anns_range_search",
-    "coreset_kcenter_select",
+    "coreset_kcenter_select", "cluster_label_agreement",
 ]
 
 

@@ -379,6 +379,13 @@ AUDIT = [
         "never shuffled, no global window.",
     ),
     (
+        "cluster_label_agreement",
+        "Purity/ARI scorecard: k-means assignment localCheckpointed "
+        "once, one (cluster, label) contingency shuffle, then all "
+        "pair-count combinatorics over K x L rows with DECIMAL(38,0) "
+        "products; two broadcast one-row joins assemble the report.",
+    ),
+    (
         "temporal_leakage_split",
         "Leakage-audited temporal split: one day-grain partial-"
         "aggregated shuffle for the cutoff (bounded calendar window), "
