@@ -213,6 +213,8 @@ HEADLINE = [
     "token_budget_waterfill",
     # round 8: exact pair-counting purity/ARI of clusters vs labels
     "cluster_label_agreement",
+    # round 8: PSI distribution drift between time halves
+    "psi_value_drift",
     # round 7: fact-fact supplier fulfillment-lag scorecard
     "ship_lag_by_supplier",
 ]
@@ -285,7 +287,7 @@ BENCH_EXCLUDED = {
         "embedding_health_report", "gatekeeper_failure_history",
         "stale_agents", "stream_windowed_counts",
         "set_click_and_purchase_users",
-        "set_error_not_purchase_user_days",
+        "set_error_not_purchase_user_days", "l_diversity_report",
     ]},
     **{n: "window-rep" for n in [
         "window_first_event_per_user", "window_forward_fill",

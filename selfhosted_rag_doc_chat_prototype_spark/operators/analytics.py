@@ -1421,6 +1421,48 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+L_DIV = 3  # minimum distinct sensitive values per published QI group
+
+
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-DIVERSITY audit over the customer table -- the complement
+    k-anonymity misses (Machanavajjhala 2007): a group of >= k rows
+    that all share ONE sensitive value still discloses it. Quasi-
+    identifiers here are (nation, market segment); the sensitive
+    attribute is the account balance bucketed to $1000 bands in exact
+    integer cents (the pinned half-up quantizer, then two truncating
+    divisions -- no float floor at a band edge can disagree between
+    engines). A group publishes iff it carries at least ``L_DIV``
+    distinct bands; otherwise its distinct-count is NULLed and the
+    row flagged, mirroring the k-anonymity suppression contract.
+    NULL-balance rows carry no sensitive value and are excluded;
+    NULL QI columns form their own group (both engines group NULLs
+    together).
+
+    Scale shape: ONE partially-aggregated (nation, segment) shuffle
+    computing size + distinct-band count; the gate is a map-side
+    projection over QI-group-cardinality rows."""
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").isNotNull()
+    )
+    band = F.expr(
+        "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) div 100000"
+    )
+    cells = cust.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct(band).cast("long").alias("n_bands"),
+    )
+    ok = F.col("n_bands") >= L_DIV
+    return cells.select(
+        "nation", "segment", "n_rows",
+        F.when(ok, F.col("n_bands")).cast("long").alias("n_bands"),
+        (~ok).cast("int").alias("suppressed"),
+    )
+
+
 IA_MAX_POW = 22  # top power-of-two bucket (~48 days in seconds)
 
 
@@ -3018,6 +3060,7 @@ QUERIES = {
     "a1_events_per_hour": a1_events_per_hour,
     "retention_cohorts": retention_cohorts,
     "k_anonymity_report": k_anonymity_report,
+    "l_diversity_report": l_diversity_report,
     "markov_transition_stationary": markov_transition_stationary,
     "ab_test_conversion": ab_test_conversion,
     "session_trigram_mining": session_trigram_mining,
@@ -3102,6 +3145,23 @@ ORACLE = {
                CAST(CASE WHEN n_users >= {K_ANON} THEN n_users END
                     AS BIGINT) AS n_users,
                CASE WHEN n_users >= {K_ANON} THEN 0 ELSE 1 END
+                   AS suppressed
+        FROM cells
+    """,
+    "l_diversity_report": f"""
+        WITH cells AS (
+            SELECT c_nationkey AS nation, c_mktsegment AS segment,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT
+                       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                       // 100000) AS BIGINT) AS n_bands
+            FROM customer WHERE c_acctbal IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT nation, segment, n_rows,
+               CAST(CASE WHEN n_bands >= {L_DIV} THEN n_bands END
+                    AS BIGINT) AS n_bands,
+               CASE WHEN n_bands >= {L_DIV} THEN 0 ELSE 1 END
                    AS suppressed
         FROM cells
     """,

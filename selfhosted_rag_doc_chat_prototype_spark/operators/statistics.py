@@ -751,7 +751,128 @@ def _winsor_oracle_sql() -> str:
     """
 
 
+PSI_PCT = 50        # first-half share of events at the PSI cutoff day
+PSI_SCALE = 1_000_000
+
+
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX of the event ``value`` distribution
+    between the corpus's first and second time halves -- the
+    monitoring number a serving/data team alarms on when the feature
+    distribution moves (PSI > 0.1 "shifted", > 0.25 "major shift").
+    The halves split at the first calendar day where the running event
+    count reaches ``PSI_PCT``% (the temporal-split cutoff machinery);
+    values bucket by integer floor; every bucket observed in either
+    half contributes
+
+        contrib = (p - q) * ln(p / q),
+
+    with counts CLAMPED at one (the standard zero-bucket epsilon,
+    deterministic instead of a float eps) and the log carried in
+    once-rounded BIGINT 1e-6 units split as ln(cnt_p) + ln(n_q) -
+    ln(cnt_q) - ln(n_p) (docs/ROUNDING.md rule 2) -- all combination
+    is exact integer math, emitted in 1e-6 units.
+
+    Scale shape: one day-grain shuffle for the cutoff (bounded
+    calendar window, allowlisted family), broadcast back; one
+    (bucket)-grain partial-aggregated shuffle builds both half counts
+    in a single pass (conditional sums, no second scan); per-bucket
+    math is map-side over bucket-cardinality rows with the two scalar
+    totals broadcast."""
+    from ..functions.text_quality import lnu
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.floor("value").cast("long").alias("bucket"),
+    )
+    daily = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    wd = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    totals = daily.agg(F.sum("n").alias("total"))
+    cutoff = (
+        daily.withColumn("run", F.sum("n").over(wd))
+        .crossJoin(F.broadcast(totals))
+        .filter(F.col("run") * 100 >= F.col("total") * PSI_PCT)
+        .agg(F.min("day").alias("cutoff_day"))
+    )
+    halves = (
+        ev.crossJoin(F.broadcast(cutoff))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("day") <= F.col("cutoff_day"), 1)
+                  .otherwise(0)).cast("long").alias("n_first"),
+            F.sum(F.when(F.col("day") > F.col("cutoff_day"), 1)
+                  .otherwise(0)).cast("long").alias("n_second"),
+        )
+    )
+    tot2 = halves.agg(
+        F.sum("n_first").alias("tp"), F.sum("n_second").alias("tq"))
+    cp = F.greatest(F.col("n_first"), F.lit(1))
+    cq = F.greatest(F.col("n_second"), F.lit(1))
+    p_u = F.expr(f"greatest(n_first, 1) * {PSI_SCALE} div tp")
+    q_u = F.expr(f"greatest(n_second, 1) * {PSI_SCALE} div tq")
+    lr = lnu(cp) + lnu(F.col("tq")) - lnu(cq) - lnu(F.col("tp"))
+    return (
+        halves.crossJoin(F.broadcast(tot2))
+        .select(
+            "bucket", "n_first", "n_second",
+            p_u.cast("long").alias("p_u"),
+            q_u.cast("long").alias("q_u"),
+            ((p_u - q_u) * lr).cast("long").alias("contrib_nano"),
+        )
+    )
+
+
+def _psi_oracle_sql() -> str:
+    from ..functions.text_quality import lnu_sql
+
+    lr = (f"({lnu_sql('greatest(n_first, 1)')} + {lnu_sql('tq')}"
+          f" - {lnu_sql('greatest(n_second, 1)')} - {lnu_sql('tp')})")
+    return f"""
+        WITH ev AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(floor(value) AS BIGINT) AS bucket
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        ),
+        daily AS (SELECT day, count(*) AS n FROM ev GROUP BY day),
+        cut AS (
+            SELECT min(day) AS cutoff_day FROM (
+                SELECT day,
+                       sum(n) OVER (ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS run,
+                       sum(n) OVER () AS total
+                FROM daily)
+            WHERE run * 100 >= total * {PSI_PCT}
+        ),
+        halves AS (
+            SELECT bucket,
+                   CAST(sum(CASE WHEN day <= c.cutoff_day
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+                   CAST(sum(CASE WHEN day > c.cutoff_day
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+            FROM ev CROSS JOIN cut c GROUP BY bucket
+        ),
+        tot2 AS (
+            SELECT CAST(sum(n_first) AS BIGINT) AS tp,
+                   CAST(sum(n_second) AS BIGINT) AS tq
+            FROM halves
+        )
+        SELECT bucket, n_first, n_second,
+               CAST(greatest(n_first, 1) * {PSI_SCALE} // tp AS BIGINT)
+                   AS p_u,
+               CAST(greatest(n_second, 1) * {PSI_SCALE} // tq AS BIGINT)
+                   AS q_u,
+               CAST((greatest(n_first, 1) * {PSI_SCALE} // tp
+                     - greatest(n_second, 1) * {PSI_SCALE} // tq)
+                    * {lr} AS BIGINT) AS contrib_nano
+        FROM halves CROSS JOIN tot2
+    """
+
+
 QUERIES = {
+    "psi_value_drift": psi_value_drift,
     "arrival_lateness_report": arrival_lateness_report,
     "gini_user_activity": gini_user_activity,
     "hhi_source_concentration": hhi_source_concentration,
@@ -763,6 +884,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "psi_value_drift": _psi_oracle_sql(),
     "arrival_lateness_report": _lateness_oracle_sql(),
     "gini_user_activity": _gini_oracle_sql(),
     "hhi_source_concentration": _hhi_oracle_sql(),

@@ -117,6 +117,8 @@ BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
         "largest-remainder quota rank over source grain (|sources| rows)",
     "temporal_leakage_split":
         "cutoff running-sum over day grain (observed days)",
+    "psi_value_drift":
+        "cutoff running-sum over day grain (observed days)",
     "token_budget_waterfill":
         "water-filling rank/cumsum over source grain (domain vocabulary)",
 }

@@ -214,7 +214,7 @@ EVENTS_NULL_SWEEP = [
     "retention_cohorts", "k_anonymity_report",
     "markov_transition_stationary", "ab_test_conversion",
     "session_trigram_mining", "hll_set_operations",
-    "temporal_leakage_split",
+    "temporal_leakage_split", "psi_value_drift",
     "seasonal_decompose_daily", "interarrival_histogram",
     "ohlc_daily_by_type", "twap_by_user", "event_debounce",
     "skew_report_events", "skewed_distinct_salted",

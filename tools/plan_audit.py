@@ -379,6 +379,19 @@ AUDIT = [
         "never shuffled, no global window.",
     ),
     (
+        "psi_value_drift",
+        "PSI drift: day-grain cutoff shuffle (bounded calendar "
+        "window) broadcast back; ONE bucket-grain partial-aggregated "
+        "shuffle builds both half counts via conditional sums; "
+        "per-bucket integer math with two scalar totals broadcast.",
+    ),
+    (
+        "l_diversity_report",
+        "l-diversity gate: one partially-aggregated (nation, segment) "
+        "shuffle with count + distinct-band; suppression is a "
+        "map-side projection over QI-group rows.",
+    ),
+    (
         "cluster_label_agreement",
         "Purity/ARI scorecard: k-means assignment localCheckpointed "
         "once, one (cluster, label) contingency shuffle, then all "
