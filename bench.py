@@ -215,6 +215,8 @@ HEADLINE = [
     "cluster_label_agreement",
     # round 8: PSI distribution drift between time halves
     "psi_value_drift",
+    # round 8: two-phase Pareto-front (skyline) doc selection
+    "skyline_quality_docs",
     # round 7: fact-fact supplier fulfillment-lag scorecard
     "ship_lag_by_supplier",
 ]

@@ -779,7 +779,98 @@ def _wf_oracle_sql() -> str:
     """
 
 
+def _skyline_kernel(pdf):
+    """2-D skyline (maximize both axes) in O(n log n): sort by
+    (tok DESC, uniq_u DESC); within a tok group only the max-uniq rows
+    survive (an equal-tok higher-uniq point dominates); across groups
+    a survivor needs uniq STRICTLY above the best uniq seen at any
+    strictly larger tok (equality there means a dominating point
+    exists). Equal (tok, uniq_u) points never dominate each other and
+    all survive -- the standard skyline tie contract."""
+    import pandas as pd
+
+    if pdf.empty:
+        return pdf
+    out = []
+    best = None  # max uniq among strictly larger tok
+    for tok, grp in sorted(
+        pdf.groupby("tok"), key=lambda kv: -kv[0]
+    ):
+        mx = grp["uniq_u"].max()
+        if best is None or mx > best:
+            out.append(grp[grp["uniq_u"] == mx])
+            best = mx if best is None else max(best, mx)
+        else:
+            best = max(best, mx)
+    return pd.concat(out, ignore_index=True)
+
+
+def skyline_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto-front) document selection over two quality
+    axes -- token count and distinct-word ratio (1e-6 units, exact
+    truncating division): the documents no other document beats on
+    both axes at once, i.e. the non-dominated frontier a multi-
+    objective curation pass starts from when no single score exists
+    (Borzsony et al. 2001, the SKYLINE OF operator). Equal-metric
+    points co-survive; zero-token docs carry no metrics and are
+    excluded on both engines.
+
+    Scale shape: the textbook TWO-PHASE distributed skyline -- the
+    skyline of a union is a subset of the union of per-partition
+    skylines, so phase 1 runs the O(n log n) kernel per partition
+    (mapInPandas over the metric projection, map-only) and phase 2
+    re-runs the same kernel once over the few surviving candidates
+    (single bounded group -- skyline cardinality, not corpus
+    cardinality). The corpus is never sorted globally and never
+    shuffled; only survivors move."""
+    docs = rebalance(table(spark, sf_dir, "documents"))
+    metrics = docs.select(
+        "doc_id",
+        F.size(tq.words(F.col("text"))).cast("long").alias("tok"),
+        F.size(F.array_distinct(tq.words(F.col("text"))))
+        .cast("long").alias("uniq"),
+    ).filter(F.col("tok") > 0).select(
+        "doc_id", "tok",
+        F.expr(f"uniq * {1_000_000} div tok").alias("uniq_u"),
+    )
+    schema = "doc_id long, tok long, uniq_u long"
+    local = metrics.mapInPandas(
+        lambda it: (_skyline_kernel(pdf) for pdf in it), schema
+    )
+    return (
+        local.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(
+            lambda _, pdf: _skyline_kernel(pdf.drop(columns=["_g"])),
+            schema,
+        )
+    )
+
+
+def _skyline_oracle_sql() -> str:
+    return """
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS tok,
+                   CAST(len(list_distinct(w)) * 1000000 // len(w)
+                        AS BIGINT) AS uniq_u
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(trim(text),
+                             '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS w
+                  FROM documents)
+            WHERE len(w) > 0
+        )
+        SELECT doc_id, tok, uniq_u FROM m a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM m b
+            WHERE b.tok >= a.tok AND b.uniq_u >= a.uniq_u
+              AND (b.tok > a.tok OR b.uniq_u > a.uniq_u)
+        )
+    """
+
+
 QUERIES = {
+    "skyline_quality_docs": skyline_quality_docs,
     "temporal_leakage_split": temporal_leakage_split,
     "token_budget_waterfill": token_budget_waterfill,
     "quality_classifier_hashed": quality_classifier_hashed,
@@ -790,6 +881,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "skyline_quality_docs": _skyline_oracle_sql(),
     "temporal_leakage_split": _tl_oracle_sql(),
     "token_budget_waterfill": _wf_oracle_sql(),
     "quality_classifier_hashed": _qc_oracle_sql(),

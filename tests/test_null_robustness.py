@@ -76,6 +76,7 @@ NULL_SWEEP = [
     "dsir_importance_weights",
     "pmi_collocations",
     "stratified_holdout_split",
+    "skyline_quality_docs",
     "token_budget_waterfill",
     "weighted_sample_es",
     "compaction_plan",

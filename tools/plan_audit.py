@@ -379,6 +379,14 @@ AUDIT = [
         "never shuffled, no global window.",
     ),
     (
+        "skyline_quality_docs",
+        "Two-phase distributed skyline: O(n log n) kernel per "
+        "partition (map-only Arrow pass over the pruned metric "
+        "projection), then the same kernel once over the surviving "
+        "candidates (skyline-cardinality group, not corpus) -- no "
+        "global sort, only survivors shuffle.",
+    ),
+    (
         "psi_value_drift",
         "PSI drift: day-grain cutoff shuffle (bounded calendar "
         "window) broadcast back; ONE bucket-grain partial-aggregated "
