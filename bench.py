@@ -217,6 +217,8 @@ HEADLINE = [
     "psi_value_drift",
     # round 8: two-phase Pareto-front (skyline) doc selection
     "skyline_quality_docs",
+    # round 8: Theil-Sen robust daily trend per event type
+    "theilsen_daily_trend",
     # round 7: fact-fact supplier fulfillment-lag scorecard
     "ship_lag_by_supplier",
 ]
@@ -290,6 +292,7 @@ BENCH_EXCLUDED = {
         "stale_agents", "stream_windowed_counts",
         "set_click_and_purchase_users",
         "set_error_not_purchase_user_days", "l_diversity_report",
+        "benford_value_audit",
     ]},
     **{n: "window-rep" for n in [
         "window_first_event_per_user", "window_forward_fill",

@@ -871,8 +871,184 @@ def _psi_oracle_sql() -> str:
     """
 
 
+TS_SCALE = 1_000_000  # Theil-Sen slopes in 1e-6 counts/day
+
+
+def theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN robust trend of the daily event count per event type:
+    the median over all pairwise day-slopes -- the estimator that
+    shrugs off the outlier days that wreck an OLS fit (up to ~29%
+    contamination), i.e. the "is traffic actually growing" number an
+    ops team trusts over a spiky week. Slopes are quantized ONCE to
+    exact 1e-6 counts/day (truncating division of integer deltas;
+    possibly negative, and Spark ``div`` / DuckDB ``//`` both truncate
+    toward zero), and the median is the exact lower-median rank rule
+    over those integers -- bit-identical across engines, no float
+    regression anywhere.
+
+    Scale shape: events collapse to (type, day) grain in ONE
+    partial-aggregated shuffle; the pairwise self-join and median rank
+    run over CALENDAR-squared cardinality per type (thousands of days
+    -> millions of integer pairs, bounded by history length, never by
+    data volume -- the module-docstring argument, one notch up)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        F.col("event_type"),
+        F.to_date("ts").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    base = daily.groupBy("event_type").agg(F.min("d").alias("d0"))
+    pts = daily.join(F.broadcast(base), "event_type").select(
+        "event_type",
+        F.datediff("d", "d0").cast("long").alias("x"),
+        "cnt",
+    )
+    a = pts.select(
+        "event_type", F.col("x").alias("x1"), F.col("cnt").alias("y1"))
+    b = pts.select(
+        F.col("event_type").alias("et2"),
+        F.col("x").alias("x2"), F.col("cnt").alias("y2"))
+    pairs = a.join(
+        b, (F.col("event_type") == F.col("et2")) & (F.col("x1") < F.col("x2"))
+    ).select(
+        "event_type",
+        F.expr(f"((y2 - y1) * {TS_SCALE}) div (x2 - x1)")
+        .alias("slope_u"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_u")
+    ranked = pairs.select(
+        "event_type", "slope_u",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        .alias("m"),
+    )
+    return (
+        ranked.filter(F.expr("rk = (m + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("slope_u").alias("slope_med_u"),
+            F.col("m").cast("long").alias("n_pairs"),
+        )
+    )
+
+
+def _theilsen_oracle_sql() -> str:
+    return f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        pts AS (
+            SELECT event_type,
+                   CAST(datediff('day', min(d) OVER (
+                       PARTITION BY event_type), d) AS BIGINT) AS x,
+                   cnt
+            FROM daily
+        ),
+        pairs AS (
+            SELECT a.event_type,
+                   ((b.cnt - a.cnt) * {TS_SCALE}) // (b.x - a.x)
+                       AS slope_u
+            FROM pts a JOIN pts b
+              ON a.event_type = b.event_type AND a.x < b.x
+        ),
+        ranked AS (
+            SELECT event_type, slope_u,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY slope_u) AS rk,
+                   count(*) OVER (PARTITION BY event_type) AS m
+            FROM pairs
+        )
+        SELECT event_type,
+               CAST(slope_u AS BIGINT) AS slope_med_u,
+               CAST(m AS BIGINT) AS n_pairs
+        FROM ranked WHERE rk = (m + 1) // 2
+    """
+
+
+# Benford expected first-digit shares log10(1 + 1/d) in exact 1e-6
+# units, evaluated once here in Python (docs/ROUNDING.md:
+# transcendentals are never computed inside either engine)
+import math as _math
+
+BENFORD_U = {
+    d: round(_math.log10(1 + 1 / d) * 1_000_000) for d in range(1, 10)
+}
+
+
+def benford_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD first-digit audit of the event ``value`` column -- the
+    classic fabricated-/degenerate-data screen: naturally occurring
+    multi-scale magnitudes follow P(d) = log10(1 + 1/d); flat or
+    spiked digit histograms flag synthetic fills, unit bugs, or
+    truncation. The first digit comes from the PINNED integer route:
+    values quantize to exact cents (``floor(|v| * 100 + 0.5)``), and
+    the leading digit is the first character of the INTEGER's decimal
+    string -- integer-to-string is exact and identical in both
+    engines, where float-to-string formatting is not. Zero-cent rows
+    carry no leading digit and are excluded. Expected shares are
+    precomputed 1e-6 literals; observed share and deviation are exact
+    truncating divisions.
+
+    Scale shape: map-only digit projection, ONE 9-bucket partial-
+    aggregated shuffle, scalar total broadcast back."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.expr("CAST(floor(abs(value) * 100 + 0.5) AS BIGINT)")
+    digits = (
+        ev.select(cents.alias("cents"))
+        .filter(F.col("cents") > 0)
+        .select(F.substring(F.col("cents").cast("string"), 1, 1)
+                .cast("int").alias("digit"))
+    )
+    obs = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"))
+    total = obs.agg(F.sum("n_obs").alias("total"))
+    exp_arms = " ".join(
+        f"WHEN digit = {d} THEN {u}" for d, u in BENFORD_U.items())
+    return (
+        obs.crossJoin(F.broadcast(total))
+        .select(
+            "digit", "n_obs",
+            F.expr("n_obs * 1000000 div total").cast("long")
+            .alias("share_u"),
+            F.expr(f"CASE {exp_arms} END").cast("long")
+            .alias("expected_u"),
+            F.expr(f"n_obs * 1000000 div total - CASE {exp_arms} END")
+            .cast("long").alias("dev_u"),
+        )
+    )
+
+
+def _benford_oracle_sql() -> str:
+    exp_arms = " ".join(
+        f"WHEN digit = {d} THEN {u}" for d, u in BENFORD_U.items())
+    return f"""
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(floor(abs(value) * 100 + 0.5)
+                       AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+            FROM events
+            WHERE value IS NOT NULL
+              AND CAST(floor(abs(value) * 100 + 0.5) AS BIGINT) > 0
+        ),
+        obs AS (
+            SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+            FROM digits GROUP BY digit
+        ),
+        tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS total FROM obs)
+        SELECT digit, n_obs,
+               CAST(n_obs * 1000000 // total AS BIGINT) AS share_u,
+               CAST(CASE {exp_arms} END AS BIGINT) AS expected_u,
+               CAST(n_obs * 1000000 // total
+                    - CASE {exp_arms} END AS BIGINT) AS dev_u
+        FROM obs CROSS JOIN tot
+    """
+
+
 QUERIES = {
     "psi_value_drift": psi_value_drift,
+    "theilsen_daily_trend": theilsen_daily_trend,
+    "benford_value_audit": benford_value_audit,
     "arrival_lateness_report": arrival_lateness_report,
     "gini_user_activity": gini_user_activity,
     "hhi_source_concentration": hhi_source_concentration,
@@ -885,6 +1061,8 @@ QUERIES = {
 
 ORACLE = {
     "psi_value_drift": _psi_oracle_sql(),
+    "theilsen_daily_trend": _theilsen_oracle_sql(),
+    "benford_value_audit": _benford_oracle_sql(),
     "arrival_lateness_report": _lateness_oracle_sql(),
     "gini_user_activity": _gini_oracle_sql(),
     "hhi_source_concentration": _hhi_oracle_sql(),

@@ -216,6 +216,7 @@ EVENTS_NULL_SWEEP = [
     "markov_transition_stationary", "ab_test_conversion",
     "session_trigram_mining", "hll_set_operations",
     "temporal_leakage_split", "psi_value_drift",
+    "theilsen_daily_trend", "benford_value_audit",
     "seasonal_decompose_daily", "interarrival_histogram",
     "ohlc_daily_by_type", "twap_by_user", "event_debounce",
     "skew_report_events", "skewed_distinct_salted",

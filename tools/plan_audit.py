@@ -379,6 +379,19 @@ AUDIT = [
         "never shuffled, no global window.",
     ),
     (
+        "theilsen_daily_trend",
+        "Theil-Sen robust trend: ONE partial-aggregated shuffle to "
+        "(type, day) grain; the pairwise self-join + median rank run "
+        "over calendar-squared-per-type rows (bounded by history "
+        "length, never data volume).",
+    ),
+    (
+        "benford_value_audit",
+        "Benford screen: map-only integer-cents digit projection, one "
+        "9-bucket partial-aggregated shuffle, scalar total broadcast "
+        "back.",
+    ),
+    (
         "skyline_quality_docs",
         "Two-phase distributed skyline: O(n log n) kernel per "
         "partition (map-only Arrow pass over the pruned metric "
