@@ -219,6 +219,9 @@ HEADLINE = [
     "skyline_quality_docs",
     # round 8: Theil-Sen robust daily trend per event type
     "theilsen_daily_trend",
+    # round 8: three-clause MERGE INTO + CDC last-writer-wins apply
+    "merge_into_customers",
+    "cdc_apply_orders",
     # round 7: fact-fact supplier fulfillment-lag scorecard
     "ship_lag_by_supplier",
 ]

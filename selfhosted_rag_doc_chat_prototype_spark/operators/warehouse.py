@@ -1065,7 +1065,199 @@ def erase_customers(spark: SparkSession, sf_dir: str, dst_dir: str,
     )
 
 
+MERGE_DEL_CENTS = 40_000_000  # matched rows above this spend are purged
+MERGE_INS_SHIFT = 10_000_000  # synthetic insert keys (source-only rows)
+
+
+def merge_into_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full three-clause MERGE INTO (the Delta/Iceberg upsert
+    statement: WHEN MATCHED AND <pred> THEN DELETE / WHEN MATCHED THEN
+    UPDATE / WHEN NOT MATCHED THEN INSERT) expressed the way every
+    lakehouse engine physically executes it -- ONE full outer
+    equi-join of target and source on the merge key, then a map-side
+    clause projection. Target is the customer table; the source is the
+    per-customer order spend (exact integer cents) plus shifted-key
+    rows for the urgent-order cohort, so all three clauses fire:
+
+    - matched, spend > ``MERGE_DEL_CENTS``    -> row deleted;
+    - matched otherwise                        -> balance updated
+      (+= spend div 100, exact cents);
+    - source-only (shifted keys)               -> row inserted;
+    - target-only                              -> row kept unchanged.
+
+    Emits the post-merge table with its ``merge_action`` lineage
+    column (kept/updated/inserted; deleted rows are absent).
+
+    Scale shape: the single key-equi-join shuffles both sides once
+    (AQE broadcasts the source when it is small); every clause is a
+    codegen CASE over the joined row -- exactly one pass over the
+    target, the property that makes MERGE viable at lakehouse scale."""
+    tgt = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name",
+        F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+        .alias("bal_cents"),
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+    )
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+        .alias("spend_cents")
+    )
+    inserts = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.sum(
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        ).alias("spend_cents"))
+        .select(
+            (F.col("o_custkey") + MERGE_INS_SHIFT).alias("o_custkey"),
+            "spend_cents",
+        )
+    )
+    src = spend.unionByName(inserts)
+    j = tgt.join(src, tgt["c_custkey"] == src["o_custkey"], "full_outer")
+    matched = F.col("c_custkey").isNotNull() & F.col("o_custkey").isNotNull()
+    return (
+        j.filter(
+            # WHEN MATCHED AND spend > bound THEN DELETE
+            ~(matched & (F.col("spend_cents") > MERGE_DEL_CENTS))
+        )
+        .select(
+            F.coalesce(F.col("c_custkey"), F.col("o_custkey"))
+            .alias("c_custkey"),
+            F.coalesce(
+                F.col("c_name"),
+                F.concat(F.lit("MERGED#"), F.col("o_custkey")),
+            ).alias("c_name"),
+            F.when(
+                matched,
+                F.col("bal_cents")
+                + F.expr("spend_cents div 100"),
+            ).otherwise(
+                F.coalesce(F.expr("spend_cents div 100"),
+                           F.col("bal_cents"))
+            ).cast("long").alias("bal_cents"),
+            F.when(matched, F.lit("updated"))
+            .when(F.col("c_custkey").isNull(), F.lit("inserted"))
+            .otherwise(F.lit("kept")).alias("merge_action"),
+        )
+    )
+
+
+def _merge_oracle_sql() -> str:
+    return f"""
+        WITH tgt AS (
+            SELECT c_custkey, c_name,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                       AS bal_cents
+            FROM customer
+        ),
+        spend AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS spend_cents
+            FROM orders WHERE o_custkey IS NOT NULL
+            GROUP BY o_custkey
+        ),
+        ins AS (
+            SELECT o_custkey + {MERGE_INS_SHIFT} AS o_custkey,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS spend_cents
+            FROM orders
+            WHERE o_custkey IS NOT NULL
+              AND o_orderpriority = '1-URGENT'
+            GROUP BY o_custkey
+        ),
+        src AS (SELECT * FROM spend UNION ALL SELECT * FROM ins),
+        j AS (
+            SELECT t.c_custkey, t.c_name, t.bal_cents,
+                   s.o_custkey, s.spend_cents
+            FROM tgt t FULL OUTER JOIN src s
+              ON t.c_custkey = s.o_custkey
+        )
+        SELECT coalesce(c_custkey, o_custkey) AS c_custkey,
+               coalesce(c_name, 'MERGED#' || o_custkey) AS c_name,
+               CAST(CASE
+                   WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL
+                   THEN bal_cents + spend_cents // 100
+                   ELSE coalesce(spend_cents // 100, bal_cents)
+               END AS BIGINT) AS bal_cents,
+               CASE
+                   WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL
+                       THEN 'updated'
+                   WHEN c_custkey IS NULL THEN 'inserted'
+                   ELSE 'kept'
+               END AS merge_action
+        FROM j
+        WHERE NOT (c_custkey IS NOT NULL AND o_custkey IS NOT NULL
+                   AND spend_cents > {MERGE_DEL_CENTS})
+    """
+
+
+def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY (the Debezium-consumer compaction): a change feed of
+    keyed INSERT/UPDATE/DELETE ops collapses to final table state by
+    LAST-WRITER-WINS on the change sequence number -- upserts land,
+    a trailing DELETE tombstones the key out. The feed derives
+    deterministically from orders (key = customer, seq = order key --
+    unique, so the winner is never a tie; op from status/key
+    arithmetic), with payloads in exact integer cents.
+
+    Scale shape: ONE partial-aggregated groupBy -- ``max_by(payload,
+    seq)`` folds to the winning change map-side (no per-key window, no
+    sort); tombstoned keys drop in a codegen filter. This is the shape
+    that lets a 100 TB change feed compact in a single shuffle."""
+    ch = table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+    ).select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.expr(
+            "CASE WHEN o_orderstatus = 'F' AND o_orderkey % 10 = 0 "
+            "THEN 'D' WHEN o_orderkey % 3 = 0 THEN 'I' ELSE 'U' END"
+        ).alias("op"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        .alias("cents"),
+    )
+    final = ch.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_changes"),
+        F.expr("max(seq)").cast("long").alias("last_seq"),
+        F.expr("max_by(op, seq)").alias("last_op"),
+        F.expr("max_by(cents, seq)").cast("long").alias("value_cents"),
+    )
+    return final.filter(F.col("last_op") != "D").select(
+        "key", "n_changes", "last_seq", "last_op", "value_cents",
+    )
+
+
+def _cdc_oracle_sql() -> str:
+    return """
+        WITH ch AS (
+            SELECT o_custkey AS key, o_orderkey AS seq,
+                   CASE WHEN o_orderstatus = 'F' AND o_orderkey % 10 = 0
+                        THEN 'D' WHEN o_orderkey % 3 = 0
+                        THEN 'I' ELSE 'U' END AS op,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM orders WHERE o_custkey IS NOT NULL
+        ),
+        f AS (
+            SELECT key,
+                   CAST(count(*) AS BIGINT) AS n_changes,
+                   CAST(max(seq) AS BIGINT) AS last_seq,
+                   arg_max(op, seq) AS last_op,
+                   CAST(arg_max(cents, seq) AS BIGINT) AS value_cents
+            FROM ch GROUP BY key
+        )
+        SELECT key, n_changes, last_seq, last_op, value_cents
+        FROM f WHERE last_op <> 'D'
+    """
+
+
 QUERIES = {
+    "merge_into_customers": merge_into_customers,
+    "cdc_apply_orders": cdc_apply_orders,
     "table_profile_documents": table_profile_documents,
     "zorder_layout": zorder_layout,
     "scd2_user_segments": scd2_user_segments,
@@ -1077,6 +1269,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "merge_into_customers": _merge_oracle_sql(),
+    "cdc_apply_orders": _cdc_oracle_sql(),
     "table_profile_documents": _profile_oracle_sql(),
     "zorder_layout": _zorder_oracle_sql(),
     "scd2_user_segments": _scd2_oracle_sql(),

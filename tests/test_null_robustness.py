@@ -231,6 +231,7 @@ EVENTS_NULL_SWEEP = [
     "hopping_window_counts", "conversion_lag_histogram",
     "ship_lag_by_supplier", "session_duration_percentiles",
     "revenue_pareto_report",
+    "merge_into_customers", "cdc_apply_orders",
 ]
 
 

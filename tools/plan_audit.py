@@ -379,6 +379,20 @@ AUDIT = [
         "never shuffled, no global window.",
     ),
     (
+        "merge_into_customers",
+        "Three-clause MERGE as lakehouse engines execute it: ONE full "
+        "outer key-equi-join of target and source (AQE broadcasts the "
+        "small source), every clause a codegen CASE -- exactly one "
+        "pass over the target.",
+    ),
+    (
+        "cdc_apply_orders",
+        "CDC compaction: ONE partial-aggregated groupBy with "
+        "max_by(payload, seq) folding the winning change map-side -- "
+        "no per-key window, no sort; tombstones drop in a codegen "
+        "filter.",
+    ),
+    (
         "theilsen_daily_trend",
         "Theil-Sen robust trend: ONE partial-aggregated shuffle to "
         "(type, day) grain; the pairwise self-join + median rank run "
