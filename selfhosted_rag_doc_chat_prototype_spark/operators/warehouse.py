@@ -1231,6 +1231,100 @@ def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_streaming_sink(
+    stream_changes: DataFrame, path: str, checkpoint_dir: str,
+):
+    """The CDC apply's STREAMING face: consume a change feed of
+    ``(key, seq, op, value_cents)`` rows and maintain the compacted
+    last-writer-wins state table incrementally per micro-batch
+    (``foreachBatch``, the scd2 sink pattern).
+
+    Merge semantics per batch: pool the batch's rows with the stored
+    winners of the touched keys only and re-fold with the SAME
+    ``max_by(payload, seq)`` aggregate the batch operator uses.
+    Because max_by over a unique ``seq`` is ORDER-FREE and idempotent
+    (folding any subset of already-seen changes cannot move the
+    winner backwards), at-least-once redelivery and cross-batch
+    disorder BOTH converge to the batch result -- strictly stronger
+    than the scd2 sink's ordering contract. Two deliberate deltas from
+    the batch face: the state stores ONLY the winner row per key (the
+    change-count observable needs the full log and stays batch-only --
+    a winner-only state cannot count redelivered-then-compacted seqs
+    exactly), and tombstones are KEPT in the stored state (dropping a
+    'D' winner would resurrect the key when an older change replays);
+    the read face filters them.
+
+    Scale shape: per batch, one broadcast anti/semi join against the
+    state table on the touched keys + one partial-aggregated fold
+    over touched-key rows; staged delete->rename flip with the crash
+    healer, same as every foreachBatch sink here. Returns the started
+    StreamingQuery."""
+    from pyspark.errors import AnalysisException
+
+    from ..sinks import _replace_dir, recover_replace_dir
+
+    cols = ["key", "seq", "op", "value_cents"]
+
+    def _fold(pool: DataFrame) -> DataFrame:
+        return pool.groupBy("key").agg(
+            F.expr("max(seq)").cast("long").alias("seq"),
+            F.expr("max_by(op, seq)").alias("op"),
+            F.expr("max_by(value_cents, seq)").cast("long")
+            .alias("value_cents"),
+        ).select(*cols)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        staging = path.rstrip("/") + "__cdcstaging"
+        recover_replace_dir(spark, staging, path)
+        batch = batch_df.select("key", "seq", "op", "value_cents")
+        keep = None
+        pool = batch
+        try:
+            existing = spark.read.parquet(path)
+        except AnalysisException as e:
+            if ("PATH_NOT_FOUND" not in str(e)
+                    and "Path does not exist" not in str(e)):
+                raise
+            existing = None
+        if existing is not None:
+            touched = batch.select("key").distinct()
+            keep = existing.join(F.broadcast(touched), "key", "left_anti")
+            pool = (
+                existing.join(F.broadcast(touched), "key", "left_semi")
+                .select(*cols)
+                .unionByName(batch)
+                # replay convergence: a redelivered change is the SAME
+                # (key, seq) row -- collapse before counting
+                .dropDuplicates(["key", "seq"])
+            )
+        out = _fold(pool)
+        out = out if keep is None else keep.unionByName(out)
+        out.write.mode("overwrite").parquet(staging)
+        _replace_dir(spark, staging, path)
+
+    return (
+        stream_changes.writeStream
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cdc_state_read(spark: SparkSession, path: str) -> DataFrame:
+    """Read face of :func:`cdc_streaming_sink`: live rows only
+    (tombstone winners stay stored for replay safety, hidden here)."""
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("op") != "D")
+        .select("key", F.col("seq").alias("last_seq"),
+                F.col("op").alias("last_op"), "value_cents")
+    )
+
+
 def _cdc_oracle_sql() -> str:
     return """
         WITH ch AS (

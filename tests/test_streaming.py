@@ -986,3 +986,74 @@ def test_hll_sink_replay_after_mid_flip_crash(spark, sf_dir, tmp_path):
     q.awaitTermination(240)
     want = sorted(map(tuple, spark.read.parquet(ref_target).collect()))
     assert got == want
+
+
+def test_cdc_stream_equals_batch_and_replay_converges(spark, sf_dir, tmp_path):
+    """The incrementally folded CDC state equals the batch
+    last-writer-wins apply over the same change feed REGARDLESS of
+    delivery order (max_by over unique seq is order-free -- the feed
+    is split by ORDER PARITY, not time, so cross-batch disorder is
+    maximal), and a full fresh-checkpoint replay against the built
+    table is a no-op. Tombstoned keys stay hidden by the read face but
+    survive in stored state."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.warehouse import (
+        cdc_apply_orders,
+        cdc_state_read,
+        cdc_streaming_sink,
+    )
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    ch = table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+    ).select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.expr(
+            "CASE WHEN o_orderstatus = 'F' AND o_orderkey % 10 = 0 "
+            "THEN 'D' WHEN o_orderkey % 3 = 0 THEN 'I' ELSE 'U' END"
+        ).alias("op"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        .alias("value_cents"),
+    )
+    d = str(tmp_path / "cdc_stream")
+    # maximal disorder: even seqs first, odd seqs second
+    ch.filter(F.col("seq") % 2 == 0).coalesce(1).write.mode(
+        "append").parquet(d)
+    ch.filter(F.col("seq") % 2 == 1).coalesce(1).write.mode(
+        "append").parquet(d)
+
+    schema = "key long, seq long, op string, value_cents long"
+    target = str(tmp_path / "cdc_state")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(d)
+        )
+        q = cdc_streaming_sink(stream, target, str(tmp_path / ckpt))
+        q.awaitTermination(240)
+
+    run("ckpt1")
+    expected = {
+        (r.key, r.last_seq, r.last_op, r.value_cents)
+        for r in cdc_apply_orders(spark, sf_dir).collect()
+    }
+    got = {
+        (r.key, r.last_seq, r.last_op, r.value_cents)
+        for r in cdc_state_read(spark, target).collect()
+    }
+    assert got == expected and got
+
+    # tombstone winners are stored (replay safety), hidden on read
+    stored = spark.read.parquet(target)
+    n_tomb = stored.filter(F.col("op") == "D").count()
+    assert stored.count() == len(got) + n_tomb
+
+    # full replay with a fresh checkpoint converges (no resurrection,
+    # no winner moving backwards)
+    run("ckpt2")
+    got2 = {
+        (r.key, r.last_seq, r.last_op, r.value_cents)
+        for r in cdc_state_read(spark, target).collect()
+    }
+    assert got2 == expected
