@@ -207,6 +207,7 @@ HEADLINE = [
     "doc_novelty_score",
     # round 8: Gonzalez greedy k-center coreset selection + assignment
     "coreset_kcenter_select",
+    "coreset_kcenter_append",
     # round 8: group-aware temporal split + leakage audit
     "temporal_leakage_split",
     # round 8: water-filling per-source token budget allocation

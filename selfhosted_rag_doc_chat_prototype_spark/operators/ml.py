@@ -907,7 +907,120 @@ def coreset_kcenter_select(spark: SparkSession, sf_dir: str,
     )
 
 
-def _kcenter_oracle_sql(k: int = KC_K, scale: int = KM_SCALE) -> str:
+def coreset_kcenter_append(spark: SparkSession, sf_dir: str,
+                           k: int = KC_K) -> DataFrame:
+    """INCREMENTAL face of the k-center coreset (the lsh_append /
+    pq_append lifecycle pattern): new vectors are assigned to the
+    EXISTING coreset without re-running selection, and each appended
+    row is flagged when it lands OUTSIDE the base coverage radius --
+    the signal that the frontier moved and a re-selection pass is due
+    (the coreset maintenance loop's trigger). The base/append split is
+    the deterministic id parity the incremental dedup face uses (even
+    ids = archive the coreset was built on, odd ids = the new batch).
+
+    Exactness: identical integer micro-unit distances as the base
+    operator; the radius is the exact max assignment distance over the
+    base corpus; the violation compare is BIGINT.
+
+    Scale shape: selection touches only the BASE corpus (k bounded
+    passes, as the base operator); the append path is ONE map-only
+    Arrow assignment over the new batch plus a broadcast scalar radius
+    -- new data never joins old data, the property that makes coreset
+    maintenance viable on a growing corpus."""
+    base = _quantized(spark, sf_dir).filter(F.col("vec_id") % 2 == 0)
+    appended = _quantized(spark, sf_dir).filter(F.col("vec_id") % 2 == 1)
+    base.persist()
+    try:
+        seed = base.orderBy("vec_id").limit(1).collect()
+        if not seed:
+            return appended.select(
+                "vec_id",
+                F.lit(0).cast("int").alias("center_rank"),
+                F.lit(0).cast("long").alias("center_vec_id"),
+                F.lit(0).cast("long").alias("dist_u"),
+                F.lit(False).alias("exceeds_radius"),
+            ).limit(0)
+        center_ids = [seed[0].vec_id]
+        centers = [list(seed[0].q)]
+        for _ in range(1, k):
+            far = (
+                _assign(base, centers)
+                .filter(~F.col("vec_id").isin(center_ids))
+                .orderBy(F.desc("dist_u"), F.asc("vec_id"))
+                .limit(1)
+                .collect()
+            )
+            if not far:
+                break
+            center_ids.append(far[0].vec_id)
+            centers.append(list(far[0].q))
+        radius = _assign(base, centers).agg(
+            F.max("dist_u").alias("radius_u"))
+    finally:
+        base.unpersist()
+    id_arr = F.array(*[F.lit(int(i)) for i in center_ids])
+    return (
+        _assign(appended, centers)
+        .crossJoin(F.broadcast(radius))
+        .select(
+            "vec_id",
+            F.col("cluster").alias("center_rank"),
+            F.element_at(id_arr, F.col("cluster") + 1).cast("long")
+            .alias("center_vec_id"),
+            "dist_u",
+            (F.col("dist_u") > F.col("radius_u")).alias("exceeds_radius"),
+        )
+    )
+
+
+def _kcenter_append_oracle_sql(k: int = KC_K,
+                               scale: int = KM_SCALE) -> str:
+    """Base-half selection via the same unrolled chain (q filtered to
+    even ids), exact radius from the base assignment, then the
+    appended (odd) rows assign by a k-row cross join + (dist, rank)
+    argmin window."""
+    base_chain = _kcenter_ctes(k, scale, where="vec_id % 2 = 0")
+    return f"""
+        WITH {base_chain},
+        radius AS (
+            SELECT CAST(max(md) AS BIGINT) AS radius_u FROM d{k}
+        ),
+        centers AS (
+            {' UNION ALL '.join(
+                f"SELECT {j - 1} AS r, vec_id AS cid, q AS cq FROM c{j}"
+                for j in range(1, k + 1))}
+        ),
+        app AS (
+            SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * {scale}.0 + 0.5) AS BIGINT)) AS q
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND vec_id % 2 = 1
+        ),
+        scored AS (
+            SELECT a.vec_id, c.r, c.cid,
+                   list_aggregate(list_transform(
+                       range(1, len(a.q) + 1),
+                       i -> (a.q[i] - c.cq[i]) * (a.q[i] - c.cq[i])),
+                       'sum') AS d,
+                   row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY list_aggregate(list_transform(
+                           range(1, len(a.q) + 1),
+                           i -> (a.q[i] - c.cq[i]) * (a.q[i] - c.cq[i])),
+                           'sum') ASC, c.r ASC) AS pick
+            FROM app a CROSS JOIN centers c
+        )
+        SELECT s.vec_id,
+               CAST(s.r AS INTEGER) AS center_rank,
+               CAST(s.cid AS BIGINT) AS center_vec_id,
+               CAST(s.d AS BIGINT) AS dist_u,
+               s.d > radius.radius_u AS exceeds_radius
+        FROM scored s CROSS JOIN radius
+        WHERE s.pick = 1
+    """
+
+
+def _kcenter_ctes(k: int = KC_K, scale: int = KM_SCALE,
+                  where: str = "") -> str:
     """Unrolled Gonzalez CTE chain (the k-means oracle pattern):
     c1 = lowest vec_id; d_t = running (min dist, nearest rank) over
     centers 1..t with strict-less updates (ties keep the earlier,
@@ -915,7 +1028,8 @@ def _kcenter_oracle_sql(k: int = KC_K, scale: int = KM_SCALE) -> str:
     the d_t argmax by (dist DESC, vec_id ASC) excluding prior
     centers. A center CTE that comes up empty (corpus < k) yields
     NULL distances and leaves d_t unchanged, matching the Spark
-    early-break."""
+    early-break. ``where`` narrows the selection corpus (the append
+    face selects from the even-id base half)."""
 
     def dist(vcol: str, ccol: str) -> str:
         # lambdas may reference correlated columns but not subqueries
@@ -928,11 +1042,12 @@ def _kcenter_oracle_sql(k: int = KC_K, scale: int = KM_SCALE) -> str:
             f"'sum')"
         )
 
+    extra = f" AND {where}" if where else ""
     parts = [f"""
         q AS (
             SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
                        x -> CAST(floor(x * {scale}.0 + 0.5) AS BIGINT)) AS q
-            FROM embeddings WHERE embedding IS NOT NULL
+            FROM embeddings WHERE embedding IS NOT NULL{extra}
         ),
         c1 AS MATERIALIZED (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT 1),
         d1 AS MATERIALIZED (
@@ -960,12 +1075,16 @@ def _kcenter_oracle_sql(k: int = KC_K, scale: int = KM_SCALE) -> str:
                 FROM d{t - 1} d LEFT JOIN c{t} c ON TRUE
             )
         )""")
+    return ",".join(parts)
+
+
+def _kcenter_oracle_sql(k: int = KC_K, scale: int = KM_SCALE) -> str:
     ranks = " UNION ALL ".join(
         f"SELECT {j - 1} AS r, vec_id AS cid FROM c{j}"
         for j in range(1, k + 1)
     )
     return f"""
-        WITH {','.join(parts)},
+        WITH {_kcenter_ctes(k, scale)},
         centers AS ({ranks})
         SELECT d{k}.vec_id,
                CAST(nearest - 1 AS INTEGER) AS center_rank,
@@ -1116,6 +1235,7 @@ def _agree_oracle_sql() -> str:
 QUERIES = {
     "cluster_label_agreement": cluster_label_agreement,
     "coreset_kcenter_select": coreset_kcenter_select,
+    "coreset_kcenter_append": coreset_kcenter_append,
     "embedding_drift_report": embedding_drift_report,
     "embedding_standardize": embedding_standardize,
     "embed_kmeans": embed_kmeans,
@@ -1128,6 +1248,7 @@ QUERIES = {
 ORACLE = {
     "cluster_label_agreement": _agree_oracle_sql(),
     "coreset_kcenter_select": _kcenter_oracle_sql(),
+    "coreset_kcenter_append": _kcenter_append_oracle_sql(),
     "embedding_drift_report": _drift_oracle_sql(),
     "pca_top_component": _pca_oracle_sql(),
     "embedding_isotropy_report": _isotropy_oracle_sql(),

@@ -360,6 +360,7 @@ EMB_NULL_SWEEP = [
     "embedding_drift_report", "knn_bfs_landmarks",
     "knn_density_outliers", "anns_range_search",
     "coreset_kcenter_select", "cluster_label_agreement",
+    "coreset_kcenter_append",
 ]
 
 

@@ -379,6 +379,13 @@ AUDIT = [
         "never shuffled, no global window.",
     ),
     (
+        "coreset_kcenter_append",
+        "Incremental coreset face: selection touches only the even-id "
+        "base half (k bounded passes); the append path is ONE map-only "
+        "Arrow assignment over the odd-id batch + a broadcast scalar "
+        "radius -- new data never joins old data.",
+    ),
+    (
         "merge_into_customers",
         "Three-clause MERGE as lakehouse engines execute it: ONE full "
         "outer key-equi-join of target and source (AQE broadcasts the "
