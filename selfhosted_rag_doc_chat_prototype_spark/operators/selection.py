@@ -847,6 +847,87 @@ def skyline_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skyline_streaming_sink(
+    stream_docs: DataFrame, path: str, checkpoint_dir: str,
+):
+    """The skyline's STREAMING face: maintain the Pareto frontier of
+    an append-only document stream incrementally per micro-batch
+    (``foreachBatch``). Correctness rests on the skyline's fold
+    identity over INSERT-ONLY data,
+
+        skyline(skyline(S) union B) == skyline(S union B),
+
+    so each batch pools the stored frontier with the batch's local
+    skyline and re-runs the SAME kernel -- and because a redelivered
+    point is either already dominated or already ON the stored
+    frontier (identical row, deduped by doc_id), at-least-once
+    redelivery and cross-batch disorder both converge to the batch
+    operator's result. (Deletions would break the identity -- a
+    dominated-then-deleted dominator needs the dominated points back;
+    that is the documented insert-only contract, the standard one for
+    streaming skylines.)
+
+    Scale shape: per batch, one map-only metric projection + local
+    skyline kernel over the BATCH only, then the kernel once over
+    (stored frontier + batch survivors) -- frontier-cardinality work,
+    never corpus-cardinality; staged delete->rename flip with the
+    crash healer, like every foreachBatch sink here. Returns the
+    started StreamingQuery."""
+    from pyspark.errors import AnalysisException
+
+    from ..sinks import _replace_dir, recover_replace_dir
+
+    schema = "doc_id long, tok long, uniq_u long"
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        staging = path.rstrip("/") + "__skystaging"
+        recover_replace_dir(spark, staging, path)
+        metrics = batch_df.select(
+            "doc_id",
+            F.size(tq.words(F.col("text"))).cast("long").alias("tok"),
+            F.size(F.array_distinct(tq.words(F.col("text"))))
+            .cast("long").alias("uniq"),
+        ).filter(F.col("tok") > 0).select(
+            "doc_id", "tok",
+            F.expr(f"uniq * {1_000_000} div tok").alias("uniq_u"),
+        )
+        local = metrics.mapInPandas(
+            lambda it: (_skyline_kernel(pdf) for pdf in it), schema
+        )
+        pool = local
+        try:
+            existing = spark.read.parquet(path)
+        except AnalysisException as e:
+            if ("PATH_NOT_FOUND" not in str(e)
+                    and "Path does not exist" not in str(e)):
+                raise
+            existing = None
+        if existing is not None:
+            pool = existing.select("doc_id", "tok", "uniq_u").unionByName(
+                local).dropDuplicates(["doc_id"])
+        out = (
+            pool.withColumn("_g", F.lit(1))
+            .groupBy("_g")
+            .applyInPandas(
+                lambda _, pdf: _skyline_kernel(pdf.drop(columns=["_g"])),
+                schema,
+            )
+        )
+        out.write.mode("overwrite").parquet(staging)
+        _replace_dir(spark, staging, path)
+
+    return (
+        stream_docs.writeStream
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _skyline_oracle_sql() -> str:
     return """
         WITH m AS (

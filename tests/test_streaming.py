@@ -1057,3 +1057,46 @@ def test_cdc_stream_equals_batch_and_replay_converges(spark, sf_dir, tmp_path):
         for r in cdc_state_read(spark, target).collect()
     }
     assert got2 == expected
+
+
+def test_skyline_stream_equals_batch_and_replay_converges(
+        spark, sf_dir, tmp_path):
+    """The incrementally folded Pareto frontier equals the batch
+    skyline regardless of arrival order (insert-only fold identity:
+    skyline(skyline(S) u B) = skyline(S u B); the feed splits by
+    doc_id parity = maximal disorder), and a full fresh-checkpoint
+    replay against the built frontier is a no-op."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.selection import (
+        skyline_quality_docs,
+        skyline_streaming_sink,
+    )
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = str(tmp_path / "sky_stream")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append").parquet(d)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append").parquet(d)
+
+    target = str(tmp_path / "sky_frontier")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1).parquet(d)
+        )
+        q = skyline_streaming_sink(stream, target, str(tmp_path / ckpt))
+        q.awaitTermination(240)
+
+    run("ckpt1")
+    expected = {tuple(r) for r in
+                skyline_quality_docs(spark, sf_dir).collect()}
+    got = {tuple(r) for r in spark.read.parquet(target)
+           .select("doc_id", "tok", "uniq_u").collect()}
+    assert got == expected and got
+
+    run("ckpt2")  # full replay: every doc redelivered
+    got2 = {tuple(r) for r in spark.read.parquet(target)
+            .select("doc_id", "tok", "uniq_u").collect()}
+    assert got2 == expected
