@@ -336,3 +336,87 @@ def test_mdsplit_budget_and_zero_loss_properties(words, budget):
     for ch, n in want.items():
         assert have[ch] >= n, (ch, chunks)
     assert [m["chunk_index"] for m in metas] == list(range(len(chunks)))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=40),
+                  st.integers(min_value=0, max_value=1_000_000)),
+        min_size=1, max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_skyline_kernel_matches_bruteforce(points):
+    """The O(n log n) skyline kernel equals the quadratic dominance
+    definition on arbitrary (tok, uniq_u) multisets -- including ties,
+    duplicate points (co-survival), and degenerate single-axis runs."""
+    import pandas as pd
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.selection import (
+        _skyline_kernel,
+    )
+
+    pdf = pd.DataFrame({
+        "doc_id": range(len(points)),
+        "tok": [t for t, _ in points],
+        "uniq_u": [u for _, u in points],
+    })
+    got = {tuple(r) for r in
+           _skyline_kernel(pdf)[["doc_id", "tok", "uniq_u"]].itertuples(
+               index=False)}
+    brute = set()
+    for i, (t, u) in enumerate(points):
+        dominated = any(
+            (t2 >= t and u2 >= u and (t2 > t or u2 > u))
+            for j, (t2, u2) in enumerate(points) if j != i
+        )
+        if not dominated:
+            brute.add((i, t, u))
+    assert got == brute
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=100_000),
+             min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=99),
+)
+@settings(max_examples=200, deadline=None)
+def test_waterfill_closed_form_invariants(sizes, pct):
+    """The water-filling closed form (the exact arithmetic
+    token_budget_waterfill executes in SQL, mirrored here in pure
+    Python with truncating division): allocations never exceed a
+    source's size, sum EXACTLY to the budget whenever budget <= total,
+    uncapped sources keep everything, and capped allocations sit
+    within one unit of each other (max-min fairness)."""
+    total = sum(sizes)
+    budget = total * pct // 100
+    m = len(sizes)
+    order = sorted(range(m), key=lambda i: (sizes[i], i))
+    # k = largest prefix that fits whole alongside levelling the rest
+    k, cum_k, cum = 0, 0, 0
+    for pos, i in enumerate(order, start=1):
+        cum += sizes[i]
+        if cum + (m - pos) * sizes[i] <= budget:
+            k, cum_k = pos, cum
+    alloc = {}
+    if m > k:
+        level = (budget - cum_k) // (m - k)
+        rem = (budget - cum_k) % (m - k)
+    for pos, i in enumerate(order, start=1):
+        if pos <= k:
+            alloc[i] = sizes[i]
+        else:
+            bonus = 1 if pos - k <= rem else 0
+            alloc[i] = min(sizes[i], level + bonus)
+    assert all(alloc[i] <= sizes[i] for i in range(m))
+    if budget <= total:
+        assert sum(alloc.values()) == budget
+    capped = [alloc[i] for i in range(m) if alloc[i] < sizes[i]]
+    if capped:
+        assert max(capped) - min(capped) <= 1
+        # max-min fairness: a source is only capped ABOVE the level,
+        # so every fully-kept source is no larger than the cap level
+        # plus its bonus ceiling
+        level_hi = max(capped)
+        assert all(sizes[i] <= level_hi for i in range(m)
+                   if alloc[i] == sizes[i])
