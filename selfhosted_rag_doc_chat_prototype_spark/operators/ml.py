@@ -838,17 +838,106 @@ def _drift_oracle_sql() -> str:
     """
 
 
-KC_K = 8  # coreset size (selected representatives)
+KC_K = 8        # coreset size (selected representatives)
+KC_PARTS = 16   # deterministic local groups for the two-level pass
+
+
+def _kc_dist(v: str, c: str) -> str:
+    """Exact integer squared distance as a DuckDB expression (lambdas
+    may reference correlated columns but not subqueries, so centers
+    always arrive as join columns)."""
+    return (
+        f"list_aggregate(list_transform(range(1, len({v}) + 1), "
+        f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), 'sum')"
+    )
+
+
+def _gonzalez_np(ids, Q, k):
+    """Exact-integer Gonzalez selection over an in-memory block: seed
+    with the lowest vec_id, then repeatedly take the point with the
+    largest min-distance to the chosen set (ties -> lowest vec_id),
+    stopping at ``k`` or exhaustion. Rows are sorted by vec_id first
+    so numpy's first-occurrence ``argmax`` IS the (dist DESC, vec_id
+    ASC) tie-break; all arithmetic is int64 on micro-unit coordinates
+    (headroom: dim * (2e6)^2 ~ 5e14, five decades inside int64), so
+    the selection is bit-identical to the unrolled-CTE DuckDB oracle.
+
+    Returns (ids, vectors) of the selected centers in selection
+    order."""
+    import numpy as np
+
+    n = len(ids)
+    if n == 0:
+        return [], []
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    Q = Q[order]
+    md = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    chosen = np.zeros(n, dtype=bool)
+    sel = [0]
+    chosen[0] = True
+    cur = 0
+    while len(sel) < min(k, n):
+        diff = Q - Q[cur]
+        md = np.minimum(md, (diff * diff).sum(axis=1))
+        cand = np.where(chosen, np.int64(-1), md)
+        cur = int(cand.argmax())
+        sel.append(cur)
+        chosen[cur] = True
+    return ([int(ids[i]) for i in sel],
+            [[int(x) for x in Q[i]] for i in sel])
+
+
+def _two_level_centers(q: DataFrame, k: int):
+    """TWO-LEVEL composable Gonzalez (the mergeable-coreset
+    construction of Guha et al. / Indyk's streaming k-center): one
+    grouped Arrow pass runs local Gonzalez inside each DETERMINISTIC
+    group ``grp = vec_id % KC_PARTS`` (so the DuckDB oracle can replay
+    the grouping -- a Spark partition id could not be replayed), the
+    <= KC_PARTS * k local candidates collect to the driver, and the
+    final Gonzalez runs over that bounded block in the same exact
+    integer kernel. Every point is within the local covering radius of
+    some candidate, so the composed selection stays in the Gonzalez
+    2-approximation family (property-tested against the single-level
+    radius in tests/test_properties.py).
+
+    Scale shape: ONE corpus pass (a grp-keyed shuffle of (vec_id, q)
+    pairs feeding the grouped kernel) for ANY k -- replacing the k
+    driver-synchronized full-corpus scans of single-level Gonzalez --
+    plus O(KC_PARTS * k * dim) driver work. The caller's assignment
+    pass is the second and final corpus scan."""
+    import numpy as np
+    import pandas as pd
+
+    def local(pdf):
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        Q = np.asarray(pdf["q"].tolist(), dtype=np.int64)
+        sid, sq = _gonzalez_np(ids, Q, k)
+        return pd.DataFrame({
+            "vec_id": pd.Series(sid, dtype="int64"),
+            "q": pd.Series(sq, dtype="object"),
+        })
+
+    cands = (
+        q.withColumn("grp", F.col("vec_id") % KC_PARTS)
+        .groupBy("grp")
+        .applyInPandas(local, "vec_id long, q array<long>")
+        .collect()
+    )
+    if not cands:
+        return [], []
+    ids = np.asarray([r.vec_id for r in cands], dtype=np.int64)
+    Q = np.asarray([list(r.q) for r in cands], dtype=np.int64)
+    return _gonzalez_np(ids, Q, k)
 
 
 def coreset_kcenter_select(spark: SparkSession, sf_dir: str,
                            k: int = KC_K) -> DataFrame:
     """Greedy k-CENTER coreset selection (Gonzalez 1985; the
     max-min-diversity selection used by DeepCore/coreset data-pruning
-    pipelines): seed with the lowest vec_id, then ``k - 1`` times pick
-    the vector FARTHEST from every center chosen so far -- the set
-    that 2-approximates the optimal covering radius, i.e. the most
-    diverse k representatives of the embedding corpus. Emits the full
+    pipelines), computed with the TWO-LEVEL composable construction:
+    local Gonzalez per deterministic group -> final Gonzalez over the
+    pooled candidates -> one assignment pass. Emits the full
     ASSIGNMENT (every vector mapped to its nearest selected center
     with exact integer squared distance) -- the per-doc representative
     map a diversity-sampling / dedup-budget stage consumes; the
@@ -859,46 +948,27 @@ def coreset_kcenter_select(spark: SparkSession, sf_dir: str,
     an int64 sum of squares, so selection argmaxes, assignment
     argmins, and tie-breaks (max dist then lowest vec_id; nearest
     center keeps the LOWEST selection rank on equal distance) are
-    bit-identical to the unrolled-CTE DuckDB oracle.
+    bit-identical to the unrolled grouped-CTE DuckDB oracle.
 
-    Scale shape: the canonical bounded-driver-state iteration (the
-    k-means precedent) -- the corpus persists once, each of the k - 1
-    selection steps is ONE map-only assignment pass against broadcast
-    centers (k x dim integers of driver state, k bounded small) plus a
-    TakeOrdered(1); the final assignment is map-only. k passes total,
-    the known Gonzalez cost; the corpus is never shuffled."""
+    Scale shape: exactly TWO corpus passes for ANY k (the round-8
+    verdict's fix for the k driver-synchronized rounds of single-level
+    Gonzalez): pass 1 is the grouped local-candidate kernel, pass 2 is
+    the map-only broadcast-centers assignment; driver state is the
+    bounded KC_PARTS * k candidate block. The corpus is never
+    re-scanned as k grows."""
     if k < 1:
         raise ValueError(f"coreset_kcenter_select requires k >= 1, got {k}")
     q = _quantized(spark, sf_dir)
-    q.persist()
-    try:
-        seed = q.orderBy("vec_id").limit(1).collect()
-        if not seed:
-            return q.select(
-                "vec_id",
-                F.lit(0).cast("int").alias("center_rank"),
-                F.lit(0).cast("long").alias("center_vec_id"),
-                F.lit(0).cast("long").alias("dist_u"),
-            ).limit(0)
-        center_ids = [seed[0].vec_id]
-        centers = [list(seed[0].q)]
-        for _ in range(1, k):
-            far = (
-                _assign(q, centers)
-                .filter(~F.col("vec_id").isin(center_ids))
-                .orderBy(F.desc("dist_u"), F.asc("vec_id"))
-                .limit(1)
-                .collect()
-            )
-            if not far:  # corpus smaller than k
-                break
-            center_ids.append(far[0].vec_id)
-            centers.append(list(far[0].q))
-        assigned = _assign(q, centers)
-    finally:
-        q.unpersist()
+    center_ids, centers = _two_level_centers(q, k)
+    if not center_ids:
+        return q.select(
+            "vec_id",
+            F.lit(0).cast("int").alias("center_rank"),
+            F.lit(0).cast("long").alias("center_vec_id"),
+            F.lit(0).cast("long").alias("dist_u"),
+        ).limit(0)
     id_arr = F.array(*[F.lit(int(i)) for i in center_ids])
-    return assigned.select(
+    return _assign(q, centers).select(
         "vec_id",
         F.col("cluster").alias("center_rank"),
         F.element_at(id_arr, F.col("cluster") + 1).cast("long")
@@ -919,45 +989,29 @@ def coreset_kcenter_append(spark: SparkSession, sf_dir: str,
     ids = archive the coreset was built on, odd ids = the new batch).
 
     Exactness: identical integer micro-unit distances as the base
-    operator; the radius is the exact max assignment distance over the
-    base corpus; the violation compare is BIGINT.
+    operator (two-level selection over the base half); the radius is
+    the exact max assignment distance over the base corpus; the
+    violation compare is BIGINT.
 
-    Scale shape: selection touches only the BASE corpus (k bounded
-    passes, as the base operator); the append path is ONE map-only
-    Arrow assignment over the new batch plus a broadcast scalar radius
-    -- new data never joins old data, the property that makes coreset
-    maintenance viable on a growing corpus."""
+    Scale shape: selection is the two-level construction over the BASE
+    corpus only (one grouped pass + one assignment pass for any k);
+    the append path is ONE map-only Arrow assignment over the new
+    batch plus a broadcast scalar radius -- new data never joins old
+    data, the property that makes coreset maintenance viable on a
+    growing corpus."""
     base = _quantized(spark, sf_dir).filter(F.col("vec_id") % 2 == 0)
     appended = _quantized(spark, sf_dir).filter(F.col("vec_id") % 2 == 1)
-    base.persist()
-    try:
-        seed = base.orderBy("vec_id").limit(1).collect()
-        if not seed:
-            return appended.select(
-                "vec_id",
-                F.lit(0).cast("int").alias("center_rank"),
-                F.lit(0).cast("long").alias("center_vec_id"),
-                F.lit(0).cast("long").alias("dist_u"),
-                F.lit(False).alias("exceeds_radius"),
-            ).limit(0)
-        center_ids = [seed[0].vec_id]
-        centers = [list(seed[0].q)]
-        for _ in range(1, k):
-            far = (
-                _assign(base, centers)
-                .filter(~F.col("vec_id").isin(center_ids))
-                .orderBy(F.desc("dist_u"), F.asc("vec_id"))
-                .limit(1)
-                .collect()
-            )
-            if not far:
-                break
-            center_ids.append(far[0].vec_id)
-            centers.append(list(far[0].q))
-        radius = _assign(base, centers).agg(
-            F.max("dist_u").alias("radius_u"))
-    finally:
-        base.unpersist()
+    center_ids, centers = _two_level_centers(base, k)
+    if not center_ids:
+        return appended.select(
+            "vec_id",
+            F.lit(0).cast("int").alias("center_rank"),
+            F.lit(0).cast("long").alias("center_vec_id"),
+            F.lit(0).cast("long").alias("dist_u"),
+            F.lit(False).alias("exceeds_radius"),
+        ).limit(0)
+    radius = _assign(base, centers).agg(
+        F.max("dist_u").alias("radius_u"))
     id_arr = F.array(*[F.lit(int(i)) for i in center_ids])
     return (
         _assign(appended, centers)
@@ -973,22 +1027,133 @@ def coreset_kcenter_append(spark: SparkSession, sf_dir: str,
     )
 
 
+def _kcenter_ctes(k: int = KC_K, parts: int = KC_PARTS,
+                  scale: int = KM_SCALE, where: str = "") -> str:
+    """Unrolled TWO-LEVEL Gonzalez CTE chain mirroring
+    :func:`_two_level_centers` exactly. Local stage: per-group chains
+    run as ONE grouped step each (lc_t = per-grp argmax window over
+    ld_{t-1}, ld_t = running min-dist via a grp-keyed join), so the
+    unroll depth is k regardless of the group count. Global stage: the
+    single-chain Gonzalez (the k-means oracle pattern) over the pooled
+    ``cand`` block. Ends with ``centers(r, cid, cq)`` -- selection
+    rank, center vec_id, center vector -- which the select/append
+    oracles join/cross-join against. A center CTE that comes up empty
+    (block smaller than k) yields NULL distances and leaves the
+    running state unchanged, matching the Spark early-exhaustion.
+    ``where`` narrows the selection corpus (the append face selects
+    from the even-id base half); the corpus CTE ``q`` stays visible to
+    the callers for the final assignment."""
+    extra = f" AND {where}" if where else ""
+    out = [f"""
+        q AS MATERIALIZED (
+            SELECT vec_id, vec_id % {parts} AS grp,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * {scale}.0 + 0.5) AS BIGINT)) AS q
+            FROM embeddings WHERE embedding IS NOT NULL{extra}
+        ),
+        lc1 AS MATERIALIZED (
+            SELECT grp, vec_id, q FROM (
+                SELECT grp, vec_id, q, row_number() OVER (
+                    PARTITION BY grp ORDER BY vec_id) AS rn FROM q)
+            WHERE rn = 1
+        ),
+        ld1 AS MATERIALIZED (
+            SELECT q.grp, q.vec_id, q.q, {_kc_dist('q.q', 'c.q')} AS md
+            FROM q JOIN lc1 c ON c.grp = q.grp
+        )"""]
+    for t in range(2, k + 1):
+        prior = " UNION ALL ".join(
+            f"SELECT vec_id FROM lc{j}" for j in range(1, t))
+        out.append(f"""
+        lc{t} AS MATERIALIZED (
+            SELECT grp, vec_id, q FROM (
+                SELECT grp, vec_id, q, row_number() OVER (
+                    PARTITION BY grp ORDER BY md DESC, vec_id) AS rn
+                FROM ld{t - 1}
+                WHERE vec_id NOT IN ({prior}))
+            WHERE rn = 1
+        ),
+        ld{t} AS MATERIALIZED (
+            SELECT grp, vec_id, q,
+                   CASE WHEN nd < md THEN nd ELSE md END AS md
+            FROM (
+                SELECT d.grp, d.vec_id, d.q, d.md,
+                       {_kc_dist('d.q', 'c.q')} AS nd
+                FROM ld{t - 1} d LEFT JOIN lc{t} c ON c.grp = d.grp
+            )
+        )""")
+    cand = " UNION ALL ".join(
+        f"SELECT vec_id, q FROM lc{j}" for j in range(1, k + 1))
+    out.append(f"""
+        cand AS MATERIALIZED ({cand}),
+        gc1 AS MATERIALIZED (
+            SELECT vec_id, q FROM cand ORDER BY vec_id LIMIT 1),
+        gd1 AS MATERIALIZED (
+            SELECT c.vec_id, c.q, {_kc_dist('c.q', 'g.q')} AS md
+            FROM cand c LEFT JOIN gc1 g ON TRUE
+        )""")
+    for t in range(2, k + 1):
+        prior = " UNION ALL ".join(
+            f"SELECT vec_id FROM gc{j}" for j in range(1, t))
+        out.append(f"""
+        gc{t} AS MATERIALIZED (
+            SELECT vec_id, q FROM gd{t - 1}
+            WHERE vec_id NOT IN ({prior})
+            ORDER BY md DESC, vec_id LIMIT 1
+        ),
+        gd{t} AS MATERIALIZED (
+            SELECT vec_id, q,
+                   CASE WHEN nd < md THEN nd ELSE md END AS md
+            FROM (
+                SELECT d.vec_id, d.q, d.md, {_kc_dist('d.q', 'c.q')} AS nd
+                FROM gd{t - 1} d LEFT JOIN gc{t} c ON TRUE
+            )
+        )""")
+    ranks = " UNION ALL ".join(
+        f"SELECT {j - 1} AS r, vec_id AS cid, q AS cq FROM gc{j}"
+        for j in range(1, k + 1))
+    out.append(f"""
+        centers AS MATERIALIZED ({ranks})""")
+    return ",".join(out)
+
+
+def _kc_scored(src: str) -> str:
+    """Argmin-assignment CTE body: ``src`` rows (vec_id, q) cross-join
+    the k centers, (dist ASC, rank ASC) window pick -- the SQL twin of
+    the numpy first-occurrence argmin in :func:`_assign`."""
+    d = _kc_dist(f"{src}.q", "c.cq")
+    return f"""
+            SELECT {src}.vec_id, c.r, c.cid, {d} AS d,
+                   row_number() OVER (PARTITION BY {src}.vec_id
+                       ORDER BY {d} ASC, c.r ASC) AS pick
+            FROM {src} CROSS JOIN centers c"""
+
+
+def _kcenter_oracle_sql(k: int = KC_K, scale: int = KM_SCALE) -> str:
+    return f"""
+        WITH {_kcenter_ctes(k, KC_PARTS, scale)},
+        scored AS ({_kc_scored('q')})
+        SELECT vec_id,
+               CAST(r AS INTEGER) AS center_rank,
+               CAST(cid AS BIGINT) AS center_vec_id,
+               CAST(d AS BIGINT) AS dist_u
+        FROM scored WHERE pick = 1
+    """
+
+
 def _kcenter_append_oracle_sql(k: int = KC_K,
                                scale: int = KM_SCALE) -> str:
-    """Base-half selection via the same unrolled chain (q filtered to
-    even ids), exact radius from the base assignment, then the
-    appended (odd) rows assign by a k-row cross join + (dist, rank)
-    argmin window."""
-    base_chain = _kcenter_ctes(k, scale, where="vec_id % 2 = 0")
+    """Two-level selection over the even-id base half (``q`` in the
+    chain IS the base corpus), exact radius from the base assignment,
+    then the appended (odd) rows assign by a k-row cross join +
+    (dist, rank) argmin window and compare against the radius."""
+    chain = _kcenter_ctes(k, KC_PARTS, scale, where="vec_id % 2 = 0")
     return f"""
-        WITH {base_chain},
+        WITH {chain},
+        base_scored AS ({_kc_scored('q')}),
         radius AS (
-            SELECT CAST(max(md) AS BIGINT) AS radius_u FROM d{k}
-        ),
-        centers AS (
-            {' UNION ALL '.join(
-                f"SELECT {j - 1} AS r, vec_id AS cid, q AS cq FROM c{j}"
-                for j in range(1, k + 1))}
+            SELECT CAST(max(d) AS BIGINT) AS radius_u
+            FROM base_scored WHERE pick = 1
         ),
         app AS (
             SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
@@ -996,19 +1161,7 @@ def _kcenter_append_oracle_sql(k: int = KC_K,
             FROM embeddings
             WHERE embedding IS NOT NULL AND vec_id % 2 = 1
         ),
-        scored AS (
-            SELECT a.vec_id, c.r, c.cid,
-                   list_aggregate(list_transform(
-                       range(1, len(a.q) + 1),
-                       i -> (a.q[i] - c.cq[i]) * (a.q[i] - c.cq[i])),
-                       'sum') AS d,
-                   row_number() OVER (PARTITION BY a.vec_id
-                       ORDER BY list_aggregate(list_transform(
-                           range(1, len(a.q) + 1),
-                           i -> (a.q[i] - c.cq[i]) * (a.q[i] - c.cq[i])),
-                           'sum') ASC, c.r ASC) AS pick
-            FROM app a CROSS JOIN centers c
-        )
+        scored AS ({_kc_scored('app')})
         SELECT s.vec_id,
                CAST(s.r AS INTEGER) AS center_rank,
                CAST(s.cid AS BIGINT) AS center_vec_id,
@@ -1016,81 +1169,6 @@ def _kcenter_append_oracle_sql(k: int = KC_K,
                s.d > radius.radius_u AS exceeds_radius
         FROM scored s CROSS JOIN radius
         WHERE s.pick = 1
-    """
-
-
-def _kcenter_ctes(k: int = KC_K, scale: int = KM_SCALE,
-                  where: str = "") -> str:
-    """Unrolled Gonzalez CTE chain (the k-means oracle pattern):
-    c1 = lowest vec_id; d_t = running (min dist, nearest rank) over
-    centers 1..t with strict-less updates (ties keep the earlier,
-    lower-rank center -- numpy argmin first-occurrence); c_{t+1} =
-    the d_t argmax by (dist DESC, vec_id ASC) excluding prior
-    centers. A center CTE that comes up empty (corpus < k) yields
-    NULL distances and leaves d_t unchanged, matching the Spark
-    early-break. ``where`` narrows the selection corpus (the append
-    face selects from the even-id base half)."""
-
-    def dist(vcol: str, ccol: str) -> str:
-        # lambdas may reference correlated columns but not subqueries
-        # (DuckDB restriction), so each center arrives as a LEFT JOIN
-        # ON TRUE column: an empty center CTE (corpus < k) yields NULL
-        # distances that leave the running state unchanged
-        return (
-            f"list_aggregate(list_transform(range(1, len({vcol}) + 1), "
-            f"i -> ({vcol}[i] - {ccol}[i]) * ({vcol}[i] - {ccol}[i])), "
-            f"'sum')"
-        )
-
-    extra = f" AND {where}" if where else ""
-    parts = [f"""
-        q AS (
-            SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-                       x -> CAST(floor(x * {scale}.0 + 0.5) AS BIGINT)) AS q
-            FROM embeddings WHERE embedding IS NOT NULL{extra}
-        ),
-        c1 AS MATERIALIZED (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT 1),
-        d1 AS MATERIALIZED (
-            SELECT q.vec_id, q.q,
-                   {dist('q.q', 'c.q')} AS md, 1 AS nearest
-            FROM q LEFT JOIN c1 c ON TRUE
-        )"""]
-    for t in range(2, k + 1):
-        prior = " UNION ALL ".join(
-            f"SELECT vec_id FROM c{j}" for j in range(1, t)
-        )
-        parts.append(f"""
-        c{t} AS MATERIALIZED (
-            SELECT vec_id, q FROM d{t - 1}
-            WHERE vec_id NOT IN ({prior})
-            ORDER BY md DESC, vec_id LIMIT 1
-        ),
-        d{t} AS MATERIALIZED (
-            SELECT vec_id, q,
-                   CASE WHEN nd < md THEN nd ELSE md END AS md,
-                   CASE WHEN nd < md THEN {t} ELSE nearest END AS nearest
-            FROM (
-                SELECT d.vec_id, d.q, d.md, d.nearest,
-                       {dist('d.q', 'c.q')} AS nd
-                FROM d{t - 1} d LEFT JOIN c{t} c ON TRUE
-            )
-        )""")
-    return ",".join(parts)
-
-
-def _kcenter_oracle_sql(k: int = KC_K, scale: int = KM_SCALE) -> str:
-    ranks = " UNION ALL ".join(
-        f"SELECT {j - 1} AS r, vec_id AS cid FROM c{j}"
-        for j in range(1, k + 1)
-    )
-    return f"""
-        WITH {_kcenter_ctes(k, scale)},
-        centers AS ({ranks})
-        SELECT d{k}.vec_id,
-               CAST(nearest - 1 AS INTEGER) AS center_rank,
-               CAST(centers.cid AS BIGINT) AS center_vec_id,
-               CAST(md AS BIGINT) AS dist_u
-        FROM d{k} JOIN centers ON centers.r = nearest - 1
     """
 
 

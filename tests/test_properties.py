@@ -420,3 +420,90 @@ def test_waterfill_closed_form_invariants(sizes, pct):
         level_hi = max(capped)
         assert all(sizes[i] <= level_hi for i in range(m)
                    if alloc[i] == sizes[i])
+
+
+# -- two-level Gonzalez k-center (operators/ml.py) --------------------
+
+def _radius(Q, centers):
+    """Max over points of min int squared distance to any center."""
+    import numpy as np
+
+    best = None
+    for c in centers:
+        d = ((Q - np.asarray(c, dtype=np.int64)) ** 2).sum(axis=1)
+        best = d if best is None else np.minimum(best, d)
+    return int(best.max())
+
+
+@given(st.integers(min_value=1, max_value=6),
+       st.integers(min_value=2, max_value=8),
+       st.integers(min_value=0, max_value=2_000))
+@settings(max_examples=40, deadline=None)
+def test_two_level_kcenter_stays_in_approximation_family(k, dim, seed):
+    """The composable-coreset guarantee the two-level construction
+    rides on (every point is within the local covering radius of some
+    pooled candidate): its covering radius never exceeds 2x the
+    single-level Gonzalez radius on the same corpus. Also pins
+    determinism: row order never changes the selection (rows sort by
+    vec_id inside the kernel)."""
+    import numpy as np
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.ml import (
+        KC_PARTS,
+        _gonzalez_np,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 120))
+    ids = rng.choice(10_000, size=n, replace=False).astype(np.int64)
+    Q = rng.integers(-1_000_000, 1_000_000, size=(n, dim), dtype=np.int64)
+
+    single_ids, single_centers = _gonzalez_np(ids.copy(), Q.copy(), k)
+
+    # two-level: local Gonzalez per grp = vec_id % KC_PARTS, then
+    # final Gonzalez over the pooled candidates -- exactly the
+    # _two_level_centers composition without Spark
+    cand_ids, cand_qs = [], []
+    for g in range(KC_PARTS):
+        m = ids % KC_PARTS == g
+        if m.any():
+            lid, lq = _gonzalez_np(ids[m], Q[m], k)
+            cand_ids.extend(lid)
+            cand_qs.extend(lq)
+    two_ids, two_centers = _gonzalez_np(
+        np.asarray(cand_ids, dtype=np.int64),
+        np.asarray(cand_qs, dtype=np.int64), k)
+
+    assert len(two_ids) == min(k, len(cand_ids))
+    assert len(set(two_ids)) == len(two_ids)
+    r_single = _radius(Q, single_centers)
+    r_two = _radius(Q, two_centers)
+    assert r_two <= 2 * r_single or r_single == 0 and r_two == 0
+
+    # permutation invariance (the vec_id sort inside the kernel)
+    perm = rng.permutation(n)
+    again_ids, _ = _gonzalez_np(ids[perm], Q[perm], k)
+    assert again_ids == single_ids
+
+
+@given(st.integers(min_value=0, max_value=500))
+@settings(max_examples=25, deadline=None)
+def test_gonzalez_kernel_tie_breaks_and_exhaustion(seed):
+    """Seed = lowest vec_id; duplicates exhaust gracefully (selection
+    stops at the distinct-point count only when every remaining
+    min-dist is zero AND all rows are chosen); k > n returns n."""
+    import numpy as np
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.ml import (
+        _gonzalez_np,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 30))
+    ids = np.sort(rng.choice(1_000, size=n, replace=False)).astype(np.int64)
+    Q = rng.integers(-5, 5, size=(n, 3), dtype=np.int64)
+    k = int(rng.integers(1, 40))
+    sel_ids, centers = _gonzalez_np(ids, Q, k)
+    assert sel_ids[0] == int(ids.min())
+    assert len(sel_ids) == min(k, n)
+    assert len(set(sel_ids)) == len(sel_ids)

@@ -372,18 +372,20 @@ AUDIT = [
     ),
     (
         "coreset_kcenter_select",
-        "Gonzalez greedy k-center: k bounded selection passes, each a "
-        "map-only Arrow assignment against broadcast centers (k x dim "
-        "integers of driver state) + TakeOrdered(1); the final "
-        "assignment is map-only off the persisted quantized corpus -- "
-        "never shuffled, no global window.",
+        "TWO-LEVEL composable Gonzalez (round-9 rewrite of the k "
+        "driver-synchronized rounds): pass 1 = one grouped Arrow "
+        "kernel emitting <= KC_PARTS*k local candidates (grp-keyed "
+        "shuffle of (vec_id,q) only), final Gonzalez over the bounded "
+        "candidate block on the driver, pass 2 = map-only broadcast-"
+        "centers assignment. Exactly TWO corpus passes for ANY k.",
     ),
     (
         "coreset_kcenter_append",
-        "Incremental coreset face: selection touches only the even-id "
-        "base half (k bounded passes); the append path is ONE map-only "
-        "Arrow assignment over the odd-id batch + a broadcast scalar "
-        "radius -- new data never joins old data.",
+        "Incremental coreset face: two-level selection over the "
+        "even-id base half (2 bounded passes for any k); the append "
+        "path is ONE map-only Arrow assignment over the odd-id batch "
+        "+ a broadcast scalar radius -- new data never joins old "
+        "data.",
     ),
     (
         "merge_into_customers",
