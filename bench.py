@@ -322,6 +322,16 @@ BENCH_EXCLUDED = {
     **{n: "stub-bound" for n in [
         "multimodal_audio_frames", "multimodal_video_keyframes",
     ]},
+    # per-strategy recall legs (r9): each is one already-benched serve
+    # plan + a tiny gold-matview join; the omnibus anns_recall_report
+    # (benched) unions their persisted outputs -- benching the legs
+    # would double-time the serve paths
+    **{n: "recall-leg" for n in [
+        "anns_recall_lsh", "anns_recall_lsh_multiprobe",
+        "anns_recall_ivf", "anns_recall_ivfpq", "anns_recall_bq",
+        "anns_recall_matryoshka", "anns_recall_hardneg",
+        "anns_recall_late_interaction",
+    ]},
 }
 
 

@@ -313,8 +313,10 @@ AUDIT = [
     ),
     (
         "anns_recall_report",
-        "Both legs are the registered retrieval plans; the compare "
-        "join and per-query aggregate run on Q*k rows.",
+        "r9: a union of the eight PERSISTED per-strategy leg matviews "
+        "(each an anns_recall_* registered query, built once per "
+        "corpus) -- the executed plan is eight O(Q)-row parquet scans, "
+        "no serve subtree is ever replanned in the omnibus.",
     ),
     (
         "anns_ivf_topk",
@@ -972,6 +974,15 @@ AUDIT += (
     + [(n, _SERVE_MATVIEW) for n in [
         "anns_filtered_topk", "anns_label_maxsim_topk",
         "anns_lsh_multiprobe",
+    ]]
+    + [(n, "Per-strategy recall leg (r9): ONE registered serve plan "
+            "left-joined against the persisted gold matview, per-query "
+            "aggregate on Q*k rows; materialized once per corpus as "
+            "the leg matview the omnibus report unions.") for n in [
+        "anns_recall_lsh", "anns_recall_lsh_multiprobe",
+        "anns_recall_ivf", "anns_recall_ivfpq", "anns_recall_bq",
+        "anns_recall_matryoshka", "anns_recall_hardneg",
+        "anns_recall_late_interaction",
     ]]
     + [
         (
