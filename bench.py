@@ -363,9 +363,17 @@ def assert_bench_coverage(queries: dict) -> None:
 # best-of-2 (they rebuild per-corpus matviews on the first run)
 SCALE_QUERIES = ["dedup_embedding_cosine", "anns_lsh_bucketed",
                  "anns_grouped_topk", "dedup_semantic_keep",
-                 "embed_kmeans", "embed_random_projection"]
+                 "embed_kmeans", "embed_random_projection",
+                 # r9: the r8-new embedding-path heavy family
+                 "coreset_kcenter_select", "coreset_kcenter_append",
+                 "cluster_label_agreement"]
 DOC_SCALE_QUERIES = ["dedup_minhash_lsh", "decontaminate_fuzzy_minhash",
-                     "hybrid_fusion_topk", "dedup_substring_spans"]
+                     "hybrid_fusion_topk", "dedup_substring_spans",
+                     # r9: two-phase distributed skyline over documents
+                     "skyline_quality_docs"]
+# r9: the warehouse pair reads orders/customer -- the scale dir grows
+# key-offset replicas of both so MERGE/CDC run on a 10x keyspace
+TABLE_SCALE_QUERIES = ["cdc_apply_orders", "merge_into_customers"]
 
 
 def scale_evidence(spark, sf_dir, queries, timings, n_runs):
@@ -423,6 +431,29 @@ def scale_evidence(spark, sf_dir, queries, timings, n_runs):
             bigd = bigd.unionByName(p)
         bigd.write.mode("overwrite").parquet(f"{d}/documents.parquet")
 
+        # 10x orders/customer for the warehouse pair: replicas shift
+        # every key by a disjoint offset (orderkey, custkey, and the
+        # customer table's custkey move together), so the MERGE join
+        # keyspace and the CDC per-key groups both grow 10x -- no
+        # planted cross-replica collisions, no fixed hot keys
+        base_ord = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        big_ord = base_ord.crossJoin(reps).select(
+            (F.col("o_orderkey") + F.col("rep") * 1_000_000_000)
+            .alias("o_orderkey"),
+            (F.col("o_custkey") + F.col("rep") * 100_000_000)
+            .alias("o_custkey"),
+            *[c for c in base_ord.columns
+              if c not in ("o_orderkey", "o_custkey")],
+        )
+        big_ord.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        base_cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        big_cust = base_cust.crossJoin(reps).select(
+            (F.col("c_custkey") + F.col("rep") * 100_000_000)
+            .alias("c_custkey"),
+            *[c for c in base_cust.columns if c != "c_custkey"],
+        )
+        big_cust.write.mode("overwrite").parquet(f"{d}/customer.parquet")
+
         # the ratio must compare 1x and 10x under IDENTICAL JVM
         # conditions: by this point the bench JVM has run the whole
         # headline suite and sits in a different GC/code-cache state
@@ -430,9 +461,10 @@ def scale_evidence(spark, sf_dir, queries, timings, n_runs):
         # inflate doc-path ratios ~2-3x. Re-time the 1x corpus here,
         # interleaved with the 10x runs, and derive the ratio from
         # that; the main-loop timing stays reported separately.
-        for name, runs in [(n, n_runs) for n in SCALE_QUERIES] + [
-            (n, min(n_runs, 2)) for n in DOC_SCALE_QUERIES
-        ]:
+        for name, runs in ([(n, n_runs) for n in SCALE_QUERIES]
+                           + [(n, min(n_runs, 2)) for n in DOC_SCALE_QUERIES]
+                           + [(n, min(n_runs, 2))
+                              for n in TABLE_SCALE_QUERIES]):
             if name not in queries or name not in timings:
                 continue
             best_1x = float("inf")

@@ -1149,28 +1149,31 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     to exact-hash and MinHash/LSH.
 
     Scale shape (the suffix-array of the paper re-expressed as
-    relational ops): span explode is map-side; the span-frequency
-    aggregate shuffles ``xxhash64(span)`` 8-byte keys with map-side
-    combine, never span text; the join back is a plain shuffle
-    equi-join on the same key (the duplicated-span set is NOT
-    broadcastable by definition); one final doc_id aggregation. Runs
-    on the near-copy corpus so planted positives exist."""
+    relational ops; r9 single-explode rewrite): the span explode runs
+    ONCE, collapses immediately to distinct (span, doc_id) rows with a
+    per-doc multiplicity count (map-side combine shrinks every
+    repeated span before its shuffle), ``ndocs`` is a count window
+    over the span key's distinct-doc rows (no corpus-sized join back
+    -- the r8 plan shuffled the full explode twice and recomputed it
+    for the equi-join), and one final doc_id aggregation emits the
+    report. Everything shuffled is 8-byte ``xxhash64(span)`` keys +
+    counts, never span text. Runs on the near-copy corpus so planted
+    positives exist."""
     from .pretrain import gram_array
 
     corpus = _near_corpus(spark, sf_dir)
     spans = F.transform(gram_array("text", SPAN_K), lambda g: F.xxhash64(g))
     ex = corpus.select("doc_id", F.explode(spans).alias("sh"))
-    freq = (
-        ex.groupBy("sh")
-        .agg(F.count_distinct("doc_id").alias("ndocs"))
-    )
-    flagged = ex.join(freq, "sh")
+    per = ex.groupBy("sh", "doc_id").agg(
+        F.count(F.lit(1)).alias("c"))
+    flagged = per.withColumn(
+        "ndocs", F.count(F.lit(1)).over(Window.partitionBy("sh")))
     return (
         flagged.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("int").alias("n_spans"),
-            F.sum((F.col("ndocs") > 1).cast("int")).cast("int")
-            .alias("n_dup_spans"),
+            F.sum("c").cast("int").alias("n_spans"),
+            F.sum(F.when(F.col("ndocs") > 1, F.col("c")).otherwise(0))
+            .cast("int").alias("n_dup_spans"),
         )
         .select(
             "doc_id", "n_spans", "n_dup_spans",

@@ -292,8 +292,11 @@ AUDIT = [
     ),
     (
         "dedup_substring_spans",
-        "Span-hash frequency aggregate (8-byte keys, map-side combine) "
-        "+ shuffle equi-join back; nothing corpus x corpus.",
+        "r9 single-explode plan: one span explode collapses to "
+        "(span-hash, doc) rows with map-side combine, ndocs is a "
+        "count window over the span key, one doc aggregate -- no "
+        "corpus-sized join back, nothing corpus x corpus; 10x "
+        "scale-ratio 4.07 -> 1.66.",
     ),
     (
         "text_winnow_fingerprint",
@@ -1366,31 +1369,48 @@ def main() -> None:
         "changes). Counts come from the AQE initial physical plan at "
         f"`{sf_dir}`; broadcasts counted within exchanges.",
         "",
-        "## Bench re-time verdicts (r8, VERDICT item 6)",
+        "## Bench re-time verdicts (r9, r8-VERDICT item 3)",
         "",
-        "The four r6->r7 in-suite slowdowns were re-timed in isolation "
-        "(fresh JVM per query, `SPARK_GRAFT_BENCH_ONLY`, best-of-3, "
-        "sf0.1). Isolate minima LANDED ABOVE the r7 in-suite times "
-        "(warm-JVM/JIT + warm matviews favor the suite), so the r6->r7 "
-        "deltas sit inside cross-condition variance — spread, not plan "
-        "regressions:",
+        "The three r7->r8 in-suite slowdowns were re-timed in "
+        "isolation (`SPARK_GRAFT_BENCH_ONLY`, best-of-3, sf0.1, run "
+        "in BOTH orders to control JVM-warmup position). Isolate "
+        "minima reproduce the r8 in-suite times almost exactly and "
+        "are order-invariant, so the deltas are REAL but CONSTANT-"
+        "COST, not suite interference and not plan regressions:",
         "",
-        "- `dsir_importance_weights` r6 1.16 / r7 1.59 / isolate 1.38 "
-        "(in-run spread 1.35x) — spread; plan unchanged.",
-        "- `embed_kmeans` r6 1.44 / r7 1.71 / isolate 1.99 — spread; "
-        "centroid matview warm in-suite, plan unchanged.",
-        "- `dedup_embedding_cosine` r6 1.02 / r7 1.20 / isolate 1.44 — "
-        "spread; plan unchanged.",
-        "- `hybrid_fusion_topk` r6 1.01 / r7 1.17 / isolate 1.70 — "
-        "spread; plan unchanged.",
-        "- `embed_random_projection` scale-ratio 7.05 was REAL "
-        "(interpreted HOF folds); fixed r8 with the Arrow batch kernel "
-        "— re-measured ratio 1.02 (1x 0.59s / 10x 0.60s).",
-        "- `anns_recall_report` 6.01s was REAL (three O(N*Q) exact legs "
-        "replanned per run); r8 persists them as gold matviews + shares "
-        "the LSH probe — isolate 5.0s at sf0.1, remaining wall is the "
-        "8 serve legs' stage-scheduling floor at toy scale (each leg "
-        "0.9-2.7s solo; they overlap to ~5s).",
+        "- `dedup_connected_components` r7 1.55 / r8 2.06 / isolate "
+        "1.98-2.11 — real constant delta; plan shape unchanged "
+        "(pointer-jumping rounds over the persisted kNN matview); "
+        "attributed to the r8 matview-lifecycle additions sharing its "
+        "graph build. Bounded, not scale-relevant.",
+        "- `ingest_pipeline_e2e` r7 2.01 / r8 2.46 / isolate 2.41 — "
+        "real constant delta from the r8 injectable OCR/transcribe "
+        "seam (plugin dispatch threaded through the Arrow extract "
+        "kernel); still 2 exchanges, map-only Arrow stages. The seam "
+        "is the S3/S5 production feature, the ~0.4s is its price at "
+        "toy scale.",
+        "- `dedup_edit_distance` r7 2.08 / r8 2.36 / isolate 2.57 — "
+        "real constant delta; plan unchanged (Levenshtein on LSH "
+        "candidates only). Within the documented ~40% cross-condition "
+        "spread of the shared LSH-candidate build.",
+        "",
+        "r9 structural fixes re-timed: `anns_recall_report` 4.52 -> "
+        "0.30s isolate (per-strategy legs persisted as matviews; the "
+        "omnibus unions eight O(Q)-row stored tables). "
+        "`coreset_kcenter_select` 2.73 -> 1.20s and "
+        "`coreset_kcenter_append` 3.16 -> 1.52s (two-level composable "
+        "Gonzalez: 2 corpus passes for any k).",
+        "",
+        "r8 superlinear 10x ratios adjudicated (r8-VERDICT item 5): "
+        "`dedup_substring_spans` 4.07 -> 1.66 (REAL -- the r8 plan "
+        "shuffled the full span explode twice and recomputed it for "
+        "the join back; the r9 single-explode + span-key window plan "
+        "removes both). `decontaminate_fuzzy_minhash` 3.75 -> "
+        "re-measured 2.56 interleaved best-of-2: the verified-pair "
+        "volume grows EXACTLY 10x by construction (414 -> 4184; the "
+        "mod-13 benchmark stand-in scales with the corpus), so wall "
+        "at 2.56x is sublinear in work -- data-genuine growth, no "
+        "plan defect.",
         "",
     ]
     # GLOBAL-WINDOW GUARD (round 8): no unpartitioned WindowExec over
