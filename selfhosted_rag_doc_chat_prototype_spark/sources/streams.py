@@ -49,6 +49,50 @@ TELEMETRY_SCHEMA = T.StructType([
 ])
 
 
+# the EXACT column set Spark's format("kafka") source emits (minus the
+# optional headers array): recorded topic dumps in this shape replay
+# through the identical parse path as the live connector, so only the
+# jar/TCP boundary itself is untested in-container
+KAFKA_WIRE_SCHEMA = T.StructType([
+    T.StructField("key", T.BinaryType()),
+    T.StructField("value", T.BinaryType()),
+    T.StructField("topic", T.StringType()),
+    T.StructField("partition", T.IntegerType()),
+    T.StructField("offset", T.LongType()),
+    T.StructField("timestamp", T.TimestampType()),
+    T.StructField("timestampType", T.IntegerType()),
+])
+
+
+def telemetry_to_kafka_frames(events: DataFrame,
+                              topic: str = "agents/telemetry",
+                              n_partitions: int = 4) -> DataFrame:
+    """Encode telemetry rows as RECORDED KAFKA FRAMES -- every column
+    ``format("kafka")`` would emit (:data:`KAFKA_WIRE_SCHEMA`): key =
+    the producer's partition key (user_id, the reference's per-agent
+    topic identity, ``mqtt_agent_hub/shared/topics.py``), value = the
+    JSON payload bytes, partition = hash(key) % n, offset = a
+    per-partition-unique monotone long (event_id -- a fixture stand-in
+    for the broker's log offset), timestampType = 0 (CreateTime).
+    Producers feeding an archive sink and tests replaying through the
+    ``kafka_replay`` face share this encoder."""
+    return events.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        # same encoder expression as telemetry_frames_to_json
+        # (microsecond timestamps)
+        F.to_json(
+            F.struct(*[f.name for f in TELEMETRY_SCHEMA.fields]),
+            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
+        ).cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+        F.pmod(F.col("user_id"), F.lit(n_partitions)).cast("int")
+        .alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+        F.lit(0).cast("int").alias("timestampType"),
+    )
+
+
 def parse_telemetry_payload(df: DataFrame,
                             value_col: str = "value") -> DataFrame:
     """Decode a broker frame column (binary/string JSON) into the
@@ -117,6 +161,17 @@ def telemetry_stream(
             F.lit(1.0).alias("value"),
             F.lit(None).cast("string").alias("props"),
         )
+    if source == "kafka_replay":
+        # recorded-frame replay (r9): a parquet archive of frames in
+        # the EXACT kafka wire schema drives the identical
+        # parse_telemetry_payload path the live connector feeds --
+        # the in-container integration proof for the kafka face (only
+        # the jar/TCP boundary remains untested), and the standard
+        # replay/backfill path for archived topic dumps at scale
+        if not path:
+            raise ValueError("kafka_replay source requires path=")
+        frames = spark.readStream.schema(KAFKA_WIRE_SCHEMA).parquet(path)
+        return parse_telemetry_payload(frames, "value")
     if source == "kafka":
         if not (brokers and topic):
             raise ValueError("kafka source requires brokers= and topic=")

@@ -49,16 +49,21 @@ def test_malformed_frames_dead_letter_not_throw(spark):
     assert len(good) == 1 and good[0].event_id == 1
 
 
-@pytest.mark.parametrize("source", ["files", "jsonl"])
+@pytest.mark.parametrize("source", ["files", "jsonl", "kafka_replay"])
 def test_windowed_agg_stream_equals_batch_per_source(
     spark, sf_dir, tmp_path_factory, source
 ):
     """Stream-equals-batch, parameterized over the source face: the
-    downstream plan builder never changes."""
+    downstream plan builder never changes. The kafka_replay leg (r9)
+    drives frames in the EXACT kafka wire schema through the same
+    parse path as the live connector."""
     ev = _events(spark, sf_dir)
     d = str(tmp_path_factory.mktemp(f"tele_{source}"))
     if source == "files":
         ev.repartition(4).write.mode("overwrite").parquet(d)
+    elif source == "kafka_replay":
+        (streams.telemetry_to_kafka_frames(ev)
+         .repartition(4).write.mode("overwrite").parquet(d))
     else:
         (streams.telemetry_frames_to_json(ev)
          .select(F.col("value").cast("string"))
@@ -186,3 +191,61 @@ def test_streaming_retrieval_serve_equals_batch(spark, sf_dir, tmp_path):
     }
     assert replay == want
     assert read_table(spark, out).count() == len(want)
+
+
+def test_kafka_frame_encoder_matches_connector_schema(spark, sf_dir):
+    """The recorded-frame fixture is only a kafka proof if its schema
+    IS the connector's: names, order, and types of every column
+    format("kafka") emits (minus optional headers), pinned here
+    against the documented source schema. Round-trip: decoding the
+    frames' value bytes recovers every telemetry row."""
+    ev = _events(spark, sf_dir)
+    frames = streams.telemetry_to_kafka_frames(ev)
+    assert [(f.name, f.dataType.simpleString())
+            for f in frames.schema.fields] == [
+        ("key", "binary"), ("value", "binary"), ("topic", "string"),
+        ("partition", "int"), ("offset", "bigint"),
+        ("timestamp", "timestamp"), ("timestampType", "int"),
+    ]
+    # per-partition offset uniqueness (the broker log invariant the
+    # fixture must honor for replay determinism)
+    dup = (
+        frames.groupBy("partition", "offset").count()
+        .filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+    back = streams.parse_telemetry_payload(frames)
+    assert back.filter(F.col("_corrupt").isNotNull()).count() == 0
+    cols = [f.name for f in streams.TELEMETRY_SCHEMA.fields]
+    assert ev.select(cols).exceptAll(back.select(cols)).count() == 0
+
+
+def test_kafka_replay_dead_letters_poison_frames(spark, tmp_path):
+    """A corrupt value payload in a recorded frame dead-letters
+    through the replay face exactly as the live connector path
+    would -- the stream keeps running."""
+    import datetime
+
+    d = str(tmp_path / "frames")
+    spark.createDataFrame(
+        [
+            (b"1", b"{not json", "t", 0, 0,
+             datetime.datetime(2026, 1, 1), 0),
+            (b"2", b'{"event_id": 7, "ts": "2026-01-01T00:00:00Z", '
+                   b'"user_id": 2, "event_type": "hb", "value": 1.0, '
+                   b'"props": null}', "t", 0, 1,
+             datetime.datetime(2026, 1, 1), 0),
+        ],
+        streams.KAFKA_WIRE_SCHEMA,
+    ).write.mode("overwrite").parquet(d)
+    stream = streams.telemetry_stream(spark, "kafka_replay", path=d)
+    q = (
+        stream.writeStream.format("memory").queryName("kr_poison")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM kr_poison").collect()
+    bad = [r for r in rows if r._corrupt is not None]
+    good = [r for r in rows if r._corrupt is None]
+    assert len(bad) == 1 and bad[0].event_id is None
+    assert len(good) == 1 and good[0].event_id == 7
