@@ -25,7 +25,12 @@ exit and NO artifacts are committed):
    registered query is benched or explicitly excluded with a category.
 4. COVERAGE.md cross-check: the file's LAST ``Registry: N`` statement
    must equal the live registry count.
-5. With ``--commit``: git-add the artifacts and commit them as the
+5. Bench regression gate (r9): full fresh bench vs the previous
+   round's committed ``BENCH_local.json`` -- any HEADLINE_CORE query
+   >1.5x slower in-suite is auto re-timed in isolation; isolate-
+   confirmed regressions ABORT the close with the offender list.
+   The fresh run becomes the committed baseline.
+6. With ``--commit``: git-add the artifacts and commit them as the
    round's closing commit.
 """
 
@@ -124,6 +129,99 @@ def check_coverage_md(n_registry: int) -> None:
     print(f"COVERAGE.md OK: registry count {counts[-1]}")
 
 
+REGRESSION_FACTOR = 1.5   # in-suite slowdown that triggers adjudication
+REGRESSION_FLOOR = 0.25   # seconds -- ignore sub-noise absolute deltas
+
+
+def run_bench_and_check_regression(skip_bench: bool = False) -> None:
+    """Round-over-round regression gate (round-9, r8-VERDICT item 8):
+    run the full bench fresh, compare ``headline_core_wall_seconds``
+    and every HEADLINE_CORE per-query time against the PREVIOUS
+    round's committed ``BENCH_local.json``. Any query slower than
+    REGRESSION_FACTOR x (and by more than REGRESSION_FLOOR seconds
+    absolute) is auto re-timed in ISOLATION (fresh JVM,
+    ``SPARK_GRAFT_BENCH_ONLY``) -- the r7/r8 adjudication process as
+    code. Offenders whose isolate time still exceeds the bar FAIL the
+    close; cleared ones are reported as suite-condition spread. The
+    fresh run replaces ``BENCH_local.json`` as the next round's
+    baseline."""
+    import json
+
+    import bench
+
+    prev_path = os.path.join(REPO, "BENCH_local.json")
+    prev = None
+    if os.path.exists(prev_path):
+        with open(prev_path) as f:
+            prev = json.load(f)
+
+    def run_bench(env_extra: dict | None = None) -> dict:
+        env = dict(os.environ)
+        env.update(env_extra or {})
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            cwd=REPO, env=env, capture_output=True, text=True,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-4000:])
+            raise SystemExit("bench FAILED during close_round")
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    if skip_bench and os.path.exists(prev_path):
+        print("== close_round: --skip-bench: keeping existing "
+              "BENCH_local.json, regression gate skipped ==")
+        return
+    print("== close_round: full bench run (regression gate) ==",
+          flush=True)
+    cur = run_bench()
+    with open(prev_path, "w") as f:
+        json.dump(cur, f, sort_keys=True)
+        f.write("\n")
+    if not prev or "queries" not in prev:
+        print("no previous BENCH_local.json baseline -- recorded fresh")
+        return
+
+    core = [n for n in bench.HEADLINE_CORE
+            if n in prev["queries"] and n in cur["queries"]]
+    offenders = {}
+    for n in core:
+        p, c = prev["queries"][n], cur["queries"][n]
+        if c > REGRESSION_FACTOR * p and c - p > REGRESSION_FLOOR:
+            offenders[n] = (p, c)
+    pw = prev.get("headline_core_wall_seconds")
+    cw = cur.get("headline_core_wall_seconds")
+    wall_regressed = (
+        pw and cw and cw > REGRESSION_FACTOR * pw
+    )
+    if not offenders and not wall_regressed:
+        print(f"regression gate OK: core wall {pw} -> {cw}, "
+              f"{len(core)} core queries within {REGRESSION_FACTOR}x")
+        return
+
+    names = sorted(offenders)
+    print(f"regression gate: {len(names)} in-suite offender(s) "
+          f"{names}; core wall {pw} -> {cw}. Isolate re-timing...",
+          flush=True)
+    iso = run_bench({"SPARK_GRAFT_BENCH_ONLY": ",".join(names)}) \
+        if names else {"queries": {}}
+    survivors = []
+    for n in names:
+        p, c = offenders[n]
+        i = iso["queries"].get(n, c)
+        verdict = ("REAL" if i > REGRESSION_FACTOR * p
+                   and i - p > REGRESSION_FLOOR else "spread")
+        print(f"  {n}: prev {p}s suite {c}s isolate {i}s -> {verdict}")
+        if verdict == "REAL":
+            survivors.append(n)
+    if survivors or (wall_regressed and not names):
+        raise SystemExit(
+            "close_round: REAL bench regressions (isolate-confirmed): "
+            f"{survivors or f'core wall {pw} -> {cw}'} -- fix or "
+            "annotate in the plan_audit preamble before closing"
+        )
+    print("regression gate: all offenders adjudicated as spread")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, required=True)
@@ -132,6 +230,8 @@ def main() -> int:
     ap.add_argument("--skip-gate", action="store_true",
                     help="re-verify an existing artifact without re-running "
                          "(for resuming after an unrelated failure)")
+    ap.add_argument("--skip-bench", action="store_true",
+                    help="skip the bench regression gate (resume path)")
     args = ap.parse_args()
     artifact = os.path.join(REPO, f"CORRECTNESS_local_r{args.round}.txt")
 
@@ -143,9 +243,11 @@ def main() -> int:
         run_gate(artifact)
     verify_artifact(artifact, names)
     run_plan_audit()
+    run_bench_and_check_regression(skip_bench=args.skip_bench)
 
     if args.commit:
-        files = [artifact, os.path.join(REPO, "PLANS.md")]
+        files = [artifact, os.path.join(REPO, "PLANS.md"),
+                 os.path.join(REPO, "BENCH_local.json")]
         subprocess.run(["git", "add"] + files, cwd=REPO, check=True)
         r = subprocess.run(
             ["git", "commit", "-m",
