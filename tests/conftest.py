@@ -58,3 +58,43 @@ def _cleanup_throwaway_matviews():
             continue
         if len(tag) == 8 and tag not in keep and fresh:
             shutil.rmtree(p, ignore_errors=True)
+
+
+def pytest_runtest_makereport(item, call):
+    """FAILURE CAPTURE HARNESS (r9, r8-VERDICT item 6): the one
+    observed flake (test_null_robustness anns_label_maxsim_topk,
+    failed once in a full-suite run, passed solo, traceback lost)
+    could not be diagnosed because nothing recorded the state. Any
+    test failure now appends its full longrepr plus the live matview
+    directory listing and active-session state to
+    ``tests/_captured_failures.log`` -- enough to distinguish a
+    cross-module matview/session-state interaction from a genuine
+    assertion the next time one fires."""
+    if call.when != "call" or call.excinfo is None:
+        return
+    import datetime
+    import glob
+    import os
+
+    try:
+        base = os.path.join("/root/repo", "spark-warehouse", "matview")
+        views = sorted(
+            os.path.basename(p) for p in glob.glob(os.path.join(base, "*"))
+        )
+        try:
+            from pyspark.sql import SparkSession
+            active = SparkSession.getActiveSession()
+            sess = (f"active_session={active is not None} "
+                    f"tables={[t.name for t in active.catalog.listTables()] if active else []}")
+        except Exception as e:  # never let capture break reporting
+            sess = f"session-introspect-error: {e!r}"
+        with open(os.path.join("/root/repo", "tests",
+                               "_captured_failures.log"), "a") as f:
+            f.write(
+                f"\n=== {datetime.datetime.now().isoformat()} "
+                f"{item.nodeid} ===\n{sess}\n"
+                f"matviews({len(views)}): {views}\n"
+                f"{call.excinfo.getrepr(style='long')}\n"
+            )
+    except Exception:
+        pass
