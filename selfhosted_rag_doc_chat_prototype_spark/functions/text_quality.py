@@ -332,3 +332,58 @@ def quality_score(c: Column) -> Column:
         - F.lit(0.3) * (F.lit(1.0) - F.coalesce(printable_ascii_ratio(c), F.lit(0.0)))
     )
     return F.greatest(score, F.lit(0.0))
+
+
+def quality_score_4dp(c: Column) -> Column:
+    """:func:`quality_score` rounded to 4 decimals in EXACT integer
+    rational arithmetic -- the boundary-proof emission the registered
+    reports use. The r9 scale-step gate caught the float chain landing
+    on a .00005 boundary (score exactly 0.90375: Spark's left-
+    associated double chain evaluates 0.9037499..., DuckDB's lands at
+    or above the boundary, so ``round(x, 4)`` split 0.9037 / 0.9038).
+    Every component ratio is an integer pair (a/b nonalpha, c/d
+    unique-word, e/f printable, L low-quality), so
+
+        score = (10bdf - 3adf - 2(d-c)bf - 2Lbdf - 3(f-e)bd) / 10bdf
+
+    is an exact rational; half-up 4-dp rounding is the integer
+    expression ``(2 * num * 10^4 + den) div (2 * den)`` (num clamped
+    at 0 first -- the ``greatest`` clamp). Products run in
+    DECIMAL(38,0) (HUGEINT in the oracle): headroom to ~1e6-char
+    1e5-word documents. The NULL/empty contract matches the float
+    form: empty text -> nar = 1, uwr = 0, par = 0, L never null."""
+    ln = F.length(c)
+    w = words(c)
+    nw = F.size(w)
+    dec = "decimal(38,0)"
+    b = F.when(ln > 0, ln).otherwise(F.lit(1)).cast(dec)
+    a = F.when(
+        ln > 0, F.length(F.regexp_replace(c, "[A-Za-z ]", ""))
+    ).otherwise(F.lit(1)).cast(dec)
+    d = F.when(nw > 0, nw).otherwise(F.lit(1)).cast(dec)
+    cc = F.when(nw > 0, F.size(F.array_distinct(w))).otherwise(
+        F.lit(0)).cast(dec)
+    f = b
+    e = F.when(
+        ln > 0, F.length(F.regexp_replace(c, "[^ -~]", ""))
+    ).otherwise(F.lit(0)).cast(dec)
+    big_l = F.when(is_low_quality(c), F.lit(1)).otherwise(
+        F.lit(0)).cast(dec)
+    bdf = b * d * f
+    num = (
+        F.lit(10).cast(dec) * bdf
+        - F.lit(3).cast(dec) * a * d * f
+        - F.lit(2).cast(dec) * (d - cc) * b * f
+        - F.lit(2).cast(dec) * big_l * bdf
+        - F.lit(3).cast(dec) * (f - e) * b * d
+    )
+    num = F.greatest(num, F.lit(0).cast(dec))
+    den = F.lit(10).cast(dec) * bdf
+    x = F.lit(2).cast(dec) * num * F.lit(10_000).cast(dec) + den
+    y = F.lit(2).cast(dec) * den
+    # exact integral division: x and y are exact decimals, % is the
+    # exact remainder, so (x - x % y) is an exact multiple of y and
+    # the decimal division yields the exact integer quotient (no
+    # scale-rounding hazard -- the quotient has no fractional part)
+    units = ((x - x % y) / y).cast("long")
+    return units.cast("double") / F.lit(10_000.0)

@@ -95,11 +95,11 @@ def _pq_paths(sf_dir: str, m: int = PQ_M, k: int = PQ_K) -> tuple[str, str]:
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     # (m, k) in the name: distinct PQ configs must never share a path;
-    # v3 layout (corpus_key + build_ver columns) gets its own prefix
+    # v4 layout (corpus_key pinned BIGINT) gets its own prefix
     # so the oracle's glob never unions files with an older schema
     return (
-        os.path.join(matview_root(), f"pq_cb3_{m}x{k}_{tag}"),
-        os.path.join(matview_root(), f"pq_code3_{m}x{k}_{tag}"),
+        os.path.join(matview_root(), f"pq_cb4_{m}x{k}_{tag}"),
+        os.path.join(matview_root(), f"pq_code4_{m}x{k}_{tag}"),
     )
 
 
@@ -183,8 +183,8 @@ def pq_build(spark: SparkSession, sf_dir: str,
         # mutated, so this read is the stable source of the lineage key)
         (assigned.select("vec_id", "cell", "v")
          .mapInPandas(encode, "vec_id long, cell int, code array<int>")
-         .withColumn("corpus_key", F.lit(ckey_now))
-         .withColumn("build_ver", F.lit(INDEX_BUILD_VER))
+         .withColumn("corpus_key", F.lit(ckey_now).cast("long"))
+         .withColumn("build_ver", F.lit(INDEX_BUILD_VER).cast("int"))
          .write.mode("overwrite").parquet(codes_path))
 
         spark.createDataFrame(
@@ -306,14 +306,14 @@ def pq_append(spark: SparkSession, sf_dir: str, new_vectors: DataFrame,
     (nv.join(spark.read.parquet(assign_path).select("vec_id"),
              "vec_id", "left_anti")
      .mapInPandas(assign_only, "vec_id long, v array<double>, cell int")
-     .withColumn("corpus_key", F.lit(ckey))
-     .withColumn("build_ver", F.lit(INDEX_BUILD_VER))
+     .withColumn("corpus_key", F.lit(ckey).cast("long"))
+     .withColumn("build_ver", F.lit(INDEX_BUILD_VER).cast("int"))
      .write.mode("append").parquet(assign_path))
 
     (nv.join(existing_codes.select("vec_id"), "vec_id", "left_anti")
      .mapInPandas(encode, "vec_id long, cell int, code array<int>")
-     .withColumn("corpus_key", F.lit(ckey))
-     .withColumn("build_ver", F.lit(INDEX_BUILD_VER))
+     .withColumn("corpus_key", F.lit(ckey).cast("long"))
+     .withColumn("build_ver", F.lit(INDEX_BUILD_VER).cast("int"))
      .write.mode("append").parquet(codes_path))
     ivf_key = (spark, sf_dir)
     if ivf_key in _IVF_STORE:

@@ -1465,7 +1465,7 @@ CORPUS_KEY_SQL = (
 # corpus indexed under two sf_dir paths produces byte-identical index
 # rows in two glob-matched dirs, which must collapse to one logical
 # index rather than duplicate every candidate.
-INDEX_BUILD_VER = 3
+INDEX_BUILD_VER = 4
 
 
 def corpus_fingerprint(base: DataFrame) -> int:
@@ -1485,11 +1485,13 @@ def _ivf_paths(sf_dir: str) -> tuple[str, str]:
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     base = matview_root()
-    # v3 layout (corpus_key + build_ver columns): distinct prefix so
+    # v4 layout (corpus_key pinned BIGINT -- F.lit once inferred INT32
+    # for small fingerprints, and DuckDB cannot union INT32/INT64 dirs
+    # under one glob): distinct prefix so
     # the oracle's glob never unions files with an older schema
     return (
-        os.path.join(base, f"ivf_cent3_{tag}"),
-        os.path.join(base, f"ivf_asg3_{tag}"),
+        os.path.join(base, f"ivf_cent4_{tag}"),
+        os.path.join(base, f"ivf_asg4_{tag}"),
     )
 
 
@@ -1539,8 +1541,8 @@ def ivf_build(spark: SparkSession, sf_dir: str):
         model = KMeans(k=n_cells, seed=42, maxIter=8).fit(feat)
         model.transform(feat).select(
             "vec_id", "v", F.col("prediction").alias("cell")
-        ).withColumn("corpus_key", F.lit(ckey)
-        ).withColumn("build_ver", F.lit(INDEX_BUILD_VER)
+        ).withColumn("corpus_key", F.lit(ckey).cast("long")
+        ).withColumn("build_ver", F.lit(INDEX_BUILD_VER).cast("int")
         ).write.mode("overwrite").parquet(assign_path)
         spark.createDataFrame(
             [(i, [float(x) for x in c], ckey, INDEX_BUILD_VER)
@@ -2507,13 +2509,13 @@ def _ivf_oracle_sql(filter_labels: list[int] | None = None) -> str:
     WITH ck AS (SELECT {CORPUS_KEY_SQL} AS k),
     cent AS (
         SELECT DISTINCT cell, centroid
-        FROM read_parquet('{_os.path.join(matview_root(), "ivf_cent3_*", "*.parquet")}')
+        FROM read_parquet('{_os.path.join(matview_root(), "ivf_cent4_*", "*.parquet")}')
         WHERE corpus_key = (SELECT k FROM ck)
           AND build_ver = {INDEX_BUILD_VER}
     ),
     assign AS (
         SELECT DISTINCT vec_id, v, cell
-        FROM read_parquet('{_os.path.join(matview_root(), "ivf_asg3_*", "*.parquet")}')
+        FROM read_parquet('{_os.path.join(matview_root(), "ivf_asg4_*", "*.parquet")}')
         WHERE corpus_key = (SELECT k FROM ck)
           AND build_ver = {INDEX_BUILD_VER}
     ),
@@ -2567,11 +2569,11 @@ def ivfpq_oracle_sql() -> str:
     Shortlist (k * refine_factor by ADC) then exact cosine rerank from
     the assignments table, exactly ``pq.pq_probe``."""
     m, k, refine = PQ_ORACLE_PARAMS
-    cb_glob = _os.path.join(matview_root(), f"pq_cb3_{m}x{k}_*", "*.parquet")
+    cb_glob = _os.path.join(matview_root(), f"pq_cb4_{m}x{k}_*", "*.parquet")
     code_glob = _os.path.join(
-        matview_root(), f"pq_code3_{m}x{k}_*", "*.parquet")
-    cent_glob = _os.path.join(matview_root(), "ivf_cent3_*", "*.parquet")
-    asg_glob = _os.path.join(matview_root(), "ivf_asg3_*", "*.parquet")
+        matview_root(), f"pq_code4_{m}x{k}_*", "*.parquet")
+    cent_glob = _os.path.join(matview_root(), "ivf_cent4_*", "*.parquet")
+    asg_glob = _os.path.join(matview_root(), "ivf_asg4_*", "*.parquet")
     shortlist = TOP_K * refine
     return f"""
         WITH ck AS (SELECT {CORPUS_KEY_SQL} AS k),

@@ -110,7 +110,7 @@ def text_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         tq.is_visibly_corrupt(t).cast("int").alias("is_corrupt"),
         tq.is_invalid_text(t).cast("int").alias("is_invalid"),
         tq.is_bad_ocr(t).cast("int").alias("is_bad"),
-        F.round(tq.quality_score(t), 4).alias("quality_score"),
+        tq.quality_score_4dp(t).alias("quality_score"),
     )
 
 
@@ -1672,7 +1672,15 @@ ORACLE = {
                    length(regexp_replace(text,
                        '[\\p{{C}}\\p{{Zl}}\\p{{Zp}}\\x{{00A0}}\\x{{1680}}\\x{{2000}}-\\x{{200A}}\\x{{202F}}\\x{{205F}}\\x{{3000}}]',
                        '', 'g'))::DOUBLE
-                       / nullif(length(text)::DOUBLE, 0.0) AS upr
+                       / nullif(length(text)::DOUBLE, 0.0) AS upr,
+                   CAST(CASE WHEN length(text) > 0 THEN length(text)
+                        ELSE 1 END AS HUGEINT) AS qb,
+                   CAST(CASE WHEN length(text) > 0 THEN
+                        length(regexp_replace(text, '[A-Za-z ]', '', 'g'))
+                        ELSE 1 END AS HUGEINT) AS qa,
+                   CAST(CASE WHEN length(text) > 0 THEN
+                        length(regexp_replace(text, '[^ -~]', '', 'g'))
+                        ELSE 0 END AS HUGEINT) AS qe
             FROM documents
         ), s AS (
             SELECT *,
@@ -1683,8 +1691,23 @@ ORACLE = {
                    len(list_filter(w, x -> length(x) > 30))::DOUBLE
                        / nullif(len(w)::DOUBLE, 0.0) AS lwr,
                    regexp_matches(text, '[âã¢£™žœÂÃ]') AS corrupt,
-                   len(w) < 5 AS lowq
+                   len(w) < 5 AS lowq,
+                   CAST(CASE WHEN len(w) > 0 THEN len(w)
+                        ELSE 1 END AS HUGEINT) AS qd,
+                   CAST(CASE WHEN len(w) > 0 THEN len(list_distinct(w))
+                        ELSE 0 END AS HUGEINT) AS qc,
+                   CAST(CASE WHEN coalesce(len(w) < 5, FALSE) THEN 1
+                        ELSE 0 END AS HUGEINT) AS ql
             FROM t
+        ), q AS (
+            SELECT *,
+                   greatest(10 * qb * qd * qb - 3 * qa * qd * qb
+                            - 2 * (qd - qc) * qb * qb
+                            - 2 * ql * qb * qd * qb
+                            - 3 * (qb - qe) * qb * qd,
+                            CAST(0 AS HUGEINT)) AS qnum,
+                   10 * qb * qd * qb AS qden
+            FROM s
         )
         SELECT doc_id,
                round(nar, 4) AS nonalpha_ratio,
@@ -1704,12 +1727,9 @@ ORACLE = {
                     OR coalesce(ulr < 0.3 OR uwr < 0.2, false)
                     OR coalesce(mwl < 2.0 OR mwl > 20.0 OR lwr > 0.1, false)
                     AS INTEGER) AS is_bad,
-               round(greatest(1.0 - 0.3 * coalesce(nar, 1.0)
-                              - 0.2 * (1.0 - coalesce(uwr, 0.0))
-                              - 0.2 * (CASE WHEN lowq THEN 1.0 ELSE 0.0 END)
-                              - 0.3 * (1.0 - coalesce(par, 0.0)), 0.0), 4)
-                   AS quality_score
-        FROM s
+               CAST((2 * qnum * 10000 + qden) // (2 * qden)
+                    AS BIGINT) / 10000.0 AS quality_score
+        FROM q
     """,
     "text_lang_id": f"""
         WITH t AS (SELECT doc_id, lang, {_W_SQL} AS w FROM documents),

@@ -15,6 +15,11 @@ from whichever wire is available --
   wire format end-to-end without a broker.
 - ``rate``   : Spark's built-in rate source mapped onto the telemetry
   schema (synthetic heartbeats; liveness/load testing).
+- ``kafka_replay`` : recorded topic frames (parquet in the EXACT
+  kafka connector wire schema, :data:`KAFKA_WIRE_SCHEMA`) through the
+  identical parse path as the live connector -- the in-container
+  integration proof for the kafka face and the replay/backfill path
+  for archived topic dumps.
 - ``kafka``  : ``format("kafka")`` + :func:`parse_telemetry_payload`.
   The connector jar (``spark-sql-kafka-0-10``) is not baked into this
   container (re-verified round 6: no kafka jar under pyspark/jars and

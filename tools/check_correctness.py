@@ -77,13 +77,17 @@ def main() -> int:
 
     spark = get_spark(cpus=8, shuffle_partitions=8)
     con = duckdb.connect()
+    import os
+
     for t in [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # driver testdata is one file per table; generated corpora
+        # (scale_step_gate) are Spark directory-parquet -- glob those
+        path = f"{sf_dir}/{t}.parquet"
+        pat = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()

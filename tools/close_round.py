@@ -174,6 +174,10 @@ def run_bench_and_check_regression(skip_bench: bool = False) -> None:
     print("== close_round: full bench run (regression gate) ==",
           flush=True)
     cur = run_bench()
+    step_path = os.path.join(REPO, "BENCH_scale_step.json")
+    if os.path.exists(step_path):
+        with open(step_path) as f:
+            cur["scale_step"] = json.load(f)
     with open(prev_path, "w") as f:
         json.dump(cur, f, sort_keys=True)
         f.write("\n")
