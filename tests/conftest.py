@@ -72,6 +72,9 @@ def pytest_runtest_makereport(item, call):
     assertion the next time one fires."""
     if call.when != "call" or call.excinfo is None:
         return
+    import pytest as _pytest
+    if call.excinfo.errisinstance(_pytest.skip.Exception):
+        return  # importorskip-in-body skips are not failures
     import datetime
     import glob
     import os

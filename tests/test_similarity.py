@@ -130,8 +130,8 @@ def test_ivf_probe_reads_persisted_index(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         similarity.anns_ivf_topk(spark, sf_dir).explain("formatted")
     p = buf.getvalue()
-    assert "ivf_cent3_" in p
-    assert "ivf_asg3_" in p
+    assert "ivf_cent4_" in p
+    assert "ivf_asg4_" in p
     # the probe side never round-robins the corpus (that was the
     # build-time rebalance); candidate access is the broadcast
     # cell-id equi-join
