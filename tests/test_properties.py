@@ -414,11 +414,15 @@ def test_waterfill_closed_form_invariants(sizes, pct):
     capped = [alloc[i] for i in range(m) if alloc[i] < sizes[i]]
     if capped:
         assert max(capped) - min(capped) <= 1
-        # max-min fairness: a source is only capped ABOVE the level,
-        # so every fully-kept source is no larger than the cap level
-        # plus its bonus ceiling
+        # max-min fairness: a fully-kept source fits under the level
+        # plus its possible +1 bonus, and max(capped) >= level, so
+        # kept sizes are bounded by max(capped) + 1. (The +1 is the
+        # bonus ceiling: hypothesis falsified the stricter
+        # `<= max(capped)` bound with sizes=[1, 6], pct=15 -- budget 1
+        # goes whole to the 1-token source while the capped source
+        # gets level 0 and no bonus.)
         level_hi = max(capped)
-        assert all(sizes[i] <= level_hi for i in range(m)
+        assert all(sizes[i] <= level_hi + 1 for i in range(m)
                    if alloc[i] == sizes[i])
 
 
