@@ -225,6 +225,11 @@ HEADLINE = [
     "cdc_apply_orders",
     # round 7: fact-fact supplier fulfillment-lag scorecard
     "ship_lag_by_supplier",
+    # round 9: record linkage / relevance feedback / eval surfaces
+    "entity_resolution_golden",
+    "prf_query_expansion",
+    "group_kfold_split",
+    "score_decile_lift",
 ]
 
 # PINNED CORE (r8, VERDICT item 7): a frozen 30-query subset that NEVER

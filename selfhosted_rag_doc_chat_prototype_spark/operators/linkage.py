@@ -1,0 +1,554 @@
+"""Record linkage, relevance feedback, and model-eval reports.
+
+Reference parity: the reference dedups at the chunk/document level
+with content hashes and vector similarity only
+(``doc-ingest-chat/processors/dedup.py`` shapes surveyed in SURVEY.md
+section 2; F-predicates in ``processors/text_utils.py``). A
+production-scale corpus pipeline adds three sibling stages this
+module supplies, each Spark-first and fully DuckDB-oracled:
+
+- **Entity resolution with survivorship** (the warehouse/MDM "golden
+  record" op): blocked candidate generation -> field-weighted match
+  scoring -> connected components -> per-entity canonical-record
+  assembly. The dedup family answers "which rows are copies"; this
+  answers "what is THE record for each real-world entity".
+- **Pseudo-relevance feedback query expansion** (RM3 family): BM25
+  first pass -> top feedback docs -> highest-weight new terms ->
+  interpolated re-score. The retrieval-quality lever next to the
+  hybrid fusion the engine already serves.
+- **Group-k-fold split** and a **score-decile lift/gains table**:
+  the split that keeps a leaky group (source/domain) inside one fold,
+  and the standard calibration surface for the learned quality gate.
+
+Scale shape: every stage is blocked/banded or per-group-windowed --
+candidate pairs come only from LSH band buckets (never all-pairs),
+the feedback and expansion windows partition by query_id, the k-fold
+and lift reports aggregate map-side to fold/decile grain, and the
+lift table's only non-equi join is a broadcast over its own <=10
+decile rows. Exact integers everywhere a comparison crosses engines
+(per-mille Jaccard, seat counts, capture per-mille); floats only on
+round(x, 4/6) report surfaces, same discipline as the BM25 family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text_quality as tq
+from ..sources.tables import rebalance, table
+from .dedup import (
+    _bands_cte,
+    _candidate_pairs,
+    connected_components_labels,
+)
+from .rank import distributed_rank
+from .selection import classify_quality
+from .textstats import _W0_SQL, _W_SQL
+
+ER_OFFSET = 1_000_000   # variant ids, same convention as _near_corpus
+ER_JACCARD_PM = 500     # match when token-set Jaccard >= 0.500
+PRF_QUERIES = 6         # query docs: doc_id < 6
+PRF_FB_K = 5            # feedback depth (RM3 fbDocs)
+PRF_EXP_K = 3           # expansion terms per query (RM3 fbTerms)
+PRF_TOP_K = 10          # final ranking depth
+PRF_EXP_W = 0.4         # expansion-term interpolation weight
+K_FOLDS = 5
+N_DECILES = 10
+
+
+def _er_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents plus deterministic re-delivery variants (same text
+    recipe as dedup's ``_near_corpus`` -- drop the first two words --
+    but KEEPING the lang/source metadata survivorship needs; variants
+    arrive under source ``redelivery``, the classic second-feed ER
+    setup)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    w = tq.words(F.col("text"))
+    variants = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + ER_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(w, 3, F.size(w)), " ").alias("text"),
+        "lang",
+        F.lit("redelivery").alias("source"),
+    )
+    return rebalance(docs.unionByName(variants))
+
+
+def entity_resolution_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record entity resolution over the documents + re-delivery
+    corpus: (1) BLOCK via the shared banded-minhash buckets (the same
+    proven ``_candidate_pairs`` the dedup family uses -- candidate
+    volume is bucket-bounded, never all-pairs); (2) SCORE each
+    candidate with exact integers -- per-mille token-set Jaccard --
+    and a lang-equality field rule; (3) CLUSTER matches with the
+    pointer-jumped connected-components kernel; (4) SURVIVORSHIP: one
+    row per entity with the canonical doc (longest text, tie -> the
+    smaller doc_id), member count, and source/lang fan-out -- the
+    "merge view" an MDM pipeline ships downstream.
+
+    Scale shape: blocking + scoring touch band-bucket pairs only; the
+    component loop is O(log diameter) rounds; survivorship is one
+    partial-aggregated groupBy on the entity label (max_by carries the
+    argmax inside the aggregate -- no per-entity window, no second
+    shuffle). Singleton docs are their own entities, so the output is
+    a complete entity registry, corpus-grain."""
+    corpus = _er_corpus(spark, sf_dir).localCheckpoint(eager=False)
+    pairs = _candidate_pairs(corpus.select("doc_id", "text"))
+    wd = F.array_distinct(
+        tq.words(F.coalesce(F.col("text"), F.lit("")))
+    )
+    sides = corpus.select(
+        "doc_id", wd.alias("wd"), "lang"
+    )
+    a = sides.select(
+        F.col("doc_id").alias("doc_a"), F.col("wd").alias("wa"),
+        F.col("lang").alias("lang_a"),
+    )
+    b = sides.select(
+        F.col("doc_id").alias("doc_b"), F.col("wd").alias("wb"),
+        F.col("lang").alias("lang_b"),
+    )
+    inter = F.size(F.array_intersect("wa", "wb"))
+    union = F.size("wa") + F.size("wb") - inter
+    scored = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("inter", inter)
+        .withColumn("un", union)
+        # candidates share >=1 three-word shingle, so un >= 3 > 0
+        .withColumn("jac_pm", F.expr("(1000 * inter) DIV un"))
+        .filter(
+            (F.col("jac_pm") >= ER_JACCARD_PM)
+            & (F.col("lang_a") == F.col("lang_b"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    edges = scored.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        scored.selectExpr("doc_b AS src", "doc_a AS dst")
+    ).cache()
+    labels = connected_components_labels(edges)
+    members = (
+        corpus.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("entity_id"),
+            F.length(F.coalesce("text", F.lit(""))).cast("long")
+            .alias("n_chars"),
+            "source", "lang",
+        )
+    )
+    return (
+        members.groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_members"),
+            F.expr(
+                "max_by(doc_id, struct(n_chars, -doc_id))"
+            ).alias("golden_doc_id"),
+            F.max("n_chars").alias("golden_chars"),
+            F.count_distinct("source").cast("int").alias("n_sources"),
+            F.count_distinct("lang").cast("int").alias("n_langs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3-style pseudo-relevance-feedback retrieval: BM25 first pass
+    (shared cached postings matview), take the top ``PRF_FB_K``
+    feedback docs per query, pool their highest-BM25-weight terms the
+    query does not already contain (top ``PRF_EXP_K``), and re-score
+    the corpus against the expanded query vector (original terms at
+    weight 1.0, expansion terms at ``PRF_EXP_W``) -- final
+    ``PRF_TOP_K`` per query.
+
+    Scale shape: the corpus-heavy subtree (tokenize -> term freqs ->
+    postings) is the SAME persisted matview every sparse query serves
+    from; both ranking windows partition by query_id; the query
+    vectors (original and expanded) are Q-bounded and broadcast to the
+    postings join, so the corpus never shuffles for scoring. Rounding
+    discipline: scores and expansion weights round to 6 before any
+    rank comparison, the BM25-family contract that makes cross-engine
+    ties break identically."""
+    from .sparse import bm25_scores, postings, query_indices
+
+    base = bm25_scores(spark, sf_dir, PRF_QUERIES)
+    w_fb = Window.partitionBy("query_id").orderBy(
+        F.desc("sparse"), F.asc("neighbor_id")
+    )
+    fb = (
+        base.withColumn("rn", F.row_number().over(w_fb))
+        .filter(F.col("rn") <= PRF_FB_K)
+        .select("query_id", F.col("neighbor_id").alias("doc_id"))
+    )
+    post = postings(spark, sf_dir)
+    qi = query_indices(spark, sf_dir, PRF_QUERIES)
+    expw = (
+        fb.join(post, "doc_id")
+        .groupBy("query_id", "idx")
+        .agg(F.round(F.sum("w"), 6).alias("ew"))
+        .join(qi, ["query_id", "idx"], "left_anti")
+    )
+    w_exp = Window.partitionBy("query_id").orderBy(
+        F.desc("ew"), F.asc("idx")
+    )
+    exp_top = (
+        expw.withColumn("rn", F.row_number().over(w_exp))
+        .filter(F.col("rn") <= PRF_EXP_K)
+        .select("query_id", "idx")
+    )
+    qvec = qi.select(
+        "query_id", "idx", F.lit(1.0).alias("qw")
+    ).unionByName(
+        exp_top.select("query_id", "idx", F.lit(PRF_EXP_W).alias("qw"))
+    )
+    rescored = (
+        post.join(F.broadcast(qvec), "idx")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(F.col("w") * F.col("qw")), 6).alias("score"))
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        rescored.withColumn(
+            "rank", F.row_number().over(w_final).cast("int")
+        )
+        .filter(F.col("rank") <= PRF_TOP_K)
+        .select(
+            "query_id", F.col("doc_id").alias("neighbor_id"),
+            "rank", "score",
+        )
+    )
+
+
+def group_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-k-fold assignment report: every document's GROUP (its
+    source/domain) hashes to one of ``K_FOLDS`` folds via the
+    engine-stable md5 draw, so no group ever spans folds -- the split
+    that keeps near-duplicate-heavy domains from leaking across
+    train/validation (the document-level sibling splits,
+    stratified_holdout/temporal_leakage, cannot give this guarantee).
+    Reports per-fold group/doc/token mass plus the doc share in exact
+    per-mille.
+
+    Scale shape: one map pass (fold is a row-local hash), one
+    partial-aggregated groupBy on the 5-row fold key; the corpus total
+    joins back as a broadcast one-row aggregate."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("gkf:"), F.col("source"))), 1, 8),
+            16, 10,
+        ).cast("long") % K_FOLDS
+    ).cast("int")
+    ntok = F.size(tq.words(F.coalesce(F.col("text"), F.lit(""))))
+    per = (
+        docs.select(fold.alias("fold"), "source", ntok.alias("ntok"))
+        .groupBy("fold")
+        .agg(
+            F.count_distinct("source").cast("int").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("n_docs").alias("total_docs"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "fold", "n_sources", "n_docs", "n_tokens",
+        F.expr("(1000 * n_docs) DIV total_docs").alias("docs_pm"),
+    )
+
+
+def score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table for the learned quality gate: rank the corpus
+    by the hashed-classifier score (exact integer, ties broken by
+    doc_id), cut into ``N_DECILES`` equal-depth bins, and report per
+    bin the positive rate, cumulative capture (exact per-mille), and
+    lift vs the base rate -- the standard eval surface a selection
+    pipeline publishes before acting on a scorer. The label here is
+    the English-target flag (lang = 'en'); with a trained weight
+    table the identical plan calibrates a real gate.
+
+    Scale shape: scoring is the classifier's one map pass + per-doc
+    combine; the exact global rank comes from the two-phase
+    ``distributed_rank`` protocol (no unpartitioned window); the rest
+    aggregates at decile grain -- the only non-equi join is the
+    cumulative sum over the table's own <=10 broadcast rows."""
+    docs = table(spark, sf_dir, "documents")
+    scored = classify_quality(docs.select("doc_id", "text")).join(
+        docs.select(
+            "doc_id",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        ),
+        "doc_id",
+    )
+    ranked = distributed_rank(
+        scored.select("doc_id", "score_u", "pos"),
+        order_by=[(F.col("score_u"), False), (F.col("doc_id"), True)],
+        n_col="n",
+    )
+    dec = (
+        ranked.select(
+            F.expr(f"CAST(((rn - 1) * {N_DECILES}) DIV n AS INT)")
+            .alias("decile"),
+            "pos",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pos").cast("long").alias("n_pos"),
+        )
+    )
+    tot = dec.agg(
+        F.sum("n_docs").alias("total_docs"),
+        F.sum("n_pos").alias("total_pos"),
+    )
+    prev = dec.select(
+        F.col("decile").alias("d2"), F.col("n_pos").alias("p2")
+    )
+    cum = (
+        dec.join(F.broadcast(prev), F.col("d2") <= F.col("decile"))
+        .groupBy("decile", "n_docs", "n_pos")
+        .agg(F.sum("p2").alias("cum_pos"))
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "decile", "n_docs", "n_pos",
+        F.round(F.col("n_pos") / F.col("n_docs"), 4).alias("pos_rate_4dp"),
+        "cum_pos",
+        F.expr("(1000 * cum_pos) DIV total_pos").alias("capture_pm"),
+        F.round(
+            (F.col("n_pos") / F.col("n_docs"))
+            / (F.col("total_pos") / F.col("total_docs")),
+            4,
+        ).alias("lift_4dp"),
+    )
+
+
+QUERIES = {
+    "entity_resolution_golden": entity_resolution_golden,
+    "prf_query_expansion": prf_query_expansion,
+    "group_kfold_split": group_kfold_split,
+    "score_decile_lift": score_decile_lift,
+}
+
+
+_ER_CORPUS_SQL = f"""
+    SELECT doc_id, text, lang, source FROM documents
+    UNION ALL
+    SELECT doc_id + {ER_OFFSET} AS doc_id,
+           array_to_string(list_slice(w, 3, len(w)), ' ') AS text,
+           lang, 'redelivery' AS source
+    FROM (SELECT doc_id, lang, {_W_SQL} AS w FROM documents
+          WHERE doc_id % 5 = 0)
+"""
+
+
+def _er_oracle_sql() -> str:
+    return f"""
+        WITH RECURSIVE corpus AS ({_ER_CORPUS_SQL}),
+        {_bands_cte("corpus")},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                        AND a.doc_id < b.doc_id
+        ),
+        wds AS (
+            SELECT doc_id, list_distinct({_W0_SQL}) AS wd, lang
+            FROM corpus
+        ),
+        matched AS (
+            SELECT c.doc_a, c.doc_b
+            FROM cand c
+            JOIN wds a ON a.doc_id = c.doc_a
+            JOIN wds b ON b.doc_id = c.doc_b
+            WHERE a.lang = b.lang
+              AND (1000 * len(list_intersect(a.wd, b.wd)))
+                  // (len(a.wd) + len(b.wd)
+                      - len(list_intersect(a.wd, b.wd))) >= {ER_JACCARD_PM}
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM matched
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM matched
+        ),
+        reach(n, m) AS (
+            SELECT src AS n, src AS m FROM edges
+            UNION
+            SELECT r.n, e.dst AS m FROM reach r JOIN edges e ON r.m = e.src
+        ),
+        labels AS (SELECT n AS doc_id, min(m) AS label FROM reach GROUP BY n),
+        members AS (
+            SELECT c.doc_id,
+                   coalesce(l.label, c.doc_id) AS entity_id,
+                   CAST(length(coalesce(c.text, '')) AS BIGINT) AS n_chars,
+                   c.source, c.lang
+            FROM corpus c LEFT JOIN labels l USING (doc_id)
+        ),
+        golden AS (
+            SELECT entity_id, doc_id AS golden_doc_id
+            FROM (SELECT entity_id, doc_id,
+                         row_number() OVER (
+                             PARTITION BY entity_id
+                             ORDER BY n_chars DESC, doc_id ASC) AS rn
+                  FROM members)
+            WHERE rn = 1
+        )
+        SELECT m.entity_id,
+               CAST(count(*) AS INTEGER) AS n_members,
+               any_value(g.golden_doc_id) AS golden_doc_id,
+               max(m.n_chars) AS golden_chars,
+               CAST(count(DISTINCT m.source) AS INTEGER) AS n_sources,
+               CAST(count(DISTINCT m.lang) AS INTEGER) AS n_langs,
+               sum(m.n_chars) AS total_chars
+        FROM members m JOIN golden g ON g.entity_id = m.entity_id
+        GROUP BY m.entity_id
+    """
+
+
+def _prf_oracle_sql() -> str:
+    from .sparse import POSTINGS_SQL
+
+    return f"""
+        WITH {POSTINGS_SQL},
+        qterms AS (
+            SELECT doc_id AS query_id, u.term
+            FROM (SELECT doc_id, list_distinct({_W_SQL}) AS w
+                  FROM documents WHERE doc_id < {PRF_QUERIES}),
+                 unnest(w) AS u(term)
+        ),
+        qi AS (
+            SELECT query_id, v.idx FROM qterms
+            JOIN vocab v ON qterms.term = v.term
+        ),
+        base AS (
+            SELECT q.query_id, p.doc_id, round(sum(p.w), 6) AS sparse
+            FROM post p JOIN qi q ON p.idx = q.idx
+            WHERE p.doc_id <> q.query_id
+            GROUP BY q.query_id, p.doc_id
+        ),
+        fb AS (
+            SELECT query_id, doc_id FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY sparse DESC, doc_id ASC) AS rn
+                FROM base)
+            WHERE rn <= {PRF_FB_K}
+        ),
+        expw AS (
+            SELECT f.query_id, p.idx, round(sum(p.w), 6) AS ew
+            FROM fb f JOIN post p ON p.doc_id = f.doc_id
+            GROUP BY f.query_id, p.idx
+        ),
+        expt AS (
+            SELECT query_id, idx FROM (
+                SELECT e.query_id, e.idx,
+                       row_number() OVER (PARTITION BY e.query_id
+                           ORDER BY e.ew DESC, e.idx ASC) AS rn
+                FROM expw e
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM qi
+                    WHERE qi.query_id = e.query_id AND qi.idx = e.idx))
+            WHERE rn <= {PRF_EXP_K}
+        ),
+        qvec AS (
+            SELECT query_id, idx, 1.0 AS qw FROM qi
+            UNION ALL
+            SELECT query_id, idx, {PRF_EXP_W} AS qw FROM expt
+        ),
+        rescored AS (
+            SELECT q.query_id, p.doc_id AS neighbor_id,
+                   round(sum(p.w * q.qw), 6) AS score
+            FROM post p JOIN qvec q ON p.idx = q.idx
+            WHERE p.doc_id <> q.query_id
+            GROUP BY q.query_id, p.doc_id
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank,
+               score
+        FROM rescored
+        QUALIFY rank <= {PRF_TOP_K}
+    """
+
+
+def _gkf_oracle_sql() -> str:
+    return f"""
+        WITH per AS (
+            SELECT CAST(CAST('0x' || substr(md5('gkf:' || source), 1, 8)
+                             AS BIGINT) % {K_FOLDS} AS INTEGER) AS fold,
+                   source,
+                   len({_W0_SQL}) AS ntok
+            FROM documents
+        ),
+        agg AS (
+            SELECT fold,
+                   CAST(count(DISTINCT source) AS INTEGER) AS n_sources,
+                   count(*) AS n_docs,
+                   CAST(sum(ntok) AS BIGINT) AS n_tokens
+            FROM per GROUP BY fold
+        )
+        SELECT fold, n_sources, n_docs, n_tokens,
+               (1000 * n_docs) // (SELECT sum(n_docs) FROM agg) AS docs_pm
+        FROM agg
+    """
+
+
+def _lift_oracle_sql(qc_score_sql: str) -> str:
+    return f"""
+        WITH scored AS ({qc_score_sql}),
+        lab AS (
+            SELECT s.doc_id, s.score_u,
+                   CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+            FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+        ),
+        ranked AS (
+            SELECT pos,
+                   row_number() OVER (
+                       ORDER BY score_u DESC, doc_id ASC) AS rn,
+                   count(*) OVER () AS n
+            FROM lab
+        ),
+        dec AS (
+            SELECT CAST(((rn - 1) * {N_DECILES}) // n AS INTEGER) AS decile,
+                   count(*) AS n_docs,
+                   CAST(sum(pos) AS BIGINT) AS n_pos
+            FROM ranked GROUP BY 1
+        ),
+        tot AS (
+            SELECT sum(n_docs) AS total_docs, sum(n_pos) AS total_pos
+            FROM dec
+        )
+        SELECT d.decile, d.n_docs, d.n_pos,
+               round(d.n_pos::DOUBLE / d.n_docs, 4) AS pos_rate_4dp,
+               CAST((SELECT sum(p.n_pos) FROM dec p
+                     WHERE p.decile <= d.decile) AS BIGINT) AS cum_pos,
+               (1000 * (SELECT sum(p.n_pos) FROM dec p
+                        WHERE p.decile <= d.decile)) // t.total_pos
+                   AS capture_pm,
+               round((d.n_pos::DOUBLE / d.n_docs)
+                     / (t.total_pos::DOUBLE / t.total_docs), 4) AS lift_4dp
+        FROM dec d, tot t
+    """
+
+
+def _qc_score_body() -> str:
+    """The classifier's (doc_id, score_u) subquery, lifted verbatim
+    from selection's oracle so the two surfaces can never drift."""
+    from .selection import ORACLE
+
+    sql = ORACLE["quality_classifier_hashed"]
+    return (
+        f"SELECT doc_id, score_u FROM ({sql})"
+    )
+
+
+ORACLE = {
+    "entity_resolution_golden": _er_oracle_sql(),
+    "prf_query_expansion": _prf_oracle_sql(),
+    "group_kfold_split": _gkf_oracle_sql(),
+    "score_decile_lift": _lift_oracle_sql(_qc_score_body()),
+}

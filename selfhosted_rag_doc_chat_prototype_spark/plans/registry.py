@@ -35,6 +35,7 @@ _EXPECTED = (
     ("operators", "multimodal"),
     ("operators", "ml"),
     ("operators", "selection"),
+    ("operators", "linkage"),
     ("operators", "warehouse"),
     ("operators", "statistics"),
     ("operators", "sessions"),

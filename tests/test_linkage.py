@@ -1,0 +1,166 @@
+"""Record linkage / relevance feedback / split / lift operators:
+oracle parity at sf0.001 plus the structural invariants each report
+must satisfy regardless of corpus."""
+
+from __future__ import annotations
+
+import pytest
+
+from selfhosted_rag_doc_chat_prototype_spark.operators import linkage as lk
+
+from .helpers import assert_matches_oracle, duck_con
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duck_con(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(lk.QUERIES))
+def test_matches_oracle(name, spark, sf_dir, con):
+    assert_matches_oracle(
+        lk.QUERIES[name](spark, sf_dir), con, lk.ORACLE[name], name
+    )
+
+
+def test_entity_resolution_invariants(spark, sf_dir):
+    rows = lk.entity_resolution_golden(spark, sf_dir).collect()
+    corpus_n = lk._er_corpus(spark, sf_dir).count()
+    # entities tile the corpus exactly
+    assert sum(r.n_members for r in rows) == corpus_n
+    # the re-delivery variants must actually resolve: at least one
+    # multi-member entity exists, and merged entities span >1 source
+    merged = [r for r in rows if r.n_members > 1]
+    assert merged, "no planted variant resolved into its entity"
+    assert any(r.n_sources > 1 for r in merged)
+    for r in rows:
+        # the label is the smallest reachable id, so it lower-bounds
+        # every member, including the golden doc
+        assert r.entity_id <= r.golden_doc_id
+        assert r.golden_chars <= r.total_chars
+        assert r.n_langs >= 1 and r.n_sources >= 1
+
+
+def test_entity_resolution_planted_pair(spark, sf_dir):
+    """A specific planted pair: any original with >=5 words keeps
+    Jaccard >= 0.5 with its drop-two-words variant, so doc 0's entity
+    (if eligible) contains both ids."""
+    from pyspark.sql import functions as F
+
+    corpus = lk._er_corpus(spark, sf_dir)
+    docs = {
+        r.doc_id: r.nw
+        for r in corpus.select(
+            "doc_id",
+            F.size(F.split(F.trim(F.coalesce("text", F.lit(""))),
+                           r"[ \t\n\x0B\f\r]+")).alias("nw"),
+        ).collect()
+    }
+    eligible = [
+        d for d in docs
+        if d < lk.ER_OFFSET and d % 5 == 0 and docs.get(d, 0) >= 8
+        and (d + lk.ER_OFFSET) in docs
+    ]
+    assert eligible, "corpus has no eligible planted pair"
+    rows = lk.entity_resolution_golden(spark, sf_dir).collect()
+    by_entity = {}
+    member_of = {}
+    labels = lk.connected_components_labels  # noqa: F841 (doc pointer)
+    # reconstruct membership from the survivorship report: an entity
+    # with the original's id that counts >= 2 members means the pair
+    # (or more) resolved together
+    for r in rows:
+        by_entity[r.entity_id] = r
+    resolved = [
+        d for d in eligible
+        if d in by_entity and by_entity[d].n_members >= 2
+    ]
+    assert resolved, (
+        f"none of the eligible planted originals {eligible[:5]} "
+        "headed a multi-member entity"
+    )
+
+
+def test_prf_structure(spark, sf_dir):
+    df = lk.prf_query_expansion(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert 1 <= r.rank <= lk.PRF_TOP_K
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) <= set(range(lk.PRF_QUERIES))
+    for q, rs in by_q.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        # scores non-increasing in rank
+        srt = sorted(rs, key=lambda r: r.rank)
+        assert all(
+            srt[i].score >= srt[i + 1].score for i in range(len(srt) - 1)
+        )
+
+
+def test_prf_expansion_changes_ranking(spark, sf_dir):
+    """The expanded query must not degenerate to the base BM25 run:
+    at least one query's top-10 set or order differs (expansion terms
+    carry weight 0.4 > 0)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.sparse import (
+        bm25_scores,
+    )
+
+    base = bm25_scores(spark, sf_dir, lk.PRF_QUERIES)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sparse"), F.asc("neighbor_id")
+    )
+    base_top = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in base.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= lk.PRF_TOP_K).collect()
+    }
+    prf_top = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in lk.prf_query_expansion(spark, sf_dir).collect()
+    }
+    assert base_top != prf_top
+
+
+def test_group_kfold_no_group_spans_folds(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    rows = lk.group_kfold_split(spark, sf_dir).collect()
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_sources = docs.select("source").distinct().count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    # each source lands in exactly one fold <=> fold-wise distinct
+    # source counts add up to the corpus distinct-source count
+    assert sum(r.n_sources for r in rows) == n_sources
+    assert all(0 <= r.fold < lk.K_FOLDS for r in rows)
+    assert abs(sum(r.docs_pm for r in rows) - 1000) <= len(rows)
+
+
+def test_score_decile_lift_invariants(spark, sf_dir):
+    rows = sorted(
+        lk.score_decile_lift(spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(len(rows)))
+    assert len(rows) <= lk.N_DECILES
+    # equal-depth bins within one row of each other
+    sizes = [r.n_docs for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # cumulative capture is monotone and ends at 1000 per-mille
+    cums = [r.cum_pos for r in rows]
+    assert cums == sorted(cums)
+    assert rows[-1].capture_pm == 1000
+    for r in rows:
+        assert 0 <= r.n_pos <= r.n_docs
+        assert r.pos_rate_4dp <= 1.0
