@@ -227,9 +227,11 @@ HEADLINE = [
     "ship_lag_by_supplier",
     # round 9: record linkage / relevance feedback / eval surfaces
     "entity_resolution_golden",
+    "er_append",
     "prf_query_expansion",
     "group_kfold_split",
     "score_decile_lift",
+    "bootstrap_mean_ci",
 ]
 
 # PINNED CORE (r8, VERDICT item 7): a frozen 30-query subset that NEVER

@@ -327,8 +327,141 @@ def score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def entity_assign_incremental(
+    new_docs: DataFrame,
+    base_sigs: DataFrame,
+    base_fields: DataFrame,
+    base_labels: DataFrame,
+) -> DataFrame:
+    """Assign an incoming batch to an EXISTING entity registry without
+    re-resolving the archive (the lsh_append/pq_append shape for ER):
+    ``base_sigs`` is the persisted blocking index (doc_id, band, sig),
+    ``base_fields`` the per-record match fields (doc_id, wd, lang) --
+    together they are what an MDM system stores as its match-key
+    index -- and ``base_labels`` maps archive doc_id -> entity_id. The
+    batch signs ONCE, band-joins the stored signatures, verifies with
+    the same integer per-mille Jaccard + lang rule as the full
+    resolve, and inherits the minimum matched entity id; non-matches
+    found new entities under their own id. A batch record matching
+    records of TWO different entities picks the minimum -- the
+    documented append-time contract (the entity MERGE that implies is
+    deferred to the next full resolve, exactly like a compaction
+    deferring to the next rewrite).
+
+    Scale shape: archive work is the one-time store build; per batch
+    the cost is batch-signature + a bucket equi-join + candidate-only
+    verify -- archive text is never read, and nothing re-resolves."""
+    from .dedup import _band_signatures
+
+    wd = F.array_distinct(tq.words(F.coalesce(F.col("text"), F.lit(""))))
+    nb = new_docs.select(
+        "doc_id", "text", wd.alias("nwd"), F.col("lang").alias("nlang")
+    )
+    new_bands = (
+        _band_signatures(nb.select("doc_id", "text"))
+        .withColumnRenamed("doc_id", "new_id")
+    )
+    cand = (
+        new_bands.join(base_sigs, ["band", "sig"])
+        .select("new_id", "doc_id")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("nwd", "wd"))
+    union = F.size("nwd") + F.size("wd") - inter
+    matches = (
+        cand.join(base_fields, "doc_id")
+        .join(
+            nb.select(F.col("doc_id").alias("new_id"), "nwd", "nlang"),
+            "new_id",
+        )
+        .withColumn("inter", inter)
+        .withColumn("un", union)
+        .filter(
+            (F.col("un") > 0)
+            & (F.expr("(1000 * inter) DIV un") >= ER_JACCARD_PM)
+            & (F.col("nlang") == F.col("lang"))
+        )
+        .join(base_labels, "doc_id")
+        .groupBy("new_id")
+        .agg(F.min("entity_id").alias("matched_entity"))
+    )
+    return (
+        new_docs.select("doc_id").join(
+            matches.withColumnRenamed("new_id", "doc_id"), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce("matched_entity", F.col("doc_id")).alias("entity_id"),
+            F.col("matched_entity").isNull().alias("is_new_entity"),
+        )
+    )
+
+
+def er_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding of :func:`entity_assign_incremental` with the
+    gate's deterministic split: the ARCHIVE is the even-doc_id half,
+    fully resolved (same blocked/scored/components pipeline as
+    ``entity_resolution_golden`` restricted to that half); the
+    INCOMING batch is the odd half plus drop-two-words re-deliveries
+    of every ``doc_id % 10 == 0`` archive record (planted matches that
+    MUST inherit their archive entity). Output one row per batch
+    record: the entity it joined, or itself flagged as a new entity."""
+    from .dedup import _band_signatures
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    base = rebalance(docs.filter(F.col("doc_id") % 2 == 0))
+    w = tq.words(F.col("text"))
+    incoming = rebalance(
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text", "lang")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + ER_OFFSET).alias("doc_id"),
+                F.array_join(F.slice(w, 3, F.size(w)), " ").alias("text"),
+                "lang",
+            )
+        )
+    )
+    # archive resolve (one-time at build; per-batch cost excludes it)
+    pairs = _candidate_pairs(base.select("doc_id", "text"))
+    wd = F.array_distinct(tq.words(F.coalesce(F.col("text"), F.lit(""))))
+    sides = base.select("doc_id", wd.alias("wd"), "lang")
+    a = sides.select(F.col("doc_id").alias("doc_a"),
+                     F.col("wd").alias("wa"), F.col("lang").alias("lang_a"))
+    b = sides.select(F.col("doc_id").alias("doc_b"),
+                     F.col("wd").alias("wb"), F.col("lang").alias("lang_b"))
+    inter = F.size(F.array_intersect("wa", "wb"))
+    union = F.size("wa") + F.size("wb") - inter
+    scored = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("inter", inter)
+        .withColumn("un", union)
+        .filter(
+            (F.expr("(1000 * inter) DIV un") >= ER_JACCARD_PM)
+            & (F.col("lang_a") == F.col("lang_b"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    edges = scored.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        scored.selectExpr("doc_b AS src", "doc_a AS dst")
+    ).cache()
+    cc = connected_components_labels(edges)
+    base_labels = (
+        base.select("doc_id").join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("entity_id"),
+        )
+    )
+    base_sigs = _band_signatures(base.select("doc_id", "text"))
+    return entity_assign_incremental(incoming, base_sigs, sides, base_labels)
+
+
 QUERIES = {
     "entity_resolution_golden": entity_resolution_golden,
+    "er_append": er_append,
     "prf_query_expansion": prf_query_expansion,
     "group_kfold_split": group_kfold_split,
     "score_decile_lift": score_decile_lift,
@@ -406,6 +539,87 @@ def _er_oracle_sql() -> str:
                sum(m.n_chars) AS total_chars
         FROM members m JOIN golden g ON g.entity_id = m.entity_id
         GROUP BY m.entity_id
+    """
+
+
+def _er_append_oracle_sql() -> str:
+    return f"""
+        WITH RECURSIVE base AS (
+            SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 0
+        ),
+        incoming AS (
+            SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 1
+            UNION ALL
+            SELECT doc_id + {ER_OFFSET} AS doc_id,
+                   array_to_string(list_slice(w, 3, len(w)), ' ') AS text,
+                   lang
+            FROM (SELECT doc_id, lang, {_W_SQL} AS w FROM documents
+                  WHERE doc_id % 10 = 0)
+        ),
+        {_bands_cte("base")},
+        {_bands_cte("incoming", "_n")},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                        AND a.doc_id < b.doc_id
+        ),
+        bwd AS (
+            SELECT doc_id, list_distinct({_W0_SQL}) AS wd, lang FROM base
+        ),
+        matched AS (
+            SELECT c.doc_a, c.doc_b
+            FROM cand c
+            JOIN bwd a ON a.doc_id = c.doc_a
+            JOIN bwd b ON b.doc_id = c.doc_b
+            WHERE a.lang = b.lang
+              AND (1000 * len(list_intersect(a.wd, b.wd)))
+                  // (len(a.wd) + len(b.wd)
+                      - len(list_intersect(a.wd, b.wd))) >= {ER_JACCARD_PM}
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM matched
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM matched
+        ),
+        reach(n, m) AS (
+            SELECT src AS n, src AS m FROM edges
+            UNION
+            SELECT r.n, e.dst AS m FROM reach r JOIN edges e ON r.m = e.src
+        ),
+        labels AS (SELECT n AS doc_id, min(m) AS label FROM reach GROUP BY n),
+        base_labels AS (
+            SELECT b.doc_id, coalesce(l.label, b.doc_id) AS entity_id
+            FROM base b LEFT JOIN labels l USING (doc_id)
+        ),
+        nwd AS (
+            SELECT doc_id, list_distinct({_W0_SQL}) AS nwd, lang AS nlang
+            FROM incoming
+        ),
+        ncand AS (
+            SELECT DISTINCT nb.doc_id AS new_id, bb.doc_id AS base_id
+            FROM bands_n nb
+            JOIN bands bb ON nb.band = bb.band AND nb.sig = bb.sig
+        ),
+        nmatch AS (
+            SELECT c.new_id, min(bl.entity_id) AS matched_entity
+            FROM ncand c
+            JOIN nwd n ON n.doc_id = c.new_id
+            JOIN bwd w ON w.doc_id = c.base_id
+            JOIN base_labels bl ON bl.doc_id = c.base_id
+            WHERE n.nlang = w.lang
+              AND (len(n.nwd) + len(w.wd)
+                   - len(list_intersect(n.nwd, w.wd))) > 0
+              AND (1000 * len(list_intersect(n.nwd, w.wd)))
+                  // (len(n.nwd) + len(w.wd)
+                      - len(list_intersect(n.nwd, w.wd)))
+                  >= {ER_JACCARD_PM}
+            GROUP BY c.new_id
+        )
+        SELECT i.doc_id,
+               coalesce(m.matched_entity, i.doc_id) AS entity_id,
+               m.matched_entity IS NULL AS is_new_entity
+        FROM incoming i LEFT JOIN nmatch m ON m.new_id = i.doc_id
     """
 
 
@@ -548,6 +762,7 @@ def _qc_score_body() -> str:
 
 ORACLE = {
     "entity_resolution_golden": _er_oracle_sql(),
+    "er_append": _er_append_oracle_sql(),
     "prf_query_expansion": _prf_oracle_sql(),
     "group_kfold_split": _gkf_oracle_sql(),
     "score_decile_lift": _lift_oracle_sql(_qc_score_body()),

@@ -1045,7 +1045,164 @@ def _benford_oracle_sql() -> str:
     """
 
 
+# Poisson-bootstrap parameters: B replicates; per-(doc, replicate)
+# weight drawn from Poisson(1) truncated at 4, via fixed integer
+# cutoffs on a 32-bit md5 draw (floor(cumP * 2^32) literals -- the
+# truncation moves ~0.4% of mass onto weight 4, an accepted bias far
+# under the CI resolution). 95% interval = exact ceil-rank order
+# statistics of the replicate means.
+BOOT_B = 200
+BOOT_CUTS = (1580030169, 3160060337, 3950075422, 4213413784)
+BOOT_SCALE = 10_000  # replicate means in 1e-4 token fixed point
+BOOT_LO_PCT, BOOT_HI_PCT = 25, 975  # 2.5% / 97.5% in per-mille
+
+
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON-BOOTSTRAP 95% confidence interval for the per-source
+    mean tokens/document -- the uncertainty report a curation pipeline
+    attaches to any corpus statistic before acting on a between-source
+    difference. The classic n-out-of-n resample is undistributable
+    (sampling WITH replacement needs global coordination); the Poisson
+    bootstrap replaces it with an independent per-row replicate weight
+    w ~ Poisson(1), which is embarrassingly parallel and the standard
+    at-scale substitute (each replicate's total weight concentrates at
+    n). Determinism: the weight is a fixed-cutoff lookup on the
+    engine-stable md5 draw of (doc_id, replicate), so Spark and the
+    oracle materialize the SAME resamples; replicate means are exact
+    integers in 1e-4 fixed point, and the CI bounds are exact
+    ceil-rank order statistics -- no float percentile interpolation.
+    Replicates whose source drew total weight 0 (tiny sources) carry
+    no estimate and are excluded from the rank; ``n_reps`` reports how
+    many survived.
+
+    Scale shape: one map pass explodes ``BOOT_B`` weighted copies of
+    each row's (source, b) CONTRIBUTION -- map-side partial
+    aggregation collapses them to (source x B) grain before the single
+    shuffle, so the exchange is bounded by source-cardinality * B, not
+    corpus size; the rank windows then partition by source over B-row
+    groups, and the point estimate joins back at source grain."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    from ..functions import text_quality as tq
+
+    x = F.size(tq.words(F.coalesce(F.col("text"), F.lit("")))).cast("long")
+    base = docs.select("doc_id", "source", x.alias("x"))
+    reps = base.select(
+        "source", "x",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        F.col("doc_id"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("boot:"), F.col("doc_id").cast("string"),
+                           F.lit(":"), F.col("b").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    c0, c1, c2, c3 = BOOT_CUTS
+    w = (
+        F.when(u < c0, 0).when(u < c1, 1).when(u < c2, 2)
+        .when(u < c3, 3).otherwise(4).cast("long")
+    )
+    rep_means = (
+        reps.select("source", "b", (w * F.col("x")).alias("wx"), w.alias("w"))
+        .groupBy("source", "b")
+        .agg(F.sum("wx").alias("sx"), F.sum("w").alias("sw"))
+        .filter(F.col("sw") > 0)
+        .select(
+            "source", "b",
+            F.expr(f"({BOOT_SCALE} * sx) DIV sw").alias("m"),
+        )
+    )
+    wrank = Window.partitionBy("source").orderBy(F.asc("m"), F.asc("b"))
+    ranked = rep_means.select(
+        "source", "m",
+        F.row_number().over(wrank).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("nr"),
+    )
+    lo_rk = F.expr(f"({BOOT_LO_PCT} * nr + 999) DIV 1000")
+    hi_rk = F.expr(f"({BOOT_HI_PCT} * nr + 999) DIV 1000")
+    ci = (
+        ranked.select("source", "m", "rk", "nr",
+                      lo_rk.alias("lo_rk"), hi_rk.alias("hi_rk"))
+        .groupBy("source")
+        .agg(
+            F.max(F.when(F.col("rk") == F.col("lo_rk"), F.col("m")))
+            .alias("ci_lo_scaled"),
+            F.max(F.when(F.col("rk") == F.col("hi_rk"), F.col("m")))
+            .alias("ci_hi_scaled"),
+            F.max("nr").cast("int").alias("n_reps"),
+        )
+    )
+    point = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(f"({BOOT_SCALE} * sum(x)) DIV count(*)")
+        .alias("mean_scaled"),
+    )
+    return point.join(ci, "source").select(
+        "source", "n_docs", "mean_scaled",
+        "ci_lo_scaled", "ci_hi_scaled", "n_reps",
+    )
+
+
+def _boot_oracle_sql() -> str:
+    from .textstats import _W0_SQL
+
+    c0, c1, c2, c3 = BOOT_CUTS
+    return f"""
+        WITH base AS (
+            SELECT doc_id, source,
+                   CAST(len({_W0_SQL}) AS BIGINT) AS x
+            FROM documents
+        ),
+        reps AS (
+            SELECT source, x,
+                   CASE WHEN u < {c0} THEN 0 WHEN u < {c1} THEN 1
+                        WHEN u < {c2} THEN 2 WHEN u < {c3} THEN 3
+                        ELSE 4 END AS w,
+                   b
+            FROM (
+                SELECT source, x,
+                       CAST('0x' || substr(md5('boot:' || doc_id
+                            || ':' || r.b), 1, 8) AS BIGINT) AS u,
+                       r.b
+                FROM base, (SELECT unnest(range(0, {BOOT_B})) AS b) r
+            )
+        ),
+        rep_means AS (
+            SELECT source, b,
+                   ({BOOT_SCALE} * sum(w * x)) // sum(w) AS m
+            FROM reps GROUP BY source, b
+            HAVING sum(w) > 0
+        ),
+        ranked AS (
+            SELECT source, m,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY m ASC, b ASC) AS rk,
+                   count(*) OVER (PARTITION BY source) AS nr
+            FROM rep_means
+        ),
+        ci AS (
+            SELECT source,
+                   CAST(max(CASE WHEN rk = ({BOOT_LO_PCT} * nr + 999) // 1000
+                            THEN m END) AS BIGINT) AS ci_lo_scaled,
+                   CAST(max(CASE WHEN rk = ({BOOT_HI_PCT} * nr + 999) // 1000
+                            THEN m END) AS BIGINT) AS ci_hi_scaled,
+                   CAST(max(nr) AS INTEGER) AS n_reps
+            FROM ranked GROUP BY source
+        ),
+        point AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(({BOOT_SCALE} * sum(x)) // count(*) AS BIGINT)
+                       AS mean_scaled
+            FROM base GROUP BY source
+        )
+        SELECT p.source, p.n_docs, p.mean_scaled,
+               c.ci_lo_scaled, c.ci_hi_scaled, c.n_reps
+        FROM point p JOIN ci c USING (source)
+    """
+
+
 QUERIES = {
+    "bootstrap_mean_ci": bootstrap_mean_ci,
     "psi_value_drift": psi_value_drift,
     "theilsen_daily_trend": theilsen_daily_trend,
     "benford_value_audit": benford_value_audit,
@@ -1060,6 +1217,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "bootstrap_mean_ci": _boot_oracle_sql(),
     "psi_value_drift": _psi_oracle_sql(),
     "theilsen_daily_trend": _theilsen_oracle_sql(),
     "benford_value_audit": _benford_oracle_sql(),

@@ -83,6 +83,54 @@ def test_entity_resolution_planted_pair(spark, sf_dir):
     )
 
 
+def test_er_append_invariants(spark, sf_dir):
+    rows = lk.er_append(spark, sf_dir).collect()
+    assert rows
+    planted = [r for r in rows if r.doc_id >= lk.ER_OFFSET]
+    odd = [r for r in rows if r.doc_id < lk.ER_OFFSET]
+    assert planted and odd
+    assert all(r.doc_id % 2 == 1 for r in odd)
+    # planted re-deliveries of >=8-word archive docs must inherit an
+    # archive (even) entity, never found a new one
+    from pyspark.sql import functions as F
+
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    nw = {
+        r.doc_id: r.n
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(
+            F.split(F.trim(F.coalesce("text", F.lit(""))),
+                    r"[ \t\n\x0B\f\r]+")).alias("n"))
+        .collect()
+    }
+    # banding is probabilistic per pair (4 bands x 4 rows): a planted
+    # pair shares a band w.p. 1-(1-j^4)^4 where j is the SHINGLE
+    # jaccard ~ (n-4)/(n-2) -- near 1 for long docs, genuinely lossy
+    # for short ones. Assert aggregate recall on the long-doc cohort,
+    # and the hard contracts on every row.
+    eligible = {
+        d + lk.ER_OFFSET for d, n in nw.items()
+        if d % 10 == 0 and n >= 20
+    }
+    hits = [r for r in planted if r.doc_id in eligible]
+    assert hits
+    assigned = [r for r in hits if not r.is_new_entity]
+    assert len(assigned) >= 0.6 * len(hits), (
+        f"only {len(assigned)}/{len(hits)} long planted re-deliveries "
+        "inherited an archive entity"
+    )
+    for r in assigned:
+        # inherited entities are archive-side (even, pre-offset) ids
+        assert r.entity_id % 2 == 0 and r.entity_id < lk.ER_OFFSET
+    # new entities are self-labeled; assigned ones never are
+    for r in rows:
+        if r.is_new_entity:
+            assert r.entity_id == r.doc_id
+        else:
+            assert r.entity_id != r.doc_id
+
+
 def test_prf_structure(spark, sf_dir):
     df = lk.prf_query_expansion(spark, sf_dir)
     rows = df.collect()

@@ -89,6 +89,12 @@ NULL_SWEEP = [
     "text_code_detect",
     "bpe_encode_corpus",
     "seqlen_bucketing",
+    "entity_resolution_golden",
+    "er_append",
+    "prf_query_expansion",
+    "group_kfold_split",
+    "score_decile_lift",
+    "bootstrap_mean_ci",
 ]
 
 

@@ -1303,6 +1303,58 @@ AUDIT += (
             "calendar-cardinality rows with the two medians broadcast "
             "back as scalars.",
         ),
+        (
+            "entity_resolution_golden",
+            "r9 ER with survivorship: candidates come only from the "
+            "shared banded-minhash buckets (never all-pairs); the "
+            "integer Jaccard verify joins word sets by doc id "
+            "(candidate-count rows); components are the pointer-jumped "
+            "O(log d) loop; survivorship is ONE partial-aggregated "
+            "groupBy on the entity label with max_by carrying the "
+            "golden argmax inside the aggregate -- no per-entity "
+            "window, no second corpus shuffle.",
+        ),
+        (
+            "er_append",
+            "r9 incremental ER face: the archive resolve is the "
+            "one-time store build (audited under "
+            "entity_resolution_golden); per batch the plan is batch "
+            "signatures + ONE bucket equi-join against the stored "
+            "(band, sig) index + candidate-only integer verify + a "
+            "groupBy min on the batch grain -- archive text is never "
+            "re-read, nothing re-resolves.",
+        ),
+        (
+            "prf_query_expansion",
+            "r9 RM3: the corpus-heavy tokenize/postings subtree is the "
+            "shared persisted matview; feedback and expansion windows "
+            "partition by query_id; both query vectors (original and "
+            "expanded) are Q-bounded broadcasts into the postings "
+            "join, so the corpus never shuffles for scoring.",
+        ),
+        (
+            "group_kfold_split",
+            "r9: fold is a row-local hash (map-only), one partial-"
+            "aggregated groupBy to the 5-row fold grain, corpus total "
+            "broadcast back as a one-row aggregate.",
+        ),
+        (
+            "score_decile_lift",
+            "r9 gains table: classifier scoring is one map pass + "
+            "per-doc combine; the exact global rank is the two-phase "
+            "distributed_rank protocol (no unpartitioned window); "
+            "everything after aggregates at <=10-decile grain, with "
+            "the cumulative sum a broadcast non-equi join over the "
+            "table's own rows.",
+        ),
+        (
+            "bootstrap_mean_ci",
+            "r9 Poisson bootstrap: replicate weights are row-local md5 "
+            "lookups; map-side partial aggregation collapses the B-way "
+            "explode to (source x B) grain before the single shuffle; "
+            "rank windows partition by source over B-row groups; the "
+            "point estimate joins back at source grain.",
+        ),
     ]
 )
 
@@ -1411,6 +1463,15 @@ def main() -> None:
         "mod-13 benchmark stand-in scales with the corpus), so wall "
         "at 2.56x is sublinear in work -- data-genuine growth, no "
         "plan defect.",
+        "",
+        "Independent re-check (later r9 session, clean JVM, "
+        "`tools/scale_ratio_spot.py` with the suite's interleaved "
+        "1x/10x discipline): `dedup_substring_spans` ratio 1.91, "
+        "`decontaminate_fuzzy_minhash` 2.43 -- both under the <=3 "
+        "bar, corroborating the adjudication above. Fresh best-of-5 "
+        "isolates for the three constant-delta queries landed at "
+        "1.43/2.97/2.16 s with in-run spreads up to 2.2x -- inside "
+        "the documented cross-condition envelope, same verdict.",
         "",
     ]
     # GLOBAL-WINDOW GUARD (round 8): no unpartitioned WindowExec over
