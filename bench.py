@@ -377,7 +377,11 @@ SCALE_QUERIES = ["dedup_embedding_cosine", "anns_lsh_bucketed",
 DOC_SCALE_QUERIES = ["dedup_minhash_lsh", "decontaminate_fuzzy_minhash",
                      "hybrid_fusion_topk", "dedup_substring_spans",
                      # r9: two-phase distributed skyline over documents
-                     "skyline_quality_docs"]
+                     "skyline_quality_docs",
+                     # r9: linkage/eval family (needs lang/source in
+                     # the 10x corpus -- the generator carries them)
+                     "entity_resolution_golden", "er_append",
+                     "prf_query_expansion", "bootstrap_mean_ci"]
 # r9: the warehouse pair reads orders/customer -- the scale dir grows
 # key-offset replicas of both so MERGE/CDC run on a 10x keyspace
 TABLE_SCALE_QUERIES = ["cdc_apply_orders", "merge_into_customers"]
@@ -431,6 +435,13 @@ def scale_evidence(spark, sf_dir, queries, timings, n_runs):
                     (F.col("doc_id") + rep * 10_000_000).alias("doc_id"),
                     F.regexp_replace("text", r"(\S+)", f"$1x{rep}")
                     .alias("text"),
+                    # carried through for the linkage/eval cohort;
+                    # lang stays (ER's field rule), source gets a
+                    # per-replica suffix so group-keyed queries see a
+                    # 10x group space, not 10x-heavier groups
+                    "lang",
+                    F.concat(F.col("source"), F.lit(f"r{rep}"))
+                    .alias("source"),
                 )
             )
         bigd = parts[0]

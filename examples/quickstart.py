@@ -90,6 +90,18 @@ def main() -> None:
     curriculum_quality_phases(spark, sf_dir).groupBy("phase").count() \
         .orderBy("phase").show()
 
+    print("== Golden-record entity resolution (r9 linkage family) ==")
+    from selfhosted_rag_doc_chat_prototype_spark.operators.linkage import (
+        entity_resolution_golden,
+        prf_query_expansion,
+    )
+
+    entity_resolution_golden(spark, sf_dir).filter("n_members > 1") \
+        .orderBy("entity_id").show(6)
+
+    print("== RM3 pseudo-relevance-feedback retrieval ==")
+    prf_query_expansion(spark, sf_dir).orderBy("query_id", "rank").show(8)
+
     print("== Error-rate analytics ==")
     a4_error_rate_by_day(spark, sf_dir).orderBy("day").show(5)
 

@@ -397,25 +397,17 @@ def entity_assign_incremental(
     )
 
 
-def er_append(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry binding of :func:`entity_assign_incremental` with the
-    gate's deterministic split: the ARCHIVE is the even-doc_id half,
-    fully resolved (same blocked/scored/components pipeline as
-    ``entity_resolution_golden`` restricted to that half); the
-    INCOMING batch is the odd half plus drop-two-words re-deliveries
-    of every ``doc_id % 10 == 0`` archive record (planted matches that
-    MUST inherit their archive entity). Output one row per batch
-    record: the entity it joined, or itself flagged as a new entity."""
-    from .dedup import _band_signatures
-
+def _er_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gate's deterministic incoming batch: the odd-doc_id half
+    plus drop-two-words re-deliveries of every ``doc_id % 10 == 0``
+    archive record (planted matches that should inherit their archive
+    entity)."""
     docs = table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang", "source"
+        "doc_id", "text", "lang"
     )
-    base = rebalance(docs.filter(F.col("doc_id") % 2 == 0))
     w = tq.words(F.col("text"))
-    incoming = rebalance(
+    return rebalance(
         docs.filter(F.col("doc_id") % 2 == 1)
-        .select("doc_id", "text", "lang")
         .unionByName(
             docs.filter(F.col("doc_id") % 10 == 0).select(
                 (F.col("doc_id") + ER_OFFSET).alias("doc_id"),
@@ -424,7 +416,20 @@ def er_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    # archive resolve (one-time at build; per-batch cost excludes it)
+
+
+def _er_base_registry(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The even-doc_id archive fully resolved ONCE into the three
+    persisted-shape registry relations ``entity_assign_incremental``
+    serves from: (base_sigs, base_fields, base_labels)."""
+    from .dedup import _band_signatures
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    base = rebalance(docs.filter(F.col("doc_id") % 2 == 0))
     pairs = _candidate_pairs(base.select("doc_id", "text"))
     wd = F.array_distinct(tq.words(F.coalesce(F.col("text"), F.lit(""))))
     sides = base.select("doc_id", wd.alias("wd"), "lang")
@@ -456,7 +461,86 @@ def er_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     base_sigs = _band_signatures(base.select("doc_id", "text"))
-    return entity_assign_incremental(incoming, base_sigs, sides, base_labels)
+    return base_sigs, sides, base_labels
+
+
+def er_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding of :func:`entity_assign_incremental` with the
+    gate's deterministic split: the ARCHIVE is the even-doc_id half,
+    fully resolved (same blocked/scored/components pipeline as
+    ``entity_resolution_golden`` restricted to that half -- see
+    :func:`_er_base_registry`); the INCOMING batch is
+    :func:`_er_incoming`. Output one row per batch record: the entity
+    it joined, or itself flagged as a new entity."""
+    base_sigs, base_fields, base_labels = _er_base_registry(spark, sf_dir)
+    return entity_assign_incremental(
+        _er_incoming(spark, sf_dir), base_sigs, base_fields, base_labels
+    )
+
+
+def er_assign_streaming_sink(
+    stream_docs: DataFrame,
+    base_sigs: DataFrame,
+    base_fields: DataFrame,
+    base_labels: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+):
+    """STREAMING face of the incremental entity assignment: each
+    micro-batch of incoming documents runs the SAME
+    :func:`entity_assign_incremental` plan against the static archive
+    registry and upserts its (doc_id, entity_id, is_new_entity) rows
+    into the stored assignment table (``foreachBatch``). Because the
+    assignment of a record is a PURE FUNCTION of (record, archive
+    registry) -- batch contents and arrival order never enter it --
+    at-least-once redelivery and cross-batch disorder both converge:
+    a redelivered doc re-derives the identical row and the doc_id
+    upsert is idempotent. Registry GROWTH is out of contract here by
+    design (a min-label assignment against an order-dependent growing
+    registry cannot be replay-convergent); new entities enter the
+    archive at the next full resolve, the same deferral as
+    ``er_append``'s bridge-merge contract.
+
+    Pass PERSISTED registry relations (stored tables or checkpointed
+    plans): the sink reads them once per batch. Scale shape per batch:
+    batch signatures + bucket equi-join + candidate-only verify +
+    keyed upsert -- archive text never read, state bounded by the
+    assignment table (one row per incoming doc)."""
+    from pyspark.errors import AnalysisException
+
+    from ..sinks import _replace_dir, recover_replace_dir
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        staging = path.rstrip("/") + "__erstaging"
+        recover_replace_dir(spark, staging, path)
+        assigned = entity_assign_incremental(
+            batch_df, base_sigs, base_fields, base_labels
+        )
+        pool = assigned
+        try:
+            existing = spark.read.parquet(path)
+        except AnalysisException as e:
+            if ("PATH_NOT_FOUND" not in str(e)
+                    and "Path does not exist" not in str(e)):
+                raise
+            existing = None
+        if existing is not None:
+            pool = existing.select(
+                "doc_id", "entity_id", "is_new_entity"
+            ).unionByName(assigned).dropDuplicates(["doc_id"])
+        pool.write.mode("overwrite").parquet(staging)
+        _replace_dir(spark, staging, path)
+
+    return (
+        stream_docs.writeStream
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 QUERIES = {

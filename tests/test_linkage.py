@@ -5,6 +5,7 @@ must satisfy regardless of corpus."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from selfhosted_rag_doc_chat_prototype_spark.operators import linkage as lk
 
@@ -129,6 +130,49 @@ def test_er_append_invariants(spark, sf_dir):
             assert r.entity_id == r.doc_id
         else:
             assert r.entity_id != r.doc_id
+
+
+def test_er_stream_equals_batch_and_replay_converges(spark, sf_dir, tmp_path):
+    """The streamed assignment table equals the batch er_append result
+    regardless of batch boundaries/order (assignment is a pure
+    function of record x static registry), and a fresh-checkpoint
+    full replay -- every doc redelivered -- is a no-op."""
+    base_sigs, base_fields, base_labels = lk._er_base_registry(
+        spark, sf_dir
+    )
+    # materialize the registry once, as a stored-table stand-in
+    base_sigs = base_sigs.localCheckpoint()
+    base_fields = base_fields.localCheckpoint()
+    base_labels = base_labels.localCheckpoint()
+    incoming = lk._er_incoming(spark, sf_dir)
+    d = str(tmp_path / "er_stream")
+    incoming.filter(F.col("doc_id") % 3 != 1).coalesce(1).write.mode(
+        "append").parquet(d)
+    incoming.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.mode(
+        "append").parquet(d)
+    target = str(tmp_path / "er_assign")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string, lang string")
+            .option("maxFilesPerTrigger", 1).parquet(d)
+        )
+        q = lk.er_assign_streaming_sink(
+            stream, base_sigs, base_fields, base_labels,
+            target, str(tmp_path / ckpt),
+        )
+        q.awaitTermination(240)
+
+    run("ckpt1")
+    expected = {tuple(r) for r in lk.er_append(spark, sf_dir).collect()}
+    got = {tuple(r) for r in spark.read.parquet(target)
+           .select("doc_id", "entity_id", "is_new_entity").collect()}
+    assert got == expected and got
+
+    run("ckpt2")  # full replay: every doc redelivered
+    got2 = {tuple(r) for r in spark.read.parquet(target)
+            .select("doc_id", "entity_id", "is_new_entity").collect()}
+    assert got2 == expected
 
 
 def test_prf_structure(spark, sf_dir):
