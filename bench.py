@@ -232,6 +232,7 @@ HEADLINE = [
     "group_kfold_split",
     "score_decile_lift",
     "bootstrap_mean_ci",
+    "knn_label_disagreement",
 ]
 
 # PINNED CORE (r8, VERDICT item 7): a frozen 30-query subset that NEVER

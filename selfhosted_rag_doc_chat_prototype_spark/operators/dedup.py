@@ -1572,6 +1572,114 @@ def _lp_oracle_sql(iters: int = LP_ITERS) -> str:
     """
 
 
+def knn_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MISLABELED-EXAMPLE detection by kNN neighborhood agreement (the
+    confident-learning-family screen a labeled training corpus runs
+    before fine-tuning): each vector's label is compared against the
+    PLURALITY label of its kNN list; a vector whose neighborhood
+    majority STRICTLY outvotes it (majority label differs AND holds
+    more than half the labeled-neighbor votes) is flagged for review.
+    Isolated vectors (nothing listed them as a neighbor, or the graph
+    dropped them) report 0 neighbors and are never flagged -- no
+    signal, honestly.
+
+    Exactness: vote counts are integers; the plurality argmax is a
+    (count DESC, label ASC) row_number -- total order, bit-identical
+    to the oracle. Scale shape: the edge list is the PERSISTED banded
+    LSH kNN matview (built once, never all-pairs); votes are one
+    equi-join on the neighbor key + one partially-aggregated
+    (vec, label) count; the top-1 window sees <= K_GRAPH rows per
+    vector; the final join is labels-to-majority on the primary key."""
+    labs = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("label").cast("int").alias("label"))
+    )
+    edges = knn_graph_cached(spark, sf_dir).select("vec_id", "neighbor_id")
+    votes = (
+        edges.join(
+            labs.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("label").alias("nlab")),
+            "neighbor_id",
+        )
+        .groupBy("vec_id", "nlab")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("nlab"))
+    per = votes.groupBy("vec_id").agg(
+        F.sum("c").cast("int").alias("n_nbrs")
+    )
+    maj = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("nlab").alias("nbr_majority"),
+                F.col("c").cast("int").alias("maj_c"))
+    )
+    agree = votes.select(
+        "vec_id", F.col("nlab"), F.col("c").cast("int").alias("n_agree")
+    )
+    return (
+        labs.join(per, "vec_id", "left")
+        .join(maj, "vec_id", "left")
+        .join(
+            agree.withColumnRenamed("nlab", "label"),
+            ["vec_id", "label"], "left",
+        )
+        .select(
+            "vec_id", "label",
+            "nbr_majority",
+            F.coalesce("n_nbrs", F.lit(0)).cast("int").alias("n_nbrs"),
+            F.coalesce("n_agree", F.lit(0)).cast("int").alias("n_agree"),
+            (
+                F.col("nbr_majority").isNotNull()
+                & (F.col("nbr_majority") != F.col("label"))
+                & (F.coalesce("maj_c", F.lit(0)) * 2
+                   > F.coalesce("n_nbrs", F.lit(0)))
+            ).alias("flagged"),
+        )
+    )
+
+
+def _label_disagreement_oracle_sql() -> str:
+    return f"""
+        WITH edges AS (
+            SELECT vec_id, neighbor_id
+            FROM ({ORACLE["knn_graph_lsh"]})
+        ),
+        labs AS (
+            SELECT vec_id, CAST(label AS INTEGER) AS label
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        votes AS (
+            SELECT e.vec_id, l.label AS nlab, count(*) AS c
+            FROM edges e JOIN labs l ON l.vec_id = e.neighbor_id
+            GROUP BY e.vec_id, l.label
+        ),
+        per AS (
+            SELECT vec_id, CAST(sum(c) AS INTEGER) AS n_nbrs
+            FROM votes GROUP BY vec_id
+        ),
+        maj AS (
+            SELECT vec_id, nlab AS nbr_majority, CAST(c AS INTEGER) AS maj_c
+            FROM votes
+            QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY c DESC, nlab ASC) = 1
+        )
+        SELECT l.vec_id, l.label,
+               m.nbr_majority,
+               CAST(coalesce(p.n_nbrs, 0) AS INTEGER) AS n_nbrs,
+               CAST(coalesce(a.c, 0) AS INTEGER) AS n_agree,
+               (m.nbr_majority IS NOT NULL
+                AND m.nbr_majority <> l.label
+                AND coalesce(m.maj_c, 0) * 2 > coalesce(p.n_nbrs, 0))
+                   AS flagged
+        FROM labs l
+        LEFT JOIN per p USING (vec_id)
+        LEFT JOIN maj m USING (vec_id)
+        LEFT JOIN votes a ON a.vec_id = l.vec_id AND a.nlab = l.label
+    """
+
+
 KCORE_K = 3       # the core threshold the report peels to
 KCORE_ROUNDS = 4  # synchronous peel rounds (converges in O(log n)
                   # rounds on the star-like kNN graphs this runs over)
@@ -1916,6 +2024,7 @@ QUERIES = {
     "knn_graph_lsh": knn_graph_lsh,
     "knn_pagerank": knn_pagerank,
     "knn_label_propagation": knn_label_propagation,
+    "knn_label_disagreement": knn_label_disagreement,
     "knn_kcore": knn_kcore,
     "knn_bfs_landmarks": knn_bfs_landmarks,
     "knn_density_outliers": knn_density_outliers,
@@ -2202,6 +2311,7 @@ def _pr_oracle_sql(iters: int = PR_ITERS) -> str:
 
 ORACLE["knn_pagerank"] = _pr_oracle_sql()
 ORACLE["knn_label_propagation"] = _lp_oracle_sql()
+ORACLE["knn_label_disagreement"] = _label_disagreement_oracle_sql()
 ORACLE["knn_kcore"] = _kcore_oracle_sql()
 ORACLE["knn_bfs_landmarks"] = _bfs_oracle_sql()
 ORACLE["dup_cluster_size_histogram"] = f"""

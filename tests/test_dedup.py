@@ -488,3 +488,24 @@ def test_edit_distance_flags_near_copies(spark, sf_dir):
         assert abs(r.similarity - (1 - r.edit_dist / r.longer_len)) < 1e-12
         assert r.is_dup == (1 if r.edit_dist * 100 <= r.longer_len * ED_PCT
                             else 0)
+
+
+def test_knn_label_disagreement_invariants(spark, sf_dir):
+    """Structural contracts of the mislabel screen: agreement never
+    exceeds the neighbor count, isolated vectors are never flagged,
+    and a flagged vector's majority strictly differs and outvotes."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.dedup import (
+        knn_label_disagreement,
+    )
+
+    rows = knn_label_disagreement(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_agree <= r.n_nbrs
+        if r.n_nbrs == 0:
+            assert not r.flagged and r.nbr_majority is None
+        if r.flagged:
+            assert r.nbr_majority is not None
+            assert r.nbr_majority != r.label
+            # strict majority: own-label agreement can never reach half
+            assert 2 * r.n_agree < r.n_nbrs

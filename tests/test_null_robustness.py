@@ -361,7 +361,8 @@ EMB_NULL_SWEEP = [
     "retrieval_metrics_report", "anns_late_interaction_topk",
     "anns_late_interaction_served",
     "knn_triangle_count", "embedding_standardize",
-    "knn_label_propagation", "pca_top_component",
+    "knn_label_propagation", "knn_label_disagreement",
+    "pca_top_component",
     "embedding_isotropy_report", "knn_kcore",
     "embedding_drift_report", "knn_bfs_landmarks",
     "knn_density_outliers", "anns_range_search",

@@ -1348,6 +1348,14 @@ AUDIT += (
             "table's own rows.",
         ),
         (
+            "knn_label_disagreement",
+            "r9 mislabel screen: edges come from the PERSISTED banded "
+            "LSH kNN matview (no rebuild, never all-pairs); one "
+            "neighbor-key equi-join + partial-aggregated (vec, label) "
+            "vote count; the plurality window sees <= K_GRAPH rows per "
+            "vector; final joins are primary-key equi-joins.",
+        ),
+        (
             "bootstrap_mean_ci",
             "r9 Poisson bootstrap: replicate weights are row-local md5 "
             "lookups; map-side partial aggregation collapses the B-way "
