@@ -165,7 +165,22 @@ def run_bench_and_check_regression(skip_bench: bool = False) -> None:
         if r.returncode != 0:
             sys.stderr.write(r.stderr[-4000:])
             raise SystemExit("bench FAILED during close_round")
-        return json.loads(r.stdout.strip().splitlines()[-1])
+        # the stdout line TRUNCATES the query map to fit the driver's
+        # tail capture (12-30 entries); the FULL per-query record is
+        # the detail file bench just wrote. The regression baseline
+        # must be the full record -- the r9 close initially kept the
+        # stdout line and silently shrank the next round's per-query
+        # comparison to the 12 most expensive queries.
+        line = json.loads(r.stdout.strip().splitlines()[-1])
+        detail = os.path.join(
+            REPO, line.get("detail_file", "BENCH_local.json"))
+        with open(detail) as f:
+            full = json.load(f)
+        if set(line.get("queries", {})) - set(full.get("queries", {})):
+            raise SystemExit(
+                "close_round: bench detail file is missing queries the "
+                "stdout line reports -- refusing a partial baseline")
+        return full
 
     if skip_bench and os.path.exists(prev_path):
         print("== close_round: --skip-bench: keeping existing "
