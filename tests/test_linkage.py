@@ -137,13 +137,11 @@ def test_er_stream_equals_batch_and_replay_converges(spark, sf_dir, tmp_path):
     regardless of batch boundaries/order (assignment is a pure
     function of record x static registry), and a fresh-checkpoint
     full replay -- every doc redelivered -- is a no-op."""
-    base_sigs, base_fields, base_labels = lk._er_base_registry(
+    # the PERSISTED registry matviews -- the same stored tables
+    # er_append serves from
+    base_sigs, base_fields, base_labels = lk.er_registry_cached(
         spark, sf_dir
     )
-    # materialize the registry once, as a stored-table stand-in
-    base_sigs = base_sigs.localCheckpoint()
-    base_fields = base_fields.localCheckpoint()
-    base_labels = base_labels.localCheckpoint()
     incoming = lk._er_incoming(spark, sf_dir)
     d = str(tmp_path / "er_stream")
     incoming.filter(F.col("doc_id") % 3 != 1).coalesce(1).write.mode(

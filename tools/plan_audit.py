@@ -1316,13 +1316,14 @@ AUDIT += (
         ),
         (
             "er_append",
-            "r9 incremental ER face: the archive resolve is the "
-            "one-time store build (audited under "
-            "entity_resolution_golden); per batch the plan is batch "
-            "signatures + ONE bucket equi-join against the stored "
-            "(band, sig) index + candidate-only integer verify + a "
-            "groupBy min on the batch grain -- archive text is never "
-            "re-read, nothing re-resolves.",
+            "r9 incremental ER face: the archive resolve happens ONCE "
+            "into the persisted erreg_* registry matviews (the "
+            "knn_graph_cached pattern; the resolve plan is audited "
+            "under entity_resolution_golden); per call the plan is "
+            "batch signatures + ONE bucket equi-join against the "
+            "STORED (band, sig) index + candidate-only integer verify "
+            "+ a groupBy min on the batch grain -- the archive is "
+            "never re-resolved, its text never re-read.",
         ),
         (
             "prf_query_expansion",
