@@ -59,7 +59,36 @@ def get_spark(
         # output must be grep-auditable
         .config("spark.ui.showConsoleProgress", "false")
     )
-    return builder.getOrCreate()
+    # opt-in connector jars (e.g. spark-sql-kafka-0-10 per docs/KAFKA.md);
+    # must be set before the JVM boots, so a builder config is the only seam
+    extra_packages = os.environ.get("SPARK_GRAFT_EXTRA_PACKAGES")
+    if extra_packages:
+        builder = builder.config("spark.jars.packages", extra_packages)
+    spark = builder.getOrCreate()
+    _silence_benign_log_noise(spark)
+    return spark
+
+
+def _silence_benign_log_noise(spark: SparkSession) -> None:
+    """Drop the benign ``Failed to update accumulator`` ERROR spam.
+
+    Fresh-session matview rebuilds cache dataframes whose accumulators
+    belong to an already-finished query; the DAGScheduler logs an ERROR
+    per stale accumulator update even though every query result is
+    correct. The update path (``DAGScheduler.updateAccumulators``) only
+    ever logs at ERROR for this benign case -- real scheduler failures
+    surface as raised exceptions, not log lines -- so pinning that one
+    logger to FATAL removes the spam without hiding actionable output.
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        level = jvm.org.apache.logging.log4j.Level.FATAL
+        configurator.setLevel(
+            "org.apache.spark.scheduler.DAGScheduler", level
+        )
+    except Exception:
+        pass  # log4j2 classes absent/renamed: cosmetic, never fail a session
 
 
 def tune_session(spark: SparkSession) -> SparkSession:
@@ -75,4 +104,5 @@ def tune_session(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     except Exception:
         pass  # non-runtime-settable on some builds; fine
+    _silence_benign_log_noise(spark)
     return spark

@@ -192,8 +192,12 @@ def telemetry_stream(
             raise RuntimeError(
                 "kafka source unavailable: add the connector package "
                 "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version> "
-                "(--packages / spark.jars.packages); the telemetry plans "
-                "themselves are source-agnostic"
+                "(--packages / spark.jars.packages, or set "
+                "SPARK_GRAFT_EXTRA_PACKAGES before session start); full "
+                "enablement runbook incl. the MQTT->Kafka bridge: "
+                "docs/KAFKA.md. The telemetry plans themselves are "
+                "source-agnostic -- kafka_replay exercises the same "
+                "parse path from recorded frames"
             ) from e
         return parse_telemetry_payload(frames, "value")
     raise ValueError(f"unknown telemetry source: {source!r}")

@@ -7,6 +7,8 @@ itself is round-tripped and dead-letter-checked in batch."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -99,11 +101,24 @@ def test_rate_source_maps_to_telemetry_schema(spark):
 
 def test_kafka_face_names_missing_package(spark):
     """Without the connector jar the kafka face must fail with the
-    exact package coordinate a user needs, not a raw classpath error."""
-    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+    exact package coordinate a user needs, not a raw classpath error,
+    and point at the enablement runbook -- which must exist."""
+    with pytest.raises(RuntimeError, match="spark-sql-kafka") as ei:
         streams.telemetry_stream(
             spark, "kafka", brokers="localhost:9092", topic="telemetry"
         )
+    msg = str(ei.value)
+    assert "docs/KAFKA.md" in msg
+    assert "SPARK_GRAFT_EXTRA_PACKAGES" in msg
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    runbook = os.path.join(repo_root, "docs", "KAFKA.md")
+    assert os.path.exists(runbook), "raise message references a missing doc"
+    text = open(runbook).read()
+    # the runbook must pin the exact coordinate for THIS pyspark build
+    import pyspark
+    scala = "2.13"
+    assert f"spark-sql-kafka-0-10_{scala}:{pyspark.__version__}" in text
+    assert "SPARK_GRAFT_EXTRA_PACKAGES" in text
 
 
 def test_unknown_source_rejected(spark):

@@ -1482,6 +1482,34 @@ def main() -> None:
         "1.43/2.97/2.16 s with in-run spreads up to 2.2x -- inside "
         "the documented cross-condition envelope, same verdict.",
         "",
+        "## Bench re-time verdicts (r10, r9-VERDICT item 1)",
+        "",
+        "All six r9 drift flags adjudicated with fresh clean-JVM "
+        "re-measures this round:",
+        "",
+        "- `dedup_embedding_cosine` 10x ratio: r8 1.98 -> r9 3.82 -> "
+        "fresh `scale_ratio_spot` 2.07 (10x wall 2.23 s). The r9 "
+        "reading was MEASUREMENT NOISE; ratio is back at the r8 "
+        "level. Plan unchanged (SemDeDup LSH-blocked cosine), no "
+        "defect.",
+        "- `cdc_apply_orders` 10x ratio: r9 5.09 -> fresh 3.73 (10x "
+        "wall 1.21 s). The feed grows exactly 10x by construction "
+        "and the plan is already the minimal shape -- ONE partial-"
+        "aggregated `max_by` groupBy (single shuffle, map-side "
+        "combine) + a codegen tombstone filter; there is no second "
+        "stage to remove. DATA-GENUINE sublinear growth; the 5.09 "
+        "was the same small-denominator noise (1x wall ~0.3 s).",
+        "- Four r8->r9 in-suite slowdowns >=1.8x "
+        "(`anns_ivf_topk` 0.35->0.72, `table_profile_documents` "
+        "0.59->1.15, `sketch_hll_distinct_users` 0.52->0.95, "
+        "`hybrid_rrf_fusion` 0.93->1.66): fresh best-of isolates "
+        "0.487 / 0.806 / 0.690 / 1.212 s with in-run spreads "
+        "1.3-1.6x -- every isolate sits BETWEEN its r8 and r9 "
+        "in-suite readings and inside the documented envelope. "
+        "Verdict: suite-interference noise (matview-build sharing "
+        "shifts which query pays warmup), plans unchanged, no "
+        "regression to fix.",
+        "",
     ]
     # GLOBAL-WINDOW GUARD (round 8): no unpartitioned WindowExec over
     # unbounded rows in any registered plan -- the single-reducer-sort
