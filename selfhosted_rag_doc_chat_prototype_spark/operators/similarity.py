@@ -968,9 +968,11 @@ def hybrid_fusion_topk(spark: SparkSession, sf_dir: str,
     """Dense (cosine) + sparse (BM25 over the stored sparse vectors,
     vec_id = doc_id) fusion with the reference's prefetch asymmetry:
     each leg retrieves only its own top candidates (dense 50 / sparse
-    100), the union is min-max-normalized and averaged, final top-k --
-    J5's two-leg prefetch + DBSF-style fusion over a real BM25 sparse
-    leg (database_qdrant_sparse_testing.py:33-46, 155-163).
+    100), the union is DBSF-normalized (per-leg mean +- 3 sigma band,
+    :func:`norm_dbsf` -- exact parity with Qdrant's ``Fusion.DBSF``)
+    and averaged, final top-k -- J5's two-leg prefetch + DBSF fusion
+    over a real BM25 sparse leg
+    (database_qdrant_sparse_testing.py:33-46, 155-163).
 
     The dense prefetch is a RETRIEVAL, not a scan: it routes through
     :func:`topk_cosine`, the engine's cost-gated ANN planner, so the
@@ -1020,13 +1022,13 @@ def hybrid_fusion_topk(spark: SparkSession, sf_dir: str,
         sparse, ["query_id", "neighbor_id"], "full_outer"
     )
     wq = Window.partitionBy("query_id")
-    norm = lambda c: (F.col(c) - F.min(c).over(wq)) / F.nullif(
-        F.max(c).over(wq) - F.min(c).over(wq), F.lit(0.0)
-    )
     fused = unioned.select(
         "query_id", "neighbor_id",
-        (F.lit(0.5) * F.coalesce(norm("dense"), F.lit(0.0))
-         + F.lit(0.5) * F.coalesce(norm("sparse"), F.lit(0.0))).alias("fused_raw"),
+        F.round(
+            F.lit(0.5) * F.coalesce(norm_dbsf("dense", wq), F.lit(0.0))
+            + F.lit(0.5) * F.coalesce(norm_dbsf("sparse", wq), F.lit(0.0)),
+            6,
+        ).alias("fused_raw"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("fused_raw"), F.asc("neighbor_id"))
     return (
@@ -1034,6 +1036,46 @@ def hybrid_fusion_topk(spark: SparkSession, sf_dir: str,
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank",
                 F.round("fused_raw", 4).alias("fused_score"))
+    )
+
+
+def norm_minmax(c: str, wq) -> Column:
+    """Min-max leg normalization (the pre-r10 fusion rule; kept for the
+    observable-difference test and for callers that want it)."""
+    return (F.col(c) - F.min(c).over(wq)) / F.nullif(
+        F.max(c).over(wq) - F.min(c).over(wq), F.lit(0.0)
+    )
+
+
+def norm_dbsf(c: str, wq) -> Column:
+    """Qdrant DBSF leg normalization: scores map to position inside the
+    leg's mean +- 3 sigma band, clamped to [0, 1] -- exact reference
+    parity for ``Fusion.DBSF`` (database_qdrant_sparse_testing.py:46;
+    Qdrant normalizes each prefetch leg by (x - (mu - 3s)) / 6s before
+    combining). Unlike min-max, one outlier cannot compress the whole
+    leg into a sliver of [0, 1] -- that is the "eliminate E5/BM25 scale
+    bias" rationale the reference documents.
+
+    Cross-engine determinism: the moments are computed from exact
+    DECIMAL window sums (leg scores are 6-decimal by contract, so
+    ``decimal(12,6)`` holds them exactly and the sums are
+    order-independent in both Spark and DuckDB), converted to double
+    once, then pushed through an identical IEEE expression tree on
+    both engines. sigma = 0 (single candidate / all-equal leg) maps to
+    0.5, the band midpoint."""
+    xd = F.col(c).cast("decimal(12,6)")
+    n = F.count(xd).over(wq).cast("double")
+    s1 = F.sum(xd).over(wq).cast("double")
+    s2 = F.sum(xd * xd).over(wq).cast("double")
+    mu = s1 / n
+    var = F.greatest(s2 / n - mu * mu, F.lit(0.0))
+    sd = F.sqrt(var)
+    pos = (F.col(c).cast("double") - (mu - F.lit(3.0) * sd)) \
+        / (F.lit(6.0) * sd)
+    return F.when(F.col(c).isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(sd == 0.0, F.lit(0.5)).otherwise(
+            F.least(F.greatest(pos, F.lit(0.0)), F.lit(1.0))
+        )
     )
 
 
@@ -2304,16 +2346,51 @@ ORACLE = {
             FULL JOIN sparse_pref s
               ON d.query_id = s.query_id AND d.neighbor_id = s.neighbor_id
         ),
+        normed AS (
+            -- DBSF twin of norm_dbsf: exact DECIMAL window sums of the
+            -- 6-decimal leg scores (order-independent on both engines),
+            -- ONE decimal->double conversion, identical IEEE tree below
+            SELECT query_id, neighbor_id, dense, sparse,
+                   CAST(count(dense) OVER wq AS DOUBLE) AS dn,
+                   CAST(sum(CAST(dense AS DECIMAL(12,6))) OVER wq
+                        AS DOUBLE) AS ds1,
+                   CAST(sum(CAST(dense AS DECIMAL(12,6))
+                            * CAST(dense AS DECIMAL(12,6))) OVER wq
+                        AS DOUBLE) AS ds2,
+                   CAST(count(sparse) OVER wq AS DOUBLE) AS sn,
+                   CAST(sum(CAST(sparse AS DECIMAL(12,6))) OVER wq
+                        AS DOUBLE) AS ss1,
+                   CAST(sum(CAST(sparse AS DECIMAL(12,6))
+                            * CAST(sparse AS DECIMAL(12,6))) OVER wq
+                        AS DOUBLE) AS ss2
+            FROM prefetched
+            WINDOW wq AS (PARTITION BY query_id)
+        ),
+        moments AS (
+            SELECT query_id, neighbor_id, dense, sparse,
+                   ds1/dn AS dmu,
+                   sqrt(greatest(ds2/dn - (ds1/dn)*(ds1/dn), 0.0)) AS dsd,
+                   ss1/sn AS smu,
+                   sqrt(greatest(ss2/sn - (ss1/sn)*(ss1/sn), 0.0)) AS ssd
+            FROM normed
+        ),
         fused AS (
             SELECT query_id, neighbor_id,
-                   0.5 * coalesce((dense - min(dense) OVER (PARTITION BY query_id))
-                       / nullif(max(dense) OVER (PARTITION BY query_id)
-                                - min(dense) OVER (PARTITION BY query_id), 0.0), 0.0)
-                   + 0.5 * coalesce((sparse - min(sparse) OVER (PARTITION BY query_id))
-                       / nullif(max(sparse) OVER (PARTITION BY query_id)
-                                - min(sparse) OVER (PARTITION BY query_id), 0.0), 0.0)
-                       AS fused_raw
-            FROM prefetched
+                   round(
+                   0.5 * coalesce(CASE
+                       WHEN dense IS NULL THEN NULL
+                       WHEN dsd = 0.0 THEN 0.5
+                       ELSE least(greatest(
+                           (CAST(dense AS DOUBLE) - (dmu - 3.0 * dsd))
+                               / (6.0 * dsd), 0.0), 1.0) END, 0.0)
+                   + 0.5 * coalesce(CASE
+                       WHEN sparse IS NULL THEN NULL
+                       WHEN ssd = 0.0 THEN 0.5
+                       ELSE least(greatest(
+                           (CAST(sparse AS DOUBLE) - (smu - 3.0 * ssd))
+                               / (6.0 * ssd), 0.0), 1.0) END, 0.0)
+                   , 6) AS fused_raw
+            FROM moments
         )
         SELECT query_id, neighbor_id,
                CAST(row_number() OVER (
