@@ -228,6 +228,8 @@ HEADLINE = [
     # round 9: record linkage / relevance feedback / eval surfaces
     "entity_resolution_golden",
     "er_append",
+    # round 10: periodic full re-resolve (append + reresolve == scratch)
+    "er_reresolve",
     "prf_query_expansion",
     "group_kfold_split",
     "score_decile_lift",
@@ -382,6 +384,7 @@ DOC_SCALE_QUERIES = ["dedup_minhash_lsh", "decontaminate_fuzzy_minhash",
                      # r9: linkage/eval family (needs lang/source in
                      # the 10x corpus -- the generator carries them)
                      "entity_resolution_golden", "er_append",
+                     "er_reresolve",
                      "prf_query_expansion", "bootstrap_mean_ci"]
 # r9: the warehouse pair reads orders/customer -- the scale dir grows
 # key-offset replicas of both so MERGE/CDC run on a 10x keyspace

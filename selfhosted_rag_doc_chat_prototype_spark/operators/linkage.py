@@ -94,7 +94,15 @@ def entity_resolution_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax inside the aggregate -- no per-entity window, no second
     shuffle). Singleton docs are their own entities, so the output is
     a complete entity registry, corpus-grain."""
-    corpus = _er_corpus(spark, sf_dir).localCheckpoint(eager=False)
+    return _golden_resolve(_er_corpus(spark, sf_dir))
+
+
+def _golden_resolve(raw_corpus: DataFrame) -> DataFrame:
+    """From-scratch golden resolve over any (doc_id, text, lang,
+    source) corpus -- the body of :func:`entity_resolution_golden`,
+    shared so tests can build the scratch twin :func:`er_reresolve`
+    must equal."""
+    corpus = raw_corpus.localCheckpoint(eager=False)
     pairs = _candidate_pairs(corpus.select("doc_id", "text"))
     wd = F.array_distinct(
         tq.words(F.coalesce(F.col("text"), F.lit("")))
@@ -522,6 +530,162 @@ def er_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _er_incoming_sourced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`_er_incoming` plus the survivorship metadata the full
+    re-resolve needs: odd-doc_id records keep their real ``source``;
+    re-delivered variants arrive under ``redelivery`` (same convention
+    as :func:`_er_corpus`)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    w = tq.words(F.col("text"))
+    return rebalance(
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + ER_OFFSET).alias("doc_id"),
+                F.array_join(F.slice(w, 3, F.size(w)), " ").alias("text"),
+                "lang",
+                F.lit("redelivery").alias("source"),
+            )
+        )
+    )
+
+
+def er_reresolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERIODIC FULL RE-RESOLVE that completes the ER lifecycle
+    (resolve -> append -> ... -> re-resolve): folds the appended batch
+    into the registry and repairs everything :func:`er_append` defers
+    by contract -- new-entity founding, and bridge merges where one
+    batch record connects TWO archive entities.
+
+    The key identity that keeps this INCREMENTAL: the stored archive
+    labels (:func:`er_registry_cached`) are exactly the connected
+    components of the archive-internal match edges, so replacing those
+    edges with STAR EDGES (member -> stored entity_id) preserves every
+    component. The re-resolve therefore runs components over
+
+        star(archive labels)  UNION  verify(batch x batch)
+                              UNION  verify(batch x archive)
+
+    -- archive pairs are NEVER re-verified (the stored match-field
+    relation supplies the archive side of batch-archive verification;
+    archive text is read only for survivorship metadata, one scan, no
+    pair work). The output is the full golden registry over archive +
+    batch, same schema as :func:`entity_resolution_golden`; its DuckDB
+    oracle is the FROM-SCRATCH resolve over the union corpus, so a
+    green gate IS the proof that append + re-resolve == resolve from
+    scratch.
+
+    Scale shape: batch signs once; candidates come from the batch
+    self-bucket join + the batch-vs-stored-index bucket join (both
+    band-bounded, never all-pairs); components are O(log diameter)
+    pointer-jumped rounds over star + new edges; survivorship is the
+    same one partial-aggregated ``max_by`` groupBy as the golden
+    resolve. Cost tracks the BATCH and the entity count, not archive
+    pair volume."""
+    from .dedup import _band_signatures
+
+    base_sigs, base_fields, base_labels = er_registry_cached(spark, sf_dir)
+    archive = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    ).filter(F.col("doc_id") % 2 == 0)
+    batch = _er_incoming_sourced(spark, sf_dir).localCheckpoint(eager=False)
+
+    # batch-internal verified edges: the same blocked resolve the
+    # golden query runs, restricted to the batch
+    wd = F.array_distinct(tq.words(F.coalesce(F.col("text"), F.lit(""))))
+    bsides = batch.select("doc_id", wd.alias("wd"), "lang")
+    bpairs = _candidate_pairs(batch.select("doc_id", "text"))
+    ba = bsides.select(F.col("doc_id").alias("doc_a"),
+                       F.col("wd").alias("wa"),
+                       F.col("lang").alias("lang_a"))
+    bb = bsides.select(F.col("doc_id").alias("doc_b"),
+                       F.col("wd").alias("wb"),
+                       F.col("lang").alias("lang_b"))
+    inter = F.size(F.array_intersect("wa", "wb"))
+    union = F.size("wa") + F.size("wb") - inter
+    bb_edges = (
+        bpairs.join(ba, "doc_a").join(bb, "doc_b")
+        .withColumn("inter", inter)
+        .withColumn("un", union)
+        .filter(
+            (F.expr("(1000 * inter) DIV un") >= ER_JACCARD_PM)
+            & (F.col("lang_a") == F.col("lang_b"))
+        )
+        .select("doc_a", "doc_b")
+    )
+
+    # batch-archive verified edges: batch signatures against the
+    # STORED blocking index, archive match fields from the STORED
+    # field relation -- no archive re-derivation
+    new_bands = _band_signatures(batch.select("doc_id", "text"))
+    ab_cand = (
+        new_bands.withColumnRenamed("doc_id", "doc_a")
+        .join(base_sigs.withColumnRenamed("doc_id", "doc_b"),
+              ["band", "sig"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ab_edges = (
+        ab_cand
+        .join(ba, "doc_a")
+        .join(
+            base_fields.select(F.col("doc_id").alias("doc_b"),
+                               F.col("wd").alias("wb"),
+                               F.col("lang").alias("lang_b")),
+            "doc_b",
+        )
+        .withColumn("inter", inter)
+        .withColumn("un", union)
+        .filter(
+            (F.col("un") > 0)
+            & (F.expr("(1000 * inter) DIV un") >= ER_JACCARD_PM)
+            & (F.col("lang_a") == F.col("lang_b"))
+        )
+        .select("doc_a", "doc_b")
+    )
+
+    # archive components as star edges (label != member only; the
+    # label row itself needs no self-edge)
+    star = base_labels.filter(
+        F.col("entity_id") != F.col("doc_id")
+    ).select(F.col("doc_id").alias("doc_a"),
+             F.col("entity_id").alias("doc_b"))
+
+    pair_edges = bb_edges.unionByName(ab_edges).unionByName(star)
+    edges = pair_edges.selectExpr("doc_a AS src", "doc_b AS dst") \
+        .unionByName(
+            pair_edges.selectExpr("doc_b AS src", "doc_a AS dst")
+        ).cache()
+    labels = connected_components_labels(edges)
+
+    members = (
+        archive.unionByName(batch)
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("entity_id"),
+            F.length(F.coalesce("text", F.lit(""))).cast("long")
+            .alias("n_chars"),
+            "source", "lang",
+        )
+    )
+    return (
+        members.groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_members"),
+            F.expr(
+                "max_by(doc_id, struct(n_chars, -doc_id))"
+            ).alias("golden_doc_id"),
+            F.max("n_chars").alias("golden_chars"),
+            F.count_distinct("source").cast("int").alias("n_sources"),
+            F.count_distinct("lang").cast("int").alias("n_langs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 def er_assign_streaming_sink(
     stream_docs: DataFrame,
     base_sigs: DataFrame,
@@ -590,6 +754,7 @@ def er_assign_streaming_sink(
 QUERIES = {
     "entity_resolution_golden": entity_resolution_golden,
     "er_append": er_append,
+    "er_reresolve": er_reresolve,
     "prf_query_expansion": prf_query_expansion,
     "group_kfold_split": group_kfold_split,
     "score_decile_lift": score_decile_lift,
@@ -607,9 +772,33 @@ _ER_CORPUS_SQL = f"""
 """
 
 
+_ER_RERESOLVE_CORPUS_SQL = f"""
+    SELECT doc_id, text, lang, source FROM documents
+    UNION ALL
+    SELECT doc_id + {ER_OFFSET} AS doc_id,
+           array_to_string(list_slice(w, 3, len(w)), ' ') AS text,
+           lang, 'redelivery' AS source
+    FROM (SELECT doc_id, lang, {_W_SQL} AS w FROM documents
+          WHERE doc_id % 10 = 0)
+"""
+
+
 def _er_oracle_sql() -> str:
+    return _golden_resolve_sql(_ER_CORPUS_SQL)
+
+
+def _er_reresolve_oracle_sql() -> str:
+    """FROM-SCRATCH golden resolve over archive + appended batch: the
+    equivalence oracle for :func:`er_reresolve` -- the Spark side never
+    re-verifies an archive pair, the oracle resolves everything from
+    zero; hash-equality of the two IS the append+reresolve == resolve
+    proof."""
+    return _golden_resolve_sql(_ER_RERESOLVE_CORPUS_SQL)
+
+
+def _golden_resolve_sql(corpus_sql: str) -> str:
     return f"""
-        WITH RECURSIVE corpus AS ({_ER_CORPUS_SQL}),
+        WITH RECURSIVE corpus AS ({corpus_sql}),
         {_bands_cte("corpus")},
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -891,6 +1080,7 @@ def _qc_score_body() -> str:
 ORACLE = {
     "entity_resolution_golden": _er_oracle_sql(),
     "er_append": _er_append_oracle_sql(),
+    "er_reresolve": _er_reresolve_oracle_sql(),
     "prf_query_expansion": _prf_oracle_sql(),
     "group_kfold_split": _gkf_oracle_sql(),
     "score_decile_lift": _lift_oracle_sql(_qc_score_body()),

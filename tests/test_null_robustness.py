@@ -91,6 +91,7 @@ NULL_SWEEP = [
     "seqlen_bucketing",
     "entity_resolution_golden",
     "er_append",
+    "er_reresolve",
     "prf_query_expansion",
     "group_kfold_split",
     "score_decile_lift",

@@ -1326,6 +1326,23 @@ AUDIT += (
             "never re-resolved, its text never re-read.",
         ),
         (
+            "er_reresolve",
+            "r10 ER lifecycle completion: the periodic full re-resolve "
+            "that folds appended batches into the registry and repairs "
+            "er_append's deferred cases (new-entity founding, bridge "
+            "merges). Archive components enter as STAR EDGES from the "
+            "stored labels (components of star(labels) == components "
+            "of the original archive edges), so archive pairs are "
+            "NEVER re-verified; batch work is batch signatures + the "
+            "batch self-bucket join + ONE bucket join against the "
+            "stored (band, sig) index + candidate-only integer verify; "
+            "components are the pointer-jumped O(log d) loop over "
+            "star + new edges; survivorship is the same single "
+            "max_by groupBy as the golden resolve. Oracle is the "
+            "FROM-SCRATCH resolve over archive+batch -- gate green IS "
+            "the append+reresolve == resolve proof.",
+        ),
+        (
             "prf_query_expansion",
             "r9 RM3: the corpus-heavy tokenize/postings subtree is the "
             "shared persisted matview; feedback and expansion windows "
