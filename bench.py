@@ -550,6 +550,70 @@ def scale_evidence(spark, sf_dir, queries, timings, n_runs):
     return out
 
 
+RETRIEVAL_BATCHES = 10   # micro-batches the streaming serve is timed over
+RETRIEVAL_QUERIES = 200  # requests spread across them (20/batch)
+
+
+def streaming_retrieval_evidence(spark, sf_dir):
+    """Per-micro-batch latency of the STREAMING retrieval serve path
+    (streaming/retrieval.retrieval_serve): the BASELINE.md anchor is
+    the reference's ~400 ms p50 per chat request, and the batched
+    `retrieval_ms_per_query_batched` metric alone leaves the streaming
+    face unbenched. Queries arrive as RETRIEVAL_BATCHES one-file
+    micro-batches against the persisted LSH index; p50 of Spark's own
+    triggerExecution per non-empty batch is the serve latency (index
+    build is untimed -- it is the batch job the serve path assumes)."""
+    import shutil
+    import tempfile
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.similarity import (
+        _vectors, lsh_build)
+    from selfhosted_rag_doc_chat_prototype_spark.streaming.retrieval import (
+        retrieval_serve)
+
+    from pyspark.sql import functions as F
+
+    lsh_build(spark, sf_dir)
+    base = _vectors(spark, sf_dir)
+    qdf = base.filter(F.col("vec_id") < RETRIEVAL_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_serve_")
+    try:
+        qdir = os.path.join(tmp, "queries")
+        qdf.repartition(RETRIEVAL_BATCHES).write.parquet(qdir)
+        stream = (
+            spark.readStream.schema(qdf.schema)
+            .option("maxFilesPerTrigger", 1).parquet(qdir)
+        )
+        q = retrieval_serve(
+            spark, sf_dir, stream,
+            os.path.join(tmp, "replies"), os.path.join(tmp, "ckpt"),
+            exclude_self=True,
+        )
+        q.awaitTermination(600)
+        waits = sorted(
+            p["durationMs"].get("triggerExecution", 0)
+            for p in (q.recentProgress or [])
+            if p.get("numInputRows", 0) > 0
+        )
+        if not waits:
+            return {}
+        n_queries = min(
+            RETRIEVAL_QUERIES,
+            base.filter(F.col("vec_id") < RETRIEVAL_QUERIES).count(),
+        )
+        p50 = float(waits[len(waits) // 2])
+        per_batch = n_queries / len(waits)
+        return {
+            "retrieval_serve_p50_ms": round(p50, 1),
+            "retrieval_serve_ms_per_query": round(p50 / per_batch, 1),
+            "retrieval_serve_queries_per_batch": round(per_batch, 1),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 APPEND_BATCH = 200  # the steady-state micro-batch an index serves
 
 
@@ -616,6 +680,42 @@ def append_scale_evidence(spark, sf_dir, d10, n_runs):
                     )
                     t0 = time.time()
                     append_fn(spark, tag_dir, batch)
+                    dt = time.time() - t0
+                    if record == "1x":
+                        best_1x = min(best_1x, dt)
+                    else:
+                        best = min(best, dt)
+            out[f"{name}_10x_sec"] = round(best, 3)
+            if best_1x > 0:
+                out[f"{name}_scale_ratio_10x"] = round(best / best_1x, 2)
+
+        # r10: DELETE at 10x -- a tombstone append + view rewrap must
+        # cost ~the same against a 10x archive as against 1x (ratio ~1
+        # is the pass shape; archive-proportional would be ~10, the
+        # old rewrite design). Victims are the ids the append loop
+        # just landed, so every delete removes REAL index rows; each
+        # run deletes a DISTINCT range (tombstoning is idempotent, so
+        # re-deleting would time a no-op view).
+        from selfhosted_rag_doc_chat_prototype_spark.operators.pq import (
+            pq_delete)
+        from selfhosted_rag_doc_chat_prototype_spark.operators.similarity import (
+            lsh_delete)
+
+        base_ids = [r.vec_id for r in batch_base.select("vec_id").collect()]
+        half = len(base_ids) // 2
+        for name, delete_fn, id_slice in [
+            ("lsh_delete", lsh_delete, base_ids[:half]),
+            ("pq_delete", pq_delete, base_ids[half:]),
+        ]:
+            best_1x = best = float("inf")
+            for r in range(min(n_runs, 2)):
+                for tag_dir, offset, record in [
+                    (d1, 90_000_000 + r * 10_000, "1x"),
+                    (d10, 95_000_000 + r * 10_000, "10x"),
+                ]:
+                    victims = [offset + i for i in id_slice]
+                    t0 = time.time()
+                    delete_fn(spark, tag_dir, victims)
                     dt = time.time() - t0
                     if record == "1x":
                         best_1x = min(best_1x, dt)
@@ -718,6 +818,7 @@ def main() -> None:
         )
 
     if not skip_scale:
+        derived.update(streaming_retrieval_evidence(spark, sf_dir))
         derived.update(scale_evidence(spark, sf_dir, queries, timings, n_runs))
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -749,7 +850,8 @@ def main() -> None:
     budget = 1950
     anchors = {
         k: v for k, v in derived.items()
-        if k in ("ingest_docs_per_min", "retrieval_ms_per_query_batched")
+        if k in ("ingest_docs_per_min", "retrieval_ms_per_query_batched",
+                 "retrieval_serve_p50_ms")
     }
     ratios = {
         k: v for k, v in derived.items() if k.endswith("_scale_ratio_10x")

@@ -140,8 +140,12 @@ def pq_build(spark: SparkSession, sf_dir: str,
                 codebooks = np.array(
                     [np.asarray(r.centroid) for r in rows]
                 ).reshape(mm, kk, -1)
+                from .similarity import _minus_tombstones
                 _PQ_STORE[key] = (
-                    codebooks, spark.read.parquet(codes_path), n_cells
+                    codebooks,
+                    _minus_tombstones(spark, sf_dir,
+                                      spark.read.parquet(codes_path)),
+                    n_cells,
                 )
                 return _PQ_STORE[key]
 
@@ -195,39 +199,32 @@ def pq_build(spark: SparkSession, sf_dir: str,
             " build_ver int",
         ).write.mode("overwrite").parquet(cb_path)
 
+        from .similarity import _minus_tombstones
         _PQ_STORE[key] = (
-            codebooks, spark.read.parquet(codes_path), n_cells
+            codebooks,
+            _minus_tombstones(spark, sf_dir,
+                              spark.read.parquet(codes_path)),
+            n_cells,
         )
     return _PQ_STORE[key]
 
 
 def pq_delete(spark: SparkSession, sf_dir: str, ids: list[int],
               m: int = PQ_M, k: int = PQ_K):
-    """Delete vectors from the persisted PQ index (codes AND the IVF
-    assignments the refine stage rescores from) -- anti-join rewrite,
-    codebooks untouched. Returns the refreshed
-    (codebooks, codes_df, n_cells)."""
-    from .similarity import _IVF_STORE, _ivf_paths, _rewrite_matview
+    """Delete points from the corpus's persisted indexes (PQ codes AND
+    the IVF assignments the refine stage rescores from; codebooks and
+    centroids untouched). r10: a TOMBSTONE APPEND -- one tiny parquet
+    write, serve paths broadcast-anti-join the tombstone set, so the
+    delete costs the batch, never the archive;
+    :func:`..similarity.index_compact` folds tombstones into the
+    stored files. Same point-delete semantics as ``lsh_delete`` (a
+    tombstoned id vanishes from every index of the corpus). Returns
+    the refreshed (codebooks, codes_df, n_cells)."""
+    from .similarity import _rewrap_index_stores, _tomb_append
 
-    codebooks, codes, n_cells = pq_build(spark, sf_dir, m, k)
-    _cb_path, codes_path = _pq_paths(sf_dir, m, k)
-    ids_df = spark.createDataFrame([(int(i),) for i in ids],
-                                   "vec_id long")
-    _rewrite_matview(
-        codes.join(F.broadcast(ids_df), "vec_id", "left_anti"), codes_path
-    )
-    centroids, assigned, _nc = ivf_build(spark, sf_dir)
-    _cent_path, assign_path = _ivf_paths(sf_dir)
-    _rewrite_matview(
-        assigned.join(F.broadcast(ids_df), "vec_id", "left_anti"),
-        assign_path,
-    )
-    _IVF_STORE[(spark, sf_dir)] = (
-        centroids, spark.read.parquet(assign_path), n_cells
-    )
-    _PQ_STORE[(spark, sf_dir, m, k)] = (
-        codebooks, spark.read.parquet(codes_path), n_cells
-    )
+    pq_build(spark, sf_dir, m, k)
+    _tomb_append(spark, sf_dir, ids)
+    _rewrap_index_stores(spark, sf_dir)
     return _PQ_STORE[(spark, sf_dir, m, k)]
 
 
@@ -315,13 +312,22 @@ def pq_append(spark: SparkSession, sf_dir: str, new_vectors: DataFrame,
      .withColumn("corpus_key", F.lit(ckey).cast("long"))
      .withColumn("build_ver", F.lit(INDEX_BUILD_VER).cast("int"))
      .write.mode("append").parquet(codes_path))
+    from .similarity import _minus_tombstones
     ivf_key = (spark, sf_dir)
     if ivf_key in _IVF_STORE:
         cents, _old, nc = _IVF_STORE[ivf_key]
-        _IVF_STORE[ivf_key] = (cents, spark.read.parquet(assign_path), nc)
+        _IVF_STORE[ivf_key] = (
+            cents,
+            _minus_tombstones(spark, sf_dir,
+                              spark.read.parquet(assign_path)),
+            nc,
+        )
 
     _PQ_STORE[(spark, sf_dir, m, k)] = (
-        codebooks, spark.read.parquet(codes_path), n_cells
+        codebooks,
+        _minus_tombstones(spark, sf_dir,
+                          spark.read.parquet(codes_path)),
+        n_cells,
     )
     return _PQ_STORE[(spark, sf_dir, m, k)]
 

@@ -253,6 +253,132 @@ def _lsh_path(sf_dir: str, bits: int, tables: int) -> str:
     return os.path.join(matview_root(), f"lsh_sig_{bits}x{tables}_{tag}")
 
 
+# ---------------------------------------------------------------------------
+# point tombstones (r10): DELETE from a persisted index is a tombstone
+# APPEND, not a rewrite -- cost tracks the deleted batch, never the
+# archive (the Delta deletion-vector / Lucene live-docs shape). Readers
+# broadcast-anti-join the (tiny) tombstone table; index_compact folds
+# tombstones into the stored files on an amortized schedule. A deleted
+# id is a POINT delete: it vanishes from the LSH, IVF and PQ serve
+# paths of the corpus at once (the vector-store contract -- Qdrant
+# deletes points, not per-index entries).
+# ---------------------------------------------------------------------------
+def _vec_tomb_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(matview_root(), f"vectombs_{tag}")
+
+
+def vector_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """The corpus's live tombstone set (vec_id rows), or None when no
+    delete has happened since the last compaction."""
+    p = _vec_tomb_path(sf_dir)
+    if not _matview_complete(p):
+        return None
+    return spark.read.parquet(p)
+
+
+def _minus_tombstones(spark: SparkSession, sf_dir: str, df: DataFrame,
+                      idcol: str = "vec_id") -> DataFrame:
+    t = vector_tombstones(spark, sf_dir)
+    if t is None:
+        return df
+    return df.join(
+        F.broadcast(t.withColumnRenamed("vec_id", idcol).distinct()),
+        idcol, "left_anti",
+    )
+
+
+def _tomb_append(spark: SparkSession, sf_dir: str, ids: list[int]) -> None:
+    # one slice -> one appended file per delete batch; coalesce(1) on a
+    # driver-local DataFrame pays a ~5 s single-task merge of all 32
+    # empty parallelize slices EVERY call (measured r10) -- parallelize
+    # with an explicit single slice is ~0.3 s warm
+    spark.createDataFrame(
+        spark.sparkContext.parallelize([(int(i),) for i in ids], 1),
+        "vec_id long",
+    ).write.mode("append").parquet(_vec_tomb_path(sf_dir))
+
+
+def _rewrap_index_stores(spark: SparkSession, sf_dir: str) -> None:
+    """Re-point every cached index view of ``sf_dir`` at the stored
+    files minus the CURRENT tombstone set. Deliberately avoids popping
+    the caches: a cold reload would re-run lineage validation (a
+    corpus-fingerprint scan), which would make delete cost
+    corpus-proportional -- the exact thing the tombstone design
+    removes."""
+    from . import pq as _pq
+
+    for key in [k for k in _LSH_STORE if k[1] == sf_dir]:
+        _, _, bits, tables = key
+        _LSH_STORE[key] = _minus_tombstones(
+            spark, sf_dir,
+            spark.read.parquet(_lsh_path(sf_dir, bits, tables)),
+            "neighbor_id",
+        )
+    for key in [k for k in _IVF_STORE if k[1] == sf_dir]:
+        centroids, _assigned, n_cells = _IVF_STORE[key]
+        _cent_path, assign_path = _ivf_paths(sf_dir)
+        _IVF_STORE[key] = (
+            centroids,
+            _minus_tombstones(spark, sf_dir,
+                              spark.read.parquet(assign_path)),
+            n_cells,
+        )
+    for key in [k for k in _pq._PQ_STORE if k[1] == sf_dir]:
+        codebooks, _codes, n_cells = _pq._PQ_STORE[key]
+        _cb_path, codes_path = _pq._pq_paths(sf_dir, key[2], key[3])
+        _pq._PQ_STORE[key] = (
+            codebooks,
+            _minus_tombstones(spark, sf_dir,
+                              spark.read.parquet(codes_path)),
+            n_cells,
+        )
+
+
+def index_compact(spark: SparkSession, sf_dir: str,
+                  m: int | None = None, k: int | None = None,
+                  lsh_bits: int = LSH_BITS,
+                  lsh_tables: int = LSH_TABLES) -> int:
+    """Fold the tombstone set into every persisted index file of
+    ``sf_dir`` (archive-proportional rewrite, run on an amortized
+    schedule -- the compaction half of the tombstone contract) and
+    clear the tombstones. Returns the number of tombstone rows
+    folded (0 = nothing to do)."""
+    import shutil
+
+    from . import pq as _pq
+
+    tomb = vector_tombstones(spark, sf_dir)
+    if tomb is None:
+        return 0
+    n = tomb.count()
+    p = _lsh_path(sf_dir, lsh_bits, lsh_tables)
+    if _matview_complete(p):
+        _rewrite_matview(
+            spark.read.parquet(p).join(
+                F.broadcast(tomb.withColumnRenamed("vec_id",
+                                                   "neighbor_id")),
+                "neighbor_id", "left_anti"), p)
+    _cent_path, assign_path = _ivf_paths(sf_dir)
+    if _matview_complete(assign_path):
+        _rewrite_matview(
+            spark.read.parquet(assign_path).join(
+                F.broadcast(tomb), "vec_id", "left_anti"), assign_path)
+    mm = m if m is not None else _pq.PQ_M
+    kk = k if k is not None else _pq.PQ_K
+    _cb_path, codes_path = _pq._pq_paths(sf_dir, mm, kk)
+    if _matview_complete(codes_path):
+        _rewrite_matview(
+            spark.read.parquet(codes_path).join(
+                F.broadcast(tomb), "vec_id", "left_anti"), codes_path)
+    shutil.rmtree(_vec_tomb_path(sf_dir), ignore_errors=True)
+    _rewrap_index_stores(spark, sf_dir)
+    return n
+
+
 def lsh_build(spark: SparkSession, sf_dir: str,
               lsh_bits: int = LSH_BITS,
               lsh_tables: int = LSH_TABLES) -> DataFrame:
@@ -271,7 +397,8 @@ def lsh_build(spark: SparkSession, sf_dir: str,
                      F.col("v").alias("cv"))
              .withColumn("csig", sig(F.col("cv")))
              .write.mode("overwrite").parquet(path))
-        _LSH_STORE[key] = spark.read.parquet(path)
+        _LSH_STORE[key] = _minus_tombstones(
+            spark, sf_dir, spark.read.parquet(path), "neighbor_id")
     return _LSH_STORE[key]
 
 
@@ -293,19 +420,19 @@ def _rewrite_matview(df: DataFrame, path: str) -> None:
 def lsh_delete(spark: SparkSession, sf_dir: str, ids: list[int],
                lsh_bits: int = LSH_BITS,
                lsh_tables: int = LSH_TABLES) -> DataFrame:
-    """Delete vectors from the persisted signature index (the vector-
+    """Delete points from the corpus's persisted indexes (the vector-
     store delete: Qdrant exposes it per point id; the engine's chunk
-    sink pairs it with J2 anti-join cleanup). Anti-join rewrite --
-    signatures of surviving rows are untouched. Returns the refreshed
-    index."""
+    sink pairs it with J2 anti-join cleanup). r10: a TOMBSTONE APPEND,
+    not a rewrite -- the batch lands as one tiny parquet append and
+    every serve path (LSH, IVF, PQ) broadcast-anti-joins the tombstone
+    set, so delete cost tracks the deleted batch, never the archive;
+    :func:`index_compact` folds tombstones into the stored files on an
+    amortized schedule. Idempotent (re-deleting an id is a no-op on
+    the view). Returns the refreshed index."""
     key = (spark, sf_dir, lsh_bits, lsh_tables)
-    idx = lsh_build(spark, sf_dir, lsh_bits, lsh_tables)
-    path = _lsh_path(sf_dir, lsh_bits, lsh_tables)
-    ids_df = spark.createDataFrame([(int(i),) for i in ids],
-                                   "neighbor_id long")
-    _rewrite_matview(idx.join(F.broadcast(ids_df), "neighbor_id",
-                              "left_anti"), path)
-    _LSH_STORE[key] = spark.read.parquet(path)
+    lsh_build(spark, sf_dir, lsh_bits, lsh_tables)
+    _tomb_append(spark, sf_dir, ids)
+    _rewrap_index_stores(spark, sf_dir)
     return _LSH_STORE[key]
 
 
@@ -332,7 +459,8 @@ def lsh_append(spark: SparkSession, sf_dir: str, new_vectors: DataFrame,
      .join(existing.select("neighbor_id"), "neighbor_id", "left_anti")
      .withColumn("csig", sig(F.col("cv")))
      .write.mode("append").parquet(path))
-    _LSH_STORE[key] = spark.read.parquet(path)
+    _LSH_STORE[key] = _minus_tombstones(
+        spark, sf_dir, spark.read.parquet(path), "neighbor_id")
     return _LSH_STORE[key]
 
 
@@ -1572,7 +1700,8 @@ def ivf_build(spark: SparkSession, sf_dir: str):
                     and int(stored[1]) == INDEX_BUILD_VER):
                 _IVF_STORE[key] = (
                     centroids,
-                    spark.read.parquet(assign_path),
+                    _minus_tombstones(spark, sf_dir,
+                                      spark.read.parquet(assign_path)),
                     centroids.count(),
                 )
                 return _IVF_STORE[key]
@@ -1594,7 +1723,8 @@ def ivf_build(spark: SparkSession, sf_dir: str):
         ).write.mode("overwrite").parquet(cent_path)
         _IVF_STORE[key] = (
             spark.read.parquet(cent_path),
-            spark.read.parquet(assign_path),
+            _minus_tombstones(spark, sf_dir,
+                              spark.read.parquet(assign_path)),
             n_cells,
         )
     return _IVF_STORE[key]

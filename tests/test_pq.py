@@ -134,3 +134,95 @@ def test_incremental_appends_extend_indexes_without_retrain(
     assert codes2.filter(F.col("vec_id").isin(victims)).count() == 0
     got2 = pq.pq_probe(spark, d, q).collect()
     assert all(r.neighbor_id not in set(victims) for r in got2)
+
+
+def test_tombstone_delete_compact_roundtrip_and_recall_floor(
+    spark, sf_dir, tmp_path
+):
+    """The r10 delete contract end-to-end: (1) delete is a tombstone
+    APPEND -- the stored index files do NOT shrink, every serve path
+    (LSH topk, IVF, PQ probe) hides the points immediately; (2)
+    index_compact folds tombstones into the files (they physically
+    shrink, tombstone dir clears) with IDENTICAL query results before
+    and after; (3) post-delete recall floor: top-k over the survivors
+    still recovers the exact-cosine survivor ground truth at the
+    documented LSH floor."""
+    import os
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = str(tmp_path / "corpus")
+    emb.filter(F.col("vec_id") < 500).write.parquet(
+        f"{d}/embeddings.parquet"
+    )
+    idx = similarity.lsh_build(spark, d)
+    pq.pq_build(spark, d)
+    n0 = idx.count()
+    victims = [3, 7, 11, 400, 401]
+
+    idx2 = similarity.lsh_delete(spark, d, victims)
+    # view hides them; stored file does NOT shrink (tombstone, not
+    # rewrite)
+    assert idx2.count() == n0 - len(victims)
+    assert idx2.filter(F.col("neighbor_id").isin(victims)).count() == 0
+    raw = spark.read.parquet(
+        similarity._lsh_path(d, similarity.LSH_BITS, similarity.LSH_TABLES)
+    )
+    assert raw.count() == n0
+    assert os.path.exists(similarity._vec_tomb_path(d))
+
+    # every serve path hides the points
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").cast("array<double>").alias("qv"))
+    )
+    vset = set(victims)
+    lsh_rows = similarity.topk_cosine(
+        similarity._vectors(spark, d), queries, k=10, strategy="lsh",
+        cand_signed=lambda: similarity.lsh_build(spark, d),
+    ).collect()
+    assert lsh_rows and all(r.neighbor_id not in vset for r in lsh_rows)
+    pq_rows = pq.pq_probe(spark, d, queries).collect()
+    assert pq_rows and all(r.neighbor_id not in vset for r in pq_rows)
+    cents, assigned, nc = similarity.ivf_build(spark, d)
+    assert assigned.filter(F.col("vec_id").isin(victims)).count() == 0
+
+    before = sorted(
+        (r.query_id, r.neighbor_id, r.rank) for r in lsh_rows
+    )
+
+    # recall floor vs survivor exact ground truth
+    survivors = similarity._vectors(spark, d).filter(
+        ~F.col("vec_id").isin(victims)
+    )
+    exact = similarity.topk_cosine(
+        survivors, queries, k=10, strategy="brute")
+    bf = {}
+    for r in exact.collect():
+        bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in lsh_rows:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recall = sum(
+        len(bf[q] & got.get(q, set())) for q in bf
+    ) / sum(len(v) for v in bf.values())
+    assert recall >= 0.6, f"post-delete LSH recall {recall:.2f}"
+
+    # compact: files shrink, tombstones clear, results identical
+    folded = similarity.index_compact(spark, d)
+    assert folded == len(victims)
+    assert not os.path.exists(similarity._vec_tomb_path(d))
+    raw2 = spark.read.parquet(
+        similarity._lsh_path(d, similarity.LSH_BITS, similarity.LSH_TABLES)
+    )
+    assert raw2.count() == n0 - len(victims)
+    after = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.topk_cosine(
+            similarity._vectors(spark, d), queries, k=10, strategy="lsh",
+            cand_signed=lambda: similarity.lsh_build(spark, d),
+        ).collect()
+    )
+    assert after == before
+    # idempotent: nothing left to fold
+    assert similarity.index_compact(spark, d) == 0

@@ -264,3 +264,17 @@ def test_kafka_replay_dead_letters_poison_frames(spark, tmp_path):
     good = [r for r in rows if r._corrupt is None]
     assert len(bad) == 1 and bad[0].event_id is None
     assert len(good) == 1 and good[0].event_id == 7
+
+
+def test_streaming_retrieval_serve_latency_floor(spark, sf_dir):
+    """The streaming serve face must stay in the interactive-latency
+    class the reference anchors (~400 ms p50/request at production
+    scale): at test scale, p50 micro-batch latency over the persisted
+    index must land under a generous 5 s ceiling, and the evidence
+    function must report both published metrics."""
+    import bench
+
+    out = bench.streaming_retrieval_evidence(spark, sf_dir)
+    assert "retrieval_serve_p50_ms" in out, out
+    assert "retrieval_serve_queries_per_batch" in out, out
+    assert 0 < out["retrieval_serve_p50_ms"] < 5000, out
