@@ -200,6 +200,20 @@ def run_bench_and_check_regression(skip_bench: bool = False) -> None:
         print("no previous BENCH_local.json baseline -- recorded fresh")
         return
 
+    # r10: the step-up gate's core wall is regression-gated too (same
+    # factor); only comparable when both rounds stepped to the same
+    # multiple
+    ps, cs = prev.get("scale_step"), cur.get("scale_step")
+    if (ps and cs
+            and ps.get("reps_of_sf0.1") == cs.get("reps_of_sf0.1")
+            and cs.get("value", 0) > REGRESSION_FACTOR * ps.get("value", 0)):
+        raise SystemExit(
+            "close_round: scale_step core wall regressed "
+            f"{ps['value']} -> {cs['value']} at "
+            f"{cs['reps_of_sf0.1']}x sf0.1 -- fix or annotate in the "
+            "plan_audit preamble before closing"
+        )
+
     core = [n for n in bench.HEADLINE_CORE
             if n in prev["queries"] and n in cur["queries"]]
     offenders = {}

@@ -1,24 +1,28 @@
-"""Scale-step-up gate (round 9, r8-VERDICT item 7): run the frozen
-30-query HEADLINE_CORE -- correctness gate AND timed pass -- at an
-~sf0.3 synthetic scale, to expose hidden sf0.1 assumptions the
-three-scale close gate (max sf0.1) cannot see.
+"""Scale-step-up gate (r9 at 3x; r10 raises to 10x, r9-VERDICT item
+3): run the frozen 30-query HEADLINE_CORE -- correctness gate AND
+timed pass -- at a synthetic multiple of sf0.1 (10x ~= sf1), to
+expose hidden sf0.1 assumptions (memory pressure, partition counts,
+matview rebuild cost) the three-scale close gate (max sf0.1) cannot
+see.
 
-    python tools/scale_step_gate.py [--reps 3] [--keep]
+    python tools/scale_step_gate.py [--reps 10] [--keep]
 
 The corpus is built from sf0.1 with the bench scale_evidence recipes
 (every replica decorrelated so near-dup/shingle paths measure the
 algorithm, not planted cross-replica duplicates):
 
-- documents: per-replica DETERMINISTIC WORD PERMUTATIONS (reverse /
-  evens-then-odds / reverse-of-that), doc_id offset. Permutation --
-  not the bench's word-suffix trick -- because the suffix trick
-  creates out-of-vocabulary pre-tokens that break the pinned BPE
-  tokenizer's documented coverage precondition AND new character
-  streams that can land float metrics on rounding boundaries;
-  permuting keeps the exact word multiset (BPE coverage and every
-  order-insensitive metric carry over) while still scrambling the
-  word k-grams the shingle/minhash/substring paths key on;
-- embeddings: deterministic per-replica sign flips, vec_id offset;
+- documents: replica r >= 1 applies a SEEDED HASH-SORT WORD
+  PERMUTATION (positions ordered by md5(position # rep)), doc_id
+  offset. Permutation -- not the bench's word-suffix trick -- because
+  the suffix trick creates out-of-vocabulary pre-tokens that break
+  the pinned BPE tokenizer's documented coverage precondition AND new
+  character streams that can land float metrics on rounding
+  boundaries; permuting keeps the exact word multiset (BPE coverage
+  and every order-insensitive metric carry over) while scrambling the
+  word k-grams the shingle/minhash/substring paths key on, for ANY
+  replica count;
+- embeddings: deterministic per-replica sign flips (mask distinct per
+  rep <= 10), vec_id offset;
 - events: event_id/user_id offsets (timestamps unchanged, so windowed
   plans see 3x density per window -- the harder case);
 - orders/lineitem/customer/supplier/part: every key offset
@@ -62,23 +66,29 @@ def build_corpus(spark, out_dir: str, reps: int) -> None:
     docs = table(spark, BASE_SF, "documents")
     w = r"filter(split(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
     n = f"size({w})"
-    h = f"(({n} + 1) div 2)"
-    eo = (f"transform(sequence(0, {n} - 1), i -> {w}[CASE WHEN i < {h} "
-          f"THEN i * 2 ELSE (i - {h}) * 2 + 1 END])")
-    perm_sql = {
-        0: "text",
-        1: f"array_join(reverse({w}), ' ')",
-        2: f"array_join({eo}, ' ')",
-        3: f"array_join(reverse({eo}), ' ')",
-    }
-    if reps > len(perm_sql):
-        raise SystemExit(f"--reps > {len(perm_sql)} needs more "
-                         "deterministic word permutations")
+
+    # r10 (reps up to 10x): replica r >= 1 applies a SEEDED HASH-SORT
+    # permutation -- word positions re-ordered by md5(position # rep).
+    # Same exact word multiset as the original (BPE coverage and every
+    # order-insensitive metric carry over, like the r9 hand permutations)
+    # but valid for ANY rep count, and two replicas share word k-grams
+    # only by md5 coincidence, so the shingle/minhash/substring paths
+    # never see planted cross-replica near-dups.
+    def perm_sql(rep: int) -> str:
+        if rep == 0:
+            return "text"
+        order = (
+            f"array_sort(transform(sequence(0, {n} - 1), "
+            f"i -> struct(md5(concat(cast(i AS string), '#{rep}')) AS h, "
+            "i AS i)))"
+        )
+        return f"array_join(transform({order}, s -> {w}[s.i]), ' ')"
+
     parts = []
     for rep in range(reps):
         t = F.expr(
             f"CASE WHEN text IS NULL OR {n} = 0 THEN text "
-            f"ELSE {perm_sql[rep]} END")
+            f"ELSE {perm_sql(rep)} END")
         parts.append(docs.select(
             (F.col("doc_id") + rep * 10_000_000).alias("doc_id"),
             t.alias("text"), "lang", "source", "n_chars",
@@ -89,13 +99,19 @@ def build_corpus(spark, out_dir: str, reps: int) -> None:
     big.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
     emb = table(spark, BASE_SF, "embeddings")
+    # r10: flip mask (i+1)(rep+1) mod 11 < 4 -- distinct for every
+    # rep <= 10 (rep+1 all distinct mod 11), so no two replicas are
+    # sign-identical; the r9 period-3 mask made replicas r and r+3
+    # EXACT vector duplicates, planting cross-replica dup clusters at
+    # reps > 3
     emb.crossJoin(rep_df).select(
         (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
         F.transform(
             "embedding",
             lambda x, i: F.when(
-                F.pmod(i + F.col("rep"), F.lit(3)) == 0,
-                F.when(F.col("rep") > 0, -x).otherwise(x),
+                (F.col("rep") > 0)
+                & (F.pmod((i + 1) * (F.col("rep") + 1), F.lit(11)) < 4),
+                -x,
             ).otherwise(x),
         ).alias("embedding"),
         "label",
