@@ -3,8 +3,9 @@
 Reuses bench.scale_evidence verbatim (same 10x corpus recipes, same
 interleaved 1x/10x timing discipline) but restricts the query cohort,
 so a ratio can be re-checked after a plan fix without paying the full
-suite + full scale pass. The knn-graph and index-append evidence that
-scale_evidence always runs is cheap (<1 min) and reported too.
+suite + full scale pass. The knn-graph and index-append/-delete
+evidence that scale_evidence always runs is cheap (<2 min) and
+reported too.
 
 Usage:
     python tools/scale_ratio_spot.py name [name ...]
