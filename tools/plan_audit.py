@@ -1527,6 +1527,19 @@ def main() -> None:
         "shifts which query pays warmup), plans unchanged, no "
         "regression to fix.",
         "",
+        "## 10x step-up scale ratios (r10, gate raised 3x -> 10x)",
+        "",
+        "BENCH_scale_step.json at 10x sf0.1 (~sf1), 30/30 oracle-"
+        "green, core wall 60.5 s (vs ~21 s at sf0.1 -- ~2.9x wall for "
+        "10x data). Per-query step ratios vs the r10 in-suite sf0.1 "
+        "walls: ALL 30 SUBLINEAR. Worst five: `window_running_total` "
+        "6.5 (1.5M windowed rows, near-linear work as expected), "
+        "`embed_documents` 5.6, `q3_shipping_priority` 5.4, "
+        "`gopher_quality_filters` 4.8, `q18_large_volume_customers` "
+        "4.6 -- every one under the 10x linear bar, none superlinear, "
+        "nothing to adjudicate. Eleven queries hold ratios <= 2.2 "
+        "(fixed overhead still dominating even at sf1).",
+        "",
     ]
     # GLOBAL-WINDOW GUARD (round 8): no unpartitioned WindowExec over
     # unbounded rows in any registered plan -- the single-reducer-sort
