@@ -236,7 +236,14 @@ def pq_append(spark: SparkSession, sf_dir: str, new_vectors: DataFrame,
     IVF-PQ add path) and append to the persisted code table.
     IDEMPOTENT: ids already encoded are skipped, so replayed batches
     converge. Returns the refreshed (codebooks, codes_df, n_cells)."""
-    codebooks, existing_codes, n_cells = pq_build(spark, sf_dir, m, k)
+    from .similarity import _tomb_clear
+
+    pq_build(spark, sf_dir, m, k)
+    # resurrection before membership (same contract as lsh_append): a
+    # re-inserted id's tombstone drops, its stored code row becomes
+    # visible, the per-table anti-joins below skip it
+    _tomb_clear(spark, sf_dir, new_vectors.select("vec_id"))
+    codebooks, existing_codes, n_cells = _PQ_STORE[(spark, sf_dir, m, k)]
     centroids, _a, _ = ivf_build(spark, sf_dir)
     _cb_path, codes_path = _pq_paths(sf_dir, m, k)
     bc = spark.sparkContext.broadcast(codebooks)

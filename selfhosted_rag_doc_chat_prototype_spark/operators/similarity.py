@@ -302,6 +302,28 @@ def _tomb_append(spark: SparkSession, sf_dir: str, ids: list[int]) -> None:
     ).write.mode("append").parquet(_vec_tomb_path(sf_dir))
 
 
+def _tomb_clear(spark: SparkSession, sf_dir: str,
+                new_ids: DataFrame) -> None:
+    """Clear tombstones for re-inserted ids (RESURRECTION: an append
+    after a delete must bring the point back, so the append path drops
+    its ids from the tombstone set BEFORE checking index membership --
+    the previously stored rows become visible again and the idempotent
+    skip then applies). Cost is tombstone-proportional, never
+    archive-proportional."""
+    import shutil
+
+    tomb = vector_tombstones(spark, sf_dir)
+    if tomb is None:
+        return
+    ids = new_ids.toDF("vec_id")
+    remaining = tomb.join(F.broadcast(ids), "vec_id", "left_anti")
+    if remaining.isEmpty():
+        shutil.rmtree(_vec_tomb_path(sf_dir), ignore_errors=True)
+    else:
+        _rewrite_matview(remaining, _vec_tomb_path(sf_dir))
+    _rewrap_index_stores(spark, sf_dir)
+
+
 def _rewrap_index_stores(spark: SparkSession, sf_dir: str) -> None:
     """Re-point every cached index view of ``sf_dir`` at the stored
     files minus the CURRENT tombstone set. Deliberately avoids popping
@@ -338,42 +360,44 @@ def _rewrap_index_stores(spark: SparkSession, sf_dir: str) -> None:
         )
 
 
-def index_compact(spark: SparkSession, sf_dir: str,
-                  m: int | None = None, k: int | None = None,
-                  lsh_bits: int = LSH_BITS,
-                  lsh_tables: int = LSH_TABLES) -> int:
+def index_compact(spark: SparkSession, sf_dir: str) -> int:
     """Fold the tombstone set into every persisted index file of
-    ``sf_dir`` (archive-proportional rewrite, run on an amortized
-    schedule -- the compaction half of the tombstone contract) and
-    clear the tombstones. Returns the number of tombstone rows
-    folded (0 = nothing to do)."""
+    ``sf_dir`` -- ALL stored LSH and PQ configs (globbed by corpus
+    tag) plus the IVF assignments -- then clear the tombstones
+    (archive-proportional rewrite, run on an amortized schedule: the
+    compaction half of the tombstone contract). Returns the number of
+    tombstone rows folded (0 = nothing to do)."""
     import shutil
 
-    from . import pq as _pq
+    import glob
+    import hashlib
+    import os
 
     tomb = vector_tombstones(spark, sf_dir)
     if tomb is None:
         return 0
     n = tomb.count()
-    p = _lsh_path(sf_dir, lsh_bits, lsh_tables)
-    if _matview_complete(p):
-        _rewrite_matview(
-            spark.read.parquet(p).join(
-                F.broadcast(tomb.withColumnRenamed("vec_id",
-                                                   "neighbor_id")),
-                "neighbor_id", "left_anti"), p)
+    # EVERY per-config index dir of this corpus must fold (globbed by
+    # the corpus tag): clearing tombstones while any config kept its
+    # deleted rows on disk would resurrect them in that config's view
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    for p in glob.glob(os.path.join(matview_root(), f"lsh_sig_*_{tag}")):
+        if _matview_complete(p):
+            _rewrite_matview(
+                spark.read.parquet(p).join(
+                    F.broadcast(tomb.withColumnRenamed("vec_id",
+                                                       "neighbor_id")),
+                    "neighbor_id", "left_anti"), p)
     _cent_path, assign_path = _ivf_paths(sf_dir)
     if _matview_complete(assign_path):
         _rewrite_matview(
             spark.read.parquet(assign_path).join(
                 F.broadcast(tomb), "vec_id", "left_anti"), assign_path)
-    mm = m if m is not None else _pq.PQ_M
-    kk = k if k is not None else _pq.PQ_K
-    _cb_path, codes_path = _pq._pq_paths(sf_dir, mm, kk)
-    if _matview_complete(codes_path):
-        _rewrite_matview(
-            spark.read.parquet(codes_path).join(
-                F.broadcast(tomb), "vec_id", "left_anti"), codes_path)
+    for p in glob.glob(os.path.join(matview_root(), f"pq_code4_*_{tag}")):
+        if _matview_complete(p):
+            _rewrite_matview(
+                spark.read.parquet(p).join(
+                    F.broadcast(tomb), "vec_id", "left_anti"), p)
     shutil.rmtree(_vec_tomb_path(sf_dir), ignore_errors=True)
     _rewrap_index_stores(spark, sf_dir)
     return n
@@ -449,7 +473,11 @@ def lsh_append(spark: SparkSession, sf_dir: str, new_vectors: DataFrame,
     replayed batch (at-least-once streaming delivery) converges
     instead of duplicating. Returns the refreshed index DataFrame."""
     key = (spark, sf_dir, lsh_bits, lsh_tables)
-    existing = lsh_build(spark, sf_dir, lsh_bits, lsh_tables)
+    lsh_build(spark, sf_dir, lsh_bits, lsh_tables)
+    # resurrection before membership: a re-inserted id's tombstone is
+    # dropped, its stored row becomes visible, the anti-join skips it
+    _tomb_clear(spark, sf_dir, new_vectors.select("vec_id"))
+    existing = _LSH_STORE[key]
     path = _lsh_path(sf_dir, lsh_bits, lsh_tables)
     sig = rh_sig_udf(lsh_bits, lsh_tables)
     (new_vectors

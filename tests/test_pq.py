@@ -226,3 +226,46 @@ def test_tombstone_delete_compact_roundtrip_and_recall_floor(
     assert after == before
     # idempotent: nothing left to fold
     assert similarity.index_compact(spark, d) == 0
+
+
+def test_append_after_delete_resurrects_point(spark, sf_dir, tmp_path):
+    """Re-inserting a deleted id must bring the point BACK (the upsert
+    contract a vector store honors): the append clears the id's
+    tombstone, the stored row becomes visible again, and the
+    idempotent membership check prevents a duplicate physical row."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = str(tmp_path / "corpus")
+    emb.filter(F.col("vec_id") < 300).write.parquet(
+        f"{d}/embeddings.parquet"
+    )
+    idx = similarity.lsh_build(spark, d)
+    pq.pq_build(spark, d)
+    n0 = idx.count()
+
+    victims = [5, 6]
+    similarity.lsh_delete(spark, d, victims)
+    assert similarity.lsh_build(spark, d).count() == n0 - 2
+
+    # re-insert one victim (same id/content), plus a genuinely new id
+    batch = emb.filter(F.col("vec_id").isin([5, 300]))
+    idx2 = similarity.lsh_append(spark, d, batch)
+    assert idx2.filter(F.col("neighbor_id") == 5).count() == 1  # back
+    assert idx2.filter(F.col("neighbor_id") == 6).count() == 0  # stays gone
+    assert idx2.filter(F.col("neighbor_id") == 300).count() == 1
+    assert idx2.count() == n0 - 1 + 1
+    # no duplicate physical row for the resurrected id
+    raw = spark.read.parquet(
+        similarity._lsh_path(d, similarity.LSH_BITS, similarity.LSH_TABLES)
+    )
+    assert raw.filter(F.col("neighbor_id") == 5).count() == 1
+
+    # PQ face: same resurrection through pq_append
+    _cb, codes, _ = pq.pq_append(spark, d, batch)
+    assert codes.filter(F.col("vec_id") == 5).count() == 1
+    assert codes.filter(F.col("vec_id") == 6).count() == 0
+
+    # remaining tombstone (id 6) still folds on compact
+    assert similarity.index_compact(spark, d) == 1
+    assert spark.read.parquet(
+        similarity._lsh_path(d, similarity.LSH_BITS, similarity.LSH_TABLES)
+    ).filter(F.col("neighbor_id") == 6).count() == 0
