@@ -1178,13 +1178,16 @@ def hybrid_fusion_topk(spark: SparkSession, sf_dir: str,
         sparse, ["query_id", "neighbor_id"], "full_outer"
     )
     wq = Window.partitionBy("query_id")
+    # fused_raw stays the RAW double: norm_dbsf is bit-identical
+    # cross-engine, and any intermediate decimal re-round would park
+    # ~10% of rows exactly on a 4-decimal half-boundary where Spark
+    # (shortest-decimal-string HALF_UP) and DuckDB (binary x*1e4
+    # round) disagree -- the r10 sweep caught exactly that
     fused = unioned.select(
         "query_id", "neighbor_id",
-        F.round(
-            F.lit(0.5) * F.coalesce(norm_dbsf("dense", wq), F.lit(0.0))
-            + F.lit(0.5) * F.coalesce(norm_dbsf("sparse", wq), F.lit(0.0)),
-            6,
-        ).alias("fused_raw"),
+        (F.lit(0.5) * F.coalesce(norm_dbsf("dense", wq), F.lit(0.0))
+         + F.lit(0.5) * F.coalesce(norm_dbsf("sparse", wq), F.lit(0.0))
+         ).alias("fused_raw"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("fused_raw"), F.asc("neighbor_id"))
     return (
@@ -1212,21 +1215,32 @@ def norm_dbsf(c: str, wq) -> Column:
     leg into a sliver of [0, 1] -- that is the "eliminate E5/BM25 scale
     bias" rationale the reference documents.
 
-    Cross-engine determinism: the moments are computed from exact
-    DECIMAL window sums (leg scores are 6-decimal by contract, so
-    ``decimal(12,6)`` holds them exactly and the sums are
-    order-independent in both Spark and DuckDB), converted to double
-    once, then pushed through an identical IEEE expression tree on
-    both engines. sigma = 0 (single candidate / all-equal leg) maps to
-    0.5, the band midpoint."""
-    xd = F.col(c).cast("decimal(12,6)")
-    n = F.count(xd).over(wq).cast("double")
-    s1 = F.sum(xd).over(wq).cast("double")
-    s2 = F.sum(xd * xd).over(wq).cast("double")
+    Cross-engine determinism (the hard part, two failure modes the
+    r10 rounding sweep caught and this formulation removes): moments
+    are computed in BINARY-ONLY arithmetic on ``q = floor(x * 1000)``
+    -- multiply is correctly rounded and floor exact, so q is the
+    IDENTICAL integer-valued double on both engines (any decimal
+    re-round of the 6-decimal leg scores is NOT: Spark rounds the
+    double's shortest decimal string, DuckDB the binary product, and
+    6-decimal scores sit on 4-decimal half-boundaries ~1% of the
+    time; and DECIMAL sums of squares at scale >= 6 cross 2^53 where
+    DuckDB's hugeint/pow10 double conversion double-rounds against
+    Java's BigDecimal). Sums of q and q*q stay exact integers under
+    2^53 for leg scores up to ~10^4, so they are shuffle-order-
+    independent, and the identical IEEE tree (div/mul/sqrt on
+    identical operands) below is bit-stable. The mean +- 3 sigma band
+    is thus measured on milli-quantized scores (documented contract);
+    the score POSITIONED in the band keeps full precision. sigma = 0
+    (single candidate / all-equal leg) maps to 0.5, the band
+    midpoint."""
+    q = F.floor(F.col(c) * F.lit(1000.0)).cast("double")
+    n = F.count(q).over(wq).cast("double")
+    s1 = F.sum(q).over(wq)
+    s2 = F.sum(q * q).over(wq)
     mu = s1 / n
     var = F.greatest(s2 / n - mu * mu, F.lit(0.0))
     sd = F.sqrt(var)
-    pos = (F.col(c).cast("double") - (mu - F.lit(3.0) * sd)) \
+    pos = (F.col(c) * F.lit(1000.0) - (mu - F.lit(3.0) * sd)) \
         / (F.lit(6.0) * sd)
     return F.when(F.col(c).isNull(), F.lit(None).cast("double")).otherwise(
         F.when(sd == 0.0, F.lit(0.5)).otherwise(
@@ -2505,22 +2519,20 @@ ORACLE = {
               ON d.query_id = s.query_id AND d.neighbor_id = s.neighbor_id
         ),
         normed AS (
-            -- DBSF twin of norm_dbsf: exact DECIMAL window sums of the
-            -- 6-decimal leg scores (order-independent on both engines),
-            -- ONE decimal->double conversion, identical IEEE tree below
+            -- DBSF twin of norm_dbsf: BINARY-ONLY moments on
+            -- q = floor(x * 1000) (multiply correctly rounded, floor
+            -- exact, integer sums under 2^53 -> bit-identical and
+            -- order-independent on both engines), identical IEEE
+            -- tree below
             SELECT query_id, neighbor_id, dense, sparse,
                    CAST(count(dense) OVER wq AS DOUBLE) AS dn,
-                   CAST(sum(CAST(dense AS DECIMAL(12,6))) OVER wq
-                        AS DOUBLE) AS ds1,
-                   CAST(sum(CAST(dense AS DECIMAL(12,6))
-                            * CAST(dense AS DECIMAL(12,6))) OVER wq
-                        AS DOUBLE) AS ds2,
+                   sum(floor(dense * 1000.0)) OVER wq AS ds1,
+                   sum(floor(dense * 1000.0)
+                       * floor(dense * 1000.0)) OVER wq AS ds2,
                    CAST(count(sparse) OVER wq AS DOUBLE) AS sn,
-                   CAST(sum(CAST(sparse AS DECIMAL(12,6))) OVER wq
-                        AS DOUBLE) AS ss1,
-                   CAST(sum(CAST(sparse AS DECIMAL(12,6))
-                            * CAST(sparse AS DECIMAL(12,6))) OVER wq
-                        AS DOUBLE) AS ss2
+                   sum(floor(sparse * 1000.0)) OVER wq AS ss1,
+                   sum(floor(sparse * 1000.0)
+                       * floor(sparse * 1000.0)) OVER wq AS ss2
             FROM prefetched
             WINDOW wq AS (PARTITION BY query_id)
         ),
@@ -2534,20 +2546,19 @@ ORACLE = {
         ),
         fused AS (
             SELECT query_id, neighbor_id,
-                   round(
                    0.5 * coalesce(CASE
                        WHEN dense IS NULL THEN NULL
                        WHEN dsd = 0.0 THEN 0.5
                        ELSE least(greatest(
-                           (CAST(dense AS DOUBLE) - (dmu - 3.0 * dsd))
+                           (dense * 1000.0 - (dmu - 3.0 * dsd))
                                / (6.0 * dsd), 0.0), 1.0) END, 0.0)
                    + 0.5 * coalesce(CASE
                        WHEN sparse IS NULL THEN NULL
                        WHEN ssd = 0.0 THEN 0.5
                        ELSE least(greatest(
-                           (CAST(sparse AS DOUBLE) - (smu - 3.0 * ssd))
+                           (sparse * 1000.0 - (smu - 3.0 * ssd))
                                / (6.0 * ssd), 0.0), 1.0) END, 0.0)
-                   , 6) AS fused_raw
+                   AS fused_raw
             FROM moments
         )
         SELECT query_id, neighbor_id,
