@@ -1225,10 +1225,14 @@ def norm_dbsf(c: str, wq) -> Column:
     6-decimal scores sit on 4-decimal half-boundaries ~1% of the
     time; and DECIMAL sums of squares at scale >= 6 cross 2^53 where
     DuckDB's hugeint/pow10 double conversion double-rounds against
-    Java's BigDecimal). Sums of q and q*q stay exact integers under
-    2^53 for leg scores up to ~10^4, so they are shuffle-order-
-    independent, and the identical IEEE tree (div/mul/sqrt on
-    identical operands) below is bit-stable. The mean +- 3 sigma band
+    Java's BigDecimal). Sums of q and q*q stay exact integers while
+    ``n * (1000 * x_max)**2 < 2**53`` (n = leg candidate count,
+    x_max = max leg score): at the fusion contract's n = 150
+    prefetch rows that bounds x_max at ~7.7e3, and the legs this
+    operator fuses sit far inside it (cosine <= 1, BM25 ~ tens).
+    Within that bound the sums are shuffle-order-independent, and
+    the identical IEEE tree (div/mul/sqrt on identical operands)
+    below is bit-stable. The mean +- 3 sigma band
     is thus measured on milli-quantized scores (documented contract);
     the score POSITIONED in the band keeps full precision. sigma = 0
     (single candidate / all-equal leg) maps to 0.5, the band
