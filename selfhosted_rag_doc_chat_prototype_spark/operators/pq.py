@@ -286,9 +286,35 @@ def pq_append(spark: SparkSession, sf_dir: str, new_vectors: DataFrame,
     # is behind catches up, whichever is current appends nothing. A
     # single shared "already appended" key would leave the other table
     # permanently short after a mid-function failure.
-    from .similarity import _ivf_paths, _IVF_STORE
+    from .similarity import (_ivf_paths, _IVF_STORE, _minus_tombstones,
+                             _rewrite_matview)
 
     _cent_path, assign_path = _ivf_paths(sf_dir)
+
+    # UPSERT on changed content (same contract as lsh_append / the
+    # Qdrant point upsert): ids stored with a DIFFERENT vector lose
+    # their rows in BOTH tables and are re-encoded fresh below. The
+    # changed set derives from the assignments table, so the codes
+    # table rewrites FIRST (assignments still pristine for the lazy
+    # re-evaluation inside the staged rewrite), assignments second; a
+    # crash in between replays cleanly -- `changed` still differs on
+    # the assignments side, the codes anti-join is then a no-op.
+    changed = (nv.join(spark.read.parquet(assign_path)
+                       .select("vec_id", F.col("v").alias("_old_v")),
+                       "vec_id")
+               .filter(F.col("v") != F.col("_old_v"))
+               .select("vec_id"))
+    if not changed.isEmpty():
+        _rewrite_matview(
+            spark.read.parquet(codes_path).join(
+                F.broadcast(changed), "vec_id", "left_anti"), codes_path)
+        _rewrite_matview(
+            spark.read.parquet(assign_path).join(
+                F.broadcast(changed), "vec_id", "left_anti"), assign_path)
+        existing_codes = _minus_tombstones(
+            spark, sf_dir, spark.read.parquet(codes_path))
+        _PQ_STORE[(spark, sf_dir, m, k)] = (
+            codebooks, existing_codes, n_cells)
 
     def assign_only(it):
         C = bcent.value

@@ -325,22 +325,27 @@ def _tomb_clear(spark: SparkSession, sf_dir: str,
 
 
 def _rewrap_index_stores(spark: SparkSession, sf_dir: str) -> None:
-    """Re-point every cached index view of ``sf_dir`` at the stored
-    files minus the CURRENT tombstone set. Deliberately avoids popping
-    the caches: a cold reload would re-run lineage validation (a
-    corpus-fingerprint scan), which would make delete cost
-    corpus-proportional -- the exact thing the tombstone design
-    removes."""
+    """Re-point the CALLING SESSION's cached index views of ``sf_dir``
+    at the stored files minus the CURRENT tombstone set. Deliberately
+    avoids popping the caches: a cold reload would re-run lineage
+    validation (a corpus-fingerprint scan), which would make delete
+    cost corpus-proportional -- the exact thing the tombstone design
+    removes. Scoped to ``k[0] is spark`` (r10 ADVICE): another
+    SparkSession sharing the store key on sf_dir must not get its
+    entries rewrapped with THIS session's reads -- its views refresh
+    on its own next mutation."""
     from . import pq as _pq
 
-    for key in [k for k in _LSH_STORE if k[1] == sf_dir]:
+    for key in [k for k in _LSH_STORE
+                if k[0] is spark and k[1] == sf_dir]:
         _, _, bits, tables = key
         _LSH_STORE[key] = _minus_tombstones(
             spark, sf_dir,
             spark.read.parquet(_lsh_path(sf_dir, bits, tables)),
             "neighbor_id",
         )
-    for key in [k for k in _IVF_STORE if k[1] == sf_dir]:
+    for key in [k for k in _IVF_STORE
+                if k[0] is spark and k[1] == sf_dir]:
         centroids, _assigned, n_cells = _IVF_STORE[key]
         _cent_path, assign_path = _ivf_paths(sf_dir)
         _IVF_STORE[key] = (
@@ -349,7 +354,8 @@ def _rewrap_index_stores(spark: SparkSession, sf_dir: str) -> None:
                               spark.read.parquet(assign_path)),
             n_cells,
         )
-    for key in [k for k in _pq._PQ_STORE if k[1] == sf_dir]:
+    for key in [k for k in _pq._PQ_STORE
+                if k[0] is spark and k[1] == sf_dir]:
         codebooks, _codes, n_cells = _pq._PQ_STORE[key]
         _cb_path, codes_path = _pq._pq_paths(sf_dir, key[2], key[3])
         _pq._PQ_STORE[key] = (
@@ -366,7 +372,14 @@ def index_compact(spark: SparkSession, sf_dir: str) -> int:
     tag) plus the IVF assignments -- then clear the tombstones
     (archive-proportional rewrite, run on an amortized schedule: the
     compaction half of the tombstone contract). Returns the number of
-    tombstone rows folded (0 = nothing to do)."""
+    tombstone rows folded (0 = nothing to do).
+
+    INVALIDATES previously returned index DataFrames: the tombstone
+    directory is removed, so any tombstone-wrapped view handed out
+    BEFORE the compact (e.g. an ``idx`` captured by a long-lived
+    ``retrieval_serve`` stream) fails with path-not-found when next
+    executed -- re-fetch the index (``lsh_build``/``pq_build`` return
+    the refreshed store entry) after a compact."""
     import shutil
 
     import glob
@@ -469,9 +482,17 @@ def lsh_append(spark: SparkSession, sf_dir: str, new_vectors: DataFrame,
     incremental shape as ``dedup_incremental_minhash``: new-batch work
     only, archive untouched). Signatures are deterministic in the
     seeded planes, so appended rows are indistinguishable from built
-    rows. IDEMPOTENT: ids already in the index are skipped, so a
-    replayed batch (at-least-once streaming delivery) converges
-    instead of duplicating. Returns the refreshed index DataFrame."""
+    rows. IDEMPOTENT on identical content: ids already in the index
+    with the SAME (label, vector) are skipped, so a replayed batch
+    (at-least-once streaming delivery) converges instead of
+    duplicating. UPSERT on changed content (r10 ADVICE: Qdrant's
+    point upsert OVERWRITES -- the previous behavior silently kept
+    the stale stored row after an append-after-delete resurrection):
+    ids whose stored (label, vector) differs from the incoming batch
+    are dropped from the stored file (one staged rewrite, paid only
+    when a changed-content collision actually exists -- never on the
+    pure-replay path) and re-encoded fresh. Returns the refreshed
+    index DataFrame."""
     key = (spark, sf_dir, lsh_bits, lsh_tables)
     lsh_build(spark, sf_dir, lsh_bits, lsh_tables)
     # resurrection before membership: a re-inserted id's tombstone is
@@ -479,11 +500,31 @@ def lsh_append(spark: SparkSession, sf_dir: str, new_vectors: DataFrame,
     _tomb_clear(spark, sf_dir, new_vectors.select("vec_id"))
     existing = _LSH_STORE[key]
     path = _lsh_path(sf_dir, lsh_bits, lsh_tables)
+    batch = (new_vectors
+             .filter(F.col("embedding").isNotNull())
+             .select(F.col("vec_id").alias("neighbor_id"), "label",
+                     F.col("embedding").cast("array<double>").alias("cv")))
+    # upsert: ids present with DIFFERENT content lose their stored row
+    # (batch side is the small build side; the inner join prunes the
+    # archive scan to (neighbor_id, label, cv))
+    changed = (batch
+               .join(existing.select("neighbor_id",
+                                     F.col("label").alias("_old_label"),
+                                     F.col("cv").alias("_old_cv")),
+                     "neighbor_id")
+               .filter((F.col("cv") != F.col("_old_cv"))
+                       | ~F.col("label").eqNullSafe(F.col("_old_label")))
+               .select("neighbor_id"))
+    if not changed.isEmpty():
+        _rewrite_matview(
+            spark.read.parquet(path).join(
+                F.broadcast(changed), "neighbor_id", "left_anti"),
+            path)
+        existing = _minus_tombstones(
+            spark, sf_dir, spark.read.parquet(path), "neighbor_id")
+        _LSH_STORE[key] = existing
     sig = rh_sig_udf(lsh_bits, lsh_tables)
-    (new_vectors
-     .filter(F.col("embedding").isNotNull())
-     .select(F.col("vec_id").alias("neighbor_id"), "label",
-             F.col("embedding").cast("array<double>").alias("cv"))
+    (batch
      .join(existing.select("neighbor_id"), "neighbor_id", "left_anti")
      .withColumn("csig", sig(F.col("cv")))
      .write.mode("append").parquet(path))

@@ -269,3 +269,87 @@ def test_append_after_delete_resurrects_point(spark, sf_dir, tmp_path):
     assert spark.read.parquet(
         similarity._lsh_path(d, similarity.LSH_BITS, similarity.LSH_TABLES)
     ).filter(F.col("neighbor_id") == 6).count() == 0
+
+
+def test_append_overwrites_changed_content(spark, sf_dir, tmp_path):
+    """Qdrant point-UPSERT contract (r10 ADVICE item): re-inserting an
+    id with DIFFERENT content must OVERWRITE the stored point -- the
+    pre-r11 behavior kept the stale stored row and silently discarded
+    the caller's new vector. Covers (a) plain overwrite of a live id,
+    (b) overwrite through the append-after-delete resurrection path,
+    (c) replay idempotence after the overwrite, for both LSH and PQ."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = str(tmp_path / "corpus")
+    emb.filter(F.col("vec_id") < 300).write.parquet(
+        f"{d}/embeddings.parquet"
+    )
+    idx = similarity.lsh_build(spark, d)
+    pq.pq_build(spark, d)
+    n0 = idx.count()
+
+    orig7 = [float(x) for x in emb.filter(
+        F.col("vec_id") == 7).head().embedding]
+    new7 = list(reversed(orig7))
+    assert new7 != orig7
+    # id 7 mutated, id 8 identical (pure replay) in ONE batch
+    batch = (emb.filter(F.col("vec_id").isin([7, 8]))
+             .withColumn("embedding", F.when(
+                 F.col("vec_id") == 7,
+                 F.reverse(F.col("embedding"))
+             ).otherwise(F.col("embedding"))))
+
+    # --- (a) LSH overwrite: one physical row, carrying the NEW vector
+    idx2 = similarity.lsh_append(spark, d, batch)
+    assert idx2.count() == n0
+    raw = spark.read.parquet(
+        similarity._lsh_path(d, similarity.LSH_BITS, similarity.LSH_TABLES)
+    )
+    rows7 = raw.filter(F.col("neighbor_id") == 7).collect()
+    assert len(rows7) == 1
+    assert [float(x) for x in rows7[0].cv] == new7
+    # signature re-encoded from the new vector (deterministic planes)
+    fresh_sig = (spark.createDataFrame([(7, None, new7)],
+                                       "neighbor_id long, label string,"
+                                       " cv array<double>")
+                 .withColumn("csig", similarity.rh_sig_udf(
+                     similarity.LSH_BITS, similarity.LSH_TABLES)(F.col("cv")))
+                 .head().csig)
+    assert list(rows7[0].csig) == list(fresh_sig)
+    assert raw.filter(F.col("neighbor_id") == 8).count() == 1  # replay skip
+
+    # --- (c) replay idempotence AFTER the overwrite: same batch again
+    idx3 = similarity.lsh_append(spark, d, batch)
+    assert idx3.count() == n0
+    assert spark.read.parquet(
+        similarity._lsh_path(d, similarity.LSH_BITS, similarity.LSH_TABLES)
+    ).filter(F.col("neighbor_id") == 7).count() == 1
+
+    # --- PQ overwrite: codes AND refine-stage assignments re-encoded
+    _cb, codes, _ = pq.pq_append(spark, d, batch)
+    assert codes.filter(F.col("vec_id") == 7).count() == 1
+    _cent, assign_path = similarity._ivf_paths(d)
+    arow = spark.read.parquet(assign_path).filter(
+        F.col("vec_id") == 7).collect()
+    assert len(arow) == 1
+    assert [float(x) for x in arow[0].v] == new7
+    # the probe must now retrieve id 7 for ITS NEW vector
+    q = spark.createDataFrame([(7, new7)], "query_id long, qv array<double>")
+    got = pq.pq_probe(spark, d, q, exclude_self=False).collect()
+    assert any(r.neighbor_id == 7 and r.rank == 1 for r in got)
+
+    # --- (b) delete -> re-insert with CHANGED content: the
+    # resurrection must serve the new vector, not the tombstoned old
+    similarity.lsh_delete(spark, d, [9])
+    orig9 = [float(x) for x in emb.filter(
+        F.col("vec_id") == 9).head().embedding]
+    new9 = list(reversed(orig9))
+    batch9 = (emb.filter(F.col("vec_id") == 9)
+              .withColumn("embedding", F.reverse(F.col("embedding"))))
+    idx4 = similarity.lsh_append(spark, d, batch9)
+    r9 = idx4.filter(F.col("neighbor_id") == 9).collect()
+    assert len(r9) == 1
+    assert [float(x) for x in r9[0].cv] == new9
+    _cb, codes9, _ = pq.pq_append(spark, d, batch9)
+    assert codes9.filter(F.col("vec_id") == 9).count() == 1
+    assert [float(x) for x in spark.read.parquet(assign_path).filter(
+        F.col("vec_id") == 9).head().v] == new9
