@@ -302,3 +302,28 @@ def test_er_reresolve_equals_from_scratch_and_replays(spark, sf_dir):
     multi = [r for r in rere if r[1] >= 2]  # n_members >= 2
     assert multi
     assert any(r[0] % 2 == 1 and r[0] < lk.ER_OFFSET for r in multi)
+
+
+def test_er_reresolve_serves_from_persisted_registry(spark, sf_dir):
+    """r11 (r10-VERDICT item 3): the re-resolve is paid ONCE per
+    append epoch into a persisted golden-registry matview; repeat
+    calls serve O(stored-entity) rows. Asserts (a) same-session
+    repeat returns the SAME store entry, (b) the served plan is a
+    bare parquet scan -- no shuffle, no signature work, no Python
+    stage -- and (c) the stored content equals a fresh compute."""
+    a = lk.er_reresolve(spark, sf_dir)
+    b = lk.er_reresolve(spark, sf_dir)
+    assert a is b  # store hit: no recompute, no re-read
+
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "erreg_golden_" in plan
+    for heavy in ("Exchange", "SortMergeJoin", "HashAggregate",
+                  "ArrowEvalPython", "FlatMapsInPandas"):
+        assert heavy not in plan, f"serve plan does {heavy}:\n{plan}"
+
+    def key(rows):
+        return sorted(tuple(r) for r in rows)
+
+    assert key(b.collect()) == key(
+        lk._er_reresolve_compute(spark, sf_dir).collect()
+    )

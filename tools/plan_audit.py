@@ -1327,20 +1327,26 @@ AUDIT += (
         ),
         (
             "er_reresolve",
-            "r10 ER lifecycle completion: the periodic full re-resolve "
-            "that folds appended batches into the registry and repairs "
-            "er_append's deferred cases (new-entity founding, bridge "
-            "merges). Archive components enter as STAR EDGES from the "
-            "stored labels (components of star(labels) == components "
-            "of the original archive edges), so archive pairs are "
-            "NEVER re-verified; batch work is batch signatures + the "
-            "batch self-bucket join + ONE bucket join against the "
-            "stored (band, sig) index + candidate-only integer verify; "
+            "r10 ER lifecycle completion, r11 persisted (VERDICT item "
+            "3): the periodic full re-resolve folds appended batches "
+            "into the registry and repairs er_append's deferred cases "
+            "(new-entity founding, bridge merges) -- archive "
+            "components enter as STAR EDGES from the stored labels "
+            "(components of star(labels) == components of the "
+            "original archive edges), so archive pairs are NEVER "
+            "re-verified; batch work is batch signatures + the batch "
+            "self-bucket join + ONE bucket join against the stored "
+            "(band, sig) index + candidate-only integer verify; "
             "components are the pointer-jumped O(log d) loop over "
-            "star + new edges; survivorship is the same single "
-            "max_by groupBy as the golden resolve. Oracle is the "
-            "FROM-SCRATCH resolve over archive+batch -- gate green IS "
-            "the append+reresolve == resolve proof.",
+            "star + new edges; survivorship one max_by groupBy. r11: "
+            "that whole compute is paid ONCE PER APPEND EPOCH into "
+            "the erreg_golden_* matview (er_registry_cached pattern); "
+            "the registered query SERVES the stored registry -- the "
+            "plan is a bare parquet scan of O(entities) rows, "
+            "test-asserted free of Exchange/joins/Python stages. "
+            "Oracle unchanged: the FROM-SCRATCH resolve over "
+            "archive+batch -- gate green IS the append+reresolve == "
+            "resolve proof on the stored content.",
         ),
         (
             "prf_query_expansion",
