@@ -550,6 +550,44 @@ def scale_evidence(spark, sf_dir, queries, timings, n_runs):
     return out
 
 
+def machine_calibration(spark) -> dict:
+    """MACHINE FINGERPRINT (r10-VERDICT item 1): two fixed synthetic
+    no-I/O jobs timed at every bench run, so round-over-round deltas
+    can be adjudicated against measured machine drift instead of
+    paging on it -- the r9->r10 close compared walls across a ~1.2-1.5x
+    environment drift that took a worktree A/B to diagnose.
+
+    - cpu: whole-stage-codegen aggregate over a generated range with a
+      PINNED partition count (no file I/O, no shuffle, no Python);
+    - shuffle: one fixed-cardinality hash-aggregate exchange.
+
+    Both best-of-2. ``tools/close_round.py`` divides the fresh cpu
+    fingerprint by the committed baseline's and relaxes the regression
+    bar by that factor (never tightens), printing the drift either
+    way. The jobs are pure generated-data codegen, so the numbers move
+    with the machine, not with engine code."""
+    def best2(run) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            run()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    cpu = best2(lambda: (
+        spark.range(0, 1_500_000_000, 1, 64)
+        .selectExpr("sum(id * 3 + 7) AS s", "avg(id) AS a")
+        .write.format("noop").mode("overwrite").save()
+    ))
+    shuf = best2(lambda: (
+        spark.range(0, 60_000_000, 1, 64)
+        .selectExpr("pmod(id, 1000000) AS k")
+        .groupBy("k").count()
+        .write.format("noop").mode("overwrite").save()
+    ))
+    return {"calibration_cpu_sec": cpu, "calibration_shuffle_sec": shuf}
+
+
 RETRIEVAL_BATCHES = 10   # micro-batches the streaming serve is timed over
 RETRIEVAL_QUERIES = 200  # requests spread across them (20/batch)
 
@@ -777,23 +815,57 @@ def main() -> None:
     # warm the JVM + parquet footer caches once (not timed)
     queries[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # machine fingerprint FIRST (r10-VERDICT item 1): pure synthetic
+    # codegen jobs, timed before the suite can heat caches/GC state
+    calibration = machine_calibration(spark)
+
+    # matview-build attribution (r10-VERDICT item 5): a run that
+    # CREATES a persisted matview directory is a BUILD run -- its wall
+    # belongs to the one-time build phase, not the query's serve cost.
+    # r10's worst spread (embed_documents 11.4x) was exactly this:
+    # first-run matview cost charged to whichever query triggered it.
+    # Detection is a cheap matview-root listdir around each run; build
+    # runs are recorded in matview_build_seconds and EXCLUDED from the
+    # spread statistic (best-of-N timings were always immune -- min()
+    # never picks the build run).
+    from selfhosted_rag_doc_chat_prototype_spark.operators.similarity import (
+        matview_root)
+
+    mv_root = matview_root()
+
+    def mv_dirs() -> set:
+        try:
+            return set(os.listdir(mv_root))
+        except FileNotFoundError:
+            return set()
+
     # best-of-N per query (default 2): a single-JVM bench is exposed to
     # transient GC/JIT/background noise; the minimum is the stable
     # estimate of the plan's cost. N and the per-run times are reported.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    matview_builds: dict[str, float] = {}
     t_all = time.time()
     for name in names:
         runs: list[float] = []
+        serve_runs: list[float] = []
         for _ in range(n_runs):
+            before = mv_dirs()
             t0 = time.time()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
+            dt = time.time() - t0
+            runs.append(dt)
+            if mv_dirs() - before:
+                matview_builds[name] = round(dt, 3)
+            else:
+                serve_runs.append(dt)
         timings[name] = round(min(runs), 3)
-        # max/min across runs: >1.5 flags a timing polluted by
-        # transient load, not a plan property
-        spread[name] = round(max(runs) / max(min(runs), 1e-9), 2)
+        # max/min across SERVE runs: >1.5 flags a timing polluted by
+        # transient load, not a plan property (build runs attributed
+        # separately above; all-build fallback keeps the stat defined)
+        base = serve_runs or runs
+        spread[name] = round(max(base) / max(min(base), 1e-9), 2)
     total = round(sum(timings.values()), 3)
     wall = round(time.time() - t_all, 3)
     # comparable-across-rounds wall: the frozen 30-query core only
@@ -829,6 +901,8 @@ def main() -> None:
         "headline_core_wall_seconds": core,
         "queries": timings,
         "run_spread_max_over_min": spread,
+        "matview_build_seconds": matview_builds,
+        "calibration": calibration,
         "derived": derived,
         "runs_per_query": n_runs,
         "wall_seconds_all_runs": wall,
@@ -862,6 +936,11 @@ def main() -> None:
     line.pop("run_spread_max_over_min", None)
     if worst:
         line["worst_spread"] = {worst[0]: worst[1]}
+    # build attribution lives in the detail file; stdout keeps the total
+    line.pop("matview_build_seconds", None)
+    if matview_builds:
+        line["matview_build_total_sec"] = round(
+            sum(matview_builds.values()), 1)
     # shrink order: the derived anchors/ratios are the headline the
     # driver compares against BASELINE.md -- truncate the query map
     # before touching them
