@@ -235,6 +235,11 @@ HEADLINE = [
     "score_decile_lift",
     "bootstrap_mean_ci",
     "knn_label_disagreement",
+    # round 11: margin-criterion bitext mining, M4 pixel downsample,
+    # t-closeness distribution-distance privacy audit
+    "bitext_margin_pairs",
+    "m4_downsample_events",
+    "t_closeness_report",
 ]
 
 # PINNED CORE (r8, VERDICT item 7): a frozen 30-query subset that NEVER

@@ -1463,6 +1463,91 @@ def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+T_CLOSE_BINS = 10        # ordered sensitive-value bins (global deciles)
+T_CLOSE_NUM, T_CLOSE_DEN = 1, 4   # threshold t = 1/4 as an exact rational
+
+
+def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-CLOSENESS audit over the customer table -- the third leg of
+    the privacy trio (Li, Li & Venkatasubramanian, ICDE 2007): a QI
+    group can be k-anonymous AND l-diverse yet still leak if its
+    sensitive-value DISTRIBUTION sits far from the table-wide one
+    (e.g. a group holding only the top balances). Quasi-identifiers
+    are (nation, market segment) -- same as :func:`l_diversity_report`
+    -- and the sensitive attribute is the account balance ranked into
+    ``T_CLOSE_BINS`` GLOBAL deciles. Distance is the Earth Mover's
+    Distance for ordered categories: EMD = (1/(b-1)) *
+    sum_j |cum_p(j) - cum_q(j)| over bins j, p the group's histogram,
+    q the global one. A group violates iff EMD > t.
+
+    Exactness: deciles come from the exact two-phase global rank
+    (:func:`..rank.distributed_rank` on the pinned half-up integer
+    cents, custkey tiebreak) + the byte-exact ntile fill rule -- no
+    single-reducer window, no float hop. The EMD numerator is the
+    exact BIGINT ``sum_j |cum(n_gj)*N - cum(N_j)*n_g|`` (cum over the
+    b-1 interior bins as unrolled conditional sums, so EMPTY bins
+    participate); the violation flag compares
+    ``num * T_CLOSE_DEN > N * n_g * (b-1) * T_CLOSE_NUM`` in exact
+    integers -- no group can flip on a float boundary. The reported
+    ``emd_4dp`` divides the exact integers once and rounds once.
+
+    Scale shape: two rank passes (range-partitioned, no global
+    window), ONE partial-aggregated (nation, segment) groupBy with
+    b-1 unrolled conditional sums, and a one-row global histogram
+    broadcast back -- group-cardinality rows after the single
+    shuffle. BIGINT headroom: cum*N <= N*n_g <= N^2; at N ~ 3e9 rows
+    the product crosses 2^63 and the numerator moves to DECIMAL(38)
+    -- documented boundary, same one l_diversity's cents carry."""
+    from .rank import distributed_rank, ntile_from_rank
+
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").isNotNull()
+    )
+    cents = F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+    ranked = distributed_rank(
+        cust.select(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            cents.alias("cents"), "c_custkey",
+        ),
+        [(F.col("cents"), True), (F.col("c_custkey"), True)],
+        rn_col="_rn", n_col="_n",
+    ).select(
+        "nation", "segment",
+        ntile_from_rank("_rn", "_n", T_CLOSE_BINS).alias("decile"),
+    )
+    b = T_CLOSE_BINS
+    cums = [
+        F.sum((F.col("decile") <= j).cast("long")).alias(f"c{j}")
+        for j in range(1, b)
+    ]
+    grp = ranked.groupBy("nation", "segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"), *cums
+    )
+    glob = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        *[F.sum((F.col("decile") <= j).cast("long")).alias(f"g{j}")
+          for j in range(1, b)],
+    )
+    num = sum(
+        F.abs(F.col(f"c{j}") * F.col("n_all")
+              - F.col(f"g{j}") * F.col("n_rows"))
+        for j in range(1, b)
+    )
+    den = F.col("n_all") * F.col("n_rows") * F.lit(b - 1)
+    return (
+        grp.crossJoin(F.broadcast(glob))
+        .withColumn("_num", num)
+        .select(
+            "nation", "segment", "n_rows",
+            F.round(F.col("_num").cast("double") / den.cast("double"), 4)
+            .alias("emd_4dp"),
+            (F.col("_num") * F.lit(T_CLOSE_DEN)
+             > den * F.lit(T_CLOSE_NUM)).cast("int").alias("t_violation"),
+        )
+    )
+
+
 IA_MAX_POW = 22  # top power-of-two bucket (~48 days in seconds)
 
 
@@ -1574,6 +1659,71 @@ def ohlc_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("long").alias("n_events"),
             (F.col("vol_u").cast("double") / float(VALUE_SCALE))
             .alias("total_value"),
+        )
+    )
+
+
+M4_BUCKETS = 64  # fixed pixel-width bucket count of the M4 downsample
+
+
+def m4_downsample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 DOWNSAMPLING (Jugel et al., VLDB 2014): per event type,
+    split the corpus's GLOBAL time range into ``M4_BUCKETS``
+    equal-width buckets (one per rendered pixel column) and keep
+    exactly the four extremum points per bucket -- first, last, min,
+    max, each WITH its timestamp. M4 is the downsample with the
+    error-free line-rendering guarantee: a chart drawn from the 4
+    points per pixel is pixel-identical to one drawn from every raw
+    row, which is what makes it the standard telemetry-dashboard
+    reducer (vs OHLC, which keeps calendar-day bars and drops the
+    extremum timestamps).
+
+    Exactness: bucket index is pure integer arithmetic on epoch
+    seconds (``(s - mn) * B DIV (mx - mn + 1)`` -- nonneg operands,
+    so Spark DIV and DuckDB // agree); first/last ride lexicographic
+    struct min/max over the total order (s, event_id); min/max points
+    over (value, s, event_id) -- event_id unique, so every selection
+    is deterministic and no float math is introduced anywhere (values
+    pass through untouched).
+
+    Scale shape: one scalar min/max aggregate broadcast back (one-row
+    crossJoin), then ONE partial-aggregated groupBy -- every
+    aggregate (struct-min/max, count) decomposes map-side, so the
+    single shuffle carries <= |types| x B combiner rows regardless of
+    corpus size. The bucket width is fixed by the OUTPUT (pixels),
+    not the data: 100 TB of events still reduces to the same
+    |types| x B x 4 points."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    base = ev.select(
+        "event_type", "event_id", "value",
+        F.expr("unix_micros(ts) div 1000000").alias("s"),
+    )
+    rng = base.agg(F.min("s").alias("mn"), F.max("s").alias("mx"))
+    b = base.crossJoin(F.broadcast(rng)).withColumn(
+        "bucket",
+        F.expr(f"CAST(((s - mn) * {M4_BUCKETS}) DIV (mx - mn + 1) AS INT)"),
+    )
+    tkey = F.struct(F.col("s"), F.col("event_id"), F.col("value"))
+    vkey = F.struct(F.col("value"), F.col("s"), F.col("event_id"))
+    return (
+        b.groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.min(tkey).alias("fst"), F.max(tkey).alias("lst"),
+            F.min(vkey).alias("lo"), F.max(vkey).alias("hi"),
+        )
+        .select(
+            "event_type", "bucket", "n_points",
+            F.col("fst").getField("value").alias("v_first"),
+            F.col("fst").getField("s").cast("long").alias("ts_first_s"),
+            F.col("lo").getField("value").alias("v_min"),
+            F.col("lo").getField("s").cast("long").alias("ts_min_s"),
+            F.col("hi").getField("value").alias("v_max"),
+            F.col("hi").getField("s").cast("long").alias("ts_max_s"),
+            F.col("lst").getField("value").alias("v_last"),
+            F.col("lst").getField("s").cast("long").alias("ts_last_s"),
         )
     )
 
@@ -3068,6 +3218,8 @@ QUERIES = {
     "seasonal_decompose_daily": seasonal_decompose_daily,
     "interarrival_histogram": interarrival_histogram,
     "ohlc_daily_by_type": ohlc_daily_by_type,
+    "m4_downsample_events": m4_downsample_events,
+    "t_closeness_report": t_closeness_report,
     "twap_by_user": twap_by_user,
     "event_debounce": event_debounce,
     "skew_report_events": skew_report_events,
@@ -3167,6 +3319,90 @@ ORACLE = {
     """,
     "markov_transition_stationary": _markov_oracle_sql(),
     "hll_set_operations": _hll_sets_oracle_sql(),
+    "m4_downsample_events": f"""
+        WITH b0 AS (
+            SELECT event_type, event_id, value,
+                   epoch_us(ts) // 1000000 AS s
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        ),
+        r AS (SELECT min(s) AS mn, max(s) AS mx FROM b0),
+        b AS (
+            SELECT b0.*,
+                   CAST(((s - mn) * {M4_BUCKETS}) // (mx - mn + 1)
+                        AS INTEGER) AS bucket
+            FROM b0, r
+        ),
+        w AS (
+            SELECT *,
+                row_number() OVER (PARTITION BY event_type, bucket
+                    ORDER BY s, event_id) AS ra,
+                row_number() OVER (PARTITION BY event_type, bucket
+                    ORDER BY s DESC, event_id DESC) AS rd,
+                row_number() OVER (PARTITION BY event_type, bucket
+                    ORDER BY value, s, event_id) AS rlo,
+                row_number() OVER (PARTITION BY event_type, bucket
+                    ORDER BY value DESC, s DESC, event_id DESC) AS rhi
+            FROM b
+        )
+        SELECT event_type, bucket,
+               CAST(count(*) AS BIGINT) AS n_points,
+               max(CASE WHEN ra = 1 THEN value END) AS v_first,
+               CAST(max(CASE WHEN ra = 1 THEN s END) AS BIGINT)
+                   AS ts_first_s,
+               max(CASE WHEN rlo = 1 THEN value END) AS v_min,
+               CAST(max(CASE WHEN rlo = 1 THEN s END) AS BIGINT)
+                   AS ts_min_s,
+               max(CASE WHEN rhi = 1 THEN value END) AS v_max,
+               CAST(max(CASE WHEN rhi = 1 THEN s END) AS BIGINT)
+                   AS ts_max_s,
+               max(CASE WHEN rd = 1 THEN value END) AS v_last,
+               CAST(max(CASE WHEN rd = 1 THEN s END) AS BIGINT)
+                   AS ts_last_s
+        FROM w GROUP BY 1, 2
+    """,
+    "t_closeness_report": f"""
+        WITH c AS (
+            SELECT c_nationkey AS nation, c_mktsegment AS segment,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+                   c_custkey
+            FROM customer WHERE c_acctbal IS NOT NULL
+        ),
+        d AS (
+            SELECT nation, segment,
+                   ntile({T_CLOSE_BINS}) OVER (ORDER BY cents, c_custkey)
+                       AS decile
+            FROM c
+        ),
+        grp AS (
+            SELECT nation, segment,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   {", ".join(
+                       f"CAST(sum(CASE WHEN decile <= {j} THEN 1 ELSE 0 "
+                       f"END) AS BIGINT) AS c{j}"
+                       for j in range(1, T_CLOSE_BINS))}
+            FROM d GROUP BY 1, 2
+        ),
+        gtot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_all,
+                   {", ".join(
+                       f"CAST(sum(CASE WHEN decile <= {j} THEN 1 ELSE 0 "
+                       f"END) AS BIGINT) AS g{j}"
+                       for j in range(1, T_CLOSE_BINS))}
+            FROM d
+        )
+        SELECT nation, segment, n_rows,
+               round(CAST(({" + ".join(
+                   f"abs(c{j} * n_all - g{j} * n_rows)"
+                   for j in range(1, T_CLOSE_BINS))}) AS DOUBLE)
+                     / CAST(n_all * n_rows * {T_CLOSE_BINS - 1}
+                            AS DOUBLE), 4) AS emd_4dp,
+               CAST(({" + ".join(
+                   f"abs(c{j} * n_all - g{j} * n_rows)"
+                   for j in range(1, T_CLOSE_BINS))}) * {T_CLOSE_DEN}
+                    > n_all * n_rows * {T_CLOSE_BINS - 1} * {T_CLOSE_NUM}
+                    AS INTEGER) AS t_violation
+        FROM grp, gtot
+    """,
     "ohlc_daily_by_type": f"""
         WITH ev AS (
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value,

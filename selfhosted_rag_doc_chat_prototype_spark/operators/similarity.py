@@ -2182,8 +2182,99 @@ def sparse_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BITEXT_POOL_MAX = 120  # src pool: en docs with doc_id below this
+BITEXT_KNN = 4         # neighborhood size of the margin denominator
+BITEXT_TAU = 1.02      # ratio-margin acceptance threshold
+
+
+def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARGIN-BASED BITEXT MINING (Artetxe & Schwenk 2019; the
+    criterion LASER/CCMatrix/NLLB mine parallel training pairs with):
+    candidate translation pairs between an English source pool and
+    the non-English cohort are scored by the RATIO MARGIN
+
+        margin(x, y) = cos(x, y) / mean(top-k NN cos of both sides)
+
+    -- raw cosine rewards hub vectors (a vector close to everything
+    "translates" everything); dividing by each side's local
+    neighborhood density cancels hubness, which is why margin beats
+    absolute-threshold mining. A pair is emitted iff its margin
+    clears ``BITEXT_TAU`` and y is x's best margin match (the
+    standard forward-mining shape).
+
+    Cross-engine determinism: per-pair cosine is the bit-identical
+    primitive every green ANN oracle ranks on; the margin denominator
+    quantizes cosines to ``q = floor(c * 1e6)`` so the top-k sums are
+    EXACT integers (the norm_dbsf moment discipline) and the margin
+    is one identical IEEE multiply+divide on identical operands.
+    Rounds once at the output.
+
+    Scale shape: this face is the exact baseline -- the bounded query
+    pool broadcasts against a rebalanced target-cohort scan (the
+    anns_bruteforce contract); both rank windows partition on a
+    bounded side. The production path at corpus x corpus scale drops
+    in exactly as for top-k: LSH-shortlist candidates from the
+    persisted signature index, then the same margin arithmetic over
+    candidates only."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = _vectors(spark, sf_dir).join(
+        docs, F.col("vec_id") == F.col("doc_id")
+    ).select("doc_id", "lang", "v")
+    pool = emb.filter(
+        (F.col("lang") == "en") & (F.col("doc_id") < BITEXT_POOL_MAX)
+    ).select(F.col("doc_id").alias("src"), F.col("v").alias("sv"))
+    tgt = emb.filter(F.col("lang") != "en").select(
+        F.col("doc_id").alias("tgt"), F.col("lang").alias("tgt_lang"),
+        F.col("v").alias("tv"),
+    )
+    pairs = (
+        F.broadcast(pool).crossJoin(rebalance(tgt))
+        .select(
+            "src", "tgt", "tgt_lang",
+            cosine(F.col("sv"), F.col("tv")).alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    q = F.floor(F.col("c") * F.lit(1000000.0)).cast("long")
+    wf = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("tgt"))
+    wb = Window.partitionBy("tgt").orderBy(F.desc("c"), F.asc("src"))
+    ranked = (
+        pairs.withColumn("q", q)
+        .withColumn("rf", F.row_number().over(wf))
+        .withColumn("rb", F.row_number().over(wb))
+    )
+    fwd = ranked.filter(F.col("rf") <= BITEXT_KNN).groupBy("src").agg(
+        F.sum("q").alias("fsum"))
+    bwd = ranked.filter(F.col("rb") <= BITEXT_KNN).groupBy("tgt").agg(
+        F.sum("q").alias("bsum"))
+    scale = float(2 * BITEXT_KNN * 1000000)
+    scored = (
+        pairs.join(F.broadcast(fwd), "src").join(bwd, "tgt")
+        .filter(F.col("fsum") + F.col("bsum") > 0)
+        .withColumn(
+            "m",
+            (F.col("c") * F.lit(scale))
+            / (F.col("fsum") + F.col("bsum")).cast("double"),
+        )
+        .filter(F.col("m") > BITEXT_TAU)
+    )
+    wt = Window.partitionBy("src").orderBy(F.desc("m"), F.asc("tgt"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("src").alias("src_doc_id"),
+            F.col("tgt").alias("tgt_doc_id"),
+            "tgt_lang",
+            F.round("c", 4).alias("cos_4dp"),
+            F.round("m", 4).alias("margin_4dp"),
+        )
+    )
+
+
 QUERIES = {
     "anns_bruteforce_topk": anns_bruteforce_topk,
+    "bitext_margin_pairs": bitext_margin_pairs,
     "anns_range_search": anns_range_search,
     "anns_lsh_bucketed": anns_lsh_bucketed,
     "anns_hard_negatives": anns_hard_negatives,
@@ -2255,6 +2346,55 @@ _BM25_SQL = f"""
 
 ORACLE = {
     "sparse_bm25_topk": _BM25_SQL,
+    "bitext_margin_pairs": f"""
+        WITH d AS (SELECT doc_id, lang FROM documents),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE embedding IS NOT NULL),
+        src AS (
+            SELECT e.vec_id AS src, e.v FROM e
+            JOIN d ON d.doc_id = e.vec_id
+            WHERE d.lang = 'en' AND e.vec_id < {BITEXT_POOL_MAX}
+        ),
+        tgt AS (
+            SELECT e.vec_id AS tgt, d.lang AS tgt_lang, e.v FROM e
+            JOIN d ON d.doc_id = e.vec_id
+            WHERE d.lang <> 'en'
+        ),
+        p AS (
+            SELECT a.src, b.tgt, b.tgt_lang,
+                   list_cosine_similarity(a.v, b.v) AS c
+            FROM src a CROSS JOIN tgt b
+        ),
+        r AS (
+            SELECT *, CAST(floor(c * 1000000.0) AS BIGINT) AS q,
+                   row_number() OVER (PARTITION BY src
+                       ORDER BY c DESC, tgt ASC) AS rf,
+                   row_number() OVER (PARTITION BY tgt
+                       ORDER BY c DESC, src ASC) AS rb
+            FROM p
+        ),
+        f AS (SELECT src, CAST(sum(q) AS BIGINT) AS fsum FROM r
+              WHERE rf <= {BITEXT_KNN} GROUP BY src),
+        bw AS (SELECT tgt, CAST(sum(q) AS BIGINT) AS bsum FROM r
+               WHERE rb <= {BITEXT_KNN} GROUP BY tgt),
+        s AS (
+            SELECT p.src, p.tgt, p.tgt_lang, p.c,
+                   (p.c * CAST({2 * BITEXT_KNN * 1000000} AS DOUBLE))
+                       / CAST(f.fsum + bw.bsum AS DOUBLE) AS m
+            FROM p
+            JOIN f ON f.src = p.src
+            JOIN bw ON bw.tgt = p.tgt
+            WHERE f.fsum + bw.bsum > 0
+        )
+        SELECT src AS src_doc_id, tgt AS tgt_doc_id, tgt_lang,
+               round(c, 4) AS cos_4dp, round(m, 4) AS margin_4dp
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY src
+                ORDER BY m DESC, tgt ASC) AS rk
+            FROM s WHERE m > {BITEXT_TAU}
+        )
+        WHERE rk = 1
+    """,
     "anns_range_search": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings WHERE embedding IS NOT NULL)

@@ -225,7 +225,8 @@ EVENTS_NULL_SWEEP = [
     "temporal_leakage_split", "psi_value_drift",
     "theilsen_daily_trend", "benford_value_audit",
     "seasonal_decompose_daily", "interarrival_histogram",
-    "ohlc_daily_by_type", "twap_by_user", "event_debounce",
+    "ohlc_daily_by_type", "m4_downsample_events", "twap_by_user",
+    "event_debounce", "t_closeness_report",
     "skew_report_events", "skewed_distinct_salted",
     "ewma_control_chart", "seq_pattern_match", "funnel_attribution",
     "rfm_segments", "time_to_event_labels",
@@ -368,7 +369,7 @@ EMB_NULL_SWEEP = [
     "embedding_drift_report", "knn_bfs_landmarks",
     "knn_density_outliers", "anns_range_search",
     "coreset_kcenter_select", "cluster_label_agreement",
-    "coreset_kcenter_append",
+    "coreset_kcenter_append", "bitext_margin_pairs",
 ]
 
 
@@ -406,7 +407,12 @@ def null_embeddings(spark, tmp_path_factory):
     pq.write_table(pa.table({
         "doc_id": list(range(30)),
         "text": ["key agg row scan slow value table part"] * 30,
-        "lang": ["en"] * 30, "source": ["s0"] * 30, "n_chars": [38] * 30,
+        # mixed langs so the bitext miner sees a real non-en cohort
+        # (including docs whose vector is the NULL embed-failure row,
+        # which must drop from BOTH cohorts identically)
+        "lang": ["en" if i % 2 == 0 else ["de", "fr", "es", "zh"][i % 4]
+                 for i in range(30)],
+        "source": ["s0"] * 30, "n_chars": [38] * 30,
     }), f"{d}/documents.parquet")
     return d
 

@@ -1,0 +1,156 @@
+"""Round-11 operators: margin-criterion bitext mining, M4 pixel
+downsampling, and the t-closeness privacy audit. The DuckDB oracle
+gate proves cross-engine value equality; these tests assert the
+SEMANTIC invariants the oracles cannot express."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from selfhosted_rag_doc_chat_prototype_spark.operators import analytics, similarity
+from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+
+def test_bitext_margin_contract(spark, sf_dir):
+    out = similarity.bitext_margin_pairs(spark, sf_dir).collect()
+    assert out, "miner found no pairs on the test corpus"
+    srcs = [r.src_doc_id for r in out]
+    # forward mining: at most ONE best match per source doc
+    assert len(srcs) == len(set(srcs))
+    for r in out:
+        assert r.src_doc_id < similarity.BITEXT_POOL_MAX
+        assert r.tgt_lang != "en"
+        # every emitted pair cleared the ratio margin
+        assert r.margin_4dp > similarity.BITEXT_TAU - 1e-4
+        assert -1.0001 <= r.cos_4dp <= 1.0001
+    # the emitted match is the src's TOP margin pair: re-run must agree
+    again = similarity.bitext_margin_pairs(spark, sf_dir).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_bitext_margin_demotes_hubs(spark):
+    """The reason margin beats raw cosine: a HUB vector close to
+    everything must not win every pairing. One hub target sits at
+    moderate cosine to both sources; each source also has a dedicated
+    target slightly closer. Raw-cosine mining can tie-break toward
+    the hub; margin mining must pick the dedicated targets (the hub's
+    dense neighborhood inflates its denominator)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="bitext_hub_")
+    rng = np.random.default_rng(7)
+
+    def unit(v):
+        v = np.asarray(v, dtype=float)
+        return list(map(float, v / np.linalg.norm(v)))
+
+    e = np.eye(64)
+    hub = unit(e[0] + e[1] + e[2] + e[3])
+    vecs = {
+        0: unit(e[0]),                 # src A (en)
+        1: unit(e[1]),                 # src B (en)
+        10: unit(e[0] * 2 + e[4]),     # dedicated match of A
+        11: unit(e[1] * 2 + e[4]),     # dedicated match of B
+        12: hub,                       # the hub
+        13: unit(e[2] + hub),          # hub's dense neighborhood
+        14: unit(e[3] + hub),
+        15: unit(e[2] * 2 + hub),
+    }
+    ids = sorted(vecs)
+    pq.write_table(pa.table({
+        "vec_id": ids,
+        "embedding": pa.array([vecs[i] for i in ids],
+                              pa.list_(pa.float32())),
+        "label": [0] * len(ids),
+    }), f"{d}/embeddings.parquet")
+    pq.write_table(pa.table({
+        "doc_id": ids,
+        "text": ["w"] * len(ids),
+        "lang": ["en" if i < 10 else "de" for i in ids],
+        "source": ["s"] * len(ids),
+        "n_chars": [1] * len(ids),
+    }), f"{d}/documents.parquet")
+
+    got = {r.src_doc_id: r.tgt_doc_id
+           for r in similarity.bitext_margin_pairs(spark, d).collect()}
+    assert got.get(0) == 10
+    assert got.get(1) == 11
+
+
+def test_m4_extrema_and_coverage(spark, sf_dir):
+    out = analytics.m4_downsample_events(spark, sf_dir).collect()
+    assert out
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    n_rows = ev.count()
+    assert sum(r.n_points for r in out) == n_rows  # every row bucketed
+    truth = {
+        (r.event_type, ): (r.lo, r.hi)
+        for r in ev.groupBy("event_type").agg(
+            F.min("value").alias("lo"), F.max("value").alias("hi")
+        ).collect()
+    }
+    per_type: dict = {}
+    for r in out:
+        assert 0 <= r.bucket < analytics.M4_BUCKETS
+        # the four points bound each other
+        assert r.v_min <= min(r.v_first, r.v_last) <= r.v_max
+        assert r.v_min <= max(r.v_first, r.v_last) <= r.v_max
+        assert r.ts_first_s <= r.ts_last_s
+        assert r.ts_first_s <= r.ts_min_s <= r.ts_last_s
+        assert r.ts_first_s <= r.ts_max_s <= r.ts_last_s
+        lo, hi = per_type.get(r.event_type, (float("inf"), float("-inf")))
+        per_type[r.event_type] = (min(lo, r.v_min), max(hi, r.v_max))
+    # M4's rendering guarantee needs the true per-type extrema kept
+    for t, (lo, hi) in per_type.items():
+        tl, th = truth[(t,)]
+        assert lo == tl and hi == th
+
+
+def test_t_closeness_flags_and_bounds(spark, sf_dir):
+    out = analytics.t_closeness_report(spark, sf_dir).collect()
+    assert out
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").isNotNull()
+    )
+    assert sum(r.n_rows for r in out) == cust.count()
+    t = analytics.T_CLOSE_NUM / analytics.T_CLOSE_DEN
+    for r in out:
+        assert 0.0 <= r.emd_4dp <= 1.0
+        # flag agrees with the reported distance away from the
+        # rounding boundary (the flag itself compares exact integers)
+        if r.emd_4dp > t + 1e-3:
+            assert r.t_violation == 1
+        if r.emd_4dp < t - 1e-3:
+            assert r.t_violation == 0
+
+
+def test_t_closeness_detects_concentrated_group(spark, tmp_path):
+    """A group holding only the table's TOP balances is the attack
+    t-closeness exists for (k-anonymous and l-diverse groups can
+    still leak a distribution): its EMD must flag while a group
+    sampling the whole range stays low."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "tc")
+    import os
+    os.makedirs(d, exist_ok=True)
+    n = 1000
+    rows = {
+        "c_custkey": list(range(n)),
+        # group 1 = uniform spread, group 2 = top decile only
+        "c_nationkey": [1 if i < 900 else 2 for i in range(n)],
+        "c_mktsegment": ["A"] * n,
+        "c_acctbal": [float(i) for i in range(900)]
+        + [2000.0 + i for i in range(100)],
+    }
+    pq.write_table(pa.table(rows), f"{d}/customer.parquet")
+    got = {r.nation: r for r in
+           analytics.t_closeness_report(spark, d).collect()}
+    assert got[2].t_violation == 1
+    assert got[2].emd_4dp > got[1].emd_4dp
+    assert got[1].t_violation == 0

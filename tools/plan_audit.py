@@ -1349,6 +1349,45 @@ AUDIT += (
             "resolve proof on the stored content.",
         ),
         (
+            "bitext_margin_pairs",
+            "r11 margin-criterion bitext mining (Artetxe & Schwenk "
+            "ratio margin): the bounded en source pool broadcasts "
+            "against ONE rebalanced scan of the non-en cohort "
+            "(anns_bruteforce contract -- no shuffle of the corpus "
+            "side for scoring); both top-k rank windows partition on "
+            "a bounded key (src pool / per-target pool rows); the "
+            "margin denominators are EXACT integer sums of milli-"
+            "quantized cosines (norm_dbsf moment discipline) joined "
+            "back with the pool-side aggregate broadcast; final "
+            "best-match selection is one more pool-partitioned "
+            "window. Production path at corpus x corpus scale: LSH-"
+            "shortlist candidates from the persisted signature index, "
+            "same margin arithmetic over candidates only.",
+        ),
+        (
+            "m4_downsample_events",
+            "r11 M4 pixel downsample (Jugel et al. VLDB'14): one "
+            "scalar min/max epoch aggregate broadcast back as a "
+            "one-row crossJoin, bucket index in pure integer "
+            "arithmetic (map-side), then ONE partial-aggregated "
+            "(type, bucket) groupBy whose struct-min/max aggregates "
+            "decompose map-side -- the single shuffle carries "
+            "<= |types| x 64 combiner rows regardless of corpus "
+            "size; output is fixed by pixels, not data.",
+        ),
+        (
+            "t_closeness_report",
+            "r11 t-closeness (Li et al. ICDE'07), completing the "
+            "k-anonymity / l-diversity privacy trio: global deciles "
+            "come from the two-phase distributed_rank protocol + the "
+            "byte-exact ntile fill rule (no unpartitioned window); "
+            "EMD is b-1 unrolled conditional BIGINT sums in ONE "
+            "partial-aggregated QI groupBy, with the global "
+            "histogram a one-row broadcast; the violation flag "
+            "compares exact integers so no group flips on a float "
+            "boundary.",
+        ),
+        (
             "prf_query_expansion",
             "r9 RM3: the corpus-heavy tokenize/postings subtree is the "
             "shared persisted matview; feedback and expansion windows "
