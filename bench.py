@@ -236,10 +236,12 @@ HEADLINE = [
     "bootstrap_mean_ci",
     "knn_label_disagreement",
     # round 11: margin-criterion bitext mining, M4 pixel downsample,
-    # t-closeness distribution-distance privacy audit
+    # t-closeness distribution-distance privacy audit, embedding-
+    # breakpoint semantic chunker
     "bitext_margin_pairs",
     "m4_downsample_events",
     "t_closeness_report",
+    "chunk_semantic_split",
 ]
 
 # PINNED CORE (r8, VERDICT item 7): a frozen 30-query subset that NEVER

@@ -28,7 +28,7 @@ import re
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
@@ -351,11 +351,119 @@ def chunk_markdown_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_markdown(docs, max_chars=120)
 
 
+# --------------------------------------------------------------------------
+# semantic chunking (embedding-breakpoint splitter)
+# --------------------------------------------------------------------------
+
+SEM_SEG_WORDS = 10          # words per embedding unit
+# breakpoint threshold tau = 0.96 as the exact rational tau^2 = 2304/2500
+SEM_TAU_NUM2, SEM_TAU_DEN2 = 2304, 2500
+
+
+def chunk_semantic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC CHUNKING (the embedding-breakpoint splitter modern RAG
+    stacks ship as SemanticChunker): fixed ``SEM_SEG_WORDS``-word
+    units are embedded and a chunk boundary opens wherever the cosine
+    between CONSECUTIVE unit embeddings dips below tau -- topic shifts
+    split, topical runs merge, unlike the width-only sliding window.
+    The unit is a word window rather than a sentence because the unit
+    choice is a parameter of the published algorithm and the test
+    corpus carries no sentence punctuation; swap
+    :func:`..textstats.split_sentences` in at the unit stage for
+    prose.
+
+    Exactness (no float boundary anywhere): units embed with the stub
+    model's INTEGER vote vectors (the embed_documents twin), so dot
+    products and squared norms are exact BIGINTs, and the breakpoint
+    test  cos < tau  evaluates as
+    ``dot < 0 OR dot^2 * {SEM_TAU_DEN2} < {SEM_TAU_NUM2} * na * nb``
+    -- exact integer compares on both engines (headroom: |vote| <=
+    15 * {SEM_SEG_WORDS}, na*nb <= (64 * 150^2)^2 ~ 2e12, * 2304
+    ~ 5e15 < 2^63). A zero vote vector never opens a boundary (dot =
+    0 fails both tests) -- documented degenerate case, identical on
+    both engines.
+
+    Scale shape: segmentation and vote encoding are map-only codegen;
+    the lag + running-sum pass windows per doc_id (bounded by doc
+    length, never global); one final partial-aggregated (doc, chunk)
+    groupBy whose collect_list is bounded by segments-per-doc. NULL /
+    empty docs yield no chunks (the sentence-split contract)."""
+    from ..functions import text_quality as tq
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    segs = (
+        docs.select("doc_id", tq.words(F.col("text")).alias("w"))
+        .filter(F.size("w") > 0)
+        .select(
+            "doc_id", "w",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("w") / F.lit(SEM_SEG_WORDS))
+                    .cast("int") - 1,
+                )
+            ).alias("seg_idx"),
+        )
+        .select(
+            "doc_id", "seg_idx",
+            F.slice(
+                "w", F.col("seg_idx") * SEM_SEG_WORDS + 1, SEM_SEG_WORDS
+            ).alias("sw"),
+        )
+    )
+    votes_expr = (
+        "transform(sequence(0, 63), j -> "
+        "aggregate(transform(array_distinct(sw), x -> md5(x)), "
+        "CAST(0 AS BIGINT), (acc, h) -> acc + 2 * "
+        "(instr('0123456789abcdef', substring(h, j + 1, 1)) - 1) - 15))"
+    )
+    enc = segs.selectExpr(
+        "doc_id", "seg_idx",
+        "array_join(sw, ' ') AS seg_text",
+        "CAST(size(sw) AS INT) AS seg_words",
+        f"{votes_expr} AS votes",
+    )
+    w = Window.partitionBy("doc_id").orderBy("seg_idx")
+    dot = "aggregate(zip_with(votes, pv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, z) -> acc + z)"
+    nrm = "aggregate(transform({0}, x -> x * x), CAST(0 AS BIGINT), (acc, z) -> acc + z)"
+    flagged = (
+        enc.withColumn("pv", F.lag("votes").over(w))
+        .selectExpr(
+            "doc_id", "seg_idx", "seg_text", "seg_words",
+            f"CASE WHEN pv IS NULL THEN 0 "
+            f"WHEN {dot} < 0 THEN 1 "
+            f"WHEN {dot} * {dot} * {SEM_TAU_DEN2} < "
+            f"{SEM_TAU_NUM2} * {nrm.format('votes')} * {nrm.format('pv')} "
+            f"THEN 1 ELSE 0 END AS brk",
+        )
+        .withColumn("chunk_id", F.sum("brk").over(w).cast("int"))
+    )
+    return (
+        flagged.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_segments"),
+            F.sum("seg_words").cast("int").alias("n_words"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg_idx", "seg_text"))
+                    ),
+                    lambda x: x.getField("seg_text"),
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+
+
 QUERIES = {
     "chunk_sliding_window": chunk_sliding_window,
     "chunk_word_budget": chunk_word_budget,
     "chunk_token_budget_bpe": chunk_token_budget_bpe,
     "chunk_markdown_docs": chunk_markdown_docs,
+    "chunk_semantic_split": chunk_semantic_split,
 }
 
 ORACLE = {
@@ -369,6 +477,71 @@ ORACLE = {
         WHERE length(text) > 0
     """,
     "chunk_word_budget": None,  # built below (shares BPE_RE with textstats)
+    "chunk_semantic_split": f"""
+        WITH w0 AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text),
+                       '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS w
+            FROM documents WHERE text IS NOT NULL
+        ),
+        seg AS (
+            SELECT doc_id, CAST(u.i AS INTEGER) AS seg_idx,
+                   list_slice(w, CAST(u.i * {SEM_SEG_WORDS} + 1 AS INTEGER),
+                              CAST((u.i + 1) * {SEM_SEG_WORDS} AS INTEGER))
+                       AS sw
+            FROM w0,
+                 unnest(range(0, CAST(ceil(len(w) / {SEM_SEG_WORDS}.0)
+                                      AS BIGINT))) AS u(i)
+            WHERE len(w) > 0
+        ),
+        enc AS (
+            SELECT doc_id, seg_idx,
+                   array_to_string(sw, ' ') AS seg_text,
+                   CAST(len(sw) AS INTEGER) AS seg_words,
+                   list_transform(range(0, 64), j ->
+                       CAST(list_aggregate(list_transform(
+                           list_distinct(sw), x ->
+                           2 * (strpos('0123456789abcdef',
+                                substr(md5(x), CAST(j + 1 AS INTEGER), 1))
+                                - 1) - 15), 'sum') AS BIGINT)) AS votes
+            FROM seg
+        ),
+        l AS (
+            SELECT *, lag(votes) OVER (PARTITION BY doc_id
+                                       ORDER BY seg_idx) AS pv
+            FROM enc
+        ),
+        d AS (
+            SELECT *,
+                   list_aggregate(list_transform(range(1, 65), j ->
+                       votes[CAST(j AS INTEGER)] * pv[CAST(j AS INTEGER)]),
+                       'sum') AS dotv,
+                   list_aggregate(list_transform(votes, x -> x * x),
+                       'sum') AS na,
+                   list_aggregate(list_transform(pv, x -> x * x),
+                       'sum') AS nb
+            FROM l
+        ),
+        f AS (
+            SELECT doc_id, seg_idx, seg_text, seg_words,
+                   CASE WHEN pv IS NULL THEN 0
+                        WHEN dotv < 0 THEN 1
+                        WHEN dotv * dotv * {SEM_TAU_DEN2}
+                             < {SEM_TAU_NUM2} * na * nb THEN 1
+                        ELSE 0 END AS brk
+            FROM d
+        ),
+        c AS (
+            SELECT *, CAST(sum(brk) OVER (PARTITION BY doc_id
+                ORDER BY seg_idx) AS INTEGER) AS chunk_id
+            FROM f
+        )
+        SELECT doc_id, chunk_id,
+               CAST(count(*) AS INTEGER) AS n_segments,
+               CAST(sum(seg_words) AS INTEGER) AS n_words,
+               string_agg(seg_text, ' ' ORDER BY seg_idx) AS text
+        FROM c GROUP BY 1, 2
+    """,
 }
 
 

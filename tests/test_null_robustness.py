@@ -15,6 +15,7 @@ NULL_SWEEP = [
     "text_quality_flags",
     "dedup_exact",
     "chunk_sliding_window",
+    "chunk_semantic_split",
     "chunk_word_budget",
     "chunk_token_budget_bpe",
     "chunk_markdown_docs",

@@ -154,3 +154,79 @@ def test_t_closeness_detects_concentrated_group(spark, tmp_path):
     assert got[2].t_violation == 1
     assert got[2].emd_4dp > got[1].emd_4dp
     assert got[1].t_violation == 0
+
+
+def test_semantic_chunks_zero_loss_and_breakpoints(spark, sf_dir):
+    from selfhosted_rag_doc_chat_prototype_spark.operators import chunking
+    from selfhosted_rag_doc_chat_prototype_spark.functions import (
+        text_quality as tq)
+
+    out = chunking.chunk_semantic_split(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    # chunk ids are contiguous from 0 per doc
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rs in by_doc.items():
+        ids = sorted(r.chunk_id for r in rs)
+        assert ids == list(range(len(ids))), doc
+    # ZERO LOSS: the word stream re-assembles exactly (chunks joined
+    # in id order == the doc's whitespace tokens joined)
+    re_joined = (
+        out.groupBy("doc_id")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_id", "text"))),
+                lambda x: x.getField("text"),
+            ), " ").alias("rebuilt"))
+    )
+    orig = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id",
+                F.array_join(tq.words(F.col("text")), " ").alias("expect"))
+        .filter(F.length("expect") > 0)
+    )
+    bad = (re_joined.join(orig, "doc_id")
+           .filter(F.col("rebuilt") != F.col("expect")).count())
+    assert bad == 0
+    # the corpus actually exercises BOTH behaviors
+    n_docs = len(by_doc)
+    n_chunks = len(rows)
+    assert n_chunks > n_docs          # some boundary opened
+    n_segs = sum(r.n_segments for r in rows)
+    assert n_chunks < n_segs          # some segments merged
+
+
+def test_semantic_chunker_splits_topic_shift(spark, tmp_path):
+    """A document whose first half repeats vocabulary A and second
+    half vocabulary B must split at the shift; a document of uniform
+    vocabulary must stay one chunk."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators import chunking
+
+    d = str(tmp_path / "sem")
+    os.makedirs(d, exist_ok=True)
+    a = " ".join(["alpha beta gamma delta epsilon"] * 4)      # 20 words A
+    b = " ".join(["omega sigma lambda kappa theta"] * 4)      # 20 words B
+    uniform = " ".join(["alpha beta gamma delta epsilon"] * 8)
+    pq.write_table(pa.table({
+        "doc_id": [0, 1],
+        "text": [a + " " + b, uniform],
+        "lang": ["en"] * 2, "source": ["s"] * 2,
+        "n_chars": [len(a) + 1 + len(b), len(uniform)],
+    }), f"{d}/documents.parquet")
+    got = chunking.chunk_semantic_split(spark, d).collect()
+    by_doc: dict = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[0]) >= 2   # topic shift opened a boundary
+    assert len(by_doc[1]) == 1   # uniform text merged end to end
+    # the shift doc's first chunk is pure vocabulary A
+    first = min(by_doc[0], key=lambda r: r.chunk_id)
+    assert "omega" not in first.text and "alpha" in first.text

@@ -1388,6 +1388,19 @@ AUDIT += (
             "boundary.",
         ),
         (
+            "chunk_semantic_split",
+            "r11 semantic chunking (embedding-breakpoint splitter): "
+            "segmentation and the integer-vote unit embedding are "
+            "map-only codegen (the embed_documents stub twin); the "
+            "consecutive-cosine breakpoint is ONE per-doc lag window "
+            "+ running sum (bounded by doc length, never global), "
+            "with the threshold test in EXACT BIGINT arithmetic "
+            "(dot^2 * den < num * na * nb) so no boundary flips on a "
+            "float; final assembly is one partial-aggregated "
+            "(doc, chunk) groupBy whose collect_list is bounded by "
+            "segments-per-doc.",
+        ),
+        (
             "prf_query_expansion",
             "r9 RM3: the corpus-heavy tokenize/postings subtree is the "
             "shared persisted matview; feedback and expansion windows "
