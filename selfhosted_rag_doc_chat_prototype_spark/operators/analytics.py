@@ -1939,6 +1939,74 @@ def ohlc_rollup_sink(stream_events: DataFrame, path: str,
     )
 
 
+def m4_rollup_sink(stream_events: DataFrame, path: str,
+                   checkpoint_dir: str, bucket: str = "1 hour",
+                   watermark: str = "2 hours"):
+    """:func:`m4_downsample_events`'s STREAMING face. One deliberate
+    difference from the batch query: the batch buckets split the
+    corpus's GLOBAL [min, max] time range (a data-dependent rule a
+    stream cannot maintain incrementally -- every arrival could move
+    the boundaries and restripe history), so the streaming face keeps
+    M4 points per FIXED wall-clock window (``bucket``) -- the
+    dashboard-viewport shape a live chart actually renders. Every
+    aggregate (struct min/max over total orders, count) decomposes
+    incrementally; update mode re-emits only changed buckets and
+    ``foreachBatch`` merges them through the idempotent upsert keyed
+    on (event_type, bucket_start). Replays and late-within-watermark
+    events converge (state value + overwrite-by-key).
+
+    Returns the started StreamingQuery; read points back with
+    ``spark.read.parquet(path)``."""
+    from ..sinks import upsert_table
+
+    src = (
+        stream_events.withWatermark("ts", watermark)
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .withColumn("s", F.expr("unix_micros(ts) div 1000000"))
+    )
+    tkey = F.struct(F.col("s"), F.col("event_id"), F.col("value"))
+    vkey = F.struct(F.col("value"), F.col("s"), F.col("event_id"))
+    pts = (
+        src.groupBy(F.window("ts", bucket).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.min(tkey).alias("fst"), F.max(tkey).alias("lst"),
+            F.min(vkey).alias("lo"), F.max(vkey).alias("hi"),
+        )
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("bucket_start"),
+            "n_points",
+            F.col("fst").getField("value").alias("v_first"),
+            F.col("fst").getField("s").cast("long").alias("ts_first_s"),
+            F.col("lo").getField("value").alias("v_min"),
+            F.col("lo").getField("s").cast("long").alias("ts_min_s"),
+            F.col("hi").getField("value").alias("v_max"),
+            F.col("hi").getField("s").cast("long").alias("ts_max_s"),
+            F.col("lst").getField("value").alias("v_last"),
+            F.col("lst").getField("s").cast("long").alias("ts_last_s"),
+        )
+    )
+    keyed = pts.select(
+        F.concat_ws("|", "event_type", "bucket_start").alias("id"), "*"
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_table(batch_df.sparkSession, batch_df, path, id_col="id")
+
+    return (
+        keyed.writeStream
+        .outputMode("update")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STL-LITE seasonal decomposition of the daily event count:
     trend = centered 7-day moving average (NULL at the edges where

@@ -1100,3 +1100,79 @@ def test_skyline_stream_equals_batch_and_replay_converges(
     got2 = {tuple(r) for r in spark.read.parquet(target)
             .select("doc_id", "tok", "uniq_u").collect()}
     assert got2 == expected
+
+
+def test_m4_stream_equals_batch_and_replay_converges(spark, sf_dir,
+                                                     tmp_path):
+    """r11: the incrementally maintained fixed-window M4 points equal
+    a batch pass with the same windows, and a full replay against the
+    existing table converges -- the ohlc_rollup_sink methodology
+    applied to the M4 downsample (the batch query's global-range
+    buckets are data-dependent and deliberately NOT the streaming
+    rule; see m4_rollup_sink's docstring)."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.analytics import (
+        m4_rollup_sink,
+    )
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    cut = ev.selectExpr(
+        "timestamp_micros(CAST(percentile(unix_micros(ts), 0.5) AS LONG))"
+        " AS c"
+    ).collect()[0].c
+    d = str(tmp_path / "m4_stream")
+    ev.filter(F.col("ts") <= F.lit(cut)).coalesce(1).write.mode(
+        "append").parquet(d)
+    ev.filter(F.col("ts") > F.lit(cut)).coalesce(1).write.mode(
+        "append").parquet(d)
+
+    target = str(tmp_path / "m4_points")
+    cols = ["event_type", "bucket_start", "n_points",
+            "v_first", "ts_first_s", "v_min", "ts_min_s",
+            "v_max", "ts_max_s", "v_last", "ts_last_s"]
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(d)
+        )
+        q = m4_rollup_sink(stream, target, str(tmp_path / ckpt))
+        q.awaitTermination(240)
+
+    run("m4ckpt1")
+    src = (
+        ev.filter(F.col("value").isNotNull())
+        .withColumn("s", F.expr("unix_micros(ts) div 1000000"))
+    )
+    tkey = F.struct(F.col("s"), F.col("event_id"), F.col("value"))
+    vkey = F.struct(F.col("value"), F.col("s"), F.col("event_id"))
+    want = {
+        tuple(r) for r in (
+            src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_points"),
+                 F.min(tkey).alias("fst"), F.max(tkey).alias("lst"),
+                 F.min(vkey).alias("lo"), F.max(vkey).alias("hi"))
+            .select(
+                "event_type",
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+                .alias("bucket_start"),
+                "n_points",
+                F.col("fst").getField("value").alias("v_first"),
+                F.col("fst").getField("s").cast("long").alias("ts_first_s"),
+                F.col("lo").getField("value").alias("v_min"),
+                F.col("lo").getField("s").cast("long").alias("ts_min_s"),
+                F.col("hi").getField("value").alias("v_max"),
+                F.col("hi").getField("s").cast("long").alias("ts_max_s"),
+                F.col("lst").getField("value").alias("v_last"),
+                F.col("lst").getField("s").cast("long").alias("ts_last_s"),
+            ).collect()
+        )
+    }
+    got = {tuple(r) for r in
+           spark.read.parquet(target).select(*cols).collect()}
+    assert got == want
+
+    run("m4ckpt2")
+    got2 = {tuple(r) for r in
+            spark.read.parquet(target).select(*cols).collect()}
+    assert got2 == want
