@@ -389,8 +389,13 @@ def chunk_semantic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy whose collect_list is bounded by segments-per-doc. NULL /
     empty docs yield no chunks (the sentence-split contract)."""
     from ..functions import text_quality as tq
+    from ..sources.tables import rebalance
 
-    docs = table(spark, sf_dir, "documents").filter(
+    # rebalanced like embed_documents: the vote encoding is the CPU
+    # and the corpus parquet is a single input split at test scale --
+    # without the spread the whole encode runs on one core (measured
+    # 10.5 s -> ~1 s at sf0.1)
+    docs = rebalance(table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull()
     )
     segs = (
@@ -413,30 +418,45 @@ def chunk_semantic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sw"),
         )
     )
+    # md5 hoisted to ONE pass per segment word (the naive form nests
+    # it inside the 64-dim transform and pays 64x the hashing -- the
+    # r11 close bench measured 10.3 s vs ~2 s hoisted at sf0.1);
+    # per-segment squared norm computed once and LAGGED, never
+    # recomputed against the previous row
     votes_expr = (
         "transform(sequence(0, 63), j -> "
-        "aggregate(transform(array_distinct(sw), x -> md5(x)), "
-        "CAST(0 AS BIGINT), (acc, h) -> acc + 2 * "
+        "aggregate(hs, CAST(0 AS BIGINT), (acc, h) -> acc + 2 * "
         "(instr('0123456789abcdef', substring(h, j + 1, 1)) - 1) - 15))"
     )
     enc = segs.selectExpr(
         "doc_id", "seg_idx",
         "array_join(sw, ' ') AS seg_text",
         "CAST(size(sw) AS INT) AS seg_words",
+        "transform(array_distinct(sw), x -> md5(x)) AS hs",
+    ).selectExpr(
+        "doc_id", "seg_idx", "seg_text", "seg_words",
         f"{votes_expr} AS votes",
+    ).selectExpr(
+        "doc_id", "seg_idx", "seg_text", "seg_words", "votes",
+        "aggregate(transform(votes, x -> x * x), CAST(0 AS BIGINT), "
+        "(acc, z) -> acc + z) AS na",
     )
     w = Window.partitionBy("doc_id").orderBy("seg_idx")
-    dot = "aggregate(zip_with(votes, pv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, z) -> acc + z)"
-    nrm = "aggregate(transform({0}, x -> x * x), CAST(0 AS BIGINT), (acc, z) -> acc + z)"
     flagged = (
         enc.withColumn("pv", F.lag("votes").over(w))
+        .withColumn("nb", F.lag("na").over(w))
+        .selectExpr(
+            "doc_id", "seg_idx", "seg_text", "seg_words", "na", "nb",
+            "pv IS NULL AS first_seg",
+            "aggregate(zip_with(votes, pv, (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (acc, z) -> acc + z) AS dotv",
+        )
         .selectExpr(
             "doc_id", "seg_idx", "seg_text", "seg_words",
-            f"CASE WHEN pv IS NULL THEN 0 "
-            f"WHEN {dot} < 0 THEN 1 "
-            f"WHEN {dot} * {dot} * {SEM_TAU_DEN2} < "
-            f"{SEM_TAU_NUM2} * {nrm.format('votes')} * {nrm.format('pv')} "
-            f"THEN 1 ELSE 0 END AS brk",
+            f"CASE WHEN first_seg THEN 0 "
+            f"WHEN dotv < 0 THEN 1 "
+            f"WHEN dotv * dotv * {SEM_TAU_DEN2} < "
+            f"{SEM_TAU_NUM2} * na * nb THEN 1 ELSE 0 END AS brk",
         )
         .withColumn("chunk_id", F.sum("brk").over(w).cast("int"))
     )

@@ -1391,7 +1391,11 @@ AUDIT += (
             "chunk_semantic_split",
             "r11 semantic chunking (embedding-breakpoint splitter): "
             "segmentation and the integer-vote unit embedding are "
-            "map-only codegen (the embed_documents stub twin); the "
+            "map-only over the REBALANCED corpus scan (the vote "
+            "encode is the CPU and the corpus parquet is one input "
+            "split at test scale -- un-spread it ran on a single "
+            "core, 10.5 s vs 1.5 s at sf0.1; md5 is hoisted to one "
+            "pass per segment, norms computed once and lagged); the "
             "consecutive-cosine breakpoint is ONE per-doc lag window "
             "+ running sum (bounded by doc length, never global), "
             "with the threshold test in EXACT BIGINT arithmetic "
