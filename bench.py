@@ -242,6 +242,7 @@ HEADLINE = [
     "m4_downsample_events",
     "t_closeness_report",
     "chunk_semantic_split",
+    "chunk_content_defined",
 ]
 
 # PINNED CORE (r8, VERDICT item 7): a frozen 30-query subset that NEVER

@@ -478,8 +478,84 @@ def chunk_semantic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# content-defined chunking (rolling-hash boundaries)
+# --------------------------------------------------------------------------
+
+CDC_GRAM = 3       # boundary decided by the hash of the trigram ending here
+CDC_HEX = "0"      # boundary iff md5's last nibble == this (1/16 ~ 16-word chunks)
+
+
+def chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING -- boundaries chosen by a hash of the
+    LOCAL content (the rsync/LBFS/FastCDC principle, applied at the
+    word level): a chunk boundary opens after word i whenever the
+    hash of the ``CDC_GRAM``-gram ending at i lands in the boundary
+    class. The property that makes CDC the dedup primitive every
+    backup/storage system uses: boundaries are SHIFT-INVARIANT --
+    inserting or deleting a word early in a document disturbs only
+    the chunks overlapping the edit, and every later chunk re-emerges
+    byte-identical (so content-addressed chunk stores re-use them). A
+    fixed-width splitter shifts EVERY window after an edit and
+    re-uploads the whole tail; tests prove the contrast directly.
+
+    Determinism: the boundary test is a pure string predicate --
+    ``md5(trigram)`` ends in ``'{CDC_HEX}'`` -- identical on both
+    engines (no modulo arithmetic, no float); chunk assembly is the
+    same per-doc running-sum machinery as the semantic chunker.
+    Expected chunk length is 16 words (geometric); words before
+    position CDC_GRAM never close a boundary (the gram must be full).
+
+    Scale shape: the gram hash is map-only over the rebalanced word
+    explode; ONE per-doc lag-free running sum window (bounded by doc
+    length); one partial-aggregated (doc, chunk) groupBy. At 100 TB
+    the same rule runs over byte shingles of binary blobs -- the
+    plumbing is identical."""
+    from ..functions import text_quality as tq
+    from ..sources.tables import rebalance
+
+    docs = rebalance(table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    toks = (
+        docs.select("doc_id", tq.words(F.col("text")).alias("w"))
+        .filter(F.size("w") > 0)
+        .select("doc_id", F.posexplode("w").alias("i", "word"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    # gram ending at the PREVIOUS word decides whether THIS word opens
+    # a chunk: brk_i = [i >= CDC_GRAM] * [md5(gram(i-1)) ends in CDC_HEX]
+    gram = F.concat_ws(
+        " ", *[F.lag("word", k).over(w) for k in range(CDC_GRAM, 0, -1)]
+    )
+    flagged = (
+        toks.withColumn(
+            "brk",
+            (
+                (F.col("i") >= CDC_GRAM)
+                & (F.substring(F.md5(gram), 32, 1) == CDC_HEX)
+            ).cast("int"),
+        )
+        .withColumn("chunk_id", F.sum("brk").over(w).cast("int"))
+    )
+    return (
+        flagged.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_words"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "word"))),
+                    lambda x: x.getField("word"),
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+
+
 QUERIES = {
     "chunk_sliding_window": chunk_sliding_window,
+    "chunk_content_defined": chunk_content_defined,
     "chunk_word_budget": chunk_word_budget,
     "chunk_token_budget_bpe": chunk_token_budget_bpe,
     "chunk_markdown_docs": chunk_markdown_docs,
@@ -497,6 +573,43 @@ ORACLE = {
         WHERE length(text) > 0
     """,
     "chunk_word_budget": None,  # built below (shares BPE_RE with textstats)
+    "chunk_content_defined": f"""
+        WITH w0 AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text),
+                       '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS w
+            FROM documents WHERE text IS NOT NULL
+        ),
+        t AS (
+            SELECT doc_id, w,
+                   CAST(u.p.i - 1 AS INTEGER) AS i,
+                   u.p.word AS word
+            FROM (SELECT doc_id, w,
+                         list_transform(w, (x, k) ->
+                             struct_pack(i := k, word := x)) AS ps
+                  FROM w0 WHERE len(w) > 0),
+                 unnest(ps) AS u(p)
+        ),
+        f AS (
+            SELECT doc_id, i, word,
+                   CASE WHEN i >= {CDC_GRAM}
+                             AND substr(md5(w[CAST(i - 2 AS INTEGER)]
+                                 || ' ' || w[CAST(i - 1 AS INTEGER)]
+                                 || ' ' || w[CAST(i AS INTEGER)]),
+                                 32, 1) = '{CDC_HEX}'
+                        THEN 1 ELSE 0 END AS brk
+            FROM t
+        ),
+        c AS (
+            SELECT *, CAST(sum(brk) OVER (PARTITION BY doc_id
+                ORDER BY i) AS INTEGER) AS chunk_id
+            FROM f
+        )
+        SELECT doc_id, chunk_id,
+               CAST(count(*) AS INTEGER) AS n_words,
+               string_agg(word, ' ' ORDER BY i) AS text
+        FROM c GROUP BY 1, 2
+    """,
     "chunk_semantic_split": f"""
         WITH w0 AS (
             SELECT doc_id,

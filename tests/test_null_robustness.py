@@ -16,6 +16,7 @@ NULL_SWEEP = [
     "dedup_exact",
     "chunk_sliding_window",
     "chunk_semantic_split",
+    "chunk_content_defined",
     "chunk_word_budget",
     "chunk_token_budget_bpe",
     "chunk_markdown_docs",

@@ -230,3 +230,51 @@ def test_semantic_chunker_splits_topic_shift(spark, tmp_path):
     # the shift doc's first chunk is pure vocabulary A
     first = min(by_doc[0], key=lambda r: r.chunk_id)
     assert "omega" not in first.text and "alpha" in first.text
+
+
+def test_cdc_chunks_are_shift_invariant(spark, tmp_path):
+    """The CDC contract (why every backup system chunks this way):
+    inserting words at the FRONT of a document disturbs only the
+    chunks overlapping the edit -- almost all chunks re-emerge
+    byte-identical, so a content-addressed store re-uses them. The
+    fixed-width splitter on the same edit shares (almost) nothing."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators import chunking
+
+    d = str(tmp_path / "cdc")
+    os.makedirs(d, exist_ok=True)
+    rng_words = [f"w{(i * 7919) % 5003}" for i in range(400)]
+    base = " ".join(rng_words)
+    edited = "zzz qqq " + base          # two words inserted up front
+    pq.write_table(pa.table({
+        "doc_id": [0, 1],
+        "text": [base, edited],
+        "lang": ["en"] * 2, "source": ["s"] * 2,
+        "n_chars": [len(base), len(edited)],
+    }), f"{d}/documents.parquet")
+
+    rows = chunking.chunk_content_defined(spark, d).collect()
+    a = [r.text for r in rows if r.doc_id == 0]
+    b = [r.text for r in rows if r.doc_id == 1]
+    assert len(a) > 5                       # the rule actually chunks
+    shared = set(a) & set(b)
+    # every chunk except the one(s) overlapping the edit re-emerges
+    assert len(shared) >= len(a) - 2, (len(a), len(shared))
+
+    # contrast: fixed-width windows share nothing after a 2-word shift
+    sw = chunking.sliding_window_chunks(
+        spark.read.parquet(f"{d}/documents.parquet"),
+        "text", ["doc_id"], width=100, step=100,
+    ).collect()
+    sa = {r.chunk for r in sw if r.doc_id == 0}
+    sb = {r.chunk for r in sw if r.doc_id == 1}
+    assert len(sa & sb) <= 1
+
+    # zero loss: CDC chunks reassemble the word stream exactly
+    rebuilt = " ".join(r.text for r in sorted(
+        (r for r in rows if r.doc_id == 0), key=lambda r: r.chunk_id))
+    assert rebuilt == base

@@ -1405,6 +1405,19 @@ AUDIT += (
             "segments-per-doc.",
         ),
         (
+            "chunk_content_defined",
+            "r11 content-defined chunking (the rsync/LBFS/FastCDC "
+            "shift-invariant dedup primitive at word grain): the "
+            "boundary predicate is a pure map-side string hash over "
+            "the rebalanced word explode (md5 of the local trigram "
+            "ends in a fixed nibble -- no modulo, no float); chunk "
+            "assembly is one per-doc lag+running-sum window (bounded "
+            "by doc length) and one partial-aggregated (doc, chunk) "
+            "groupBy. Shift-invariance -- an early edit re-uses every "
+            "later chunk byte-identically where fixed windows re-use "
+            "none -- is test-asserted.",
+        ),
+        (
             "prf_query_expansion",
             "r9 RM3: the corpus-heavy tokenize/postings subtree is the "
             "shared persisted matview; feedback and expansion windows "
