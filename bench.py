@@ -243,6 +243,7 @@ HEADLINE = [
     "t_closeness_report",
     "chunk_semantic_split",
     "chunk_content_defined",
+    "cdc_dedup_report",
 ]
 
 # PINNED CORE (r8, VERDICT item 7): a frozen 30-query subset that NEVER
@@ -331,6 +332,9 @@ BENCH_EXCLUDED = {
         "text_fingerprint", "text_lang_id", "text_slugify",
         "text_token_stats", "content_addressed_ids",
     ]},
+    # per-doc counters + one 5-row groupBy; counter family already
+    # benched via text_token_stats' plan shape (agg-1shuf over docs)
+    "tokenizer_fertility_by_lang": "agg-1shuf",
     **{n: "cheap-var" for n in [
         "dedup_exact", "dedup_simhash", "dedup_jaccard_verify",
         "dedup_lsh_firstseen", "dup_cluster_size_histogram",

@@ -553,9 +553,49 @@ def chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PAYOFF of content-defined chunking: a per-source
+    CHUNK-STORE dedup report. Every CDC chunk is content-addressed
+    (md5 of its text); a chunk stored once serves every document that
+    contains it, so the per-source dedup ratio = 1 - unique/total is
+    the storage (and re-embedding) saved by chunk-level dedup -- the
+    report a backup system or a chunk-embedded RAG store runs to
+    size its cache. Shift-invariance is what makes the number real:
+    near-duplicate docs (the corpus plants them) share almost all
+    chunks even when their edits shift word positions.
+
+    Exactness: counts are exact BIGINTs; the ratio divides exact ints
+    once and rounds once. Scale shape: the CDC chunker's plan (map-
+    side hash + per-doc window + one groupBy), then ONE
+    partial-aggregated (source) groupBy with a distinct-count on the
+    content key -- at 100 TB the distinct-count swaps to the HLL
+    sketch face with the documented error contract."""
+    chunks = chunk_content_defined(spark, sf_dir)
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        chunks.join(src, "doc_id")
+        .select("source", F.md5("text").alias("ck"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.count_distinct("ck").cast("long").alias("n_unique_chunks"),
+        )
+        .select(
+            "source", "n_chunks", "n_unique_chunks",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_unique_chunks").cast("double")
+                / F.col("n_chunks").cast("double"),
+                4,
+            ).alias("dedup_ratio_4dp"),
+        )
+    )
+
+
 QUERIES = {
     "chunk_sliding_window": chunk_sliding_window,
     "chunk_content_defined": chunk_content_defined,
+    "cdc_dedup_report": cdc_dedup_report,
     "chunk_word_budget": chunk_word_budget,
     "chunk_token_budget_bpe": chunk_token_budget_bpe,
     "chunk_markdown_docs": chunk_markdown_docs,
@@ -698,6 +738,20 @@ def _chunk_word_budget_sql() -> str:
         WHERE len(w) > 0
     """
 
+
+ORACLE["cdc_dedup_report"] = f"""
+    WITH cdc AS ({ORACLE["chunk_content_defined"]}),
+    j AS (
+        SELECT d.source, md5(c.text) AS ck
+        FROM cdc c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT ck) AS BIGINT) AS n_unique_chunks,
+           round(1.0 - CAST(count(DISTINCT ck) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 4) AS dedup_ratio_4dp
+    FROM j GROUP BY 1
+"""
 
 ORACLE["chunk_word_budget"] = _chunk_word_budget_sql()
 # identical window algebra: under full vocab coverage the real-BPE

@@ -93,6 +93,55 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY by language -- the multilingual-budgeting
+    statistic (how many tokenizer tokens one natural word costs, and
+    how many characters one token carries). A tokenizer trained on
+    English typically shows fertility near 1 on en and well above it
+    on other scripts, which is exactly what decides per-language
+    token budgets, cost models, and context-window planning for a
+    multilingual corpus. Counter is the pinned BPE-ish pre-tokenizer
+    (textstats.BPE_RE, the same lower-bound contract
+    chunk_token_budget_bpe documents).
+
+    Exactness: per-doc counts are exact integers summed per lang;
+    each emitted ratio is ONE division of exact BIGINTs, rounded
+    once. NULL texts count as documents of zero tokens (SQL sum
+    skips their NULL sizes identically on both engines). Scale
+    shape: map-only per-doc counters, ONE partial-aggregated groupBy
+    to |langs| rows."""
+    docs = rebalance(table(spark, sf_dir, "documents"))
+    per = docs.select(
+        "lang",
+        F.size(tq.words(F.col("text"))).cast("long").alias("nw"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0))
+        .cast("long").alias("nb"),
+        F.length("text").cast("long").alias("nc"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nw").alias("n_words"),
+            F.sum("nb").alias("n_bpe_tokens"),
+            F.sum("nc").alias("n_chars"),
+        )
+        .select(
+            "lang", "n_docs", "n_words", "n_bpe_tokens", "n_chars",
+            F.round(
+                F.col("n_bpe_tokens").cast("double")
+                / F.nullif(F.col("n_words"), F.lit(0)).cast("double"),
+                4,
+            ).alias("fertility_4dp"),
+            F.round(
+                F.col("n_chars").cast("double")
+                / F.nullif(F.col("n_bpe_tokens"), F.lit(0)).cast("double"),
+                4,
+            ).alias("chars_per_token_4dp"),
+        )
+    )
+
+
 def text_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = rebalance(table(spark, sf_dir, "documents"))
     t = F.col("text")
@@ -1384,6 +1433,7 @@ QUERIES = {
     "bpe_pair_counts": bpe_pair_counts,
     "corpus_sample_split": corpus_sample_split,
     "text_token_stats": text_token_stats,
+    "tokenizer_fertility_by_lang": tokenizer_fertility_by_lang,
     "text_quality_flags": text_quality_flags,
     "corpus_quality_by_source": corpus_quality_by_source,
     "text_lang_id": text_lang_id,
@@ -1599,6 +1649,28 @@ ORACLE = {
                                    '[^a-z0-9]+', '-', 'g'), '-')
                || '-' || substr(md5(text), 1, 8) AS slug
         FROM documents
+    """,
+    "tokenizer_fertility_by_lang": f"""
+        WITH t AS (
+            SELECT lang,
+                   CAST(len({_W_SQL}) AS BIGINT) AS nw,
+                   CAST(len(regexp_extract_all(text, '{BPE_RE}'))
+                        AS BIGINT) AS nb,
+                   CAST(length(text) AS BIGINT) AS nc
+            FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nw) AS BIGINT) AS n_words,
+               CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+               CAST(sum(nc) AS BIGINT) AS n_chars,
+               round(CAST(sum(nb) AS DOUBLE)
+                     / nullif(CAST(sum(nw) AS DOUBLE), 0.0), 4)
+                   AS fertility_4dp,
+               round(CAST(sum(nc) AS DOUBLE)
+                     / nullif(CAST(sum(nb) AS DOUBLE), 0.0), 4)
+                   AS chars_per_token_4dp
+        FROM t GROUP BY 1
     """,
     "text_token_stats": f"""
         WITH t AS (SELECT doc_id, text, {_W_SQL} AS w FROM documents)

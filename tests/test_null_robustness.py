@@ -17,6 +17,8 @@ NULL_SWEEP = [
     "chunk_sliding_window",
     "chunk_semantic_split",
     "chunk_content_defined",
+    "cdc_dedup_report",
+    "tokenizer_fertility_by_lang",
     "chunk_word_budget",
     "chunk_token_budget_bpe",
     "chunk_markdown_docs",

@@ -278,3 +278,51 @@ def test_cdc_chunks_are_shift_invariant(spark, tmp_path):
     rebuilt = " ".join(r.text for r in sorted(
         (r for r in rows if r.doc_id == 0), key=lambda r: r.chunk_id))
     assert rebuilt == base
+
+
+def test_cdc_dedup_report_accounting(spark, sf_dir, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators import chunking
+
+    rows = chunking.cdc_dedup_report(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_unique_chunks <= r.n_chunks
+        assert 0.0 <= r.dedup_ratio_4dp < 1.0
+    total = chunking.chunk_content_defined(spark, sf_dir).count()
+    assert sum(r.n_chunks for r in rows) == total
+
+    # two identical docs in one source: every chunk stored once ->
+    # dedup ratio ~1/2; a singleton source dedups nothing
+    d = str(tmp_path / "cdcrep")
+    os.makedirs(d, exist_ok=True)
+    text = " ".join(f"w{(i * 7919) % 5003}" for i in range(300))
+    other = " ".join(f"q{(i * 104729) % 7907}" for i in range(300))
+    pq.write_table(pa.table({
+        "doc_id": [0, 1, 2],
+        "text": [text, text, other],
+        "lang": ["en"] * 3,
+        "source": ["dup", "dup", "solo"],
+        "n_chars": [len(text), len(text), len(other)],
+    }), f"{d}/documents.parquet")
+    got = {r.source: r for r in
+           chunking.cdc_dedup_report(spark, d).collect()}
+    assert abs(got["dup"].dedup_ratio_4dp - 0.5) < 1e-6
+    assert got["solo"].dedup_ratio_4dp == 0.0
+
+
+def test_tokenizer_fertility_contract(spark, sf_dir):
+    from selfhosted_rag_doc_chat_prototype_spark.operators import textstats
+
+    rows = textstats.tokenizer_fertility_by_lang(spark, sf_dir).collect()
+    assert rows and len({r.lang for r in rows}) == len(rows)
+    for r in rows:
+        assert r.n_docs > 0 and r.n_words > 0
+        # a BPE pre-token never spans a whitespace word: >= 1 per word
+        assert r.fertility_4dp >= 1.0
+        assert r.n_bpe_tokens >= r.n_words
+        assert r.chars_per_token_4dp > 0

@@ -1418,6 +1418,24 @@ AUDIT += (
             "none -- is test-asserted.",
         ),
         (
+            "cdc_dedup_report",
+            "r11 chunk-store dedup accounting over the CDC chunks: "
+            "the chunker's plan (map-side trigram hash + per-doc "
+            "window + one groupBy) feeds a doc_id equi-join to the "
+            "2-column documents projection, then ONE partial-"
+            "aggregated per-source groupBy with a distinct-count on "
+            "the md5 content key -- |sources| output rows; at 100 TB "
+            "the distinct-count swaps to the HLL sketch face.",
+        ),
+        (
+            "tokenizer_fertility_by_lang",
+            "r11 multilingual token budgeting: map-only per-doc "
+            "exact-integer counters (whitespace words, pinned BPE "
+            "pre-tokens, chars) over the rebalanced corpus scan, ONE "
+            "partial-aggregated groupBy to |langs| rows, each ratio "
+            "one division of exact BIGINT sums rounded once.",
+        ),
+        (
             "prf_query_expansion",
             "r9 RM3: the corpus-heavy tokenize/postings subtree is the "
             "shared persisted matview; feedback and expansion windows "
