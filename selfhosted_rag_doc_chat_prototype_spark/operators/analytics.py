@@ -1666,6 +1666,20 @@ def ohlc_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 M4_BUCKETS = 64  # fixed pixel-width bucket count of the M4 downsample
 
 
+def _epoch_floor_s(col: str = "ts"):
+    """Epoch seconds as FLOOR(micros / 1e6) in exact integer math for
+    ANY sign: DuckDB's ``//`` floors while Spark's ``DIV`` truncates
+    toward zero, so a bare ``unix_micros(ts) DIV 1000000`` diverges by
+    one second on pre-1970 timestamps (r11 ADVICE) -- enough to flip
+    an M4 bucket or a TWAP gap. ``m - pmod(m, q)`` is exactly
+    divisible by ``q`` and pmod is nonnegative on both engines'
+    semantics, so the DIV is exact and sign-safe with no float."""
+    return F.expr(
+        f"(unix_micros({col}) - pmod(unix_micros({col}), 1000000)) "
+        "DIV 1000000"
+    )
+
+
 def m4_downsample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 DOWNSAMPLING (Jugel et al., VLDB 2014): per event type,
     split the corpus's GLOBAL time range into ``M4_BUCKETS``
@@ -1678,9 +1692,13 @@ def m4_downsample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     reducer (vs OHLC, which keeps calendar-day bars and drops the
     extremum timestamps).
 
-    Exactness: bucket index is pure integer arithmetic on epoch
-    seconds (``(s - mn) * B DIV (mx - mn + 1)`` -- nonneg operands,
-    so Spark DIV and DuckDB // agree); first/last ride lexicographic
+    Exactness: epoch seconds come from :func:`_epoch_floor_s` (true
+    floor division, sign-safe -- a bare DIV would truncate pre-1970
+    timestamps one second off the DuckDB oracle's ``//``); the bucket
+    index is then pure integer arithmetic on them
+    (``(s - mn) * B DIV (mx - mn + 1)`` -- nonneg operands once mn is
+    subtracted, so Spark DIV and DuckDB // agree); first/last ride
+    lexicographic
     struct min/max over the total order (s, event_id); min/max points
     over (value, s, event_id) -- event_id unique, so every selection
     is deterministic and no float math is introduced anywhere (values
@@ -1698,7 +1716,7 @@ def m4_downsample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = ev.select(
         "event_type", "event_id", "value",
-        F.expr("unix_micros(ts) div 1000000").alias("s"),
+        _epoch_floor_s("ts").alias("s"),
     )
     rng = base.agg(F.min("s").alias("mn"), F.max("s").alias("mx"))
     b = base.crossJoin(F.broadcast(rng)).withColumn(
@@ -1756,7 +1774,7 @@ def twap_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("s", "event_id")
     rows = ev.select(
         "user_id", "event_id",
-        F.expr("unix_micros(ts) div 1000000").alias("s"),
+        _epoch_floor_s("ts").alias("s"),
         _value_u(F.col("value")).alias("value_u"),
     ).withColumn("gap_s", F.lead("s").over(w) - F.col("s"))
     return (
@@ -1962,7 +1980,7 @@ def m4_rollup_sink(stream_events: DataFrame, path: str,
     src = (
         stream_events.withWatermark("ts", watermark)
         .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
-        .withColumn("s", F.expr("unix_micros(ts) div 1000000"))
+        .withColumn("s", _epoch_floor_s("ts"))
     )
     tkey = F.struct(F.col("s"), F.col("event_id"), F.col("value"))
     vkey = F.struct(F.col("value"), F.col("s"), F.col("event_id"))

@@ -356,8 +356,17 @@ def chunk_markdown_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 SEM_SEG_WORDS = 10          # words per embedding unit
-# breakpoint threshold tau = 0.96 as the exact rational tau^2 = 2304/2500
-SEM_TAU_NUM2, SEM_TAU_DEN2 = 2304, 2500
+# breakpoint threshold tau = 0.4 as the exact rational tau^2 = 4/25.
+# Re-derived for the r12 64-real-dim vote embedding (r11 ADVICE: the
+# r11 encoding read hex chars 33-64 of a 32-char md5, so dims 32-63
+# were a constant block that inflated every consecutive cosine toward
+# 1 and tau had to sit at 0.96 to discriminate). With 64 real dims the
+# sf0.01 consecutive-segment cosine distribution is p25 0.16 / p50
+# 0.29 / p75 0.41 / p99 0.67, so tau = 0.4 keeps both behaviors live
+# at every scale: ~3/4 of consecutive pairs split (topic shift), ~1/4
+# merge (topical run), and the synthetic uniform-vocabulary doc
+# (cos = 1) always merges.
+SEM_TAU_NUM2, SEM_TAU_DEN2 = 4, 25
 
 
 def chunk_semantic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -372,16 +381,18 @@ def chunk_semantic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`..textstats.split_sentences` in at the unit stage for
     prose.
 
-    Exactness (no float boundary anywhere): units embed with the stub
-    model's INTEGER vote vectors (the embed_documents twin), so dot
-    products and squared norms are exact BIGINTs, and the breakpoint
-    test  cos < tau  evaluates as
+    Exactness (no float boundary anywhere): units embed with INTEGER
+    vote vectors over 64 REAL dims -- each distinct word hashes to 64
+    hex nibbles via TWO md5 streams (``md5(x) || md5('sg2:' || x)``;
+    r11 ADVICE: a single 32-char md5 indexed to 64 left dims 32-63 a
+    constant block) -- so dot products and squared norms are exact
+    BIGINTs, and the breakpoint test  cos < tau  evaluates as
     ``dot < 0 OR dot^2 * {SEM_TAU_DEN2} < {SEM_TAU_NUM2} * na * nb``
-    -- exact integer compares on both engines (headroom: |vote| <=
-    15 * {SEM_SEG_WORDS}, na*nb <= (64 * 150^2)^2 ~ 2e12, * 2304
-    ~ 5e15 < 2^63). A zero vote vector never opens a boundary (dot =
-    0 fails both tests) -- documented degenerate case, identical on
-    both engines.
+    -- exact integer compares on both engines (headroom: |vote per
+    dim| <= 15 * {SEM_SEG_WORDS} = 150, na*nb <= (64 * 150^2)^2
+    ~ 2.1e12, * 25 ~ 5.2e13 < 2^63). A zero vote vector never opens a
+    boundary (dot = 0 fails both tests) -- documented degenerate
+    case, identical on both engines.
 
     Scale shape: segmentation and vote encoding are map-only codegen;
     the lag + running-sum pass windows per doc_id (bounded by doc
@@ -432,7 +443,8 @@ def chunk_semantic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "seg_idx",
         "array_join(sw, ' ') AS seg_text",
         "CAST(size(sw) AS INT) AS seg_words",
-        "transform(array_distinct(sw), x -> md5(x)) AS hs",
+        "transform(array_distinct(sw), x -> "
+        "concat(md5(x), md5(concat('sg2:', x)))) AS hs",
     ).selectExpr(
         "doc_id", "seg_idx", "seg_text", "seg_words",
         f"{votes_expr} AS votes",
@@ -675,7 +687,8 @@ ORACLE = {
                        CAST(list_aggregate(list_transform(
                            list_distinct(sw), x ->
                            2 * (strpos('0123456789abcdef',
-                                substr(md5(x), CAST(j + 1 AS INTEGER), 1))
+                                substr(md5(x) || md5('sg2:' || x),
+                                       CAST(j + 1 AS INTEGER), 1))
                                 - 1) - 15), 'sum') AS BIGINT)) AS votes
             FROM seg
         ),

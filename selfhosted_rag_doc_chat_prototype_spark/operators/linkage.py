@@ -577,20 +577,51 @@ def er_reresolved_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`_er_reresolve_compute` ONCE, landed as one parquet table,
     served by read thereafter. Deterministic in the corpus dir (the
     gate's batch derives from the corpus), so a complete on-disk
-    build from any session is equivalent; drop the directory to force
-    a new epoch."""
+    build from any session is equivalent.
+
+    EPOCH BINDING (r11 ADVICE): the golden registry is DERIVED from
+    the base registry matviews (``erreg_labels_*`` et al.), so its
+    matview name folds in the base registry's commit-marker mtime --
+    dropping/rebuilding the base registry (the documented way to pick
+    up an in-place corpus mutation) automatically retires the golden
+    epoch instead of silently serving the stale one. Store entries
+    are re-validated against the on-disk commit marker every call, so
+    a manual directory drop also forces a rebuild; superseded epoch
+    dirs are removed on build."""
+    import glob
     import hashlib
     import os
+    import shutil
 
     from .similarity import _matview_complete, matview_root
 
-    key = (spark, sf_dir)
-    if key not in _ER_GOLDEN_STORE:
-        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        path = os.path.join(matview_root(), f"erreg_golden_{tag}")
+    # the base registry is this matview's input: ensure it exists and
+    # read its epoch token (commit-marker mtime of the labels part)
+    er_registry_cached(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    marker = os.path.join(matview_root(), f"erreg_labels_{tag}", "_SUCCESS")
+    epoch = int(os.path.getmtime(marker))
+    # tag stays LAST in the dir name: the bench/gate throwaway-corpus
+    # cleanup globs matview dirs by trailing _{tag}
+    path = os.path.join(matview_root(), f"erreg_golden_{epoch}_{tag}")
+    key = (spark, sf_dir, epoch)
+    if key not in _ER_GOLDEN_STORE or not _matview_complete(path):
         if not _matview_complete(path):
+            for old in glob.glob(
+                os.path.join(matview_root(), f"erreg_golden_*_{tag}")
+            ):
+                shutil.rmtree(old, ignore_errors=True)
+            # pre-epoch-binding layout (r11 closed with these on disk)
+            shutil.rmtree(
+                os.path.join(matview_root(), f"erreg_golden_{tag}"),
+                ignore_errors=True,
+            )
             _er_reresolve_compute(spark, sf_dir) \
                 .write.mode("overwrite").parquet(path)
+        # retire entries of other epochs (and of stopped sessions that
+        # shared this corpus) so the store stays bounded
+        for k in [k for k in _ER_GOLDEN_STORE if k[1] == sf_dir]:
+            del _ER_GOLDEN_STORE[k]
         _ER_GOLDEN_STORE[key] = spark.read.parquet(path)
     return _ER_GOLDEN_STORE[key]
 

@@ -317,8 +317,12 @@ def test_er_reresolve_serves_from_persisted_registry(spark, sf_dir):
 
     plan = b._jdf.queryExecution().executedPlan().toString()
     assert "erreg_golden_" in plan
+    # "InPandas" is the shared substring of every Python-stage plan
+    # node (MapInPandas / FlatMapInPandas / FlatMapGroupsInPandas) --
+    # r11 shipped the nonexistent node name "FlatMapsInPandas", which
+    # could never fail (r11 ADVICE)
     for heavy in ("Exchange", "SortMergeJoin", "HashAggregate",
-                  "ArrowEvalPython", "FlatMapsInPandas"):
+                  "ArrowEvalPython", "InPandas"):
         assert heavy not in plan, f"serve plan does {heavy}:\n{plan}"
 
     def key(rows):
@@ -327,3 +331,67 @@ def test_er_reresolve_serves_from_persisted_registry(spark, sf_dir):
     assert key(b.collect()) == key(
         lk._er_reresolve_compute(spark, sf_dir).collect()
     )
+
+
+def test_er_golden_epoch_binding(spark, tmp_path):
+    """r11 ADVICE: the golden registry derives from the base registry
+    matviews, so its matview name must fold in the base registry's
+    epoch (commit-marker mtime) -- rebuilding the base registry (the
+    documented way to pick up an in-place corpus mutation) retires the
+    golden epoch instead of silently serving the stale one."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.similarity import (
+        matview_root)
+
+    d = str(tmp_path / "er_epoch")
+    os.makedirs(d, exist_ok=True)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [" ".join(words[i % 3:] + words[: i % 3]) for i in range(30)]
+    pq.write_table(pa.table({
+        "doc_id": list(range(30)),
+        "text": texts,
+        "lang": ["en"] * 30,
+        "source": ["s1" if i % 2 else "s2" for i in range(30)],
+        "n_chars": [len(t) for t in texts],
+    }), f"{d}/documents.parquet")
+
+    tag = hashlib.md5(d.encode()).hexdigest()[:8]
+    pattern = os.path.join(matview_root(), f"erreg_golden_*_{tag}")
+    try:
+        a = lk.er_reresolve(spark, d)
+        a.collect()
+        first = glob.glob(pattern)
+        assert len(first) == 1  # epoch-stamped golden dir exists
+
+        # NEW EPOCH: drop the base registry (in-place-mutation flow)
+        # and force a distinct marker mtime
+        for p in glob.glob(os.path.join(matview_root(), f"erreg_*_{tag}")):
+            shutil.rmtree(p, ignore_errors=True)
+        lk._ER_REG_STORE.pop((spark, d), None)
+        lk.er_registry_cached(spark, d)
+        marker = os.path.join(
+            matview_root(), f"erreg_labels_{tag}", "_SUCCESS")
+        t = os.path.getmtime(marker) + 10
+        os.utime(marker, (t, t))
+
+        b = lk.er_reresolve(spark, d)
+        b.collect()
+        second = glob.glob(pattern)
+        assert len(second) == 1
+        assert second != first        # new epoch dir replaced the old
+        assert not os.path.exists(first[0])  # stale epoch retired
+        assert a is not b             # store entry re-keyed, not stale
+    finally:
+        for p in glob.glob(os.path.join(matview_root(), f"erreg_*_{tag}")):
+            shutil.rmtree(p, ignore_errors=True)
+        for k in [k for k in lk._ER_REG_STORE if k[1] == d]:
+            del lk._ER_REG_STORE[k]
+        for k in [k for k in lk._ER_GOLDEN_STORE if k[1] == d]:
+            del lk._ER_GOLDEN_STORE[k]
