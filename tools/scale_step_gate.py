@@ -197,6 +197,14 @@ def main() -> int:
                 "overwrite").save()
             timings[name] = round(time.time() - tq, 3)
         wall = round(sum(timings.values()), 3)
+        # r12 (r11-VERDICT item 5): stamp the live registry count so
+        # close_round can verify the committed step artifact was struck
+        # at the CLOSING registry, not an earlier intra-round state
+        # (the r11 close carried a "261 registered" artifact at a 264
+        # HEAD and nothing noticed)
+        from selfhosted_rag_doc_chat_prototype_spark.plans.registry import (
+            all_queries)
+
         out = {
             "metric": "headline_core_wall_seconds_scale_step",
             "value": wall,
@@ -204,6 +212,7 @@ def main() -> int:
             "reps_of_sf0.1": args.reps,
             "queries": timings,
             "gate": f"{len(oks)}/{len(core)} oracle-green",
+            "registry_count": len(all_queries()),
         }
         with open(os.path.join(REPO, "BENCH_scale_step.json"), "w") as f:
             json.dump(out, f, sort_keys=True)
