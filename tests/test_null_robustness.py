@@ -18,6 +18,7 @@ NULL_SWEEP = [
     "chunk_semantic_split",
     "chunk_content_defined",
     "cdc_dedup_report",
+    "cdc_incremental_embed",
     "tokenizer_fertility_by_lang",
     "chunk_word_budget",
     "chunk_token_budget_bpe",
@@ -374,6 +375,7 @@ EMB_NULL_SWEEP = [
     "knn_density_outliers", "anns_range_search",
     "coreset_kcenter_select", "cluster_label_agreement",
     "coreset_kcenter_append", "bitext_margin_pairs",
+    "bitext_margin_mined",
 ]
 
 

@@ -618,3 +618,31 @@ def test_late_interaction_beats_pooled_on_subvector_match(spark):
     assert set(got) == {10, 11}
     # facet 0's maxsim against doc A is exactly 1.0, so A's score > 1
     assert got[10].li_score > 1.0
+
+
+def test_bitext_mined_recall_floor_vs_exact(spark, sf_dir):
+    """r12 (r11-VERDICT item 2): the LSH-shortlisted production face
+    must recover the exact face's mined pairs at an AGGREGATE floor
+    (the banded-LSH dedup test discipline -- never per-pair: the
+    shortlist is probabilistic per pair by design). Multiprobe
+    coverage of the exact-best target measured 98% at both test
+    scales; pair-identity recall measured 0.90/0.96 -- the floor sits
+    at 0.75 to absorb corpus variation without masking a coverage
+    regression (single-probe measured 0.52-0.63)."""
+    exact = {(r.src_doc_id, r.tgt_doc_id)
+             for r in similarity.bitext_margin_pairs(spark, sf_dir)
+             .collect()}
+    mined = {(r.src_doc_id, r.tgt_doc_id)
+             for r in similarity.bitext_margin_mined(spark, sf_dir)
+             .collect()}
+    assert exact, "exact face emitted nothing -- corpus degenerate"
+    recall = len(exact & mined) / len(exact)
+    assert recall >= 0.75, (
+        f"mined face recovered only {recall:.2f} of the exact face's "
+        f"{len(exact)} pairs"
+    )
+    # the mined output keeps the exact face's contract: one pair per
+    # source, margin above tau
+    srcs = [r.src_doc_id for r in
+            similarity.bitext_margin_mined(spark, sf_dir).collect()]
+    assert len(srcs) == len(set(srcs))

@@ -1360,9 +1360,25 @@ AUDIT += (
             "quantized cosines (norm_dbsf moment discipline) joined "
             "back with the pool-side aggregate broadcast; final "
             "best-match selection is one more pool-partitioned "
-            "window. Production path at corpus x corpus scale: LSH-"
-            "shortlist candidates from the persisted signature index, "
-            "same margin arithmetic over candidates only.",
+            "window. Production path at corpus x corpus scale: "
+            "bitext_margin_mined (r12).",
+        ),
+        (
+            "bitext_margin_mined",
+            "r12 PRODUCTION face of the margin miner (r11-VERDICT "
+            "item 2): candidates come from the PERSISTED signature "
+            "index via the multi-probe bucket join (pool side signs + "
+            "probes N_PROBES Hamming-1 flips per table -- bounded; "
+            "index side never re-signs), then the IDENTICAL exact-"
+            "integer margin arithmetic runs over candidates only -- "
+            "the FAISS-shortlist-then-margin shape CCMatrix/NLLB "
+            "mine with. Multiprobe chosen over single-probe because "
+            "bitext scores weak-similarity pairs (best cos ~0.3-0.4): "
+            "coverage of the exact-best target measured 60% single-"
+            "probe vs 98% multiprobe; pair recall vs the exact face "
+            "0.90/0.96 at sf0.001/0.01, floor-asserted at 0.75 in "
+            "tests. Rank windows partition on candidate-bounded "
+            "keys; no corpus x corpus stage anywhere.",
         ),
         (
             "m4_downsample_events",
@@ -1426,6 +1442,23 @@ AUDIT += (
             "aggregated per-source groupBy with a distinct-count on "
             "the md5 content key -- |sources| output rows; at 100 TB "
             "the distinct-count swaps to the HLL sketch face.",
+        ),
+        (
+            "cdc_incremental_embed",
+            "r12 CDC payoff loop (r11-VERDICT item 3): the reference's "
+            "idempotent re-ingestion (deterministic content ids + "
+            "INSERT OR REPLACE) composed Spark-first -- two CDC chunk "
+            "passes (each map-side trigram hash + per-doc window + one "
+            "groupBy), one hash-partitioned LEFT join of the edited "
+            "corpus's chunks against the DISTINCT stored content-hash "
+            "set, the 64-dim integer vote embed kernel evaluated "
+            "LAZILY under the novel branch only (cost tracks novel "
+            "chunks, never the store), one per-source partial-"
+            "aggregated groupBy. Blast radius test-asserted: a "
+            "front-of-document edit re-embeds ~1 chunk where the "
+            "fixed-width twin re-embeds the whole tail; every output "
+            "column an exact BIGINT incl. the embed checksum the "
+            "oracle recomputes.",
         ),
         (
             "tokenizer_fertility_by_lang",
@@ -1714,6 +1747,13 @@ def main() -> None:
         "bench now runs one DISCARDED warm-up pass for queries in "
         "`bench.MATVIEW_UNION_WARMUP` before their timed runs "
         "(recorded as warmup_discarded in the detail file).",
+        "- Kafka / real-model seams re-checked r12 (standing, "
+        "environment-bound): no spark-sql-kafka jar (no ivy/m2 cache, "
+        "no network) and none of sentence_transformers / whisperx / "
+        "langchain / paddleocr importable -- the 4 importorskip "
+        "real-backend e2e tests and the langchain golden cross-check "
+        "remain unrun; the injectable seams, exact-coordinate raise "
+        "paths, and docs/KAFKA.md runbook are unchanged.",
         "",
     ]
     # GLOBAL-WINDOW GUARD (round 8): no unpartitioned WindowExec over
