@@ -1668,16 +1668,30 @@ M4_BUCKETS = 64  # fixed pixel-width bucket count of the M4 downsample
 
 def _epoch_floor_s(col: str = "ts"):
     """Epoch seconds as FLOOR(micros / 1e6) in exact integer math for
-    ANY sign: DuckDB's ``//`` floors while Spark's ``DIV`` truncates
-    toward zero, so a bare ``unix_micros(ts) DIV 1000000`` diverges by
-    one second on pre-1970 timestamps (r11 ADVICE) -- enough to flip
-    an M4 bucket or a TWAP gap. ``m - pmod(m, q)`` is exactly
-    divisible by ``q`` and pmod is nonnegative on both engines'
-    semantics, so the DIV is exact and sign-safe with no float."""
+    ANY sign. Measured reality (r12, refining the r11 ADVICE premise):
+    BOTH engines' integer division truncates toward zero -- Spark DIV
+    and DuckDB ``//`` on BIGINTs each give -1299993/1e6 -> -1 -- so a
+    bare DIV was cross-engine CONSISTENT but semantically wrong: the
+    epoch second holding t=0 spans two seconds of wall time and a
+    pre-1970 M4 bucket/TWAP gap is off by one. Both sides therefore
+    compute the true floor explicitly: ``m - posmod(m, q)`` is exactly
+    divisible by ``q`` (posmod nonnegative), so the remaining integer
+    division is exact and sign-safe with no float anywhere. Spark's
+    ``pmod`` is already nonnegative; the oracle builds posmod as
+    ``((m % q) + q) % q`` (:data:`_EPOCH_FLOOR_S_SQL`); the pre-epoch
+    parity test covers both operators."""
     return F.expr(
         f"(unix_micros({col}) - pmod(unix_micros({col}), 1000000)) "
         "DIV 1000000"
     )
+
+
+# DuckDB twin of _epoch_floor_s (see its docstring): true floor via the
+# positive-mod identity, all-integer
+_EPOCH_FLOOR_S_SQL = (
+    "(epoch_us(ts) - ((epoch_us(ts) % 1000000) + 1000000) % 1000000) "
+    "// 1000000"
+)
 
 
 def m4_downsample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1693,8 +1707,10 @@ def m4_downsample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     extremum timestamps).
 
     Exactness: epoch seconds come from :func:`_epoch_floor_s` (true
-    floor division, sign-safe -- a bare DIV would truncate pre-1970
-    timestamps one second off the DuckDB oracle's ``//``); the bucket
+    floor division, sign-safe -- both engines' bare integer division
+    truncates toward zero, which is cross-engine consistent but gives
+    the epoch second a double-width bucket; both sides floor
+    explicitly, pre-epoch parity test-asserted); the bucket
     index is then pure integer arithmetic on them
     (``(s - mn) * B DIV (mx - mn + 1)`` -- nonneg operands once mn is
     subtracted, so Spark DIV and DuckDB // agree); first/last ride
@@ -3408,7 +3424,7 @@ ORACLE = {
     "m4_downsample_events": f"""
         WITH b0 AS (
             SELECT event_type, event_id, value,
-                   epoch_us(ts) // 1000000 AS s
+                   {_EPOCH_FLOOR_S_SQL} AS s
             FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
         ),
         r AS (SELECT min(s) AS mn, max(s) AS mx FROM b0),
@@ -3514,7 +3530,7 @@ ORACLE = {
     "twap_by_user": f"""
         WITH rows_ AS (
             SELECT user_id, event_id,
-                   epoch_us(ts) // 1000000 AS s,
+                   {_EPOCH_FLOOR_S_SQL} AS s,
                    CAST(floor(value * {VALUE_SCALE}.0 + 0.5) AS BIGINT)
                        AS value_u
             FROM events

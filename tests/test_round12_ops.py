@@ -91,3 +91,44 @@ def test_cdc_incremental_embed_checksum_is_novel_only(spark, tmp_path):
     assert len(got) == 1
     assert got[0].embed_vote_checksum == expect
     assert got[0].n_embedded == len(novel)
+
+
+def test_m4_pre_epoch_floor_parity(spark, tmp_path):
+    """r11 ADVICE: epoch seconds must FLOOR (DuckDB //), not truncate
+    toward zero (Spark DIV) -- a pre-1970 timestamp one microsecond
+    before a second boundary otherwise lands one bucket off and can
+    flip first/last selection. Oracle-compares m4 on a corpus whose
+    events straddle the epoch."""
+    import datetime as dt
+
+    import duckdb
+
+    import __spark_entry__ as e
+    from .helpers import assert_matches_oracle
+
+    d = str(tmp_path / "m4_epoch")
+    os.makedirs(d, exist_ok=True)
+    base = dt.datetime(1969, 12, 31, 23, 59, 58)
+    rows = []
+    for i in range(40):
+        # microsecond offsets force fractional seconds on BOTH sides
+        # of the epoch (trunc != floor exactly there)
+        ts = base + dt.timedelta(microseconds=100_001 * i * 7)
+        rows.append((i, ts, "sensor" if i % 2 else "gauge",
+                     float(i % 11), i % 5))
+    pq.write_table(pa.table({
+        "event_id": [r[0] for r in rows],
+        "ts": pa.array([r[1] for r in rows],
+                       pa.timestamp("us")),
+        "event_type": [r[2] for r in rows],
+        "value": [r[3] for r in rows],
+        "user_id": [r[4] for r in rows],
+    }), f"{d}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    for name in ("m4_downsample_events", "twap_by_user"):
+        assert_matches_oracle(
+            e.queries()[name](spark, d), con, e.oracle_sql()[name], name)
+    con.close()
