@@ -248,6 +248,13 @@ HEADLINE = [
     # incremental re-embedding
     "bitext_margin_mined",
     "cdc_incremental_embed",
+    # round 12 batch 2: int8 scalar-quantized ANN serve path, Manku
+    # multi-index simhash hamming pairing, export shard manifest,
+    # dictionary keyword tagging
+    "anns_sq_topk",
+    "dedup_simhash_hamming",
+    "shard_manifest_offsets",
+    "keyword_tag_docs",
 ]
 
 # PINNED CORE (r8, VERDICT item 7): a frozen 30-query subset that NEVER
@@ -367,7 +374,7 @@ BENCH_EXCLUDED = {
         "anns_recall_lsh", "anns_recall_lsh_multiprobe",
         "anns_recall_ivf", "anns_recall_ivfpq", "anns_recall_bq",
         "anns_recall_matryoshka", "anns_recall_hardneg",
-        "anns_recall_late_interaction",
+        "anns_recall_late_interaction", "anns_recall_sq",
     ]},
 }
 

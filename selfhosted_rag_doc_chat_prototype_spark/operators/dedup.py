@@ -61,6 +61,30 @@ _EXACT_CORPUS_SQL = """
     SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
 """
 
+
+def _simhash_sql(src: str) -> str:
+    """64-bit SimHash of ``src`` (doc_id, text) as pure SQL -- the
+    independent oracle twin of :func:`_simhash64_py` (md5 nibble-bit
+    voting over distinct whitespace tokens), src-parameterized so the
+    hamming pairing below signs its planted corpus with the exact same
+    expression the plain signature query uses over ``documents``."""
+    return f"""
+        SELECT doc_id,
+               array_to_string(list_transform(range(0, 64), j ->
+                   CASE WHEN list_aggregate(list_transform(hs, h ->
+                       CASE WHEN ((strpos('0123456789abcdef',
+                                          substr(h, CAST(j // 4 AS INTEGER) + 1, 1)) - 1)
+                                  // (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                                 WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+                            THEN 1 ELSE -1 END), 'sum') > 0
+                        THEN '1' ELSE '0' END), '') AS simhash_bits
+        FROM (
+            SELECT doc_id,
+                   list_transform(list_distinct({_W_SQL}), x -> md5(x)) AS hs
+            FROM {src}
+        )
+    """
+
 # near-dup corpus: docs where doc_id % 5 == 0 get a copy with the first
 # two words dropped
 _NEAR_CORPUS_SQL = f"""
@@ -955,6 +979,93 @@ def simhash_udf():
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return docs.select("doc_id", simhash_udf()(F.col("text")).alias("simhash_bits"))
+
+
+# ---- simhash hamming-ball pairing (Manku et al., WWW'07) ------------------
+
+SIMHASH_BLOCKS = 4     # 16-bit blocks over the 64-bit signature
+SIMHASH_HAM_K = 3      # near-dup radius; k < blocks => EXACT recall
+_SIMHASH_BLOCK_W = 64 // SIMHASH_BLOCKS
+
+
+def _hamming64(a, b):
+    """Hamming distance of two 64-char bitstrings as pure codegen
+    integer ops: per 16-bit block, base-2 parse -> XOR -> POPCNT --
+    no per-character loop, no Python."""
+    total = F.lit(0)
+    for i in range(SIMHASH_BLOCKS):
+        ai = F.conv(F.substring(a, i * _SIMHASH_BLOCK_W + 1,
+                                _SIMHASH_BLOCK_W), 2, 10).cast("long")
+        bi = F.conv(F.substring(b, i * _SIMHASH_BLOCK_W + 1,
+                                _SIMHASH_BLOCK_W), 2, 10).cast("long")
+        total = total + F.bit_count(ai.bitwiseXOR(bi))
+    return total
+
+
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS within Hamming distance ``SIMHASH_HAM_K`` of the
+    64-bit SimHash -- the Manku-Jain-Das Sarma multi-index construction
+    (WWW'07, the production simhash dedup at crawl scale): split the
+    fingerprint into ``SIMHASH_BLOCKS`` blocks; any two fingerprints
+    within Hamming distance k < blocks agree EXACTLY on at least one
+    block (pigeonhole), so candidates come from equi-joins on
+    (block_id, block_bits) -- deterministic 100% recall, unlike the
+    probabilistic minhash banding above -- and only candidates pay the
+    XOR+POPCNT verify. Corpus = documents + planted near-copies (first
+    two words dropped) + planted exact copies; signatures over docs
+    with >= 1 token (a zero-token signature is all-zeros and would
+    cross-match every degenerate row -- empty docs are the exact-dedup
+    path's job).
+
+    Scale shape: one Arrow signature pass, a 4x explode, a groupBy
+    (block, bits) whose bucket sizes track the true near-dup rate at
+    64-bit block entropy, within-bucket pair expansion, and a verify
+    join that is integer-only codegen. At 100 TB this is the textbook
+    layout: 4 sorted permutation tables, probe = one equi-join each."""
+    docs = table(spark, sf_dir, "documents")
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    corpus = _near_corpus(spark, sf_dir).unionByName(exact).filter(
+        F.size(tq.words(F.col("text"))) >= 1
+    )
+    sigs = corpus.select(
+        "doc_id", simhash_udf()(F.col("text")).alias("bits"))
+    blk_vals = F.transform(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BLOCKS - 1)),
+        lambda b: F.col("bits").substr(
+            b * _SIMHASH_BLOCK_W + 1, F.lit(_SIMHASH_BLOCK_W)),
+    )
+    blocks = sigs.select(
+        "doc_id", "bits",
+        F.posexplode(blk_vals).alias("blk", "block_bits"))
+    # pair expansion as a bucket equi-SELF-JOIN, not the collect_list +
+    # HOF expansion of _bucket_pairs: same-vocabulary short docs give
+    # simhash block buckets thousands deep (sf0.1: max 2.2k docs in one
+    # 16-bit bucket), where a per-bucket pair ARRAY is a single
+    # multi-million-element row -- the join streams the same pairs and
+    # AQE skew-split handles the hot buckets. The full 64-bit signature
+    # rides THROUGH the join (64 chars/row), so the verify needs no
+    # doc_id equi-joins back to the signature relation -- the Arrow
+    # signature pass runs twice (once per join side; identical subplans
+    # are exchange-reusable), never four times
+    pairs = (
+        blocks.alias("a")
+        .join(blocks.alias("b"),
+              (F.col("a.blk") == F.col("b.blk"))
+              & (F.col("a.block_bits") == F.col("b.block_bits"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.bits").alias("ba"), F.col("b.bits").alias("bb"))
+        .distinct()
+    )
+    return (
+        pairs.select("doc_a", "doc_b",
+                     _hamming64(F.col("ba"), F.col("bb")).cast("int")
+                     .alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_HAM_K)
+    )
 
 
 # embedding near-dup: candidate generation by multi-table
@@ -2019,6 +2130,7 @@ QUERIES = {
     "dedup_edit_distance": dedup_edit_distance,
     "decontaminate_fuzzy_minhash": decontaminate_fuzzy_minhash,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_hamming": dedup_simhash_hamming,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_semantic_keep": dedup_semantic_keep,
     "knn_graph_lsh": knn_graph_lsh,
@@ -2121,22 +2233,45 @@ ORACLE = {
             JOIN sh_b sb ON sb.doc_id = cand.bench_id
         ) WHERE jaccard >= {FUZZY_JACCARD}
     """,
-    "dedup_simhash": f"""
-        WITH t AS (
+    "dedup_simhash": _simhash_sql("documents"),
+    # Manku multi-index hamming pairing: candidates from exact-match on
+    # any of the 4 16-bit blocks (pigeonhole: 100% recall at k < 4),
+    # verify = BIT xor + bit_count of the full 64-bit signatures
+    "dedup_simhash_hamming": f"""
+        WITH corpus AS (
+            {_NEAR_CORPUS_SQL}
+            UNION ALL
+            SELECT doc_id + 2000000 AS doc_id, text
+            FROM documents WHERE doc_id % 7 = 0
+        ),
+        nonempty AS (
+            SELECT doc_id, text FROM corpus WHERE len({_W_SQL}) >= 1
+        ),
+        sig AS ({_simhash_sql("nonempty")}),
+        blocks AS (
             SELECT doc_id,
-                   list_transform(list_distinct({_W_SQL}), x -> md5(x)) AS hs
-            FROM documents
+                   CAST(r.range AS INTEGER) AS blk,
+                   substr(simhash_bits,
+                          CAST(r.range * {_SIMHASH_BLOCK_W} + 1 AS INTEGER),
+                          {_SIMHASH_BLOCK_W}) AS block_bits
+            FROM sig CROSS JOIN range(0, {SIMHASH_BLOCKS}) r
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM blocks a
+            JOIN blocks b ON a.blk = b.blk
+                         AND a.block_bits = b.block_bits
+                         AND a.doc_id < b.doc_id
         )
-        SELECT doc_id,
-               array_to_string(list_transform(range(0, 64), j ->
-                   CASE WHEN list_aggregate(list_transform(hs, h ->
-                       CASE WHEN ((strpos('0123456789abcdef',
-                                          substr(h, CAST(j // 4 AS INTEGER) + 1, 1)) - 1)
-                                  // (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
-                                                 WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
-                            THEN 1 ELSE -1 END), 'sum') > 0
-                        THEN '1' ELSE '0' END), '') AS simhash_bits
-        FROM t
+        SELECT * FROM (
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(CAST(sa.simhash_bits AS BIT),
+                                      CAST(sb.simhash_bits AS BIT)))
+                        AS INTEGER) AS hamming
+            FROM cand
+            JOIN sig sa ON sa.doc_id = cand.doc_a
+            JOIN sig sb ON sb.doc_id = cand.doc_b
+        ) WHERE hamming <= {SIMHASH_HAM_K}
     """,
     # connected components as a recursive reachability closure: tiny at
     # test scale because components are near-dup clusters, not the corpus

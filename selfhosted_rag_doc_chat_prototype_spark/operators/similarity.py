@@ -652,7 +652,7 @@ def _gold_build(spark: SparkSession, sf_dir: str, name: str,
 
 
 _RECALL_STRATEGIES = ("lsh", "lsh_multiprobe", "ivf", "ivfpq", "bq",
-                      "matryoshka", "hardneg", "late_interaction")
+                      "matryoshka", "hardneg", "late_interaction", "sq")
 _RECALL_STORE: dict = {}
 
 
@@ -791,6 +791,14 @@ def anns_recall_late_interaction(spark: SparkSession,
         "late_interaction")
 
 
+def anns_recall_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@TOP_K of the int8 scalar-quantized serve path vs brute
+    gold -- the fidelity readout that justifies SQ's 8x memory over
+    BQ's 64x (r12)."""
+    return _recall_vs_exact(
+        _brute_gold(spark, sf_dir), anns_sq_topk(spark, sf_dir), "sq")
+
+
 _RECALL_LEG_QUERIES = {
     "lsh": anns_recall_lsh,
     "lsh_multiprobe": anns_recall_lsh_multiprobe,
@@ -800,6 +808,7 @@ _RECALL_LEG_QUERIES = {
     "matryoshka": anns_recall_matryoshka,
     "hardneg": anns_recall_hardneg,
     "late_interaction": anns_recall_late_interaction,
+    "sq": anns_recall_sq,
 }
 
 
@@ -828,17 +837,19 @@ def _recall_leg_build(spark: SparkSession, sf_dir: str,
 def anns_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-quality observable: per-(strategy, query) recall@``TOP_K``
     of EVERY approximate serve path -- full-table LSH, half-table
-    multiprobe, IVF, IVF-PQ, binary-quantized Hamming, the
-    hard-negative miner, Matryoshka two-stage, and the LSH-shortlisted
-    late-interaction serve path -- against its exact counterpart; the
+    multiprobe, IVF, IVF-PQ, binary-quantized Hamming, int8
+    scalar-quantized, the hard-negative miner, Matryoshka two-stage,
+    and the LSH-shortlisted late-interaction serve path -- against its
+    exact counterpart; the
     number an index operator watches when tuning bits/tables/probes.
 
     r9 scale fix (the round-8 verdict's #1): every leg is now a
     REGISTERED PER-STRATEGY QUERY (``anns_recall_*``, each one serve
     plan + a gold-matview join, individually oracled) materialized
     once per corpus as a persisted matview, and this omnibus is a
-    UNION over the eight stored O(Q)-row leg reports -- the executed
-    plan reads eight tiny parquet tables instead of replanning eight
+    UNION over the stored O(Q)-row leg reports (nine strategies as of
+    r12's SQ leg) -- the executed
+    plan reads tiny parquet tables instead of replanning eight
     serve subtrees (24 exchanges / 25 scans in the r8 plan). The exact
     legs (brute top-K, cross-label brute, corpus-wide MaxSim) stay
     persisted gold matviews (r8, :func:`_gold_build`); at 100 TB
@@ -1004,6 +1015,117 @@ def anns_bq_hamming_topk(spark: SparkSession, sf_dir: str,
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     return bq_topk(base, queries, k)
+
+
+# ---- int8 scalar quantization (SQ) serve path -----------------------------
+#
+# Qdrant's scalar-quantization feature (the third compression tier the
+# reference's vector store exposes next to BQ and PQ): each dimension
+# compresses to ONE SIGNED BYTE, qv_i = round(v_i / (maxabs/127)), and
+# the candidate metric is the INTEGER dot product of the codes scaled
+# back by the two per-vector scales -- 8x smaller vectors than float64
+# with far better fidelity than 1-bit BQ (SIMD int8 dot is the fastest
+# dense kernel real engines run). Standard oversample+rescore recipe:
+# int8 top k*factor shortlist, exact-cosine rerank.
+#
+# Cross-engine determinism: the codes are EXACT integers (|q| <= 127)
+# held in double arrays, so the 64-dim code dot product is an exact
+# integer < 2^21 in both engines regardless of summation order; the
+# scales are single IEEE divisions of data values (maxabs/127); and the
+# shortlist ranking key multiplies them in one fixed association
+# ((qdot * scale_q) * scale_c), identical bit-for-bit on both sides.
+SQ_LEVELS_MAX = 127.0
+SQ_RERANK_FACTOR = 4  # exact-rerank the int8-dot top k*factor
+
+
+def _sq_codes(v: Column) -> tuple[Column, Column]:
+    """(scale, codes) of the symmetric int8 scalar quantizer: scale =
+    max|v_i| / 127 and codes_i = round(v_i / scale) -- codes stay in a
+    double array so the dot product below is exact integer arithmetic
+    in both engines (r10 rounding-contract rule: round-to-INTEGER is
+    the one cross-engine-safe rounding, every .5 boundary below 2^52
+    being binary-exact). Zero vectors carry scale 0 and zero codes,
+    mirroring ``embedding.quantize_int8``."""
+    maxabs = F.array_max(F.transform(v, F.abs))
+    scale = F.when(maxabs == 0.0, F.lit(0.0)).otherwise(
+        maxabs / F.lit(SQ_LEVELS_MAX))
+    codes = F.when(
+        maxabs == 0.0, F.transform(v, lambda x: F.lit(0.0))
+    ).otherwise(
+        F.transform(v, lambda x: F.round(x / (maxabs / F.lit(SQ_LEVELS_MAX))))
+    )
+    return scale, codes
+
+
+def sq_topk(base: DataFrame, queries: DataFrame, k: int = TOP_K,
+            exclude_self: bool = True) -> DataFrame:
+    """Scalar-quantized top-k over (``vec_id``, ``v``) vectors for
+    (``query_id``, ``qv``) queries -- the parameterized core of
+    :func:`anns_sq_topk`, shaped exactly like :func:`bq_topk`: an
+    exhaustive map-side scan of the 8-bytes-per-dim codes (broadcast
+    queries, no corpus shuffle), int-dot shortlist, exact rerank."""
+    cscale, ccodes = _sq_codes(F.col("v"))
+    cand = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+        cscale.alias("c_scale"), ccodes.alias("c_codes"),
+    )
+    qscale, qcodes = _sq_codes(F.col("qv"))
+    q = queries.select(
+        "query_id", "qv", qscale.alias("q_scale"), qcodes.alias("q_codes"),
+    )
+    shortlist = F.broadcast(q).crossJoin(rebalance(cand))
+    if exclude_self:
+        shortlist = shortlist.filter(
+            F.col("query_id") != F.col("neighbor_id"))
+    approx = (
+        dot(F.col("q_codes"), F.col("c_codes"))
+        * F.col("q_scale") * F.col("c_scale")
+    )
+    wh = Window.partitionBy("query_id").orderBy(
+        F.desc("sq_dot"), F.asc("neighbor_id"))
+    shortlist = (
+        shortlist
+        .select("query_id", "qv", "neighbor_id", "cv",
+                approx.alias("sq_dot"))
+        .withColumn("hr", F.row_number().over(wh))
+        .filter(F.col("hr") <= k * SQ_RERANK_FACTOR)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        shortlist.select(
+            "query_id", "neighbor_id", "sq_dot",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_raw"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("sq_dot", 4).alias("sq_sim"),
+                F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+def anns_sq_topk(spark: SparkSession, sf_dir: str,
+                 k: int = TOP_K) -> DataFrame:
+    """int8 scalar-quantized search (Qdrant's SQ feature): one signed
+    byte per dimension -- a 64-dim vector compresses to 64 BYTES (8x
+    under float64), and the prefilter is an EXHAUSTIVE scan whose
+    per-pair work is a 64-term integer dot product plus two scale
+    multiplies (the int8-SIMD kernel of real vector stores). The int
+    top k*{factor} shortlist then reranks with exact cosine -- the
+    same oversample+rescore recipe as the BQ face, trading 8x the BQ
+    memory for near-exact candidate fidelity (recall ~1.0 where BQ
+    needs its 4x oversample to stay close; see anns_recall_report).
+
+    Scale shape: identical to anns_bq_hamming_topk -- broadcast query
+    set, rebalanced candidate scan, no corpus shuffle; at 100 TB the
+    codes are a stored 64-byte column scanned next to the PQ codes,
+    and the scan is bandwidth-bound at 1/8 the raw-vector bytes."""
+    base = _vectors(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return sq_topk(base, queries, k)
 
 
 MAXSIM_TOP_CHUNKS = 2
@@ -2074,6 +2196,7 @@ def retrieve(
 
     Strategies: ``brute`` (exact scan), ``lsh`` (signature-index bucket
     join), ``bq`` (binary-quantized Hamming prefilter + exact rerank),
+    ``sq`` (int8 scalar-quantized dot prefilter + exact rerank),
     ``ivfpq`` (PQ codes + refine), or ``auto`` -- which prices
     brute-vs-lsh from :func:`planner_rowcount` exactly like
     :func:`topk_cosine`. ``payload_filter`` (a Column predicate over
@@ -2100,6 +2223,8 @@ def retrieve(
         )
     if strategy == "bq":
         return bq_topk(base, queries, k, exclude_self=exclude_self)
+    if strategy == "sq":
+        return sq_topk(base, queries, k, exclude_self=exclude_self)
     if strategy == "ivfpq":
         from .pq import pq_probe
 
@@ -2399,6 +2524,7 @@ QUERIES = {
     "anns_filtered_topk": anns_filtered_topk,
     "anns_label_maxsim_topk": anns_label_maxsim_topk,
     "anns_bq_hamming_topk": anns_bq_hamming_topk,
+    "anns_sq_topk": anns_sq_topk,
     "hybrid_rrf_fusion": hybrid_rrf_fusion,
     "anns_matryoshka_topk": anns_matryoshka_topk,
     "contrastive_triplets": contrastive_triplets,
@@ -2803,6 +2929,53 @@ ORACLE = {
                    ORDER BY list_cosine_similarity(qv, cv) DESC,
                             neighbor_id ASC) AS INTEGER) AS rank,
                hamming,
+               round(list_cosine_similarity(qv, cv), 4) AS cos_sim
+        FROM shortlist
+        QUALIFY rank <= {TOP_K}
+    """,
+    # int8 scalar quantization: codes = round(v_i / (maxabs/127)) held
+    # in double arrays (exact integers), shortlist key = exact integer
+    # code dot * the two scales in one fixed association, exact rerank
+    "anns_sq_topk": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE embedding IS NOT NULL),
+        sq AS (
+            SELECT vec_id, v,
+                   CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+                        THEN 0.0
+                        ELSE list_max(list_transform(v, x -> abs(x)))
+                             / {SQ_LEVELS_MAX}
+                   END AS scale,
+                   CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+                        THEN list_transform(v, x -> 0.0)
+                        ELSE list_transform(v, x -> round(
+                            x / (list_max(list_transform(v, x2 -> abs(x2)))
+                                 / {SQ_LEVELS_MAX})))
+                   END AS codes
+            FROM e
+        ),
+        pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   q.v AS qv, c.v AS cv,
+                   CAST(list_inner_product(q.codes, c.codes) AS DOUBLE)
+                       * q.scale * c.scale AS sq_dot
+            FROM sq q JOIN sq c
+              ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+        ),
+        shortlist AS (
+            SELECT * FROM (
+                SELECT query_id, neighbor_id, qv, cv, sq_dot,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY sq_dot DESC, neighbor_id ASC) AS hr
+                FROM pairs)
+            WHERE hr <= {TOP_K} * {SQ_RERANK_FACTOR}
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY list_cosine_similarity(qv, cv) DESC,
+                            neighbor_id ASC) AS INTEGER) AS rank,
+               round(sq_dot, 4) AS sq_sim,
                round(list_cosine_similarity(qv, cv), 4) AS cos_sim
         FROM shortlist
         QUALIFY rank <= {TOP_K}
@@ -3716,6 +3889,7 @@ QUERIES.update({
     "anns_recall_matryoshka": anns_recall_matryoshka,
     "anns_recall_hardneg": anns_recall_hardneg,
     "anns_recall_late_interaction": anns_recall_late_interaction,
+    "anns_recall_sq": anns_recall_sq,
 })
 ORACLE.update({
     "anns_recall_lsh": _recall_leg_oracle(
@@ -3740,4 +3914,20 @@ ORACLE.update({
             SELECT query_id, neighbor_id
             FROM ({ORACLE["anns_late_interaction_topk"]}))""",
         exact_rel="li_gold"),
+    "anns_recall_sq": _recall_leg_oracle("sq", ORACLE["anns_sq_topk"]),
 })
+
+# round 12: int8 scalar-quantization leg joins the omnibus report
+# (gold standard = shared brute top-k, like every plain top-k leg)
+ORACLE["anns_recall_report"] = ORACLE["anns_recall_report"].rstrip() + f"""
+    UNION ALL
+    SELECT 'sq', b.query_id,
+           CAST(count(*) AS INTEGER),
+           CAST(count(l.neighbor_id) AS INTEGER),
+           round(count(l.neighbor_id)::DOUBLE / count(*), 4)
+    FROM brute b
+    LEFT JOIN (SELECT query_id, neighbor_id
+               FROM ({ORACLE["anns_sq_topk"]})) l
+           ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+    GROUP BY b.query_id
+"""

@@ -1419,6 +1419,73 @@ def _zipf_oracle_sql() -> str:
     """
 
 
+# ---- dictionary keyword tagging --------------------------------------------
+
+KW_DICT_N = 20      # dictionary size (corpus-derived, deterministic)
+KW_MIN_LEN = 6      # only content-bearing terms enter the dictionary
+
+
+def keyword_tag_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-driven keyword TAGGING (the batch shape of
+    FlashText/Aho-Corasick entity taggers): derive a deterministic
+    dictionary -- the ``KW_DICT_N`` highest-document-frequency terms of
+    length >= ``KW_MIN_LEN`` (ties by term) -- then emit one
+    (doc_id, term, n_occurrences) row per document containing each
+    dictionary term as an exact token.
+
+    Scale shape: the tagging side explodes tokens map-side and
+    BROADCAST-semi-joins the tiny dictionary BEFORE the (doc, term)
+    count, so the shuffle carries only matching tokens (dictionary
+    selectivity), never the corpus token stream; the dictionary build
+    is one distinct-(doc, term) aggregation + a top-k. At a real
+    10^5-entry gazetteer the per-token equi-join still broadcasts (a
+    few MB); past broadcast size the same plan shuffle-joins on term.
+    A NULL/empty text yields no tokens and so no rows -- identically
+    in both engines."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tq.words(F.col("text"))).alias("term"))
+    df = (
+        tok.filter(F.length("term") >= KW_MIN_LEN)
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    # sort+limit compiles to TakeOrderedAndProject -- a distributed
+    # per-partition top-k + driver merge, never a 1-partition window
+    # over the whole vocabulary
+    dict_df = (
+        df.orderBy(F.desc("df"), F.asc("term"))
+        .limit(KW_DICT_N)
+        .select("term")
+    )
+    return (
+        tok.join(F.broadcast(dict_df), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+
+
+def _keyword_tag_oracle_sql() -> str:
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_W_SQL}) AS term FROM documents
+        ),
+        df AS (
+            SELECT term, count(DISTINCT doc_id) AS df
+            FROM tok WHERE length(term) >= {KW_MIN_LEN}
+            GROUP BY term
+        ),
+        dict AS (
+            SELECT term FROM df
+            ORDER BY df DESC, term ASC LIMIT {KW_DICT_N}
+        )
+        SELECT t.doc_id, t.term,
+               CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM tok t JOIN dict d ON t.term = d.term
+        GROUP BY t.doc_id, t.term
+    """
+
+
 QUERIES = {
     "text_sentence_split": text_sentence_split,
     "text_readability": text_readability,
@@ -1426,6 +1493,7 @@ QUERIES = {
     "lang_confusion_report": lang_confusion_report,
     "text_char_entropy": text_char_entropy,
     "kwic_concordance": kwic_concordance,
+    "keyword_tag_docs": keyword_tag_docs,
     "ngram_nextword_topk": ngram_nextword_topk,
     "text_code_detect": text_code_detect,
     "vocab_top_coverage": vocab_top_coverage,
@@ -1454,6 +1522,7 @@ _LANG_SQL = ", ".join(
 
 
 ORACLE = {
+    "keyword_tag_docs": _keyword_tag_oracle_sql(),
     "sketch_countmin_heavyhitters": f"""
         WITH tok AS (
             SELECT unnest({_W_SQL}) AS term FROM documents

@@ -1349,6 +1349,80 @@ def _cdc_oracle_sql() -> str:
     """
 
 
+# ---- export shard manifest -------------------------------------------------
+
+MANIFEST_SHARDS = 16  # one hex nibble; a real export picks ~bytes/shard
+
+
+def shard_manifest_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export shard MANIFEST: assign every document to a
+    shard, fix the within-shard record order, and compute each
+    record's starting BYTE OFFSET in its (jsonl-framed) shard file --
+    the seekable index a dataloader or resumable exporter needs
+    (WebDataset/MDS-style sample index; the reference's parquet
+    archival sink K3 writes the files, this writes the map).
+
+    Sharding is content-addressed (first md5 nibble of the doc id) so
+    shard BYTES stay balanced whatever the id distribution; the
+    within-shard order is (doc_id) so an export resumes monotonically.
+    Record framing is text + 1 newline byte; a NULL text exports as
+    the empty record (1 byte), never a skipped id.
+
+    Scale shape: NO global sort or single-partition window -- the
+    offset cumsum is a window PARTITIONED BY shard (the per-shard
+    prefix sum is inherently sequential: it IS the file layout), so
+    the sort fans out across MANIFEST_SHARDS partitions; at 100 TB
+    raise the nibble count so each shard's manifest partition fits an
+    executor (the same lever as epoch_shuffle_shards). Byte lengths
+    are utf-8 octet_length -- map-side codegen, never Python."""
+    docs = table(spark, sf_dir, "documents")
+    shard = F.conv(
+        F.substring(
+            F.md5(F.coalesce(F.col("doc_id").cast("string"), F.lit(""))),
+            1, 1),
+        16, 10,
+    ).cast("int")
+    byte_len = F.octet_length(F.coalesce(F.col("text"), F.lit("")))
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1)
+    return (
+        docs.select("doc_id", shard.alias("shard"),
+                    byte_len.cast("long").alias("byte_len"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "byte_offset",
+            F.coalesce(F.sum(F.col("byte_len") + 1).over(cum), F.lit(0))
+            .cast("long"),
+        )
+        .select("shard", "pos", "doc_id", "byte_offset", "byte_len")
+    )
+
+
+def _manifest_oracle_sql() -> str:
+    return """
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(CAST('0x' || substr(md5(
+                       coalesce(CAST(doc_id AS VARCHAR), '')), 1, 1)
+                       AS INT) AS INTEGER) AS shard,
+                   CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+                       AS byte_len
+            FROM documents
+        )
+        SELECT shard,
+               CAST(row_number() OVER (
+                   PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS pos,
+               doc_id,
+               CAST(coalesce(sum(byte_len + 1) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS byte_offset,
+               byte_len
+        FROM d
+    """
+
+
 QUERIES = {
     "merge_into_customers": merge_into_customers,
     "cdc_apply_orders": cdc_apply_orders,
@@ -1360,6 +1434,7 @@ QUERIES = {
     "data_quality_expectations": data_quality_expectations,
     "zonemap_skipping_report": zonemap_skipping_report,
     "erasure_impact_report": erasure_impact_report,
+    "shard_manifest_offsets": shard_manifest_offsets,
 }
 
 ORACLE = {
@@ -1373,4 +1448,5 @@ ORACLE = {
     "data_quality_expectations": _dq_oracle_sql(),
     "zonemap_skipping_report": _zonemap_oracle_sql(),
     "erasure_impact_report": _erasure_oracle_sql(),
+    "shard_manifest_offsets": _manifest_oracle_sql(),
 }

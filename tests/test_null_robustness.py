@@ -43,6 +43,9 @@ NULL_SWEEP = [
     "dedup_minhash_lsh",
     "dedup_jaccard_verify",
     "dedup_simhash",
+    "dedup_simhash_hamming",
+    "keyword_tag_docs",
+    "shard_manifest_offsets",
     "dedup_substring_spans",
     "boilerplate_sentence_dedup",
     "decontaminate_benchmark_overlap",

@@ -20,7 +20,7 @@ def _write_docs(d, rows):
         "text": [r[1] for r in rows],
         "lang": ["en"] * len(rows),
         "source": [r[2] for r in rows],
-        "n_chars": [len(r[1]) for r in rows],
+        "n_chars": [len(r[1]) if r[1] is not None else 0 for r in rows],
     }), f"{d}/documents.parquet")
 
 
@@ -132,3 +132,175 @@ def test_m4_pre_epoch_floor_parity(spark, tmp_path):
         assert_matches_oracle(
             e.queries()[name](spark, d), con, e.oracle_sql()[name], name)
     con.close()
+
+
+# ---- round-12 batch 2: SQ ANN, simhash hamming, manifest, keywords --------
+
+from pyspark.sql import functions as F
+
+from selfhosted_rag_doc_chat_prototype_spark.operators import (
+    dedup, similarity, textstats, warehouse)
+
+
+def test_sq_topk_matches_brute_on_unit_corpus(spark, sf_dir):
+    """int8 SQ over the (unit-normalized) embeddings corpus: per-query
+    recall@k vs the exact brute top-k must be ~1 -- the fidelity claim
+    that justifies SQ's 8x memory over BQ (measured 1.0 at sf0.001/
+    0.01; floor-asserted at 0.9 to absorb future corpus swaps)."""
+    brute = {(r.query_id, r.neighbor_id)
+             for r in similarity.anns_bruteforce_topk(spark, sf_dir).collect()}
+    sq_rows = similarity.anns_sq_topk(spark, sf_dir).collect()
+    sq = {(r.query_id, r.neighbor_id) for r in sq_rows}
+    by_q = {}
+    for q, n in brute:
+        by_q.setdefault(q, set()).add(n)
+    for q, gold in by_q.items():
+        hits = len({nn for qq, nn in sq if qq == q} & gold)
+        assert hits / len(gold) >= 0.9, f"query {q}: recall {hits}/{len(gold)}"
+    # serve-shape invariants: dense ranks 1..k per query, no self hits
+    ranks = {}
+    for r in sq_rows:
+        assert r.query_id != r.neighbor_id
+        ranks.setdefault(r.query_id, []).append(r.rank)
+    for q, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1))
+
+
+def test_sq_quantization_error_bounded(spark, sf_dir):
+    """The SQ shortlist key approximates the true dot product within
+    the quantizer's worst-case bound: 64 dims x half-step q-error on
+    each side => |approx - dot| <= dim * (s_a*0.5*|b|_inf-ish); for a
+    unit-norm 64-dim corpus the practical bound is ~0.02."""
+    rows = (
+        similarity._vectors(spark, sf_dir).limit(50)
+        .select("vec_id", "v").collect()
+    )
+    for i in range(0, len(rows) - 1, 2):
+        a, b = rows[i].v, rows[i + 1].v
+        sa = max(abs(x) for x in a) / 127.0
+        sb = max(abs(x) for x in b) / 127.0
+        qa = [round(x / sa) for x in a]
+        qb = [round(x / sb) for x in b]
+        approx = sum(p * q for p, q in zip(qa, qb)) * sa * sb
+        true = sum(p * q for p, q in zip(a, b))
+        assert abs(approx - true) < 0.02, (rows[i].vec_id, approx, true)
+
+
+def test_simhash_hamming_exact_recall_pigeonhole(spark, tmp_path):
+    """Manku multi-index guarantee: with 4 blocks and k=3 < 4, EVERY
+    pair within hamming distance 3 is found -- deterministically, not
+    in expectation (contrast: minhash banding recall is probabilistic).
+    Verified against a brute-force all-pairs hamming computed from the
+    same signature function."""
+    d = str(tmp_path / "simham")
+    base = [f"tok{i}" for i in range(40)]
+    rows = []
+    for did in range(1, 12):
+        words = [f"d{did}w{i}" for i in range(30)] if did % 3 == 0 \
+            else base + [f"extra{did}", f"more{did}"]
+        rows.append((did, " ".join(words), "s"))
+    rows.append((12, "", "s"))          # zero-token doc: must not pair
+    rows.append((13, None, "s"))        # NULL doc: must not pair
+    _write_docs(d, rows)
+
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in dedup.dedup_simhash_hamming(spark, d).collect()}
+
+    # reported pairs are ordered, within radius, and never degenerate
+    for (a, b), h in got.items():
+        assert a < b and 0 <= h <= dedup.SIMHASH_HAM_K
+        assert a not in (12, 13) and b not in (12, 13)
+
+    # brute-force gold over the SAME constructed corpus (docs + near
+    # copies + exact copies), excluding zero-token rows
+    corpus = {}
+    for did, text, _ in rows:
+        if text:
+            corpus[did] = text
+            if did % 5 == 0:
+                w = text.split()
+                near = " ".join(w[2:])
+                if near:
+                    corpus[did + 1000000] = near
+            if did % 7 == 0:
+                corpus[did + 2000000] = text
+    sigs = {k: dedup._simhash64_py(v) for k, v in corpus.items()}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+            if h <= dedup.SIMHASH_HAM_K:
+                assert got.get((a, b)) == h, (
+                    f"missed pair ({a},{b}) at hamming {h}")
+    assert set(got) == {
+        (a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+        if sum(x != y for x, y in zip(sigs[a], sigs[b]))
+        <= dedup.SIMHASH_HAM_K
+    }
+
+
+def test_shard_manifest_offsets_contract(spark, tmp_path):
+    """Manifest invariants: every doc exactly once; per-shard pos is
+    contiguous from 1 in doc_id order; byte_offset is the running sum
+    of prior (byte_len + 1) records; NULL text is a 0-byte record."""
+    d = str(tmp_path / "manifest")
+    _write_docs(d, [
+        (1, "hello world", "s"), (2, "a", "s"), (3, None, "s"),
+        (4, "xyzzy" * 10, "s"), (5, "", "s"), (6, "ä", "s"),
+    ])
+    rows = warehouse.shard_manifest_offsets(spark, d).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2, 3, 4, 5, 6]
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.pos)
+        assert [r.pos for r in rs] == list(range(1, len(rs) + 1))
+        assert rs == sorted(rs, key=lambda r: r.doc_id)
+        off = 0
+        for r in rs:
+            assert r.byte_offset == off
+            off += r.byte_len + 1
+    null_row = next(r for r in rows if r.doc_id == 3)
+    assert null_row.byte_len == 0
+    utf8_row = next(r for r in rows if r.doc_id == 6)
+    assert utf8_row.byte_len == 2  # utf-8 octets, not chars
+
+
+def test_keyword_tag_docs_counts(spark, tmp_path):
+    """Tagging counts token occurrences of the df-top dictionary terms
+    exactly; terms shorter than KW_MIN_LEN never enter the dictionary;
+    docs without dictionary terms emit no rows."""
+    d = str(tmp_path / "kwtag")
+    _write_docs(d, [
+        (1, "greenhouse tomato greenhouse basilherb", "s"),
+        (2, "greenhouse basilherb basilherb xy", "s"),
+        (3, "tomato tomato xy", "s"),
+        (4, "nothing relevant here at all", "s"),
+    ])
+    rows = textstats.keyword_tag_docs(spark, d).collect()
+    got = {(r.doc_id, r.term): r.n_occurrences for r in rows}
+    # df: greenhouse 2, tomato 2, basilherb 2, nothing/relevant 1, "xy"
+    # too short, "here"/"at"/"all" too short
+    assert got[(1, "greenhouse")] == 2
+    assert got[(1, "tomato")] == 1
+    assert got[(2, "basilherb")] == 2
+    assert got[(3, "tomato")] == 2
+    assert all(len(t) >= textstats.KW_MIN_LEN for _, t in got)
+    assert not any(t == "xy" for _, t in got)
+
+
+def test_recall_report_carries_sq_leg(spark, sf_dir):
+    """The omnibus recall report includes the r12 SQ strategy with the
+    same schema as every other leg, and SQ's recall dominates BQ's on
+    the unit-norm corpus (byte codes vs sign bits)."""
+    rows = similarity.anns_recall_report(spark, sf_dir).collect()
+    by_strat = {}
+    for r in rows:
+        by_strat.setdefault(r.strategy, []).append(r.recall)
+    assert "sq" in by_strat
+    assert len(by_strat["sq"]) == similarity.N_QUERIES
+    sq_mean = sum(by_strat["sq"]) / len(by_strat["sq"])
+    bq_mean = sum(by_strat["bq"]) / len(by_strat["bq"])
+    assert sq_mean >= bq_mean
+    assert sq_mean >= 0.9

@@ -1507,6 +1507,71 @@ AUDIT += (
             "rank windows partition by source over B-row groups; the "
             "point estimate joins back at source grain.",
         ),
+        (
+            "anns_sq_topk",
+            "r12 int8 scalar-quantized serve path (completes the "
+            "compression family: BQ 1-bit / PQ subspace codebooks / "
+            "MRL prefix / SQ byte-per-dim): quantization is map-only "
+            "codegen (maxabs fold + per-element round -- codes stay "
+            "EXACT integers in double arrays, so the shortlist key "
+            "qdot*scale_q*scale_c is bit-identical cross-engine); "
+            "the scan broadcasts the Q-row query side against the "
+            "rebalanced candidates (no corpus shuffle), int-dot "
+            "shortlist at k*4 oversample, exact-cosine rerank touches "
+            "Q*k*4 vectors. Recall 1.0 at sf0.01 (unit-norm corpus; "
+            "see anns_recall_sq) -- the fidelity the 8x-vs-BQ memory "
+            "buys. At 100 TB the codes are a stored 64-byte column; "
+            "the scan is bandwidth-bound at 1/8 raw-vector bytes.",
+        ),
+        (
+            "anns_recall_sq",
+            "r12 recall leg of the SQ serve path vs the shared brute "
+            "gold matview -- same _recall_vs_exact shape as the other "
+            "eight legs: one serve plan + one O(Q*k) left join + "
+            "per-query count aggregation; persisted per corpus, the "
+            "omnibus report unions the stored rows.",
+        ),
+        (
+            "dedup_simhash_hamming",
+            "r12 Manku-Jain-Das Sarma multi-index simhash pairing: ONE "
+            "Arrow signature pass, a 4x block posexplode (map-side), "
+            "candidate pairs from a (block, bits) equi-SELF-JOIN "
+            "(pigeonhole: k=3 < 4 blocks gives DETERMINISTIC 100% "
+            "recall -- the recall contrast to probabilistic minhash "
+            "banding), DISTINCT, then an integer-only verify "
+            "(base-2 conv + XOR + POPCNT per 16-bit block, pure "
+            "codegen, no Python past the signature). Same-vocab short "
+            "docs make some 16-bit buckets thousands deep (sf0.1 max "
+            "2.2k): the self-join form streams those pairs and AQE "
+            "skew-split handles the hot buckets, where the "
+            "collect_list expansion would build multi-million-element "
+            "single rows. At crawl scale this is the production "
+            "simhash dedup layout: 4 permutation tables, one "
+            "equi-join probe each.",
+        ),
+        (
+            "shard_manifest_offsets",
+            "r12 export manifest: shard is a row-local md5-nibble "
+            "(map-only, byte-balanced under any id distribution), "
+            "byte lengths are codegen octet_length, and the offset "
+            "cumsum is a window PARTITIONED BY shard -- the per-shard "
+            "prefix sum IS the file layout, inherently sequential, so "
+            "the sort fans out across the shard count (raise the "
+            "nibble width at 100 TB, same lever as "
+            "epoch_shuffle_shards). No global sort, no "
+            "single-partition window, no Python.",
+        ),
+        (
+            "keyword_tag_docs",
+            "r12 dictionary tagging (FlashText/Aho-Corasick batch "
+            "shape): dictionary build is one distinct-(doc, term) "
+            "partial-aggregated groupBy + TakeOrderedAndProject "
+            "(distributed top-k, never a 1-partition vocab window); "
+            "tagging explodes tokens map-side and BROADCAST-joins the "
+            "tiny dictionary BEFORE the (doc, term) count, so the "
+            "shuffle carries only dictionary-matching tokens. Past "
+            "broadcast size the same plan shuffle-joins on term.",
+        ),
     ]
 )
 
