@@ -255,6 +255,9 @@ HEADLINE = [
     "dedup_simhash_hamming",
     "shard_manifest_offsets",
     "keyword_tag_docs",
+    # round 12 batch 3: Kneser-Ney bigram LM, asymmetric containment
+    "kneser_ney_bigram_topk",
+    "dedup_containment_verify",
 ]
 
 # PINNED CORE (r8, VERDICT item 7): a frozen 30-query subset that NEVER

@@ -981,6 +981,87 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash_udf()(F.col("text")).alias("simhash_bits"))
 
 
+# ---- asymmetric containment verification -----------------------------------
+
+CONTAIN_NUM, CONTAIN_DEN = 4, 5   # containment threshold 4/5 = 0.8
+CONTAIN_DF_MAX = 10               # rare-shingle postings cap (hot-key guard)
+QUOTE_W = 12                      # planted quote length (words)
+
+
+def dedup_containment_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup verification: for candidate
+    pairs, C(A in B) = |S(A) & S(B)| / |S(A)| over distinct 3-word
+    shingles -- the statistic that catches QUOTE/INCLUSION duplication
+    (a short doc fully embedded in a long one has Jaccard ~ |A|/|B|,
+    far below any symmetric threshold, but C(A in B) = 1; Broder's
+    containment, the sub-document half of crawl dedup). Corpus =
+    documents + planted quotes (first ``QUOTE_W`` words of every
+    doc_id % 11 == 0 doc).
+
+    Candidates come from RARE-SHINGLE postings (2 <= document
+    frequency <= ``CONTAIN_DF_MAX``), not minhash banding: banding's
+    collision probability is Jaccard^rows, which by construction
+    MISSES low-Jaccard containment pairs, while a contained doc
+    shares every one of its shingles with its container -- any
+    pair-specific shingle is a deterministic candidate route. The df
+    cap is the hot-key guard (ubiquitous shingles prune out; pairs
+    sharing ONLY ultra-common shingles are skipped by design -- the
+    rare-feature blocking trade).
+
+    Scale shape: one shingle explode, one df-filtered (shingle)
+    groupBy whose posting arrays are <= CONTAIN_DF_MAX long (bounded
+    within-bucket expansion, no skew), DISTINCT pairs, one shingle-set
+    equi-join per side, exact-INTEGER threshold compare
+    (CONTAIN_DEN * inter >= CONTAIN_NUM * |S|) so no float sits on
+    the cut; ratios round once at the output."""
+    docs = table(spark, sf_dir, "documents")
+    quotes = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.array_join(F.slice(tq.words(F.col("text")), 1, QUOTE_W), " ")
+        .alias("text"),
+    )
+    corpus = rebalance(
+        docs.select("doc_id", "text").unionByName(quotes))
+    sets_ = corpus.select("doc_id", _shingles_col().alias("shingles"))
+    post = sets_.select(
+        "doc_id", F.explode("shingles").alias("shingle"))
+    buckets = (
+        post.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= CONTAIN_DF_MAX))
+    )
+    pairs = (
+        _bucket_pairs(buckets)
+        .distinct()
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    )
+    j = (
+        pairs.join(sets_.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sets_.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("shingles", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    na, nb = F.size("sh_a"), F.size("sh_b")
+    return (
+        j.select("doc_a", "doc_b", inter.alias("inter"),
+                 na.alias("na"), nb.alias("nb"))
+        .filter(
+            (F.lit(CONTAIN_DEN) * F.col("inter")
+             >= F.lit(CONTAIN_NUM) * F.col("na"))
+            | (F.lit(CONTAIN_DEN) * F.col("inter")
+               >= F.lit(CONTAIN_NUM) * F.col("nb"))
+        )
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("inter").cast("double")
+                    / F.col("na").cast("double"), 4).alias("cont_a_in_b"),
+            F.round(F.col("inter").cast("double")
+                    / F.col("nb").cast("double"), 4).alias("cont_b_in_a"),
+        )
+    )
+
+
 # ---- simhash hamming-ball pairing (Manku et al., WWW'07) ------------------
 
 SIMHASH_BLOCKS = 4     # 16-bit blocks over the 64-bit signature
@@ -2131,6 +2212,7 @@ QUERIES = {
     "decontaminate_fuzzy_minhash": decontaminate_fuzzy_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_hamming": dedup_simhash_hamming,
+    "dedup_containment_verify": dedup_containment_verify,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_semantic_keep": dedup_semantic_keep,
     "knn_graph_lsh": knn_graph_lsh,
@@ -2234,6 +2316,51 @@ ORACLE = {
         ) WHERE jaccard >= {FUZZY_JACCARD}
     """,
     "dedup_simhash": _simhash_sql("documents"),
+    # asymmetric containment: quote-planted corpus, rare-shingle
+    # postings candidates (df in [2, CONTAIN_DF_MAX]), exact-integer
+    # threshold compare, ratios rounded once at output
+    "dedup_containment_verify": f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 3000000 AS doc_id,
+                   array_to_string(list_slice(w, 1, {QUOTE_W}), ' ') AS text
+            FROM (SELECT doc_id, {_W_SQL} AS w FROM documents
+                  WHERE doc_id % 11 = 0)
+        ),
+        sets_ AS MATERIALIZED ({_shingles_sql("corpus")}),
+        post AS MATERIALIZED (
+            SELECT doc_id, unnest(shingles) AS shingle FROM sets_
+        ),
+        df AS (
+            SELECT shingle, count(*) AS c FROM post GROUP BY shingle
+            HAVING count(*) BETWEEN 2 AND {CONTAIN_DF_MAX}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM post a
+            JOIN df USING (shingle)
+            JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ),
+        scored AS MATERIALIZED (
+            SELECT cand.doc_a, cand.doc_b,
+                   CAST(len(list_intersect(sa.shingles, sb.shingles))
+                        AS BIGINT) AS inter,
+                   CAST(len(sa.shingles) AS BIGINT) AS na,
+                   CAST(len(sb.shingles) AS BIGINT) AS nb
+            FROM cand
+            JOIN sets_ sa ON sa.doc_id = cand.doc_a
+            JOIN sets_ sb ON sb.doc_id = cand.doc_b
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(inter AS DOUBLE) / CAST(na AS DOUBLE), 4)
+                   AS cont_a_in_b,
+               round(CAST(inter AS DOUBLE) / CAST(nb AS DOUBLE), 4)
+                   AS cont_b_in_a
+        FROM scored
+        WHERE {CONTAIN_DEN} * inter >= {CONTAIN_NUM} * na
+           OR {CONTAIN_DEN} * inter >= {CONTAIN_NUM} * nb
+    """,
     # Manku multi-index hamming pairing: candidates from exact-match on
     # any of the 4 16-bit blocks (pigeonhole: 100% recall at k < 4),
     # verify = BIT xor + bit_count of the full 64-bit signatures

@@ -1419,6 +1419,136 @@ def _zipf_oracle_sql() -> str:
     """
 
 
+# ---- Kneser-Ney smoothed bigram LM ------------------------------------------
+
+KN_D_NUM, KN_D_DEN = 3, 4   # absolute discount D = 0.75 (Chen-Goodman)
+KN_TOP = 50                  # emitted rows: global top-k bigrams by P_KN
+
+
+def kneser_ney_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Chen & Goodman
+    1998, the standard n-gram LM smoother; the statistic behind
+    KenLM-style corpus quality scoring) -- for every corpus bigram,
+
+        P_KN(w2|w1) = max(c(w1,w2) - D, 0)/c(w1)
+                      + D * N1+(w1,.)/c(w1) * N1+(.,w2)/T
+
+    with D = 0.75, N1+ the distinct-continuation counts and T the
+    total distinct bigram types; output the global top-``KN_TOP``
+    bigrams by P_KN.
+
+    Cross-engine exactness (the norm_dbsf moment discipline): with
+    D = 3/4, P_KN = num/den for the EXACT BIGINTs
+    num = max(4*c12 - 3, 0)*T + 3*N1fw*N1bw and den = 4*c1*T; both
+    engines build identical integers and perform ONE int->double
+    division, so even the ranking doubles are bit-identical; the
+    probability rounds once at the output.
+
+    Scale shape: one map-side bigram explode feeding a partial-
+    aggregated (w1, w2) count; the three marginals (c1/N1fw per w1,
+    N1bw per w2, T) are aggregations over the TYPE table (vocabulary-
+    sized, not corpus-sized); the final assembly is two equi-joins on
+    the type table plus a broadcast one-row T; top-k is a distributed
+    TakeOrdered. No Python anywhere."""
+    docs = table(spark, sf_dir, "documents")
+    bi = docs.select(
+        F.explode(
+            tq.let(
+                tq.words(F.col("text")),
+                lambda w: F.when(
+                    F.size(w) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - 1),
+                        lambda i: F.struct(
+                            F.element_at(w, i).alias("w1"),
+                            F.element_at(w, i + 1).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<w1:string,w2:string>>")
+                ),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    types = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12"))
+    w1agg = types.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1fw"),
+    )
+    w2agg = types.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1bw"))
+    t_total = types.agg(F.count(F.lit(1)).cast("long").alias("t_types"))
+    num = (
+        F.greatest(F.lit(KN_D_DEN) * F.col("c12") - F.lit(KN_D_NUM),
+                   F.lit(0)).cast("long") * F.col("t_types")
+        + F.lit(KN_D_NUM) * F.col("n1fw") * F.col("n1bw")
+    )
+    den = F.lit(KN_D_DEN) * F.col("c1") * F.col("t_types")
+    return (
+        types.join(w1agg, "w1").join(w2agg, "w2")
+        .crossJoin(F.broadcast(t_total))
+        .select(
+            "w1", "w2", "c12",
+            num.cast("long").alias("kn_num"),
+            den.cast("long").alias("kn_den"),
+        )
+        .withColumn(
+            "p_kn",
+            F.round(F.col("kn_num").cast("double")
+                    / F.col("kn_den").cast("double"), 8),
+        )
+        .orderBy(F.desc(F.col("kn_num").cast("double")
+                        / F.col("kn_den").cast("double")),
+                 F.asc("w1"), F.asc("w2"))
+        .limit(KN_TOP)
+    )
+
+
+def _kneser_ney_oracle_sql() -> str:
+    return f"""
+        WITH w AS (SELECT doc_id, {_W_SQL} AS w FROM documents),
+        bi AS (
+            SELECT unnest(list_transform(range(1, len(w)), i ->
+                struct_pack(w1 := w[i], w2 := w[i + 1]))) AS b
+            FROM w
+        ),
+        types AS (
+            SELECT b.w1 AS w1, b.w2 AS w2,
+                   CAST(count(*) AS BIGINT) AS c12
+            FROM bi GROUP BY b.w1, b.w2
+        ),
+        w1agg AS (
+            SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                   CAST(count(*) AS BIGINT) AS n1fw
+            FROM types GROUP BY w1
+        ),
+        w2agg AS (
+            SELECT w2, CAST(count(*) AS BIGINT) AS n1bw
+            FROM types GROUP BY w2
+        ),
+        tt AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM types),
+        scored AS (
+            SELECT t.w1, t.w2, t.c12,
+                   CAST(greatest({KN_D_DEN} * t.c12 - {KN_D_NUM}, 0)
+                        * tt.t_types
+                        + {KN_D_NUM} * a.n1fw * b.n1bw AS BIGINT) AS kn_num,
+                   CAST({KN_D_DEN} * a.c1 * tt.t_types AS BIGINT) AS kn_den
+            FROM types t
+            JOIN w1agg a ON t.w1 = a.w1
+            JOIN w2agg b ON t.w2 = b.w2
+            CROSS JOIN tt
+        )
+        SELECT w1, w2, c12, kn_num, kn_den,
+               round(CAST(kn_num AS DOUBLE) / CAST(kn_den AS DOUBLE), 8)
+                   AS p_kn
+        FROM scored
+        ORDER BY CAST(kn_num AS DOUBLE) / CAST(kn_den AS DOUBLE) DESC,
+                 w1 ASC, w2 ASC
+        LIMIT {KN_TOP}
+    """
+
+
 # ---- dictionary keyword tagging --------------------------------------------
 
 KW_DICT_N = 20      # dictionary size (corpus-derived, deterministic)
@@ -1494,6 +1624,7 @@ QUERIES = {
     "text_char_entropy": text_char_entropy,
     "kwic_concordance": kwic_concordance,
     "keyword_tag_docs": keyword_tag_docs,
+    "kneser_ney_bigram_topk": kneser_ney_bigram_topk,
     "ngram_nextword_topk": ngram_nextword_topk,
     "text_code_detect": text_code_detect,
     "vocab_top_coverage": vocab_top_coverage,
@@ -1523,6 +1654,7 @@ _LANG_SQL = ", ".join(
 
 ORACLE = {
     "keyword_tag_docs": _keyword_tag_oracle_sql(),
+    "kneser_ney_bigram_topk": _kneser_ney_oracle_sql(),
     "sketch_countmin_heavyhitters": f"""
         WITH tok AS (
             SELECT unnest({_W_SQL}) AS term FROM documents

@@ -44,6 +44,8 @@ NULL_SWEEP = [
     "dedup_jaccard_verify",
     "dedup_simhash",
     "dedup_simhash_hamming",
+    "dedup_containment_verify",
+    "kneser_ney_bigram_topk",
     "keyword_tag_docs",
     "shard_manifest_offsets",
     "dedup_substring_spans",

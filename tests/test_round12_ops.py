@@ -304,3 +304,78 @@ def test_recall_report_carries_sq_leg(spark, sf_dir):
     bq_mean = sum(by_strat["bq"]) / len(by_strat["bq"])
     assert sq_mean >= bq_mean
     assert sq_mean >= 0.9
+
+
+def test_kneser_ney_bigram_probabilities(spark, tmp_path):
+    """P_KN recomputed independently in pure Python over a tiny corpus
+    must match the operator's exact-integer num/den rows; every
+    emitted probability is in (0, 1] and the interpolation weight
+    identity holds (sum over w2 of P_KN(w2|w1) == 1 for a w1 whose
+    continuations are all in the output)."""
+    d = str(tmp_path / "kn")
+    _write_docs(d, [
+        (1, "a b a b c", "s"),
+        (2, "a b c d", "s"),
+        (3, "d a", "s"),
+        (4, "solo", "s"),          # 1 token: no bigrams
+        (5, None, "s"),            # NULL: no bigrams
+    ])
+    rows = textstats.kneser_ney_bigram_topk(spark, d).collect()
+    got = {(r.w1, r.w2): r for r in rows}
+
+    # independent python recount
+    from collections import Counter
+    bigrams = Counter()
+    for text in ["a b a b c", "a b c d", "d a"]:
+        w = text.split()
+        for i in range(len(w) - 1):
+            bigrams[(w[i], w[i + 1])] += 1
+    T = len(bigrams)
+    c1 = Counter(); n1fw = Counter(); n1bw = Counter()
+    for (w1, w2), c in bigrams.items():
+        c1[w1] += c; n1fw[w1] += 1; n1bw[w2] += 1
+    for (w1, w2), c in bigrams.items():
+        num = max(4 * c - 3, 0) * T + 3 * n1fw[w1] * n1bw[w2]
+        den = 4 * c1[w1] * T
+        r = got[(w1, w2)]
+        assert (r.kn_num, r.kn_den, r.c12) == (num, den, c)
+        assert 0 < r.p_kn <= 1
+        assert abs(r.p_kn - num / den) < 1e-7
+
+    # KN normalization over the CONTINUATION VOCABULARY: the operator
+    # emits observed bigrams only; adding the closed-form backoff mass
+    # D * N1+(w1,.)/c1 * Pcont(w2) for every unobserved (w1, w2) must
+    # bring each context's total to exactly 1
+    vocab = {w2 for (_, w2) in bigrams}
+    for w1 in c1:
+        s = sum(r.kn_num / r.kn_den for (a, _), r in got.items() if a == w1)
+        s += sum(
+            (3 * n1fw[w1] * n1bw[w2]) / (4 * c1[w1] * T)
+            for w2 in vocab if (w1, w2) not in bigrams
+        )
+        assert abs(s - 1.0) < 1e-9, (w1, s)
+
+
+def test_containment_catches_quotes_jaccard_misses(spark, tmp_path):
+    """A planted quote (first QUOTE_W words of a long doc) must be
+    flagged with containment ~1 even though its Jaccard vs the
+    container is far below the symmetric dedup threshold -- the
+    operator's reason to exist. Pairs sharing no rare shingle are
+    absent; all emitted rows clear the 0.8 threshold on at least one
+    direction."""
+    d = str(tmp_path / "contain")
+    long_doc = " ".join(f"u{i}" for i in range(60))
+    other = " ".join(f"v{i}" for i in range(40))
+    _write_docs(d, [(11, long_doc, "s"), (12, other, "s"),
+                    (13, "x y", "s")])   # <3 words: no shingles
+    rows = dedup.dedup_containment_verify(spark, d).collect()
+    got = {(r.doc_a, r.doc_b): r for r in rows}
+    # doc 11 % 11 == 0 -> quote planted at 3000011
+    r = got[(11, 3000011)]
+    assert r.cont_b_in_a == 1.0          # quote fully inside container
+    # jaccard would have been ~10/58 -- nowhere near 0.5
+    assert r.cont_a_in_b < 0.5
+    for rr in rows:
+        assert max(rr.cont_a_in_b, rr.cont_b_in_a) >= 0.8
+        assert rr.doc_a < rr.doc_b
+    assert not any(13 in p for p in got)

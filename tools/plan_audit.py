@@ -1572,6 +1572,33 @@ AUDIT += (
             "shuffle carries only dictionary-matching tokens. Past "
             "broadcast size the same plan shuffle-joins on term.",
         ),
+        (
+            "kneser_ney_bigram_topk",
+            "r12 interpolated Kneser-Ney bigram LM (Chen-Goodman; the "
+            "KenLM-style quality-scoring statistic): one map-side "
+            "bigram explode into a partial-aggregated (w1, w2) count; "
+            "the marginals (c1/N1fw, N1bw, T) aggregate the TYPE "
+            "table (vocabulary-sized), assembled by two type-grain "
+            "equi-joins + one broadcast scalar; P_KN = num/den over "
+            "EXACT BIGINTs (D=3/4 cleared of floats), so even the "
+            "ranking doubles are bit-identical cross-engine; top-k is "
+            "TakeOrdered. No Python.",
+        ),
+        (
+            "dedup_containment_verify",
+            "r12 asymmetric containment (Broder; the quote/inclusion "
+            "half of crawl dedup that symmetric Jaccard misses): "
+            "candidates from RARE-SHINGLE postings (df in [2, 10] -- "
+            "minhash banding collides at Jaccard^rows and by "
+            "construction misses low-Jaccard containment pairs, while "
+            "a contained doc shares EVERY shingle with its container; "
+            "the df cap is the hot-key guard and the honest recall "
+            "trade), posting arrays bounded at df_max so the "
+            "within-bucket expansion never skews; one shingle-set "
+            "equi-join per side; the 0.8 threshold is the exact-"
+            "integer compare 5*inter >= 4*|S| (no float on the cut); "
+            "ratios round once at output.",
+        ),
     ]
 )
 
