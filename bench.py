@@ -258,6 +258,8 @@ HEADLINE = [
     # round 12 batch 3: Kneser-Ney bigram LM, asymmetric containment
     "kneser_ney_bigram_topk",
     "dedup_containment_verify",
+    # round 12 batch 4: LSH-shortlisted range retrieval
+    "anns_range_search_lsh",
 ]
 
 # PINNED CORE (r8, VERDICT item 7): a frozen 30-query subset that NEVER
@@ -378,6 +380,7 @@ BENCH_EXCLUDED = {
         "anns_recall_ivf", "anns_recall_ivfpq", "anns_recall_bq",
         "anns_recall_matryoshka", "anns_recall_hardneg",
         "anns_recall_late_interaction", "anns_recall_sq",
+        "anns_recall_range_lsh",
     ]},
 }
 

@@ -584,9 +584,10 @@ def anns_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to the benched brute top-k leg (broadcast
     queries x rebalanced candidates, vectorized cosine kernel) except
     the per-query window is replaced by a codegen filter -- strictly
-    cheaper; the LSH-shortlisted variant drops in exactly as it does
-    for top-k (bucket join then the same threshold filter), with
-    recall graded by the same machinery as anns_recall_report."""
+    cheaper; the LSH-shortlisted variant is the registered production
+    face :func:`anns_range_search_lsh` (bucket join then the same
+    threshold filter), recall-graded per query by
+    :func:`anns_recall_range_lsh` inside anns_recall_report."""
     base = _vectors(spark, sf_dir)
     q = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -598,6 +599,40 @@ def anns_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(q).crossJoin(rebalance(cand))
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
+    return (
+        joined.select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= RANGE_TAU)
+    )
+
+
+def anns_range_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-shortlisted PRODUCTION face of range (threshold)
+    retrieval -- the variant :func:`anns_range_search`'s docstring
+    promises: candidates come from the persisted signature index via
+    the same bucket equi-join every top-k serve path probes, then the
+    identical round-then-compare threshold filter runs over candidates
+    only. At 100 TB the exact face's broadcast scan touches every
+    vector per query; this face touches the colliding buckets --
+    recall is the (bits, tables) trade graded per query by
+    :func:`anns_recall_range_lsh` against the exact face.
+
+    Scale shape: identical to anns_lsh_bucketed with the per-query
+    top-k window replaced by a codegen filter -- strictly cheaper; no
+    corpus-side signature pass (stored index), no shuffle of the
+    candidate side."""
+    base = _vectors(spark, sf_dir)
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
+    )
+    joined = lsh_bucket_join(
+        q, cand, cand_signed=lsh_build(spark, sf_dir)
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
     return (
         joined.select(
             "query_id", "neighbor_id",
@@ -652,7 +687,8 @@ def _gold_build(spark: SparkSession, sf_dir: str, name: str,
 
 
 _RECALL_STRATEGIES = ("lsh", "lsh_multiprobe", "ivf", "ivfpq", "bq",
-                      "matryoshka", "hardneg", "late_interaction", "sq")
+                      "matryoshka", "hardneg", "late_interaction", "sq",
+                      "range_lsh")
 _RECALL_STORE: dict = {}
 
 
@@ -799,6 +835,20 @@ def anns_recall_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _brute_gold(spark, sf_dir), anns_sq_topk(spark, sf_dir), "sq")
 
 
+def anns_recall_range_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall of the LSH-shortlisted RANGE serve path
+    against the exact threshold face (persisted as its own gold
+    matview -- a different task has a different gold standard, the
+    hardneg/late_interaction pattern): n_exact here is the number of
+    true neighbors within RANGE_TAU, data-dependent by design (r12)."""
+    gold = _gold_build(
+        spark, sf_dir, "range",
+        lambda: anns_range_search(spark, sf_dir),
+    )
+    return _recall_vs_exact(
+        gold, anns_range_search_lsh(spark, sf_dir), "range_lsh")
+
+
 _RECALL_LEG_QUERIES = {
     "lsh": anns_recall_lsh,
     "lsh_multiprobe": anns_recall_lsh_multiprobe,
@@ -809,6 +859,7 @@ _RECALL_LEG_QUERIES = {
     "hardneg": anns_recall_hardneg,
     "late_interaction": anns_recall_late_interaction,
     "sq": anns_recall_sq,
+    "range_lsh": anns_recall_range_lsh,
 }
 
 
@@ -847,8 +898,8 @@ def anns_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     REGISTERED PER-STRATEGY QUERY (``anns_recall_*``, each one serve
     plan + a gold-matview join, individually oracled) materialized
     once per corpus as a persisted matview, and this omnibus is a
-    UNION over the stored O(Q)-row leg reports (nine strategies as of
-    r12's SQ leg) -- the executed
+    UNION over the stored O(Q)-row leg reports (ten strategies as of
+    r12's SQ and LSH-range legs) -- the executed
     plan reads tiny parquet tables instead of replanning eight
     serve subtrees (24 exchanges / 25 scans in the r8 plan). The exact
     legs (brute top-K, cross-label brute, corpus-wide MaxSim) stay
@@ -2519,6 +2570,7 @@ QUERIES = {
     "bitext_margin_pairs": bitext_margin_pairs,
     "bitext_margin_mined": bitext_margin_mined,
     "anns_range_search": anns_range_search,
+    "anns_range_search_lsh": anns_range_search_lsh,
     "anns_lsh_bucketed": anns_lsh_bucketed,
     "anns_hard_negatives": anns_hard_negatives,
     "anns_filtered_topk": anns_filtered_topk,
@@ -2740,6 +2792,31 @@ ORACLE = {
             ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
         WHERE round({_COS_SQL}, 4) >= {RANGE_TAU}
     """,
+    # LSH-shortlisted range face: same sig-CTE candidate set as every
+    # bucket-join serve path, then the identical round-then-compare
+    # threshold over candidates only
+    "anns_range_search_lsh": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE embedding IS NOT NULL),
+        _planes AS (SELECT {{planes}} AS h),
+        sig AS ({{sig_body}}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+            FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+            WHERE a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+        )
+        SELECT * FROM (
+            SELECT c.query_id, c.neighbor_id,
+                   round(list_cosine_similarity(qa.v, qb.v), 4) AS cos_sim
+            FROM cand c
+            JOIN e qa ON qa.vec_id = c.query_id
+            JOIN e qb ON qb.vec_id = c.neighbor_id
+        ) WHERE cos_sim >= {RANGE_TAU}
+    """.format(
+        planes=planes_sql_literal(hyperplanes(64, LSH_BITS, LSH_TABLES)),
+        sig_body=rh_sig_sql(hyperplanes(64, LSH_BITS, LSH_TABLES),
+                            LSH_BITS, LSH_TABLES, "e", "vec_id"),
+    ),
     "anns_bruteforce_topk": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL)
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -3890,6 +3967,7 @@ QUERIES.update({
     "anns_recall_hardneg": anns_recall_hardneg,
     "anns_recall_late_interaction": anns_recall_late_interaction,
     "anns_recall_sq": anns_recall_sq,
+    "anns_recall_range_lsh": anns_recall_range_lsh,
 })
 ORACLE.update({
     "anns_recall_lsh": _recall_leg_oracle(
@@ -3915,10 +3993,18 @@ ORACLE.update({
             FROM ({ORACLE["anns_late_interaction_topk"]}))""",
         exact_rel="li_gold"),
     "anns_recall_sq": _recall_leg_oracle("sq", ORACLE["anns_sq_topk"]),
+    "anns_recall_range_lsh": _recall_leg_oracle(
+        "range_lsh", ORACLE["anns_range_search_lsh"],
+        exact_with=f"""range_gold AS (
+            SELECT query_id, neighbor_id
+            FROM ({ORACLE["anns_range_search"]}))""",
+        exact_rel="range_gold"),
 })
 
-# round 12: int8 scalar-quantization leg joins the omnibus report
-# (gold standard = shared brute top-k, like every plain top-k leg)
+# round 12: the int8 scalar-quantization leg (gold standard = shared
+# brute top-k, like every plain top-k leg) and the LSH-range leg (own
+# exact side = the exact threshold face, the hardneg pattern) join the
+# omnibus report
 ORACLE["anns_recall_report"] = ORACLE["anns_recall_report"].rstrip() + f"""
     UNION ALL
     SELECT 'sq', b.query_id,
@@ -3928,6 +4014,17 @@ ORACLE["anns_recall_report"] = ORACLE["anns_recall_report"].rstrip() + f"""
     FROM brute b
     LEFT JOIN (SELECT query_id, neighbor_id
                FROM ({ORACLE["anns_sq_topk"]})) l
+           ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+    GROUP BY b.query_id
+    UNION ALL
+    SELECT 'range_lsh', b.query_id,
+           CAST(count(*) AS INTEGER),
+           CAST(count(l.neighbor_id) AS INTEGER),
+           round(count(l.neighbor_id)::DOUBLE / count(*), 4)
+    FROM (SELECT query_id, neighbor_id
+          FROM ({ORACLE["anns_range_search"]})) b
+    LEFT JOIN (SELECT query_id, neighbor_id
+               FROM ({ORACLE["anns_range_search_lsh"]})) l
            ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
     GROUP BY b.query_id
 """

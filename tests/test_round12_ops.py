@@ -379,3 +379,25 @@ def test_containment_catches_quotes_jaccard_misses(spark, tmp_path):
         assert max(rr.cont_a_in_b, rr.cont_b_in_a) >= 0.8
         assert rr.doc_a < rr.doc_b
     assert not any(13 in p for p in got)
+
+
+def test_range_lsh_subset_and_recall(spark, sf_dir):
+    """The LSH range face returns a SUBSET of the exact range result
+    (identical rounded cosines for every pair it emits -- candidates
+    then the same filter can add nothing), and its per-query recall
+    matches the leg report's arithmetic."""
+    exact = {(r.query_id, r.neighbor_id): r.cos_sim
+             for r in similarity.anns_range_search(spark, sf_dir).collect()}
+    served = {(r.query_id, r.neighbor_id): r.cos_sim
+              for r in
+              similarity.anns_range_search_lsh(spark, sf_dir).collect()}
+    assert set(served) <= set(exact)
+    for k, v in served.items():
+        assert v == exact[k]
+    leg = {r.query_id: r for r in
+           similarity.anns_recall_range_lsh(spark, sf_dir).collect()}
+    for q, r in leg.items():
+        n_exact = sum(1 for (qq, _) in exact if qq == q)
+        n_hits = sum(1 for (qq, _) in served if qq == q)
+        assert (r.n_exact, r.n_hits) == (n_exact, n_hits)
+        assert r.strategy == "range_lsh"

@@ -1585,6 +1585,25 @@ AUDIT += (
             "TakeOrdered. No Python.",
         ),
         (
+            "anns_range_search_lsh",
+            "r12 production face of range retrieval (the exact face's "
+            "docstring promise made a registered, graded query): "
+            "persisted-index bucket equi-join candidates (no corpus "
+            "signature pass, broadcast query side), then the identical "
+            "round-then-compare threshold filter -- strictly cheaper "
+            "than any top-k serve path (no window at all). At 100 TB "
+            "the exact face scans every vector per query; this face "
+            "touches colliding buckets only.",
+        ),
+        (
+            "anns_recall_range_lsh",
+            "r12 recall leg of the LSH range face vs the exact "
+            "threshold face persisted as its own gold matview (a "
+            "different task has a different gold standard -- the "
+            "hardneg/late_interaction pattern); n_exact is the true "
+            "within-tau neighbor count, data-dependent by design.",
+        ),
+        (
             "dedup_containment_verify",
             "r12 asymmetric containment (Broder; the quote/inclusion "
             "half of crawl dedup that symmetric Jaccard misses): "
