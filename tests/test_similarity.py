@@ -496,13 +496,13 @@ def test_hard_negatives_never_share_anchor_label(spark, sf_dir):
         assert len(ranks) <= HARDNEG_K
 
 
-def test_recall_report_covers_all_eight_serve_paths(spark, sf_dir):
+def test_recall_report_covers_all_serve_paths(spark, sf_dir):
     """One strategy column covers every approximate serve path, each
     with a per-strategy mean-recall floor (deterministic: seeded
     planes / codebooks, fixed corpus). Floors sit below the measured
     sf0.001 means (bq .56, hardneg .67, ivf .76, ivfpq .72, lsh .69,
-    multiprobe .81, matryoshka .45, late_interaction .21) with margin
-    for corpus regeneration.
+    multiprobe .81, matryoshka .45, late_interaction .21, sq 1.0,
+    range_lsh .67) with margin for corpus regeneration.
 
     The matryoshka and late_interaction floors are intentionally LOW:
     the synthetic embeddings are isotropic random vectors, so a 16-dim
@@ -527,7 +527,7 @@ def test_recall_report_covers_all_eight_serve_paths(spark, sf_dir):
     floors = {
         "lsh": 0.5, "lsh_multiprobe": 0.6, "ivf": 0.55, "ivfpq": 0.5,
         "bq": 0.4, "hardneg": 0.45, "matryoshka": 0.3,
-        "late_interaction": 0.12,
+        "late_interaction": 0.12, "sq": 0.9, "range_lsh": 0.3,
     }
     assert set(means) == set(floors)
     for s, floor in floors.items():
