@@ -260,6 +260,8 @@ HEADLINE = [
     "dedup_containment_verify",
     # round 12 batch 4: LSH-shortlisted range retrieval
     "anns_range_search_lsh",
+    # round 12 batch 5: kNN-graph connected components (Hash-to-Min)
+    "knn_connected_components",
 ]
 
 # PINNED CORE (r8, VERDICT item 7): a frozen 30-query subset that NEVER

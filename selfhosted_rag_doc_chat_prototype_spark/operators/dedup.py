@@ -525,6 +525,75 @@ def _bfs_oracle_sql(rounds: int = BFS_ROUNDS) -> str:
     """
 
 
+CC_ROUNDS = 4  # min-label propagation rounds (<= 2^R-hop convergence)
+
+
+def knn_connected_components(spark: SparkSession, sf_dir: str,
+                             rounds: int = CC_ROUNDS) -> DataFrame:
+    """CONNECTED COMPONENTS of the kNN graph by bounded-round min-label
+    propagation (the Hash-to-Min shape, Rastogi et al. 2013) -- the
+    missing member of the iterative-graph family next to PageRank,
+    label propagation, k-core, BFS and triangles: semantic cluster ids
+    over the embedding space, where ``dedup_connected_components``
+    clusters the minhash TEXT near-dup graph. Each round every node
+    takes the min of its own label and its neighbors' labels; after
+    ``rounds`` synchronous rounds a node's cluster_id is exactly the
+    minimum vec_id within ``rounds`` hops -- the same honest bounded-R
+    contract as :func:`knn_bfs_landmarks` (components of diameter > R
+    report per-region local minima; at 100 TB pick R ~ log(diameter)
+    or iterate to a fixpoint with a convergence check per round).
+
+    Scale shape: reads the persisted banded-LSH kNN build once
+    (localCheckpointed undirected edges); each round is ONE
+    partial-aggregated groupBy over <= degree rows per node -- min is
+    associative/commutative so map-side combine collapses the edge
+    fan-in before the shuffle; no driver-side iteration state beyond
+    the loop counter."""
+    edges = _undirected_knn_edges(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    labels = emb.filter(F.col("embedding").isNotNull()).select(
+        F.col("vec_id").alias("node"), F.col("vec_id").alias("lbl"))
+    for _ in range(rounds):
+        prop = edges.join(
+            labels, edges["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), "lbl")
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    return labels.select(
+        F.col("node").alias("vec_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("node") == F.col("lbl")).alias("is_canonical"),
+    )
+
+
+def _knn_cc_oracle_sql(rounds: int = CC_ROUNDS) -> str:
+    parts = [
+        _UND_EDGES_CTE.format(knn=ORACLE["knn_graph_lsh"]) + """,
+        l0 AS (
+            SELECT vec_id AS node, vec_id AS lbl
+            FROM embeddings WHERE embedding IS NOT NULL
+        )"""]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+        l{t} AS (
+            SELECT node, min(lbl) AS lbl FROM (
+                SELECT node, lbl FROM l{t - 1}
+                UNION ALL
+                SELECT e.dst AS node, l.lbl
+                FROM e0 e JOIN l{t - 1} l ON e.src = l.node
+            ) GROUP BY node
+        )""")
+    return f"""
+        WITH {",".join(parts)}
+        SELECT node AS vec_id, CAST(lbl AS BIGINT) AS cluster_id,
+               node = lbl AS is_canonical
+        FROM l{rounds}
+    """
+
+
 def knn_density_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DENSITY OUTLIERS from the kNN graph -- the curation screen the
     graph build exists for (its own docstring promises 'density
@@ -2221,6 +2290,7 @@ QUERIES = {
     "knn_label_disagreement": knn_label_disagreement,
     "knn_kcore": knn_kcore,
     "knn_bfs_landmarks": knn_bfs_landmarks,
+    "knn_connected_components": knn_connected_components,
     "knn_density_outliers": knn_density_outliers,
     "dedup_lsh_firstseen": dedup_lsh_firstseen,
     "dup_rate_by_source": dup_rate_by_source,
@@ -2576,6 +2646,7 @@ ORACLE["knn_label_propagation"] = _lp_oracle_sql()
 ORACLE["knn_label_disagreement"] = _label_disagreement_oracle_sql()
 ORACLE["knn_kcore"] = _kcore_oracle_sql()
 ORACLE["knn_bfs_landmarks"] = _bfs_oracle_sql()
+ORACLE["knn_connected_components"] = _knn_cc_oracle_sql()
 ORACLE["dup_cluster_size_histogram"] = f"""
     SELECT cluster_size,
            CAST(count(*) AS BIGINT) AS n_clusters,

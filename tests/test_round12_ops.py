@@ -401,3 +401,28 @@ def test_range_lsh_subset_and_recall(spark, sf_dir):
         n_hits = sum(1 for (qq, _) in served if qq == q)
         assert (r.n_exact, r.n_hits) == (n_exact, n_hits)
         assert r.strategy == "range_lsh"
+
+
+def test_knn_connected_components_contract(spark, sf_dir):
+    """The bounded-R Hash-to-Min contract, verified EXACTLY: after R
+    rounds each node's cluster_id is the minimum vec_id within R hops
+    (independent Python BFS over the same edge list); every vector
+    gets exactly one label; labels only travel down; is_canonical
+    marks exactly the label minima."""
+    rows = dedup.knn_connected_components(spark, sf_dir).collect()
+    comp = {r.vec_id: r.cluster_id for r in rows}
+    n_vec = similarity._vectors(spark, sf_dir).count()
+    assert len(comp) == n_vec
+    assert all(c <= v for v, c in comp.items())
+
+    adj = {}
+    for e in dedup._undirected_knn_edges(spark, sf_dir).collect():
+        adj.setdefault(e.src, set()).add(e.dst)
+    for v in list(comp)[:200]:  # spot-verify a bounded sample
+        frontier, seen = {v}, {v}
+        for _ in range(dedup.CC_ROUNDS):
+            frontier = {n for f in frontier for n in adj.get(f, ())} - seen
+            seen |= frontier
+        assert comp[v] == min(seen), (v, comp[v], min(seen))
+    for r in rows:
+        assert r.is_canonical == (r.vec_id == r.cluster_id)

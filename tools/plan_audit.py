@@ -1585,6 +1585,19 @@ AUDIT += (
             "TakeOrdered. No Python.",
         ),
         (
+            "knn_connected_components",
+            "r12 Hash-to-Min connected components over the persisted "
+            "banded-LSH kNN graph (the missing iterative-graph family "
+            "member next to PageRank/label-prop/k-core/BFS/triangles): "
+            "each of the 4 synchronous rounds is ONE partial-aggregated "
+            "min-label groupBy (min is associative -- map-side combine "
+            "collapses the edge fan-in before the shuffle) over the "
+            "localCheckpointed undirected edge list; bounded-R "
+            "contract identical to knn_bfs_landmarks, unrolled-CTE "
+            "oracle. At 100 TB pick R ~ log(diameter) or iterate to "
+            "fixpoint with a per-round convergence check.",
+        ),
+        (
             "anns_range_search_lsh",
             "r12 production face of range retrieval (the exact face's "
             "docstring promise made a registered, graded query): "
