@@ -41,6 +41,12 @@ VECTOR_SCORE_QUERIES = [
     "embed_kmeans",
     "embed_random_projection",
     "anns_hard_negatives",
+    # r12: int8-SQ shortlist key (exact-int codes x two scales -- the
+    # pre-image is bit-identical by construction; the scatter keeps
+    # that claim honest) and the LSH range face's round-then-compare
+    # threshold (a boundary flip would move a pair across tau)
+    "anns_sq_topk",
+    "anns_range_search_lsh",
 ]
 
 
