@@ -262,6 +262,8 @@ HEADLINE = [
     "anns_range_search_lsh",
     # round 12 batch 5: kNN-graph connected components (Hash-to-Min)
     "knn_connected_components",
+    # round 12 batch 6: eval-canary verbatim leak scan
+    "canary_contamination_scan",
 ]
 
 # PINNED CORE (r8, VERDICT item 7): a frozen 30-query subset that NEVER
@@ -373,6 +375,9 @@ BENCH_EXCLUDED = {
     **{n: "stub-bound" for n in [
         "multimodal_audio_frames", "multimodal_video_keyframes",
     ]},
+    # rank-correlation readout over two already-benched serve faces
+    # (same double-timing rationale as the recall legs below)
+    "anns_prefilter_fidelity": "recall-leg",
     # per-strategy recall legs (r9): each is one already-benched serve
     # plan + a tiny gold-matview join; the omnibus anns_recall_report
     # (benched) unions their persisted outputs -- benching the legs

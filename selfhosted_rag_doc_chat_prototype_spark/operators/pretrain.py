@@ -1835,7 +1835,111 @@ def _dataset_card_oracle_sql() -> str:
     """
 
 
+# ---- canary contamination scan ---------------------------------------------
+
+CANARY_K = 12     # distinct planted secrets
+CANARY_MOD = 17   # every 17th doc carries one
+
+
+def canary_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVAL-CANARY LEAK SCAN (Carlini-style memorization canaries):
+    given ``CANARY_K`` known secret strings -- here derived
+    deterministically as ``canary-<md5('canary:'||i)>`` -- report, for
+    EVERY canary, how many training documents contain it verbatim and
+    the first contaminated doc id (NULL when clean). The driver corpus
+    carries no secrets, so the query plants them inline (every
+    ``CANARY_MOD``-th doc appends the canary ``(doc_id/17) % K``),
+    identically in the oracle -- the scan itself is corpus-agnostic.
+
+    Differs from keyword_tag_docs (token-exact dictionary terms,
+    per-doc rows) and decontaminate_* (n-gram overlap vs a benchmark
+    table): this is verbatim SUBSTRING search for a known closed
+    secret set with a per-canary clean/contaminated verdict -- the
+    eval-integrity report a training-data pipeline runs before a
+    model ships.
+
+    Scale shape: the canary set broadcasts (K rows); the scan is ONE
+    map-side pass (K substring probes per doc, no explode, no token
+    shuffle); the per-canary aggregate is a partial-aggregated
+    groupBy to K rows, left-joined back so CLEAN canaries still
+    report n_hits = 0 (the verdict the scan exists for)."""
+    docs = table(spark, sf_dir, "documents")
+    cid = (F.floor(F.col("doc_id") / CANARY_MOD).cast("long")
+           % F.lit(CANARY_K)).cast("int")
+    canary_str = F.concat(
+        F.lit("canary-"),
+        F.md5(F.concat(F.lit("canary:"), F.col("canary_id").cast("string"))),
+    )
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % CANARY_MOD == 0,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")), F.lit(" canary-"),
+                F.md5(F.concat(F.lit("canary:"), cid.cast("string"))),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    canaries = (
+        spark.range(CANARY_K)
+        .select(F.col("id").cast("int").alias("canary_id"))
+        .select("canary_id", canary_str.alias("canary"))
+    )
+    hits = (
+        planted.crossJoin(F.broadcast(canaries))
+        .filter(F.instr(F.col("text"), F.col("canary")) > 0)
+        .groupBy("canary_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"),
+             F.min("doc_id").alias("first_doc_id"))
+    )
+    return (
+        canaries.join(hits, "canary_id", "left")
+        .select(
+            "canary_id", "canary",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+            .alias("n_hits"),
+            "first_doc_id",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) == 0)
+            .alias("is_clean"),
+        )
+    )
+
+
+def _canary_oracle_sql() -> str:
+    return f"""
+        WITH canaries AS (
+            SELECT CAST(r.range AS INTEGER) AS canary_id,
+                   'canary-' || md5('canary:' || CAST(r.range AS VARCHAR))
+                       AS canary
+            FROM range(0, {CANARY_K}) r
+        ),
+        planted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % {CANARY_MOD} = 0 THEN
+                       coalesce(text, '') || ' canary-' || md5('canary:' ||
+                           CAST(CAST(doc_id // {CANARY_MOD} % {CANARY_K}
+                                AS INTEGER) AS VARCHAR))
+                   ELSE text END AS text
+            FROM documents
+        ),
+        hits AS (
+            SELECT c.canary_id,
+                   CAST(count(*) AS BIGINT) AS n_hits,
+                   min(p.doc_id) AS first_doc_id
+            FROM planted p JOIN canaries c
+              ON strpos(p.text, c.canary) > 0
+            GROUP BY c.canary_id
+        )
+        SELECT c.canary_id, c.canary,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               h.first_doc_id,
+               coalesce(h.n_hits, 0) = 0 AS is_clean
+        FROM canaries c LEFT JOIN hits h ON c.canary_id = h.canary_id
+    """
+
+
 QUERIES = {
+    "canary_contamination_scan": canary_contamination_scan,
     "dataset_card_report": dataset_card_report,
     "nextevent_training_pairs": nextevent_training_pairs,
     "pmi_collocations": pmi_collocations,
@@ -1927,6 +2031,7 @@ from .textstats import _hex_threshold as _lm_hex_threshold  # noqa: E402
 _LM_THR = "'%s'" % _lm_hex_threshold(LM_SAMPLE_FRACTION)
 
 ORACLE = {
+    "canary_contamination_scan": _canary_oracle_sql(),
     "dataset_card_report": _dataset_card_oracle_sql(),
     "pmi_collocations": _pmi_oracle_sql(),
     "bpe_learn_merges": _bpe_merge_oracle_sql(),

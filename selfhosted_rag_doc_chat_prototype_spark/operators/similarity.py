@@ -1179,6 +1179,57 @@ def anns_sq_topk(spark: SparkSession, sf_dir: str,
     return sq_topk(base, queries, k)
 
 
+def anns_prefilter_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFILTER FIDELITY: per-query Spearman rank correlation between
+    each compressed prefilter's candidate ordering (SQ int-dot / BQ
+    Hamming) and the exact-cosine ordering over the rows the serve
+    path emits -- the observable that explains the oversample factors
+    (a prefilter whose rho ~ 1 needs little oversample; BQ's 1-bit
+    codes rank worse and need their 4x). Rho is exact-integer
+    arithmetic end to end: both rankings are integer row_numbers over
+    the same emitted set, d^2 sums are exact BIGINTs, and
+    rho = 1 - 6*sum_d2/(n^3 - n) is ONE int->double division rounded
+    once at the output (NULL when n < 2, identically in both engines).
+
+    Scale shape: reads each serve face's O(Q*k) output only -- two
+    windows partitioned by query_id over <= k rows each, one
+    partial-aggregated groupBy to Q rows per strategy."""
+    def leg(face: DataFrame, strategy: str, pre_order: list) -> DataFrame:
+        # the face's own `rank` IS the exact-cosine ranking (raw-double
+        # ordering, deterministic ties) -- only the prefilter ranking
+        # needs deriving
+        wp = Window.partitionBy("query_id").orderBy(*pre_order)
+        ranked = (
+            face.withColumn("exact_r", F.col("rank"))
+            .withColumn("pre_r", F.row_number().over(wp))
+        )
+        d2 = (F.col("exact_r") - F.col("pre_r")) \
+            * (F.col("exact_r") - F.col("pre_r"))
+        return (
+            ranked.groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum(d2).cast("long").alias("sum_d2"))
+            .select(
+                F.lit(strategy).alias("strategy"), "query_id", "n",
+                "sum_d2",
+                F.when(
+                    F.col("n") >= 2,
+                    F.round(
+                        F.lit(1.0)
+                        - (F.lit(6.0) * F.col("sum_d2").cast("double"))
+                        / (F.col("n") * F.col("n") * F.col("n")
+                           - F.col("n")).cast("double"), 4),
+                ).alias("rho"),
+            )
+        )
+
+    sq = leg(anns_sq_topk(spark, sf_dir), "sq",
+             [F.desc("sq_sim"), F.asc("neighbor_id")])
+    bq = leg(anns_bq_hamming_topk(spark, sf_dir), "bq",
+             [F.asc("hamming"), F.asc("neighbor_id")])
+    return sq.unionByName(bq)
+
+
 MAXSIM_TOP_CHUNKS = 2
 MAXSIM_K = 5
 
@@ -3968,6 +4019,7 @@ QUERIES.update({
     "anns_recall_late_interaction": anns_recall_late_interaction,
     "anns_recall_sq": anns_recall_sq,
     "anns_recall_range_lsh": anns_recall_range_lsh,
+    "anns_prefilter_fidelity": anns_prefilter_fidelity,
 })
 ORACLE.update({
     "anns_recall_lsh": _recall_leg_oracle(
@@ -3999,6 +4051,39 @@ ORACLE.update({
             SELECT query_id, neighbor_id
             FROM ({ORACLE["anns_range_search"]}))""",
         exact_rel="range_gold"),
+    # prefilter fidelity: both rankings are integer row_numbers over
+    # the emitted set; rho is one int->double division rounded once
+    "anns_prefilter_fidelity": f"""
+        WITH sqf AS ({ORACLE["anns_sq_topk"]}),
+        bqf AS ({ORACLE["anns_bq_hamming_topk"]}),
+        allr AS (
+            SELECT 'sq' AS strategy, query_id, "rank" AS exact_r,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY sq_sim DESC, neighbor_id ASC) AS pre_r
+            FROM sqf
+            UNION ALL
+            SELECT 'bq' AS strategy, query_id, "rank" AS exact_r,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY hamming ASC, neighbor_id ASC) AS pre_r
+            FROM bqf
+        ),
+        d AS (
+            SELECT strategy, query_id,
+                   CAST((exact_r - pre_r) * (exact_r - pre_r) AS BIGINT)
+                       AS d2
+            FROM allr
+        )
+        SELECT strategy, query_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(d2) AS BIGINT) AS sum_d2,
+               CASE WHEN count(*) >= 2 THEN
+                   round(1.0 - (6.0 * CAST(CAST(sum(d2) AS BIGINT)
+                                            AS DOUBLE))
+                         / CAST(count(*) * count(*) * count(*) - count(*)
+                                AS DOUBLE), 4)
+               END AS rho
+        FROM d GROUP BY strategy, query_id
+    """,
 })
 
 # round 12: the int8 scalar-quantization leg (gold standard = shared

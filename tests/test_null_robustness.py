@@ -46,6 +46,7 @@ NULL_SWEEP = [
     "dedup_simhash_hamming",
     "dedup_containment_verify",
     "kneser_ney_bigram_topk",
+    "canary_contamination_scan",
     "keyword_tag_docs",
     "shard_manifest_offsets",
     "dedup_substring_spans",

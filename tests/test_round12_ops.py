@@ -426,3 +426,60 @@ def test_knn_connected_components_contract(spark, sf_dir):
         assert comp[v] == min(seen), (v, comp[v], min(seen))
     for r in rows:
         assert r.is_canonical == (r.vec_id == r.cluster_id)
+
+
+def test_prefilter_fidelity_sq_dominates_bq(spark, sf_dir):
+    """The fidelity readout must show SQ's int-dot ordering near the
+    exact ranking and clearly above BQ's 1-bit Hamming ordering (the
+    number that justifies BQ's 4x oversample); rho recomputed
+    independently for one strategy/query from the serve rows."""
+    rows = similarity.anns_prefilter_fidelity(spark, sf_dir).collect()
+    by_s = {}
+    for r in rows:
+        assert r.n >= 2 and r.rho is not None
+        assert -1.0 <= r.rho <= 1.0
+        by_s.setdefault(r.strategy, []).append(r.rho)
+    assert set(by_s) == {"sq", "bq"}
+    sq_mean = sum(by_s["sq"]) / len(by_s["sq"])
+    bq_mean = sum(by_s["bq"]) / len(by_s["bq"])
+    assert sq_mean >= 0.9 and sq_mean > bq_mean
+
+    # independent recount for one (strategy, query)
+    face = similarity.anns_sq_topk(spark, sf_dir).collect()
+    q0 = min(r.query_id for r in face)
+    sub = sorted((r for r in face if r.query_id == q0),
+                 key=lambda r: (-r.sq_sim, r.neighbor_id))
+    pre_r = {r.neighbor_id: i + 1 for i, r in enumerate(sub)}
+    d2 = sum((r.rank - pre_r[r.neighbor_id]) ** 2 for r in sub)
+    n = len(sub)
+    want = round(1.0 - 6.0 * d2 / (n ** 3 - n), 4)
+    got = next(r for r in rows if r.strategy == "sq" and r.query_id == q0)
+    assert (got.n, got.sum_d2) == (n, d2)
+    assert abs(got.rho - want) < 1e-9
+
+
+def test_canary_scan_plants_and_verdicts(spark, tmp_path):
+    """Every canary reports exactly once; hits match an independent
+    Python plant-and-scan; a canary never planted (no doc_id hits its
+    residue) is verdicted clean with n_hits 0 and NULL first doc."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators import pretrain
+
+    d = str(tmp_path / "canary")
+    # doc_ids 0, 17, 34 -> canary ids 0, 1, 2; all other canaries clean
+    _write_docs(d, [
+        (0, "alpha beta", "s"), (17, None, "s"), (34, "gamma", "s"),
+        (5, "innocent text", "s"),
+    ])
+    rows = pretrain.canary_contamination_scan(spark, d).collect()
+    assert len(rows) == pretrain.CANARY_K
+    by_id = {r.canary_id: r for r in rows}
+    import hashlib
+    for i in (0, 1, 2):
+        r = by_id[i]
+        assert r.n_hits == 1 and not r.is_clean
+        assert r.first_doc_id == i * 17
+        assert r.canary == "canary-" + hashlib.md5(
+            f"canary:{i}".encode()).hexdigest()
+    for i in range(3, pretrain.CANARY_K):
+        r = by_id[i]
+        assert r.n_hits == 0 and r.is_clean and r.first_doc_id is None

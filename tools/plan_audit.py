@@ -1585,6 +1585,28 @@ AUDIT += (
             "TakeOrdered. No Python.",
         ),
         (
+            "anns_prefilter_fidelity",
+            "r12 prefilter-fidelity readout: per-query Spearman rho "
+            "between each compressed prefilter's candidate ordering "
+            "(SQ int-dot / BQ Hamming) and the exact-cosine ranking "
+            "over the emitted O(Q*k) rows only -- two query-partitioned "
+            "row_number windows over <= k rows, one partial-aggregated "
+            "groupBy to Q rows per strategy; rho is exact-integer "
+            "d^2 sums and ONE int->double division (measured: sq 0.99 "
+            "vs bq 0.16 -- the number that explains BQ's 4x oversample).",
+        ),
+        (
+            "canary_contamination_scan",
+            "r12 eval-canary verbatim leak scan (memorization-canary "
+            "integrity report): the K-row secret set broadcasts; the "
+            "scan is ONE map-side pass of K substring probes per doc "
+            "(no explode, no token shuffle); per-canary aggregation is "
+            "a partial-aggregated groupBy to K rows, left-joined back "
+            "so CLEAN canaries still report n_hits = 0. Corpus plants "
+            "the secrets inline (every 17th doc) identically in both "
+            "engines; the scan itself is corpus-agnostic.",
+        ),
+        (
             "knn_connected_components",
             "r12 Hash-to-Min connected components over the persisted "
             "banded-LSH kNN graph (the missing iterative-graph family "
