@@ -40,6 +40,7 @@ which is the intended LSH trade-off (tune bands/rows).
 from __future__ import annotations
 
 import hashlib
+from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1027,7 +1028,9 @@ def decontaminate_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash64_py(text: str) -> str:
     """64-bit SimHash over distinct whitespace tokens; md5-derived bits
     so the SQL oracle can reproduce it exactly. Returns a 64-char
-    bitstring (MSB first)."""
+    bitstring (MSB first). Pure-Python REFERENCE implementation -- the
+    executor path is :func:`_simhash64_np` (bit-identical, numpy bulk
+    bit-voting; test-asserted equal)."""
     votes = [0] * 64
     tokens = {t for t in (text or "").split() if t}
     for tok in tokens:
@@ -1037,10 +1040,50 @@ def _simhash64_py(text: str) -> str:
     return "".join("1" if v > 0 else "0" for v in votes)
 
 
+def _simhash64_np(text: str, memo: dict, np) -> str:
+    """Vectorized twin of :func:`_simhash64_py` (r12 optimization,
+    guide section 4.2): the reference form runs a 64-iteration Python
+    loop per token (~6400 interpreted ops per 100-token doc); here the
+    md5 digests (first 8 bytes = the hexdigest[:16] integer, big-
+    endian, so MSB-first bit order is exactly ``np.unpackbits``) stack
+    into ONE unpackbits + column sum, and votes[j] > 0 becomes the
+    integer compare 2*ones[j] > n_tokens. ``memo`` caches token
+    digests across a task's batches (corpus vocabulary repeats)."""
+    tokens = {t for t in (text or "").split() if t}
+    if not tokens:
+        return "0" * 64
+    get = memo.get
+    bufs = []
+    for tok in tokens:
+        d = get(tok)
+        if d is None:
+            d = hashlib.md5(tok.encode("utf-8")).digest()[:8]
+            memo[tok] = d
+        bufs.append(d)
+    ones = (
+        np.unpackbits(np.frombuffer(b"".join(bufs), dtype=np.uint8))
+        .reshape(-1, 64)
+        .sum(axis=0, dtype=np.int64)
+    )
+    return (
+        ((2 * ones > len(tokens)).astype(np.uint8) + 48)
+        .tobytes()
+        .decode("ascii")
+    )
+
+
 def simhash_udf():
     @pandas_udf("string")
-    def _simhash(text: pd.Series) -> pd.Series:
-        return text.map(_simhash64_py)
+    def _simhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
+        memo: dict[str, bytes] = {}  # per-task token-digest cache
+        for texts in batches:
+            if len(memo) > (1 << 20):  # vocabulary bound at scale
+                memo.clear()
+            yield pd.Series(
+                [_simhash64_np(t, memo, np) for t in texts]
+            )
 
     return _simhash
 
@@ -1091,7 +1134,34 @@ def dedup_containment_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = rebalance(
         docs.select("doc_id", "text").unionByName(quotes))
-    sets_ = corpus.select("doc_id", _shingles_col().alias("shingles"))
+    # r12 optimizations, measured 5.0 s -> ~2.4 s at sf0.1:
+    # (1) ONE shingle pass behind a lazy localCheckpoint: the shingle-
+    #     set relation feeds three plan branches (postings explode +
+    #     the verify join's two sides) and Catalyst cloned the whole
+    #     scan+split+gram subtree per branch -- the before plan built
+    #     the corpus' shingle arrays three times, broadcasting one
+    #     full copy.
+    # (2) shingles carried as 64-bit CONTENT IDS (xxhash64), the T8
+    #     content-addressing idiom: the verify evaluates
+    #     array_intersect once per candidate pair (425k pairs at
+    #     sf0.1) and hashing/equality over longs is ~2x cheaper than
+    #     over 3-word strings, while the checkpoint and broadcast
+    #     shrink ~3x. Set sizes, df counts, and intersections are
+    #     identical to the string form absent a 64-bit collision
+    #     among distinct shingles (P ~ n^2/2^65: ~1e-7 at the 1.65M
+    #     distinct shingles of sf0.1, ~1e-5 at 10x) -- the same
+    #     fingerprint-identity contract the exact-dedup family
+    #     already rests on; the oracle still intersects raw strings,
+    #     so the three-scale gate re-proves equality every round.
+    sets_ = (
+        corpus.select("doc_id", _shingles_col().alias("shingles"))
+        .select(
+            "doc_id",
+            F.transform("shingles", lambda s: F.xxhash64(s))
+            .alias("shingles"),
+        )
+        .localCheckpoint(eager=False)
+    )
     post = sets_.select(
         "doc_id", F.explode("shingles").alias("shingle"))
     buckets = (
@@ -1152,6 +1222,21 @@ def _hamming64(a, b):
     return total
 
 
+def _block_longs(bits):
+    """The 64-char bitstring as ``SIMHASH_BLOCKS`` 16-bit block LONGS
+    (base-2 conv, pure codegen) -- parsed ONCE per signature so the
+    verify join compares integers instead of re-parsing strings per
+    candidate pair, and the join keys/shuffle rows carry 8-byte longs
+    instead of 16-char substrings."""
+    return F.array(*[
+        F.conv(
+            F.substring(bits, i * _SIMHASH_BLOCK_W + 1, _SIMHASH_BLOCK_W),
+            2, 10,
+        ).cast("long")
+        for i in range(SIMHASH_BLOCKS)
+    ])
+
+
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS within Hamming distance ``SIMHASH_HAM_K`` of the
     64-bit SimHash -- the Manku-Jain-Das Sarma multi-index construction
@@ -1179,27 +1264,37 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _near_corpus(spark, sf_dir).unionByName(exact).filter(
         F.size(tq.words(F.col("text"))) >= 1
     )
-    sigs = corpus.select(
-        "doc_id", simhash_udf()(F.col("text")).alias("bits"))
-    blk_vals = F.transform(
-        F.sequence(F.lit(0), F.lit(SIMHASH_BLOCKS - 1)),
-        lambda b: F.col("bits").substr(
-            b * _SIMHASH_BLOCK_W + 1, F.lit(_SIMHASH_BLOCK_W)),
+    # the signature pass runs ONCE behind a lazy localCheckpoint (r12
+    # optimization): without the cut, the self-join instantiated the
+    # whole scan+UDF subtree per join side AND Catalyst cloned the UDF
+    # below its own pushed-down isnotnull filter (guide section 4.4) --
+    # the before plan carried EIGHT ArrowEvalPython nodes for one
+    # logical signature pass. Blocks are parsed to 16-bit LONGS here,
+    # once per signature, so everything downstream is integer-only.
+    sigs = (
+        corpus.select(
+            "doc_id", simhash_udf()(F.col("text")).alias("bits"))
+        .select("doc_id", _block_longs(F.col("bits")).alias("blks"))
+        .localCheckpoint(eager=False)
     )
     blocks = sigs.select(
-        "doc_id", "bits",
-        F.posexplode(blk_vals).alias("blk", "block_bits"))
+        "doc_id", "blks", F.posexplode("blks").alias("blk", "block_bits"))
     # pair expansion as a bucket equi-SELF-JOIN, not the collect_list +
     # HOF expansion of _bucket_pairs: same-vocabulary short docs give
     # simhash block buckets thousands deep (sf0.1: max 2.2k docs in one
     # 16-bit bucket), where a per-bucket pair ARRAY is a single
     # multi-million-element row -- the join streams the same pairs and
-    # AQE skew-split handles the hot buckets. The full 64-bit signature
-    # rides THROUGH the join (64 chars/row), so the verify needs no
-    # doc_id equi-joins back to the signature relation -- the Arrow
-    # signature pass runs twice (once per join side; identical subplans
-    # are exchange-reusable), never four times
-    pairs = (
+    # AQE skew-split handles the hot buckets. The block longs ride
+    # THROUGH the join (4 longs/row), so the verify needs no doc_id
+    # equi-joins back to the signature relation. The hamming filter
+    # sits BEFORE the distinct (guide section 2.3): only pairs within
+    # the radius reach the exchange, and the distinct keys are three
+    # integers, not two 64-char strings.
+    ham = sum(
+        F.bit_count(F.col("a.blks")[i].bitwiseXOR(F.col("b.blks")[i]))
+        for i in range(SIMHASH_BLOCKS)
+    )
+    return (
         blocks.alias("a")
         .join(blocks.alias("b"),
               (F.col("a.blk") == F.col("b.blk"))
@@ -1207,14 +1302,9 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
               & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),
-                F.col("a.bits").alias("ba"), F.col("b.bits").alias("bb"))
-        .distinct()
-    )
-    return (
-        pairs.select("doc_a", "doc_b",
-                     _hamming64(F.col("ba"), F.col("bb")).cast("int")
-                     .alias("hamming"))
+                ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_HAM_K)
+        .distinct()
     )
 
 

@@ -52,6 +52,103 @@ def test_simhash_hamming_close_for_near_dups(spark):
     assert ham(a, b) < ham(a, c)
 
 
+def test_simhash_numpy_kernel_matches_reference():
+    """The r12 vectorized executor kernel (_simhash64_np: stacked
+    unpackbits + column-sum votes, per-task digest memo) must be
+    bit-identical to the pure-Python reference the oracle mirrors --
+    including the empty/whitespace-only and duplicate-token edges."""
+    import numpy as np
+
+    cases = [
+        "", "   ", None, "a", "tok tok tok",
+        "the quick brown fox jumps over the lazy dog",
+        "unicode tök tëst 字 emoji \U0001f600",
+        "x " * 200,  # one distinct token, many repeats
+        " ".join(f"w{i}" for i in range(300)),
+    ]
+    memo: dict[str, bytes] = {}
+    for text in cases:
+        ref = dedup._simhash64_py(text or "")
+        fast = dedup._simhash64_np(text, memo, np)
+        assert fast == ref, repr(text)
+    # memo reuse across calls must not change results
+    for text in cases:
+        assert dedup._simhash64_np(text, memo, np) == dedup._simhash64_py(
+            text or ""
+        )
+
+
+def test_containment_hashed_ids_match_string_intersect(spark, sf_dir):
+    """The r12 content-id intersect (xxhash64 shingle ids) must emit
+    the same containment pairs as a direct string-shingle intersect
+    computed independently here (collision-free identity on real
+    corpora is the operator's documented contract)."""
+    from selfhosted_rag_doc_chat_prototype_spark.functions import (
+        text_quality as tq,
+    )
+    from selfhosted_rag_doc_chat_prototype_spark.sources.tables import table
+
+    got = sorted(
+        tuple(r)
+        for r in dedup.dedup_containment_verify(spark, sf_dir).collect()
+    )
+    docs = table(spark, sf_dir, "documents")
+    quotes = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.array_join(
+            F.slice(tq.words(F.col("text")), 1, dedup.QUOTE_W), " "
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(quotes)
+    sets_ = corpus.select(
+        "doc_id", dedup._shingles_col().alias("shingles")
+    )
+    post = sets_.select("doc_id", F.explode("shingles").alias("shingle"))
+    buckets = (
+        post.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= dedup.CONTAIN_DF_MAX)
+        )
+    )
+    pairs = (
+        dedup._bucket_pairs(buckets)
+        .distinct()
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    )
+    j = pairs.join(
+        sets_.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("shingles", "sh_a"), "doc_a"
+    ).join(
+        sets_.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("shingles", "sh_b"), "doc_b"
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    na, nb = F.size("sh_a"), F.size("sh_b")
+    want = sorted(
+        tuple(r)
+        for r in j.select(
+            "doc_a", "doc_b", inter.alias("inter"),
+            na.alias("na"), nb.alias("nb"),
+        )
+        .filter(
+            (F.lit(dedup.CONTAIN_DEN) * F.col("inter")
+             >= F.lit(dedup.CONTAIN_NUM) * F.col("na"))
+            | (F.lit(dedup.CONTAIN_DEN) * F.col("inter")
+               >= F.lit(dedup.CONTAIN_NUM) * F.col("nb"))
+        )
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("inter").cast("double")
+                    / F.col("na").cast("double"), 4).alias("cont_a_in_b"),
+            F.round(F.col("inter").cast("double")
+                    / F.col("nb").cast("double"), 4).alias("cont_b_in_a"),
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_embedding_cosine_is_symmetric_blocked(spark, sf_dir):
     df = dedup.dedup_embedding_cosine(spark, sf_dir)
     rows = df.collect()
