@@ -177,3 +177,45 @@ def test_token_budget_zero_overlap_exact_cover(spark, sf_dir):
     ).filter(F.length("stream") > 0)
     bad = want.join(recon, "doc_id").filter(F.col("joined") != F.col("stream"))
     assert bad.count() == 0
+
+
+def test_cdc_mapside_chunker_matches_window_reference(spark):
+    """The r12 map-side CDC chunker (per-doc boundary filter +
+    bounds transform, no explode/window/groupBy) must reproduce the
+    window formulation it replaced -- exercised here on constructed
+    edge docs (< gram width, exactly gram width, gram+1, multi-
+    boundary long doc, repeated words)."""
+    import hashlib
+
+    docs = [
+        (1, "a"), (2, "a b c"), (3, "a b c d"),
+        (4, " ".join(f"w{i % 7}" for i in range(120))),
+        (5, "x x x x x x x x x x x x x x x x x x x x"),
+    ]
+
+    def ref_chunks(doc_id, text):
+        w = [t for t in text.split() if t]
+        if not w:
+            return []
+        brk = [
+            1 if i >= chunking.CDC_GRAM and hashlib.md5(
+                " ".join(w[i - chunking.CDC_GRAM:i]).encode()
+            ).hexdigest()[31] == chunking.CDC_HEX else 0
+            for i in range(len(w))
+        ]
+        out, cid = {}, 0
+        for i, word in enumerate(w):
+            cid += brk[i]
+            out.setdefault(cid, []).append(word)
+        return [
+            (doc_id, cid, len(ws), " ".join(ws))
+            for cid, ws in sorted(out.items())
+        ]
+
+    want = sorted(r for d, t in docs for r in ref_chunks(d, t))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.n_words, r.text)
+        for r in chunking._cdc_chunks(df).collect()
+    )
+    assert got == want
