@@ -409,85 +409,73 @@ def chunk_semantic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = rebalance(table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull()
     )
-    segs = (
+    # r12 optimization (guide section 2.4): breakpoints are a
+    # PER-DOCUMENT decision, so the whole pipeline runs map-side over
+    # the word array -- per-segment vote vectors, consecutive dots,
+    # boundary positions, and chunk assembly are array transforms of
+    # one row; the previous form exploded to segment rows and paid a
+    # per-doc lag window plus a collect_list groupBy (two segment-
+    # grain exchanges this plan does not have). The md5 hoist (one
+    # digest pass per segment word, never per dim) and the exact
+    # integer breakpoint test are unchanged.
+    S = SEM_SEG_WORDS
+    base = (
         docs.select("doc_id", tq.words(F.col("text")).alias("w"))
         .filter(F.size("w") > 0)
-        .select(
-            "doc_id", "w",
-            F.explode(
-                F.sequence(
-                    F.lit(0),
-                    F.ceil(F.size("w") / F.lit(SEM_SEG_WORDS))
-                    .cast("int") - 1,
-                )
-            ).alias("seg_idx"),
-        )
-        .select(
-            "doc_id", "seg_idx",
-            F.slice(
-                "w", F.col("seg_idx") * SEM_SEG_WORDS + 1, SEM_SEG_WORDS
-            ).alias("sw"),
-        )
     )
-    # md5 hoisted to ONE pass per segment word (the naive form nests
-    # it inside the 64-dim transform and pays 64x the hashing -- the
-    # r11 close bench measured 10.3 s vs ~2 s hoisted at sf0.1);
-    # per-segment squared norm computed once and LAGGED, never
-    # recomputed against the previous row
-    votes_expr = (
-        "transform(sequence(0, 63), j -> "
+    votes_of = (
+        "transform(hss, hs -> transform(sequence(0, 63), j -> "
         "aggregate(hs, CAST(0 AS BIGINT), (acc, h) -> acc + 2 * "
-        "(instr('0123456789abcdef', substring(h, j + 1, 1)) - 1) - 15))"
+        "(instr('0123456789abcdef', substring(h, j + 1, 1)) - 1) - 15)))"
     )
-    enc = segs.selectExpr(
-        "doc_id", "seg_idx",
-        "array_join(sw, ' ') AS seg_text",
-        "CAST(size(sw) AS INT) AS seg_words",
-        "transform(array_distinct(sw), x -> "
-        "concat(md5(x), md5(concat('sg2:', x)))) AS hs",
+    enc = base.selectExpr(
+        "doc_id", "w",
+        f"transform(sequence(0, CAST(ceil(size(w) / {S}.0) AS INT) - 1),"
+        f" i -> slice(w, i * {S} + 1, {S})) AS segs",
     ).selectExpr(
-        "doc_id", "seg_idx", "seg_text", "seg_words",
-        f"{votes_expr} AS votes",
+        "doc_id", "w", "size(segs) AS nseg",
+        "transform(segs, sw -> transform(array_distinct(sw), x -> "
+        "concat(md5(x), md5(concat('sg2:', x))))) AS hss",
     ).selectExpr(
-        "doc_id", "seg_idx", "seg_text", "seg_words", "votes",
-        "aggregate(transform(votes, x -> x * x), CAST(0 AS BIGINT), "
-        "(acc, z) -> acc + z) AS na",
+        "doc_id", "w", "nseg", f"{votes_of} AS votes",
+    ).selectExpr(
+        "doc_id", "w", "nseg", "votes",
+        "transform(votes, v -> aggregate(transform(v, x -> x * x), "
+        "CAST(0 AS BIGINT), (acc, z) -> acc + z)) AS nas",
+    ).selectExpr(
+        "doc_id", "w", "nseg", "nas",
+        # dots[i] (1-based) = <votes[i], votes[i-1]> (0-based segs);
+        # guarded: sequence(1, 0) would run DESCENDING for 1-seg docs
+        "IF(nseg > 1, transform(sequence(1, nseg - 1), i -> "
+        "aggregate(zip_with(element_at(votes, i + 1), "
+        "element_at(votes, i), (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, z) -> acc + z)), "
+        "CAST(array() AS ARRAY<BIGINT>)) AS dots",
     )
-    w = Window.partitionBy("doc_id").orderBy("seg_idx")
-    flagged = (
-        enc.withColumn("pv", F.lag("votes").over(w))
-        .withColumn("nb", F.lag("na").over(w))
-        .selectExpr(
-            "doc_id", "seg_idx", "seg_text", "seg_words", "na", "nb",
-            "pv IS NULL AS first_seg",
-            "aggregate(zip_with(votes, pv, (x, y) -> x * y), "
-            "CAST(0 AS BIGINT), (acc, z) -> acc + z) AS dotv",
-        )
-        .selectExpr(
-            "doc_id", "seg_idx", "seg_text", "seg_words",
-            f"CASE WHEN first_seg THEN 0 "
-            f"WHEN dotv < 0 THEN 1 "
-            f"WHEN dotv * dotv * {SEM_TAU_DEN2} < "
-            f"{SEM_TAU_NUM2} * na * nb THEN 1 ELSE 0 END AS brk",
-        )
-        .withColumn("chunk_id", F.sum("brk").over(w).cast("int"))
+    # a zero-vote segment never opens a boundary (dot = 0 fails both
+    # tests); seg 0 never does (no predecessor) -- identical rules
+    bounded = enc.selectExpr(
+        "doc_id", "w", "nseg",
+        "concat(array(0), IF(nseg > 1, filter(sequence(1, nseg - 1), "
+        "i -> element_at(dots, i) < 0 OR "
+        f"element_at(dots, i) * element_at(dots, i) * {SEM_TAU_DEN2} < "
+        f"{SEM_TAU_NUM2} * element_at(nas, i + 1) * element_at(nas, i)), "
+        "array()), array(nseg)) AS bounds",
     )
-    return (
-        flagged.groupBy("doc_id", "chunk_id")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_segments"),
-            F.sum("seg_words").cast("int").alias("n_words"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("seg_idx", "seg_text"))
-                    ),
-                    lambda x: x.getField("seg_text"),
-                ),
-                " ",
-            ).alias("text"),
-        )
+    chunks = (
+        f"transform(sequence(0, size(bounds) - 2), k -> struct("
+        f"CAST(k AS INT) AS chunk_id, "
+        f"CAST(element_at(bounds, k + 2) - element_at(bounds, k + 1) "
+        f"AS INT) AS n_segments, "
+        f"CAST(least(element_at(bounds, k + 2) * {S}, size(w)) "
+        f"- element_at(bounds, k + 1) * {S} AS INT) AS n_words, "
+        f"array_join(slice(w, element_at(bounds, k + 1) * {S} + 1, "
+        f"least(element_at(bounds, k + 2) * {S}, size(w)) "
+        f"- element_at(bounds, k + 1) * {S}), ' ') AS text))"
     )
+    return bounded.selectExpr(
+        "doc_id", f"inline({chunks})"
+    ).select("doc_id", "chunk_id", "n_segments", "n_words", "text")
 
 
 # --------------------------------------------------------------------------

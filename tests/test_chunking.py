@@ -219,3 +219,38 @@ def test_cdc_mapside_chunker_matches_window_reference(spark):
         for r in chunking._cdc_chunks(df).collect()
     )
     assert got == want
+
+
+def test_semantic_split_single_segment_edges(spark, tmp_path):
+    """r12 map-side breakpoint path: docs at/below one segment width
+    (nseg = 1, where the guarded dots/bounds arrays are empty) must
+    come out as exactly one chunk re-assembling the word stream."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "semedge")
+    os.makedirs(d, exist_ok=True)
+    texts = ["solo", "a b c d e f g h i j",            # 1 and 10 words
+             "a b c d e f g h i j k"]                  # 11 words: 2 segs
+    pq.write_table(pa.table({
+        "doc_id": list(range(len(texts))),
+        "text": texts,
+        "lang": ["en"] * len(texts), "source": ["s"] * len(texts),
+        "n_chars": [len(t) for t in texts],
+    }), f"{d}/documents.parquet")
+    rows = chunking.chunk_semantic_split(spark, d).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [r.n_segments for r in by_doc[0]] == [1]
+    assert by_doc[0][0].text == "solo" and by_doc[0][0].n_words == 1
+    assert [r.n_segments for r in by_doc[1]] == [1]
+    assert by_doc[1][0].n_words == 10
+    assert sum(r.n_segments for r in by_doc[2]) == 2
+    assert sum(r.n_words for r in by_doc[2]) == 11
+    joined = " ".join(
+        r.text for r in sorted(by_doc[2], key=lambda r: r.chunk_id)
+    )
+    assert joined == texts[2]
