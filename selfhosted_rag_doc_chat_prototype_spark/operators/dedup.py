@@ -865,13 +865,19 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs); the distance is computed once per candidate pair on
     prefix-truncated text (two equi-joins to fetch the prefixes);
     everything is JVM codegen -- no Python in the loop."""
-    corpus = _near_corpus(spark, sf_dir)
+    # r12: ONE corpus pass behind a lazy localCheckpoint -- the banding
+    # chain and the two prefix-fetch joins each re-instantiated the
+    # scan + near-copy construction (3x); and the ASCII fold runs on
+    # the ED_MAX_LEN prefix instead of the full document (the fold is
+    # per-codepoint 1:1, so substring-then-fold == fold-then-substring
+    # and the regexp never touches the doc tail).
+    corpus = _near_corpus(spark, sf_dir).localCheckpoint(eager=False)
     pairs = _candidate_pairs(corpus)
-    prefix = F.substring(
-        F.regexp_replace(
-            F.coalesce(F.col("text"), F.lit("")), r"[^\x00-\x7F]", "?"
+    prefix = F.regexp_replace(
+        F.substring(
+            F.coalesce(F.col("text"), F.lit("")), 1, ED_MAX_LEN
         ),
-        1, ED_MAX_LEN,
+        r"[^\x00-\x7F]", "?",
     )
     t = corpus.select("doc_id", prefix.alias("t"))
     j = (

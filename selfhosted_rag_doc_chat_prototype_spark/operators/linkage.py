@@ -286,7 +286,21 @@ def score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates at decile grain -- the only non-equi join is the
     cumulative sum over the table's own <=10 broadcast rows."""
     docs = table(spark, sf_dir, "documents")
-    scored = classify_quality(docs.select("doc_id", "text")).join(
+    # r12: rebalance the scorer input -- the md5-per-feature explode is
+    # the CPU and the corpus parquet is one input split at test scale,
+    # so the un-spread scan ran the whole scoring pass on a single core
+    # (the chunk_semantic_split lesson; measured 1.08 s -> ~0.2 s).
+    # tie_split=False: score_u is near-unique by construction (hashed
+    # integer sums; 4364 distinct over 5000 docs at sf0.1) and the
+    # doc_id tiebreaker makes ranks exact regardless -- the heavy-tie
+    # sub-split pass only balances buckets, so skipping it saves one
+    # full scan + the per-boundary quantile aggregate (guide 1.2: do
+    # not compute things you throw away).
+    from ..sources.tables import rebalance
+
+    scored = classify_quality(
+        rebalance(docs.select("doc_id", "text"))
+    ).join(
         docs.select(
             "doc_id",
             F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
@@ -297,6 +311,7 @@ def score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("doc_id", "score_u", "pos"),
         order_by=[(F.col("score_u"), False), (F.col("doc_id"), True)],
         n_col="n",
+        tie_split=False,
     )
     dec = (
         ranked.select(

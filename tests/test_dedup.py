@@ -606,3 +606,35 @@ def test_knn_label_disagreement_invariants(spark, sf_dir):
             assert r.nbr_majority != r.label
             # strict majority: own-label agreement can never reach half
             assert 2 * r.n_agree < r.n_nbrs
+
+
+def test_edit_distance_prefix_fold_commutes(spark):
+    """The r12 plan change folds non-ASCII AFTER truncating to
+    ED_MAX_LEN (so the regexp never scans the doc tail). That is only
+    sound because the fold maps one codepoint to one codepoint --
+    prove substring-then-fold == fold-then-substring on strings with
+    multibyte characters straddling the boundary."""
+    from selfhosted_rag_doc_chat_prototype_spark.operators.dedup import (
+        ED_MAX_LEN,
+    )
+
+    cases = [
+        "é" * (ED_MAX_LEN + 50),                 # all non-ASCII
+        "a" * (ED_MAX_LEN - 1) + "中文tail",  # straddles cut
+        "\U0001f600" + "b" * ED_MAX_LEN,              # astral plane
+        "plain ascii only",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    new = F.regexp_replace(
+        F.substring(txt, 1, ED_MAX_LEN), r"[^\x00-\x7F]", "?"
+    )
+    old = F.substring(
+        F.regexp_replace(txt, r"[^\x00-\x7F]", "?"), 1, ED_MAX_LEN
+    )
+    bad = df.select(new.alias("n"), old.alias("o")).where(
+        F.col("n") != F.col("o")
+    )
+    assert bad.count() == 0

@@ -121,3 +121,31 @@ def test_ntile_from_rank_matches_sql_ntile(spark):
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, want.collect())
         ), (n, tiles)
+
+
+def test_distributed_rank_tie_split_false_exact_on_heavy_ties(spark):
+    # score_decile_lift (and the other near-unique-key call sites) pass
+    # tie_split=False to skip the heavy-tie balancing scan; ranks must
+    # still be EXACT even on heavily tied values because the unique
+    # tiebreaker column makes the order total.
+    df = _synth(spark)  # v has only 37 distinct values over 5000 rows
+    got = distributed_rank(
+        df, [(F.col("v"), False), (F.col("rid"), True)],
+        rn_col="rn", n_col="n", num_partitions=7, tie_split=False,
+    )
+    w = Window.orderBy(F.col("v").desc(), F.col("rid").asc())
+    want = df.select(
+        "*",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy())
+        .cast("long").alias("n"),
+    )
+    cols = want.columns
+    assert sorted(
+        map(tuple, got.select(*cols).collect()),
+        key=lambda t: tuple(map(str, t)),
+    ) == sorted(
+        map(tuple, want.collect()), key=lambda t: tuple(map(str, t))
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert _unpartitioned_specs(plan) == []
