@@ -1564,22 +1564,42 @@ def anns_late_interaction_topk(spark: SparkSession, sf_dir: str,
 def _li_subcols(df: DataFrame, idcol_from: str, idcol_to: str,
                 prefix: str) -> DataFrame:
     # project each sub-vector ONCE as a real column: slices inside
-    # the 16 cosine HOF expressions would re-evaluate per lambda
-    # element (interpreted HOFs don't CSE free subtrees -- the
-    # multimodal_phash let-binding lesson, done at column level)
+    # the 16 cosine expressions would re-evaluate per reference (the
+    # multimodal_phash let-binding lesson, done at column level).
+    # The per-sub-vector NORM sqrt(dot(x,x)) depends on one side only,
+    # so it is computed here once per ROW (8 query rows / N corpus
+    # rows) instead of once per PAIR inside every cosine leg -- the
+    # same IEEE value (sqrt of the same left-associated fold), but 32
+    # of the 48 per-pair interpreted dot-folds disappear from the
+    # MaxSim inner loop. (A fully unrolled getItem codegen rewrite was
+    # tried and measured 3x SLOWER at sf0.1 -- the ~1300-node
+    # expression falls out of efficient codegen while the HOF fold is
+    # a tight interpreted loop; see OPTIMIZATION_r12.md.)
+    sub = [F.slice(F.col("v"), LATE_SUBDIM * i + 1, LATE_SUBDIM)
+           for i in range(LATE_SUBVECS)]
     return df.select(
         F.col(idcol_from).alias(idcol_to),
-        *[F.slice(F.col("v"), LATE_SUBDIM * i + 1, LATE_SUBDIM)
-          .alias(f"{prefix}{i}") for i in range(LATE_SUBVECS)],
+        *[s.alias(f"{prefix}{i}") for i, s in enumerate(sub)],
+    ).select(
+        idcol_to,
+        *[F.col(f"{prefix}{i}") for i in range(LATE_SUBVECS)],
+        *[F.sqrt(dot(F.col(f"{prefix}{i}"), F.col(f"{prefix}{i}")))
+          .alias(f"{prefix}n{i}") for i in range(LATE_SUBVECS)],
     )
 
 
 def _li_maxsim_score() -> Column:
     """MaxSim over projected q{i}/c{j} sub-vector columns, summed
-    LEFT-ASSOCIATED so the raw double is bit-stable cross-engine."""
+    LEFT-ASSOCIATED so the raw double is bit-stable cross-engine.
+    Each cosine leg is dot(q_i, c_j) / (qn_i * cn_j) with the norms
+    read from the per-row projected columns -- the identical IEEE op
+    sequence as cosine(q, c) = dot/(sqrt(dot qq)*sqrt(dot cc)), with
+    the side-local factors hoisted out of the pair loop."""
     maxsims = [
-        F.greatest(*[cosine(F.col(f"q{i}"), F.col(f"c{j}"))
-                     for j in range(LATE_SUBVECS)])
+        F.greatest(*[
+            dot(F.col(f"q{i}"), F.col(f"c{j}"))
+            / (F.col(f"qn{i}") * F.col(f"cn{j}"))
+            for j in range(LATE_SUBVECS)])
         for i in range(LATE_SUBVECS)
     ]
     score = maxsims[0]
