@@ -131,20 +131,18 @@ def _assign(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
     )
 
 
-def embed_kmeans(spark: SparkSession, sf_dir: str,
-                 k: int = KM_K, iters: int = KM_ITERS) -> DataFrame:
-    """Fixed-iteration Lloyd k-means over the embedding corpus, seeded
-    from the ``k`` lowest vec_ids, all arithmetic in exact integer
-    micro-units. Emits the FINAL assignment: (vec_id, cluster, exact
-    squared distance in micro-unit^2, cluster size).
-
-    Driver-side state is bounded at K x dim integers per iteration
-    (the canonical broadcast-centroids k-means: Spark MLlib's KMeans
-    does exactly this collect-and-broadcast per step); the corpus
-    itself is never shuffled -- assignment is map-only and the
-    centroid recompute is one partial-aggregated (cluster, dim) sum.
-    Empty clusters keep their previous centroid (both engines).
-    """
+def _kmeans_assignment(spark: SparkSession, sf_dir: str,
+                       k: int = KM_K, iters: int = KM_ITERS) -> DataFrame:
+    """The Lloyd loop, returning the FINAL assignment (vec_id,
+    cluster, dist_u) materialized behind a ``localCheckpoint`` taken
+    WHILE the quantized corpus is still cached. Before r12 the final
+    assignment was returned lazily and the cache released first, so
+    the caller's action re-ran the whole scan + quantize + Arrow
+    assign pass from cold parquet -- and each of the three consumers
+    (embed_kmeans, cluster_cartography, cluster_label_agreement) paid
+    that recompute inside its own checkpoint. Now the loop's last pass
+    is materialized once from the warm cache and every consumer reads
+    the small (vec_id, cluster, dist_u) table."""
     if iters < 1:
         raise ValueError(f"embed_kmeans requires iters >= 1, got {iters}")
     if k < 1:
@@ -163,7 +161,6 @@ def embed_kmeans(spark: SparkSession, sf_dir: str,
                 "vec_id",
                 F.lit(0).cast("int").alias("cluster"),
                 F.lit(0).cast("long").alias("dist_u"),
-                F.lit(0).cast("long").alias("n_in_cluster"),
             ).limit(0)
         for it in range(iters):
             assigned = _assign(q, centroids)
@@ -183,13 +180,34 @@ def embed_kmeans(spark: SparkSession, sf_dir: str,
                  for i in range(len(c))] if cl in new else c
                 for cl, c in enumerate(centroids)
             ]
+        return assigned.select(
+            "vec_id", "cluster", "dist_u").localCheckpoint()
     finally:
         q.unpersist()
-    w = Window.partitionBy("cluster")
-    return assigned.select(
-        "vec_id", "cluster", "dist_u",
-        F.count(F.lit(1)).over(w).alias("n_in_cluster"),
-    )
+
+
+def embed_kmeans(spark: SparkSession, sf_dir: str,
+                 k: int = KM_K, iters: int = KM_ITERS) -> DataFrame:
+    """Fixed-iteration Lloyd k-means over the embedding corpus, seeded
+    from the ``k`` lowest vec_ids, all arithmetic in exact integer
+    micro-units. Emits the FINAL assignment: (vec_id, cluster, exact
+    squared distance in micro-unit^2, cluster size).
+
+    Driver-side state is bounded at K x dim integers per iteration
+    (the canonical broadcast-centroids k-means: Spark MLlib's KMeans
+    does exactly this collect-and-broadcast per step); the corpus
+    itself is never shuffled -- assignment is map-only and the
+    centroid recompute is one partial-aggregated (cluster, dim) sum.
+    Empty clusters keep their previous centroid (both engines).
+    Cluster sizes attach as a broadcast K-row join against the
+    checkpointed assignment (r12: previously a full-corpus
+    Window-over-cluster, i.e. an Exchange + Sort of every row into K
+    partitions for a count the K-row aggregate already knows)."""
+    final = _kmeans_assignment(spark, sf_dir, k, iters)
+    sizes = final.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_in_cluster"))
+    return final.join(F.broadcast(sizes), "cluster").select(
+        "vec_id", "cluster", "dist_u", "n_in_cluster")
 
 
 def _km_ctes(k: int = KM_K, iters: int = KM_ITERS,
@@ -383,10 +401,7 @@ def cluster_cartography(spark: SparkSession, sf_dir: str) -> DataFrame:
     without truncation each branch re-runs the full Lloyd lineage
     (measured 2x the whole query locally; on a cluster the equivalent
     is persisting the assignment table before the report joins)."""
-    assign = (
-        embed_kmeans(spark, sf_dir).select("vec_id", "cluster")
-        .localCheckpoint()
-    )
+    assign = _kmeans_assignment(spark, sf_dir).select("vec_id", "cluster")
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     joined = assign.join(
         docs, assign["vec_id"] == docs["doc_id"]
@@ -1203,10 +1218,7 @@ def cluster_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     (localCheckpoint: three small aggregates consume it); everything
     after the one (cluster, label) contingency shuffle runs on
     K x L rows."""
-    assign = (
-        embed_kmeans(spark, sf_dir).select("vec_id", "cluster")
-        .localCheckpoint()
-    )
+    assign = _kmeans_assignment(spark, sf_dir).select("vec_id", "cluster")
     lab = table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull() & F.col("label").isNotNull()
     ).select("vec_id", "label")

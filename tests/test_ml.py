@@ -44,6 +44,20 @@ def test_kmeans_partitions_corpus(spark):
         assert r.dist_u >= 0
 
 
+def test_kmeans_serves_from_checkpointed_assignment(spark):
+    """r12: the Lloyd loop's final assignment is materialized behind a
+    localCheckpoint while the quantized corpus is still cached, and
+    cluster sizes attach as a broadcast K-row join -- so the plan an
+    ACTION executes must (a) read the checkpoint, not re-run the
+    parquet scan + quantize + Arrow assign pass, and (b) contain no
+    full-corpus Window (the pre-r12 n_in_cluster count-over)."""
+    plan = embed_kmeans(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    for heavy in ("Window", "ArrowEvalPython", "BatchEvalPython",
+                  "InPandas", "FileScan parquet", "Scan parquet"):
+        assert heavy not in plan, f"serve plan does {heavy}:\n{plan}"
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
 def test_kmeans_deterministic(spark):
     a = sorted(map(tuple, embed_kmeans(spark, SF).collect()))
     b = sorted(map(tuple, embed_kmeans(spark, SF).collect()))
