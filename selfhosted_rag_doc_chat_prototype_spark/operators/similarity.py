@@ -543,6 +543,27 @@ def cosine(x: Column, y: Column) -> Column:
     return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
 
 
+def self_norm(v: Column) -> Column:
+    """``sqrt(dot(v, v))`` -- the one-side factor of :func:`cosine`.
+
+    Projected ONCE PER ROW below a pair join (r12 norm-hoist, the
+    generalization of the late-interaction MaxSim win): two of
+    cosine's three interpreted HOF folds depend on one side only, so
+    evaluating them per INPUT row instead of per PAIR removes 2/3 of
+    the per-pair fold work while keeping the IEEE op sequence
+    bit-identical -- the same left-associated fold, the same sqrt,
+    consumed by the same multiply/divide."""
+    return F.sqrt(dot(v, v))
+
+
+def cosine_hoisted(x: Column, y: Column, xn: Column, yn: Column) -> Column:
+    """``cosine(x, y)`` over pair rows carrying hoisted per-side
+    norms (:func:`self_norm`): ``dot(x, y) / (xn * yn)`` -- exactly
+    the expression :func:`cosine` evaluates, with the two self-norm
+    factors read from the row instead of re-folded per pair."""
+    return dot(x, y) / (xn * yn)
+
+
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     # NOT rebalanced here: the strategies that carry per-pair cosine
@@ -596,13 +617,16 @@ def anns_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
     )
     joined = (
-        F.broadcast(q).crossJoin(rebalance(cand))
+        F.broadcast(q.withColumn("_qn", self_norm(F.col("qv"))))
+        .crossJoin(rebalance(cand).withColumn("_cn", self_norm(F.col("cv"))))
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
     return (
         joined.select(
             "query_id", "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+            F.round(cosine_hoisted(F.col("qv"), F.col("cv"),
+                                   F.col("_qn"), F.col("_cn")),
+                    4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= RANGE_TAU)
     )
@@ -631,12 +655,16 @@ def anns_range_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
     )
     joined = lsh_bucket_join(
-        q, cand, cand_signed=lsh_build(spark, sf_dir)
+        q.withColumn("_qn", self_norm(F.col("qv"))), cand,
+        cand_signed=lsh_build(spark, sf_dir).withColumn(
+            "_cn", self_norm(F.col("cv"))),
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     return (
         joined.select(
             "query_id", "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+            F.round(cosine_hoisted(F.col("qv"), F.col("cv"),
+                                   F.col("_qn"), F.col("_cn")),
+                    4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= RANGE_TAU)
     )
@@ -742,12 +770,17 @@ def _hn_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cand = base.select(F.col("vec_id").alias("neighbor_id"),
                            "label", F.col("v").alias("cv"))
-        bj = F.broadcast(qh).crossJoin(rebalance(cand)).filter(
+        bj = F.broadcast(
+            qh.withColumn("_qn", self_norm(F.col("qv")))
+        ).crossJoin(
+            rebalance(cand).withColumn("_cn", self_norm(F.col("cv")))
+        ).filter(
             (F.col("label") != F.col("q_label"))
             & (F.col("neighbor_id") != F.col("query_id"))
         )
         wh = Window.partitionBy("query_id").orderBy(
-            F.desc(cosine(F.col("qv"), F.col("cv"))),
+            F.desc(cosine_hoisted(F.col("qv"), F.col("cv"),
+                                  F.col("_qn"), F.col("_cn"))),
             F.asc("neighbor_id"))
         return (
             bj.withColumn("rk", F.row_number().over(wh))
@@ -968,20 +1001,29 @@ def anns_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = lsh_build(spark, sf_dir)  # neighbor_id, label, cv, csig
     cand = base.select(F.col("vec_id").alias("neighbor_id"),
                        "label", F.col("v").alias("cv"))
-    joined = lsh_bucket_join(q, cand, cand_signed=idx).filter(
+    joined = lsh_bucket_join(
+        q.withColumn("_qn", self_norm(F.col("qv"))), cand,
+        cand_signed=idx.withColumn("_cn", self_norm(F.col("cv"))),
+    ).filter(
         (F.col("label") != F.col("q_label"))
         & (F.col("neighbor_id") != F.col("query_id"))
     )
+    # score once per pair (hoisted norms), rank and emit the same column
+    scored = joined.select(
+        "query_id", "q_label", "neighbor_id", "label",
+        cosine_hoisted(F.col("qv"), F.col("cv"),
+                       F.col("_qn"), F.col("_cn")).alias("cos_raw"),
+    )
     w = Window.partitionBy("query_id").orderBy(
-        F.desc(cosine(F.col("qv"), F.col("cv"))), F.asc("neighbor_id"))
+        F.desc("cos_raw"), F.asc("neighbor_id"))
     return (
-        joined.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= HARDNEG_K)
         .select(
             "query_id", "q_label", "neighbor_id",
             F.col("label").alias("neg_label"),
             F.col("rank").cast("int").alias("rank"),
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+            F.round("cos_raw", 4).alias("cos_sim"),
         )
     )
 
@@ -1251,11 +1293,14 @@ def anns_label_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     joined = lsh_bucket_join(
-        queries, base, cand_signed=lsh_build(spark, sf_dir)
+        queries.withColumn("_qn", self_norm(F.col("qv"))), base,
+        cand_signed=lsh_build(spark, sf_dir).withColumn(
+            "_cn", self_norm(F.col("cv"))),
     )
     scored = joined.filter(F.col("query_id") != F.col("neighbor_id")).select(
         "query_id", "label", "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("cos_raw"),
+        cosine_hoisted(F.col("qv"), F.col("cv"),
+                       F.col("_qn"), F.col("_cn")).alias("cos_raw"),
     )
     wc = Window.partitionBy("query_id", "label").orderBy(
         F.desc("cos_raw"), F.asc("neighbor_id")
@@ -1355,18 +1400,23 @@ def anns_grouped_topk(spark: SparkSession, sf_dir: str,
     cand = base.select(
         F.col("vec_id").alias("neighbor_id"), "label", F.col("v").alias("cv")
     )
+    queries = queries.withColumn("_qn", self_norm(F.col("qv")))
     if strategy == "brute":
-        joined = F.broadcast(queries).crossJoin(rebalance(cand))
+        joined = F.broadcast(queries).crossJoin(
+            rebalance(cand).withColumn("_cn", self_norm(F.col("cv"))))
     else:
         joined = lsh_bucket_join(
-            queries, cand, cand_signed=lsh_build(spark, sf_dir)
+            queries, cand,
+            cand_signed=lsh_build(spark, sf_dir).withColumn(
+                "_cn", self_norm(F.col("cv"))),
         )
     scored = (
         joined
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "label", "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_raw"),
+            cosine_hoisted(F.col("qv"), F.col("cv"),
+                           F.col("_qn"), F.col("_cn")).alias("cos_raw"),
         )
     )
     w = Window.partitionBy("query_id", "label").orderBy(
@@ -1759,11 +1809,18 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = lsh_build(spark, sf_dir)
     cand = base.select(F.col("vec_id").alias("neighbor_id"),
                        "label", F.col("v").alias("cv"))
-    joined = lsh_bucket_join(q, cand, cand_signed=idx).filter(
+    joined = lsh_bucket_join(
+        q.withColumn("_qn", self_norm(F.col("qv"))), cand,
+        cand_signed=idx.withColumn("_cn", self_norm(F.col("cv"))),
+    ).filter(
         F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id", "q_label", "neighbor_id", "label",
+        cosine_hoisted(F.col("qv"), F.col("cv"),
+                       F.col("_qn"), F.col("_cn")).alias("cos_raw"),
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.desc(cosine(F.col("qv"), F.col("cv"))), F.asc("neighbor_id"))
+        F.desc("cos_raw"), F.asc("neighbor_id"))
 
     def rank1(side, name, sim):
         return (
@@ -1772,7 +1829,7 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "query_id", "q_label",
                 F.col("neighbor_id").alias(name),
-                F.round(cosine(F.col("qv"), F.col("cv")), 4).alias(sim),
+                F.round("cos_raw", 4).alias(sim),
             )
         )
 
@@ -1817,22 +1874,35 @@ def anns_matryoshka_topk(spark: SparkSession, sf_dir: str,
     cand = base.select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
     )
+    # norm-hoist both stages: prefix norms (_pqn/_pcn) price stage 1's
+    # O(N*Q) pair pass at one 16-dim fold per pair; full-dim norms
+    # (_qn/_cn) are per-row and consumed only on the shortlist
+    queries = queries.withColumn(
+        "_pqn", self_norm(F.slice(F.col("qv"), 1, MRL_DIMS))
+    ).withColumn("_qn", self_norm(F.col("qv")))
+    cand = rebalance(cand).withColumn(
+        "_pcn", self_norm(F.slice(F.col("cv"), 1, MRL_DIMS))
+    ).withColumn("_cn", self_norm(F.col("cv")))
     joined = (
-        F.broadcast(queries).crossJoin(rebalance(cand))
+        F.broadcast(queries).crossJoin(cand)
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
-    pcos = cosine(F.slice(F.col("qv"), 1, MRL_DIMS),
-                  F.slice(F.col("cv"), 1, MRL_DIMS))
+    pcos = cosine_hoisted(
+        F.slice(F.col("qv"), 1, MRL_DIMS), F.slice(F.col("cv"), 1, MRL_DIMS),
+        F.col("_pqn"), F.col("_pcn"))
     wp = Window.partitionBy("query_id").orderBy(
         F.desc("pcos"), F.asc("neighbor_id"))
     shortlist = (
-        joined.select("query_id", "qv", "neighbor_id", "cv",
+        joined.select("query_id", "qv", "_qn", "neighbor_id", "cv", "_cn",
                       pcos.alias("pcos"))
         .withColumn("prefix_rank", F.row_number().over(wp))
         .filter(F.col("prefix_rank") <= k * MRL_RERANK_FACTOR)
+        .select("query_id", "neighbor_id", "prefix_rank",
+                cosine_hoisted(F.col("qv"), F.col("cv"),
+                               F.col("_qn"), F.col("_cn")).alias("cos_raw"))
     )
     wf = Window.partitionBy("query_id").orderBy(
-        F.desc(cosine(F.col("qv"), F.col("cv"))), F.asc("neighbor_id"))
+        F.desc("cos_raw"), F.asc("neighbor_id"))
     return (
         shortlist.withColumn("rank", F.row_number().over(wf))
         .filter(F.col("rank") <= k)
@@ -1840,7 +1910,7 @@ def anns_matryoshka_topk(spark: SparkSession, sf_dir: str,
             "query_id", "neighbor_id",
             F.col("rank").cast("int").alias("rank"),
             F.col("prefix_rank").cast("int").alias("prefix_rank"),
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+            F.round("cos_raw", 4).alias("cos_sim"),
         )
     )
 
@@ -2084,22 +2154,24 @@ def ivf_probe(centroids: DataFrame, assigned: DataFrame, queries: DataFrame,
     )
     wprobe = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cell"))
     probes = (
-        queries.crossJoin(F.broadcast(centroids))
-        .select("query_id", "qv", "cell", l2.alias("dist"))
+        queries.withColumn("_qn", self_norm(F.col("qv")))
+        .crossJoin(F.broadcast(centroids))
+        .select("query_id", "qv", "_qn", "cell", l2.alias("dist"))
         .withColumn("probe_rank", F.row_number().over(wprobe))
         .filter(F.col("probe_rank") <= n_probe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "_qn", "cell")
     )
     cand = assigned.select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
         F.col("cell").alias("ccell"),
-    )
+    ).withColumn("_cn", self_norm(F.col("cv")))
     scored = (
         F.broadcast(probes)
         .join(cand, F.col("cell") == F.col("ccell"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
-                cosine(F.col("qv"), F.col("cv")).alias("cos_raw"))
+                cosine_hoisted(F.col("qv"), F.col("cv"),
+                               F.col("_qn"), F.col("_cn")).alias("cos_raw"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (
@@ -2241,30 +2313,37 @@ def topk_cosine(
     cand = vectors.select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
     )
-    q = queries.select("query_id", "qv")
+    # r12 norm-hoist: the two self-norm folds of cosine() depend on
+    # one side only -- project them per INPUT row below the pair join
+    # (broadcast side once per query, candidate side once per vector)
+    # so each pair re-evaluates only the cross dot. IEEE-identical.
+    q = queries.select("query_id", "qv").withColumn(
+        "_qn", self_norm(F.col("qv")))
     if strategy == "brute":
         # the exact pass carries per-pair cosine CPU on the candidate
         # side: spread an under-split scan (no-op at real scale)
-        joined = F.broadcast(q).crossJoin(rebalance(cand))
+        joined = F.broadcast(q).crossJoin(
+            rebalance(cand).withColumn("_cn", self_norm(F.col("cv"))))
     elif strategy in ("lsh", "lsh_multiprobe"):
         if strategy == "lsh_multiprobe":
             psig = rh_probe_sig_udf(lsh_bits, lsh_tables)
             qs = q.select(
-                "query_id", "qv", F.explode(psig(F.col("qv"))).alias("tb")
+                "query_id", "qv", "_qn",
+                F.explode(psig(F.col("qv"))).alias("tb"),
             ).select(
-                "query_id", "qv",
+                "query_id", "qv", "_qn",
                 F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
             )
             if cand_signed is not None:
                 cs = cand_signed.select(
-                    "neighbor_id", "cv",
+                    "neighbor_id", "cv", self_norm(F.col("cv")).alias("_cn"),
                     F.posexplode(F.slice("csig", 1, lsh_tables))
                     .alias("ctbl", "cbucket"),
                 )
             else:
                 sig = rh_sig_udf(lsh_bits, lsh_tables)
                 cs = cand.select(
-                    "neighbor_id", "cv",
+                    "neighbor_id", "cv", self_norm(F.col("cv")).alias("_cn"),
                     F.posexplode(sig(F.col("cv"))).alias("ctbl", "cbucket"),
                 )
             # probe buckets are margin-derived, so a pair can collide
@@ -2280,11 +2359,18 @@ def topk_cosine(
             )
         else:
             joined = lsh_bucket_join(
-                q, cand, lsh_bits, lsh_tables, cand_signed=cand_signed
+                q,
+                cand.withColumn("_cn", self_norm(F.col("cv"))),
+                lsh_bits, lsh_tables,
+                cand_signed=(
+                    cand_signed.withColumn("_cn", self_norm(F.col("cv")))
+                    if cand_signed is not None else None
+                ),
             )
     else:
         raise ValueError(f"unknown strategy: {strategy!r}")
-    cos_raw = cosine(F.col("qv"), F.col("cv"))
+    cos_raw = cosine_hoisted(
+        F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn"))
     if pre_round is not None:
         cos_raw = F.round(cos_raw, pre_round)
     if exclude_self:
@@ -2475,10 +2561,12 @@ def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("tv"),
     )
     pairs = (
-        F.broadcast(pool).crossJoin(rebalance(tgt))
+        F.broadcast(pool.withColumn("_sn", self_norm(F.col("sv"))))
+        .crossJoin(rebalance(tgt).withColumn("_tn", self_norm(F.col("tv"))))
         .select(
             "src", "tgt", "tgt_lang",
-            cosine(F.col("sv"), F.col("tv")).alias("c"),
+            cosine_hoisted(F.col("sv"), F.col("tv"),
+                           F.col("_sn"), F.col("_tn")).alias("c"),
         )
         .localCheckpoint(eager=False)
     )
@@ -2574,7 +2662,7 @@ def bitext_margin_mined(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = pool.select(
         "query_id", "qv", F.explode(psig(F.col("qv"))).alias("tb")
     ).select(
-        "query_id", "qv",
+        "query_id", "qv", self_norm(F.col("qv")).alias("_qn"),
         F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
     )
     cs = (
@@ -2582,6 +2670,7 @@ def bitext_margin_mined(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lang") != "en")
         .select(
             "neighbor_id", F.col("lang").alias("tgt_lang"), "cv",
+            self_norm(F.col("cv")).alias("_cn"),
             F.posexplode(F.slice("csig", 1, LSH_TABLES))
             .alias("ctbl", "cbucket"),
         )
@@ -2595,7 +2684,8 @@ def bitext_margin_mined(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("query_id").alias("src"),
             F.col("neighbor_id").alias("tgt"),
             "tgt_lang",
-            cosine(F.col("qv"), F.col("cv")).alias("c"),
+            cosine_hoisted(F.col("qv"), F.col("cv"),
+                           F.col("_qn"), F.col("_cn")).alias("c"),
         )
         .localCheckpoint(eager=False)
     )

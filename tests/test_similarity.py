@@ -646,3 +646,39 @@ def test_bitext_mined_recall_floor_vs_exact(spark, sf_dir):
     srcs = [r.src_doc_id for r in
             similarity.bitext_margin_mined(spark, sf_dir).collect()]
     assert len(srcs) == len(set(srcs))
+
+
+def test_cosine_hoisted_bit_identical_to_cosine(spark):
+    """r12 norm-hoist: cosine_hoisted over per-row self_norm columns
+    must be BIT-identical (not approximately equal) to cosine() on
+    every pair -- the hoist moves the two self-norm folds below the
+    pair join but keeps the exact IEEE op sequence, so any ulp
+    difference would shift rounded scores and rank tie-breaks."""
+    import random
+
+    rng = random.Random(7)
+    vecs = [
+        [rng.uniform(-1, 1) for _ in range(64)] for _ in range(20)
+    ] + [[1e-9] * 64, [0.999999] * 64, [-0.5] * 64]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id long, v array<double>"
+    )
+    a = df.select(F.col("id").alias("qid"), F.col("v").alias("qv"))
+    b = df.select(F.col("id").alias("nid"), F.col("v").alias("cv"))
+    plain = a.crossJoin(b).select(
+        "qid", "nid",
+        similarity.cosine(F.col("qv"), F.col("cv")).alias("c"),
+    )
+    hoisted = (
+        a.withColumn("_qn", similarity.self_norm(F.col("qv")))
+        .crossJoin(b.withColumn("_cn", similarity.self_norm(F.col("cv"))))
+        .select(
+            "qid", "nid",
+            similarity.cosine_hoisted(
+                F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")
+            ).alias("c"),
+        )
+    )
+    lhs = {(r.qid, r.nid): r.c for r in plain.collect()}
+    rhs = {(r.qid, r.nid): r.c for r in hoisted.collect()}
+    assert lhs == rhs  # exact float equality, every pair
