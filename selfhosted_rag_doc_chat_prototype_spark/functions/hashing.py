@@ -17,6 +17,8 @@ the goal.
 
 from __future__ import annotations
 
+import struct as _struct
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -31,8 +33,10 @@ def murmur3_32(data: bytes | str, seed: int = 0) -> int:
     h = seed & 0xFFFFFFFF
     length = len(data)
     rounded = length & ~0x3
-    for i in range(0, rounded, 4):
-        k = int.from_bytes(data[i : i + 4], "little")
+    # one struct.unpack replaces a bytes-slice + int.from_bytes per
+    # 4-byte word (~2x on the pure-Python body; same words, same math)
+    words = _struct.unpack(f"<{rounded >> 2}I", data[:rounded])
+    for k in words:
         k = (k * c1) & 0xFFFFFFFF
         k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
         k = (k * c2) & 0xFFFFFFFF

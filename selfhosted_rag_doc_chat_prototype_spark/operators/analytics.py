@@ -1521,13 +1521,18 @@ def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("decile") <= j).cast("long")).alias(f"c{j}")
         for j in range(1, b)
     ]
+    # group-cardinality rows behind a lazy localCheckpoint: the global
+    # histogram is the EXACT integer sum of the group histograms
+    # (every ranked row lands in exactly one (nation, segment) group,
+    # NULL keys included), so deriving glob from grp -- instead of a
+    # second aggregate over `ranked` -- halves the rank passes (the
+    # two consumers each re-executed the whole two-phase rank).
     grp = ranked.groupBy("nation", "segment").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"), *cums
-    )
-    glob = ranked.agg(
-        F.count(F.lit(1)).cast("long").alias("n_all"),
-        *[F.sum((F.col("decile") <= j).cast("long")).alias(f"g{j}")
-          for j in range(1, b)],
+    ).localCheckpoint(eager=False)
+    glob = grp.agg(
+        F.sum("n_rows").alias("n_all"),
+        *[F.sum(f"c{j}").alias(f"g{j}") for j in range(1, b)],
     )
     num = sum(
         F.abs(F.col(f"c{j}") * F.col("n_all")
@@ -2251,6 +2256,12 @@ def markov_transition_stationary(spark: SparkSession,
         & F.col("event_type").isNotNull()
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # trans is the ONLY corpus-scale pass (lag window + groupBy) and
+    # collapses to <= |states|^2 rows; every downstream consumer
+    # (states x2, the n_states count, grid, row_tot, q, and each
+    # unrolled power iteration) re-embedded the whole subtree before
+    # r12, so the final plan re-ran the events scan + window shuffle
+    # ~(iters + 4) times. The lazy localCheckpoint runs it once.
     trans = (
         ev.select(
             F.lag("event_type").over(w).alias("src"),
@@ -2259,6 +2270,7 @@ def markov_transition_stationary(spark: SparkSession,
         .filter(F.col("src").isNotNull())
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     states = (
         trans.select(F.col("src").alias("s"))
@@ -2282,6 +2294,8 @@ def markov_transition_stationary(spark: SparkSession,
                 f" div (coalesce(rt, 0) + {n_states})"
             ).alias("q_u"),
         )
+        # n^2 rows, re-read by every iteration and the final join
+        .localCheckpoint(eager=False)
     )
     pi = states.select(
         F.col("s").alias("src"),
@@ -3021,9 +3035,14 @@ def part_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap or sample pathological baskets), pair counts partial-
     aggregate, the top-20 resolves as TakeOrderedAndProject, and the
     marginals broadcast onto 20 rows."""
+    # the deduped (order, part) table is consumed FOUR times (totals,
+    # marginals, both self-join sides); the lazy localCheckpoint pays
+    # the fact-table scan + distinct shuffle once and serves all four
+    # from the materialized narrow pairs instead of re-running it per
+    # consumer (ReuseExchange only deduped the two join sides)
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     # one-row aggregate kept LAZY and broadcast-cross-joined onto the
     # 20 result rows (the item_cooccurrence_lift pattern): an eager
     # .count() here would trigger a full lineitem scan at plan-

@@ -1783,12 +1783,19 @@ def knn_pagerank(spark: SparkSession, sf_dir: str,
     edges = knn_graph_cached(spark, sf_dir).select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     ).localCheckpoint()
+    # both are consumed once per iteration (plus seed/count/final
+    # join): lazy localCheckpoints scan the corpus and aggregate the
+    # degree table once instead of iters+1 times
     nodes = (
         table(spark, sf_dir, "embeddings")
         .filter(F.col("embedding").isNotNull())
         .select("vec_id")
+        .localCheckpoint(eager=False)
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    deg = (
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+        .localCheckpoint(eager=False)
+    )
     scale = derive_pr_scale(nodes.count())
     base = scale * (100 - PR_DAMP_NUM) // 100
     ranks = nodes.select("vec_id", F.lit(scale).alias("r"))

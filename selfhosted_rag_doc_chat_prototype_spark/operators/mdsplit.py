@@ -92,6 +92,11 @@ class CharTokenizer:
     def encode(self, text: str, add_special_tokens: bool = False) -> list[int]:
         return [ord(c) for c in text]
 
+    def encode_len(self, text: str, add_special_tokens: bool = False) -> int:
+        # len(encode(text)) without materializing the token list --
+        # 1 char == 1 token by definition, so this is exact
+        return len(text)
+
     def decode(self, tokens: list[int], skip_special_tokens: bool = True) -> str:
         return "".join(chr(t) for t in tokens)
 
@@ -348,15 +353,27 @@ def split_markdown_doc_parity(
     if max_tokens is None:
         max_tokens = budget
 
+    # count-only fast path: token_len is called per candidate piece
+    # inside the merge window (hundreds of times per document), and
+    # len(encode(t)) built a throwaway token list each call -- the
+    # kernel's top profile line. A tokenizer exposing encode_len
+    # answers the count directly (CharTokenizer: len(t), exact by
+    # definition); foreign tokenizers fall back to len(encode(...)).
+    enc_len = getattr(tokenizer, "encode_len", None) or (
+        lambda t, add_special_tokens=False: len(
+            tokenizer.encode(t, add_special_tokens=add_special_tokens)
+        )
+    )
+
     file_meta, body = parse_front_matter_yamlish(text)
     body = _PAGE_ANCHOR_INLINE_RE.sub(r"\1\n\2", body)
 
     meta_id = document_id if document_id else "DOC_UNKNOWN"
     enrichment_prefix = f"{prefix}[{meta_id}] "
-    prefix_len = len(tokenizer.encode(enrichment_prefix, add_special_tokens=True))
+    prefix_len = enc_len(enrichment_prefix, add_special_tokens=True)
 
     def token_len(t: str) -> int:
-        return prefix_len + len(tokenizer.encode(t, add_special_tokens=False))
+        return prefix_len + enc_len(t)
 
     safe_budget = int(budget * 0.85) - prefix_len
 
@@ -368,8 +385,9 @@ def split_markdown_doc_parity(
     def emit(chunk_text: str, sect_meta: dict, page: int) -> None:
         idx = len(chunks)
         chunks.append(chunk_text)
-        c_hash = format(murmur3_32(chunk_text) & 0xFFFFFFFF, "08X")
-        c_id = f"{meta_id}_{format(murmur3_32(chunk_text) & 0xFFFFFFFF, '08x')}"
+        mm = murmur3_32(chunk_text) & 0xFFFFFFFF  # one hash, two casings
+        c_hash = format(mm, "08X")
+        c_id = f"{meta_id}_{format(mm, '08x')}"
         meta = {
             **file_meta, **sect_meta,
             "id": c_id, "hash": c_hash, "page": page,
@@ -396,12 +414,12 @@ def split_markdown_doc_parity(
                 if pm:
                     page = int(pm.group(1))
                     break
-            full = tokenizer.encode(
+            n_full = enc_len(
                 f"{enrichment_prefix}{piece}", add_special_tokens=True
             )
             # the overflow gate and sub-split window use max_tokens
             # (the reference's global MAX_TOKENS), not the merge budget
-            if len(full) <= max_tokens:
+            if n_full <= max_tokens:
                 emit(piece, sect_meta, page)
             else:
                 # non-destructive oversize sub-split (T6): token-window

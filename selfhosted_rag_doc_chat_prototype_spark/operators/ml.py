@@ -39,7 +39,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import text_quality as tq
 from ..sources.tables import rebalance, table
 
 # k-means
@@ -541,30 +540,138 @@ PCA_ITERS = 4           # fixed power iterations on the Gram sketch
 PCA_V_SCALE = 1_000_000  # iterate/emit the direction in 1e-6 units
 
 
+def _gram_cells(q: DataFrame) -> DataFrame:
+    """Partial integer Gram cells ``(i, j, g)`` -- ``G[i,j] = sum_rows
+    q_i * q_j`` -- as a per-task numpy int64 matmul (the vectorized-
+    exact precedent of :func:`_assign`): each task accumulates its
+    batches' outer products into one ``d x d`` int64 matrix and emits
+    at most ``d^2`` partial cells, so the downstream groupBy reduces
+    ``tasks x d^2`` rows instead of the former ``rows x d^2`` exploded
+    structs (the explode dominated both PCA queries' wall time).
+    Integer addition commutes, so the aggregated cells are
+    BIT-IDENTICAL to the explode/groupBy form and to the unrolled
+    DuckDB oracle (test-pinned against the explode reference,
+    ragged/null edges included).
+
+    Exact explode-semantics preservation: a cell ``(i, j)`` exists iff
+    some vector has ``len >= max(i, j)`` (per-length partial Grams
+    accumulate into the top-left block of the widest matrix the task
+    has seen, and each task emits its own ``[1..d_max]^2`` square); a
+    cell whose every product was NULL carries a NULL partial, which
+    the final ``sum`` skips -- so an all-NULL cell stays NULL, exactly
+    the SQL aggregate contract. Headroom: ``|cell| <= rows x (2e6)^2``
+    for unit-scale micro-unit vectors -- int64-safe to ~2.3e6 rows per
+    task, five decades above the local corpus and the same bound the
+    exploded BIGINT sum had."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        G = None          # int64 (d, d) partial Gram
+        seen = None       # bool  (d, d) -- any non-NULL product
+
+        def grow(d):
+            nonlocal G, seen
+            if G is None:
+                G = np.zeros((d, d), dtype=np.int64)
+                seen = np.zeros((d, d), dtype=bool)
+            elif G.shape[0] < d:
+                H = np.zeros((d, d), dtype=np.int64)
+                S = np.zeros((d, d), dtype=bool)
+                n = G.shape[0]
+                H[:n, :n] = G
+                S[:n, :n] = seen
+                G, seen = H, S
+
+        for rb in batches:
+            col = rb.column(0)
+            if isinstance(col, pa.ChunkedArray):  # defensive
+                col = col.combine_chunks()
+            n = len(col)
+            if n == 0:
+                continue
+            offs = col.offsets.to_numpy(zero_copy_only=False)
+            lens = offs[1:] - offs[:-1]
+            row_ok = (
+                np.ones(n, dtype=bool) if col.null_count == 0
+                else col.is_valid().to_numpy(zero_copy_only=False)
+            )
+            vals = col.values
+            if vals.null_count == 0:
+                elem_nulls_per_row = np.zeros(n, dtype=np.int64)
+                vals_np = vals.to_numpy()
+            else:
+                # per-row count of NULL elements, from the flat mask
+                nulls = pc.is_null(vals).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                cum = np.concatenate(([0], np.cumsum(nulls)))
+                elem_nulls_per_row = cum[offs[1:]] - cum[offs[:-1]]
+                vals_np = None
+            fast = row_ok & (lens > 0) & (elem_nulls_per_row == 0)
+            if fast.any():
+                if vals_np is None:
+                    # int64 stays exact: pull the buffer, ignore the
+                    # (separately handled) null slots
+                    vals_np = np.frombuffer(
+                        vals.buffers()[1], dtype=np.int64,
+                        count=vals.offset + len(vals),
+                    )[vals.offset:]
+                for d in np.unique(lens[fast]):
+                    d = int(d)
+                    grow(d)
+                    starts = offs[:-1][fast & (lens == d)]
+                    Q = vals_np[starts[:, None]
+                                + np.arange(d)[None, :]]
+                    G[:d, :d] += Q.T @ Q
+                    seen[:d, :d] = True
+            slow = row_ok & (lens > 0) & (elem_nulls_per_row > 0)
+            for r in np.nonzero(slow)[0]:
+                # exact scalar fallback (never hit by the NOT NULL-
+                # filtered corpus): NULL products drop, matching the
+                # explode form's null-skipping sum
+                v = col[int(r)].as_py()
+                grow(len(v))
+                for i, xi in enumerate(v):
+                    if xi is None:
+                        continue
+                    for j, xj in enumerate(v):
+                        if xj is None:
+                            continue
+                        G[i, j] += xi * xj
+                        seen[i, j] = True
+        if G is not None:
+            d = G.shape[0]
+            ii, jj = np.indices((d, d))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array((ii.ravel() + 1).astype("int32")),
+                    pa.array((jj.ravel() + 1).astype("int32")),
+                    pa.array(G.ravel(), mask=~seen.ravel()),
+                ],
+                names=["i", "j", "g"],
+            )
+
+    return (
+        q.select("q")
+        .mapInArrow(kernel, "i int, j int, g long")
+    )
+
+
 def _pca_power(spark: SparkSession, sf_dir: str, iters: int):
     """Shared Gram-sketch power iteration: returns (gn, v) -- the
     max-normalized integer Gram cells and the iterated direction --
     consumed by :func:`pca_top_component` and
     :func:`embedding_isotropy_report`."""
     q = _quantized(spark, sf_dir)
-    outer = tq.let(
-        F.col("q"),
-        lambda qv: F.flatten(F.transform(
-            F.sequence(F.lit(1), F.size(qv)),
-            lambda i: F.transform(
-                F.sequence(F.lit(1), F.size(qv)),
-                lambda j: F.struct(
-                    i.alias("i"), j.alias("j"),
-                    (F.element_at(qv, i) * F.element_at(qv, j))
-                    .alias("v"),
-                ),
-            ),
-        )),
-    )
+    # eager checkpoint of the <= dim^2-row cell table: gmax and gn
+    # both consume it, and without the cut each would re-run the
+    # corpus-scale Arrow gram stage (2 Python passes per build)
     cells = (
-        q.select(F.explode(outer).alias("c"))
-        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
-        .agg(F.sum("c.v").alias("g"))
+        _gram_cells(q)
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+        .localCheckpoint()
     )
     gmax = cells.agg(F.max(F.abs(F.col("g"))).alias("m"))
     gn = (
@@ -616,8 +723,9 @@ def pca_top_component(spark: SparkSession, sf_dir: str,
     with no float anywhere except the final cosmetic /1e6
     (docs/ROUNDING.md rule 1).
 
-    Scale shape: the ONLY corpus-scale pass is the outer-product
-    explode (dim^2 per row) which partially aggregates map-side into
+    Scale shape: the ONLY corpus-scale pass is the per-task numpy
+    Gram accumulation (:func:`_gram_cells` -- one int64 matmul per
+    Arrow batch, at most dim^2 partial cells per task) reduced into
     the fixed dim x dim cell table; the iterations then run on 4096
     rows (tiny -- broadcast-joined against the 64-row vector) and the
     corpus is never rescanned. The sketch-then-iterate shape is

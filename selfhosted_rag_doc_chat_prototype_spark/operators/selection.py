@@ -269,20 +269,32 @@ def dsir_weights(docs: DataFrame, target_lang: str = DSIR_TARGET_LANG,
     )
     spark = docs.sparkSession
     grid = spark.range(buckets).select(F.col("id").cast("int").alias("b"))
-    ct = terms.filter(F.col("lang") == target_lang).groupBy("b").agg(
-        F.count(F.lit(1)).alias("ct")
-    )
-    cr = terms.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
     # when(...) not a bare boolean cast: a NULL lang must count as
     # "not target" (0), matching the oracle's CASE, not propagate NULL
     is_t = F.when(F.col("lang") == target_lang, 1).otherwise(0)
-    totals = terms.agg(
-        F.sum(is_t.cast("long")).alias("nt"),
-        F.count(F.lit(1)).alias("nr"),
+    # ONE bucket-grain pass carries both bag models (cr = all tokens,
+    # ct = target-slice tokens -- a conditional sum over the same
+    # rows), and the corpus totals are EXACT sums of that tiny table
+    # (every token lands in exactly one bucket), so the former three
+    # separate corpus passes (ct, cr, totals) collapse to one; the
+    # lazy localCheckpoint keeps the B-row bag from re-running the
+    # token explode for the totals aggregate. A missing bucket now
+    # carries ct = 0 instead of a left-join NULL -- identical through
+    # the downstream coalesce(ct, 0).
+    bag = (
+        terms.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum(is_t.cast("long")).alias("ct"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = bag.agg(
+        F.sum("ct").alias("nt"),
+        F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"),
     )
     lr = (
-        grid.join(F.broadcast(ct), "b", "left")
-        .join(F.broadcast(cr), "b", "left")
+        grid.join(F.broadcast(bag), "b", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             "b",

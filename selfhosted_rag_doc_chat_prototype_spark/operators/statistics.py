@@ -1085,7 +1085,13 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text_quality as tq
 
     x = F.size(tq.words(F.coalesce(F.col("text"), F.lit("")))).cast("long")
-    base = docs.select("doc_id", "source", x.alias("x"))
+    # narrow (doc_id, source, x) rows: the lazy localCheckpoint runs
+    # the regex word-split once instead of twice (the B-fold replicate
+    # explode and the point estimate both consume base)
+    base = (
+        docs.select("doc_id", "source", x.alias("x"))
+        .localCheckpoint(eager=False)
+    )
     reps = base.select(
         "source", "x",
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),

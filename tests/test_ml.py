@@ -246,3 +246,64 @@ def test_isotropy_bounds_and_collapsed_corpus(spark, tmp_path):
     assert r.n_dims == 64
     assert 0 < r.isotropy <= 1.01
     assert r.isotropy > 0.95
+
+
+def test_gram_cells_matches_explode_reference(spark):
+    """r12: the PCA Gram sketch runs as a per-task numpy int64 matmul
+    (_gram_cells) instead of a dim^2-per-row explode. Pin the kernel
+    to independently computed SQL-aggregate semantics on a corpus
+    that exercises every edge the explode form had: ragged lengths
+    (a cell exists iff some vector has len >= max(i, j)), NULL
+    elements (their products drop out of the sum), an all-NULL cell
+    (stays NULL, not 0), NULL and empty vectors (contribute nothing),
+    and multi-partition partial-cell merging."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from selfhosted_rag_doc_chat_prototype_spark.operators.ml import (
+        _gram_cells,
+    )
+
+    rows = [
+        ([3, -2, None],),       # len 3, NULL element at dim 3
+        ([1, 4, None],),        # len 3, NULL element at dim 3
+        ([5, 7],),              # ragged: len 2
+        ([-1, 0, None, 9],),    # len 4 -- dim 3 NULL again, dim 4 live
+        (None,),                # failed embed: contributes nothing
+        ([],),                  # empty vector: contributes nothing
+        ([2, 2],),              # len 2
+    ]
+    schema = StructType([StructField("q", ArrayType(LongType()), True)])
+    df = spark.createDataFrame(rows, schema).repartition(3)
+
+    got = {
+        (r.i, r.j): r.g
+        for r in _gram_cells(df).groupBy("i", "j")
+        .agg(F.sum("g").alias("g")).collect()
+    }
+
+    # independent reference with SQL aggregate semantics
+    expect: dict[tuple[int, int], int | None] = {}
+    for (v,) in rows:
+        if not v:
+            continue
+        for i in range(len(v)):
+            for j in range(len(v)):
+                key = (i + 1, j + 1)
+                if key not in expect:
+                    expect[key] = None
+                if v[i] is None or v[j] is None:
+                    continue
+                expect[key] = (expect[key] or 0) + v[i] * v[j]
+
+    assert got == expect
+    # the all-NULL cells (dim 3 x anything in the len-3 rows is NULL,
+    # but the len-4 row revives most -- (3, 3) stays all-NULL)
+    assert got[(3, 3)] is None
+    assert got[(4, 4)] == 81
+    assert got[(1, 1)] == 3 * 3 + 1 * 1 + 5 * 5 + 1 + 2 * 2
