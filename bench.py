@@ -292,6 +292,33 @@ HEADLINE_CORE = [
 ]
 assert len(HEADLINE_CORE) == 30 and set(HEADLINE_CORE) <= set(HEADLINE)
 
+# r13 (r12-VERDICT item 1): the compact stdout line's shrink ladder used
+# to cut the query map to the N SLOWEST queries, so the driver's
+# round-over-round PERF comparison saw two near-disjoint windows (r12:
+# 8 phantom "dropped_from_bench", a 4-query geomean). The emitted map
+# must be a STABLE set: always the frozen HEADLINE_CORE 30, plus the
+# names the previous round's compact line carried (so nothing the
+# driver last saw ever vanishes), plus as many slowest extras as the
+# char budget still allows. COMPACT_COMPAT is the r12 emitted set;
+# append names here whenever a round's compact line carried an extra
+# (never remove -- removal is exactly the phantom-drop bug).
+COMPACT_COMPAT = [
+    "entity_resolution_golden", "sketch_countmin_heavyhitters",
+    "q2_min_cost_supplier", "contrastive_triplets",
+    "dedup_connected_components", "bitext_margin_mined",
+    "cluster_cartography", "cluster_label_agreement", "knn_pagerank",
+    "coreset_kcenter_append", "quality_classifier_hashed",
+    # embed_kmeans also appeared in r12's line; it is in HEADLINE_CORE
+]
+assert set(COMPACT_COMPAT) <= set(HEADLINE)
+
+# r13 (r12-VERDICT item 8): drift normalization anchor. The r11 driver
+# machine measured calibration_cpu_sec 0.459; the compact line reports
+# core_wall * (0.459 / this_run_calib_cpu) so a judge can separate
+# machine drift from code change in one field. The anchor is FROZEN --
+# renormalizing to a newer round would silently re-base the series.
+CALIB_CPU_ANCHOR_R11 = 0.459
+
 # r12 (r11-VERDICT item 4): queries that UNION many persisted matviews
 # pay a first-touch cost (page cache, parquet footer reads) on their
 # first serve run even when the store is warm ON DISK -- with build
@@ -677,6 +704,24 @@ def machine_calibration(spark) -> dict:
     return {"calibration_cpu_sec": cpu, "calibration_shuffle_sec": shuf}
 
 
+def rdd_residency(spark) -> dict:
+    """Block-manager residency snapshot (r12-VERDICT item 4): count and
+    bytes of every RDD currently cached/checkpointed in the JVM. The
+    suite JVM runs 190 queries x N runs; localCheckpoint blocks live
+    until driver-side GC drops the RDD, so unbounded growth here is the
+    suspected driver of the contended-run pathology. Driver-side
+    introspection only -- no job is launched, nothing is timed."""
+    try:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return {
+            "n": len(infos),
+            "mem_mb": round(sum(i.memSize() for i in infos) / 2**20, 1),
+            "disk_mb": round(sum(i.diskSize() for i in infos) / 2**20, 1),
+        }
+    except Exception:  # pragma: no cover - introspection must never fail a run
+        return {}
+
+
 RETRIEVAL_BATCHES = 10   # micro-batches the streaming serve is timed over
 RETRIEVAL_QUERIES = 200  # requests spread across them (20/batch)
 
@@ -931,6 +976,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     matview_builds: dict[str, float] = {}
+    residency: dict[str, dict] = {}
     t_all = time.time()
     warmed: list[str] = []
     for name in names:
@@ -957,6 +1003,8 @@ def main() -> None:
         # separately above; all-build fallback keeps the stat defined)
         base = serve_runs or runs
         spread[name] = round(max(base) / max(min(base), 1e-9), 2)
+        residency[name] = dict(
+            rdd_residency(spark), t=round(time.time() - t_all, 1))
     total = round(sum(timings.values()), 3)
     wall = round(time.time() - t_all, 3)
     # comparable-across-rounds wall: the frozen 30-query core only
@@ -985,14 +1033,28 @@ def main() -> None:
         derived.update(scale_evidence(spark, sf_dir, queries, timings, n_runs))
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # r13 (item-3 adjudication evidence): this sandbox is a VM with
+    # measurable CPU steal that comes and goes WITHIN a run -- a
+    # start-of-run fingerprint cannot see a mid-run steal window. A
+    # second sample at the end brackets the run; a large start/end gap
+    # flags the suite numbers as struck under moving host contention.
+    calibration["calibration_cpu_sec_end"] = machine_calibration(spark)[
+        "calibration_cpu_sec"]
+    # drift-normalized core wall (r12-VERDICT item 8): what the frozen
+    # 30-query core wall would read on the r11 anchor machine, per the
+    # synthetic cpu fingerprint measured this run
+    calib_cpu = calibration.get("calibration_cpu_sec") or CALIB_CPU_ANCHOR_R11
+    calib_norm_core = round(core * CALIB_CPU_ANCHOR_R11 / calib_cpu, 3)
     result = {
         "metric": "headline_suite_wall_seconds",
         "value": total,
         "unit": "sec",
         "headline_core_wall_seconds": core,
+        "calibration_normalized_core_wall": calib_norm_core,
         "queries": timings,
         "run_spread_max_over_min": spread,
         "matview_build_seconds": matview_builds,
+        "rdd_residency_after_query": residency,
         "warmup_discarded": warmed,
         "calibration": calibration,
         "derived": derived,
@@ -1012,8 +1074,23 @@ def main() -> None:
         json.dump(result, f, indent=1)
         f.write("\n")
 
+    print(make_compact_line(result, detail))
+
+
+def make_compact_line(result: dict, detail: str, budget: int = 1950) -> str:
+    """ONE stdout line under the driver's ~2000-char tail capture.
+
+    Emission contract (r12-VERDICT item 1): whenever the full query map
+    does not fit, the emitted map is the frozen ``HEADLINE_CORE`` 30
+    plus ``COMPACT_COMPAT`` (every name the previous round's compact
+    line carried), then slowest extras as budget allows -- a STABLE set,
+    so the driver's per-query round-over-round comparison never sees a
+    phantom drop from truncation again."""
+    timings = result["queries"]
+    spread = result.get("run_spread_max_over_min", {})
+    matview_builds = result.get("matview_build_seconds", {})
+    derived = result.get("derived", {})
     compact = lambda obj: json.dumps(obj, separators=(",", ":"))
-    budget = 1950
     anchors = {
         k: v for k, v in derived.items()
         if k in ("ingest_docs_per_min", "retrieval_ms_per_query_batched",
@@ -1024,6 +1101,13 @@ def main() -> None:
         if k.endswith(("_scale_ratio_10x", "_scale_ratio_verdict"))
     }
     line = dict(result, detail_file=detail)
+    # the per-query residency curve lives in the detail file; stdout
+    # keeps the endpoint (cached-RDD count + bytes after the last query)
+    residency = line.pop("rdd_residency_after_query", None) or {}
+    if residency:
+        last = residency[list(residency)[-1]]
+        if last:
+            line["residency_final"] = last
     # spread lives in the detail file; stdout keeps only its worst case
     worst = max(spread.items(), key=lambda kv: kv[1]) if spread else None
     line.pop("run_spread_max_over_min", None)
@@ -1034,21 +1118,28 @@ def main() -> None:
     if matview_builds:
         line["matview_build_total_sec"] = round(
             sum(matview_builds.values()), 1)
-    # shrink order: the derived anchors/ratios are the headline the
-    # driver compares against BASELINE.md -- truncate the query map
-    # before touching them
+    # stable emitted set (r12-VERDICT item 1): when the full query map
+    # does not fit, the driver's round-over-round comparison must still
+    # see the SAME names every round -- the frozen HEADLINE_CORE 30
+    # plus everything the previous round's compact line carried.
+    # Slowest-N truncation is what produced r12's phantom drops.
+    stable_names = [n for n in HEADLINE_CORE if n in timings]
+    stable_names += [n for n in COMPACT_COMPAT
+                     if n in timings and n not in HEADLINE_CORE]
+
+    def truncate_to_stable():
+        line.update(
+            queries={n: round(timings[n], 2) for n in stable_names},
+            queries_truncated_see_detail_file=True)
+
+    # shrink order: the frozen core + compat query set and the derived
+    # anchors survive everything; the per-query long tail and the scale
+    # ratios live in the detail file when space runs out
     shrinks = [
         lambda: line.update(
             queries={k: round(v, 2) for k, v in timings.items()}),
         lambda: line.update(derived={**anchors, **ratios}),
-        lambda: (line.update(
-            queries=dict(sorted(line["queries"].items(),
-                                key=lambda kv: -kv[1])[:30])),
-                 line.update(queries_truncated_see_detail_file=True)),
-        lambda: (line.update(
-            queries=dict(sorted(line["queries"].items(),
-                                key=lambda kv: -kv[1])[:12])),
-                 line.update(queries_truncated_see_detail_file=True)),
+        truncate_to_stable,
         lambda: line.update(derived=anchors),
         lambda: line.pop("derived", None),
     ]
@@ -1060,7 +1151,16 @@ def main() -> None:
         # last resort: the full record lives in the detail file
         line.pop("queries", None)
         line["queries_see_detail_file"] = True
-    print(compact(line))
+    elif line.get("queries_truncated_see_detail_file") and "queries" in line:
+        # back-fill remaining budget with the slowest non-stable extras
+        # (deterministic slowest-first; first miss ends the fill)
+        for n in sorted((n for n in timings if n not in set(stable_names)),
+                        key=lambda n: -timings[n]):
+            line["queries"][n] = round(timings[n], 2)
+            if len(compact(line)) > budget:
+                del line["queries"][n]
+                break
+    return compact(line)
 
 
 if __name__ == "__main__":

@@ -49,3 +49,40 @@ def assert_matches_oracle(sdf, con, sql: str, name: str = "query"):
     sn, on = normalize(srows, scols), normalize(orows, ocols)
     mismatches = [(a, b) for a, b in zip(sn, on) if a != b]
     assert not mismatches, f"{name}: value mismatch, first: {mismatches[:3]}"
+
+
+def await_sink_rows(spark, query, table: str, predicate,
+                    timeout: float = 120.0, grace: float = 2.0,
+                    poll: float = 0.5):
+    """Wait until the memory-sink ``table`` satisfies ``predicate`` (a
+    callable over the collected rows), let one ``grace`` window pass so
+    a buggy extra emission would still land, then stop the query.
+
+    For availableNow queries whose stateful operator holds PENDING
+    processing-time timeouts, Spark keeps the query alive waiting for
+    the timeout trigger -- ``awaitTermination(t)`` burns its full
+    budget (measured: 120 s in test_file_sentinel_stateful_stream for
+    a stream whose output is complete after ~5 s). Polling the sink for
+    the expected condition and stopping is the correct wait for those.
+    Returns the final collected rows."""
+    import time as _time
+
+    deadline = _time.time() + timeout
+    rows = []
+    while _time.time() < deadline:
+        rows = spark.sql(f"SELECT * FROM {table}").collect()
+        if predicate(rows):
+            break
+        if not query.isActive:
+            break
+        _time.sleep(poll)
+    else:
+        query.stop()
+        raise AssertionError(
+            f"sink {table} never satisfied predicate within {timeout}s; "
+            f"last rows: {rows[:5]}")
+    if query.isActive:
+        _time.sleep(grace)
+        rows = spark.sql(f"SELECT * FROM {table}").collect()
+        query.stop()
+    return rows

@@ -27,20 +27,26 @@ EAGER = {
 
 
 def _plan(spark, fn, sf_dir) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        fn(spark, sf_dir).explain("formatted")
-    return buf.getvalue()
+    # explainString straight off the QueryExecution: explain() prints to
+    # stdout, and redirect_stdout is process-global -- unusable once the
+    # fixture plans from a thread pool
+    df = fn(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    return df._jdf.queryExecution().explainString(mode)
 
 
 @pytest.fixture(scope="module")
 def plans(spark, sf_dir):
-    out = {}
-    for name, fn in all_queries().items():
-        if name in EAGER:
-            continue
-        out[name] = _plan(spark, fn, sf_dir)
-    return out
+    # planning ~274 queries sequentially cost 131 s of the suite (pure
+    # driver-side Catalyst work, GIL released inside py4j calls);
+    # a thread pool cuts the fixture to wall/cores
+    from concurrent.futures import ThreadPoolExecutor
+
+    items = [(n, fn) for n, fn in all_queries().items() if n not in EAGER]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        return dict(pool.map(
+            lambda it: (it[0], _plan(spark, it[1], sf_dir)), items))
 
 
 def test_no_cartesian_products(plans):

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from selfhosted_rag_doc_chat_prototype_spark.streaming import telemetry
 
-from .helpers import assert_matches_oracle, duck_con
+from .helpers import assert_matches_oracle, await_sink_rows, duck_con
 
 
 @pytest.fixture(scope="module")
@@ -186,8 +186,12 @@ def test_file_sentinel_stateful_stream(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    got = spark.sql("SELECT * FROM sentinel_out").collect()
+    # the straggler f2 holds a PENDING processing-time timeout, so the
+    # availableNow query never self-terminates -- poll the sink for the
+    # complete row instead of burning the full awaitTermination budget
+    got = await_sink_rows(
+        spark, q, "sentinel_out",
+        lambda rows: any(r.status == "complete" for r in rows))
     assert [(r.source_file, r.observed_chunks, r.status) for r in got] == [
         ("f1", 3, "complete")
     ]
