@@ -201,14 +201,20 @@ def _band_signatures(corpus: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
 
-def _candidate_pairs(corpus: DataFrame) -> DataFrame:
+def _candidate_pairs(corpus: DataFrame, bands: DataFrame | None = None) -> DataFrame:
     """Bucket docs by (band, sig) and expand pairs WITHIN each bucket:
     one shuffle over the band rows, and the signature computation runs
     once (a self-join would re-derive the whole minhash chain for each
     side). Within-bucket expansion is the intended LSH quadratic,
     bounded by bucket size (tune bands/rows; AQE splits skewed
-    buckets)."""
-    bands = _band_signatures(corpus)
+    buckets).
+
+    ``bands`` lets a caller that ALSO needs the band signatures for its
+    own joins (er_reresolve probes the stored archive index with them)
+    pass the one shared -- ideally checkpointed -- relation instead of
+    paying the corpus-scale minhash chain twice."""
+    if bands is None:
+        bands = _band_signatures(corpus)
     buckets = (
         bands.groupBy("band", "sig")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
@@ -2268,6 +2274,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     ).cache()
     labels = connected_components_labels(edges)
+    # labels is eagerly materialized by the CC loop; free the edge
+    # cache instead of leaving the blocks to driver-side GC
+    edges.unpersist()
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),

@@ -103,12 +103,29 @@ def _golden_resolve(raw_corpus: DataFrame) -> DataFrame:
     shared so tests can build the scratch twin :func:`er_reresolve`
     must equal."""
     corpus = raw_corpus.localCheckpoint(eager=False)
-    pairs = _candidate_pairs(corpus.select("doc_id", "text"))
+    # r13 (guide §2.3/§2.4): the banded candidate set is TINY relative
+    # to the corpus (measured sf0.1: 1,360 pairs for a ~165k-doc
+    # corpus), yet scoring used to tokenize the WHOLE corpus twice --
+    # once per join side. Checkpoint the pair list (it feeds two plan
+    # branches: the member-id semi-join and the scored join), restrict
+    # the corpus to docs that appear in ANY pair with one semi-join
+    # (ONE corpus-scale tokenize pass over just the survivors), then
+    # attach both sides from that candidate-only table. Join semantics,
+    # expressions and results are unchanged -- only where the tokenize
+    # runs.
+    pairs = _candidate_pairs(
+        corpus.select("doc_id", "text")
+    ).localCheckpoint(eager=False)
     wd = F.array_distinct(
         tq.words(F.coalesce(F.col("text"), F.lit("")))
     )
-    sides = corpus.select(
-        "doc_id", wd.alias("wd"), "lang"
+    in_pairs = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    sides = (
+        corpus.join(in_pairs, "doc_id")
+        .select("doc_id", wd.alias("wd"), "lang")
+        .localCheckpoint(eager=False)
     )
     a = sides.select(
         F.col("doc_id").alias("doc_a"), F.col("wd").alias("wa"),
@@ -136,6 +153,10 @@ def _golden_resolve(raw_corpus: DataFrame) -> DataFrame:
         scored.selectExpr("doc_b AS src", "doc_a AS dst")
     ).cache()
     labels = connected_components_labels(edges)
+    # labels is eagerly materialized by the CC loop; nothing downstream
+    # re-reads edges' lineage, so free its cached blocks (item-4
+    # residency hygiene) instead of leaving them to driver-side GC
+    edges.unpersist()
     members = (
         corpus.join(labels, "doc_id", "left")
         .select(
@@ -476,6 +497,8 @@ def _er_base_registry(
         scored.selectExpr("doc_b AS src", "doc_a AS dst")
     ).cache()
     cc = connected_components_labels(edges)
+    # cc is eagerly materialized by the CC loop; free the edge cache
+    edges.unpersist()
     base_labels = (
         base.select("doc_id").join(cc, "doc_id", "left")
         .select(
@@ -682,10 +705,38 @@ def _er_reresolve_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = _er_incoming_sourced(spark, sf_dir).localCheckpoint(eager=False)
 
     # batch-internal verified edges: the same blocked resolve the
-    # golden query runs, restricted to the batch
+    # golden query runs, restricted to the batch. r13 (guide §2.4):
+    # the batch minhash chain used to run TWICE (once inside
+    # _candidate_pairs, once as new_bands for the archive probe) and
+    # the batch tokenize up to three times (both pair sides + the
+    # archive-edge batch side) -- one checkpointed bands relation and a
+    # candidates-only tokenize make each a single batch-scale pass.
+    # Join keys, expressions and results are unchanged.
     wd = F.array_distinct(tq.words(F.coalesce(F.col("text"), F.lit(""))))
-    bsides = batch.select("doc_id", wd.alias("wd"), "lang")
-    bpairs = _candidate_pairs(batch.select("doc_id", "text"))
+    new_bands = _band_signatures(
+        batch.select("doc_id", "text")
+    ).localCheckpoint(eager=False)
+    bpairs = _candidate_pairs(
+        batch.select("doc_id", "text"), bands=new_bands
+    ).localCheckpoint(eager=False)
+    ab_cand = (
+        new_bands.withColumnRenamed("doc_id", "doc_a")
+        .join(base_sigs.withColumnRenamed("doc_id", "doc_b"),
+              ["band", "sig"])
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    in_cand = (
+        bpairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .unionByName(ab_cand.select(F.col("doc_a").alias("doc_id")))
+        .distinct()
+    )
+    bsides = (
+        batch.join(in_cand, "doc_id")
+        .select("doc_id", wd.alias("wd"), "lang")
+        .localCheckpoint(eager=False)
+    )
     ba = bsides.select(F.col("doc_id").alias("doc_a"),
                        F.col("wd").alias("wa"),
                        F.col("lang").alias("lang_a"))
@@ -708,14 +759,6 @@ def _er_reresolve_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch-archive verified edges: batch signatures against the
     # STORED blocking index, archive match fields from the STORED
     # field relation -- no archive re-derivation
-    new_bands = _band_signatures(batch.select("doc_id", "text"))
-    ab_cand = (
-        new_bands.withColumnRenamed("doc_id", "doc_a")
-        .join(base_sigs.withColumnRenamed("doc_id", "doc_b"),
-              ["band", "sig"])
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
     ab_edges = (
         ab_cand
         .join(ba, "doc_a")
@@ -748,6 +791,9 @@ def _er_reresolve_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
             pair_edges.selectExpr("doc_b AS src", "doc_a AS dst")
         ).cache()
     labels = connected_components_labels(edges)
+    # labels is eagerly materialized by the CC loop; edges' cached
+    # blocks are dead from here on (item-4 residency hygiene)
+    edges.unpersist()
 
     members = (
         archive.unionByName(batch)

@@ -572,9 +572,16 @@ def sketch_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = rebalance(table(spark, sf_dir, "documents"))
+    # the vocab aggregate feeds THREE plan branches (cells via hashed,
+    # the top cut, and the estimate join): without a cut point the
+    # corpus tokenize+explode+aggregate executes once per branch
+    # (fresh-JVM isolate: 3 corpus passes; r13 guide §2.4). The lazy
+    # localCheckpoint bounds it to one; everything downstream is
+    # vocab- or sketch-sized.
     counts = (
         docs.select(F.explode(tq.words(F.col("text"))).alias("term"))
         .groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
+        .localCheckpoint(eager=False)
     )
     hash_structs = F.array(*[
         F.struct(
