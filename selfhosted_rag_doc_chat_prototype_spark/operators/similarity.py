@@ -718,6 +718,7 @@ _RECALL_STRATEGIES = ("lsh", "lsh_multiprobe", "ivf", "ivfpq", "bq",
                       "matryoshka", "hardneg", "late_interaction", "sq",
                       "range_lsh")
 _RECALL_STORE: dict = {}
+_RECALL_ALL_STORE: dict = {}
 
 
 def _recall_vs_exact(exact: DataFrame, approx: DataFrame,
@@ -939,11 +940,35 @@ def anns_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted gold matviews (r8, :func:`_gold_build`); at 100 TB
     neither the O(N * Q) gold pass nor any serve probe is ever
     multiplied by the number of graded strategies."""
-    legs = [_recall_leg_build(spark, sf_dir, s) for s in _RECALL_STRATEGIES]
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out
+    # r13 (r12-VERDICT item 7, guide §6): the omnibus used to UNION ten
+    # tiny per-leg parquet reads -- ten scan nodes, ten directory
+    # listings, ten footer reads per run. The leg reports are
+    # deterministic in the corpus dir, so they consolidate into ONE
+    # matview partitioned by strategy: the executed plan is a single
+    # scan (strategy pruning free for any per-strategy reader), content
+    # identical to the union by construction. The per-leg queries and
+    # their stores are untouched -- this view derives from them once.
+    import hashlib
+    import os
+
+    key = (spark, sf_dir)
+    if key not in _RECALL_ALL_STORE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = os.path.join(matview_root(), f"recallleg_all_{tag}")
+        if not _matview_complete(path):
+            legs = [_recall_leg_build(spark, sf_dir, s)
+                    for s in _RECALL_STRATEGIES]
+            out = legs[0]
+            for leg in legs[1:]:
+                out = out.unionByName(leg)
+            out.write.mode("overwrite").partitionBy("strategy").parquet(path)
+        # partition column comes back last and as the inferred type;
+        # restore the declared order and string type
+        _RECALL_ALL_STORE[key] = spark.read.parquet(path).select(
+            F.col("strategy").cast("string").alias("strategy"),
+            "query_id", "n_exact", "n_hits", "recall",
+        )
+    return _RECALL_ALL_STORE[key]
 
 
 FILTER_LABELS = [0, 2, 4]  # the registered filtered query's payload filter
