@@ -104,8 +104,10 @@ def _golden_resolve(raw_corpus: DataFrame) -> DataFrame:
     must equal."""
     corpus = raw_corpus.localCheckpoint(eager=False)
     # r13 (guide §2.3/§2.4): the banded candidate set is TINY relative
-    # to the corpus (measured sf0.1: 1,360 pairs for a ~165k-doc
-    # corpus), yet scoring used to tokenize the WHOLE corpus twice --
+    # to the corpus (measured sf0.1: 1,360 pairs over a 6,000-doc ER
+    # corpus, i.e. docs in any pair ~= 2x pairs << corpus -- and the
+    # gap widens with scale), yet scoring used to tokenize the WHOLE
+    # corpus twice --
     # once per join side. Checkpoint the pair list (it feeds two plan
     # branches: the member-id semi-join and the scored join), restrict
     # the corpus to docs that appear in ANY pair with one semi-join
